@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic (partition-order-independent) summation of double terms.
+  *
+  * A plain double SUM depends on accumulation order, so the same query gives
+  * different low bits on 8 cores vs 1000 executors — and never hash-matches a
+  * single-threaded oracle. Instead we fix a decimal scale, round each TERM in
+  * double space (`round(x * 10^s)` — `round` is an exact half-away-from-zero
+  * on the double in both Spark and DuckDB, so per-row results are
+  * bit-identical across engines), sum the resulting integers exactly as
+  * DECIMAL (associative + commutative), and scale back down once at the end.
+  *
+  * The same recipe at 100 TB: partial aggregation of exact decimals is safe
+  * under any partitioning/AQE re-plan, so results are reproducible run-to-run
+  * — a property the raw double sum does not have.
+  */
+object detsum {
+
+  /** Sum `term` (double) deterministically at `scale` decimal digits. */
+  def sumDet(term: Column, scale: Int = 10): Column = {
+    val factor = math.pow(10, scale)
+    sum(round(term * lit(factor)).cast(DecimalType(27, 0))).cast("double") / lit(factor)
+  }
+
+  /** DuckDB SQL mirror of [[sumDet]] — identical operation sequence. */
+  def sumDetSql(termSql: String, scale: Int = 10): String = {
+    val factor = s"1.0e$scale"
+    s"CAST(SUM(CAST(round(($termSql) * $factor) AS DECIMAL(27,0))) AS DOUBLE) / $factor"
+  }
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Spark-native re-expression of the reference engine's `proportional_sum`
+  * aggregation (see /root/reference/es-8.18.2/src/main/java/org/opennms/
+  * elasticsearch/plugin/aggregations/bucket/histogram/
+  * ProportionalSumAggregator.java:136-228).
+  *
+  * Semantics: each input row carries a time range `[rangeStart, rangeEnd]`
+  * (epoch millis) and a value. Time is bucketed by a fixed `intervalMs`
+  * (shifted by `offsetMs`); the row's value is credited to every bucket it
+  * overlaps, proportionally to `overlap(bucket, range) / duration(range)`.
+  * A zero-duration range contributes its full value to its single bucket
+  * (ProportionalSumAggregator.java:198-200). Optional `startMs`/`endMs`
+  * clamp WHICH buckets are emitted, but ratios keep using the unclamped
+  * range (ProportionalSumAggregator.java:183-186). An optional sampling
+  * column multiplies the value when finite and non-zero
+  * (ProportionalSumAggregator.java:171-180). Every overlapped bucket counts
+  * the row in `doc_count`, even when the time overlap is zero at the closed
+  * upper end (ProportionalSumAggregator.java:190, 206-214).
+  *
+  * Design (Spark-first, NOT a port): instead of the reference's per-shard
+  * imperative collector + coordinator reduce, we express the whole thing
+  * declaratively — `explode(sequence(firstBucket, lastBucket, interval))`
+  * followed by `groupBy(bucket).agg(...)`. Catalyst then gives us column
+  * pruning / filter pushdown on the scan, whole-stage codegen for the
+  * bucket math, and map-side partial aggregation so only (group, bucket)
+  * partial sums cross the shuffle — the distributed equivalent of the ES
+  * shard-level pre-aggregation. Bucket cardinality is bounded by
+  * `(end-start)/interval`, not by input rows, so this holds at 100 TB.
+  */
+object ProportionalSum {
+
+  /** Mirrors ProportionalSumAggregationBuilder's knobs (fixed-interval form). */
+  final case class Config(
+      intervalMs: Long,
+      startMs: Option[Long] = None,
+      endMs: Option[Long] = None,
+      offsetMs: Long = 0L)
+
+  /** value scaled by the sampling multiplier when finite and non-zero
+    * (ProportionalSumAggregator.java:171-180, SamplingIT). */
+  def effectiveValue(value: Column, sampling: Option[Column]): Column =
+    sampling match {
+      case None => value
+      case Some(s) =>
+        when(
+          s.isNotNull && !isnan(s) && s =!= 0.0d &&
+            s =!= Double.PositiveInfinity && s =!= Double.NegativeInfinity,
+          value * s
+        ).otherwise(value)
+    }
+
+  /** Floor `x` to the bucket grid: floor((x - offset) / interval) * interval + offset.
+    * Double division then floor — bit-compatible with the DuckDB oracle SQL. */
+  private def roundToBucket(x: Column, cfg: Config): Column = {
+    val shifted = if (cfg.offsetMs == 0L) x else x - lit(cfg.offsetMs)
+    val floored = floor(shifted / lit(cfg.intervalMs)) * lit(cfg.intervalMs)
+    if (cfg.offsetMs == 0L) floored else floored + lit(cfg.offsetMs)
+  }
+
+  /** One output row per (input row, overlapped bucket): adds
+    * `bucket_ms` (bucket start, epoch millis) and `__contrib` (this row's
+    * proportional value share in that bucket). All other input columns pass
+    * through untouched, so callers can group by arbitrary dimensions. */
+  def explodeContrib(
+      df: DataFrame,
+      rangeStartMs: Column,
+      rangeEndMs: Column,
+      value: Column,
+      sampling: Option[Column],
+      cfg: Config): DataFrame = {
+    val clampS = cfg.startMs.map(s => greatest(rangeStartMs, lit(s))).getOrElse(rangeStartMs)
+    val clampE = cfg.endMs.map(e => least(rangeEndMs, lit(e))).getOrElse(rangeEndMs)
+    val itv = lit(cfg.intervalMs)
+    df.withColumn("__rs", rangeStartMs.cast("long"))
+      .withColumn("__re", rangeEndMs.cast("long"))
+      .withColumn("__dur", col("__re") - col("__rs"))
+      .withColumn("__val", effectiveValue(value, sampling))
+      .withColumn("__fb", roundToBucket(clampS, cfg))
+      .withColumn("__lb", roundToBucket(clampE, cfg))
+      // rows whose (clamped) bucket range is empty never enter the reference's
+      // bucket loop (ProportionalSumAggregator.java:189-190)
+      .filter(col("__fb") <= col("__lb"))
+      .withColumn("bucket_ms", explode(sequence(col("__fb"), col("__lb"), itv)))
+      // getTimeInWindow (ProportionalSumAggregator.java:222-228): overlap of
+      // [bucket, bucket+interval) with the UNCLAMPED range, floored at 0
+      .withColumn(
+        "__ov",
+        greatest(lit(0L), least(col("bucket_ms") + itv, col("__re")) - greatest(col("bucket_ms"), col("__rs"))))
+      .withColumn(
+        "__contrib",
+        when(col("__dur") === 0L, col("__val"))
+          .otherwise(col("__val") * (col("__ov") / col("__dur"))))
+  }
+
+  /** Aggregate exploded contributions into histogram buckets, optionally per
+    * group (the reference's sub-aggregation-under-`terms` shape).
+    *
+    * Summation goes through [[graft.functions.detsum]]: per-row terms are
+    * bit-identical across engines and the sum is exact-decimal, so the final
+    * double is deterministic under any partitioning — both for the DuckDB
+    * oracle and across cluster sizes. */
+  def aggregate(exploded: DataFrame, groupCols: Seq[Column] = Nil): DataFrame =
+    exploded
+      .groupBy((groupCols :+ col("bucket_ms")): _*)
+      .agg(
+        count(lit(1)).as("doc_count"),
+        graft.functions.detsum.sumDet(col("__contrib")).as("value"))
+
+  /** explodeContrib + aggregate in one call. */
+  def run(
+      df: DataFrame,
+      rangeStartMs: Column,
+      rangeEndMs: Column,
+      value: Column,
+      sampling: Option[Column] = None,
+      cfg: Config,
+      groupCols: Seq[Column] = Nil): DataFrame =
+    aggregate(explodeContrib(df, rangeStartMs, rangeEndMs, value, sampling, cfg), groupCols)
+
+  /** Dense-bucket variant: min_doc_count=0 + extended bounds
+    * (InternalProportionalSumHistogram.EmptyBucketInfo) — every grid bucket in
+    * `[boundsStartMs, boundsEndMs]` appears, zero-filled when empty. */
+  def runDense(
+      df: DataFrame,
+      rangeStartMs: Column,
+      rangeEndMs: Column,
+      value: Column,
+      sampling: Option[Column],
+      cfg: Config,
+      boundsStartMs: Long,
+      boundsEndMs: Long): DataFrame = {
+    val agg = run(df, rangeStartMs, rangeEndMs, value, sampling, cfg)
+    val spark = df.sparkSession
+    val grid = spark
+      .range(1)
+      .select(explode(sequence(
+        roundToBucket(lit(boundsStartMs), cfg),
+        roundToBucket(lit(boundsEndMs), cfg),
+        lit(cfg.intervalMs))).as("bucket_ms"))
+    grid
+      .join(agg, Seq("bucket_ms"), "left")
+      .select(
+        col("bucket_ms"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        coalesce(col("value"), lit(0.0d)).as("value"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.ProportionalSum
+import graft.operators.ProportionalSum.Config
+
+/** proportional_sum query matrix over the derived flow view ([[Flows]]).
+  *
+  * Each query key has a DataFrame implementation and a DuckDB oracle built
+  * from the SAME parameters by [[oracle]], so the two stay in lockstep.
+  */
+object FlowQueries {
+  import Flows._
+
+  private val S = JAN_START_MS + 4 * DAY_MS // 2024-01-05
+  private val E = JAN_START_MS + 24 * DAY_MS // 2024-01-25
+
+  private def flowsWithFilter(spark: SparkSession, dir: String, filter: Option[Column]): DataFrame = {
+    val f = Flows.df(spark, dir)
+    filter.map(f.filter).getOrElse(f)
+  }
+
+  private def q(
+      cfg: Config,
+      sampling: Option[Column] = None,
+      rowFilter: Option[Column] = None,
+      groupCols: Seq[Column] = Nil,
+      dense: Option[(Long, Long)] = None)(spark: SparkSession, dir: String): DataFrame = {
+    val flows = flowsWithFilter(spark, dir, rowFilter)
+    dense match {
+      case Some((bs, be)) =>
+        ProportionalSum.runDense(flows, col("rs"), col("re"), col("v"), sampling, cfg, bs, be)
+      case None =>
+        ProportionalSum.run(flows, col("rs"), col("re"), col("v"), sampling, cfg, groupCols)
+    }
+  }
+
+  /** DuckDB mirror of [[q]]. Arithmetic shapes (floor of double division,
+    * decimal-cast-then-sum) match the Spark plan operation-for-operation so
+    * results are bit-identical. */
+  private def oracle(
+      cfg: Config,
+      samplingSql: Option[String] = None,
+      rowFilterSql: Option[String] = None,
+      groupCols: Seq[String] = Nil,
+      dense: Option[(Long, Long)] = None): String = {
+    val itv = cfg.intervalMs
+    def bucketOf(x: String): String =
+      if (cfg.offsetMs == 0L) s"CAST(floor(($x) / $itv) AS BIGINT) * $itv"
+      else s"CAST(floor((($x) - ${cfg.offsetMs}) / $itv) AS BIGINT) * $itv + ${cfg.offsetMs}"
+    val clampS = cfg.startMs.map(s => s"GREATEST(rs, $s)").getOrElse("rs")
+    val clampE = cfg.endMs.map(e => s"LEAST(re, $e)").getOrElse("re")
+    val eff = samplingSql match {
+      case None => "v"
+      case Some(s) =>
+        s"CASE WHEN ($s) IS NOT NULL AND NOT isnan($s) AND ($s) <> 0 AND NOT isinf($s) THEN v * ($s) ELSE v END"
+    }
+    val where = rowFilterSql.map(f => s"WHERE $f").getOrElse("")
+    val grp = groupCols.map(c => s"$c, ").mkString
+    val core =
+      s"""WITH $sqlCte,
+         |ranged AS (
+         |  SELECT *, re - rs AS dur, ($eff) AS eff_v,
+         |         ${bucketOf(clampS)} AS fb,
+         |         ${bucketOf(clampE)} AS lb
+         |  FROM flows $where
+         |),
+         |ex AS (
+         |  SELECT *, UNNEST(generate_series(fb, lb, $itv)) AS bucket_ms
+         |  FROM ranged WHERE fb <= lb
+         |),
+         |ovl AS (
+         |  SELECT ${grp}bucket_ms, dur, eff_v,
+         |         GREATEST(0, LEAST(bucket_ms + $itv, re) - GREATEST(bucket_ms, rs)) AS ov
+         |  FROM ex
+         |),
+         |agg AS (
+         |  SELECT ${grp}bucket_ms, COUNT(*) AS doc_count,
+         |         ${graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")} AS value
+         |  FROM ovl GROUP BY ${grp}bucket_ms
+         |)""".stripMargin
+    dense match {
+      case None => s"$core SELECT * FROM agg"
+      case Some((bs, be)) =>
+        s"""$core,
+           |grid AS (
+           |  SELECT UNNEST(generate_series(${bucketOf(bs.toString)}, ${bucketOf(be.toString)}, $itv)) AS bucket_ms
+           |)
+           |SELECT grid.bucket_ms AS bucket_ms,
+           |       COALESCE(agg.doc_count, 0) AS doc_count,
+           |       COALESCE(agg.value, 0.0) AS value
+           |FROM grid LEFT JOIN agg ON grid.bucket_ms = agg.bucket_ms""".stripMargin
+    }
+  }
+
+  private val basicCfg = Config(HOUR_MS, Some(S), Some(E))
+  private val offsetCfg = Config(HOUR_MS, Some(S), Some(E), offsetMs = 900000L) // :15 grid
+  private val denseBounds = (JAN_START_MS, JAN_START_MS + DAY_MS - 1)
+  private val denseCfg = Config(60000L, Some(JAN_START_MS), Some(JAN_START_MS + DAY_MS))
+
+  private val samplingCol: Column = (col("event_id") % 5).cast("double")
+  private val samplingSql: String = "CAST(event_id % 5 AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_prop_sum_basic" -> (q(basicCfg) _),
+    "q02_prop_sum_offset" -> (q(offsetCfg) _),
+    "q03_prop_sum_sampling" -> (q(basicCfg, sampling = Some(samplingCol)) _),
+    "q04_prop_sum_grouped" -> (q(basicCfg, groupCols = Seq(col("event_type"))) _),
+    "q05_prop_sum_empty_buckets" -> (q(denseCfg, dense = Some(denseBounds)) _),
+    "q07_prop_sum_zero_duration" ->
+      (q(Config(HOUR_MS), rowFilter = Some(col("event_id") % 7200 === 0)) _),
+    "q18_topk_talkers" -> ((spark: SparkSession, dir: String) => {
+      val exploded = ProportionalSum.explodeContrib(
+        Flows.df(spark, dir), col("rs"), col("re"), col("v"), None, basicCfg)
+      exploded
+        .groupBy(col("user_id"))
+        .agg(graft.functions.detsum.sumDet(col("__contrib")).as("total_value"))
+        .orderBy(col("total_value").desc, col("user_id").asc)
+        .limit(5)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_prop_sum_basic" -> oracle(basicCfg),
+    "q02_prop_sum_offset" -> oracle(offsetCfg),
+    "q03_prop_sum_sampling" -> oracle(basicCfg, samplingSql = Some(samplingSql)),
+    "q04_prop_sum_grouped" -> oracle(basicCfg, groupCols = Seq("event_type")),
+    "q05_prop_sum_empty_buckets" -> oracle(denseCfg, dense = Some(denseBounds)),
+    "q07_prop_sum_zero_duration" ->
+      oracle(Config(HOUR_MS), rowFilterSql = Some("event_id % 7200 = 0")))
+
+  // q18's oracle shares the exploded core but aggregates per user, not per bucket.
+  private val q18Oracle: String = {
+    val itv = basicCfg.intervalMs
+    s"""WITH $sqlCte,
+       |ranged AS (
+       |  SELECT *, re - rs AS dur, v AS eff_v,
+       |         CAST(floor((GREATEST(rs, $S)) / $itv) AS BIGINT) * $itv AS fb,
+       |         CAST(floor((LEAST(re, $E)) / $itv) AS BIGINT) * $itv AS lb
+       |  FROM flows
+       |),
+       |ex AS (
+       |  SELECT *, UNNEST(generate_series(fb, lb, $itv)) AS bucket_ms
+       |  FROM ranged WHERE fb <= lb
+       |),
+       |ovl AS (
+       |  SELECT user_id, dur, eff_v,
+       |         GREATEST(0, LEAST(bucket_ms + $itv, re) - GREATEST(bucket_ms, rs)) AS ov
+       |  FROM ex
+       |)
+       |SELECT user_id,
+       |       ${graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")} AS total_value
+       |FROM ovl GROUP BY user_id
+       |ORDER BY total_value DESC, user_id ASC LIMIT 5""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = oracles + ("q18_topk_talkers" -> q18Oracle)
+}
