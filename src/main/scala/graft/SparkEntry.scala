@@ -15,10 +15,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FlowQueries.queries
+    FlowQueries.queries ++ EsAggQueries.queries ++ RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    FlowQueries.oracleSql
+    FlowQueries.oracleSql ++ EsAggQueries.oracleSql ++ RelationalQueries.oracleSql
 }

@@ -122,6 +122,43 @@ object ProportionalSum {
       groupCols: Seq[Column] = Nil): DataFrame =
     aggregate(explodeContrib(df, rangeStartMs, rangeEndMs, value, sampling, cfg), groupCols)
 
+  /** Calendar-interval variant (the reference's `dateHistogramInterval(MONTH)`
+    * form, ProportionalSumAggregationBuilder.dateHistogramInterval): buckets
+    * are UTC calendar months, so widths vary and rounding goes through
+    * `date_trunc` instead of the fixed grid. Overlap/ratio math is identical
+    * to the fixed-interval path, on the month-boundary epoch millis. */
+  def explodeContribCalendarMonth(
+      df: DataFrame,
+      rangeStartMs: Column,
+      rangeEndMs: Column,
+      value: Column,
+      sampling: Option[Column],
+      startMs: Option[Long],
+      endMs: Option[Long]): DataFrame = {
+    val clampS = startMs.map(s => greatest(rangeStartMs, lit(s))).getOrElse(rangeStartMs)
+    val clampE = endMs.map(e => least(rangeEndMs, lit(e))).getOrElse(rangeEndMs)
+    df.withColumn("__rs", rangeStartMs.cast("long"))
+      .withColumn("__re", rangeEndMs.cast("long"))
+      .withColumn("__dur", col("__re") - col("__rs"))
+      .withColumn("__val", effectiveValue(value, sampling))
+      .withColumn("__fbts", date_trunc("month", timestamp_millis(clampS)))
+      .withColumn("__lbts", date_trunc("month", timestamp_millis(clampE)))
+      .filter(col("__fbts") <= col("__lbts"))
+      .withColumn(
+        "bucket_ts",
+        explode(sequence(col("__fbts"), col("__lbts"), expr("INTERVAL 1 MONTH"))))
+      .withColumn("bucket_ms", expr("unix_micros(bucket_ts) DIV 1000"))
+      .withColumn("__next_ms", expr("unix_micros(bucket_ts + INTERVAL 1 MONTH) DIV 1000"))
+      .withColumn(
+        "__ov",
+        greatest(lit(0L), least(col("__next_ms"), col("__re")) - greatest(col("bucket_ms"), col("__rs"))))
+      .withColumn(
+        "__contrib",
+        when(col("__dur") === 0L, col("__val"))
+          .otherwise(col("__val") * (col("__ov") / col("__dur"))))
+      .drop("bucket_ts")
+  }
+
   /** Dense-bucket variant: min_doc_count=0 + extended bounds
     * (InternalProportionalSumHistogram.EmptyBucketInfo) — every grid bucket in
     * `[boundsStartMs, boundsEndMs]` appears, zero-filled when empty. */

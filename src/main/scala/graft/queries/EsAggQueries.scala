@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.detsum.{sumDet, sumDetSql}
+
+/** The Elasticsearch search/aggregation surface the reference plugin lives
+  * inside, re-expressed declaratively: date_histogram, terms (top-N), bool
+  * filters, stats, cardinality, percentiles, top_hits, composite paging.
+  * Each query has a lockstep DuckDB oracle. */
+object EsAggQueries {
+  import Flows.{DAY_MS, HOUR_MS, JAN_START_MS}
+
+  private val S = JAN_START_MS + 4 * DAY_MS
+  private val E = JAN_START_MS + 24 * DAY_MS
+
+  /** events with epoch-millis `ms` alongside the raw columns. */
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+
+  private def hourBucket(c: org.apache.spark.sql.Column) =
+    (floor(c / lit(HOUR_MS)) * lit(HOUR_MS)).as("bucket_ms")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_date_histogram" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(hourBucket(col("ms")))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))),
+
+    "q11_terms_topn" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+        .orderBy(col("doc_count").desc, col("event_type").asc)
+        .limit(10)),
+
+    "q12_filtered_agg" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .filter(col("event_type").isin("purchase", "error") && col("value") > 50.0 &&
+          col("ms") >= S && col("ms") < E)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))),
+
+    "q13_stats" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sumDet(col("value")).as("sum_value"))
+        .withColumn("avg_value", col("sum_value") / col("cnt"))),
+
+    "q14_cardinality" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))),
+
+    // ES `cardinality` is HLL-approximate; Spark's approx_count_distinct is the
+    // same sketch family. No cross-engine oracle (sketches differ) — rows-only.
+    "q14b_cardinality_hll" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))),
+
+    "q15_percentiles" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+
+    "q16_top_hits" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id").asc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("event_id"), col("value"), col("rn"))
+    }),
+
+    "q17_composite_paging" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .filter(col("event_type") > "purchase" ||
+          (col("event_type") === "purchase" && col("user_id") > 10))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+        .orderBy(col("event_type").asc, col("user_id").asc)
+        .limit(50)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q10_date_histogram" ->
+      s"""SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
+         |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM events GROUP BY bucket_ms""".stripMargin,
+    "q11_terms_topn" ->
+      s"""SELECT event_type, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM events GROUP BY event_type
+         |ORDER BY doc_count DESC, event_type ASC LIMIT 10""".stripMargin,
+    "q12_filtered_agg" ->
+      s"""SELECT event_type, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM events
+         |WHERE event_type IN ('purchase', 'error') AND value > 50.0
+         |  AND epoch_ms(ts) >= $S AND epoch_ms(ts) < $E
+         |GROUP BY event_type""".stripMargin,
+    "q13_stats" ->
+      s"""WITH g AS (
+         |  SELECT event_type, COUNT(*) AS cnt, MIN(value) AS min_value,
+         |         MAX(value) AS max_value, ${sumDetSql("value")} AS sum_value
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT event_type, cnt, min_value, max_value, sum_value,
+         |       sum_value / cnt AS avg_value FROM g""".stripMargin,
+    "q14_cardinality" ->
+      "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+    "q15_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q16_top_hits" ->
+      """SELECT event_type, event_id, value, rn FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events
+        |) WHERE rn <= 3""".stripMargin,
+    "q17_composite_paging" ->
+      s"""SELECT event_type, user_id, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM events
+         |WHERE event_type > 'purchase' OR (event_type = 'purchase' AND user_id > 10)
+         |GROUP BY event_type, user_id
+         |ORDER BY event_type ASC, user_id ASC LIMIT 50""".stripMargin)
+}

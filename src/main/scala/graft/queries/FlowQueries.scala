@@ -112,6 +112,16 @@ object FlowQueries {
     "q05_prop_sum_empty_buckets" -> (q(denseCfg, dense = Some(denseBounds)) _),
     "q07_prop_sum_zero_duration" ->
       (q(Config(HOUR_MS), rowFilter = Some(col("event_id") % 7200 === 0)) _),
+    "q06_prop_sum_calendar" -> ((spark: SparkSession, dir: String) => {
+      // month-scale ranges: stretch durations to 0..90 days so flows span
+      // calendar buckets (events alone only cover January)
+      val flows = Flows.df(spark, dir)
+        .withColumn("re", col("rs") + (col("event_id") % 90) * lit(DAY_MS))
+      ProportionalSum.aggregate(
+        ProportionalSum.explodeContribCalendarMonth(
+          flows, col("rs"), col("re"), col("v"), None,
+          Some(JAN_START_MS), Some(MAY_START_MS)))
+    }),
     "q18_topk_talkers" -> ((spark: SparkSession, dir: String) => {
       val exploded = ProportionalSum.explodeContrib(
         Flows.df(spark, dir), col("rs"), col("re"), col("v"), None, basicCfg)
@@ -129,7 +139,33 @@ object FlowQueries {
     "q04_prop_sum_grouped" -> oracle(basicCfg, groupCols = Seq("event_type")),
     "q05_prop_sum_empty_buckets" -> oracle(denseCfg, dense = Some(denseBounds)),
     "q07_prop_sum_zero_duration" ->
-      oracle(Config(HOUR_MS), rowFilterSql = Some("event_id % 7200 = 0")))
+      oracle(Config(HOUR_MS), rowFilterSql = Some("event_id % 7200 = 0")),
+    "q06_prop_sum_calendar" -> {
+      val det = graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")
+      s"""WITH flows AS (
+         |  SELECT event_id, value AS v,
+         |         epoch_ms(ts) AS rs,
+         |         epoch_ms(ts) + (event_id % 90) * 86400000 AS re
+         |  FROM events
+         |),
+         |ranged AS (
+         |  SELECT *, re - rs AS dur, v AS eff_v,
+         |         date_trunc('month', make_timestamp(GREATEST(rs, $JAN_START_MS) * 1000)) AS fbts,
+         |         date_trunc('month', make_timestamp(LEAST(re, $MAY_START_MS) * 1000)) AS lbts
+         |  FROM flows
+         |),
+         |ex AS (
+         |  SELECT *, UNNEST(generate_series(fbts, lbts, INTERVAL 1 MONTH)) AS bts
+         |  FROM ranged WHERE fbts <= lbts
+         |),
+         |ovl AS (
+         |  SELECT epoch_ms(bts) AS bucket_ms, dur, eff_v,
+         |         GREATEST(0, LEAST(epoch_ms(bts + INTERVAL 1 MONTH), re) - GREATEST(epoch_ms(bts), rs)) AS ov
+         |  FROM ex
+         |)
+         |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
+         |FROM ovl GROUP BY bucket_ms""".stripMargin
+    })
 
   // q18's oracle shares the exploded core but aggregates per user, not per bucket.
   private val q18Oracle: String = {

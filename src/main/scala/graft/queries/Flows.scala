@@ -40,6 +40,7 @@ object Flows {
   /** 2024-01-01T00:00:00Z .. 2024-02-01T00:00:00Z — the events table's span. */
   val JAN_START_MS: Long = 1704067200000L
   val FEB_START_MS: Long = 1706745600000L
+  val MAY_START_MS: Long = 1714521600000L
   val HOUR_MS: Long = 3600000L
   val DAY_MS: Long = 86400000L
 }

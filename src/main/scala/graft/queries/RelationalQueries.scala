@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.detsum.{sumDet, sumDetSql}
+
+/** Relational core over the TPC-H-ish star schema: multi-aggregate scans,
+  * broadcast joins, window functions, semi/anti joins, range joins. Proves
+  * the engine handles the general declarative surface, with plans that scale
+  * (dims broadcast, partial aggregation, pushdown). */
+object RelationalQueries {
+  import Flows.DAY_MS
+
+  private val moneyScale = 6
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: one scan, many aggregates, pushdown-friendly filter
+    "q20_pricing_summary" -> ((s: SparkSession, d: String) =>
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '2000-01-01 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumDet(col("l_quantity"), moneyScale).as("sum_qty"),
+          sumDet(col("l_extendedprice"), moneyScale).as("sum_base_price"),
+          sumDet(col("l_extendedprice") * (lit(1) - col("l_discount")), moneyScale).as("sum_disc_price"),
+          sumDet(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), moneyScale)
+            .as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))),
+
+    // dim tables broadcast; fact-fact join shuffles on the key
+    "q21_join_agg" -> ((s: SparkSession, d: String) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      val n = Tables(s, d, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sumDet(col("o_totalprice"), moneyScale).as("revenue"))
+    }),
+
+    "q22_window_rank" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, d, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+    }),
+
+    "q23_semi_anti_join" -> ((s: SparkSession, d: String) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      val withOrders = c
+        .join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with"))
+      val withoutOrders = c
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without"))
+      withOrders
+        .join(withoutOrders, Seq("c_mktsegment"), "full")
+        .select(
+          col("c_mktsegment"),
+          coalesce(col("n_with"), lit(0L)).as("n_with"),
+          coalesce(col("n_without"), lit(0L)).as("n_without"))
+    }),
+
+    // as-of/range join: last signup within 7 days before each purchase
+    "q24_range_join_events" -> ((s: SparkSession, d: String) => {
+      val e = Tables(s, d, "events").withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ms").as("p_ms"))
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ms").as("s_ms"))
+      p.join(sg, Seq("user_id"))
+        .filter(col("s_ms") <= col("p_ms") && col("s_ms") > col("p_ms") - lit(7 * DAY_MS))
+        .groupBy(col("purchase_id"))
+        .agg(max(col("s_ms")).as("last_signup_ms"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_pricing_summary" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |         ${sumDetSql("l_quantity", moneyScale)} AS sum_qty,
+         |         ${sumDetSql("l_extendedprice", moneyScale)} AS sum_base_price,
+         |         ${sumDetSql("l_extendedprice * (1 - l_discount)", moneyScale)} AS sum_disc_price,
+         |         ${sumDetSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", moneyScale)} AS sum_charge,
+         |         COUNT(*) AS count_order
+         |  FROM lineitem
+         |  WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+         |  GROUP BY l_returnflag, l_linestatus
+         |)
+         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+         |       sum_charge, count_order,
+         |       sum_qty / count_order AS avg_qty,
+         |       sum_base_price / count_order AS avg_price
+         |FROM g""".stripMargin,
+    "q21_join_agg" ->
+      s"""SELECT n_name, COUNT(*) AS n_orders, ${sumDetSql("o_totalprice", moneyScale)} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
+    "q22_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 2""".stripMargin,
+    "q23_semi_anti_join" ->
+      """SELECT c_mktsegment,
+        |       COUNT(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with,
+        |       COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q24_range_join_events" ->
+      s"""SELECT p.event_id AS purchase_id, MAX(epoch_ms(s.ts)) AS last_signup_ms
+         |FROM events p JOIN events s ON p.user_id = s.user_id
+         |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+         |  AND epoch_ms(s.ts) <= epoch_ms(p.ts)
+         |  AND epoch_ms(s.ts) > epoch_ms(p.ts) - ${7 * DAY_MS}
+         |GROUP BY p.event_id""".stripMargin)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ProportionalSum
+import graft.operators.ProportionalSum.Config
+
+/** Fixtures lifted from the reference's own integration tests:
+  * README.md:56-178 (single netflow record), ProportionalSumAggregatorIT
+  * (monthly calendar buckets), SamplingIT (multiplier semantics). */
+class PropSumSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private def rows(data: Seq[(Long, Long, Double)]) = {
+    import spark.implicits._
+    data.toDF("rs", "re", "v")
+  }
+
+  private def result(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("README netflow example: value spread 100/100/100/50 across buckets") {
+    val df = rows(Seq((100L, 450L, 350.0)))
+    val got = result(ProportionalSum.run(
+      df, col("rs"), col("re"), col("v"), None,
+      Config(intervalMs = 100, startMs = Some(0L), endMs = Some(500L))))
+    assert(got == Map(
+      100L -> (1L, 100.0), 200L -> (1L, 100.0), 300L -> (1L, 100.0), 400L -> (1L, 50.0)))
+  }
+
+  test("zero-duration range contributes full value to its single bucket") {
+    val df = rows(Seq((150L, 150L, 10.0)))
+    val got = result(ProportionalSum.run(
+      df, col("rs"), col("re"), col("v"), None, Config(100)))
+    assert(got == Map(100L -> (1L, 10.0)))
+  }
+
+  test("range ending exactly on a bucket boundary still counts the doc there with 0 value") {
+    val df = rows(Seq((100L, 400L, 300.0)))
+    val got = result(ProportionalSum.run(
+      df, col("rs"), col("re"), col("v"), None, Config(100)))
+    assert(got == Map(100L -> (1L, 100.0), 200L -> (1L, 100.0), 300L -> (1L, 100.0), 400L -> (1L, 0.0)))
+  }
+
+  test("offset shifts the bucket grid") {
+    val df = rows(Seq((100L, 300L, 200.0)))
+    val got = result(ProportionalSum.run(
+      df, col("rs"), col("re"), col("v"), None, Config(100, offsetMs = 50)))
+    // grid ...50,150,250...: [50,150) gets 50ms, [150,250) gets 100ms, [250,350) gets 50ms
+    assert(got == Map(50L -> (1L, 50.0), 150L -> (1L, 100.0), 250L -> (1L, 50.0)))
+  }
+
+  test("sampling multiplier applies when finite and non-zero (SamplingIT)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 100L, 10.0, 4.0), // scaled -> 40
+      (0L, 100L, 10.0, 0.0), // zero -> unscaled
+      (0L, 100L, 10.0, Double.NaN), // NaN -> unscaled
+      (0L, 100L, 10.0, Double.PositiveInfinity) // inf -> unscaled
+    ).toDF("rs", "re", "v", "s")
+    val got = result(ProportionalSum.run(
+      df, col("rs"), col("re"), col("v"), Some(col("s")), Config(1000)))
+    assert(got == Map(0L -> (4L, 70.0)))
+  }
+
+  test("start/end clamp bucket emission but ratios use the unclamped range") {
+    val df = rows(Seq((0L, 1000L, 1000.0)))
+    val got = result(ProportionalSum.run(
+      df, col("rs"), col("re"), col("v"), None,
+      Config(100, startMs = Some(300L), endMs = Some(500L))))
+    // buckets 300,400,500 only; each worth 100/1000 of the value
+    assert(got == Map(300L -> (1L, 100.0), 400L -> (1L, 100.0), 500L -> (1L, 100.0)))
+  }
+
+  test("ProportionalSumAggregatorIT: monthly calendar buckets over 2012 fixtures") {
+    def ms(month: Int, day: Int): Long =
+      Instant.parse(f"2012-$month%02d-$day%02dT00:00:00Z").toEpochMilli
+    val docs = Seq(
+      (ms(1, 2), ms(2, 3), 1.0),
+      (ms(2, 2), ms(3, 3), 2.0),
+      (ms(2, 15), ms(3, 16), 3.0),
+      (ms(3, 2), ms(4, 3), 4.0),
+      (ms(3, 15), ms(4, 16), 5.0),
+      (ms(3, 23), ms(4, 24), 6.0),
+      (ms(1, 1), ms(4, 23), 6.0),
+      (ms(1, 2), ms(1, 2), 7.0))
+    val df = rows(docs)
+    val got = result(ProportionalSum.aggregate(ProportionalSum.explodeContribCalendarMonth(
+      df, col("rs"), col("re"), col("v"), None,
+      Some(Instant.parse("2012-01-01T00:00:00Z").toEpochMilli),
+      Some(Instant.parse("2012-05-01T00:00:00Z").toEpochMilli))))
+    val expected = Map(
+      ms(1, 1) -> (3L, 9.58), ms(2, 1) -> (4L, 4.97),
+      ms(3, 1) -> (6L, 11.37), ms(4, 1) -> (4L, 8.07))
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (dc, v)) =>
+      assert(got(k)._1 == dc, s"doc_count at $k")
+      assert(math.abs(got(k)._2 - v) < 0.01, s"value at $k: ${got(k)._2} vs $v")
+    }
+    assert(math.abs(got.values.map(_._2).sum - 34.0) < 0.01)
+  }
+}
