@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data pipeline operators —
+  * all native Catalyst functions (split/transform/xxhash64/...), no UDFs, so
+  * they stay inside codegen and scale linearly with input bytes. */
+object text {
+
+  /** Normalized text: lowercase, trimmed, whitespace collapsed. */
+  def norm(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column =
+    split(norm(c), " ")
+
+  /** Word n-gram shingles ("a b c" style), empty array when too short.
+    * (The `when` guard matters: sequence(1, 0) would count DOWN.) */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** One MinHash signature component: min over shingles of xxhash64(shingle, seed). */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
+
+  /** Full MinHash signature as an array of `k` 64-bit components. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(i => minhash(shingleCol, i)): _*)
+
+  /** 64-bit SimHash over tokens: for each bit, majority vote of the tokens'
+    * xxhash64 bits. Built from higher-order functions (no UDF); each bit is
+    * an independent fold with a constant shift (the Scala API only shifts by
+    * Int), composed with bitwiseOR. */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val n = size(toks)
+    (0 until 64)
+      .map { b =>
+        val cnt = aggregate(hashes, lit(0L), (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
+        when(cnt * 2 > n, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives built from Spark's higher-order array
+  * functions. The fold in [[dot]] accumulates strictly left-to-right, which
+  * the DuckDB oracle mirrors with an explicit left-associated term chain —
+  * per-row results are bit-identical across engines. */
+object vectors {
+
+  /** Cast a float array column to double for stable arithmetic. */
+  def toDoubleArr(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB SQL mirrors (dim fixed): explicit left-associated chains. */
+  def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)}) / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
+
+  /** Random-hyperplane LSH bucket: `bits` sign bits from deterministic
+    * pseudo-hyperplanes (component sign of xxhash64(planeIdx, componentIdx)).
+    * Same-bucket vectors are ANN candidates. */
+  def rhpBucket(vec: Column, bits: Int): Column = {
+    val bitCols = (0 until bits).map { p =>
+      // hyperplane p: h_i = +1 if xxhash64(p, i) even else -1; bit = [h·v > 0]
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          when(xxhash64(lit(p), i).bitwiseAND(lit(1L)) === 0L, x).otherwise(-x)),
+        lit(0.0d),
+        (acc, x) => acc + x)
+      when(proj > 0.0d, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+}

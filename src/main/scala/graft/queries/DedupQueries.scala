@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{text, vectors}
+
+/** Deduplication operators over `documents` / `embeddings`:
+  * exact (hash), n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design: none of these enumerate O(n²) pairs blindly —
+  * exact/MinHash/SimHash shuffle on a bucket key (fingerprint, band hash,
+  * simhash chunk) so candidate generation is a bucket-local join; only the
+  * verified-candidate set leaves the shuffle. */
+object DedupQueries {
+
+  /** Exact dedup: canonical keep-id per normalized-text fingerprint. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    Tables(s, d, "documents")
+      .withColumn("fp", md5(text.norm(col("text")).cast("binary")))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("fp"), col("keep_id"), col("is_dup"))
+  }
+
+  /** Word-3-gram Jaccard pairs: inverted-index join on distinct shingles,
+    * so only pairs sharing ≥1 shingle are materialized. Top 100 by
+    * similarity with full tiebreak. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jacc", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .orderBy(col("jacc").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(100)
+  }
+
+  /** MinHash + LSH banding: 32-component signatures, 8 bands × 4 rows.
+    * Candidates = pairs sharing ≥1 band bucket; verified by true Jaccard on
+    * shingle sets. Bucket join means no O(n²) pair scan — the scale path.
+    * No DuckDB oracle (xxhash64 sketch) — spec-tested, rows-only here. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val numHashes = 32
+    val bands = 8
+    val rowsPerBand = numHashes / bands
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", text.minhashSignature(col("sh"), numHashes))
+    val banded = docs.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until bands).map { bnd =>
+        val sigRows = (1 to rowsPerBand).map(r => element_at(col("sig"), bnd * rowsPerBand + r))
+        struct(
+          lit(bnd).as("band"),
+          xxhash64(sigRows :+ lit(bnd): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn(
+        "jacc",
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jacc") >= 0.02)
+      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
+      .orderBy(col("jacc").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(100)
+  }
+
+  /** SimHash near-dup: 64-bit signatures; candidates share one of four
+    * 16-bit chunks (pigeonhole: any pair within Hamming distance 3 shares a
+    * chunk); verified by Hamming ≤ 12. Rows-only (spec-tested). */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), text.simhash64(text.tokens(col("text"))).as("sim"))
+    val chunked = docs.select(
+      col("doc_id"), col("sim"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"), shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("ckey"))
+      }: _*)).as("cc"))
+      .select(col("doc_id"), col("sim"), col("cc.chunk"), col("cc.ckey"))
+    val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", text.hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= 12)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(100)
+  }
+
+  /** Embedding-cosine near-dup pairs (≥ 0.4). Small side broadcast; at
+    * corpus scale the LSH variant (q36) provides candidate pruning. */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val e = Tables(s, d, "embeddings")
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("nrm", vectors.norm(col("emb")))
+    val a = e.select(col("vec_id").as("id_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30 _),
+    "q31_dedup_ngram_jaccard" -> (q31 _),
+    "q32_dedup_minhash_lsh" -> (q32 _),
+    "q33_dedup_simhash" -> (q33 _),
+    "q34_dedup_embedding" -> (q34 _))
+
+  private val shingleDocsCte =
+    """docs AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+      |  FROM (
+      |    SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |    FROM documents WHERE doc_id % 5 = 0
+      |  )
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |       MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS keep_id,
+        |       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS is_dup
+        |FROM documents""".stripMargin,
+    "q31_dedup_ngram_jaccard" ->
+      s"""WITH $shingleDocsCte,
+         |d2 AS (SELECT doc_id, sh, len(sh) AS n FROM docs),
+         |ex AS (SELECT doc_id, n, UNNEST(sh) AS s FROM d2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+         |       COUNT(*) AS shared,
+         |       COUNT(*) / (a.n + b.n - COUNT(*)) AS jacc
+         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |ORDER BY jacc DESC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin,
+    "q34_dedup_embedding" -> {
+      val cos = s"(${vectors.dotSql("a.emb", "b.emb", 64)}) / (a.nrm * b.nrm)"
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |),
+         |n AS (
+         |  SELECT vec_id, emb, sqrt(${vectors.dotSql("emb", "emb", 64)}) AS nrm FROM e
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE $cos >= 0.4""".stripMargin
+    })
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/** Similarity search over the `embeddings` table.
+  *
+  * q35 is the exact baseline: cosine top-k with the (small) query set
+  * broadcast, so the corpus streams once with no shuffle of the vectors —
+  * at 100 TB this is a single scan + per-partition top-k + tiny final merge.
+  * q36 is the scale path: random-hyperplane LSH buckets both sides, so each
+  * query only scores its bucket's candidates. */
+object SimilarityQueries {
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("nrm", vectors.norm(col("emb")))
+
+  /** Exact cosine top-5 neighbors for query vectors (vec_id % 50 = 0). */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: 8 hyperplane sign bits bucket the corpus; queries
+    * probe their own bucket only. Approximate (recall measured in the spec);
+    * rows-only — the sketch isn't reproducible in DuckDB SQL. */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d).withColumn("bucket", vectors.rhpBucket(col("emb"), 8))
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_ann_bruteforce" -> (q35 _),
+    "q36_ann_lsh" -> (q36 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q35_ann_bruteforce" -> {
+      val cos = s"(${vectors.dotSql("c.emb", "q.emb", 64)}) / (c.nrm * q.nrm)"
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |),
+         |n AS (
+         |  SELECT vec_id, emb, sqrt(${vectors.dotSql("emb", "emb", 64)}) AS nrm FROM e
+         |),
+         |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS cos
+         |  FROM n c, q WHERE c.vec_id <> q.vec_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
+    })
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/** Text-analysis operators over `documents`: language ID, quality scoring,
+  * token counting, fingerprinting. All integer/string arithmetic (or a single
+  * deterministic double op), so the DuckDB mirrors match exactly. */
+object TextQueries {
+
+  private val stopEn = Seq("the", "a", "of", "and", "is", "to")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "zu")
+  private val stopEs = Seq("el", "la", "los", "y", "es", "que")
+  private val stopFr = Seq("le", "les", "et", "est", "dans", "des")
+
+  private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+  private def stopSql(words: Seq[String]) =
+    s"len(list_filter(toks, t -> t IN (${sqlIn(words)})))"
+
+  /** documents with normalized tokens attached. */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", text.tokens(col("text")))
+
+  private val docsCte =
+    """docs AS (
+      |  SELECT *, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_lang_id" -> ((s: SparkSession, d: String) => {
+      val base = docs(s, d)
+        .withColumn("s_en", text.stopwordCount(col("toks"), stopEn))
+        .withColumn("s_de", text.stopwordCount(col("toks"), stopDe))
+        .withColumn("s_es", text.stopwordCount(col("toks"), stopEs))
+        .withColumn("s_fr", text.stopwordCount(col("toks"), stopFr))
+        .withColumn("n_cjk", length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")))
+      base.withColumn(
+        "lang_pred",
+        when(col("n_cjk") * 4 > length(col("text")), "zh")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+    }),
+
+    "q41_quality_score" -> ((s: SparkSession, d: String) => {
+      docs(s, d)
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("txt_len", length(col("text")))
+        .withColumn("punct_cnt", length(regexp_replace(col("text"), "[^.!?,;:]", "")))
+        .withColumn("stop_cnt", text.stopwordCount(col("toks"), stopEn))
+        .withColumn("stop_ratio", col("stop_cnt") / col("n_tok"))
+        .withColumn("punct_ratio", col("punct_cnt") / col("txt_len"))
+        .withColumn(
+          "quality",
+          round(least(lit(1.0), col("n_tok") / lit(100.0)) * 0.5 + col("stop_ratio") * 0.3 - col("punct_ratio") * 0.2, 6))
+        .select(col("doc_id"), col("n_tok"), col("stop_ratio"), col("punct_ratio"), col("quality"))
+    }),
+
+    "q42_token_count" -> ((s: SparkSession, d: String) => {
+      docs(s, d)
+        .withColumn("n_ws", size(split(trim(col("text")), "\\s+")))
+        .withColumn("n_bpe", size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")))
+        .withColumn(
+          "n_subword",
+          aggregate(transform(col("toks"), t => ceil(length(t) / lit(4.0))), lit(0L), (acc, x) => acc + x))
+        .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("n_subword"))
+    }),
+
+    "q43_fingerprint" -> ((s: SparkSession, d: String) =>
+      Tables(s, d, "documents")
+        .withColumn("fp", md5(text.norm(col("text")).cast("binary")))
+        .select(col("doc_id"), col("fp"), substring(col("fp"), 1, 8).as("fp_short"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_lang_id" ->
+      s"""WITH $docsCte,
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         ${stopSql(stopEn)} AS s_en, ${stopSql(stopDe)} AS s_de,
+         |         ${stopSql(stopEs)} AS s_es, ${stopSql(stopFr)} AS s_fr,
+         |         length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
+         |         length(text) AS txt_len
+         |  FROM docs
+         |)
+         |SELECT doc_id, lang,
+         |       CASE WHEN n_cjk * 4 > txt_len THEN 'zh'
+         |            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |            WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         |            WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |            WHEN s_fr > 0 THEN 'fr'
+         |            ELSE 'und' END AS lang_pred,
+         |       s_en, s_de, s_es, s_fr
+         |FROM scored""".stripMargin,
+    "q41_quality_score" ->
+      s"""WITH $docsCte,
+         |m AS (
+         |  SELECT doc_id, len(toks) AS n_tok, length(text) AS txt_len,
+         |         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_cnt,
+         |         ${stopSql(stopEn)} AS stop_cnt
+         |  FROM docs
+         |),
+         |r AS (
+         |  SELECT doc_id, n_tok,
+         |         stop_cnt / n_tok AS stop_ratio,
+         |         punct_cnt / txt_len AS punct_ratio
+         |  FROM m
+         |)
+         |SELECT doc_id, n_tok, stop_ratio, punct_ratio,
+         |       round(LEAST(1.0, n_tok / 100.0) * 0.5 + stop_ratio * 0.3 - punct_ratio * 0.2, 6) AS quality
+         |FROM r""".stripMargin,
+    "q42_token_count" ->
+      s"""WITH $docsCte
+         |SELECT doc_id,
+         |       len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+         |       list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_subword
+         |FROM docs""".stripMargin,
+    "q43_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |       substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 8) AS fp_short
+        |FROM documents""".stripMargin)
+}

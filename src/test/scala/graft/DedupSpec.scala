@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{text, vectors}
+
+/** Sketch-operator behavior that the DuckDB oracle can't express:
+  * MinHash ≈ Jaccard, SimHash locality, LSH recall vs brute force. */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  test("minhash signature agreement approximates Jaccard similarity") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    val unrelated = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("id", "t")
+      .withColumn("sh", array_distinct(text.shingles(text.tokens(col("t")), 3)))
+      .withColumn("sig", text.minhashSignature(col("sh"), 64))
+    val rows = df.select("id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y } / 64.0
+    assert(agree(rows(1L), rows(2L)) > 0.6, "near-dup signatures mostly agree")
+    assert(agree(rows(1L), rows(3L)) < 0.2, "unrelated signatures mostly disagree")
+  }
+
+  test("simhash: identical text has distance 0, small edit small distance, unrelated large") {
+    import spark.implicits._
+    val a = "spark engine query plan shuffle partition broadcast join aggregate window"
+    val b = a.replace("window", "stream") // 1 of 10 tokens changed
+    val c = "totally different words about cooking pasta tomatoes basil garlic olive oil"
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "t")
+      .withColumn("sim", text.simhash64(text.tokens(col("t"))))
+    val m = df.select("id", "sim").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m(1L), m(2L)) == 0)
+    assert(ham(m(1L), m(3L)) <= 16, s"small edit: ${ham(m(1L), m(3L))}")
+    assert(ham(m(1L), m(4L)) > 16, s"unrelated: ${ham(m(1L), m(4L))}")
+  }
+
+  test("minhash-LSH candidates recover the high-Jaccard pairs found by brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val lsh = queries.DedupQueries.queries("q32_dedup_minhash_lsh")(spark, sf)
+      .filter(col("jacc") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs (500 docs — fine in a test)
+    val docs = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jacc", size(array_intersect(col("sha"), col("shb"))) / size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jacc") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain planted near-dups")
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${brute.size} true pairs")
+  }
+
+  test("cosine primitives: self-similarity 1, orthogonal 0; LSH bucket stable") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 2.0f, 0.0f, 0.0f)),
+      (3L, Array(3.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v").withColumn("e", vectors.toDoubleArr(col("v")))
+    val a = df.select(col("id").as("ia"), col("e").as("ea"))
+    val b = df.select(col("id").as("ib"), col("e").as("eb"))
+    val cos = a.crossJoin(b)
+      .withColumn("c", vectors.cosine(col("ea"), col("eb")))
+      .select("ia", "ib", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cos((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(cos((1L, 2L))) < 1e-12)
+    assert(math.abs(cos((1L, 3L)) - 1.0) < 1e-12, "scale-invariant")
+    val buckets = df.withColumn("bkt", vectors.rhpBucket(col("e"), 8))
+      .select("id", "bkt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(3L), "colinear vectors share an RHP bucket")
+  }
+}
