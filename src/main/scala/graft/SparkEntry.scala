@@ -16,7 +16,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FlowQueries.queries ++ EsAggQueries.queries ++ RelationalQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      Map[String, (SparkSession, String) => DataFrame](
+        "mm01_binary_pipeline" -> ((s, d) =>
+          graft.operators.Multimodal.pipeline(Tables(s, d, "documents"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */

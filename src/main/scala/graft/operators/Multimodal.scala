@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with typed
+  * metadata, processed in per-partition batches.
+  *
+  * The Spark-side shape is real and tested — schema, typed Dataset encoding,
+  * partition-batched processing via `mapPartitions` (the Scala analog of a
+  * batched pandas-UDF pipeline), deterministic feature output. The actual
+  * media DECODE is a clearly-marked STUB (no image/audio codecs in this
+  * environment): it derives fake "pixels" from the payload bytes
+  * deterministically, preserving the interface a real codec would have. */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int, channels: Int)
+  case class MediaFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      mean_byte: Double,
+      max_byte: Int,
+      payload_hash: Long)
+
+  /** STUB decode — stands in for a real image/video codec. Deterministic:
+    * "pixels" are the payload bytes cycled to width*height*channels length.
+    * A production build swaps this for the real decoder; everything
+    * downstream (batching, features, schema) is unchanged. */
+  def decodeStub(payload: Array[Byte], width: Int, height: Int, channels: Int): Array[Byte] = {
+    val n = width * height * channels
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = payload(i % payload.length); i += 1 }
+    out
+  }
+
+  /** Attach a synthetic binary payload + media metadata to documents
+    * (the testdata carries no real media; payload = utf8 bytes of `text`). */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      (col("n_chars") % 64 + 16).cast("int").as("width"),
+      (col("doc_id") % 48 + 16).cast("int").as("height"),
+      lit(3).as("channels"))
+
+  /** Partition-batched decode → feature extraction. Features are simple
+    * deterministic statistics over the decoded bytes (mean, max, fnv-ish
+    * rolling hash) — the shape a real embedding/feature extractor has. */
+  def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val px = decodeStub(r.payload, r.width, r.height, r.channels)
+        var sum = 0L
+        var mx = 0
+        var h = 1469598103934665603L // FNV offset basis
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xff
+          sum += v
+          if (v > mx) mx = v
+          h = (h ^ v) * 1099511628211L
+          i += 1
+        }
+        MediaFeatures(r.doc_id, r.width, r.height, px.length.toLong, sum.toDouble / px.length, mx, h)
+      }
+    }
+  }
+
+  /** End-to-end pipeline over the documents table. */
+  def pipeline(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    extractFeatures(attachPayload(docs).as[MediaRow]).toDF()
+  }
+}

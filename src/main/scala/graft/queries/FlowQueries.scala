@@ -122,6 +122,10 @@ object FlowQueries {
           flows, col("rs"), col("re"), col("v"), None,
           Some(JAN_START_MS), Some(MAY_START_MS)))
     }),
+    // same operator, Structured Streaming execution (AvailableNow → memory
+    // sink); result equals q01's batch histogram, so it shares that oracle
+    "st01_prop_sum_stream" -> ((spark: SparkSession, dir: String) =>
+      graft.streaming.FlowStream.runToCompletion(spark, dir, basicCfg, "st01_mem")),
     "q18_topk_talkers" -> ((spark: SparkSession, dir: String) => {
       val exploded = ProportionalSum.explodeContrib(
         Flows.df(spark, dir), col("rs"), col("re"), col("v"), None, basicCfg)
@@ -134,6 +138,7 @@ object FlowQueries {
 
   val oracles: Map[String, String] = Map(
     "q01_prop_sum_basic" -> oracle(basicCfg),
+    "st01_prop_sum_stream" -> oracle(basicCfg),
     "q02_prop_sum_offset" -> oracle(offsetCfg),
     "q03_prop_sum_sampling" -> oracle(basicCfg, samplingSql = Some(samplingSql)),
     "q04_prop_sum_grouped" -> oracle(basicCfg, groupCols = Seq("event_type")),

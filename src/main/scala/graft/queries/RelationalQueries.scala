@@ -67,6 +67,15 @@ object RelationalQueries {
           coalesce(col("n_without"), lit(0L)).as("n_without"))
     }),
 
+    // gap-based sessionization (batch window-function form; streaming
+    // flatMapGroupsWithState form lives in graft.streaming.Sessionize)
+    "q25_sessionize" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Sessionize.batchSessions(
+        Tables(s, d, "events")
+          .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+          .select(col("user_id"), col("event_id"), col("ms"), col("value")),
+        gapMs = 1800000L)),
+
     // as-of/range join: last signup within 7 days before each purchase
     "q24_range_join_events" -> ((s: SparkSession, d: String) => {
       val e = Tables(s, d, "events").withColumn("ms", expr("unix_micros(ts) DIV 1000"))
@@ -115,6 +124,24 @@ object RelationalQueries {
         |       COUNT(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with,
         |       COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q25_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events
+         |),
+         |x AS (
+         |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS prev_ms FROM e
+         |),
+         |y AS (
+         |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM x
+         |),
+         |z AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+         |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM y
+         |)
+         |SELECT user_id, MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+         |       COUNT(*) AS n_events, ${sumDetSql("value")} AS sum_value
+         |FROM z GROUP BY user_id, session_idx""".stripMargin,
     "q24_range_join_events" ->
       s"""SELECT p.event_id AS purchase_id, MAX(epoch_ms(s.ts)) AS last_signup_ms
          |FROM events p JOIN events s ON p.user_id = s.user_id

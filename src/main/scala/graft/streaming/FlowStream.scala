@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.ProportionalSum
+import graft.operators.ProportionalSum.Config
+
+/** Structured Streaming form of the proportional_sum pipeline.
+  *
+  * The reference ingests flow documents continuously (Drift pushes
+  * netflow/IPFIX into ES); the Spark-native equivalent is a streaming read →
+  * the SAME stateless explode-contrib transform → streaming aggregation.
+  * Because `explodeContrib` is stateless, the entire batch operator reuses
+  * unchanged; only the sink/output mode differs.
+  *
+  * Demo/contract path uses complete-mode + memory sink over AvailableNow so
+  * the result is the finished histogram (verifiable against the batch
+  * oracle). Production path: `withWatermark` on the bucket timestamp +
+  * append mode, which bounds state by `watermark / interval` buckets —
+  * noted in [[bucketedStream]]. */
+object FlowStream {
+
+  /** Streaming version of [[graft.queries.Flows.df]] over the events file.
+    * The file source wants a directory of (arriving) files; the test dir
+    * mixes all tables, so expose events.parquet alone via a symlink dir. */
+  def flowSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_stream_src")
+    Files.createSymbolicLink(dir.resolve("events.parquet"), Paths.get(sfDir, "events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .parquet(dir.toString)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("value").as("v"),
+        // ts arrives as nano-longs (see GraftSession); floor to millis
+        expr("ts DIV 1000000").as("rs"))
+      .withColumn("re", col("rs") + (col("event_id") % 7200) * 1000)
+  }
+
+  /** Streaming proportional-sum histogram. Watermark-ready: the bucket key
+    * is exposed as an event-time timestamp, so callers can switch to
+    * `.withWatermark("bucket_ts", ...)` + append for unbounded runs. */
+  def bucketedStream(flows: DataFrame, cfg: Config): DataFrame =
+    ProportionalSum
+      .explodeContrib(flows, col("rs"), col("re"), col("v"), None, cfg)
+      .withColumn("bucket_ts", timestamp_millis(col("bucket_ms")))
+      .groupBy(col("bucket_ms"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        graft.functions.detsum.sumDet(col("__contrib")).as("value"))
+
+  /** Run the stream to completion (AvailableNow) and return the final
+    * histogram — the driver-contract entry point. Matches the batch q01
+    * result exactly, so it shares q01's DuckDB oracle. */
+  def runToCompletion(spark: SparkSession, sfDir: String, cfg: Config, name: String): DataFrame = {
+    val result = bucketedStream(flowSource(spark, sfDir), cfg)
+    val q = result.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
