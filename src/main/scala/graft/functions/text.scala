@@ -16,9 +16,14 @@ object text {
   def tokens(c: Column): Column =
     split(norm(c), " ")
 
-  /** Word n-gram shingles ("a b c" style), empty array when too short.
-    * (The `when` guard matters: sequence(1, 0) would count DOWN.) */
+  /** Word n-gram shingles ("a b c" style), empty array when too short —
+    * native single-pass expression (graft.plans.WordShingles). */
   def shingles(toks: Column, n: Int): Column =
+    call_function("word_shingles", toks, lit(n))
+
+  /** Interpreted HOF form of [[shingles]] — kept for parity testing.
+    * (The `when` guard matters: sequence(1, 0) would count DOWN.) */
+  def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(
         transform(
@@ -33,15 +38,19 @@ object text {
   def minhash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
 
-  /** Full MinHash signature as an array of `k` 64-bit components. */
+  /** Full MinHash signature as an array of `k` 64-bit components — native
+    * single-pass expression (graft.plans.MinHashSig). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(i => minhash(shingleCol, i)): _*)
+    call_function("minhash_sig", shingleCol, lit(k))
 
   /** 64-bit SimHash over tokens: for each bit, majority vote of the tokens'
-    * xxhash64 bits. Built from higher-order functions (no UDF); each bit is
-    * an independent fold with a constant shift (the Scala API only shifts by
-    * Int), composed with bitwiseOR. */
-  def simhash64(toks: Column): Column = {
+    * seed-42 xxhash64 bits — native single-pass expression
+    * (graft.plans.SimHash64). */
+  def simhash64(toks: Column): Column =
+    call_function("simhash64", toks)
+
+  /** Interpreted HOF form of [[simhash64]] — kept for parity testing. */
+  def simhash64Hof(toks: Column): Column = {
     val hashes = transform(toks, t => xxhash64(t))
     val n = size(toks)
     (0 until 64)

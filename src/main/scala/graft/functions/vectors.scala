@@ -13,6 +13,11 @@ object vectors {
   def toDoubleArr(c: Column): Column = transform(c, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  /** Interpreted HOF form of [[dot]] — kept for parity testing against the
+    * native expression (identical accumulation order). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

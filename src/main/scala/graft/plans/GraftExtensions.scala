@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the graft native functions
+  * so they resolve in SQL and via `call_function` on any session built with
+  * `.withExtensions(new GraftExtensions)` (see graft.GraftSession) or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` on a cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(tokens, n) - word n-gram shingles joined by ' '"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval().asInstanceOf[Int]
+        }
+        WordShingles(exprs(0), n)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k) - k-component MinHash signature"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval().asInstanceOf[Int]
+        }
+        MinHashSig(exprs(0), k)
+      }))
+  }
+}

@@ -31,9 +31,12 @@ object DedupQueries {
   private def q31(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
       .filter(col("doc_id") % 5 === 0)
+      .repartition(col("doc_id")) // single-file scan -> spread shingle work
       .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
       .withColumn("n", size(col("sh")))
-    val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    // both self-join sides read the same exploded index — materialize once
+    // (the cluster equivalent: write the inverted index, then join over it)
+    val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s")).persist()
     val a = ex.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
     val b = ex.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("s"))
     a.join(b, Seq("s"))
@@ -53,25 +56,34 @@ object DedupQueries {
     val numHashes = 32
     val bands = 8
     val rowsPerBand = numHashes / bands
+    // signature table is reused by the banding fan-out AND both verify-join
+    // sides — persist it (cluster equivalent: checkpoint the sketch table)
     val docs = Tables(s, d, "documents")
+      .repartition(col("doc_id")) // single-file scan -> spread sketch work
       .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", text.minhashSignature(col("sh"), numHashes))
+      .persist()
+    // band buckets carry only (band, bucket, doc_id) through the shuffle —
+    // the shingle arrays rejoin AFTER candidate pairs are deduplicated
     val banded = docs.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(array((0 until bands).map { bnd =>
         val sigRows = (1 to rowsPerBand).map(r => element_at(col("sig"), bnd * rowsPerBand + r))
         struct(
           lit(bnd).as("band"),
           xxhash64(sigRows :+ lit(bnd): _*).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn(
         "jacc",
         size(array_intersect(col("sh_a"), col("sh_b"))) /
@@ -87,7 +99,9 @@ object DedupQueries {
     * chunk); verified by Hamming ≤ 12. Rows-only (spec-tested). */
   private def q33(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
+      .repartition(col("doc_id")) // single-file scan -> spread sketch work
       .select(col("doc_id"), text.simhash64(text.tokens(col("text"))).as("sim"))
+      .persist()
     val chunked = docs.select(
       col("doc_id"), col("sim"),
       explode(array((0 until 4).map { c =>
@@ -111,6 +125,7 @@ object DedupQueries {
     * corpus scale the LSH variant (q36) provides candidate pruning. */
   private def q34(s: SparkSession, d: String): DataFrame = {
     val e = Tables(s, d, "embeddings")
+      .repartition(col("vec_id")) // spread the pair scan across cores
       .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
       .withColumn("nrm", vectors.norm(col("emb")))
     val a = e.select(col("vec_id").as("id_a"), col("emb").as("ea"), col("nrm").as("na"))

@@ -17,6 +17,7 @@ object SimilarityQueries {
 
   private def corpus(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
+      .repartition(col("vec_id")) // single-file scan -> spread the scoring
       .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
       .withColumn("nrm", vectors.norm(col("emb")))
 

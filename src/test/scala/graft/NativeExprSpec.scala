@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{text, vectors}
+
+/** Native expressions must be drop-in equivalents of the composable HOF
+  * forms they replaced (bit-identical where the oracle depends on it). */
+class NativeExprSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  test("VecDot is bit-identical to the aggregate/zip_with fold") {
+    val e = queries.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
+    val cmp = e.select(
+      vectors.dot(col("emb"), col("emb")).as("native"),
+      vectors.dotHof(col("emb"), col("emb")).as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native SimHash64 equals the 64-fold HOF form") {
+    val d = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("toks", text.tokens(col("text")))
+    val cmp = d.select(
+      text.simhash64(col("toks")).as("native"),
+      text.simhash64Hof(col("toks")).as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native WordShingles produces exactly the HOF shingle strings") {
+    val d = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("toks", text.tokens(col("text")))
+    val cmp = d.select(
+      text.shingles(col("toks"), 3).as("native"),
+      text.shinglesHof(col("toks"), 3).as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native functions resolve from SQL via the session extension") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "simhash64(array('a','b')) AS s, " +
+        "minhash_sig(array('a','b','c'), 4) AS m").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[Long](2).size == 4)
+  }
+}
