@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FlowQueries.queries ++ EsAggQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      IngestQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "mm01_binary_pipeline" -> ((s, d) =>
           graft.operators.Multimodal.pipeline(Tables(s, d, "documents"))))
@@ -25,5 +26,6 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get the weaker rows-only check. */
   def oracleSql: Map[String, String] =
     FlowQueries.oracleSql ++ EsAggQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
+      IngestQueries.oracleSql
 }

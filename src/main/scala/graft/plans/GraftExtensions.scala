@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(exprs(0), n)
       }))
     e.injectFunction((
+      FunctionIdentifier("parse_netflow_v5"),
+      info("parse_netflow_v5", "parse_netflow_v5(packet) - decode a NetFlow v5 export packet"),
+      (exprs: Seq[Expression]) => graft.sources.ParseNetFlowV5(exprs(0))))
+    e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k-component MinHash signature"),
       (exprs: Seq[Expression]) => {

@@ -126,6 +126,30 @@ object FlowQueries {
     // sink); result equals q01's batch histogram, so it shares that oracle
     "st01_prop_sum_stream" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.runToCompletion(spark, dir, basicCfg, "st01_mem")),
+    // ES pipeline aggregations over the series: derivative, cumulative_sum,
+    // moving_fn. The moving/cumulative sums use the detsum recipe (exact
+    // decimal over the frame) so window association order can't skew floats.
+    "q08_derivative" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("bucket_ms"))
+      q(basicCfg)(spark, dir)
+        .withColumn("deriv", col("value") - lag(col("value"), 1).over(w))
+        // ES's derivative pipeline agg omits the first bucket (no predecessor)
+        .filter(col("deriv").isNotNull)
+        .select(col("bucket_ms"), col("value"), col("deriv"))
+    }),
+    "q09_cumulative_window" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val scaled = round(col("value") * lit(1.0e6)).cast(org.apache.spark.sql.types.DecimalType(27, 0))
+      val cumW = Window.orderBy(col("bucket_ms")).rowsBetween(Window.unboundedPreceding, 0)
+      val movW = Window.orderBy(col("bucket_ms")).rowsBetween(-6, 0)
+      q(basicCfg)(spark, dir)
+        .withColumn("cum_value", sum(scaled).over(cumW).cast("double") / lit(1.0e6))
+        .withColumn(
+          "moving_avg",
+          round(sum(scaled).over(movW).cast("double") / lit(1.0e6) / count(lit(1)).over(movW), 6))
+        .select(col("bucket_ms"), col("value"), col("cum_value"), col("moving_avg"))
+    }),
     "q18_topk_talkers" -> ((spark: SparkSession, dir: String) => {
       val exploded = ProportionalSum.explodeContrib(
         Flows.df(spark, dir), col("rs"), col("re"), col("v"), None, basicCfg)
@@ -139,6 +163,25 @@ object FlowQueries {
   val oracles: Map[String, String] = Map(
     "q01_prop_sum_basic" -> oracle(basicCfg),
     "st01_prop_sum_stream" -> oracle(basicCfg),
+    "q08_derivative" -> {
+      val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
+      s"""$core
+         |SELECT * FROM (
+         |  SELECT bucket_ms, value,
+         |         value - lag(value) OVER (ORDER BY bucket_ms) AS deriv
+         |  FROM agg
+         |) WHERE deriv IS NOT NULL""".stripMargin
+    },
+    "q09_cumulative_window" -> {
+      val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
+      val scaled = "CAST(round(value * 1.0e6) AS DECIMAL(27,0))"
+      s"""$core
+         |SELECT bucket_ms, value,
+         |       CAST(SUM($scaled) OVER (ORDER BY bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1.0e6 AS cum_value,
+         |       round(CAST(SUM($scaled) OVER (ORDER BY bucket_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1.0e6
+         |             / COUNT(*) OVER (ORDER BY bucket_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+         |FROM agg""".stripMargin
+    },
     "q02_prop_sum_offset" -> oracle(offsetCfg),
     "q03_prop_sum_sampling" -> oracle(basicCfg, samplingSql = Some(samplingSql)),
     "q04_prop_sum_grouped" -> oracle(basicCfg, groupCols = Seq("event_type")),

@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** NetFlow v5 export-packet codec (public wire format: 24-byte header +
+  * N × 48-byte flow records, all fields big-endian).
+  *
+  * The reference stack ingests netflow/IPFIX flows before they ever reach
+  * the aggregation the plugin provides; this gives the Spark engine the same
+  * front door: `parse_netflow_v5(binary)` turns raw export packets (from a
+  * socket/Kafka/file stream) into typed rows ready for
+  * [[graft.operators.ProportionalSum]] — `first_ms`/`last_ms`/`octets` are
+  * exactly the (rangeStart, rangeEnd, value) triple. */
+object NetFlowV5 {
+
+  val recordType: StructType = StructType(Seq(
+    StructField("src_ip", StringType, nullable = false),
+    StructField("dst_ip", StringType, nullable = false),
+    StructField("src_port", IntegerType, nullable = false),
+    StructField("dst_port", IntegerType, nullable = false),
+    StructField("protocol", IntegerType, nullable = false),
+    StructField("tcp_flags", IntegerType, nullable = false),
+    StructField("packets", LongType, nullable = false),
+    StructField("octets", LongType, nullable = false),
+    StructField("first_ms", LongType, nullable = false),
+    StructField("last_ms", LongType, nullable = false)))
+
+  val packetType: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("count", IntegerType, nullable = false),
+    StructField("sys_uptime_ms", LongType, nullable = false),
+    StructField("unix_secs", LongType, nullable = false),
+    StructField("flow_sequence", LongType, nullable = false),
+    StructField("records", ArrayType(recordType, containsNull = false), nullable = false)))
+
+  /** One logical flow for the packing side. first/last are export-relative
+    * millis (NetFlow v5 carries sysUptime-relative times). */
+  case class Flow(
+      srcIp: String,
+      dstIp: String,
+      srcPort: Int,
+      dstPort: Int,
+      protocol: Int,
+      packets: Long,
+      octets: Long,
+      firstMs: Long,
+      lastMs: Long)
+
+  private def ipToInt(ip: String): Int = {
+    val p = ip.split('.')
+    ((p(0).toInt & 0xff) << 24) | ((p(1).toInt & 0xff) << 16) | ((p(2).toInt & 0xff) << 8) | (p(3).toInt & 0xff)
+  }
+
+  private def intToIp(v: Int): String =
+    s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}"
+
+  /** Serialize flows into a v5 export packet (≤30 records per packet on the
+    * wire; callers chunk accordingly). */
+  def pack(flows: Seq[Flow], sysUptimeMs: Long, unixSecs: Long, flowSequence: Long): Array[Byte] = {
+    require(flows.size <= 30, "NetFlow v5 allows at most 30 records per packet")
+    val buf = ByteBuffer.allocate(24 + 48 * flows.size)
+    buf.putShort(5.toShort)
+    buf.putShort(flows.size.toShort)
+    buf.putInt(sysUptimeMs.toInt)
+    buf.putInt(unixSecs.toInt)
+    buf.putInt(0) // unix_nsecs
+    buf.putInt(flowSequence.toInt)
+    buf.put(0.toByte) // engine_type
+    buf.put(0.toByte) // engine_id
+    buf.putShort(0.toShort) // sampling_interval
+    flows.foreach { f =>
+      buf.putInt(ipToInt(f.srcIp))
+      buf.putInt(ipToInt(f.dstIp))
+      buf.putInt(0) // nexthop
+      buf.putShort(0.toShort) // input if
+      buf.putShort(0.toShort) // output if
+      buf.putInt(f.packets.toInt)
+      buf.putInt(f.octets.toInt)
+      buf.putInt(f.firstMs.toInt)
+      buf.putInt(f.lastMs.toInt)
+      buf.putShort(f.srcPort.toShort)
+      buf.putShort(f.dstPort.toShort)
+      buf.put(0.toByte) // pad1
+      buf.put(0.toByte) // tcp_flags
+      buf.put(f.protocol.toByte)
+      buf.put(0.toByte) // tos
+      buf.putShort(0.toShort) // src_as
+      buf.putShort(0.toShort) // dst_as
+      buf.put(0.toByte) // src_mask
+      buf.put(0.toByte) // dst_mask
+      buf.putShort(0.toShort) // pad2
+    }
+    buf.array()
+  }
+}
+
+/** parse_netflow_v5(packet_binary) → typed packet struct. */
+case class ParseNetFlowV5(child: Expression) extends UnaryExpression with CodegenFallback {
+  import NetFlowV5._
+
+  override def dataType: DataType = packetType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val buf = ByteBuffer.wrap(bytes)
+    val version = buf.getShort() & 0xffff
+    val count = buf.getShort() & 0xffff
+    val sysUptime = buf.getInt() & 0xffffffffL
+    val unixSecs = buf.getInt() & 0xffffffffL
+    buf.getInt() // unix_nsecs
+    val flowSeq = buf.getInt() & 0xffffffffL
+    buf.get(); buf.get(); buf.getShort() // engine_type, engine_id, sampling
+    val records = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val srcIp = buf.getInt()
+      val dstIp = buf.getInt()
+      buf.getInt() // nexthop
+      buf.getShort(); buf.getShort() // input/output if
+      val packets = buf.getInt() & 0xffffffffL
+      val octets = buf.getInt() & 0xffffffffL
+      val first = buf.getInt() & 0xffffffffL
+      val last = buf.getInt() & 0xffffffffL
+      val srcPort = buf.getShort() & 0xffff
+      val dstPort = buf.getShort() & 0xffff
+      buf.get() // pad1
+      val tcpFlags = buf.get() & 0xff
+      val proto = buf.get() & 0xff
+      buf.get() // tos
+      buf.getShort(); buf.getShort() // src/dst as
+      buf.get(); buf.get(); buf.getShort() // masks, pad2
+      records(i) = InternalRow(
+        UTF8String.fromString(intToIpStr(srcIp)),
+        UTF8String.fromString(intToIpStr(dstIp)),
+        srcPort, dstPort, proto, tcpFlags,
+        packets, octets, first, last)
+      i += 1
+    }
+    InternalRow(version, count, sysUptime, unixSecs, flowSeq, new GenericArrayData(records))
+  }
+
+  private def intToIpStr(v: Int): String =
+    s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}"
+
+  override protected def withNewChildInternal(newChild: Expression): ParseNetFlowV5 = copy(child = newChild)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.NetFlowV5
+import graft.sources.NetFlowV5.Flow
+
+class NetFlowSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  test("NetFlow v5 pack → parse round trip preserves every field") {
+    import spark.implicits._
+    val flows = Seq(
+      Flow("10.0.0.1", "192.168.1.2", 50000, 443, 6, 12L, 3456L, 1000L, 4500L),
+      Flow("172.16.254.255", "8.8.8.8", 65535, 53, 17, 1L, 76L, 0L, 0L),
+      // times beyond 2^31 exercise unsigned 32-bit handling
+      Flow("255.255.255.255", "0.0.0.0", 0, 0, 1, 4294967295L, 4294967295L, 2500000000L, 2600000000L))
+    val packet = NetFlowV5.pack(flows, sysUptimeMs = 123L, unixSecs = 1704067200L, flowSequence = 7L)
+    assert(packet.length == 24 + 48 * 3)
+
+    val df = Seq(packet).toDF("bytes")
+      .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
+    val hdr = df.select("pkt.version", "pkt.count", "pkt.sys_uptime_ms", "pkt.unix_secs", "pkt.flow_sequence")
+      .collect()(0)
+    assert(hdr.getInt(0) == 5 && hdr.getInt(1) == 3)
+    assert(hdr.getLong(2) == 123L && hdr.getLong(3) == 1704067200L && hdr.getLong(4) == 7L)
+
+    val recs = df.select(explode(col("pkt.records")).as("r")).select("r.*")
+      .collect().map(r => Flow(
+        r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+    assert(recs.toSeq == flows)
+  }
+
+  test("q50: packets built per-partition decode to the straight-from-events aggregate") {
+    val got = queries.IngestQueries.queries("q50_netflow_ingest")(spark, "/root/testdata/sf0.001")
+      .orderBy("protocol").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = queries.Tables(spark, "/root/testdata/sf0.001", "events")
+      .selectExpr(
+        "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS protocol",
+        "CAST(round(value) AS BIGINT) AS octets",
+        "event_id % 100 + 1 AS packets")
+      .groupBy("protocol")
+      .agg(count(lit(1)).as("n"), sum("octets").as("o"), sum("packets").as("p"))
+      .orderBy("protocol").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gates: these assert the physical properties the 100 TB
+  * design depends on — pushdown reaching the parquet scan, column pruning,
+  * broadcast joins for dims, map-side partial aggregation. A regression that
+  * silently de-optimizes a plan fails here even while results stay correct. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("q20: filter pushed to parquet and schema pruned") {
+    val p = plan("q20_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused columns must not be read")
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+  }
+
+  test("q21: dimension joins broadcast, no sort-merge") {
+    val p = plan("q21_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "fact-dim joins must not sort-merge at this size")
+  }
+
+  test("q01: scan pruned to the three used columns, single shuffle") {
+    val p = plan("q01_prop_sum_basic")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,value:double>"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, "one shuffle: the bucket aggregation")
+    assert(p.contains("partial_count"), "partial aggregation before the exchange")
+  }
+
+  test("q35: query side broadcast so the corpus streams without a vector shuffle") {
+    val p = plan("q35_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q12: both predicate kinds pushed to the scan") {
+    val p = plan("q12_filtered_agg")
+    assert(p.contains("PushedFilters:") && p.contains("In(event_type") && p.contains("GreaterThan(value"))
+  }
+}
