@@ -73,6 +73,18 @@ object EsAggQueries {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
+    // ES extended_stats: variance/std derived from exact decimal sums so the
+    // result is order-independent (Spark's var_samp would not hash-match)
+    "q19_extended_stats" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sumDet(col("value")).as("sum_value"),
+          sumDet(col("value") * col("value"), 4).as("sum_sq"))
+        .withColumn("mean", col("sum_value") / col("cnt"))
+        .withColumn("variance", round(col("sum_sq") / col("cnt") - col("mean") * col("mean"), 6))),
+
     "q16_top_hits" -> ((s: SparkSession, d: String) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id").asc)
       ev(s, d)
@@ -120,6 +132,17 @@ object EsAggQueries {
         |       round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+    "q19_extended_stats" ->
+      s"""WITH g AS (
+         |  SELECT event_type, COUNT(*) AS cnt,
+         |         ${sumDetSql("value")} AS sum_value,
+         |         ${sumDetSql("value * value", 4)} AS sum_sq
+         |  FROM events GROUP BY event_type
+         |),
+         |m AS (SELECT *, sum_value / cnt AS mean FROM g)
+         |SELECT event_type, cnt, sum_value, sum_sq, mean,
+         |       round(sum_sq / cnt - mean * mean, 6) AS variance
+         |FROM m""".stripMargin,
     "q16_top_hits" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,

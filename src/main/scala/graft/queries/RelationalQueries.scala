@@ -76,6 +76,12 @@ object RelationalQueries {
           .select(col("user_id"), col("event_id"), col("ms"), col("value")),
         gapMs = 1800000L)),
 
+    // ROLLUP grouping sets: per (priority, status), per priority, grand total
+    "q26_rollup" -> ((s: SparkSession, d: String) =>
+      Tables(s, d, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sumDet(col("o_totalprice"), moneyScale).as("revenue"))),
+
     // as-of/range join: last signup within 7 days before each purchase
     "q24_range_join_events" -> ((s: SparkSession, d: String) => {
       val e = Tables(s, d, "events").withColumn("ms", expr("unix_micros(ts) DIV 1000"))
@@ -124,6 +130,10 @@ object RelationalQueries {
         |       COUNT(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with,
         |       COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q26_rollup" ->
+      s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+         |       ${sumDetSql("o_totalprice", moneyScale)} AS revenue
+         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
     "q25_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events

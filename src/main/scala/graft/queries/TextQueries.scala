@@ -73,6 +73,21 @@ object TextQueries {
         .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("n_subword"))
     }),
 
+    // corpus-wide vocabulary statistics: top bigrams (training-data staple)
+    "q44_ngram_freq" -> ((s: SparkSession, d: String) =>
+      docs(s, d)
+        .select(explode(text.shingles(col("toks"), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram").asc)
+        .limit(50)),
+
+    "q45_length_histogram" -> ((s: SparkSession, d: String) =>
+      docs(s, d)
+        .withColumn("len_bucket", (floor(size(col("toks")) / lit(10)) * 10).cast("long"))
+        .groupBy(col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("total_tokens"))),
+
     "q43_fingerprint" -> ((s: SparkSession, d: String) =>
       Tables(s, d, "documents")
         .withColumn("fp", md5(text.norm(col("text")).cast("binary")))
@@ -122,6 +137,20 @@ object TextQueries {
          |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
          |       list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_subword
          |FROM docs""".stripMargin,
+    "q44_ngram_freq" ->
+      s"""WITH $docsCte,
+         |bg AS (
+         |  SELECT UNNEST(list_transform(generate_series(1, len(toks) - 1),
+         |                               i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+         |  FROM docs
+         |)
+         |SELECT bigram, COUNT(*) AS freq FROM bg GROUP BY bigram
+         |ORDER BY freq DESC, bigram ASC LIMIT 50""".stripMargin,
+    "q45_length_histogram" ->
+      s"""WITH $docsCte
+         |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,
+         |       COUNT(*) AS n_docs, SUM(len(toks)) AS total_tokens
+         |FROM docs GROUP BY len_bucket""".stripMargin,
     "q43_fingerprint" ->
       """SELECT doc_id,
         |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,

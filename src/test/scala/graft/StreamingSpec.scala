@@ -22,6 +22,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark + append mode emits exactly the buckets finalized below the watermark") {
+    import graft.operators.ProportionalSum
+    val sf = "/root/testdata/sf0.001"
+    val cfg = ProportionalSum.Config(3600000L, Some(1704412800000L), Some(1706140800000L))
+    val wm = FlowStream.bucketedStream(FlowStream.flowSource(spark, sf), cfg)
+    // production shape: bound state by event-time watermark, emit finalized buckets
+    val appended = ProportionalSum
+      .explodeContrib(FlowStream.flowSource(spark, sf), col("rs"), col("re"), col("v"), None, cfg)
+      .withColumn("bucket_ts", timestamp_millis(col("bucket_ms")))
+      .withWatermark("bucket_ts", "2 hours")
+      .groupBy(col("bucket_ts"))
+      .agg(count(lit(1)).as("doc_count"), graft.functions.detsum.sumDet(col("__contrib")).as("value"))
+    val q = appended.writeStream.format("memory").queryName("st01_wm")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table("st01_wm")
+      .select(expr("unix_micros(bucket_ts) DIV 1000").as("bucket_ms"), col("doc_count"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = queries.FlowQueries.queries("q01_prop_sum_basic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(emitted.subsetOf(batch), "append-mode output must be finalized batch buckets")
+    // everything more than the 2h watermark below the max bucket must have been emitted
+    val maxBucket = batch.map(_._1).max
+    val mustEmit = batch.filter(_._1 < maxBucket - 2 * 3600000L)
+    assert(mustEmit.subsetOf(emitted), s"${mustEmit.size} finalized buckets expected in ${emitted.size} emitted")
+  }
+
   test("stateful sessionization emits sessions closed by a gap, keeps the open one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
