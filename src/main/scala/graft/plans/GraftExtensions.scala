@@ -33,6 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(exprs(0), n)
       }))
     e.injectFunction((
+      FunctionIdentifier("hist_quantile"),
+      info("hist_quantile", "hist_quantile(x, q, lo, hi, bins) - mergeable binned-histogram quantile sketch"),
+      (exprs: Seq[Expression]) => {
+        def d(e: Expression): Double = e.eval() match {
+          case v: Double => v
+          case v: java.math.BigDecimal => v.doubleValue()
+          case v: org.apache.spark.sql.types.Decimal => v.toDouble
+          case v: Int => v.toDouble
+          case v: Long => v.toDouble
+        }
+        HistQuantile(exprs(0), d(exprs(1)), d(exprs(2)), d(exprs(3)), exprs(4).eval().asInstanceOf[Int])
+          .toAggregateExpression()
+      }))
+    e.injectFunction((
       FunctionIdentifier("parse_netflow_v5"),
       info("parse_netflow_v5", "parse_netflow_v5(packet) - decode a NetFlow v5 export packet"),
       (exprs: Seq[Expression]) => graft.sources.ParseNetFlowV5(exprs(0))))

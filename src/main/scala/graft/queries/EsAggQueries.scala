@@ -44,6 +44,29 @@ object EsAggQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))),
 
+    // ES `filters` agg: several named predicates evaluated in ONE scan
+    "q12b_filters_named" -> ((s: SparkSession, d: String) =>
+      ev(s, d).agg(
+        count(when(col("event_type") === "purchase" && col("value") > 100.0, 1)).as("big_purchases"),
+        count(when(col("event_type") === "error", 1)).as("errors"),
+        count(when(col("value") <= 10.0, 1)).as("small_values"),
+        count(lit(1)).as("total"))),
+
+    // ES numeric `histogram` agg (interval 25 on value)
+    "q10b_numeric_histogram" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy((floor(col("value") / lit(25.0)) * 25).cast("long").as("value_bucket"))
+        .agg(count(lit(1)).as("doc_count"))),
+
+    // ES `range` agg: explicit bucket edges [0,50), [50,200), [200,inf)
+    "q10c_range_agg" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .withColumn(
+          "range_key",
+          when(col("value") < 50.0, "lo").when(col("value") < 200.0, "mid").otherwise("hi"))
+        .groupBy(col("range_key"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))),
+
     "q13_stats" -> ((s: SparkSession, d: String) =>
       ev(s, d)
         .groupBy(col("event_type"))
@@ -85,6 +108,16 @@ object EsAggQueries {
         .withColumn("mean", col("sum_value") / col("cnt"))
         .withColumn("variance", round(col("sum_sq") / col("cnt") - col("mean") * col("mean"), 6))),
 
+    // scale path for percentiles: mergeable histogram sketch (bounded state
+    // per group) instead of buffering all values — rows-only, accuracy
+    // bounded by bin width and spec-checked against the exact form
+    "q15b_percentiles_sketch" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("hist_quantile(value, 0.5, 0.0, 1000.0, 1000)").as("p50_sketch"),
+          expr("hist_quantile(value, 0.95, 0.0, 1000.0, 1000)").as("p95_sketch"))),
+
     "q16_top_hits" -> ((s: SparkSession, d: String) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id").asc)
       ev(s, d)
@@ -117,6 +150,19 @@ object EsAggQueries {
          |WHERE event_type IN ('purchase', 'error') AND value > 50.0
          |  AND epoch_ms(ts) >= $S AND epoch_ms(ts) < $E
          |GROUP BY event_type""".stripMargin,
+    "q12b_filters_named" ->
+      """SELECT COUNT(*) FILTER (WHERE event_type = 'purchase' AND value > 100.0) AS big_purchases,
+        |       COUNT(*) FILTER (WHERE event_type = 'error') AS errors,
+        |       COUNT(*) FILTER (WHERE value <= 10.0) AS small_values,
+        |       COUNT(*) AS total
+        |FROM events""".stripMargin,
+    "q10b_numeric_histogram" ->
+      """SELECT CAST(floor(value / 25.0) * 25 AS BIGINT) AS value_bucket, COUNT(*) AS doc_count
+        |FROM events GROUP BY value_bucket""".stripMargin,
+    "q10c_range_agg" ->
+      s"""SELECT CASE WHEN value < 50.0 THEN 'lo' WHEN value < 200.0 THEN 'mid' ELSE 'hi' END AS range_key,
+         |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
     "q13_stats" ->
       s"""WITH g AS (
          |  SELECT event_type, COUNT(*) AS cnt, MIN(value) AS min_value,

@@ -51,9 +51,51 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** IVF-style ANN: coarse quantizer = per-label centroids (elementwise
+    * means); every vector is assigned to its nearest centroid (inverted
+    * list); queries probe the 2 nearest lists only. At corpus scale each
+    * list is a partition-pruned slice — the classic IVF trade of recall for
+    * a ~nlists/nprobe scan reduction. Rows-only (spec measures recall). */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val c = Tables(s, d, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"), vectors.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("nrm", vectors.norm(col("emb")))
+    // centroids: elementwise mean per label, rebuilt as ordered arrays
+    val cent = c
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))), t => t.getField("cx")).as("cemb"))
+      .withColumn("cnrm", vectors.norm(col("cemb")))
+      .select(col("label").as("list_id"), col("cemb"), col("cnrm"))
+      .persist()
+    def probes(side: DataFrame, idCol: String, k: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("list_id").asc)
+      side.crossJoin(broadcast(cent))
+        .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= k)
+    }
+    val corpusAssigned = probes(c, "vec_id", 1)
+      .select(col("list_id"), col("vec_id"), col("emb"), col("nrm"))
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("emb"), col("nrm"))
+    val queryProbes = probes(q, "query_id", 2)
+      .select(col("list_id"), col("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    corpusAssigned.join(broadcast(queryProbes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_ann_bruteforce" -> (q35 _),
-    "q36_ann_lsh" -> (q36 _))
+    "q36_ann_lsh" -> (q36 _),
+    "q37_ann_ivf" -> (q37 _))
 
   val oracleSql: Map[String, String] = Map(
     "q35_ann_bruteforce" -> {

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Accuracy/recall contracts for the approximate operators. */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hist_quantile sketch is within one bin width of the exact percentile") {
+    val cmp = queries.Tables(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("hist_quantile(value, 0.5, 0.0, 1000.0, 1000)").as("sk"),
+        expr("percentile(value, 0.5)").as("exact"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 1.0,
+        s"${r.getString(0)}: sketch ${r.getDouble(1)} vs exact ${r.getDouble(2)}")
+    }
+  }
+
+  test("hist_quantile merge is partition-order independent") {
+    val one = queries.Tables(spark, sf, "events").coalesce(1)
+      .agg(expr("hist_quantile(value, 0.9, 0.0, 1000.0, 1000)")).collect()(0).getDouble(0)
+    val many = queries.Tables(spark, sf, "events").repartition(7, col("event_id"))
+      .agg(expr("hist_quantile(value, 0.9, 0.0, 1000.0, 1000)")).collect()(0).getDouble(0)
+    assert(one == many)
+  }
+
+  test("IVF ANN returns valid ranked neighbors with measurable recall vs brute force") {
+    def pairs(q: String) =
+      queries.SimilarityQueries.queries(q)(spark, sf)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q35_ann_bruteforce")
+    val ivf = pairs("q37_ann_ivf")
+    assert(ivf.nonEmpty)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(s"IVF 2-probe recall@5 = $recall over ${exact.size} true pairs")
+    assert(recall >= 0.15, s"recall $recall collapsed — quantizer or probe join broken")
+    // every IVF result must be a real corpus vector, not the query itself
+    assert(ivf.forall { case (q, n) => q != n })
+  }
+}
