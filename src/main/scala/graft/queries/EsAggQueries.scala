@@ -67,6 +67,30 @@ object EsAggQueries {
         .groupBy(col("range_key"))
         .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))),
 
+    // ES significant_terms: foreground (errors) vs background term ratios
+    "q11b_significant_terms" -> ((s: SparkSession, d: String) => {
+      val all = ev(s, d)
+      val bg = all.groupBy(col("user_id")).agg(count(lit(1)).as("bg_count"))
+      val fg = all.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("fg_count"))
+      val totals = all.agg(
+        count(lit(1)).as("bg_total"),
+        count(when(col("event_type") === "error", 1)).as("fg_total"))
+      fg.join(bg, Seq("user_id"))
+        .crossJoin(broadcast(totals))
+        .withColumn("score", round((col("fg_count") / col("fg_total")) / (col("bg_count") / col("bg_total")), 6))
+        .select(col("user_id"), col("fg_count"), col("bg_count"), col("score"))
+        .orderBy(col("score").desc, col("user_id").asc)
+        .limit(10)
+    }),
+
+    // ES bucket_selector pipeline agg: HAVING over bucket metrics
+    "q17b_bucket_selector" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+        .filter(col("doc_count") >= 60 && col("sum_value") > 10000.0)),
+
     "q13_stats" -> ((s: SparkSession, d: String) =>
       ev(s, d)
         .groupBy(col("event_type"))
@@ -163,6 +187,18 @@ object EsAggQueries {
       s"""SELECT CASE WHEN value < 50.0 THEN 'lo' WHEN value < 200.0 THEN 'mid' ELSE 'hi' END AS range_key,
          |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM events GROUP BY 1""".stripMargin,
+    "q11b_significant_terms" ->
+      """WITH bg AS (SELECT user_id, COUNT(*) AS bg_count FROM events GROUP BY user_id),
+        |fg AS (SELECT user_id, COUNT(*) AS fg_count FROM events WHERE event_type = 'error' GROUP BY user_id),
+        |t AS (SELECT COUNT(*) AS bg_total, COUNT(*) FILTER (WHERE event_type = 'error') AS fg_total FROM events)
+        |SELECT fg.user_id, fg_count, bg_count,
+        |       round((fg_count / fg_total) / (bg_count / bg_total), 6) AS score
+        |FROM fg JOIN bg ON fg.user_id = bg.user_id, t
+        |ORDER BY score DESC, fg.user_id ASC LIMIT 10""".stripMargin,
+    "q17b_bucket_selector" ->
+      s"""SELECT user_id, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM events GROUP BY user_id
+         |HAVING COUNT(*) >= 60 AND ${sumDetSql("value")} > 10000.0""".stripMargin,
     "q13_stats" ->
       s"""WITH g AS (
          |  SELECT event_type, COUNT(*) AS cnt, MIN(value) AS min_value,

@@ -60,7 +60,7 @@ object IngestQueries {
     "q50_netflow_ingest" ->
       """SELECT CASE event_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS protocol,
         |       COUNT(*) AS n_flows,
-        |       SUM(CAST(round(value) AS BIGINT)) AS total_octets,
-        |       SUM(event_id % 100 + 1) AS total_packets
+        |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets,
+        |       CAST(SUM(event_id % 100 + 1) AS BIGINT) AS total_packets
         |FROM events GROUP BY 1""".stripMargin)
 }

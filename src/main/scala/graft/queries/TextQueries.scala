@@ -88,6 +88,29 @@ object TextQueries {
         .groupBy(col("len_bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("total_tokens"))),
 
+    // semi-structured extraction (ES docs are JSON; props carries a JSON blob)
+    "q46_json_extract" -> ((s: SparkSession, d: String) =>
+      Tables(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((floor(col("k") / lit(10.0)) * 10).cast("long").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+
+    // sequence packing: greedily bin docs into ~512-token context windows
+    // per source (cumulative token offset → window id) — the packing step of
+    // an LLM pretraining pipeline, as pure window arithmetic
+    "q47_sequence_packing" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      docs(s, d)
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tok")) / lit(512.0)).cast("long"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    }),
+
     "q43_fingerprint" -> ((s: SparkSession, d: String) =>
       Tables(s, d, "documents")
         .withColumn("fp", md5(text.norm(col("text")).cast("binary")))
@@ -137,6 +160,22 @@ object TextQueries {
          |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
          |       list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_subword
          |FROM docs""".stripMargin,
+    "q46_json_extract" ->
+      """WITH e AS (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+        |SELECT CAST(floor(k / 10.0) * 10 AS BIGINT) AS k_bucket, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY k_bucket""".stripMargin,
+    "q47_sequence_packing" ->
+      s"""WITH $docsCte,
+         |t AS (
+         |  SELECT source, doc_id, len(toks) AS n_tok,
+         |         SUM(len(toks)) OVER (PARTITION BY source ORDER BY doc_id ASC
+         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM docs
+         |)
+         |SELECT source, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM t GROUP BY source, pack_id""".stripMargin,
     "q44_ngram_freq" ->
       s"""WITH $docsCte,
          |bg AS (
@@ -149,7 +188,7 @@ object TextQueries {
     "q45_length_histogram" ->
       s"""WITH $docsCte
          |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,
-         |       COUNT(*) AS n_docs, SUM(len(toks)) AS total_tokens
+         |       COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
          |FROM docs GROUP BY len_bucket""".stripMargin,
     "q43_fingerprint" ->
       """SELECT doc_id,
