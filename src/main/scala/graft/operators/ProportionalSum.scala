@@ -34,12 +34,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ProportionalSum {
 
-  /** Mirrors ProportionalSumAggregationBuilder's knobs (fixed-interval form). */
+  /** Mirrors ProportionalSumAggregationBuilder's knobs (fixed-interval form).
+    * `validate=true` reproduces the reference's hard failures on negative
+    * range starts/ends and start-after-end rows
+    * (ProportionalSumAggregator.java:143-159); off by default because the
+    * derived test flows are valid by construction and the branch costs a
+    * per-row check. */
   final case class Config(
       intervalMs: Long,
       startMs: Option[Long] = None,
       endMs: Option[Long] = None,
-      offsetMs: Long = 0L)
+      offsetMs: Long = 0L,
+      validate: Boolean = false)
 
   /** value scaled by the sampling multiplier when finite and non-zero
     * (ProportionalSumAggregator.java:171-180, SamplingIT). */
@@ -76,8 +82,18 @@ object ProportionalSum {
     val clampS = cfg.startMs.map(s => greatest(rangeStartMs, lit(s))).getOrElse(rangeStartMs)
     val clampE = cfg.endMs.map(e => least(rangeEndMs, lit(e))).getOrElse(rangeEndMs)
     val itv = lit(cfg.intervalMs)
-    df.withColumn("__rs", rangeStartMs.cast("long"))
-      .withColumn("__re", rangeEndMs.cast("long"))
+    val rsChecked =
+      if (!cfg.validate) rangeStartMs.cast("long")
+      else when(rangeStartMs < 0L, raise_error(concat(lit("Invalid range start: "), rangeStartMs)))
+        .otherwise(rangeStartMs).cast("long")
+    val reChecked =
+      if (!cfg.validate) rangeEndMs.cast("long")
+      else when(rangeEndMs < 0L, raise_error(concat(lit("Invalid range end: "), rangeEndMs)))
+        .when(rangeEndMs < rangeStartMs,
+          raise_error(concat(lit("Start cannot be after end! start: "), rangeStartMs, lit(" end: "), rangeEndMs)))
+        .otherwise(rangeEndMs).cast("long")
+    df.withColumn("__rs", rsChecked)
+      .withColumn("__re", reChecked)
       .withColumn("__dur", col("__re") - col("__rs"))
       .withColumn("__val", effectiveValue(value, sampling))
       .withColumn("__fb", roundToBucket(clampS, cfg))

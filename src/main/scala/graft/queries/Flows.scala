@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
 object Flows {
 
   def df(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "events").select(
+    Tables(spark, sfDir, "events")
+      // locally a single parquet file scans as ONE partition; spread the
+      // explode/bucket work the way a many-split cluster scan would
+      .repartition(col("event_id"))
+      .select(
       col("event_id"),
       col("user_id"),
       col("event_type"),

@@ -28,11 +28,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "fact-dim joins must not sort-merge at this size")
   }
 
-  test("q01: scan pruned to the three used columns, single shuffle") {
+  test("q01: scan pruned to the three used columns, bounded shuffles") {
     val p = plan("q01_prop_sum_basic")
     assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,value:double>"))
-    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, "one shuffle: the bucket aggregation")
-    assert(p.contains("partial_count"), "partial aggregation before the exchange")
+    // two exchanges by design: the scan-spreading repartition (narrow rows,
+    // pre-explode) and the bucket aggregation (partial states only)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, "repartition + bucket aggregation")
+    assert(p.contains("partial_count"), "partial aggregation before the agg exchange")
   }
 
   test("q35: query side broadcast so the corpus streams without a vector shuffle") {

@@ -76,6 +76,21 @@ class PropSumSpec extends AnyFunSuite {
     assert(got == Map(300L -> (1L, 100.0), 400L -> (1L, 100.0), 500L -> (1L, 100.0)))
   }
 
+  test("validate=true reproduces the reference's hard failures on bad ranges") {
+    val bad = rows(Seq((500L, 100L, 10.0))) // end before start
+    val cfg = Config(100, validate = true)
+    val ex = intercept[Exception] {
+      ProportionalSum.run(bad, col("rs"), col("re"), col("v"), None, cfg).collect()
+    }
+    assert(ex.getMessage.contains("Start cannot be after end") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Start cannot be after end")))
+    // valid rows pass through identically with validation on
+    val ok = rows(Seq((100L, 450L, 350.0)))
+    val got = result(ProportionalSum.run(ok, col("rs"), col("re"), col("v"), None,
+      Config(100, Some(0L), Some(500L), validate = true)))
+    assert(got(400L) == (1L, 50.0))
+  }
+
   test("ProportionalSumAggregatorIT: monthly calendar buckets over 2012 fixtures") {
     def ms(month: Int, day: Int): Long =
       Instant.parse(f"2012-$month%02d-$day%02dT00:00:00Z").toEpochMilli
