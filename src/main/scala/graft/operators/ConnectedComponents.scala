@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the step that
+  * turns pairwise near-duplicate EDGES into dedup GROUPS (pick one canonical
+  * doc per component).
+  *
+  * Each iteration is one hash-shuffle join + partial-min aggregation, so an
+  * iteration costs O(|E|/cluster) with no driver-side data movement; the
+  * driver only checks the scalar convergence count. Near-dup graphs have
+  * tiny diameters (clusters of copies), so propagation converges in a few
+  * rounds; a graph with long chains would want pointer-jumping instead
+  * (O(log d) rounds), noted here deliberately. */
+object ConnectedComponents {
+
+  /** edges: two long columns (src, dst). Returns (id, component) where
+    * component = min vertex id reachable. */
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the (possibly expensive) edge pipeline once — the
+    // symmetrization below references it twice
+    val e = edges.toDF("src", "dst").persist()
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborLabels = sym
+        .join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(neighborLabels)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .persist()
+      // labels only ever decrease; converged when nothing decreased
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") < col("o.component"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

@@ -137,7 +137,18 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Dedup clusters: MinHash-LSH pairs (verified Jaccard ≥ 0.5) become
+    * edges; connected components pick one canonical doc per group — the
+    * final step of a real near-dup removal pipeline. Rows-only. */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val edges = q32(s, d).filter(col("jacc") >= 0.5).select(col("doc_a"), col("doc_b"))
+    graft.operators.ConnectedComponents.run(edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
+      .orderBy(col("cluster_rep").asc, col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_dedup_clusters" -> (q38 _),
     "q30_dedup_exact" -> (q30 _),
     "q31_dedup_ngram_jaccard" -> (q31 _),
     "q32_dedup_minhash_lsh" -> (q32 _),

@@ -76,6 +76,11 @@ object RelationalQueries {
           .select(col("user_id"), col("event_id"), col("ms"), col("value")),
         gapMs = 1800000L)),
 
+    // stateful streaming sessionization (flatMapGroupsWithState); emits the
+    // sessions closed during the run — oracle drops each user's open last one
+    "st02_sessionize_stream" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Sessionize.runStreamToCompletion(s, d, gapMs = 1800000L, "st02_mem")),
+
     // ROLLUP grouping sets: per (priority, status), per priority, grand total
     "q26_rollup" -> ((s: SparkSession, d: String) =>
       Tables(s, d, "orders")
@@ -130,6 +135,31 @@ object RelationalQueries {
         |       COUNT(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with,
         |       COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "st02_sessionize_stream" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events
+         |),
+         |x AS (
+         |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS prev_ms FROM e
+         |),
+         |y AS (
+         |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM x
+         |),
+         |z AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+         |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM y
+         |),
+         |s AS (
+         |  SELECT user_id, session_idx, MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+         |         COUNT(*) AS n_events, ${sumDetSql("value")} AS sum_value
+         |  FROM z GROUP BY user_id, session_idx
+         |),
+         |m AS (
+         |  SELECT *, MAX(session_idx) OVER (PARTITION BY user_id) AS max_idx FROM s
+         |)
+         |SELECT user_id, session_start_ms, session_end_ms, n_events, sum_value
+         |FROM m WHERE session_idx < max_idx""".stripMargin,
     "q26_rollup" ->
       s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
          |       ${sumDetSql("o_totalprice", moneyScale)} AS revenue

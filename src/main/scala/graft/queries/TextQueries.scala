@@ -91,6 +91,7 @@ object TextQueries {
     // semi-structured extraction (ES docs are JSON; props carries a JSON blob)
     "q46_json_extract" -> ((s: SparkSession, d: String) =>
       Tables(s, d, "events")
+        .repartition(col("event_id")) // spread the JSON parsing
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy((floor(col("k") / lit(10.0)) * 10).cast("long").as("k_bucket"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),

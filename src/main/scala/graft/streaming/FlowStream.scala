@@ -22,10 +22,10 @@ import graft.operators.ProportionalSum.Config
   * noted in [[bucketedStream]]. */
 object FlowStream {
 
-  /** Streaming version of [[graft.queries.Flows.df]] over the events file.
-    * The file source wants a directory of (arriving) files; the test dir
-    * mixes all tables, so expose events.parquet alone via a symlink dir. */
-  def flowSource(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Raw streaming read of the events table. The file source wants a
+    * directory of (arriving) files; the test dir mixes all tables, so expose
+    * events.parquet alone via a symlink dir. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_stream_src")
     Files.createSymbolicLink(dir.resolve("events.parquet"), Paths.get(sfDir, "events.parquet"))
@@ -33,6 +33,11 @@ object FlowStream {
     spark.readStream
       .schema(schema)
       .parquet(dir.toString)
+  }
+
+  /** Streaming version of [[graft.queries.Flows.df]] over the events file. */
+  def flowSource(spark: SparkSession, sfDir: String): DataFrame = {
+    eventsStream(spark, sfDir)
       .select(
         col("event_id"),
         col("user_id"),

@@ -58,6 +58,31 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${brute.size} true pairs")
   }
 
+  test("connected components: chain, star, and disjoint clusters resolve to min ids") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain -> component 1
+      (10L, 11L), (10L, 12L), (10L, 13L), // star -> component 10
+      (20L, 21L) // pair -> component 20
+    ).toDF("src", "dst")
+    val got = graft.operators.ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup clusters group the planted near-duplicates") {
+    val clusters = queries.DedupQueries.queries("q38_dedup_clusters")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.nonEmpty, "planted near-dups must form at least one cluster")
+    val byCluster = clusters.groupBy(_._2)
+    assert(byCluster.forall { case (rep, ms) => ms.map(_._1).min == rep },
+      "cluster representative is the min member id")
+    assert(byCluster.exists(_._2.length >= 2))
+  }
+
   test("cosine primitives: self-similarity 1, orthogonal 0; LSH bucket stable") {
     import spark.implicits._
     val df = Seq(

@@ -62,9 +62,9 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       // session 1: two events 100ms apart; then a 5s gap opens session 2
-      mem.addData(Ev(1L, 0L, 1.0), Ev(1L, 100L, 2.0))
+      mem.addData(Ev(1L, 1L, 0L, 1.0), Ev(1L, 2L, 100L, 2.0))
       q.processAllAvailable()
-      mem.addData(Ev(1L, 5000L, 4.0), Ev(2L, 0L, 8.0))
+      mem.addData(Ev(1L, 3L, 5000L, 4.0), Ev(2L, 4L, 0L, 8.0))
       q.processAllAvailable()
       val closed = spark.table("sessions_out").as[Sessionize.Session].collect().toSet
       // only user 1's first session is closed; u1-s2 and u2-s1 remain open state
