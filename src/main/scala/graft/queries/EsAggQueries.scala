@@ -91,6 +91,39 @@ object EsAggQueries {
         .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
         .filter(col("doc_count") >= 60 && col("sum_value") > 10000.0)),
 
+    // ES weighted_avg: value weighted by k (from props JSON)
+    "q13b_weighted_avg" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .withColumn("wt", get_json_object(col("props"), "$.k").cast("int").cast("double"))
+        .groupBy(col("event_type"))
+        .agg(
+          sumDet(col("value") * col("wt"), 4).as("sum_wx"),
+          sumDet(col("wt")).as("sum_w"))
+        .withColumn("weighted_avg", round(col("sum_wx") / col("sum_w"), 6))),
+
+    // ES date_range agg: explicit date edges
+    "q10d_date_range" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .withColumn(
+          "period",
+          when(col("ms") < S, "before").when(col("ms") < E, "during").otherwise("after"))
+        .groupBy(col("period"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))),
+
+    // ES adjacency_matrix: pairwise intersections of named filters in one scan
+    "q12c_adjacency_matrix" -> ((s: SparkSession, d: String) => {
+      val a = col("event_type") === "purchase"
+      val b = col("value") > 100.0
+      val c = col("user_id") % 2 === 0
+      ev(s, d).agg(
+        count(when(a, 1)).as("purchase"),
+        count(when(b, 1)).as("big"),
+        count(when(c, 1)).as("even_user"),
+        count(when(a && b, 1)).as("purchase_and_big"),
+        count(when(a && c, 1)).as("purchase_and_even"),
+        count(when(b && c, 1)).as("big_and_even"))
+    }),
+
     "q13_stats" -> ((s: SparkSession, d: String) =>
       ev(s, d)
         .groupBy(col("event_type"))
@@ -187,6 +220,28 @@ object EsAggQueries {
       s"""SELECT CASE WHEN value < 50.0 THEN 'lo' WHEN value < 200.0 THEN 'mid' ELSE 'hi' END AS range_key,
          |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM events GROUP BY 1""".stripMargin,
+    "q13b_weighted_avg" ->
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |         ${sumDetSql("value * CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS DOUBLE)", 4)} AS sum_wx,
+         |         ${sumDetSql("CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS DOUBLE)")} AS sum_w
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT event_type, sum_wx, sum_w, round(sum_wx / sum_w, 6) AS weighted_avg FROM g""".stripMargin,
+    "q10d_date_range" ->
+      s"""SELECT CASE WHEN epoch_ms(ts) < $S THEN 'before'
+         |            WHEN epoch_ms(ts) < $E THEN 'during'
+         |            ELSE 'after' END AS period,
+         |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
+    "q12c_adjacency_matrix" ->
+      """SELECT COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (WHERE value > 100.0) AS big,
+        |       COUNT(*) FILTER (WHERE user_id % 2 = 0) AS even_user,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase' AND value > 100.0) AS purchase_and_big,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase' AND user_id % 2 = 0) AS purchase_and_even,
+        |       COUNT(*) FILTER (WHERE value > 100.0 AND user_id % 2 = 0) AS big_and_even
+        |FROM events""".stripMargin,
     "q11b_significant_terms" ->
       """WITH bg AS (SELECT user_id, COUNT(*) AS bg_count FROM events GROUP BY user_id),
         |fg AS (SELECT user_id, COUNT(*) AS fg_count FROM events WHERE event_type = 'error' GROUP BY user_id),

@@ -115,7 +115,50 @@ object TextQueries {
     "q43_fingerprint" -> ((s: SparkSession, d: String) =>
       Tables(s, d, "documents")
         .withColumn("fp", md5(text.norm(col("text")).cast("binary")))
-        .select(col("doc_id"), col("fp"), substring(col("fp"), 1, 8).as("fp_short"))))
+        .select(col("doc_id"), col("fp"), substring(col("fp"), 1, 8).as("fp_short"))),
+
+    // CAPSTONE: the full pretraining-data pipeline in one DAG —
+    // quality score -> language filter -> exact dedup -> near-dup removal
+    // (3-gram Jaccard >= 0.5, keep lower id) -> per-source corpus stats.
+    // Every stage is the operator used by its standalone query.
+    "q48_pipeline_end2end" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, d)
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("txt_len", length(col("text")))
+        .withColumn("punct_cnt", length(regexp_replace(col("text"), "[^.!?,;:]", "")))
+        .withColumn("stop_cnt", text.stopwordCount(col("toks"), stopEn))
+        .withColumn("stop_ratio", col("stop_cnt") / col("n_tok"))
+        .withColumn("punct_ratio", col("punct_cnt") / col("txt_len"))
+        .withColumn(
+          "quality",
+          round(least(lit(1.0), col("n_tok") / lit(100.0)) * 0.5 + col("stop_ratio") * 0.3 - col("punct_ratio") * 0.2, 6))
+        .withColumn("s_en", text.stopwordCount(col("toks"), stopEn))
+      val kept = scored.filter(col("quality") >= 0.25 && col("s_en") > 0)
+      val exact = kept
+        .withColumn("fp", md5(text.norm(col("text")).cast("binary")))
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keep_id"))
+      val sh = exact
+        .select(col("doc_id"), array_distinct(text.shingles(col("toks"), 3)).as("sh"))
+        .withColumn("n", size(col("sh")))
+      val ex2 = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s")).persist()
+      val a = ex2.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
+      val b = ex2.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("s"))
+      val removed = a.join(b, Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
+        .select(col("doc_b")).distinct()
+      exact
+        .join(removed, exact("doc_id") === removed("doc_b"), "left_anti")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          graft.functions.detsum.sumDet(col("quality"), 6).as("sum_quality"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q40_lang_id" ->
@@ -191,6 +234,41 @@ object TextQueries {
          |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,
          |       COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
          |FROM docs GROUP BY len_bucket""".stripMargin,
+    "q48_pipeline_end2end" ->
+      s"""WITH $docsCte,
+         |scored AS (
+         |  SELECT doc_id, source, text, toks, len(toks) AS n_tok,
+         |         round(LEAST(1.0, len(toks) / 100.0) * 0.5
+         |               + (${stopSql(stopEn)} / len(toks)) * 0.3
+         |               - (length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)) * 0.2, 6) AS quality,
+         |         ${stopSql(stopEn)} AS s_en
+         |  FROM docs
+         |),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.25 AND s_en > 0),
+         |withfp AS (
+         |  SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM kept
+         |),
+         |exact AS (
+         |  SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM withfp)
+         |  WHERE doc_id = keep_id
+         |),
+         |shd AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |                                              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+         |  FROM exact
+         |),
+         |s2 AS (SELECT doc_id, sh, len(sh) AS n FROM shd),
+         |exx AS (SELECT doc_id, n, UNNEST(sh) AS s FROM s2),
+         |removed AS (
+         |  SELECT DISTINCT b.doc_id AS doc_b
+         |  FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.5
+         |)
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |       ${graft.functions.detsum.sumDetSql("quality", 6)} AS sum_quality
+         |FROM exact WHERE doc_id NOT IN (SELECT doc_b FROM removed)
+         |GROUP BY source""".stripMargin,
     "q43_fingerprint" ->
       """SELECT doc_id,
         |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
