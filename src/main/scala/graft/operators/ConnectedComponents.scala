@@ -39,14 +39,13 @@ object ConnectedComponents {
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
         .persist()
-      // labels only ever decrease; converged when nothing decreased
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") < col("o.component"))
-        .count()
+      // labels only ever decrease, so the label sum strictly decreases iff
+      // anything changed — a scalar aggregate instead of a join per round
+      val sumNew = next.agg(sum(col("component"))).first().getLong(0)
+      val sumOld = labels.agg(sum(col("component"))).first().getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = sumNew == sumOld
       iter += 1
     }
     labels

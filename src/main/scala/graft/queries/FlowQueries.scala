@@ -110,6 +110,9 @@ object FlowQueries {
     "q03_prop_sum_sampling" -> (q(basicCfg, sampling = Some(samplingCol)) _),
     "q04_prop_sum_grouped" -> (q(basicCfg, groupCols = Seq(col("event_type"))) _),
     "q05_prop_sum_empty_buckets" -> (q(denseCfg, dense = Some(denseBounds)) _),
+    // min_doc_count > 1: drop sparse buckets (Histogram.MIN_DOC_COUNT_FIELD)
+    "q05b_prop_sum_min_doc_count" -> ((spark: SparkSession, dir: String) =>
+      q(basicCfg)(spark, dir).filter(col("doc_count") >= 15)),
     "q07_prop_sum_zero_duration" ->
       (q(Config(HOUR_MS), rowFilter = Some(col("event_id") % 7200 === 0)) _),
     "q06_prop_sum_calendar" -> ((spark: SparkSession, dir: String) => {
@@ -163,6 +166,8 @@ object FlowQueries {
   val oracles: Map[String, String] = Map(
     "q01_prop_sum_basic" -> oracle(basicCfg),
     "st01_prop_sum_stream" -> oracle(basicCfg),
+    "q05b_prop_sum_min_doc_count" ->
+      s"${oracle(basicCfg).stripSuffix(" SELECT * FROM agg")} SELECT * FROM agg WHERE doc_count >= 15",
     "q08_derivative" -> {
       val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
       s"""$core
