@@ -30,6 +30,7 @@ object ConnectedComponents {
       .persist()
     var converged = false
     var iter = 0
+    var labelSum = labels.agg(sum(col("component"))).first().getLong(0)
     while (!converged && iter < maxIter) {
       val neighborLabels = sym
         .join(labels, sym("src") === labels("id"))
@@ -40,12 +41,13 @@ object ConnectedComponents {
         .agg(min(col("component")).as("component"))
         .persist()
       // labels only ever decrease, so the label sum strictly decreases iff
-      // anything changed — a scalar aggregate instead of a join per round
+      // anything changed — one scalar aggregate per round (previous round's
+      // sum is carried, not recomputed)
       val sumNew = next.agg(sum(col("component"))).first().getLong(0)
-      val sumOld = labels.agg(sum(col("component"))).first().getLong(0)
       labels.unpersist()
       labels = next
-      converged = sumNew == sumOld
+      converged = sumNew == labelSum
+      labelSum = sumNew
       iter += 1
     }
     labels

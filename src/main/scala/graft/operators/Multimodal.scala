@@ -75,4 +75,38 @@ object Multimodal {
     import docs.sparkSession.implicits._
     extractFeatures(attachPayload(docs).as[MediaRow]).toDF()
   }
+
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, mean_byte: Double, max_byte: Int)
+
+  /** Video-style frame sampling: treat the payload as `n_frames` frames of
+    * width*channels bytes each, keep every `stride`-th frame, and extract
+    * per-frame features. One input row fans out to its sampled frames —
+    * the explode/batch shape a real video pipeline has (decode stubbed as
+    * above). */
+  def sampleFrames(rows: Dataset[MediaRow], stride: Int): Dataset[FrameFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { r =>
+      val px = decodeStub(r.payload, r.width, r.height, r.channels)
+      val frameLen = r.width * r.channels // one "scanline frame" per height unit
+      (0 until r.height by stride).map { f =>
+        var sum = 0L
+        var mx = 0
+        var i = f * frameLen
+        val end = i + frameLen
+        while (i < end) {
+          val v = px(i) & 0xff
+          sum += v
+          if (v > mx) mx = v
+          i += 1
+        }
+        FrameFeatures(r.doc_id, f, sum.toDouble / frameLen, mx)
+      }
+    }
+  }
+
+  /** Frame-sampling pipeline over documents (every 4th frame). */
+  def framePipeline(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    sampleFrames(attachPayload(docs).as[MediaRow], stride = 4).toDF()
+  }
 }

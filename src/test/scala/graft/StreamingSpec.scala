@@ -85,4 +85,16 @@ class StreamingSpec extends AnyFunSuite {
     val b = graft.operators.Multimodal.pipeline(docs).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("frame sampling fans each doc out to ceil(height/stride) frames") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = queries.Tables(spark, sf, "documents")
+    val frames = graft.operators.Multimodal.framePipeline(docs)
+    val perDoc = frames.groupBy("doc_id").count()
+    val meta = graft.operators.Multimodal.attachPayload(docs).select("doc_id", "height")
+    val bad = perDoc.join(meta, "doc_id")
+      .filter(col("count") =!= ceil(col("height") / lit(4.0)).cast("long"))
+    assert(bad.count() == 0)
+    assert(frames.filter(col("frame_idx") % 4 =!= 0).count() == 0, "only strided frames kept")
+  }
 }
