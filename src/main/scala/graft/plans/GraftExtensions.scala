@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(exprs(0), n)
       }))
     e.injectFunction((
+      FunctionIdentifier("topk_freq"),
+      info("topk_freq", "topk_freq(item, k) - approximate heavy hitters (Space-Saving)"),
+      (exprs: Seq[Expression]) =>
+        TopKFreq(exprs(0), exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    e.injectFunction((
       FunctionIdentifier("hist_quantile"),
       info("hist_quantile", "hist_quantile(x, q, lo, hi, bins) - mergeable binned-histogram quantile sketch"),
       (exprs: Seq[Expression]) => {

@@ -124,6 +124,14 @@ object EsAggQueries {
         count(when(b && c, 1)).as("big_and_even"))
     }),
 
+    // ES terms over a high-cardinality field at scale: Space-Saving heavy
+    // hitters with bounded state per group — rows-only, exactness and merge
+    // behavior spec-checked
+    "q11c_terms_sketch" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("topk_freq(CAST(user_id AS STRING), 5)").as("top_users"))),
+
     "q13_stats" -> ((s: SparkSession, d: String) =>
       ev(s, d)
         .groupBy(col("event_type"))

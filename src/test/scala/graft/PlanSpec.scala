@@ -42,6 +42,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val l = queries.Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val o = queries.Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // a fresh in-memory catalog doesn't know about leftover dirs from a
+    // previous JVM — clear the managed locations too
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      val dir = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    val joined = spark.table("li_bucketed")
+      .hint("merge") // keep it a sort-merge join so the no-shuffle claim is real
+      .join(spark.table("ord_bucketed"),
+        org.apache.spark.sql.functions.col("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy(org.apache.spark.sql.functions.col("l_orderkey"))
+      .count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    assert(joined.count() > 0)
+  }
+
   test("q12: both predicate kinds pushed to the scan") {
     val p = plan("q12_filtered_agg")
     assert(p.contains("PushedFilters:") && p.contains("In(event_type") && p.contains("GreaterThan(value"))

@@ -31,6 +31,27 @@ class SketchSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("topk_freq matches exact top-k when cardinality fits the capacity") {
+    import org.apache.spark.sql.Row
+    val sk = queries.Tables(spark, sf, "events")
+      .agg(expr("topk_freq(CAST(user_id AS STRING), 5)")).collect()(0)
+      .getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
+    val exact = queries.Tables(spark, sf, "events")
+      .groupBy("user_id").count()
+      // the sketch tiebreaks on the STRING item, so mirror that here
+      .orderBy(col("count").desc, col("user_id").cast("string").asc)
+      .limit(5).collect().map(r => (r.getLong(0).toString, r.getLong(1)))
+    assert(sk.toSeq == exact.toSeq, s"sketch $sk vs exact ${exact.toSeq}")
+  }
+
+  test("topk_freq is stable across partition layouts") {
+    val one = queries.Tables(spark, sf, "events").coalesce(1)
+      .agg(expr("topk_freq(event_type, 3)")).collect()(0).get(0)
+    val many = queries.Tables(spark, sf, "events").repartition(7, col("event_id"))
+      .agg(expr("topk_freq(event_type, 3)")).collect()(0).get(0)
+    assert(one == many)
+  }
+
   test("IVF ANN returns valid ranked neighbors with measurable recall vs brute force") {
     def pairs(q: String) =
       queries.SimilarityQueries.queries(q)(spark, sf)
