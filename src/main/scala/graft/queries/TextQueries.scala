@@ -117,6 +117,22 @@ object TextQueries {
         .withColumn("fp", md5(text.norm(col("text")).cast("binary")))
         .select(col("doc_id"), col("fp"), substring(col("fp"), 1, 8).as("fp_short"))),
 
+    // deterministic stratified sampling: downsample over-represented sources
+    // by a content-hash threshold — reproducible across runs/engines/cluster
+    // sizes (no RNG), the standard trick for rebalancing a training mix
+    "q49_stratified_sample" -> ((s: SparkSession, d: String) => {
+      val keyed = Tables(s, d, "documents")
+        .withColumn("hk", substring(md5(text.norm(col("text")).cast("binary")), 1, 2))
+        .withColumn(
+          "keep",
+          when(col("source") === "src0", col("hk") < "40") // ~25%
+            .when(col("source") === "src1", col("hk") < "80") // ~50%
+            .otherwise(lit(true)))
+      keyed.filter(col("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+    }),
+
     // CAPSTONE: the full pretraining-data pipeline in one DAG —
     // quality score -> language filter -> exact dedup -> near-dup removal
     // (3-gram Jaccard >= 0.5, keep lower id) -> per-source corpus stats.
@@ -234,6 +250,17 @@ object TextQueries {
          |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,
          |       COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
          |FROM docs GROUP BY len_bucket""".stripMargin,
+    "q49_stratified_sample" ->
+      """WITH k AS (
+        |  SELECT *, substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 2) AS hk
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+        |FROM k
+        |WHERE CASE WHEN source = 'src0' THEN hk < '40'
+        |           WHEN source = 'src1' THEN hk < '80'
+        |           ELSE TRUE END
+        |GROUP BY source""".stripMargin,
     "q48_pipeline_end2end" ->
       s"""WITH $docsCte,
          |scored AS (
