@@ -69,6 +69,12 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("q16: top-k per group uses WindowGroupLimit (partial top-k before the shuffle)") {
+    val p = SparkEntry.queries("q16_top_hits")(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must push a per-partition group limit — a full per-key sort would not scale")
+  }
+
   test("q12: both predicate kinds pushed to the scan") {
     val p = plan("q12_filtered_agg")
     assert(p.contains("PushedFilters:") && p.contains("In(event_type") && p.contains("GreaterThan(value"))
