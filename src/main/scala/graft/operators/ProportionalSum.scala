@@ -150,21 +150,42 @@ object ProportionalSum {
       value: Column,
       sampling: Option[Column],
       startMs: Option[Long],
-      endMs: Option[Long]): DataFrame = {
+      endMs: Option[Long]): DataFrame =
+    explodeContribCalendar(df, rangeStartMs, rangeEndMs, value, sampling, startMs, endMs, "month")
+
+  /** Any calendar unit Spark's date_trunc + interval arithmetic supports
+    * ("week", "month", "quarter", "year") — the reference accepts the full
+    * DateHistogramInterval family (ProportionalSumAggregationBuilder:104-116). */
+  def explodeContribCalendar(
+      df: DataFrame,
+      rangeStartMs: Column,
+      rangeEndMs: Column,
+      value: Column,
+      sampling: Option[Column],
+      startMs: Option[Long],
+      endMs: Option[Long],
+      unit: String): DataFrame = {
+    val step = unit.toLowerCase match {
+      case "week" => "INTERVAL 7 DAY"
+      case "month" => "INTERVAL 1 MONTH"
+      case "quarter" => "INTERVAL 3 MONTH"
+      case "year" => "INTERVAL 1 YEAR"
+      case other => throw new IllegalArgumentException(s"unsupported calendar unit: $other")
+    }
     val clampS = startMs.map(s => greatest(rangeStartMs, lit(s))).getOrElse(rangeStartMs)
     val clampE = endMs.map(e => least(rangeEndMs, lit(e))).getOrElse(rangeEndMs)
     df.withColumn("__rs", rangeStartMs.cast("long"))
       .withColumn("__re", rangeEndMs.cast("long"))
       .withColumn("__dur", col("__re") - col("__rs"))
       .withColumn("__val", effectiveValue(value, sampling))
-      .withColumn("__fbts", date_trunc("month", timestamp_millis(clampS)))
-      .withColumn("__lbts", date_trunc("month", timestamp_millis(clampE)))
+      .withColumn("__fbts", date_trunc(unit, timestamp_millis(clampS)))
+      .withColumn("__lbts", date_trunc(unit, timestamp_millis(clampE)))
       .filter(col("__fbts") <= col("__lbts"))
       .withColumn(
         "bucket_ts",
-        explode(sequence(col("__fbts"), col("__lbts"), expr("INTERVAL 1 MONTH"))))
+        explode(sequence(col("__fbts"), col("__lbts"), expr(step))))
       .withColumn("bucket_ms", expr("unix_micros(bucket_ts) DIV 1000"))
-      .withColumn("__next_ms", expr("unix_micros(bucket_ts + INTERVAL 1 MONTH) DIV 1000"))
+      .withColumn("__next_ms", expr(s"unix_micros(bucket_ts + $step) DIV 1000"))
       .withColumn(
         "__ov",
         greatest(lit(0L), least(col("__next_ms"), col("__re")) - greatest(col("bucket_ms"), col("__rs"))))
@@ -198,6 +219,37 @@ object ProportionalSum {
     grid
       .join(agg, Seq("bucket_ms"), "left")
       .select(
+        col("bucket_ms"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        coalesce(col("value"), lit(0.0d)).as("value"))
+  }
+
+  /** Dense buckets PER GROUP — the reference fills empty buckets inside each
+    * terms parent bucket independently; the grid is (distinct groups ×
+    * bucket range), broadcast-joined against the aggregate. */
+  def runDenseGrouped(
+      df: DataFrame,
+      rangeStartMs: Column,
+      rangeEndMs: Column,
+      value: Column,
+      sampling: Option[Column],
+      cfg: Config,
+      boundsStartMs: Long,
+      boundsEndMs: Long,
+      groupName: String): DataFrame = {
+    val agg = run(df, rangeStartMs, rangeEndMs, value, sampling, cfg, Seq(col(groupName)))
+    val spark = df.sparkSession
+    val buckets = spark
+      .range(1)
+      .select(explode(sequence(
+        roundToBucket(lit(boundsStartMs), cfg),
+        roundToBucket(lit(boundsEndMs), cfg),
+        lit(cfg.intervalMs))).as("bucket_ms"))
+    val groups = df.select(col(groupName)).distinct()
+    broadcast(groups.crossJoin(buckets))
+      .join(agg, Seq(groupName, "bucket_ms"), "left")
+      .select(
+        col(groupName),
         col("bucket_ms"),
         coalesce(col("doc_count"), lit(0L)).as("doc_count"),
         coalesce(col("value"), lit(0.0d)).as("value"))

@@ -115,6 +115,21 @@ object FlowQueries {
       q(basicCfg)(spark, dir).filter(col("doc_count") >= 15)),
     "q07_prop_sum_zero_duration" ->
       (q(Config(HOUR_MS), rowFilter = Some(col("event_id") % 7200 === 0)) _),
+    // per-group dense fill: empty buckets materialize inside EACH terms
+    // bucket, as the reference's sub-aggregation does
+    "q05c_prop_sum_dense_grouped" -> ((spark: SparkSession, dir: String) =>
+      ProportionalSum.runDenseGrouped(
+        Flows.df(spark, dir), col("rs"), col("re"), col("v"), None,
+        denseCfg, denseBounds._1, denseBounds._2, "event_type")),
+    // quarterly calendar buckets over year-long ranges
+    "q06b_prop_sum_quarter" -> ((spark: SparkSession, dir: String) => {
+      val flows = Flows.df(spark, dir)
+        .withColumn("re", col("rs") + (col("event_id") % 360) * lit(DAY_MS))
+      ProportionalSum.aggregate(
+        ProportionalSum.explodeContribCalendar(
+          flows, col("rs"), col("re"), col("v"), None,
+          Some(JAN_START_MS), Some(1735689600000L), "quarter"))
+    }),
     "q06_prop_sum_calendar" -> ((spark: SparkSession, dir: String) => {
       // month-scale ranges: stretch durations to 0..90 days so flows span
       // calendar buckets (events alone only cover January)
@@ -193,6 +208,49 @@ object FlowQueries {
     "q05_prop_sum_empty_buckets" -> oracle(denseCfg, dense = Some(denseBounds)),
     "q07_prop_sum_zero_duration" ->
       oracle(Config(HOUR_MS), rowFilterSql = Some("event_id % 7200 = 0")),
+    "q05c_prop_sum_dense_grouped" -> {
+      val inner = oracle(denseCfg, groupCols = Seq("event_type")).stripSuffix(" SELECT * FROM agg")
+      val itv = denseCfg.intervalMs
+      s"""$inner,
+         |grid AS (
+         |  SELECT t.event_type, b.bucket_ms
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN (SELECT UNNEST(generate_series(
+         |    CAST(floor(${denseBounds._1} / $itv) AS BIGINT) * $itv,
+         |    CAST(floor(${denseBounds._2} / $itv) AS BIGINT) * $itv, $itv)) AS bucket_ms) b
+         |)
+         |SELECT grid.event_type AS event_type, grid.bucket_ms AS bucket_ms,
+         |       COALESCE(agg.doc_count, 0) AS doc_count,
+         |       COALESCE(agg.value, 0.0) AS value
+         |FROM grid LEFT JOIN agg
+         |  ON grid.event_type = agg.event_type AND grid.bucket_ms = agg.bucket_ms""".stripMargin
+    },
+    "q06b_prop_sum_quarter" -> {
+      val det = graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")
+      s"""WITH flows AS (
+         |  SELECT event_id, value AS v,
+         |         epoch_ms(ts) AS rs,
+         |         epoch_ms(ts) + (event_id % 360) * 86400000 AS re
+         |  FROM events
+         |),
+         |ranged AS (
+         |  SELECT *, re - rs AS dur, v AS eff_v,
+         |         date_trunc('quarter', make_timestamp(GREATEST(rs, $JAN_START_MS) * 1000)) AS fbts,
+         |         date_trunc('quarter', make_timestamp(LEAST(re, 1735689600000) * 1000)) AS lbts
+         |  FROM flows
+         |),
+         |ex AS (
+         |  SELECT *, UNNEST(generate_series(fbts, lbts, INTERVAL 3 MONTH)) AS bts
+         |  FROM ranged WHERE fbts <= lbts
+         |),
+         |ovl AS (
+         |  SELECT epoch_ms(bts) AS bucket_ms, dur, eff_v,
+         |         GREATEST(0, LEAST(epoch_ms(bts + INTERVAL 3 MONTH), re) - GREATEST(epoch_ms(bts), rs)) AS ov
+         |  FROM ex
+         |)
+         |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
+         |FROM ovl GROUP BY bucket_ms""".stripMargin
+    },
     "q06_prop_sum_calendar" -> {
       val det = graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")
       s"""WITH flows AS (
