@@ -168,6 +168,18 @@ object FlowQueries {
           round(sum(scaled).over(movW).cast("double") / lit(1.0e6) / count(lit(1)).over(movW), 6))
         .select(col("bucket_ms"), col("value"), col("cum_value"), col("moving_avg"))
     }),
+    // RRD-style consolidation (what OpenNMS does to age time series):
+    // re-aggregate the hourly histogram into daily slots. Proportional
+    // allocation nests cleanly because hour-bucket overlaps sum to the
+    // day-bucket overlap.
+    "q51_rollup_daily" -> ((spark: SparkSession, dir: String) => {
+      q(Config(HOUR_MS))(spark, dir)
+        .groupBy((floor(col("bucket_ms") / lit(DAY_MS)) * lit(DAY_MS)).as("day_ms"))
+        .agg(
+          count(lit(1)).as("n_slots"),
+          sum(col("doc_count")).as("slot_doc_count"),
+          graft.functions.detsum.sumDet(col("value")).as("value"))
+    }),
     "q18_topk_talkers" -> ((spark: SparkSession, dir: String) => {
       val exploded = ProportionalSum.explodeContrib(
         Flows.df(spark, dir), col("rs"), col("re"), col("v"), None, basicCfg)
@@ -183,6 +195,15 @@ object FlowQueries {
     "st01_prop_sum_stream" -> oracle(basicCfg),
     "q05b_prop_sum_min_doc_count" ->
       s"${oracle(basicCfg).stripSuffix(" SELECT * FROM agg")} SELECT * FROM agg WHERE doc_count >= 15",
+    "q51_rollup_daily" -> {
+      val core = oracle(Config(HOUR_MS)).stripSuffix(" SELECT * FROM agg")
+      s"""$core
+         |SELECT CAST(floor(bucket_ms / $DAY_MS) AS BIGINT) * $DAY_MS AS day_ms,
+         |       COUNT(*) AS n_slots,
+         |       CAST(SUM(doc_count) AS BIGINT) AS slot_doc_count,
+         |       ${graft.functions.detsum.sumDetSql("value")} AS value
+         |FROM agg GROUP BY day_ms""".stripMargin
+    },
     "q08_derivative" -> {
       val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
       s"""$core
