@@ -144,6 +144,9 @@ object FlowQueries {
     // sink); result equals q01's batch histogram, so it shares that oracle
     "st01_prop_sum_stream" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.runToCompletion(spark, dir, basicCfg, "st01_mem")),
+    // ingest-time dedup on the document stream (state = distinct fingerprints)
+    "st03_stream_dedup" -> ((spark: SparkSession, dir: String) =>
+      graft.streaming.FlowStream.streamingDedupCounts(spark, dir, "st03_mem")),
     // ES pipeline aggregations over the series: derivative, cumulative_sum,
     // moving_fn. The moving/cumulative sums use the detsum recipe (exact
     // decimal over the frame) so window association order can't skew floats.
@@ -193,6 +196,10 @@ object FlowQueries {
   val oracles: Map[String, String] = Map(
     "q01_prop_sum_basic" -> oracle(basicCfg),
     "st01_prop_sum_stream" -> oracle(basicCfg),
+    "st03_stream_dedup" ->
+      """SELECT source,
+        |       COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_distinct
+        |FROM documents GROUP BY source""".stripMargin,
     "q05b_prop_sum_min_doc_count" ->
       s"${oracle(basicCfg).stripSuffix(" SELECT * FROM agg")} SELECT * FROM agg WHERE doc_count >= 15",
     "q51_rollup_daily" -> {

@@ -109,9 +109,18 @@ case class ParseNetFlowV5(child: Expression) extends UnaryExpression with Codege
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.length < 24) {
+      throw new IllegalArgumentException(
+        s"NetFlow v5 packet too short: ${bytes.length} bytes (24-byte header required)")
+    }
     val buf = ByteBuffer.wrap(bytes)
     val version = buf.getShort() & 0xffff
     val count = buf.getShort() & 0xffff
+    if (bytes.length < 24 + 48 * count) {
+      throw new IllegalArgumentException(
+        s"NetFlow v5 packet truncated: header declares $count records " +
+          s"(${24 + 48 * count} bytes) but packet is ${bytes.length} bytes")
+    }
     val sysUptime = buf.getInt() & 0xffffffffL
     val unixSecs = buf.getInt() & 0xffffffffL
     buf.getInt() // unix_nsecs

@@ -60,6 +60,30 @@ object FlowStream {
         count(lit(1)).as("doc_count"),
         graft.functions.detsum.sumDet(col("__contrib")).as("value"))
 
+  /** Streaming exact-dedup: dropDuplicates on the content fingerprint keyed
+    * per source — the always-on ingest-time form of batch dedup. State is
+    * one fingerprint per distinct doc (bound it with
+    * `withWatermark + dropDuplicatesWithinWatermark` on unbounded feeds).
+    * Counts match `COUNT(DISTINCT fp)` per source, so it is oracle-checkable. */
+  def streamingDedupCounts(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_stream_docs")
+    Files.createSymbolicLink(dir.resolve("documents.parquet"), Paths.get(sfDir, "documents.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("fp", md5(graft.functions.text.norm(col("text")).cast("binary")))
+      .dropDuplicates("source", "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val q = docs.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Run the stream to completion (AvailableNow) and return the final
     * histogram — the driver-contract entry point. Matches the batch q01
     * result exactly, so it shares q01's DuckDB oracle. */

@@ -34,6 +34,20 @@ class NetFlowSpec extends AnyFunSuite {
     assert(recs.toSeq == flows)
   }
 
+  test("truncated packets fail loudly with a diagnostic, not garbage rows") {
+    import spark.implicits._
+    val full = NetFlowV5.pack(
+      Seq(Flow("1.2.3.4", "5.6.7.8", 1, 2, 6, 1L, 1L, 0L, 1L)), 0L, 0L, 0L)
+    val truncated = full.take(40) // header says 1 record but bytes cut short
+    val ex = intercept[Exception] {
+      Seq(truncated).toDF("bytes")
+        .select(call_function("parse_netflow_v5", col("bytes"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("truncated")), msgs(ex).mkString(" | "))
+  }
+
   test("q50: packets built per-partition decode to the straight-from-events aggregate") {
     val got = queries.IngestQueries.queries("q50_netflow_ingest")(spark, "/root/testdata/sf0.001")
       .orderBy("protocol").collect()
