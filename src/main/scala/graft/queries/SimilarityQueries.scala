@@ -92,12 +92,42 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Per-label embedding statistics (norm distribution) — the sanity pass a
+    * vector pipeline runs before indexing. */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"), vectors.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("nrm", vectors.norm(col("emb")))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        graft.functions.detsum.sumDet(col("nrm"), 6).as("sum_norm"))
+      .withColumn("avg_norm", round(col("sum_norm") / col("n_vecs"), 6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_ann_bruteforce" -> (q35 _),
     "q36_ann_lsh" -> (q36 _),
-    "q37_ann_ivf" -> (q37 _))
+    "q37_ann_ivf" -> (q37 _),
+    "q52_embedding_stats" -> (q52 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q52_embedding_stats" -> {
+      val det = graft.functions.detsum.sumDetSql("nrm", 6)
+      s"""WITH n AS (
+         |  SELECT label, sqrt(${vectors.dotSql("emb", "emb", 64)}) AS nrm
+         |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         |),
+         |g AS (
+         |  SELECT label, COUNT(*) AS n_vecs, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+         |         $det AS sum_norm
+         |  FROM n GROUP BY label
+         |)
+         |SELECT label, n_vecs, min_norm, max_norm, sum_norm,
+         |       round(sum_norm / n_vecs, 6) AS avg_norm FROM g""".stripMargin
+    },
     "q35_ann_bruteforce" -> {
       val cos = s"(${vectors.dotSql("c.emb", "q.emb", 64)}) / (c.nrm * q.nrm)"
       s"""WITH e AS (

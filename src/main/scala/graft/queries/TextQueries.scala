@@ -117,6 +117,25 @@ object TextQueries {
         .withColumn("fp", md5(text.norm(col("text")).cast("binary")))
         .select(col("doc_id"), col("fp"), substring(col("fp"), 1, 8).as("fp_short"))),
 
+    // TF-IDF: per-doc top term by tf·ln(N/df) — the vocabulary-weighting
+    // primitive of classic retrieval / data-curation pipelines
+    "q53_tfidf_top_terms" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = docs(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(df_), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), col("score"))
+    }),
+
     // deterministic stratified sampling: downsample over-represented sources
     // by a content-hash threshold — reproducible across runs/engines/cluster
     // sizes (no RNG), the standard trick for rebalancing a training mix
@@ -250,6 +269,21 @@ object TextQueries {
          |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,
          |       COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
          |FROM docs GROUP BY len_bucket""".stripMargin,
+    "q53_tfidf_top_terms" ->
+      s"""WITH $docsCte,
+         |terms AS (SELECT doc_id, UNNEST(toks) AS term FROM docs),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM docs),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+         |  FROM scored
+         |)
+         |SELECT doc_id, term, score FROM ranked WHERE rn = 1""".stripMargin,
     "q49_stratified_sample" ->
       """WITH k AS (
         |  SELECT *, substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 2) AS hk
