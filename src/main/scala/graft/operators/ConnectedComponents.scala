@@ -25,8 +25,12 @@ object ConnectedComponents {
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed with the 1-hop minimum (min of self and direct neighbors) — one
+    // propagation round folded into initialization
+    var labels = sym
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("component"))
       .persist()
     var converged = false
     var iter = 0
@@ -50,6 +54,11 @@ object ConnectedComponents {
       labelSum = sumNew
       iter += 1
     }
+    // labels is materialized (the convergence aggregate forced it); the
+    // edge frames are no longer needed — free them so repeated invocations
+    // don't accumulate cached blocks
+    sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     labels
   }
 }
