@@ -48,6 +48,49 @@ class NetFlowSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("truncated")), msgs(ex).mkString(" | "))
   }
 
+  test("IPFIX pack → parse round trip preserves flow fields") {
+    import spark.implicits._
+    import graft.sources.Ipfix
+    val flows = Seq(
+      Ipfix.Flow("10.1.0.1", "192.168.0.2", 50000, 53, 17, 12L, 3456L, 1704067200000L, 1704067205000L),
+      Ipfix.Flow("172.16.0.9", "8.8.4.4", 1, 65535, 6, 1L, 76L, 0L, 0L))
+    val msg = Ipfix.pack(flows, 1704067200L, 7L, 42L)
+    val df = Seq(msg).toDF("b").select(call_function("parse_ipfix", col("b")).as("m"))
+    val hdr = df.select("m.version", "m.sequence", "m.domain_id").collect()(0)
+    assert(hdr.getInt(0) == 10 && hdr.getLong(1) == 7L && hdr.getLong(2) == 42L)
+    val recs = df.select(explode(col("m.records")).as("r")).select("r.*").collect()
+      .map(r => Ipfix.Flow(r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(recs.toSeq == flows)
+  }
+
+  test("IPFIX parsing is template-driven: reordered fields and unknown IEs decode correctly") {
+    import spark.implicits._
+    // hand-build a message whose template reverses field order and includes
+    // an unknown 2-byte IE (id 999) the parser must skip by length
+    val bb = java.nio.ByteBuffer.allocate(16 + (4 + 4 + 4 * 4) + (4 + 15))
+    bb.putShort(10.toShort); bb.putShort(bb.capacity().toShort)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putShort(2.toShort); bb.putShort((4 + 4 + 4 * 4).toShort) // template set
+    bb.putShort(300.toShort); bb.putShort(4.toShort) // template 300, 4 fields
+    bb.putShort(1.toShort); bb.putShort(8.toShort) // octets FIRST
+    bb.putShort(999.toShort); bb.putShort(2.toShort) // unknown IE
+    bb.putShort(4.toShort); bb.putShort(1.toShort) // protocol
+    bb.putShort(8.toShort); bb.putShort(4.toShort) // src ip LAST
+    bb.putShort(300.toShort); bb.putShort((4 + 15).toShort) // data set
+    bb.putLong(777L) // octets
+    bb.putShort(0xBEEF.toShort) // unknown payload
+    bb.put(6.toByte) // protocol
+    bb.putInt((10 << 24) | (2 << 16) | (3 << 8) | 4) // 10.2.3.4
+    val r = Seq(bb.array()).toDF("b")
+      .select(call_function("parse_ipfix", col("b")).as("m"))
+      .select(explode(col("m.records")).as("r")).select("r.*").collect()(0)
+    assert(r.getLong(6) == 777L, "octets")
+    assert(r.getInt(4) == 6, "protocol")
+    assert(r.getString(0) == "10.2.3.4", "src ip")
+    assert(r.isNullAt(1) && r.isNullAt(2), "absent IEs stay null")
+  }
+
   test("q50: packets built per-partition decode to the straight-from-events aggregate") {
     val got = queries.IngestQueries.queries("q50_netflow_ingest")(spark, "/root/testdata/sf0.001")
       .orderBy("protocol").collect()
