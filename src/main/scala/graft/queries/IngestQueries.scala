@@ -16,7 +16,9 @@ object IngestQueries {
   case class FlowIn(event_id: Long, user_id: Long, value: Double, rel_first: Long, rel_last: Long)
   case class Packet(bytes: Array[Byte])
 
-  private def q50(s: SparkSession, d: String): DataFrame = {
+  /** NetFlow v5 packet frame derived from events — the synthetic collector
+    * feed used by the batch (q50) and streaming (st04) ingest pipelines. */
+  def netflowPackets(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Packet] = {
     import s.implicits._
     val flows = Flows.df(s, d)
       .repartition(col("event_id"))
@@ -25,7 +27,7 @@ object IngestQueries {
         (col("rs") - lit(Flows.JAN_START_MS)).as("rel_first"),
         (col("re") - lit(Flows.JAN_START_MS)).as("rel_last"))
       .as[FlowIn]
-    val packets = flows.mapPartitions { it =>
+    flows.mapPartitions { it =>
       it.grouped(30).map { group =>
         val fl = group.map { f =>
           NetFlowV5.Flow(
@@ -42,7 +44,10 @@ object IngestQueries {
         Packet(NetFlowV5.pack(fl, sysUptimeMs = 0L, unixSecs = 1704067200L, flowSequence = 0L))
       }
     }
-    packets
+  }
+
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    netflowPackets(s, d)
       .toDF()
       .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
       .select(explode(col("pkt.records")).as("r"))
@@ -93,11 +98,72 @@ object IngestQueries {
         sum(col("r.flow_end_ms") - col("r.flow_start_ms")).as("total_duration_ms"))
   }
 
+  /** The COMPLETE reference pipeline, streaming: a binary NetFlow v5 feed
+    * (written once to a spool dir, as a collector would) is stream-read,
+    * decoded, and proportionally bucketed into the hourly series — ingest →
+    * parse → proportional_sum end to end. Times are export-relative millis;
+    * the oracle recomputes the histogram straight from events. */
+  private def st04(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spool = java.nio.file.Files.createTempDirectory("graft_nf_spool")
+    netflowPackets(s, d).toDF().write.mode("overwrite").parquet(spool.toString)
+    val records = s.readStream
+      .schema("bytes BINARY")
+      .parquet(spool.toString)
+      .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
+      .select(explode(col("pkt.records")).as("r"))
+      .select(
+        col("r.first_ms").as("rs"),
+        col("r.last_ms").as("re"),
+        col("r.octets").cast("double").as("v"))
+    val series = graft.operators.ProportionalSum
+      .explodeContrib(records, col("rs"), col("re"), col("v"), None,
+        graft.operators.ProportionalSum.Config(Flows.HOUR_MS, Some(0L), Some(31 * Flows.DAY_MS)))
+      .groupBy(col("bucket_ms"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        graft.functions.detsum.sumDet(col("__contrib")).as("value"))
+    val q = series.writeStream
+      .format("memory").queryName("st04_mem")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st04_mem")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_netflow_ingest" -> (q50 _),
-    "q50b_ipfix_ingest" -> (q50b _))
+    "q50b_ipfix_ingest" -> (q50b _),
+    "st04_netflow_pipeline" -> (st04 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st04_netflow_pipeline" -> {
+      val det = graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")
+      s"""WITH flows AS (
+         |  SELECT epoch_ms(ts) - ${Flows.JAN_START_MS} AS rs,
+         |         epoch_ms(ts) - ${Flows.JAN_START_MS} + (event_id % 7200) * 1000 AS re,
+         |         CAST(CAST(round(value) AS BIGINT) AS DOUBLE) AS v
+         |  FROM events
+         |),
+         |ranged AS (
+         |  SELECT *, re - rs AS dur, v AS eff_v,
+         |         CAST(floor((GREATEST(rs, 0)) / ${Flows.HOUR_MS}) AS BIGINT) * ${Flows.HOUR_MS} AS fb,
+         |         CAST(floor((LEAST(re, ${31 * Flows.DAY_MS})) / ${Flows.HOUR_MS}) AS BIGINT) * ${Flows.HOUR_MS} AS lb
+         |  FROM flows
+         |),
+         |ex AS (
+         |  SELECT *, UNNEST(generate_series(fb, lb, ${Flows.HOUR_MS})) AS bucket_ms
+         |  FROM ranged WHERE fb <= lb
+         |),
+         |ovl AS (
+         |  SELECT bucket_ms, dur, eff_v,
+         |         GREATEST(0, LEAST(bucket_ms + ${Flows.HOUR_MS}, re) - GREATEST(bucket_ms, rs)) AS ov
+         |  FROM ex
+         |)
+         |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
+         |FROM ovl GROUP BY bucket_ms""".stripMargin
+    },
     "q50b_ipfix_ingest" ->
       """SELECT CASE event_id % 2 WHEN 0 THEN 6 ELSE 17 END AS protocol,
         |       COUNT(*) AS n_flows,
