@@ -33,7 +33,7 @@ object DedupQueries {
       .filter(col("doc_id") % 5 === 0)
       .repartition(col("doc_id")) // single-file scan -> spread shingle work
       .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
-      .withColumn("n", size(col("sh")))
+      .withColumn("n", size(col("sh")).cast("long"))
     // both self-join sides read the same exploded index — materialize once
     // (the cluster equivalent: write the inverted index, then join over it)
     val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s")).persist()

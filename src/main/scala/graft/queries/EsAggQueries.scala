@@ -188,7 +188,7 @@ object EsAggQueries {
       ev(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("event_type"), col("event_id"), col("value"), col("rn"))
+        .select(col("event_type"), col("event_id"), col("value"), col("rn").cast("long").as("rn"))
     }),
 
     "q17_composite_paging" -> ((s: SparkSession, d: String) =>

@@ -47,7 +47,7 @@ object RelationalQueries {
       Tables(s, d, "orders")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 2)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk").cast("long").as("rnk"))
     }),
 
     "q23_semi_anti_join" -> ((s: SparkSession, d: String) => {

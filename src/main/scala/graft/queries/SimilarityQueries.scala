@@ -32,7 +32,7 @@ object SimilarityQueries {
       .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
   /** LSH-bucketed ANN: 8 hyperplane sign bits bucket the corpus; queries

@@ -46,7 +46,9 @@ object TextQueries {
           .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
           .when(col("s_fr") > 0, "fr")
           .otherwise("und"))
-        .select(col("doc_id"), col("lang"), col("lang_pred"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          col("s_en").cast("long").as("s_en"), col("s_de").cast("long").as("s_de"),
+          col("s_es").cast("long").as("s_es"), col("s_fr").cast("long").as("s_fr"))
     }),
 
     "q41_quality_score" -> ((s: SparkSession, d: String) => {
@@ -60,7 +62,7 @@ object TextQueries {
         .withColumn(
           "quality",
           round(least(lit(1.0), col("n_tok") / lit(100.0)) * 0.5 + col("stop_ratio") * 0.3 - col("punct_ratio") * 0.2, 6))
-        .select(col("doc_id"), col("n_tok"), col("stop_ratio"), col("punct_ratio"), col("quality"))
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"), col("stop_ratio"), col("punct_ratio"), col("quality"))
     }),
 
     "q42_token_count" -> ((s: SparkSession, d: String) => {
@@ -70,7 +72,7 @@ object TextQueries {
         .withColumn(
           "n_subword",
           aggregate(transform(col("toks"), t => ceil(length(t) / lit(4.0))), lit(0L), (acc, x) => acc + x))
-        .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("n_subword"))
+        .select(col("doc_id"), col("n_ws").cast("long").as("n_ws"), col("n_bpe").cast("long").as("n_bpe"), col("n_subword"))
     }),
 
     // corpus-wide vocabulary statistics: top bigrams (training-data staple)
@@ -237,7 +239,7 @@ object TextQueries {
          |SELECT doc_id,
          |       len(string_split_regex(trim(text), '\\s+')) AS n_ws,
          |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
-         |       list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_subword
+         |       CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword
          |FROM docs""".stripMargin,
     "q46_json_extract" ->
       """WITH e AS (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
