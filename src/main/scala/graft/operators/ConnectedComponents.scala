@@ -34,7 +34,15 @@ object ConnectedComponents {
       .persist()
     var converged = false
     var iter = 0
-    var labelSum = labels.agg(sum(col("component"))).first().getLong(0)
+    // empty edge set ⇒ sum(component) is NULL — return the (empty) labels
+    // rather than NPE on getLong
+    val firstRow = labels.agg(sum(col("component"))).first()
+    if (firstRow.isNullAt(0)) {
+      sym.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      return labels
+    }
+    var labelSum = firstRow.getLong(0)
     while (!converged && iter < maxIter) {
       val neighborLabels = sym
         .join(labels, sym("src") === labels("id"))

@@ -31,6 +31,7 @@ object Multimodal {
   def decodeStub(payload: Array[Byte], width: Int, height: Int, channels: Int): Array[Byte] = {
     val n = width * height * channels
     val out = new Array[Byte](n)
+    if (payload.isEmpty) return out // empty doc ⇒ all-zero pixels, not %0
     var i = 0
     while (i < n) { out(i) = payload(i % payload.length); i += 1 }
     out

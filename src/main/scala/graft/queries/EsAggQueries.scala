@@ -125,12 +125,22 @@ object EsAggQueries {
     }),
 
     // ES terms over a high-cardinality field at scale: Space-Saving heavy
-    // hitters with bounded state per group — rows-only, exactness and merge
-    // behavior spec-checked
+    // hitters with bounded state per group. Sketch capacity (8k) exceeds the
+    // per-group cardinality at oracle scale, so counts are exact and the
+    // top-5 hash-matches DuckDB; the truncation/merge regime is spec-checked
+    // separately. Output flattened to one row per (group, rank) so it is
+    // sortable and joinable downstream.
     "q11c_terms_sketch" -> ((s: SparkSession, d: String) =>
       ev(s, d)
         .groupBy(col("event_type"))
-        .agg(expr("topk_freq(CAST(user_id AS STRING), 5)").as("top_users"))),
+        .agg(expr("topk_freq(CAST(user_id AS STRING), 200)").as("top_users"))
+        .select(col("event_type"), posexplode(col("top_users")).as(Seq("pos", "tu")))
+        .select(
+          col("event_type"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("tu.item").as("item"),
+          col("tu.cnt").as("cnt"))
+        .filter(col("rank") <= 5)),
 
     "q13_stats" -> ((s: SparkSession, d: String) =>
       ev(s, d)
@@ -299,5 +309,13 @@ object EsAggQueries {
          |FROM events
          |WHERE event_type > 'purchase' OR (event_type = 'purchase' AND user_id > 10)
          |GROUP BY event_type, user_id
-         |ORDER BY event_type ASC, user_id ASC LIMIT 50""".stripMargin)
+         |ORDER BY event_type ASC, user_id ASC LIMIT 50""".stripMargin,
+    "q11c_terms_sketch" ->
+      """SELECT event_type, rank, item, cnt FROM (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS item, COUNT(*) AS cnt,
+        |         row_number() OVER (
+        |           PARTITION BY event_type
+        |           ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR) ASC) AS rank
+        |  FROM events GROUP BY event_type, user_id
+        |) WHERE rank <= 5""".stripMargin)
 }

@@ -16,6 +16,11 @@ object IngestQueries {
   case class FlowIn(event_id: Long, user_id: Long, value: Double, rel_first: Long, rel_last: Long)
   case class Packet(bytes: Array[Byte])
 
+  /** HALF_UP (half away from zero), matching DuckDB `round()` — math.round
+    * is half-toward-+inf and diverges on negative *.5 values. */
+  private def roundHalfUp(v: Double): Long =
+    BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+
   /** NetFlow v5 packet frame derived from events — the synthetic collector
     * feed used by the batch (q50) and streaming (st04) ingest pipelines. */
   def netflowPackets(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Packet] = {
@@ -37,7 +42,7 @@ object IngestQueries {
             dstPort = 443,
             protocol = (f.event_id % 3) match { case 0 => 6; case 1 => 17; case _ => 1 },
             packets = f.event_id % 100 + 1,
-            octets = math.round(f.value),
+            octets = roundHalfUp(f.value),
             firstMs = f.rel_first,
             lastMs = f.rel_last)
         }
@@ -79,7 +84,7 @@ object IngestQueries {
             dstPort = 53,
             protocol = (f.event_id % 2) match { case 0 => 6; case _ => 17 },
             packets = f.event_id % 1000 + 1,
-            octets = math.round(f.value),
+            octets = roundHalfUp(f.value),
             flowStartMs = f.rel_first,
             flowEndMs = f.rel_last)
         }

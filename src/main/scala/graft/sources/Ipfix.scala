@@ -150,6 +150,14 @@ case class ParseIpfix(child: Expression) extends UnaryExpression with CodegenFal
       val setId = buf.getShort() & 0xffff
       val setLen = buf.getShort() & 0xffff
       val setEnd = buf.position() + setLen - 4
+      // forward-progress guard: setLen < 4 would move the cursor BACKWARD
+      // (infinite loop on corrupt/hostile input); setEnd past the declared
+      // message length is equally invalid — fail loudly like the NetFlow
+      // parser does
+      if (setLen < 4 || setEnd > msgLen) {
+        throw new IllegalArgumentException(
+          s"IPFIX set truncated/invalid: setId=$setId setLen=$setLen at ${buf.position() - 4}")
+      }
       if (setId == 2) {
         // template set: may hold several templates
         while (buf.position() + 4 <= setEnd) {

@@ -21,7 +21,11 @@ object Sessionize {
   case class Session(user_id: Long, session_start_ms: Long, session_end_ms: Long, n_events: Long, sum_value: Double)
 
   private val Factor = 1.0e10
-  private def scaled(v: Double): Long = math.round(v * Factor)
+  // HALF_UP (half away from zero), matching graft.functions.detsum and
+  // DuckDB's round() — math.round is half-toward-+inf, which differs for
+  // negative values landing exactly on .5 at this scale
+  private def scaled(v: Double): Long =
+    BigDecimal(v * Factor).setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
 
   /** Batch sessionization: session boundary where gap from previous event
     * exceeds gapMs; session id = running count of boundaries. */
