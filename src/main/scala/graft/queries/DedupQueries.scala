@@ -121,20 +121,69 @@ object DedupQueries {
       .limit(100)
   }
 
-  /** Embedding-cosine near-dup pairs (≥ 0.4). Small side broadcast; at
-    * corpus scale the LSH variant (q36) provides candidate pruning. */
+  /** Embedding-cosine near-dup pairs (≥ 0.4) — EXACT all-pairs semantics,
+    * distributed as a block-pair (triangle) join: vectors hash into B
+    * blocks, each side joins a tiny B(B+1)/2-row block-pair table, and the
+    * composite (blk_a, blk_b) equi-join lands every unordered block pair in
+    * exactly one task. No corpus broadcast, no cartesian product; shuffle
+    * volume is ~(B/2+1)× the narrow vector table and task memory is two
+    * blocks (SMJ match buffers spill). The O(n²/2) cosine evaluations remain
+    * because that IS the declared semantics: at cos 0.4 the per-hyperplane
+    * collision probability is 1−θ/π ≈ 0.63, so any RHP banding with enough
+    * tables for full recall emits MORE candidates than the exhaustive scan
+    * (and on this corpus every qualifying pair lies in [0.40, 0.60] — there
+    * is no high-cosine cluster for LSH to isolate). The sub-quadratic scale
+    * paths are q34b (cell-blocked, SemDeDup-style) and q36 (LSH at a
+    * threshold where the collision math prunes). */
   private def q34(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nBlocks = 16
     val e = Tables(s, d, "embeddings")
-      .repartition(col("vec_id")) // spread the pair scan across cores
       .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
       .withColumn("nrm", vectors.norm(col("emb")))
-    val a = e.select(col("vec_id").as("id_a"), col("emb").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("emb").as("eb"), col("nrm").as("nb"))
-    a.crossJoin(broadcast(b))
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int"))
+    val blockPairs = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("blk_a", "blk_b")
+    val a = e.select(col("blk").as("blk_a"), col("vec_id").as("id_a"), col("emb").as("ea"), col("nrm").as("na"))
+      .join(broadcast(blockPairs), Seq("blk_a"))
+    val b = e.select(col("blk").as("blk_b"), col("vec_id").as("id_b"), col("emb").as("eb"), col("nrm").as("nb"))
+      .join(broadcast(blockPairs), Seq("blk_b"))
+    a.join(b.hint("shuffle_merge"), Seq("blk_a", "blk_b"))
+      // off-diagonal block pairs see each unordered pair once (in arbitrary
+      // id order); diagonal blocks see both orderings — keep one
+      .filter(col("blk_a") < col("blk_b") || col("id_a") < col("id_b"))
+      .withColumn("cos", vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("cos"))
+  }
+
+  /** SemDeDup-style blocked embedding dedup — the sub-quadratic scale path
+    * for q34's semantics: vectors are quantized into deterministic cells
+    * (sign bits of the first 3 components — a fixed axis-aligned coarse
+    * quantizer both engines compute identically) and near-dup pairs are
+    * found WITHIN cells only. The cell key is the only shuffle key, so work
+    * scales with Σ cell² not n²; widening the bit count shrinks cells. The
+    * recall trade (cross-cell pairs missed) is the documented SemDeDup
+    * approximation — exact within the declared blocking. */
+  private def q34b(s: SparkSession, d: String): DataFrame = {
+    val e = Tables(s, d, "embeddings")
+      .repartition(col("vec_id")) // single-file scan -> spread the quantize
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("nrm", vectors.norm(col("emb")))
+      .withColumn("cell",
+        (when(element_at(col("emb"), 1) > 0d, 4).otherwise(0) +
+          when(element_at(col("emb"), 2) > 0d, 2).otherwise(0) +
+          when(element_at(col("emb"), 3) > 0d, 1).otherwise(0)).cast("long"))
+    val a = e.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b.hint("shuffle_merge"), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.4)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Dedup clusters: MinHash-LSH pairs (verified Jaccard ≥ 0.5) become
@@ -153,7 +202,8 @@ object DedupQueries {
     "q31_dedup_ngram_jaccard" -> (q31 _),
     "q32_dedup_minhash_lsh" -> (q32 _),
     "q33_dedup_simhash" -> (q33 _),
-    "q34_dedup_embedding" -> (q34 _))
+    "q34_dedup_embedding" -> (q34 _),
+    "q34b_dedup_embedding_blocked" -> (q34b _))
 
   private val shingleDocsCte =
     """docs AS (
@@ -193,6 +243,22 @@ object DedupQueries {
          |)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE $cos >= 0.4""".stripMargin
+    },
+    "q34b_dedup_embedding_blocked" -> {
+      val cos = s"(${vectors.dotSql("a.emb", "b.emb", 64)}) / (a.nrm * b.nrm)"
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |),
+         |n AS (
+         |  SELECT vec_id, emb, sqrt(${vectors.dotSql("emb", "emb", 64)}) AS nrm,
+         |         CAST(CASE WHEN emb[1] > 0 THEN 4 ELSE 0 END
+         |            + CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END
+         |            + CASE WHEN emb[3] > 0 THEN 1 ELSE 0 END AS BIGINT) AS cell
+         |  FROM e
+         |)
+         |SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos
+         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |WHERE $cos >= 0.4""".stripMargin
     })
 }

@@ -79,4 +79,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q12_filtered_agg")
     assert(p.contains("PushedFilters:") && p.contains("In(event_type") && p.contains("GreaterThan(value"))
   }
+
+  test("q34: block-pair join — no corpus broadcast, no cartesian product") {
+    val p = plan("q34_dedup_embedding")
+    assert(!p.contains("CartesianProduct"), "all-pairs must be block-partitioned, not cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "the corpus must never be broadcast")
+    assert(p.contains("SortMergeJoin"), "block-pair equi-join should sort-merge (spillable buffers)")
+    // the only broadcasts are the two copies of the B(B+1)/2-row local
+    // block-pair table — both BroadcastHashJoins build from LocalTableScan
+    // (formatted mode lists each op twice: tree + detail section)
+    assert("""(?m)^\(\d+\) BroadcastExchange""".r.findAllIn(p).size <= 2)
+    assert(p.contains("LocalTableScan"), "broadcast side must be the local block-pair table")
+  }
+
+  test("q34b: cell-blocked dedup shuffles on the cell key only") {
+    val p = plan("q34b_dedup_embedding_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin"), "cell join should sort-merge (spillable buffers)")
+  }
 }
