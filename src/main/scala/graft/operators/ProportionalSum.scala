@@ -155,7 +155,13 @@ object ProportionalSum {
 
   /** Any calendar unit Spark's date_trunc + interval arithmetic supports
     * ("week", "month", "quarter", "year") — the reference accepts the full
-    * DateHistogramInterval family (ProportionalSumAggregationBuilder:104-116). */
+    * DateHistogramInterval family (ProportionalSumAggregationBuilder:104-116).
+    *
+    * `offsetMs` shifts the whole calendar grid, exactly as the reference
+    * applies it inside every rounding — `rounding.round(x - offset) + offset`
+    * (ProportionalSumAggregator.java:183-186) — so e.g. monthly buckets with
+    * a +6h offset start at 06:00 on the 1st, and the overlap window is the
+    * shifted `[boundary + offset, nextBoundary + offset)`. */
   def explodeContribCalendar(
       df: DataFrame,
       rangeStartMs: Column,
@@ -164,7 +170,8 @@ object ProportionalSum {
       sampling: Option[Column],
       startMs: Option[Long],
       endMs: Option[Long],
-      unit: String): DataFrame = {
+      unit: String,
+      offsetMs: Long = 0L): DataFrame = {
     val step = unit.toLowerCase match {
       case "week" => "INTERVAL 7 DAY"
       case "month" => "INTERVAL 1 MONTH"
@@ -172,20 +179,21 @@ object ProportionalSum {
       case "year" => "INTERVAL 1 YEAR"
       case other => throw new IllegalArgumentException(s"unsupported calendar unit: $other")
     }
+    val off = lit(offsetMs)
     val clampS = startMs.map(s => greatest(rangeStartMs, lit(s))).getOrElse(rangeStartMs)
     val clampE = endMs.map(e => least(rangeEndMs, lit(e))).getOrElse(rangeEndMs)
     df.withColumn("__rs", rangeStartMs.cast("long"))
       .withColumn("__re", rangeEndMs.cast("long"))
       .withColumn("__dur", col("__re") - col("__rs"))
       .withColumn("__val", effectiveValue(value, sampling))
-      .withColumn("__fbts", date_trunc(unit, timestamp_millis(clampS)))
-      .withColumn("__lbts", date_trunc(unit, timestamp_millis(clampE)))
+      .withColumn("__fbts", date_trunc(unit, timestamp_millis(clampS - off)))
+      .withColumn("__lbts", date_trunc(unit, timestamp_millis(clampE - off)))
       .filter(col("__fbts") <= col("__lbts"))
       .withColumn(
         "bucket_ts",
         explode(sequence(col("__fbts"), col("__lbts"), expr(step))))
-      .withColumn("bucket_ms", expr("unix_micros(bucket_ts) DIV 1000"))
-      .withColumn("__next_ms", expr(s"unix_micros(bucket_ts + $step) DIV 1000"))
+      .withColumn("bucket_ms", expr("unix_micros(bucket_ts) DIV 1000") + off)
+      .withColumn("__next_ms", expr(s"unix_micros(bucket_ts + $step) DIV 1000") + off)
       .withColumn(
         "__ov",
         greatest(lit(0L), least(col("__next_ms"), col("__re")) - greatest(col("bucket_ms"), col("__rs"))))
@@ -218,6 +226,34 @@ object ProportionalSum {
         lit(cfg.intervalMs))).as("bucket_ms"))
     grid
       .join(agg, Seq("bucket_ms"), "left")
+      .select(
+        col("bucket_ms"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        coalesce(col("value"), lit(0.0d)).as("value"))
+  }
+
+  /** `min_doc_count=0` WITHOUT extended bounds — the ES DEFAULT: empty grid
+    * buckets are materialized between the first and last POPULATED bucket
+    * (InternalProportionalSumHistogram.EmptyBucketInfo, whose reduce pass
+    * calls addEmptyBuckets over [minKey, maxKey] when no bounds are given).
+    * The bounds come from the aggregate itself, declaratively — a 1-row
+    * min/max explodes into the grid, no driver round-trip — and the
+    * populated aggregate (bounded by bucket count, not input rows) is
+    * broadcast into the fill join. */
+  def runDenseAuto(
+      df: DataFrame,
+      rangeStartMs: Column,
+      rangeEndMs: Column,
+      value: Column,
+      sampling: Option[Column],
+      cfg: Config): DataFrame = {
+    val agg = run(df, rangeStartMs, rangeEndMs, value, sampling, cfg).persist()
+    val grid = agg
+      .agg(min(col("bucket_ms")).as("__lo"), max(col("bucket_ms")).as("__hi"))
+      .filter(col("__lo").isNotNull) // empty input -> empty histogram
+      .select(explode(sequence(col("__lo"), col("__hi"), lit(cfg.intervalMs))).as("bucket_ms"))
+    grid
+      .join(broadcast(agg), Seq("bucket_ms"), "left")
       .select(
         col("bucket_ms"),
         coalesce(col("doc_count"), lit(0L)).as("doc_count"),

@@ -140,6 +140,23 @@ object FlowQueries {
           flows, col("rs"), col("re"), col("v"), None,
           Some(JAN_START_MS), Some(MAY_START_MS)))
     }),
+    // calendar interval COMBINED with offset — the reference applies offset
+    // inside every rounding (round(x - offset) + offset), so monthly buckets
+    // shifted +6h start at 06:00 on the 1st
+    "q06c_prop_sum_calendar_offset" -> ((spark: SparkSession, dir: String) => {
+      val flows = Flows.df(spark, dir)
+        .withColumn("re", col("rs") + (col("event_id") % 90) * lit(DAY_MS))
+      ProportionalSum.aggregate(
+        ProportionalSum.explodeContribCalendar(
+          flows, col("rs"), col("re"), col("v"), None,
+          Some(JAN_START_MS), Some(MAY_START_MS), "month", offsetMs = 6 * HOUR_MS))
+    }),
+    // min_doc_count=0 with NO extended_bounds — the ES default gap-fill:
+    // zero buckets materialize between the first and last populated bucket
+    "q05d_prop_sum_gap_fill" -> ((spark: SparkSession, dir: String) =>
+      ProportionalSum.runDenseAuto(
+        flowsWithFilter(spark, dir, Some(col("event_id") % 3600 === 0)),
+        col("rs"), col("re"), col("v"), None, Config(HOUR_MS))),
     // same operator, Structured Streaming execution (AvailableNow → memory
     // sink); result equals q01's batch histogram, so it shares that oracle
     "st01_prop_sum_stream" -> ((spark: SparkSession, dir: String) =>
@@ -274,6 +291,48 @@ object FlowQueries {
          |ovl AS (
          |  SELECT epoch_ms(bts) AS bucket_ms, dur, eff_v,
          |         GREATEST(0, LEAST(epoch_ms(bts + INTERVAL 3 MONTH), re) - GREATEST(epoch_ms(bts), rs)) AS ov
+         |  FROM ex
+         |)
+         |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
+         |FROM ovl GROUP BY bucket_ms""".stripMargin
+    },
+    "q05d_prop_sum_gap_fill" -> {
+      val core = oracle(Config(HOUR_MS), rowFilterSql = Some("event_id % 3600 = 0"))
+        .stripSuffix(" SELECT * FROM agg")
+      s"""$core,
+         |bounds AS (SELECT MIN(bucket_ms) AS lo, MAX(bucket_ms) AS hi FROM agg),
+         |grid AS (
+         |  SELECT UNNEST(generate_series(lo, hi, $HOUR_MS)) AS bucket_ms
+         |  FROM bounds WHERE lo IS NOT NULL
+         |)
+         |SELECT grid.bucket_ms AS bucket_ms,
+         |       COALESCE(agg.doc_count, 0) AS doc_count,
+         |       COALESCE(agg.value, 0.0) AS value
+         |FROM grid LEFT JOIN agg ON grid.bucket_ms = agg.bucket_ms""".stripMargin
+    },
+    "q06c_prop_sum_calendar_offset" -> {
+      val det = graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")
+      val off = 6 * HOUR_MS
+      s"""WITH flows AS (
+         |  SELECT event_id, value AS v,
+         |         epoch_ms(ts) AS rs,
+         |         epoch_ms(ts) + (event_id % 90) * 86400000 AS re
+         |  FROM events
+         |),
+         |ranged AS (
+         |  SELECT *, re - rs AS dur, v AS eff_v,
+         |         date_trunc('month', make_timestamp((GREATEST(rs, $JAN_START_MS) - $off) * 1000)) AS fbts,
+         |         date_trunc('month', make_timestamp((LEAST(re, $MAY_START_MS) - $off) * 1000)) AS lbts
+         |  FROM flows
+         |),
+         |ex AS (
+         |  SELECT *, UNNEST(generate_series(fbts, lbts, INTERVAL 1 MONTH)) AS bts
+         |  FROM ranged WHERE fbts <= lbts
+         |),
+         |ovl AS (
+         |  SELECT epoch_ms(bts) + $off AS bucket_ms, dur, eff_v,
+         |         GREATEST(0, LEAST(epoch_ms(bts + INTERVAL 1 MONTH) + $off, re)
+         |                   - GREATEST(epoch_ms(bts) + $off, rs)) AS ov
          |  FROM ex
          |)
          |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
