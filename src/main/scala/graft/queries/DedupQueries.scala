@@ -25,24 +25,17 @@ object DedupQueries {
       .select(col("doc_id"), col("fp"), col("keep_id"), col("is_dup"))
   }
 
-  /** Word-3-gram Jaccard pairs: inverted-index join on distinct shingles,
-    * so only pairs sharing ≥1 shingle are materialized. Top 100 by
-    * similarity with full tiebreak. */
+  /** Word-3-gram Jaccard pairs via capped posting lists
+    * ([[graft.operators.NgramJaccard]]): only pairs sharing ≥1 sub-boilerplate
+    * shingle are materialized, and no reducer sees more than dfCap² pair
+    * fragments. Top 100 by similarity with full tiebreak. */
   private def q31(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
       .filter(col("doc_id") % 5 === 0)
       .repartition(col("doc_id")) // single-file scan -> spread shingle work
       .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
-    // both self-join sides read the same exploded index — materialize once
-    // (the cluster equivalent: write the inverted index, then join over it)
-    val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s")).persist()
-    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("s"))
-    a.join(b, Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("shared"))
+    graft.operators.NgramJaccard.sharedCounts(docs)
       .withColumn("jacc", col("shared") / (col("n_a") + col("n_b") - col("shared")))
       .orderBy(col("jacc").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(100)
@@ -226,11 +219,16 @@ object DedupQueries {
     "q31_dedup_ngram_jaccard" ->
       s"""WITH $shingleDocsCte,
          |d2 AS (SELECT doc_id, sh, len(sh) AS n FROM docs),
-         |ex AS (SELECT doc_id, n, UNNEST(sh) AS s FROM d2)
+         |ex AS (SELECT doc_id, n, UNNEST(sh) AS s FROM d2),
+         |keepsh AS (
+         |  SELECT s FROM ex GROUP BY s
+         |  HAVING COUNT(*) <= ${graft.operators.NgramJaccard.DefaultDfCap}
+         |),
+         |exf AS (SELECT ex.* FROM ex JOIN keepsh USING (s))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
          |       COUNT(*) AS shared,
          |       COUNT(*) / (a.n + b.n - COUNT(*)) AS jacc
-         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id, a.n, b.n
          |ORDER BY jacc DESC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin,
     "q34_dedup_embedding" -> {

@@ -179,13 +179,7 @@ object TextQueries {
       val sh = exact
         .select(col("doc_id"), array_distinct(text.shingles(col("toks"), 3)).as("sh"))
         .withColumn("n", size(col("sh")))
-      val ex2 = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s")).persist()
-      val a = ex2.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
-      val b = ex2.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("s"))
-      val removed = a.join(b, Seq("s"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-        .agg(count(lit(1)).as("shared"))
+      val removed = graft.operators.NgramJaccard.sharedCounts(sh)
         .filter(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
         .select(col("doc_b")).distinct()
       exact
@@ -322,9 +316,14 @@ object TextQueries {
          |),
          |s2 AS (SELECT doc_id, sh, len(sh) AS n FROM shd),
          |exx AS (SELECT doc_id, n, UNNEST(sh) AS s FROM s2),
+         |keepsh AS (
+         |  SELECT s FROM exx GROUP BY s
+         |  HAVING COUNT(*) <= ${graft.operators.NgramJaccard.DefaultDfCap}
+         |),
+         |exxf AS (SELECT exx.* FROM exx JOIN keepsh USING (s)),
          |removed AS (
          |  SELECT DISTINCT b.doc_id AS doc_b
-         |  FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM exxf a JOIN exxf b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
          |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.5
          |)

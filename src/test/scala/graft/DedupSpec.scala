@@ -39,6 +39,27 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(m(1L), m(4L)) > 16, s"unrelated: ${ham(m(1L), m(4L))}")
   }
 
+  test("ngram-jaccard df cap: a hot boilerplate shingle never generates pairs") {
+    import spark.implicits._
+    // 40 docs all sharing one boilerplate phrase, plus one true near-dup pair
+    val boiler = "click here to subscribe"
+    val rows = (1 to 40).map(i => (i.toLong, s"$boiler unique$i words$i there$i are$i here$i")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"), (101L, "alpha beta gamma delta epsilon eta"))
+    val docs = rows.toDF("doc_id", "t")
+      .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("t")), 3)).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long"))
+    val pairs = operators.NgramJaccard.sharedCounts(docs, dfCap = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), "the true near-dup pair must survive")
+    // the 40 boilerplate docs share ONLY capped shingles -> zero pairs among them
+    assert(!pairs.exists { case (a, b) => a <= 40 && b <= 40 },
+      s"hot-shingle pairs must be suppressed, got: ${pairs.filter(p => p._1 <= 40 && p._2 <= 40).take(5)}")
+    // and the posting-list shape itself is bounded: max surviving df <= cap
+    val maxDf = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("s").count().agg(max(when(col("count") <= 10, col("count")))).first().getLong(0)
+    assert(maxDf <= 10)
+  }
+
   test("minhash-LSH candidates recover the high-Jaccard pairs found by brute force") {
     val sf = "/root/testdata/sf0.001"
     val lsh = queries.DedupQueries.queries("q32_dedup_minhash_lsh")(spark, sf)
