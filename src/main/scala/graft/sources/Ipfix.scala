@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,9 +21,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * protocolIdentifier(4), sourceTransportPort(7), sourceIPv4Address(8),
   * destinationTransportPort(11), destinationIPv4Address(12),
   * flowStartMilliseconds(152), flowEndMilliseconds(153). Unknown elements
-  * are skipped by their declared length — exactly what a real collector
-  * does. Templates are resolved within the message (self-contained export),
-  * the common case for file/Kafka replay. */
+  * (including enterprise-specific ones, RFC 7011 §3.2) are skipped by their
+  * declared length — exactly what a real collector does.
+  *
+  * Template lifetime follows the RFC 7011 §8 session model:
+  * - template sets (id 2) and OPTIONS template sets (id 3, scope fields
+  *   first) register templates;
+  * - a template record with field count 0 WITHDRAWS the template (§8.1);
+  * - templates persist across messages within a transport session, so data
+  *   sets may arrive in later messages than their template — that state
+  *   lives in a [[TemplateCache]], per exporter session.
+  * The `parse_ipfix` SQL expression decodes self-contained messages (the
+  * file/Kafka-replay common case, strict); [[decodeSession]] decodes a
+  * co-partitioned, ordered message stream with cross-message templates (the
+  * live-collector case, where data pending an unseen template is dropped). */
 object Ipfix {
 
   val IE_OCTETS = 1
@@ -64,21 +75,57 @@ object Ipfix {
       srcIp: String, dstIp: String, srcPort: Int, dstPort: Int, protocol: Int,
       packets: Long, octets: Long, flowStartMs: Long, flowEndMs: Long)
 
+  /** Decoded data record — every field optional because a template may omit
+    * any of the supported IEs. */
+  case class Record(
+      src_ip: Option[String], dst_ip: Option[String],
+      src_port: Option[Int], dst_port: Option[Int], protocol: Option[Int],
+      packets: Option[Long], octets: Option[Long],
+      flow_start_ms: Option[Long], flow_end_ms: Option[Long])
+
+  /** Decoded message. */
+  case class Message(
+      version: Int, export_time_s: Long, sequence: Long, domain_id: Long,
+      records: Seq[Record])
+
+  /** templateId -> ordered (ieId, length). One cache per transport session
+    * (exporter peer + observation domain). */
+  type TemplateCache = mutable.Map[Int, IndexedSeq[(Int, Int)]]
+  def newTemplateCache(): TemplateCache = mutable.Map.empty
+
   private def ipToInt(ip: String): Int = {
     val p = ip.split('.')
     ((p(0).toInt & 0xff) << 24) | ((p(1).toInt & 0xff) << 16) | ((p(2).toInt & 0xff) << 8) | (p(3).toInt & 0xff)
   }
 
+  private def intToIp(v: Int): String =
+    s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}"
+
+  private val packFields = Seq(
+    IE_SRC_IP, IE_DST_IP, IE_SRC_PORT, IE_DST_PORT, IE_PROTO,
+    IE_PACKETS, IE_OCTETS, IE_FLOW_START_MS, IE_FLOW_END_MS)
+
   /** Serialize flows as one IPFIX message: header + template set (id 256)
     * + one data set. Template field order is fixed here but the PARSER
     * derives it from the template set, not from this writer. */
-  def pack(flows: Seq[Flow], exportTimeS: Long, sequence: Long, domainId: Long): Array[Byte] = {
-    val fields = Seq(
-      IE_SRC_IP, IE_DST_IP, IE_SRC_PORT, IE_DST_PORT, IE_PROTO,
-      IE_PACKETS, IE_OCTETS, IE_FLOW_START_MS, IE_FLOW_END_MS)
-    val recLen = fields.map(ieLength).sum
-    val tmplSetLen = 4 + 4 + 4 * fields.size
-    val dataSetLen = 4 + recLen * flows.size
+  def pack(flows: Seq[Flow], exportTimeS: Long, sequence: Long, domainId: Long): Array[Byte] =
+    packParts(flows, exportTimeS, sequence, domainId, withTemplate = true, withData = true)
+
+  /** Template-only message (no data) — a collector session's opening export. */
+  def packTemplateOnly(exportTimeS: Long, sequence: Long, domainId: Long): Array[Byte] =
+    packParts(Nil, exportTimeS, sequence, domainId, withTemplate = true, withData = false)
+
+  /** Data-only message — records reference template 256 from an EARLIER
+    * message in the session. */
+  def packDataOnly(flows: Seq[Flow], exportTimeS: Long, sequence: Long, domainId: Long): Array[Byte] =
+    packParts(flows, exportTimeS, sequence, domainId, withTemplate = false, withData = true)
+
+  private def packParts(
+      flows: Seq[Flow], exportTimeS: Long, sequence: Long, domainId: Long,
+      withTemplate: Boolean, withData: Boolean): Array[Byte] = {
+    val recLen = packFields.map(ieLength).sum
+    val tmplSetLen = if (withTemplate) 4 + 4 + 4 * packFields.size else 0
+    val dataSetLen = if (withData) 4 + recLen * flows.size else 0
     val totalLen = 16 + tmplSetLen + dataSetLen
     val buf = ByteBuffer.allocate(totalLen)
     // message header
@@ -87,44 +134,55 @@ object Ipfix {
     buf.putInt(exportTimeS.toInt)
     buf.putInt(sequence.toInt)
     buf.putInt(domainId.toInt)
-    // template set (set id 2)
-    buf.putShort(2.toShort)
-    buf.putShort(tmplSetLen.toShort)
-    buf.putShort(256.toShort) // template id
-    buf.putShort(fields.size.toShort)
-    fields.foreach { ie =>
-      buf.putShort(ie.toShort)
-      buf.putShort(ieLength(ie).toShort)
+    if (withTemplate) {
+      // template set (set id 2)
+      buf.putShort(2.toShort)
+      buf.putShort(tmplSetLen.toShort)
+      buf.putShort(256.toShort) // template id
+      buf.putShort(packFields.size.toShort)
+      packFields.foreach { ie =>
+        buf.putShort(ie.toShort)
+        buf.putShort(ieLength(ie).toShort)
+      }
     }
-    // data set (set id = template id)
-    buf.putShort(256.toShort)
-    buf.putShort(dataSetLen.toShort)
-    flows.foreach { f =>
-      buf.putInt(ipToInt(f.srcIp))
-      buf.putInt(ipToInt(f.dstIp))
-      buf.putShort(f.srcPort.toShort)
-      buf.putShort(f.dstPort.toShort)
-      buf.put(f.protocol.toByte)
-      buf.putLong(f.packets)
-      buf.putLong(f.octets)
-      buf.putLong(f.flowStartMs)
-      buf.putLong(f.flowEndMs)
+    if (withData) {
+      // data set (set id = template id)
+      buf.putShort(256.toShort)
+      buf.putShort(dataSetLen.toShort)
+      flows.foreach { f =>
+        buf.putInt(ipToInt(f.srcIp))
+        buf.putInt(ipToInt(f.dstIp))
+        buf.putShort(f.srcPort.toShort)
+        buf.putShort(f.dstPort.toShort)
+        buf.put(f.protocol.toByte)
+        buf.putLong(f.packets)
+        buf.putLong(f.octets)
+        buf.putLong(f.flowStartMs)
+        buf.putLong(f.flowEndMs)
+      }
     }
     buf.array()
   }
-}
 
-/** parse_ipfix(message_binary) → typed message struct (template-driven). */
-case class ParseIpfix(child: Expression) extends UnaryExpression with CodegenFallback {
-  import Ipfix._
+  /** Read one template-record field list: `count` (ie, len) specs, skipping
+    * the 4-byte enterprise number when the enterprise bit is set
+    * (RFC 7011 §3.2 — enterprise IEs are opaque to this collector, the
+    * length still drives the data-record walk). */
+  private def readFieldSpecs(buf: ByteBuffer, count: Int): IndexedSeq[(Int, Int)] =
+    (1 to count).map { _ =>
+      val rawIe = buf.getShort() & 0xffff
+      val len = buf.getShort() & 0xffff
+      if ((rawIe & 0x8000) != 0) buf.getInt() // enterprise number — skip
+      (rawIe & 0x7fff, len)
+    }
 
-  override def dataType: DataType = messageType
-
-  private def intToIp(v: Int): String =
-    s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}"
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  /** Decode one IPFIX message against (and into) `templates`.
+    *
+    * `strict=true` (self-contained expression path): a data set referencing
+    * an unknown template throws. `strict=false` (session path): it is
+    * skipped — the collector behavior for data arriving before its
+    * template. */
+  def decode(bytes: Array[Byte], templates: TemplateCache, strict: Boolean): Message = {
     if (bytes.length < 16) {
       throw new IllegalArgumentException(s"IPFIX message too short: ${bytes.length} bytes")
     }
@@ -142,9 +200,7 @@ case class ParseIpfix(child: Expression) extends UnaryExpression with CodegenFal
     val sequence = buf.getInt() & 0xffffffffL
     val domain = buf.getInt() & 0xffffffffL
 
-    // templateId -> ordered (ieId, length)
-    val templates = mutable.Map.empty[Int, Seq[(Int, Int)]]
-    val records = mutable.ArrayBuffer.empty[Any]
+    val records = mutable.ArrayBuffer.empty[Record]
 
     while (buf.position() + 4 <= msgLen) {
       val setId = buf.getShort() & 0xffff
@@ -159,52 +215,120 @@ case class ParseIpfix(child: Expression) extends UnaryExpression with CodegenFal
           s"IPFIX set truncated/invalid: setId=$setId setLen=$setLen at ${buf.position() - 4}")
       }
       if (setId == 2) {
-        // template set: may hold several templates
+        // template set: may hold several templates; field count 0 withdraws
+        // the template (RFC 7011 §8.1)
         while (buf.position() + 4 <= setEnd) {
           val tmplId = buf.getShort() & 0xffff
           val fieldCount = buf.getShort() & 0xffff
-          val fields = (1 to fieldCount).map { _ =>
-            (buf.getShort() & 0xffff, buf.getShort() & 0xffff)
-          }
-          templates(tmplId) = fields
-        }
-      } else if (setId >= 256) {
-        val tmpl = templates.getOrElse(setId,
-          throw new IllegalArgumentException(s"IPFIX data set $setId references unknown template"))
-        val recLen = tmpl.map(_._2).sum
-        while (buf.position() + recLen <= setEnd) {
-          var srcIp: UTF8String = null
-          var dstIp: UTF8String = null
-          var srcPort: Any = null
-          var dstPort: Any = null
-          var proto: Any = null
-          var packets: Any = null
-          var octets: Any = null
-          var fStart: Any = null
-          var fEnd: Any = null
-          tmpl.foreach { case (ie, len) =>
-            ie match {
-              case IE_SRC_IP if len == 4 => srcIp = UTF8String.fromString(intToIp(buf.getInt()))
-              case IE_DST_IP if len == 4 => dstIp = UTF8String.fromString(intToIp(buf.getInt()))
-              case IE_SRC_PORT if len == 2 => srcPort = Integer.valueOf(buf.getShort() & 0xffff)
-              case IE_DST_PORT if len == 2 => dstPort = Integer.valueOf(buf.getShort() & 0xffff)
-              case IE_PROTO if len == 1 => proto = Integer.valueOf(buf.get() & 0xff)
-              case IE_PACKETS if len == 8 => packets = java.lang.Long.valueOf(buf.getLong())
-              case IE_OCTETS if len == 8 => octets = java.lang.Long.valueOf(buf.getLong())
-              case IE_FLOW_START_MS if len == 8 => fStart = java.lang.Long.valueOf(buf.getLong())
-              case IE_FLOW_END_MS if len == 8 => fEnd = java.lang.Long.valueOf(buf.getLong())
-              case _ => buf.position(buf.position() + len) // skip unknown IE
-            }
-          }
-          records += InternalRow(srcIp, dstIp, srcPort, dstPort, proto, packets, octets, fStart, fEnd)
+          if (fieldCount == 0) templates.remove(tmplId)
+          else templates(tmplId) = readFieldSpecs(buf, fieldCount)
         }
         buf.position(setEnd)
+      } else if (setId == 3) {
+        // OPTIONS template set (RFC 7011 §3.4.2): template id, total field
+        // count, scope field count, then scope+option field specs. Scope
+        // fields are ordinary (ie, len) specs for decoding purposes.
+        while (buf.position() + 6 <= setEnd) {
+          val tmplId = buf.getShort() & 0xffff
+          val fieldCount = buf.getShort() & 0xffff
+          if (fieldCount == 0) templates.remove(tmplId)
+          else {
+            buf.getShort() // scope field count — layout only, not needed to walk records
+            templates(tmplId) = readFieldSpecs(buf, fieldCount)
+          }
+        }
+        buf.position(setEnd)
+      } else if (setId >= 256) {
+        templates.get(setId) match {
+          case None if strict =>
+            throw new IllegalArgumentException(s"IPFIX data set $setId references unknown template")
+          case None =>
+            buf.position(setEnd) // data before template: drop (collector behavior)
+          case Some(tmpl) =>
+            val recLen = tmpl.map(_._2).sum
+            while (recLen > 0 && buf.position() + recLen <= setEnd) {
+              var srcIp: Option[String] = None
+              var dstIp: Option[String] = None
+              var srcPort: Option[Int] = None
+              var dstPort: Option[Int] = None
+              var proto: Option[Int] = None
+              var packets: Option[Long] = None
+              var octets: Option[Long] = None
+              var fStart: Option[Long] = None
+              var fEnd: Option[Long] = None
+              tmpl.foreach { case (ie, len) =>
+                ie match {
+                  case IE_SRC_IP if len == 4 => srcIp = Some(intToIp(buf.getInt()))
+                  case IE_DST_IP if len == 4 => dstIp = Some(intToIp(buf.getInt()))
+                  case IE_SRC_PORT if len == 2 => srcPort = Some(buf.getShort() & 0xffff)
+                  case IE_DST_PORT if len == 2 => dstPort = Some(buf.getShort() & 0xffff)
+                  case IE_PROTO if len == 1 => proto = Some(buf.get() & 0xff)
+                  case IE_PACKETS if len == 8 => packets = Some(buf.getLong())
+                  case IE_OCTETS if len == 8 => octets = Some(buf.getLong())
+                  case IE_FLOW_START_MS if len == 8 => fStart = Some(buf.getLong())
+                  case IE_FLOW_END_MS if len == 8 => fEnd = Some(buf.getLong())
+                  case _ => buf.position(buf.position() + len) // skip unknown IE
+                }
+              }
+              records += Record(srcIp, dstIp, srcPort, dstPort, proto, packets, octets, fStart, fEnd)
+            }
+            buf.position(setEnd)
+        }
       } else {
-        buf.position(setEnd) // options templates etc. — skip
+        buf.position(setEnd) // other set ids (reserved) — skip
       }
     }
-    InternalRow(version, exportTime, sequence, domain, new GenericArrayData(records.toArray))
+    Message(version, exportTime, sequence, domain, records.toSeq)
   }
 
+  /** Self-contained decode (templates must precede their data within THIS
+    * message) → Catalyst InternalRow matching [[messageType]]. Called from
+    * both eval paths of [[ParseIpfix]] (Scala objects emit static
+    * forwarders, so generated Java calls this directly). */
+  def parseSelfContained(bytes: Array[Byte]): InternalRow = {
+    val msg = decode(bytes, newTemplateCache(), strict = true)
+    toInternal(msg)
+  }
+
+  private def toInternal(msg: Message): InternalRow = {
+    val rows = msg.records.map { r =>
+      InternalRow(
+        r.src_ip.map(UTF8String.fromString).orNull,
+        r.dst_ip.map(UTF8String.fromString).orNull,
+        r.src_port.map(Integer.valueOf).orNull,
+        r.dst_port.map(Integer.valueOf).orNull,
+        r.protocol.map(Integer.valueOf).orNull,
+        r.packets.map(java.lang.Long.valueOf).orNull,
+        r.octets.map(java.lang.Long.valueOf).orNull,
+        r.flow_start_ms.map(java.lang.Long.valueOf).orNull,
+        r.flow_end_ms.map(java.lang.Long.valueOf).orNull)
+    }
+    InternalRow(
+      msg.version, msg.export_time_s, msg.sequence, msg.domain_id,
+      new GenericArrayData(rows.toArray[Any]))
+  }
+
+  /** Cross-message template resolution over one transport session's ordered
+    * messages (RFC 7011 §8: templates apply until redefined/withdrawn within
+    * the session). Callers co-partition by exporter (peer + domain_id) and
+    * order by export time — `repartition(domain).sortWithinPartitions(seq)`,
+    * the Spark shape of a collector's per-peer session — then decode with
+    * `mapPartitions(Ipfix.decodeSession)`. Data sets whose template hasn't
+    * arrived yet are dropped, as a live collector does. */
+  def decodeSession(messages: Iterator[Array[Byte]]): Iterator[Message] = {
+    val cache = newTemplateCache()
+    messages.map(b => decode(b, cache, strict = false))
+  }
+}
+
+/** parse_ipfix(message_binary) → typed message struct (template-driven,
+  * self-contained messages). Generates code: one static kernel call keeps
+  * the surrounding stage in whole-stage codegen. */
+case class ParseIpfix(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Ipfix.messageType
+  override def nullSafeEval(input: Any): Any =
+    Ipfix.parseSelfContained(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.sources.Ipfix.parseSelfContained($c);")
   override protected def withNewChildInternal(newChild: Expression): ParseIpfix = copy(child = newChild)
 }

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -99,16 +99,11 @@ object NetFlowV5 {
     }
     buf.array()
   }
-}
 
-/** parse_netflow_v5(packet_binary) → typed packet struct. */
-case class ParseNetFlowV5(child: Expression) extends UnaryExpression with CodegenFallback {
-  import NetFlowV5._
-
-  override def dataType: DataType = packetType
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  /** Decode one export packet → Catalyst InternalRow matching [[packetType]].
+    * Called from both eval paths of [[ParseNetFlowV5]] (Scala objects emit
+    * static forwarders, so generated Java calls this directly). */
+  def parse(bytes: Array[Byte]): InternalRow = {
     if (bytes.length < 24) {
       throw new IllegalArgumentException(
         s"NetFlow v5 packet too short: ${bytes.length} bytes (24-byte header required)")
@@ -157,6 +152,16 @@ case class ParseNetFlowV5(child: Expression) extends UnaryExpression with Codege
 
   private def intToIpStr(v: Int): String =
     s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}"
+}
 
+/** parse_netflow_v5(packet_binary) → typed packet struct. Generates code:
+  * one static kernel call keeps the surrounding stage in whole-stage
+  * codegen. */
+case class ParseNetFlowV5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = NetFlowV5.packetType
+  override def nullSafeEval(input: Any): Any =
+    NetFlowV5.parse(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.sources.NetFlowV5.parse($c);")
   override protected def withNewChildInternal(newChild: Expression): ParseNetFlowV5 = copy(child = newChild)
 }

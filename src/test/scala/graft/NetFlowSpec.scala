@@ -91,6 +91,73 @@ class NetFlowSpec extends AnyFunSuite {
     assert(r.isNullAt(1) && r.isNullAt(2), "absent IEs stay null")
   }
 
+  test("IPFIX session: templates arrive in an earlier message than data sets") {
+    import graft.sources.Ipfix
+    val flows = Seq(
+      Ipfix.Flow("10.1.0.1", "192.168.0.2", 50000, 53, 17, 12L, 3456L, 100L, 200L),
+      Ipfix.Flow("172.16.0.9", "8.8.4.4", 1, 65535, 6, 1L, 76L, 0L, 0L))
+    val m1 = Ipfix.packTemplateOnly(1704067200L, 1L, 42L)
+    val m2 = Ipfix.packDataOnly(flows.take(1), 1704067201L, 2L, 42L)
+    val m3 = Ipfix.packDataOnly(flows.drop(1), 1704067202L, 3L, 42L)
+    // strict single-message decode of a data-only message must fail ...
+    val ex = intercept[IllegalArgumentException](Ipfix.parseSelfContained(m2))
+    assert(ex.getMessage.contains("unknown template"))
+    // ... but the session decoder carries the template across messages
+    val decoded = Ipfix.decodeSession(Iterator(m1, m2, m3)).toSeq
+    assert(decoded.map(_.records.size) == Seq(0, 1, 1))
+    val got = decoded.flatMap(_.records).map(r =>
+      Ipfix.Flow(r.src_ip.get, r.dst_ip.get, r.src_port.get, r.dst_port.get,
+        r.protocol.get, r.packets.get, r.octets.get, r.flow_start_ms.get, r.flow_end_ms.get))
+    assert(got == flows)
+    // data before template (non-strict) drops, collector-style
+    assert(Ipfix.decodeSession(Iterator(m2, m1, m3)).toSeq.map(_.records.size) == Seq(0, 0, 1))
+  }
+
+  test("IPFIX options template (set 3) registers; withdrawal (count 0) removes") {
+    import graft.sources.Ipfix
+    // options template 400: scope = observationDomainId(149, 4B), option = octets(1, 8B)
+    val bb = java.nio.ByteBuffer.allocate(16 + (4 + 6 + 4 * 2) + (4 + 12))
+    bb.putShort(10.toShort); bb.putShort(bb.capacity().toShort)
+    bb.putInt(0); bb.putInt(9); bb.putInt(1)
+    bb.putShort(3.toShort); bb.putShort((4 + 6 + 4 * 2).toShort) // options template set
+    bb.putShort(400.toShort); bb.putShort(2.toShort); bb.putShort(1.toShort) // id, fields, scope
+    bb.putShort(149.toShort); bb.putShort(4.toShort) // scope: domain id (unknown here -> skipped)
+    bb.putShort(1.toShort); bb.putShort(8.toShort) // option: octets
+    bb.putShort(400.toShort); bb.putShort((4 + 12).toShort) // data set
+    bb.putInt(7); bb.putLong(4242L)
+    val msg = Ipfix.decode(bb.array(), Ipfix.newTemplateCache(), strict = true)
+    assert(msg.records.map(_.octets) == Seq(Some(4242L)))
+    assert(msg.records.head.src_ip.isEmpty)
+    // withdrawal: template set with field count 0 removes template 256
+    val cache = Ipfix.newTemplateCache()
+    Ipfix.decode(Ipfix.packTemplateOnly(0L, 1L, 1L), cache, strict = false)
+    assert(cache.contains(256))
+    val wd = java.nio.ByteBuffer.allocate(16 + 8)
+    wd.putShort(10.toShort); wd.putShort(24.toShort)
+    wd.putInt(0); wd.putInt(2); wd.putInt(1)
+    wd.putShort(2.toShort); wd.putShort(8.toShort) // template set, one record
+    wd.putShort(256.toShort); wd.putShort(0.toShort) // field count 0 = withdraw
+    Ipfix.decode(wd.array(), cache, strict = false)
+    assert(!cache.contains(256))
+  }
+
+  test("IPFIX enterprise-specific field (high bit) is skipped by length") {
+    import graft.sources.Ipfix
+    // template 500: enterprise IE (0x8000|77, 2B, enterprise 9999), then protocol
+    val bb = java.nio.ByteBuffer.allocate(16 + (4 + 4 + 4 + 4 + 4) + (4 + 3))
+    bb.putShort(10.toShort); bb.putShort(bb.capacity().toShort)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putShort(2.toShort); bb.putShort((4 + 4 + 4 + 4 + 4).toShort)
+    bb.putShort(500.toShort); bb.putShort(2.toShort)
+    bb.putShort((0x8000 | 77).toShort); bb.putShort(2.toShort); bb.putInt(9999) // enterprise spec
+    bb.putShort(4.toShort); bb.putShort(1.toShort) // protocol
+    bb.putShort(500.toShort); bb.putShort((4 + 3).toShort)
+    bb.putShort(0x7777.toShort) // enterprise payload (skipped)
+    bb.put(17.toByte) // protocol
+    val msg = Ipfix.decode(bb.array(), Ipfix.newTemplateCache(), strict = true)
+    assert(msg.records.map(_.protocol) == Seq(Some(17)))
+  }
+
   test("q50: packets built per-partition decode to the straight-from-events aggregate") {
     val got = queries.IngestQueries.queries("q50_netflow_ingest")(spark, "/root/testdata/sf0.001")
       .orderBy("protocol").collect()
