@@ -90,13 +90,19 @@ object TextQueries {
         .groupBy(col("len_bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("total_tokens"))),
 
-    // semi-structured extraction (ES docs are JSON; props carries a JSON blob)
+    // semi-structured extraction (ES docs are JSON; props carries a JSON blob).
+    // The JSON parse is the grouping expression of the FIRST aggregate, so it
+    // is referenced exactly once and evaluated once per row — a
+    // withColumn("k", ...) feeding both a bucket key and a sum gets inlined
+    // twice by CollapseProject (double parse). The per-k partial table is
+    // tiny, so the second aggregate into buckets is nearly free.
     "q46_json_extract" -> ((s: SparkSession, d: String) =>
       Tables(s, d, "events")
         .repartition(col("event_id")) // spread the JSON parsing
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .agg(count(lit(1)).as("n"))
         .groupBy((floor(col("k") / lit(10.0)) * 10).cast("long").as("k_bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+        .agg(sum(col("n")).as("n"), sum(col("k") * col("n")).as("sum_k"))),
 
     // sequence packing: greedily bin docs into ~512-token context windows
     // per source (cumulative token offset → window id) — the packing step of

@@ -97,4 +97,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("SortMergeJoin"), "cell join should sort-merge (spillable buffers)")
   }
+
+  test("q46: the JSON blob is parsed exactly once per row") {
+    val p = plan("q46_json_extract")
+    assert("get_json_object".r.findAllIn(p).size == 1,
+      "the parse must appear once (as the first grouping expression) — a " +
+        "withColumn feeding two aggregate inputs gets inlined twice by CollapseProject")
+  }
 }
