@@ -10,14 +10,20 @@ import org.apache.spark.sql.functions._
   * Each iteration is one hash-shuffle join + partial-min aggregation, so an
   * iteration costs O(|E|/cluster) with no driver-side data movement; the
   * driver only checks the scalar convergence count. Near-dup graphs have
-  * tiny diameters (clusters of copies), so propagation converges in a few
-  * rounds; a graph with long chains would want pointer-jumping instead
-  * (O(log d) rounds), noted here deliberately. */
+  * tiny diameters (clusters of copies), so plain propagation converges in a
+  * few rounds; for long-chain graphs `pointerJump = true` adds a
+  * label-shortcut join per round (comp(v) := comp(comp(v))), doubling the
+  * propagated reach each round — O(log d) rounds instead of O(d). */
 object ConnectedComponents {
 
   /** edges: two long columns (src, dst). Returns (id, component) where
     * component = min vertex id reachable. */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 20, pointerJump: Boolean = false): DataFrame =
+    runCounted(edges, maxIter, pointerJump)._1
+
+  /** Same as [[run]] but also returns the number of rounds executed
+    * (including the final no-change round that proves convergence). */
+  def runCounted(edges: DataFrame, maxIter: Int = 20, pointerJump: Boolean = false): (DataFrame, Int) = {
     // materialize the (possibly expensive) edge pipeline once — the
     // symmetrization below references it twice
     val e = edges.toDF("src", "dst").persist()
@@ -40,18 +46,33 @@ object ConnectedComponents {
     if (firstRow.isNullAt(0)) {
       sym.unpersist(blocking = false)
       e.unpersist(blocking = false)
-      return labels
+      return (labels, iter)
     }
     var labelSum = firstRow.getLong(0)
     while (!converged && iter < maxIter) {
       val neighborLabels = sym
         .join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+      val prop = labels.select(col("id"), col("component"))
         .union(neighborLabels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .persist()
+      var propCached: DataFrame = null
+      // localCheckpoint (not persist): each round's plan references the
+      // previous round's 2-3 times, so lineage grows exponentially across
+      // rounds — checkpointing truncates the plan to a materialized leaf
+      // while keeping the data distributed (blocks are freed by the
+      // ContextCleaner once the old round is dereferenced)
+      val next = (if (pointerJump) {
+        // shortcut: comp(v) := comp(comp(v)). Every label IS a vertex id
+        // (the min of a reachable set that contains it), so the inner join
+        // always finds it; labels only decrease, so the jump stays within
+        // the component. Propagate(+1 hop) then jump(×2 reach) per round.
+        propCached = prop.localCheckpoint(true)
+        val shortcut = propCached.select(col("id").as("jid"), col("component").as("jcomp"))
+        propCached.join(shortcut, col("component") === col("jid"))
+          .select(col("id"), col("jcomp").as("component"))
+      } else prop).localCheckpoint(true)
       // labels only ever decrease, so the label sum strictly decreases iff
       // anything changed — one scalar aggregate per round (previous round's
       // sum is carried, not recomputed)
@@ -67,6 +88,6 @@ object ConnectedComponents {
     // don't accumulate cached blocks
     sym.unpersist(blocking = false)
     e.unpersist(blocking = false)
-    labels
+    (labels, iter)
   }
 }

@@ -189,8 +189,29 @@ object DedupQueries {
       .orderBy(col("cluster_rep").asc, col("doc_id").asc)
   }
 
+  /** Oracle-backed clustering: edges are the EXACT df-capped n-gram Jaccard
+    * pairs ≥ 0.5 (the same pair semantics DuckDB can compute), resolved to
+    * components by pointer-jumping CC. The DuckDB oracle closes the edge
+    * relation transitively with a recursive CTE and takes the min reachable
+    * id — so the distributed iterative algorithm is hash-checked against a
+    * from-first-principles sequential answer. */
+  private def q38b(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long"))
+    val edges = graft.operators.NgramJaccard.sharedCounts(docs)
+      .withColumn("jacc", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jacc") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    graft.operators.ConnectedComponents.run(edges, pointerJump = true)
+      .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
+      .orderBy(col("cluster_rep").asc, col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_dedup_clusters" -> (q38 _),
+    "q38b_dedup_clusters_exact" -> (q38b _),
     "q30_dedup_exact" -> (q30 _),
     "q31_dedup_ngram_jaccard" -> (q31 _),
     "q32_dedup_minhash_lsh" -> (q32 _),
@@ -198,16 +219,18 @@ object DedupQueries {
     "q34_dedup_embedding" -> (q34 _),
     "q34b_dedup_embedding_blocked" -> (q34b _))
 
-  private val shingleDocsCte =
-    """docs AS (
-      |  SELECT doc_id,
-      |         list_distinct(list_transform(generate_series(1, len(toks) - 2),
-      |                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
-      |  FROM (
-      |    SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
-      |    FROM documents WHERE doc_id % 5 = 0
-      |  )
-      |)""".stripMargin
+  private def shingleDocsCteWhere(where: String) =
+    s"""docs AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM (
+       |    SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |    FROM documents $where
+       |  )
+       |)""".stripMargin
+
+  private val shingleDocsCte = shingleDocsCteWhere("WHERE doc_id % 5 = 0")
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -231,6 +254,33 @@ object DedupQueries {
          |FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id, a.n, b.n
          |ORDER BY jacc DESC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin,
+    "q38b_dedup_clusters_exact" ->
+      s"""WITH RECURSIVE ${shingleDocsCteWhere("")},
+         |d2 AS (SELECT doc_id, sh, len(sh) AS n FROM docs),
+         |ex AS (SELECT doc_id, n, UNNEST(sh) AS s FROM d2),
+         |keepsh AS (
+         |  SELECT s FROM ex GROUP BY s
+         |  HAVING COUNT(*) <= ${graft.operators.NgramJaccard.DefaultDfCap}
+         |),
+         |exf AS (SELECT ex.* FROM ex JOIN keepsh USING (s)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.5
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |)
+         |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+         |FROM reach GROUP BY id""".stripMargin,
     "q34_dedup_embedding" -> {
       val cos = s"(${vectors.dotSql("a.emb", "b.emb", 64)}) / (a.nrm * b.nrm)"
       s"""WITH e AS (

@@ -94,6 +94,24 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("pointer-jumping resolves a 1000-node path in O(log d) rounds") {
+    import spark.implicits._
+    // path 0-1-2-...-999: diameter 999. Plain min-label propagation needs
+    // ~d rounds; propagate+jump doubles the reach per round, so ≤ 10 live
+    // rounds (2^10 > 999) plus the final no-change convergence round.
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, iters) =
+      graft.operators.ConnectedComponents.runCounted(edges, maxIter = 30, pointerJump = true)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000 && got.forall(_._2 == 0L), "every node labels to the path min")
+    assert(iters <= 11, s"pointer jumping must converge logarithmically, took $iters rounds")
+    // identical labels from the plain variant (on a fixture it can still finish)
+    val plain = graft.operators.ConnectedComponents
+      .run((0L until 40L).map(i => (i, i + 1)).toDF("src", "dst"), maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(plain.length == 41 && plain.forall(_._2 == 0L))
+  }
+
   test("dedup clusters group the planted near-duplicates") {
     val clusters = queries.DedupQueries.queries("q38_dedup_clusters")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
