@@ -37,6 +37,18 @@ object EsAggQueries {
         .orderBy(col("doc_count").desc, col("event_type").asc)
         .limit(10)),
 
+    // ES terms `order`: {"_key": "asc"} + `keyed` response parity: rank
+    // makes the bucket order data-visible, key_str is the keyed-form object
+    // key (the term itself for a terms agg). Window is bounded by the terms
+    // cardinality after aggregation.
+    "q11d_terms_ordered_keyed" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+        .withColumn("order_rank",
+          row_number().over(Window.orderBy(col("event_type").asc)).cast("long"))
+        .withColumn("key_str", col("event_type"))),
+
     "q12_filtered_agg" -> ((s: SparkSession, d: String) =>
       ev(s, d)
         .filter(col("event_type").isin("purchase", "error") && col("value") > 50.0 &&
@@ -219,6 +231,15 @@ object EsAggQueries {
       s"""SELECT event_type, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM events GROUP BY event_type
          |ORDER BY doc_count DESC, event_type ASC LIMIT 10""".stripMargin,
+    "q11d_terms_ordered_keyed" ->
+      s"""WITH t AS (
+         |  SELECT event_type, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT event_type, doc_count, sum_value,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY event_type ASC) AS BIGINT) AS order_rank,
+         |       event_type AS key_str
+         |FROM t""".stripMargin,
     "q12_filtered_agg" ->
       s"""SELECT event_type, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM events

@@ -107,6 +107,20 @@ object FlowQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_prop_sum_basic" -> (q(basicCfg) _),
     "q02_prop_sum_offset" -> (q(offsetCfg) _),
+    // ES histogram `order` ({"_value": "desc"}) + `keyed` response parity
+    // (ProportionalSumAggregationBuilder order/keyed fields): order_rank
+    // makes the bucket order data-visible (the driver sorts rows before
+    // hashing), key_str is the keyed-form object key (formatted UTC
+    // timestamp). Single-partition window is safe here: series length is
+    // bounded by (end-start)/interval regardless of data scale.
+    "q01k_prop_sum_keyed" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("value").desc, col("bucket_ms").asc)
+      q(basicCfg)(spark, dir)
+        .withColumn("order_rank", row_number().over(w).cast("long"))
+        .withColumn("key_str",
+          date_format(timestamp_millis(col("bucket_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+    }),
     "q03_prop_sum_sampling" -> (q(basicCfg, sampling = Some(samplingCol)) _),
     "q04_prop_sum_grouped" -> (q(basicCfg, groupCols = Seq(col("event_type"))) _),
     "q05_prop_sum_empty_buckets" -> (q(denseCfg, dense = Some(denseBounds)) _),
@@ -212,6 +226,14 @@ object FlowQueries {
 
   val oracles: Map[String, String] = Map(
     "q01_prop_sum_basic" -> oracle(basicCfg),
+    "q01k_prop_sum_keyed" -> {
+      val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
+      s"""$core
+         |SELECT bucket_ms, doc_count, value,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY value DESC, bucket_ms ASC) AS BIGINT) AS order_rank,
+         |       strftime(epoch_ms(bucket_ms), '%Y-%m-%dT%H:%M:%S.%gZ') AS key_str
+         |FROM agg""".stripMargin
+    },
     "st01_prop_sum_stream" -> oracle(basicCfg),
     "st03_stream_dedup" ->
       """SELECT source,
