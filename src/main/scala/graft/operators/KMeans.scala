@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{detsum, vectors}
+
+/** Deterministic distributed Lloyd's k-means — the unsupervised coarse
+  * quantizer for IVF-style ANN (the reference point is FAISS's IVF training;
+  * here it is pure DataFrame algebra so Catalyst/AQE stay in play).
+  *
+  * Determinism is engineered, not hoped for:
+  *  - init: the k vectors with the smallest `xxhash64(id)` — arbitrary but
+  *    fixed under any partitioning;
+  *  - assignment: argmax cosine with list_id as the tiebreak;
+  *  - update: per-dimension means via [[detsum]] (terms rounded in double
+  *    space, summed exactly as decimals), so centroids are bit-identical
+  *    under any partitioning, AQE re-plan, or speculative retry;
+  *  - a FIXED round count — no data-dependent stopping rule.
+  *
+  * Scale shape per round: one broadcast of k·dim doubles out, one shuffle of
+  * (list_id, pos) partial sums back — the vectors themselves never shuffle.
+  * Empty lists carry their previous centroid forward. Centroid frames are
+  * localCheckpoint'ed so lineage stays flat across rounds. */
+object KMeans {
+
+  /** vecs: (id: long, emb: array<double>, nrm: double).
+    * Returns centroids (list_id: int, cemb: array<double>). */
+  def fit(vecs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val seedW = Window.orderBy(col("h").asc, col("id").asc)
+    var cent = vecs
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(k)
+      .withColumn("list_id", row_number().over(seedW).cast("int"))
+      .select(col("list_id"), col("emb").as("cemb"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cn = cent.withColumn("cnrm", vectors.norm(col("cemb")))
+      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("list_id").asc)
+      val assigned = vecs
+        .crossJoin(broadcast(cn))
+        .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("list_id"), col("emb"))
+      val means = assigned
+        .select(col("list_id"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg((detsum.sumDet(col("x"), 9) / count(lit(1))).as("cx"))
+        .groupBy(col("list_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          t => t.getField("cx")).as("cnew"))
+      cent = cent
+        .join(means, Seq("list_id"), "left")
+        .select(col("list_id"), coalesce(col("cnew"), col("cemb")).as("cemb"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+}

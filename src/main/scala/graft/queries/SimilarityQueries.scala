@@ -51,24 +51,21 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** IVF-style ANN: coarse quantizer = per-label centroids (elementwise
-    * means); every vector is assigned to its nearest centroid (inverted
+  /** IVF ANN: coarse quantizer = unsupervised k-means
+    * ([[graft.operators.KMeans]] — deterministic Lloyd's, 10 lists, 5
+    * rounds); every vector is assigned to its nearest centroid (inverted
     * list); queries probe the 2 nearest lists only. At corpus scale each
     * list is a partition-pruned slice — the classic IVF trade of recall for
     * a ~nlists/nprobe scan reduction. Rows-only (spec measures recall). */
   private def q37(s: SparkSession, d: String): DataFrame = {
     val c = Tables(s, d, "embeddings")
       .repartition(col("vec_id"))
-      .select(col("vec_id"), col("label"), vectors.toDoubleArr(col("embedding")).as("emb"))
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
       .withColumn("nrm", vectors.norm(col("emb")))
-    // centroids: elementwise mean per label, rebuilt as ordered arrays
-    val cent = c
-      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))), t => t.getField("cx")).as("cemb"))
+      .persist()
+    val cent = graft.operators.KMeans
+      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
       .withColumn("cnrm", vectors.norm(col("cemb")))
-      .select(col("label").as("list_id"), col("cemb"), col("cnrm"))
       .persist()
     def probes(side: DataFrame, idCol: String, k: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("list_id").asc)
