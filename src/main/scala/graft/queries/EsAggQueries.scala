@@ -103,6 +103,42 @@ object EsAggQueries {
         .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
         .filter(col("doc_count") >= 60 && col("sum_value") > 10000.0)),
 
+    // ES bucket_script pipeline agg: a per-bucket metric computed from two
+    // sub-aggregation paths (share of value carried by high-value events)
+    "q17c_bucket_script" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          sumDet(when(col("value") > 50.0, col("value")).otherwise(0.0)).as("sum_hi"),
+          sumDet(col("value")).as("sum_all"))
+        .withColumn("hi_share", round(col("sum_hi") / col("sum_all"), 6))),
+
+    // ES stats_bucket sibling pipeline agg: stats OVER the buckets of a
+    // date_histogram (one output row describing the series itself)
+    "q17d_stats_bucket" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(hourBucket(col("ms")))
+        .agg(count(lit(1)).as("doc_count"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          min(col("doc_count")).as("min_count"),
+          max(col("doc_count")).as("max_count"),
+          sum(col("doc_count")).as("sum_count"))
+        .withColumn("avg_count", round(col("sum_count") / col("n_buckets"), 6))),
+
+    // ES `missing` agg: bucket of docs whose field is absent. The optional
+    // field is derived identically in both engines (k only counts when
+    // >= 50), so null-bucket semantics are genuinely exercised.
+    "q12d_missing" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("big", when(col("k") >= 50, col("k")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("doc_count"),
+          count(col("big")).as("n_present"),
+          (count(lit(1)) - count(col("big"))).as("n_missing"))),
+
     // ES weighted_avg: value weighted by k (from props JSON)
     "q13b_weighted_avg" -> ((s: SparkSession, d: String) =>
       ev(s, d)
@@ -293,6 +329,35 @@ object EsAggQueries {
       s"""SELECT user_id, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM events GROUP BY user_id
          |HAVING COUNT(*) >= 60 AND ${sumDetSql("value")} > 10000.0""".stripMargin,
+    "q17c_bucket_script" ->
+      s"""SELECT event_type,
+         |       ${sumDetSql("CASE WHEN value > 50.0 THEN value ELSE 0.0 END")} AS sum_hi,
+         |       ${sumDetSql("value")} AS sum_all,
+         |       round((${sumDetSql("CASE WHEN value > 50.0 THEN value ELSE 0.0 END")}) / (${sumDetSql("value")}), 6) AS hi_share
+         |FROM events GROUP BY event_type""".stripMargin,
+    "q17d_stats_bucket" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
+         |         COUNT(*) AS doc_count
+         |  FROM events GROUP BY bucket_ms
+         |),
+         |g AS (
+         |  SELECT COUNT(*) AS n_buckets, MIN(doc_count) AS min_count,
+         |         MAX(doc_count) AS max_count, CAST(SUM(doc_count) AS BIGINT) AS sum_count
+         |  FROM b
+         |)
+         |SELECT n_buckets, min_count, max_count, sum_count,
+         |       round(sum_count / n_buckets, 6) AS avg_count FROM g""".stripMargin,
+    "q12d_missing" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+        |              THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS big
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS doc_count, COUNT(big) AS n_present,
+        |       COUNT(*) - COUNT(big) AS n_missing
+        |FROM e GROUP BY event_type""".stripMargin,
     "q13_stats" ->
       s"""WITH g AS (
          |  SELECT event_type, COUNT(*) AS cnt, MIN(value) AS min_value,

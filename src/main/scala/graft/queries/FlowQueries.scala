@@ -190,6 +190,17 @@ object FlowQueries {
         .filter(col("deriv").isNotNull)
         .select(col("bucket_ms"), col("value"), col("deriv"))
     }),
+    // ES serial_diff pipeline agg: lag-k differencing (k=24 ⇒ day-over-day
+    // change at hourly buckets); like derivative, leading buckets without a
+    // lag-k predecessor are omitted
+    "q08b_serial_diff" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("bucket_ms"))
+      q(basicCfg)(spark, dir)
+        .withColumn("sdiff", col("value") - lag(col("value"), 24).over(w))
+        .filter(col("sdiff").isNotNull)
+        .select(col("bucket_ms"), col("value"), col("sdiff"))
+    }),
     "q09_cumulative_window" -> ((spark: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
       val scaled = round(col("value") * lit(1.0e6)).cast(org.apache.spark.sql.types.DecimalType(27, 0))
@@ -258,6 +269,15 @@ object FlowQueries {
          |         value - lag(value) OVER (ORDER BY bucket_ms) AS deriv
          |  FROM agg
          |) WHERE deriv IS NOT NULL""".stripMargin
+    },
+    "q08b_serial_diff" -> {
+      val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
+      s"""$core
+         |SELECT * FROM (
+         |  SELECT bucket_ms, value,
+         |         value - lag(value, 24) OVER (ORDER BY bucket_ms) AS sdiff
+         |  FROM agg
+         |) WHERE sdiff IS NOT NULL""".stripMargin
     },
     "q09_cumulative_window" -> {
       val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")

@@ -144,6 +144,63 @@ object TextQueries {
         .select(col("doc_id"), col("term"), col("score"))
     }),
 
+    // benchmark-overlap decontamination: docs sharing >= 3 distinct 3-gram
+    // shingles with the (small) benchmark set are flagged for removal. The
+    // distinct benchmark shingle set is broadcast, so the corpus streams
+    // once and never shuffles — the benchmark side stays a few MB at 100 TB.
+    "q54_decontaminate" -> ((s: SparkSession, d: String) => {
+      val sh = docs(s, d)
+        .repartition(col("doc_id")) // single-file scan -> spread shingle work
+        .select(col("doc_id"), array_distinct(text.shingles(col("toks"), 3)).as("sh"))
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("s")).distinct()
+        .withColumn("hit", lit(1))
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(broadcast(bench), Seq("s"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("hit")).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") >= 3)
+    }),
+
+    // PII extraction + redaction (emails, IPv4) — the corpus has no natural
+    // PII, so deterministic PII is planted in-query (same construction in
+    // both engines, like the derived flow ranges), then genuinely found,
+    // counted, and redacted; the md5 of the redacted text proves the
+    // replacement is byte-identical
+    "q55_pii_redact" -> ((s: SparkSession, d: String) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      Tables(s, d, "documents")
+        .repartition(col("doc_id")) // spread the regex work
+        .withColumn("aug", concat(
+          col("text"), lit(" Contact u"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."), pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(".7 now.")))
+        .withColumn("n_emails", size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).cast("long"))
+        .withColumn("n_ips", size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))).cast("long"))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("aug"), emailRe, "[EMAIL]"), ipRe, "[IP]"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          length(col("redacted")).cast("long").as("redacted_len"),
+          md5(col("redacted").cast("binary")).as("redacted_fp"))
+    }),
+
+    // Gopher-style repetition signals: duplicate-token and duplicate-bigram
+    // ratios — the cheap per-doc quality gate that catches template spam
+    "q56_repetition_score" -> ((s: SparkSession, d: String) =>
+      docs(s, d)
+        .repartition(col("doc_id"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("bg", text.shingles(col("toks"), 2))
+        .withColumn("n_2g", size(col("bg")).cast("long"))
+        .withColumn("n_2g_uniq", size(array_distinct(col("bg"))).cast("long"))
+        .filter(col("n_tok") >= 2)
+        .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+          round(lit(1.0) - col("n_uniq") / col("n_tok"), 6).as("tok_rep_ratio"),
+          round(lit(1.0) - col("n_2g_uniq") / col("n_2g"), 6).as("bigram_rep_ratio"))),
+
     // deterministic stratified sampling: downsample over-represented sources
     // by a content-hash threshold — reproducible across runs/engines/cluster
     // sizes (no RNG), the standard trick for rebalancing a training mix
@@ -198,6 +255,57 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q54_decontaminate" ->
+      s"""WITH $docsCte,
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+         |  FROM docs
+         |),
+         |bench AS (SELECT DISTINCT UNNEST(sh) AS bs FROM sh WHERE doc_id % 97 = 0),
+         |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT ex.doc_id, COUNT(bench.bs) AS n_shared, COUNT(bench.bs) >= 3 AS contaminated
+         |FROM ex LEFT JOIN bench ON ex.s = bench.bs
+         |GROUP BY ex.doc_id""".stripMargin,
+    "q55_pii_redact" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |         text || ' Contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+         |              || CAST(doc_id % 200 AS VARCHAR) || '.7 now.' AS aug
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(aug, '$emailRe')) AS n_emails,
+         |         len(regexp_extract_all(aug, '$ipRe')) AS n_ips,
+         |         regexp_replace(regexp_replace(aug, '$emailRe', '[EMAIL]', 'g'), '$ipRe', '[IP]', 'g') AS red
+         |  FROM a
+         |)
+         |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, CAST(n_ips AS BIGINT) AS n_ips,
+         |       CAST(length(red) AS BIGINT) AS redacted_len, md5(red) AS redacted_fp
+         |FROM r""".stripMargin
+    },
+    "q56_repetition_score" ->
+      s"""WITH $docsCte,
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+         |         list_transform(generate_series(1, len(toks) - 1),
+         |                        i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS bg
+         |  FROM docs
+         |),
+         |m2 AS (
+         |  SELECT doc_id, n_tok, n_uniq,
+         |         CAST(len(bg) AS BIGINT) AS n_2g, CAST(len(list_distinct(bg)) AS BIGINT) AS n_2g_uniq
+         |  FROM m
+         |)
+         |SELECT doc_id, n_tok, n_uniq,
+         |       round(1.0 - n_uniq / n_tok, 6) AS tok_rep_ratio,
+         |       round(1.0 - n_2g_uniq / n_2g, 6) AS bigram_rep_ratio
+         |FROM m2 WHERE n_tok >= 2""".stripMargin,
     "q40_lang_id" ->
       s"""WITH $docsCte,
          |scored AS (
