@@ -137,10 +137,98 @@ object IngestQueries {
     s.table("st04_mem")
   }
 
+  /** Streaming IPFIX COLLECTOR semantics (RFC 7011 §8): templates arrive in
+    * an earlier export than the data that references them — here in a
+    * strictly earlier STREAMING RUN. The per-domain template cache lives in
+    * `flatMapGroupsWithState` state, checkpointed like any collector session
+    * table: run 1 ingests only template-only messages (zero records out),
+    * run 2 ingests data-only messages, which decode ONLY because the
+    * templates survived the checkpoint restart. State is sharded by
+    * observation domain, so a 1000-exporter fleet spreads across executors;
+    * the per-batch sort is the collector's bounded reorder buffer (messages
+    * of one domain in one micro-batch). The aggregate hash-matches an
+    * oracle recomputed from raw events, proving the decode is lossless. */
+  private def st05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    val spool = java.nio.file.Files.createTempDirectory("graft_ipfix_spool")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ipfix_ckpt")
+    val nDomains = 4L
+    val flows = Flows.df(s, d)
+      .repartition(col("event_id"))
+      .select(col("event_id"), col("user_id"), col("v").as("value"),
+        col("rs").as("rel_first"), col("re").as("rel_last"))
+      .as[FlowIn]
+    // collector feed scaffolding (not the operator under test): per-domain
+    // sequenced data-only messages; the matching template goes out in seq 0
+    val dataMsgs = flows.groupByKey(f => f.event_id % nDomains)
+      .flatMapGroups { (dom: Long, it: Iterator[FlowIn]) =>
+        it.toSeq.sortBy(_.event_id).grouped(50).zipWithIndex.map { case (group, i) =>
+          val fl = group.map { f =>
+            graft.sources.Ipfix.Flow(
+              srcIp = s"10.1.${(f.user_id >> 8) & 0xff}.${f.user_id & 0xff}",
+              dstIp = "192.168.0.2",
+              srcPort = (f.event_id % 65536).toInt,
+              dstPort = 53,
+              protocol = (f.event_id % 2) match { case 0 => 6; case _ => 17 },
+              packets = f.event_id % 1000 + 1,
+              octets = roundHalfUp(f.value),
+              flowStartMs = f.rel_first,
+              flowEndMs = f.rel_last)
+          }
+          (dom, (i + 1).toLong,
+            graft.sources.Ipfix.packDataOnly(fl, 1704067200L, (i + 1).toLong, dom))
+        }
+      }.toDF("domain", "seq", "bytes")
+    val tmplMsgs = (0L until nDomains)
+      .map(dom => (dom, 0L, graft.sources.Ipfix.packTemplateOnly(1704067200L, 0L, dom)))
+      .toDF("domain", "seq", "bytes")
+
+    def runOnce(): Unit = {
+      val msgs = s.readStream
+        .schema("domain LONG, seq LONG, bytes BINARY")
+        .parquet(spool.toString)
+        .as[(Long, Long, Array[Byte])]
+      val decoded = msgs.groupByKey(_._1)
+        .flatMapGroupsWithState[Seq[(Int, Seq[(Int, Int)])], graft.sources.Ipfix.Record](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+          val cache = graft.sources.Ipfix.newTemplateCache()
+          state.getOption.foreach(_.foreach { case (tid, fs) => cache(tid) = fs.toIndexedSeq })
+          // bounded reorder buffer: this domain's messages in THIS batch
+          val out = it.toSeq.sortBy(_._2).flatMap { case (_, _, bytes) =>
+            graft.sources.Ipfix.decode(bytes, cache, strict = false).records
+          }
+          state.update(cache.toSeq.map { case (tid, fs) => (tid, fs: Seq[(Int, Int)]) })
+          out.iterator
+        }
+      val agg = decoded
+        .groupBy(col("protocol"))
+        .agg(
+          count(lit(1)).as("n_flows"),
+          sum(col("octets")).as("total_octets"),
+          sum(col("flow_end_ms") - col("flow_start_ms")).as("total_duration_ms"))
+      val q = agg.writeStream
+        .format("memory").queryName("st05_mem")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // PHASE 1: templates only — no decodable data yet
+    tmplMsgs.repartition(1).write.mode("append").parquet(spool.toString)
+    runOnce()
+    // PHASE 2: data-only messages — decodable only via checkpointed state
+    dataMsgs.repartition(1).write.mode("append").parquet(spool.toString)
+    runOnce()
+    s.table("st05_mem")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_netflow_ingest" -> (q50 _),
     "q50b_ipfix_ingest" -> (q50b _),
-    "st04_netflow_pipeline" -> (st04 _))
+    "st04_netflow_pipeline" -> (st04 _),
+    "st05_ipfix_session_stream" -> (st05 _))
 
   val oracleSql: Map[String, String] = Map(
     "st04_netflow_pipeline" -> {
@@ -169,6 +257,12 @@ object IngestQueries {
          |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
          |FROM ovl GROUP BY bucket_ms""".stripMargin
     },
+    "st05_ipfix_session_stream" ->
+      """SELECT CASE event_id % 2 WHEN 0 THEN 6 ELSE 17 END AS protocol,
+        |       COUNT(*) AS n_flows,
+        |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets,
+        |       CAST(SUM((event_id % 7200) * 1000) AS BIGINT) AS total_duration_ms
+        |FROM events GROUP BY 1""".stripMargin,
     "q50b_ipfix_ingest" ->
       """SELECT CASE event_id % 2 WHEN 0 THEN 6 ELSE 17 END AS protocol,
         |       COUNT(*) AS n_flows,

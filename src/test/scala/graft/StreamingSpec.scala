@@ -72,6 +72,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st05: IPFIX templates survive the streaming checkpoint across runs") {
+    val sf = "/root/testdata/sf0.001"
+    // run 1 sees ONLY template-only messages; run 2 sees ONLY data-only
+    // messages. The decoded aggregate can match the straight-from-events
+    // batch result only if the template cache crossed the restart in
+    // flatMapGroupsWithState state.
+    val streamed = queries.IngestQueries.queries("st05_ipfix_session_stream")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = queries.IngestQueries.queries("q50b_ipfix_ingest")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("multimodal pipeline: deterministic features with correct batch shape") {
     val sf = "/root/testdata/sf0.001"
     val docs = queries.Tables(spark, sf, "documents")
