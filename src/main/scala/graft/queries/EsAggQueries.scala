@@ -103,6 +103,29 @@ object EsAggQueries {
         .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
         .filter(col("doc_count") >= 60 && col("sum_value") > 10000.0)),
 
+    // ES auto_date_histogram: pick the smallest interval from a fixed ladder
+    // that keeps the bucket count under the target, then bucket at it. The
+    // chosen interval is a broadcast one-row scalar (min/max scan), so the
+    // two passes stay shuffle-free; the interval is emitted so callers (and
+    // the oracle) see which rung was chosen.
+    "q10e_auto_date_histogram" -> ((s: SparkSession, d: String) => {
+      val ladder = Seq(60000L, 300000L, 600000L, 1800000L, 3600000L,
+        10800000L, 43200000L, 86400000L, 604800000L)
+      val target = 50
+      val chosen = ev(s, d)
+        .agg(min(col("ms")).as("mn"), max(col("ms")).as("mx"))
+        .select(coalesce(
+          ladder.map(l =>
+            when(floor(col("mx") / lit(l)) - floor(col("mn") / lit(l)) + 1 <= target, lit(l)))
+            :+ lit(ladder.last): _*).as("itv"))
+      ev(s, d)
+        .crossJoin(broadcast(chosen))
+        .groupBy(
+          col("itv").cast("long").as("interval_ms"),
+          (floor(col("ms") / col("itv")) * col("itv")).cast("long").as("bucket_ms"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+    }),
+
     // ES bucket_script pipeline agg: a per-bucket metric computed from two
     // sub-aggregation paths (share of value carried by high-value events)
     "q17c_bucket_script" -> ((s: SparkSession, d: String) =>
@@ -329,6 +352,18 @@ object EsAggQueries {
       s"""SELECT user_id, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM events GROUP BY user_id
          |HAVING COUNT(*) >= 60 AND ${sumDetSql("value")} > 10000.0""".stripMargin,
+    "q10e_auto_date_histogram" -> {
+      val ladder = Seq(60000L, 300000L, 600000L, 1800000L, 3600000L,
+        10800000L, 43200000L, 86400000L, 604800000L)
+      val cases = ladder.map(l =>
+        s"CASE WHEN floor(mx / $l) - floor(mn / $l) + 1 <= 50 THEN $l END").mkString(", ")
+      s"""WITH b AS (SELECT min(epoch_ms(ts)) AS mn, max(epoch_ms(ts)) AS mx FROM events),
+         |c AS (SELECT COALESCE($cases, ${ladder.last}) AS itv FROM b)
+         |SELECT CAST(itv AS BIGINT) AS interval_ms,
+         |       CAST(floor(epoch_ms(ts) / itv) * itv AS BIGINT) AS bucket_ms,
+         |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM events, c GROUP BY 1, 2""".stripMargin
+    },
     "q17c_bucket_script" ->
       s"""SELECT event_type,
          |       ${sumDetSql("CASE WHEN value > 50.0 THEN value ELSE 0.0 END")} AS sum_hi,

@@ -89,6 +89,27 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Int8 scalar quantization of embeddings + reconstruction-error audit —
+    * the compression step a vector store runs before indexing (FAISS SQ8
+    * shape). Per-vector scale = max|x|/127; q = round(x/scale); errors are
+    * measured against the dequantized vector. Pure elementwise HOF algebra
+    * (identical op sequence in DuckDB), with the MSE summed via the detsum
+    * recipe (per-term rounding, exact integer sum) so it is order-free. */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    Tables(s, d, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("scale",
+        greatest(aggregate(col("emb"), lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-12)) / 127.0)
+      .withColumn("err", transform(col("emb"), x => abs(x - round(x / col("scale")) * col("scale"))))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 9).as("scale"),
+        round(aggregate(col("err"), lit(0.0), (acc, e) => greatest(acc, e)), 9).as("max_abs_err"),
+        (aggregate(col("err"), lit(0L), (acc, e) => acc + round(e * e * 1e15).cast("long")).cast("double")
+          / 1e15 / 64.0).as("mse"))
+  }
+
   /** Per-label embedding statistics (norm distribution) — the sanity pass a
     * vector pipeline runs before indexing. */
   private def q52(s: SparkSession, d: String): DataFrame =
@@ -108,9 +129,29 @@ object SimilarityQueries {
     "q35_ann_bruteforce" -> (q35 _),
     "q36_ann_lsh" -> (q36 _),
     "q37_ann_ivf" -> (q37 _),
-    "q52_embedding_stats" -> (q52 _))
+    "q52_embedding_stats" -> (q52 _),
+    "q58_embedding_quantize" -> (q58 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q58_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |),
+        |s AS (
+        |  SELECT vec_id, emb,
+        |         GREATEST(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 1e-12) / 127.0 AS scale
+        |  FROM e
+        |),
+        |r AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(emb, x -> abs(x - round(x / scale) * scale)) AS err
+        |  FROM s
+        |)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |       round(list_aggregate(err, 'max'), 9) AS max_abs_err,
+        |       CAST(list_sum(list_transform(err, e -> CAST(round(e * e * 1e15) AS BIGINT))) AS DOUBLE)
+        |         / 1e15 / 64.0 AS mse
+        |FROM r""".stripMargin,
     "q52_embedding_stats" -> {
       val det = graft.functions.detsum.sumDetSql("nrm", 6)
       s"""WITH n AS (

@@ -144,6 +144,28 @@ object TextQueries {
         .select(col("doc_id"), col("term"), col("score"))
     }),
 
+    // training-mix planning: given target mix weights and a token budget,
+    // compute per-source sampling rates / epoch counts — the arithmetic a
+    // data-mixing pipeline runs before materializing an epoch. One narrow
+    // aggregate (per-source token totals) then pure scalar math.
+    "q57_token_budget_mix" -> ((s: SparkSession, d: String) => {
+      val budget = 1000000L
+      val weight = // target mix share per source
+        when(col("source") === "src0", 0.4)
+          .when(col("source") === "src1", 0.3)
+          .when(col("source") === "src2", 0.2)
+          .otherwise(0.1)
+      docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("total_tokens"))
+        .withColumn("weight", weight)
+        .withColumn("alloc_tokens", round(col("weight") * budget).cast("long"))
+        .withColumn("sample_rate",
+          round(least(lit(1.0), col("alloc_tokens") / col("total_tokens")), 6))
+        .withColumn("epochs",
+          ceil(col("alloc_tokens") / col("total_tokens")).cast("long"))
+    }),
+
     // benchmark-overlap decontamination: docs sharing >= 3 distinct 3-gram
     // shingles with the (small) benchmark set are flagged for removal. The
     // distinct benchmark shingle set is broadcast, so the corpus streams
@@ -255,6 +277,22 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q57_token_budget_mix" ->
+      s"""WITH $docsCte,
+         |g AS (
+         |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+         |  FROM docs GROUP BY source
+         |),
+         |w AS (
+         |  SELECT *, CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+         |                        WHEN 'src2' THEN 0.2 ELSE 0.1 END AS weight
+         |  FROM g
+         |),
+         |a AS (SELECT *, CAST(round(weight * 1000000) AS BIGINT) AS alloc_tokens FROM w)
+         |SELECT source, n_docs, total_tokens, CAST(weight AS DOUBLE) AS weight, alloc_tokens,
+         |       round(LEAST(1.0, alloc_tokens / total_tokens), 6) AS sample_rate,
+         |       CAST(ceil(alloc_tokens / total_tokens) AS BIGINT) AS epochs
+         |FROM a""".stripMargin,
     "q54_decontaminate" ->
       s"""WITH $docsCte,
          |sh AS (
