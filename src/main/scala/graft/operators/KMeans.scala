@@ -38,13 +38,19 @@ object KMeans {
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val cn = cent.withColumn("cnrm", vectors.norm(col("cemb")))
-      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("list_id").asc)
+      // argmax via max_by, not a window: the k candidate rows per vector
+      // collapse map-side in the partial aggregate, so the exchange carries
+      // one (list_id, emb) per vector instead of k sorted copies. Ordering
+      // key (ccos, -list_id) is unique per id, so the argmax is
+      // deterministic without a sort.
       val assigned = vecs
         .crossJoin(broadcast(cn))
         .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .select(col("list_id"), col("emb"))
+        .groupBy(col("id"))
+        .agg(max_by(
+          struct(col("list_id"), col("emb")),
+          struct(col("ccos"), (-col("list_id")).as("neg"))).as("best"))
+        .select(col("best.list_id").as("list_id"), col("best.emb").as("emb"))
       val means = assigned
         .select(col("list_id"), posexplode(col("emb")).as(Seq("pos", "x")))
         .groupBy(col("list_id"), col("pos"))

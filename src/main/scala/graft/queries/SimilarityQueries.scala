@@ -67,18 +67,25 @@ object SimilarityQueries {
       .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
       .withColumn("cnrm", vectors.norm(col("cemb")))
       .persist()
-    def probes(side: DataFrame, idCol: String, k: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("list_id").asc)
+    def scored(side: DataFrame): DataFrame =
       side.crossJoin(broadcast(cent))
         .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= k)
-    }
-    val corpusAssigned = probes(c, "vec_id", 1)
-      .select(col("list_id"), col("vec_id"), col("emb"), col("nrm"))
+    // nearest list via max_by, not a window: the k candidate rows per vector
+    // collapse in the map-side partial aggregate, so nothing k-wide shuffles
+    val corpusAssigned = scored(c)
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("list_id"), col("emb"), col("nrm")),
+        struct(col("ccos"), (-col("list_id")).as("neg"))).as("best"))
+      .select(col("best.list_id").as("list_id"), col("vec_id"),
+        col("best.emb").as("emb"), col("best.nrm").as("nrm"))
     val q = c.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("emb"), col("nrm"))
-    val queryProbes = probes(q, "query_id", 2)
+    // query side probes 2 lists — a window over the (tiny) query set only
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("list_id").asc)
+    val queryProbes = scored(q)
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= 2)
       .select(col("list_id"), col("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     corpusAssigned.join(broadcast(queryProbes), Seq("list_id"))
