@@ -22,7 +22,9 @@ object SparkEntry {
         "mm01_binary_pipeline" -> ((s, d) =>
           graft.operators.Multimodal.pipeline(Tables(s, d, "documents"))),
         "mm02_frame_sample" -> ((s, d) =>
-          graft.operators.Multimodal.framePipeline(Tables(s, d, "documents"))))
+          graft.operators.Multimodal.framePipeline(Tables(s, d, "documents"))),
+        "mm03_resize_grid" -> ((s, d) =>
+          graft.operators.Multimodal.resizePipeline(Tables(s, d, "documents"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */

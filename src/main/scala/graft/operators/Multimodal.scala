@@ -110,4 +110,52 @@ object Multimodal {
     import docs.sparkSession.implicits._
     sampleFrames(attachPayload(docs).as[MediaRow], stride = 4).toDF()
   }
+
+  case class ResizedFeatures(
+      doc_id: Long, out_w: Int, out_h: Int, n_bytes: Long,
+      mean_byte: Double, corner_tl: Int, corner_br: Int)
+
+  /** Nearest-neighbor resize to (outW, outH): source index mapping
+    * `src = dst * srcDim / outDim` per axis — the standard NN resize grid,
+    * run on the stub-decoded pixels. The mapPartitions batch-in/batch-out
+    * shape (and the per-row output contract: fixed outW*outH*channels
+    * bytes + summary features) is exactly what a real resize UDF has; only
+    * [[decodeStub]] stands in for the codec. */
+  def resize(rows: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val px = decodeStub(r.payload, r.width, r.height, r.channels)
+        val c = r.channels
+        val out = new Array[Byte](outW * outH * c)
+        var y = 0
+        while (y < outH) {
+          val sy = y * r.height / outH
+          var x = 0
+          while (x < outW) {
+            val sx = x * r.width / outW
+            var ch = 0
+            while (ch < c) {
+              out((y * outW + x) * c + ch) = px((sy * r.width + sx) * c + ch)
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        var sum = 0L
+        var i = 0
+        while (i < out.length) { sum += out(i) & 0xff; i += 1 }
+        ResizedFeatures(
+          r.doc_id, outW, outH, out.length.toLong,
+          sum.toDouble / out.length, out(0) & 0xff, out(out.length - 1) & 0xff)
+      }
+    }
+  }
+
+  /** Resize pipeline over documents (16×16 thumbnails). */
+  def resizePipeline(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    resize(attachPayload(docs).as[MediaRow], outW = 16, outH = 16).toDF()
+  }
 }

@@ -123,6 +123,17 @@ object FlowQueries {
     }),
     "q03_prop_sum_sampling" -> (q(basicCfg, sampling = Some(samplingCol)) _),
     "q04_prop_sum_grouped" -> (q(basicCfg, groupCols = Seq(col("event_type"))) _),
+    // proportional_sum nested under a `filters` PARENT (the other parent
+    // shape the ES histogram framework supports): each named predicate is an
+    // independent bucket, so a flow matching several filters contributes a
+    // full series row set to each — explode over the matched-filter array
+    "q04b_prop_sum_filters_parent" -> ((spark: SparkSession, dir: String) => {
+      val flows = Flows.df(spark, dir)
+        .withColumn("fname", explode(array_compact(array(
+          when(col("event_type") === "purchase", "purchases"),
+          when(col("v") > 50.0, "high_value")))))
+      ProportionalSum.run(flows, col("rs"), col("re"), col("v"), None, basicCfg, Seq(col("fname")))
+    }),
     "q05_prop_sum_empty_buckets" -> (q(denseCfg, dense = Some(denseBounds)) _),
     // min_doc_count > 1: drop sparse buckets (Histogram.MIN_DOC_COUNT_FIELD)
     "q05b_prop_sum_min_doc_count" -> ((spark: SparkSession, dir: String) =>
@@ -292,6 +303,17 @@ object FlowQueries {
     "q02_prop_sum_offset" -> oracle(offsetCfg),
     "q03_prop_sum_sampling" -> oracle(basicCfg, samplingSql = Some(samplingSql)),
     "q04_prop_sum_grouped" -> oracle(basicCfg, groupCols = Seq("event_type")),
+    "q04b_prop_sum_filters_parent" ->
+      oracle(basicCfg, groupCols = Seq("fname"))
+        .replace("FROM flows", "FROM f") // ranged now reads the exploded view
+        .replace("ranged AS (",
+          """f AS (
+            |  SELECT *, UNNEST(list_filter([
+            |    CASE WHEN event_type = 'purchase' THEN 'purchases' END,
+            |    CASE WHEN v > 50.0 THEN 'high_value' END], x -> x IS NOT NULL)) AS fname
+            |  FROM flows
+            |),
+            |ranged AS (""".stripMargin),
     "q05_prop_sum_empty_buckets" -> oracle(denseCfg, dense = Some(denseBounds)),
     "q07_prop_sum_zero_duration" ->
       oracle(Config(HOUR_MS), rowFilterSql = Some("event_id % 7200 = 0")),

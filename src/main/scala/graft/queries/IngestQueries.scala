@@ -224,7 +224,32 @@ object IngestQueries {
     s.table("st05_mem")
   }
 
+  /** Source-format widening: events re-exported as JSON-lines (the other
+    * wire format a collector/data-drop commonly lands) and read back through
+    * Spark's JSON source with an explicit schema — schema-on-read, no
+    * inference pass. The aggregate hash-matches an oracle computed from the
+    * parquet table, so a match proves the JSON round trip (including the
+    * shortest-round-trip double encoding) is lossless. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val spool = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    Tables(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts) DIV 1000").as("ms"))
+      .repartition(4)
+      .write.mode("overwrite").json(spool.toString)
+    s.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ms LONG")
+      .json(spool.toString)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.detsum.sumDet(col("value")).as("sum_value"),
+        min(col("ms")).as("min_ms"),
+        max(col("ms")).as("max_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_jsonl_ingest" -> (q59 _),
     "q50_netflow_ingest" -> (q50 _),
     "q50b_ipfix_ingest" -> (q50b _),
     "st04_netflow_pipeline" -> (st04 _),
@@ -257,6 +282,11 @@ object IngestQueries {
          |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
          |FROM ovl GROUP BY bucket_ms""".stripMargin
     },
+    "q59_jsonl_ingest" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |       ${graft.functions.detsum.sumDetSql("value")} AS sum_value,
+         |       min(epoch_ms(ts)) AS min_ms, max(epoch_ms(ts)) AS max_ms
+         |FROM events GROUP BY event_type""".stripMargin,
     "st05_ipfix_session_stream" ->
       """SELECT CASE event_id % 2 WHEN 0 THEN 6 ELSE 17 END AS protocol,
         |       COUNT(*) AS n_flows,

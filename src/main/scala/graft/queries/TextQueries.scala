@@ -239,6 +239,58 @@ object TextQueries {
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
     }),
 
+    // EXTENDED CAPSTONE: q48 plus the round-2 stages — repetition gate,
+    // benchmark decontamination (raw-corpus benchmark shingles, broadcast),
+    // benchmark holdout — in the realistic order: quality/lang/repetition
+    // filters -> drop benchmark docs -> drop contaminated docs -> exact
+    // dedup -> near-dup removal -> per-source corpus stats. One DAG, every
+    // stage the standalone operator, fully oracle-checked.
+    "q48b_pipeline_full" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, d)
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))))
+        .withColumn("txt_len", length(col("text")))
+        .withColumn("punct_cnt", length(regexp_replace(col("text"), "[^.!?,;:]", "")))
+        .withColumn("stop_cnt", text.stopwordCount(col("toks"), stopEn))
+        .withColumn("stop_ratio", col("stop_cnt") / col("n_tok"))
+        .withColumn("punct_ratio", col("punct_cnt") / col("txt_len"))
+        .withColumn(
+          "quality",
+          round(least(lit(1.0), col("n_tok") / lit(100.0)) * 0.5 + col("stop_ratio") * 0.3 - col("punct_ratio") * 0.2, 6))
+        .withColumn("s_en", text.stopwordCount(col("toks"), stopEn))
+      val kept = scored
+        .filter(col("quality") >= 0.25 && col("s_en") > 0)
+        .filter(col("n_tok") >= 2 && lit(1.0) - col("n_uniq") / col("n_tok") <= 0.6)
+        .filter(col("doc_id") % 97 =!= 0) // benchmark rows are eval data, never train
+      val benchSh = docs(s, d).filter(col("doc_id") % 97 === 0)
+        .select(explode(array_distinct(text.shingles(col("toks"), 3))).as("s")).distinct()
+      val contaminated = kept
+        .select(col("doc_id"), explode(array_distinct(text.shingles(col("toks"), 3))).as("s"))
+        .join(broadcast(benchSh), Seq("s"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .select(col("doc_id").as("bad_id"))
+      val decon = kept.join(contaminated, kept("doc_id") === col("bad_id"), "left_anti")
+      val exact = decon
+        .withColumn("fp", md5(text.norm(col("text")).cast("binary")))
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keep_id"))
+      val sh2 = exact
+        .select(col("doc_id"), array_distinct(text.shingles(col("toks"), 3)).as("sh"))
+        .withColumn("n", size(col("sh")))
+      val removed = graft.operators.NgramJaccard.sharedCounts(sh2)
+        .filter(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
+        .select(col("doc_b")).distinct()
+      exact
+        .join(removed, exact("doc_id") === removed("doc_b"), "left_anti")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          graft.functions.detsum.sumDet(col("quality"), 6).as("sum_quality"))
+    }),
+
     // CAPSTONE: the full pretraining-data pipeline in one DAG —
     // quality score -> language filter -> exact dedup -> near-dup removal
     // (3-gram Jaccard >= 0.5, keep lower id) -> per-source corpus stats.
@@ -443,6 +495,67 @@ object TextQueries {
         |           WHEN source = 'src1' THEN hk < '80'
         |           ELSE TRUE END
         |GROUP BY source""".stripMargin,
+    "q48b_pipeline_full" ->
+      s"""WITH $docsCte,
+         |scored AS (
+         |  SELECT doc_id, source, text, toks, len(toks) AS n_tok,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+         |         round(LEAST(1.0, len(toks) / 100.0) * 0.5
+         |               + (${stopSql(stopEn)} / len(toks)) * 0.3
+         |               - (length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)) * 0.2, 6) AS quality,
+         |         ${stopSql(stopEn)} AS s_en
+         |  FROM docs
+         |),
+         |kept AS (
+         |  SELECT * FROM scored
+         |  WHERE quality >= 0.25 AND s_en > 0
+         |    AND n_tok >= 2 AND 1.0 - n_uniq / n_tok <= 0.6
+         |    AND doc_id % 97 <> 0
+         |),
+         |benchsh AS (
+         |  SELECT DISTINCT UNNEST(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |                   i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS bs
+         |  FROM docs WHERE doc_id % 97 = 0
+         |),
+         |keptex AS (
+         |  SELECT doc_id, UNNEST(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+         |  FROM kept
+         |),
+         |contaminated AS (
+         |  SELECT doc_id FROM keptex JOIN benchsh ON keptex.s = benchsh.bs
+         |  GROUP BY doc_id HAVING COUNT(*) >= 3
+         |),
+         |decon AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |withfp AS (
+         |  SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM decon
+         |),
+         |exact AS (
+         |  SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM withfp)
+         |  WHERE doc_id = keep_id
+         |),
+         |shd AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |                                              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+         |  FROM exact
+         |),
+         |s2 AS (SELECT doc_id, sh, len(sh) AS n FROM shd),
+         |exx AS (SELECT doc_id, n, UNNEST(sh) AS s FROM s2),
+         |keepsh AS (
+         |  SELECT s FROM exx GROUP BY s
+         |  HAVING COUNT(*) <= ${graft.operators.NgramJaccard.DefaultDfCap}
+         |),
+         |exxf AS (SELECT exx.* FROM exx JOIN keepsh USING (s)),
+         |removed AS (
+         |  SELECT DISTINCT b.doc_id AS doc_b
+         |  FROM exxf a JOIN exxf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.5
+         |)
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |       ${graft.functions.detsum.sumDetSql("quality", 6)} AS sum_quality
+         |FROM exact WHERE doc_id NOT IN (SELECT doc_b FROM removed)
+         |GROUP BY source""".stripMargin,
     "q48_pipeline_end2end" ->
       s"""WITH $docsCte,
          |scored AS (

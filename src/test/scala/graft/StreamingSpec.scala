@@ -99,6 +99,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("resize maps the nearest-neighbor grid exactly (2x downscale fixture)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 4x4 single-channel "image" with pixel value = linear index: a 2x2 NN
+    // downscale must pick sources (0,0),(0,2),(2,0),(2,2) -> bytes 0,2,8,10
+    val payload = Array.tabulate[Byte](16)(_.toByte)
+    val rows = Seq(Multimodal.MediaRow(7L, payload, 4, 4, 1)).toDS()
+    val r = Multimodal.resize(rows, 2, 2).collect().head
+    assert(r.n_bytes == 4L)
+    assert(r.corner_tl == 0 && r.corner_br == 10)
+    assert(r.mean_byte == (0 + 2 + 8 + 10) / 4.0)
+    // full pipeline returns one thumbnail row per doc with fixed size
+    val out = SparkEntry.queries("mm03_resize_grid")(spark, "/root/testdata/sf0.001")
+    assert(out.groupBy().count().collect().head.getLong(0) ==
+      queries.Tables(spark, "/root/testdata/sf0.001", "documents").count())
+    assert(out.select("n_bytes").distinct().collect().map(_.getLong(0)).toSeq == Seq(16L * 16 * 3))
+  }
+
   test("frame sampling fans each doc out to ceil(height/stride) frames") {
     val sf = "/root/testdata/sf0.001"
     val docs = queries.Tables(spark, sf, "documents")
