@@ -37,6 +37,23 @@ object EsAggQueries {
         .orderBy(col("doc_count").desc, col("event_type").asc)
         .limit(10)),
 
+    // ES rare_terms: the long-tail complement of terms — buckets whose
+    // doc_count is at or below max_doc_count. Same partial-agg shape as
+    // terms; the filter runs on the final aggregate.
+    "q11e_rare_terms" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("doc_count"))
+        .filter(col("doc_count") <= 55)),
+
+    // ES multi_terms: compound bucket key, top-N by count with full tiebreak
+    "q11f_multi_terms" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+        .orderBy(col("doc_count").desc, col("event_type").asc, col("user_bucket").asc)
+        .limit(10)),
+
     // ES terms `order`: {"_key": "asc"} + `keyed` response parity: rank
     // makes the bucket order data-visible, key_str is the keyed-form object
     // key (the term itself for a terms agg). Window is bounded by the terms
@@ -290,6 +307,14 @@ object EsAggQueries {
       s"""SELECT event_type, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM events GROUP BY event_type
          |ORDER BY doc_count DESC, event_type ASC LIMIT 10""".stripMargin,
+    "q11e_rare_terms" ->
+      """SELECT user_id, COUNT(*) AS doc_count
+        |FROM events GROUP BY user_id HAVING COUNT(*) <= 55""".stripMargin,
+    "q11f_multi_terms" ->
+      s"""SELECT event_type, user_id % 10 AS user_bucket,
+         |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2
+         |ORDER BY doc_count DESC, event_type ASC, user_bucket ASC LIMIT 10""".stripMargin,
     "q11d_terms_ordered_keyed" ->
       s"""WITH t AS (
          |  SELECT event_type, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value

@@ -98,6 +98,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), "cell join should sort-merge (spillable buffers)")
   }
 
+  test("q54: benchmark shingle set broadcasts; the corpus side never sort-merges") {
+    val p = plan("q54_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "the benchmark side must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus shingle stream must not shuffle for the join")
+  }
+
+  test("q10e: the auto-histogram interval is a broadcast scalar, not a shuffle") {
+    val p = plan("q10e_auto_date_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row chosen-interval relation must broadcast")
+  }
+
+  test("q37: corpus-side list assignment aggregates (no corpus-wide window sort)") {
+    val p = plan("q37_ann_ivf")
+    // only the query-side windows remain (2-probe selection + final top-5
+    // rank, both partitioned by query_id); the corpus assignment must be
+    // the max_by hash aggregate
+    assert("""(?m)^\(\d+\) Window$""".r.findAllIn(p).size <= 2,
+      "corpus assignment must not use a window sort over the n*k cross product")
+    assert(p.contains("max_by"), "argmax assignment should be the max_by aggregate")
+  }
+
   test("q46: the JSON blob is parsed exactly once per row") {
     val p = plan("q46_json_extract")
     assert("get_json_object".r.findAllIn(p).size == 1,
