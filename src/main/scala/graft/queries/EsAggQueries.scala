@@ -259,6 +259,34 @@ object EsAggQueries {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
+    // ES median_absolute_deviation: median of |x - median(x)| per group.
+    // The per-group median is a small broadcast (one row per term), so the
+    // second pass is scan + broadcast join, no extra shuffle of the values.
+    "q15c_median_abs_dev" -> ((s: SparkSession, d: String) => {
+      val med = ev(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      ev(s, d).join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          round(first(col("med")), 6).as("med"),
+          round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+    }),
+
+    // ES percentile_ranks: the inverse of percentiles — what share of values
+    // sits at or below each threshold. Count-ratio arithmetic (long/long)
+    // so the doubles are order-free.
+    "q15d_percentile_ranks" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("value") <= 50.0, 1)).as("n50"),
+          count(when(col("value") <= 90.0, 1)).as("n90"))
+        .select(
+          col("event_type"),
+          round(col("n50") / col("n") * 100, 6).as("pr50"),
+          round(col("n90") / col("n") * 100, 6).as("pr90"))),
+
     // ES extended_stats: variance/std derived from exact decimal sums so the
     // result is order-independent (Spark's var_samp would not hash-match)
     "q19_extended_stats" -> ((s: SparkSession, d: String) =>
@@ -433,6 +461,23 @@ object EsAggQueries {
         |       round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+    "q15c_median_abs_dev" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, round(m.med, 6) AS med,
+        |       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |GROUP BY e.event_type, m.med""".stripMargin,
+    "q15d_percentile_ranks" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         COUNT(*) FILTER (value <= 50.0) AS n50,
+        |         COUNT(*) FILTER (value <= 90.0) AS n90
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, round(n50 / n * 100, 6) AS pr50, round(n90 / n * 100, 6) AS pr90
+        |FROM g""".stripMargin,
     "q19_extended_stats" ->
       s"""WITH g AS (
          |  SELECT event_type, COUNT(*) AS cnt,
