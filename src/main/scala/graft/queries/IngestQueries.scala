@@ -137,6 +137,26 @@ object IngestQueries {
     s.table("st04_mem")
   }
 
+  /** Flow enrichment — the collector-side metadata join Drift does against
+    * exporter/site tables before aggregating: decode the NetFlow packets,
+    * key each flow by an address attribute (last src octet), join the
+    * (small, broadcast) site dimension, aggregate per site. The key is
+    * extracted from the DECODED ip string, so a hash match against the
+    * straight-from-events oracle proves the binary round trip through the
+    * enrichment path. */
+  private def q50c(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sites = (0 until 256).map(o => (o, s"site${o % 8}")).toDF("octet", "site")
+    netflowPackets(s, d)
+      .toDF()
+      .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
+      .select(explode(col("pkt.records")).as("r"))
+      .withColumn("octet", regexp_extract(col("r.src_ip"), "(\\d+)$", 1).cast("int"))
+      .join(broadcast(sites), Seq("octet"))
+      .groupBy(col("site"))
+      .agg(count(lit(1)).as("n_flows"), sum(col("r.octets")).as("total_octets"))
+  }
+
   /** Streaming IPFIX COLLECTOR semantics (RFC 7011 §8): templates arrive in
     * an earlier export than the data that references them — here in a
     * strictly earlier STREAMING RUN. The per-domain template cache lives in
@@ -251,6 +271,7 @@ object IngestQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_jsonl_ingest" -> (q59 _),
     "q50_netflow_ingest" -> (q50 _),
+    "q50c_flow_site_enrich" -> (q50c _),
     "q50b_ipfix_ingest" -> (q50b _),
     "st04_netflow_pipeline" -> (st04 _),
     "st05_ipfix_session_stream" -> (st05 _))
@@ -298,6 +319,10 @@ object IngestQueries {
         |       COUNT(*) AS n_flows,
         |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets,
         |       CAST(SUM((event_id % 7200) * 1000) AS BIGINT) AS total_duration_ms
+        |FROM events GROUP BY 1""".stripMargin,
+    "q50c_flow_site_enrich" ->
+      """SELECT 'site' || CAST(user_id % 8 AS VARCHAR) AS site, COUNT(*) AS n_flows,
+        |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets
         |FROM events GROUP BY 1""".stripMargin,
     "q50_netflow_ingest" ->
       """SELECT CASE event_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS protocol,
