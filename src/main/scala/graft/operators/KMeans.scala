@@ -25,9 +25,10 @@ import graft.functions.{detsum, vectors}
   * localCheckpoint'ed so lineage stays flat across rounds. */
 object KMeans {
 
-  /** vecs: (id: long, emb: array<double>, nrm: double).
-    * Returns centroids (list_id: int, cemb: array<double>). */
-  def fit(vecs: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** vecs: (id: long, emb: array<double>, nrm: double); `dim` is the fixed
+    * vector dimensionality. Returns centroids (list_id: int,
+    * cemb: array<double>). */
+  def fit(vecs: DataFrame, k: Int, rounds: Int, dim: Int = 64): DataFrame = {
     val seedW = Window.orderBy(col("h").asc, col("id").asc)
     var cent = vecs
       .withColumn("h", xxhash64(col("id")))
@@ -51,13 +52,15 @@ object KMeans {
           struct(col("list_id"), col("emb")),
           struct(col("ccos"), (-col("list_id")).as("neg"))).as("best"))
         .select(col("best.list_id").as("list_id"), col("best.emb").as("emb"))
+      // per-dimension aggregates instead of a posexplode: the exchange
+      // carries k × dim partial sums (one row per list), never n × dim
+      // exploded element rows
+      val sumCols = (1 to dim).map(i => detsum.sumDet(element_at(col("emb"), i), 9).as(s"s$i"))
       val means = assigned
-        .select(col("list_id"), posexplode(col("emb")).as(Seq("pos", "x")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg((detsum.sumDet(col("x"), 9) / count(lit(1))).as("cx"))
         .groupBy(col("list_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-          t => t.getField("cx")).as("cnew"))
+        .agg(count(lit(1)).as("cnt"), sumCols: _*)
+        .select(col("list_id"),
+          array((1 to dim).map(i => col(s"s$i") / col("cnt")): _*).as("cnew"))
       cent = cent
         .join(means, Seq("list_id"), "left")
         .select(col("list_id"), coalesce(col("cnew"), col("cemb")).as("cemb"))
