@@ -157,6 +157,30 @@ object IngestQueries {
       .agg(count(lit(1)).as("n_flows"), sum(col("r.octets")).as("total_octets"))
   }
 
+  /** The spool read through the DataSource V2 format
+    * ([[graft.sources.NetFlowDataSource]]): raw concatenated v5 packets on
+    * disk become one row per flow via `spark.read.format(...)`, with column
+    * pruning pushed into the reader. Writing the spool uses the executors'
+    * shared local FS (local-mode scaffolding; a cluster spool lands on
+    * HDFS/object storage the same way). Oracle identical to q50, so a match
+    * proves the source path end to end. */
+  private def q50d(s: SparkSession, d: String): DataFrame = {
+    val spool = java.nio.file.Files.createTempDirectory("graft_nf_dsv2").toString
+    netflowPackets(s, d).foreachPartition { (it: Iterator[Packet]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val os = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$spool/part-$pid.nf5"))
+      try it.foreach(p => os.write(p.bytes))
+      finally os.close()
+    }
+    s.read.format("graft.sources.NetFlowDataSource").load(spool)
+      .groupBy(col("protocol"))
+      .agg(
+        count(lit(1)).as("n_flows"),
+        sum(col("octets")).as("total_octets"),
+        sum(col("packets")).as("total_packets"))
+  }
+
   /** Streaming IPFIX COLLECTOR semantics (RFC 7011 §8): templates arrive in
     * an earlier export than the data that references them — here in a
     * strictly earlier STREAMING RUN. The per-domain template cache lives in
@@ -272,6 +296,7 @@ object IngestQueries {
     "q59_jsonl_ingest" -> (q59 _),
     "q50_netflow_ingest" -> (q50 _),
     "q50c_flow_site_enrich" -> (q50c _),
+    "q50d_netflow_dsv2_source" -> (q50d _),
     "q50b_ipfix_ingest" -> (q50b _),
     "st04_netflow_pipeline" -> (st04 _),
     "st05_ipfix_session_stream" -> (st05 _))
@@ -323,6 +348,12 @@ object IngestQueries {
     "q50c_flow_site_enrich" ->
       """SELECT 'site' || CAST(user_id % 8 AS VARCHAR) AS site, COUNT(*) AS n_flows,
         |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets
+        |FROM events GROUP BY 1""".stripMargin,
+    "q50d_netflow_dsv2_source" ->
+      """SELECT CASE event_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS protocol,
+        |       COUNT(*) AS n_flows,
+        |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets,
+        |       CAST(SUM(event_id % 100 + 1) AS BIGINT) AS total_packets
         |FROM events GROUP BY 1""".stripMargin,
     "q50_netflow_ingest" ->
       """SELECT CASE event_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS protocol,

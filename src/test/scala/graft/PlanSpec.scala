@@ -120,6 +120,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("max_by"), "argmax assignment should be the max_by aggregate")
   }
 
+  test("q50d: DSv2 netflow source prunes to the three aggregated columns") {
+    val p = plan("q50d_netflow_dsv2_source")
+    assert(p.contains("BatchScan"), "must read through the DataSource V2 scan")
+    // DSv2 scans print their (pruned) output column list, not ReadSchema
+    assert(p.contains("Output [3]: [protocol"),
+      s"reader must receive only the 3 pruned columns; plan:\n${p.linesIterator.filter(_.contains("Output")).mkString("\n")}")
+  }
+
   test("q46: the JSON blob is parsed exactly once per row") {
     val p = plan("q46_json_extract")
     assert("get_json_object".r.findAllIn(p).size == 1,
