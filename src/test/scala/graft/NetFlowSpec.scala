@@ -91,6 +91,29 @@ class NetFlowSpec extends AnyFunSuite {
     assert(r.isNullAt(1) && r.isNullAt(2), "absent IEs stay null")
   }
 
+  test("DSv2 source: concatenated packets in one file; garbage fails loudly") {
+    import graft.sources.NetFlowV5
+    val dir = java.nio.file.Files.createTempDirectory("nf_dsv2_spec")
+    val f1 = NetFlowV5.Flow("1.2.3.4", "5.6.7.8", 1, 2, 6, 10L, 100L, 0L, 1000L)
+    val f2 = NetFlowV5.Flow("9.9.9.9", "8.8.8.8", 3, 4, 17, 20L, 200L, 500L, 1500L)
+    val p1 = NetFlowV5.pack(Seq(f1), 0L, 1704067200L, 0L)
+    val p2 = NetFlowV5.pack(Seq(f2), 0L, 1704067200L, 1L)
+    java.nio.file.Files.write(dir.resolve("a.nf5"), p1 ++ p2)
+    val df = spark.read.format("graft.sources.NetFlowDataSource").load(dir.toString)
+    assert(df.count() == 2)
+    // packet header context flattens onto each record; pruning to a
+    // header-only column exercises the pushed-down projection
+    assert(df.select("flow_sequence").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    assert(df.filter(org.apache.spark.sql.functions.col("src_ip") === "9.9.9.9")
+      .select("octets").head().getLong(0) == 200L)
+    // trailing bytes that are not a packet header must fail, not silently drop
+    val bad = java.nio.file.Files.createTempDirectory("nf_dsv2_bad")
+    java.nio.file.Files.write(bad.resolve("bad.nf5"), p1 ++ Array[Byte](1, 2, 3))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.NetFlowDataSource").load(bad.toString).count()
+    }
+  }
+
   test("IPFIX session: templates arrive in an earlier message than data sets") {
     import graft.sources.Ipfix
     val flows = Seq(
