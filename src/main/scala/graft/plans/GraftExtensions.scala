@@ -11,7 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(
+      classOf[GraftExtensions].getName, null, name, usage,
+      /* arguments */ "", /* examples */ "", /* note */ "",
+      /* group */ "misc_funcs", /* since */ "1.0.0", /* deprecated */ "", /* source */ "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
