@@ -91,6 +91,26 @@ class PropSumSpec extends AnyFunSuite {
     assert(got(400L) == (1L, 50.0))
   }
 
+  test("conservation invariant: bucketed values sum back to the input total (1000 random flows)") {
+    // For any flow fully inside the (unclamped) grid, the overlap ratios
+    // over its buckets sum to exactly 1, so the histogram total must equal
+    // the input total up to per-flow double rounding. Seeded generator ⇒
+    // deterministic; catches any regression in bucket edges, ratio math,
+    // or zero-duration handling in one sweep.
+    val rnd = new scala.util.Random(42)
+    val itv = 60000L
+    val flows = Seq.fill(1000) {
+      val rs = rnd.nextLong(86400000L - 7200000L)
+      val dur = if (rnd.nextInt(10) == 0) 0L else rnd.nextLong(7200000L) // include instant flows
+      val v = rnd.nextDouble() * 1000.0
+      (rs, rs + dur, v)
+    }
+    val out = ProportionalSum.run(rows(flows), col("rs"), col("re"), col("v"), None, Config(itv))
+      .agg(sum(col("value"))).first().getDouble(0)
+    val expected = flows.map(_._3).sum
+    assert(math.abs(out - expected) < 1e-5, s"histogram total $out vs input total $expected")
+  }
+
   test("ProportionalSumAggregatorIT: monthly calendar buckets over 2012 fixtures") {
     def ms(month: Int, day: Int): Long =
       Instant.parse(f"2012-$month%02d-$day%02dT00:00:00Z").toEpochMilli
