@@ -54,7 +54,7 @@ object SimilarityQueries {
   /** IVF ANN: coarse quantizer = unsupervised k-means
     * ([[graft.operators.KMeans]] — deterministic Lloyd's, 10 lists, 5
     * rounds); every vector is assigned to its nearest centroid (inverted
-    * list); queries probe the 2 nearest lists only. At corpus scale each
+    * list); queries probe the 3 nearest lists only. At corpus scale each
     * list is a partition-pruned slice — the classic IVF trade of recall for
     * a ~nlists/nprobe scan reduction. Rows-only (spec measures recall). */
   private def q37(s: SparkSession, d: String): DataFrame = {
@@ -81,11 +81,11 @@ object SimilarityQueries {
         col("best.emb").as("emb"), col("best.nrm").as("nrm"))
     val q = c.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("emb"), col("nrm"))
-    // query side probes 2 lists — a window over the (tiny) query set only
+    // query side probes 3 lists — a window over the (tiny) query set only
     val qw = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("list_id").asc)
     val queryProbes = scored(q)
       .withColumn("crank", row_number().over(qw))
-      .filter(col("crank") <= 2)
+      .filter(col("crank") <= 3)
       .select(col("list_id"), col("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     corpusAssigned.join(broadcast(queryProbes), Seq("list_id"))

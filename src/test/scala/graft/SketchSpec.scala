@@ -61,7 +61,7 @@ class SketchSpec extends AnyFunSuite {
     val ivf = pairs("q37_ann_ivf")
     assert(ivf.nonEmpty)
     val recall = ivf.intersect(exact).size.toDouble / exact.size
-    info(s"IVF 2-probe recall@5 = $recall over ${exact.size} true pairs")
+    info(s"IVF 3-probe recall@5 = $recall over ${exact.size} true pairs")
     assert(recall >= 0.15, s"recall $recall collapsed — quantizer or probe join broken")
     // every IVF result must be a real corpus vector, not the query itself
     assert(ivf.forall { case (q, n) => q != n })
