@@ -111,6 +111,24 @@ class PropSumSpec extends AnyFunSuite {
     assert(math.abs(out - expected) < 1e-5, s"histogram total $out vs input total $expected")
   }
 
+  test("histogram is bit-identical across partition layouts (the 1000-executor claim)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val flows = rows(Seq.fill(500) {
+      val rs = rnd.nextLong(86400000L)
+      (rs, rs + rnd.nextLong(7200000L), rnd.nextDouble() * 1000.0)
+    })
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ProportionalSum.run(df, col("rs"), col("re"), col("v"), None, Config(3600000L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val one = run(flows.coalesce(1))
+    val many = run(flows.repartition(7, col("rs")))
+    // exact equality, doubles included — the detsum recipe makes the sum
+    // independent of accumulation order, so ANY partitioning/AQE layout
+    // (1 partition or 1000 executors) produces the same bits
+    assert(one.sameElements(many))
+  }
+
   test("ProportionalSumAggregatorIT: monthly calendar buckets over 2012 fixtures") {
     def ms(month: Int, day: Int): Long =
       Instant.parse(f"2012-$month%02d-$day%02dT00:00:00Z").toEpochMilli
