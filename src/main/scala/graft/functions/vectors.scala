@@ -35,12 +35,13 @@ object vectors {
   /** Random-hyperplane LSH bucket: `bits` sign bits from deterministic
     * pseudo-hyperplanes (component sign of xxhash64(planeIdx, componentIdx)).
     * Same-bucket vectors are ANN candidates. */
-  def rhpBucket(vec: Column, bits: Int): Column = {
+  def rhpBucket(vec: Column, bits: Int, seed: Int = 0): Column = {
     val bitCols = (0 until bits).map { p =>
-      // hyperplane p: h_i = +1 if xxhash64(p, i) even else -1; bit = [h·v > 0]
+      // hyperplane seed+p: h_i = +1 if xxhash64(seed+p, i) even else -1;
+      // bit = [h·v > 0]. Distinct seeds give independent hash tables.
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          when(xxhash64(lit(p), i).bitwiseAND(lit(1L)) === 0L, x).otherwise(-x)),
+          when(xxhash64(lit(seed + p), i).bitwiseAND(lit(1L)) === 0L, x).otherwise(-x)),
         lit(0.0d),
         (acc, x) => acc + x)
       when(proj > 0.0d, shiftleft(lit(1L), p)).otherwise(lit(0L))

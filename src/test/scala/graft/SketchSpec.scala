@@ -52,6 +52,20 @@ class SketchSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("multi-table RHP-LSH ANN recall vs brute force") {
+    def pairs(q: String) =
+      queries.SimilarityQueries.queries(q)(spark, sf)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q35_ann_bruteforce")
+    val lsh = pairs("q36_ann_lsh")
+    assert(lsh.nonEmpty)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(s"RHP-LSH recall@5 = $recall over ${exact.size} true pairs")
+    assert(recall >= 0.3, s"recall $recall collapsed — bucketing or probe join broken")
+    assert(lsh.forall { case (q, n) => q != n })
+  }
+
   test("IVF ANN returns valid ranked neighbors with measurable recall vs brute force") {
     def pairs(q: String) =
       queries.SimilarityQueries.queries(q)(spark, sf)
