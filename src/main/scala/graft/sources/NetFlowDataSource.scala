@@ -52,17 +52,65 @@ private[sources] class NetFlowTable(path: String) extends Table with SupportsRea
 }
 
 private[sources] class NetFlowScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = NetFlowDataSource.flowSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new NetFlowScan(path, required)
+  /** Comparisons on the numeric flow fields evaluate EXACTLY inside the
+    * reader (before row materialization), so they are fully handled here
+    * and Spark drops its post-scan re-evaluation. Everything else stays
+    * residual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(NetFlowFilterEval.supported)
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new NetFlowScan(path, required, pushed)
+}
+
+private[sources] object NetFlowFilterEval {
+  import org.apache.spark.sql.sources._
+  private val numericFields =
+    Set("src_port", "dst_port", "protocol", "tcp_flags", "packets", "octets",
+      "first_ms", "last_ms", "unix_secs", "flow_sequence")
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, v: Number) => numericFields(a) && v != null
+    case In(a, vs) => numericFields(a) && vs.forall(_.isInstanceOf[Number])
+    case GreaterThan(a, v: Number) => numericFields(a)
+    case GreaterThanOrEqual(a, v: Number) => numericFields(a)
+    case LessThan(a, v: Number) => numericFields(a)
+    case LessThanOrEqual(a, v: Number) => numericFields(a)
+    case _ => false
+  }
+  /** full: row values laid out as [[NetFlowDataSource.flowSchema]]. */
+  def eval(f: Filter, full: Array[Any]): Boolean = {
+    def num(a: String): Long = {
+      val i = NetFlowDataSource.flowSchema.fieldIndex(a)
+      full(i) match { case l: java.lang.Long => l; case n: java.lang.Integer => n.longValue }
+    }
+    f match {
+      case EqualTo(a, v: Number) => num(a) == v.longValue
+      case In(a, vs) => vs.exists(v => num(a) == v.asInstanceOf[Number].longValue)
+      case GreaterThan(a, v: Number) => num(a) > v.longValue
+      case GreaterThanOrEqual(a, v: Number) => num(a) >= v.longValue
+      case LessThan(a, v: Number) => num(a) < v.longValue
+      case LessThanOrEqual(a, v: Number) => num(a) <= v.longValue
+      case _ => true
+    }
+  }
 }
 
 private[sources] case class NetFlowFilePartition(file: String) extends InputPartition
 
-private[sources] class NetFlowScan(path: String, required: StructType) extends Scan with Batch {
+private[sources] class NetFlowScan(
+    path: String, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"netflow5 PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.simpleString}"
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = java.nio.file.Paths.get(path)
     val files =
@@ -73,18 +121,22 @@ private[sources] class NetFlowScan(path: String, required: StructType) extends S
     files.map(f => NetFlowFilePartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new NetFlowReaderFactory(required)
+    new NetFlowReaderFactory(required, pushed)
 }
 
-private[sources] class NetFlowReaderFactory(required: StructType)
+private[sources] class NetFlowReaderFactory(
+    required: StructType, pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NetFlowPartitionReader(partition.asInstanceOf[NetFlowFilePartition].file, required)
+    new NetFlowPartitionReader(
+      partition.asInstanceOf[NetFlowFilePartition].file, required, pushed)
 }
 
 /** Streams one spool file packet by packet; flattens each packet's records.
   * Projection to the pruned schema happens here, per row. */
-private[sources] class NetFlowPartitionReader(file: String, required: StructType)
+private[sources] class NetFlowPartitionReader(
+    file: String, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
   private val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
@@ -96,34 +148,40 @@ private[sources] class NetFlowPartitionReader(file: String, required: StructType
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (packet == null || recIdx >= records.numElements()) {
-      if (offset >= bytes.length) return false
-      if (bytes.length - offset < 24)
-        throw new IllegalArgumentException(
-          s"NetFlow spool $file: trailing ${bytes.length - offset} bytes are not a packet header")
-      val count = ((bytes(offset + 2) & 0xff) << 8) | (bytes(offset + 3) & 0xff)
-      val pktLen = 24 + 48 * count
-      packet = NetFlowV5.parse(java.util.Arrays.copyOfRange(bytes, offset, offset + pktLen))
-      records = packet.getArray(5)
-      recIdx = 0
-      offset += pktLen
+    while (true) { // loop, not recursion: a mostly-filtered file must not grow the stack
+      while (packet == null || recIdx >= records.numElements()) {
+        if (offset >= bytes.length) return false
+        if (bytes.length - offset < 24)
+          throw new IllegalArgumentException(
+            s"NetFlow spool $file: trailing ${bytes.length - offset} bytes are not a packet header")
+        val count = ((bytes(offset + 2) & 0xff) << 8) | (bytes(offset + 3) & 0xff)
+        val pktLen = 24 + 48 * count
+        packet = NetFlowV5.parse(java.util.Arrays.copyOfRange(bytes, offset, offset + pktLen))
+        records = packet.getArray(5)
+        recIdx = 0
+        offset += pktLen
+      }
+      val r = records.getStruct(recIdx, NetFlowV5.recordType.length)
+      recIdx += 1
+      // full row layout: unix_secs, flow_sequence, then the 10 record fields
+      val full = new Array[Any](2 + NetFlowV5.recordType.length)
+      full(0) = packet.getLong(3)
+      full(1) = packet.getLong(4)
+      var i = 0
+      while (i < NetFlowV5.recordType.length) {
+        full(2 + i) = r.get(i, NetFlowV5.recordType.fields(i).dataType)
+        i += 1
+      }
+      // pushed filters evaluate here, before projection/materialization
+      if (pushed.forall(NetFlowFilterEval.eval(_, full))) {
+        val projected = new Array[Any](colIdx.length)
+        i = 0
+        while (i < colIdx.length) { projected(i) = full(colIdx(i)); i += 1 }
+        current = new GenericInternalRow(projected)
+        return true
+      }
     }
-    val r = records.getStruct(recIdx, NetFlowV5.recordType.length)
-    recIdx += 1
-    // full row layout: unix_secs, flow_sequence, then the 10 record fields
-    val full = new Array[Any](2 + NetFlowV5.recordType.length)
-    full(0) = packet.getLong(3)
-    full(1) = packet.getLong(4)
-    var i = 0
-    while (i < NetFlowV5.recordType.length) {
-      full(2 + i) = r.get(i, NetFlowV5.recordType.fields(i).dataType)
-      i += 1
-    }
-    val projected = new Array[Any](colIdx.length)
-    i = 0
-    while (i < colIdx.length) { projected(i) = full(colIdx(i)); i += 1 }
-    current = new GenericInternalRow(projected)
-    true
+    false
   }
 
   override def get(): InternalRow = current

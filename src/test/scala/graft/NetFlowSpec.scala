@@ -114,6 +114,27 @@ class NetFlowSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 source: numeric filters push into the reader (no post-scan Filter)") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.NetFlowV5
+    val dir = java.nio.file.Files.createTempDirectory("nf_dsv2_pushdown")
+    val flows = Seq(
+      NetFlowV5.Flow("1.1.1.1", "2.2.2.2", 1, 2, 6, 1L, 10L, 0L, 10L),
+      NetFlowV5.Flow("3.3.3.3", "4.4.4.4", 3, 4, 17, 2L, 20L, 0L, 10L),
+      NetFlowV5.Flow("5.5.5.5", "6.6.6.6", 5, 6, 6, 3L, 30L, 0L, 10L))
+    java.nio.file.Files.write(dir.resolve("a.nf5"), NetFlowV5.pack(flows, 0L, 1L, 0L))
+    val df = spark.read.format("graft.sources.NetFlowDataSource").load(dir.toString)
+      .filter(col("protocol") === 6 && col("octets") >= 20L)
+    assert(df.collect().map(_.getAs[String]("src_ip")).toSeq == Seq("5.5.5.5"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Filter ("), s"fully-pushed numeric filters must not re-evaluate post-scan:\n$p")
+    // a non-pushable predicate (string field) stays as a residual Filter
+    val residual = spark.read.format("graft.sources.NetFlowDataSource").load(dir.toString)
+      .filter(col("src_ip") === "1.1.1.1")
+    assert(residual.count() == 1)
+    assert(residual.queryExecution.executedPlan.toString.contains("Filter"))
+  }
+
   test("IPFIX session: templates arrive in an earlier message than data sets") {
     import graft.sources.Ipfix
     val flows = Seq(
