@@ -26,6 +26,13 @@ object detsum {
     sum(round(term * lit(factor)).cast(DecimalType(27, 0))).cast("double") / lit(factor)
   }
 
+  /** Driver/executor-side HALF_UP (half away from zero) rounding to Long,
+    * matching DuckDB `round()` and Spark's `round` — `math.round` is
+    * half-toward-+infinity and diverges on negative *.5 values. The single
+    * canonical copy for scaffolding code (packet packing, streaming state). */
+  def roundHalfUpLong(v: Double): Long =
+    BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+
   /** DuckDB SQL mirror of [[sumDet]] — identical operation sequence. */
   def sumDetSql(termSql: String, scale: Int = 10): String = {
     val factor = s"1.0e$scale"

@@ -25,10 +25,9 @@ import graft.functions.{detsum, vectors}
   * localCheckpoint'ed so lineage stays flat across rounds. */
 object KMeans {
 
-  /** vecs: (id: long, emb: array<double>, nrm: double); `dim` is the fixed
-    * vector dimensionality. Returns centroids (list_id: int,
-    * cemb: array<double>). */
-  def fit(vecs: DataFrame, k: Int, rounds: Int, dim: Int = 64): DataFrame = {
+  /** vecs: (id: long, emb: array<double>, nrm: double).
+    * Returns centroids (list_id: int, cemb: array<double>). */
+  def fit(vecs: DataFrame, k: Int, rounds: Int): DataFrame = {
     val seedW = Window.orderBy(col("h").asc, col("id").asc)
     var cent = vecs
       .withColumn("h", xxhash64(col("id")))

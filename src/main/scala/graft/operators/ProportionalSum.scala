@@ -247,7 +247,12 @@ object ProportionalSum {
       value: Column,
       sampling: Option[Column],
       cfg: Config): DataFrame = {
-    val agg = run(df, rangeStartMs, rangeEndMs, value, sampling, cfg).persist()
+    // localCheckpoint, not persist: the result is referenced twice (bounds
+    // scan + fill join) but a persist() here would pin cached blocks for
+    // the session lifetime with no unpersist hook once this returns —
+    // checkpointed RDD blocks are instead freed by the ContextCleaner when
+    // the returned frame is dereferenced
+    val agg = run(df, rangeStartMs, rangeEndMs, value, sampling, cfg).localCheckpoint(true)
     val grid = agg
       .agg(min(col("bucket_ms")).as("__lo"), max(col("bucket_ms")).as("__hi"))
       .filter(col("__lo").isNotNull) // empty input -> empty histogram

@@ -16,10 +16,8 @@ object IngestQueries {
   case class FlowIn(event_id: Long, user_id: Long, value: Double, rel_first: Long, rel_last: Long)
   case class Packet(bytes: Array[Byte])
 
-  /** HALF_UP (half away from zero), matching DuckDB `round()` — math.round
-    * is half-toward-+inf and diverges on negative *.5 values. */
   private def roundHalfUp(v: Double): Long =
-    BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+    graft.functions.detsum.roundHalfUpLong(v)
 
   /** NetFlow v5 packet frame derived from events — the synthetic collector
     * feed used by the batch (q50) and streaming (st04) ingest pipelines. */

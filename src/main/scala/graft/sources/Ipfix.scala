@@ -167,13 +167,18 @@ object Ipfix {
   /** Read one template-record field list: `count` (ie, len) specs, skipping
     * the 4-byte enterprise number when the enterprise bit is set
     * (RFC 7011 §3.2 — enterprise IEs are opaque to this collector, the
-    * length still drives the data-record walk). */
+    * length still drives the data-record walk). Enterprise IEs are stored
+    * with a -1 sentinel id: they live in a separate namespace, so a vendor
+    * element whose low 15 bits happen to equal a supported IANA id (e.g.
+    * 0x8000|1 vs octetDeltaCount) must NOT decode as that standard field. */
   private def readFieldSpecs(buf: ByteBuffer, count: Int): IndexedSeq[(Int, Int)] =
     (1 to count).map { _ =>
       val rawIe = buf.getShort() & 0xffff
       val len = buf.getShort() & 0xffff
-      if ((rawIe & 0x8000) != 0) buf.getInt() // enterprise number — skip
-      (rawIe & 0x7fff, len)
+      if ((rawIe & 0x8000) != 0) {
+        buf.getInt() // enterprise number — skip
+        (-1, len)
+      } else (rawIe, len)
     }
 
   /** Decode one IPFIX message against (and into) `templates`.
@@ -227,12 +232,17 @@ object Ipfix {
       } else if (setId == 3) {
         // OPTIONS template set (RFC 7011 §3.4.2): template id, total field
         // count, scope field count, then scope+option field specs. Scope
-        // fields are ordinary (ie, len) specs for decoding purposes.
-        while (buf.position() + 6 <= setEnd) {
+        // fields are ordinary (ie, len) specs for decoding purposes. A
+        // 4-byte guard (not 6) so a trailing withdrawal record — id +
+        // field count 0, no scope count — is still processed (§8.1).
+        while (buf.position() + 4 <= setEnd) {
           val tmplId = buf.getShort() & 0xffff
           val fieldCount = buf.getShort() & 0xffff
           if (fieldCount == 0) templates.remove(tmplId)
           else {
+            if (buf.position() + 2 > setEnd)
+              throw new IllegalArgumentException(
+                s"IPFIX options template $tmplId truncated: missing scope field count")
             buf.getShort() // scope field count — layout only, not needed to walk records
             templates(tmplId) = readFieldSpecs(buf, fieldCount)
           }

@@ -75,13 +75,20 @@ private[sources] object NetFlowFilterEval {
   private val numericFields =
     Set("src_port", "dst_port", "protocol", "tcp_flags", "packets", "octets",
       "first_ms", "last_ms", "unix_secs", "flow_sequence")
+  // only integral values compare exactly under longValue — a fractional
+  // literal (LessThan(port, 80.5)) would silently truncate, and a pushed
+  // filter is never re-checked by Spark, so reject non-integral types
+  private def integral(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte => true
+    case _ => false
+  }
   def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, v: Number) => numericFields(a) && v != null
-    case In(a, vs) => numericFields(a) && vs.forall(_.isInstanceOf[Number])
-    case GreaterThan(a, v: Number) => numericFields(a)
-    case GreaterThanOrEqual(a, v: Number) => numericFields(a)
-    case LessThan(a, v: Number) => numericFields(a)
-    case LessThanOrEqual(a, v: Number) => numericFields(a)
+    case EqualTo(a, v) => numericFields(a) && integral(v)
+    case In(a, vs) => numericFields(a) && vs.nonEmpty && vs.forall(integral)
+    case GreaterThan(a, v) => numericFields(a) && integral(v)
+    case GreaterThanOrEqual(a, v) => numericFields(a) && integral(v)
+    case LessThan(a, v) => numericFields(a) && integral(v)
+    case LessThanOrEqual(a, v) => numericFields(a) && integral(v)
     case _ => false
   }
   /** full: row values laid out as [[NetFlowDataSource.flowSchema]]. */
@@ -114,10 +121,12 @@ private[sources] class NetFlowScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = java.nio.file.Paths.get(path)
     val files =
-      if (java.nio.file.Files.isDirectory(dir))
-        java.nio.file.Files.list(dir).iterator().asScala
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val stream = java.nio.file.Files.list(dir)
+        try stream.iterator().asScala
           .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toArray.sorted
-      else Array(path)
+        finally stream.close()
+      } else Array(path)
     files.map(f => NetFlowFilePartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -156,6 +165,10 @@ private[sources] class NetFlowPartitionReader(
             s"NetFlow spool $file: trailing ${bytes.length - offset} bytes are not a packet header")
         val count = ((bytes(offset + 2) & 0xff) << 8) | (bytes(offset + 3) & 0xff)
         val pktLen = 24 + 48 * count
+        if (offset + pktLen > bytes.length)
+          throw new IllegalArgumentException(
+            s"NetFlow spool $file: packet at $offset declares $count records " +
+              s"($pktLen bytes) but only ${bytes.length - offset} remain")
         packet = NetFlowV5.parse(java.util.Arrays.copyOfRange(bytes, offset, offset + pktLen))
         records = packet.getArray(5)
         recIdx = 0

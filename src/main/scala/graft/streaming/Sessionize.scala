@@ -21,11 +21,11 @@ object Sessionize {
   case class Session(user_id: Long, session_start_ms: Long, session_end_ms: Long, n_events: Long, sum_value: Double)
 
   private val Factor = 1.0e10
-  // HALF_UP (half away from zero), matching graft.functions.detsum and
-  // DuckDB's round() — math.round is half-toward-+inf, which differs for
+  // HALF_UP via the canonical detsum helper — math.round is
+  // half-toward-+inf, which differs for
   // negative values landing exactly on .5 at this scale
   private def scaled(v: Double): Long =
-    BigDecimal(v * Factor).setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+    graft.functions.detsum.roundHalfUpLong(v * Factor)
 
   /** Batch sessionization: session boundary where gap from previous event
     * exceeds gapMs; session id = running count of boundaries. */

@@ -112,6 +112,13 @@ class NetFlowSpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException] {
       spark.read.format("graft.sources.NetFlowDataSource").load(bad.toString).count()
     }
+    // a packet TRUNCATED mid-record (header declares more than remains) must
+    // also fail loudly — zero-padding it would emit silent 0.0.0.0 rows
+    val trunc = java.nio.file.Files.createTempDirectory("nf_dsv2_trunc")
+    java.nio.file.Files.write(trunc.resolve("t.nf5"), p1 ++ p2.take(p2.length - 10))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.NetFlowDataSource").load(trunc.toString).count()
+    }
   }
 
   test("DSv2 source: numeric filters push into the reader (no post-scan Filter)") {
@@ -200,6 +207,50 @@ class NetFlowSpec extends AnyFunSuite {
     bb.put(17.toByte) // protocol
     val msg = Ipfix.decode(bb.array(), Ipfix.newTemplateCache(), strict = true)
     assert(msg.records.map(_.protocol) == Seq(Some(17)))
+  }
+
+  test("IPFIX enterprise IE colliding with a standard id stays opaque (separate namespace)") {
+    import graft.sources.Ipfix
+    // template 501: enterprise IE 0x8000|1 (vendor element 1, 8B, PEN 9999)
+    // — the low 15 bits equal octetDeltaCount, but RFC 7011 §3.2 puts it in
+    // a different namespace, so the payload must NOT decode as octets
+    val bb = java.nio.ByteBuffer.allocate(16 + (4 + 4 + 4 + 4 + 4) + (4 + 9))
+    bb.putShort(10.toShort); bb.putShort(bb.capacity().toShort)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putShort(2.toShort); bb.putShort((4 + 4 + 4 + 4 + 4).toShort)
+    bb.putShort(501.toShort); bb.putShort(2.toShort)
+    bb.putShort((0x8000 | 1).toShort); bb.putShort(8.toShort); bb.putInt(9999)
+    bb.putShort(4.toShort); bb.putShort(1.toShort) // protocol
+    bb.putShort(501.toShort); bb.putShort((4 + 9).toShort)
+    bb.putLong(424242L) // vendor payload — must stay opaque
+    bb.put(6.toByte)
+    val msg = Ipfix.decode(bb.array(), Ipfix.newTemplateCache(), strict = true)
+    assert(msg.records.map(_.protocol) == Seq(Some(6)))
+    assert(msg.records.head.octets.isEmpty, "vendor element 1 must not decode as octetDeltaCount")
+  }
+
+  test("IPFIX options-template set: trailing 4-byte withdrawal record is processed") {
+    import graft.sources.Ipfix
+    val cache = Ipfix.newTemplateCache()
+    // register options template 400 first (scope skipped, octets option)
+    val reg = java.nio.ByteBuffer.allocate(16 + (4 + 6 + 4 * 2))
+    reg.putShort(10.toShort); reg.putShort(reg.capacity().toShort)
+    reg.putInt(0); reg.putInt(0); reg.putInt(1)
+    reg.putShort(3.toShort); reg.putShort((4 + 6 + 4 * 2).toShort)
+    reg.putShort(400.toShort); reg.putShort(2.toShort); reg.putShort(1.toShort)
+    reg.putShort(149.toShort); reg.putShort(4.toShort)
+    reg.putShort(1.toShort); reg.putShort(8.toShort)
+    Ipfix.decode(reg.array(), cache, strict = false)
+    assert(cache.contains(400))
+    // withdrawal: options-template set whose ONLY record is (id, count 0) —
+    // 4 bytes, no scope count field
+    val wd = java.nio.ByteBuffer.allocate(16 + 8)
+    wd.putShort(10.toShort); wd.putShort(24.toShort)
+    wd.putInt(0); wd.putInt(2); wd.putInt(1)
+    wd.putShort(3.toShort); wd.putShort(8.toShort)
+    wd.putShort(400.toShort); wd.putShort(0.toShort)
+    Ipfix.decode(wd.array(), cache, strict = false)
+    assert(!cache.contains(400), "4-byte options withdrawal must remove the template")
   }
 
   test("q50: packets built per-partition decode to the straight-from-events aggregate") {
