@@ -19,6 +19,20 @@ object IngestQueries {
   private def roundHalfUp(v: Double): Long =
     graft.functions.detsum.roundHalfUpLong(v)
 
+  /** Scratch dir for spool/checkpoint scaffolding, deleted recursively at
+    * JVM exit so repeated Verify/Bench invocations don't accumulate disk. */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   /** NetFlow v5 packet frame derived from events — the synthetic collector
     * feed used by the batch (q50) and streaming (st04) ingest pipelines. */
   def netflowPackets(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Packet] = {
@@ -108,7 +122,7 @@ object IngestQueries {
     * the oracle recomputes the histogram straight from events. */
   private def st04(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val spool = java.nio.file.Files.createTempDirectory("graft_nf_spool")
+    val spool = scratchDir("graft_nf_spool")
     netflowPackets(s, d).toDF().write.mode("overwrite").parquet(spool.toString)
     val records = s.readStream
       .schema("bytes BINARY")
@@ -163,7 +177,7 @@ object IngestQueries {
     * HDFS/object storage the same way). Oracle identical to q50, so a match
     * proves the source path end to end. */
   private def q50d(s: SparkSession, d: String): DataFrame = {
-    val spool = java.nio.file.Files.createTempDirectory("graft_nf_dsv2").toString
+    val spool = scratchDir("graft_nf_dsv2").toString
     netflowPackets(s, d).foreachPartition { (it: Iterator[Packet]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val os = new java.io.BufferedOutputStream(
@@ -193,8 +207,8 @@ object IngestQueries {
   private def st05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
-    val spool = java.nio.file.Files.createTempDirectory("graft_ipfix_spool")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ipfix_ckpt")
+    val spool = scratchDir("graft_ipfix_spool")
+    val ckpt = scratchDir("graft_ipfix_ckpt")
     val nDomains = 4L
     val flows = Flows.df(s, d)
       .repartition(col("event_id"))
@@ -273,7 +287,7 @@ object IngestQueries {
     * parquet table, so a match proves the JSON round trip (including the
     * shortest-round-trip double encoding) is lossless. */
   private def q59(s: SparkSession, d: String): DataFrame = {
-    val spool = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val spool = scratchDir("graft_jsonl")
     Tables(s, d, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         expr("unix_micros(ts) DIV 1000").as("ms"))

@@ -74,15 +74,19 @@ object SimilarityQueries {
     * list is a partition-pruned slice — the classic IVF trade of recall for
     * a ~nlists/nprobe scan reduction. Rows-only (spec measures recall). */
   private def q37(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint(true), not persist(): blocks are freed by the
+    // ContextCleaner when the frame is dereferenced, so repeated invocations
+    // don't pin cached blocks for the session lifetime
     val c = Tables(s, d, "embeddings")
       .repartition(col("vec_id"))
       .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
       .withColumn("nrm", vectors.norm(col("emb")))
-      .persist()
+      .localCheckpoint(true)
+    // fit() returns a localCheckpoint'ed frame already; the cheap norm
+    // projection on top needs no further caching (k rows)
     val cent = graft.operators.KMeans
       .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
       .withColumn("cnrm", vectors.norm(col("cemb")))
-      .persist()
     def scored(side: DataFrame): DataFrame =
       side.crossJoin(broadcast(cent))
         .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))

@@ -171,11 +171,20 @@ object Ipfix {
     * with a -1 sentinel id: they live in a separate namespace, so a vendor
     * element whose low 15 bits happen to equal a supported IANA id (e.g.
     * 0x8000|1 vs octetDeltaCount) must NOT decode as that standard field. */
-  private def readFieldSpecs(buf: ByteBuffer, count: Int): IndexedSeq[(Int, Int)] =
+  private def readFieldSpecs(buf: ByteBuffer, count: Int, setEnd: Int): IndexedSeq[(Int, Int)] =
     (1 to count).map { _ =>
+      // bound every spec read by the enclosing set: a corrupt/hostile
+      // template declaring a large fieldCount must not read into the bytes
+      // of subsequent sets (the later buf.position(setEnd) would mask it)
+      if (buf.position() + 4 > setEnd)
+        throw new IllegalArgumentException(
+          s"IPFIX template truncated/invalid: field spec at ${buf.position()} exceeds set end $setEnd")
       val rawIe = buf.getShort() & 0xffff
       val len = buf.getShort() & 0xffff
       if ((rawIe & 0x8000) != 0) {
+        if (buf.position() + 4 > setEnd)
+          throw new IllegalArgumentException(
+            s"IPFIX template truncated/invalid: enterprise number at ${buf.position()} exceeds set end $setEnd")
         buf.getInt() // enterprise number — skip
         (-1, len)
       } else (rawIe, len)
@@ -226,7 +235,7 @@ object Ipfix {
           val tmplId = buf.getShort() & 0xffff
           val fieldCount = buf.getShort() & 0xffff
           if (fieldCount == 0) templates.remove(tmplId)
-          else templates(tmplId) = readFieldSpecs(buf, fieldCount)
+          else templates(tmplId) = readFieldSpecs(buf, fieldCount, setEnd)
         }
         buf.position(setEnd)
       } else if (setId == 3) {
@@ -244,7 +253,7 @@ object Ipfix {
               throw new IllegalArgumentException(
                 s"IPFIX options template $tmplId truncated: missing scope field count")
             buf.getShort() // scope field count — layout only, not needed to walk records
-            templates(tmplId) = readFieldSpecs(buf, fieldCount)
+            templates(tmplId) = readFieldSpecs(buf, fieldCount, setEnd)
           }
         }
         buf.position(setEnd)

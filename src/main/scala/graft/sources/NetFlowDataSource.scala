@@ -148,28 +148,44 @@ private[sources] class NetFlowPartitionReader(
     pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
-  private val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+  // Incremental read: 24-byte header, then count*48 record bytes per packet.
+  // Per-task memory is one packet (<= 24 + 48*65535 bytes), not the file size.
+  private val in = new java.io.BufferedInputStream(
+    java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)), 1 << 16)
+  private var offset = 0L // consumed bytes, for error messages only
   private val colIdx = required.fields.map(f => NetFlowDataSource.flowSchema.fieldIndex(f.name))
-  private var offset = 0
   private var packet: InternalRow = _
   private var records: org.apache.spark.sql.catalyst.util.ArrayData = _
   private var recIdx = 0
   private var current: InternalRow = _
 
+  /** Reads exactly n bytes into buf at [at, at+n), or throws; returns false at clean EOF
+    * (only legal when at == 0). */
+  private def readFully(buf: Array[Byte], at: Int, n: Int): Boolean = {
+    var got = 0
+    while (got < n) {
+      val r = in.read(buf, at + got, n - got)
+      if (r < 0) {
+        if (got == 0 && at == 0) return false
+        throw new IllegalArgumentException(
+          s"NetFlow spool $file: truncated packet at offset $offset " +
+            s"(needed ${n - got} more bytes)")
+      }
+      got += r
+    }
+    true
+  }
+
   override def next(): Boolean = {
     while (true) { // loop, not recursion: a mostly-filtered file must not grow the stack
       while (packet == null || recIdx >= records.numElements()) {
-        if (offset >= bytes.length) return false
-        if (bytes.length - offset < 24)
-          throw new IllegalArgumentException(
-            s"NetFlow spool $file: trailing ${bytes.length - offset} bytes are not a packet header")
-        val count = ((bytes(offset + 2) & 0xff) << 8) | (bytes(offset + 3) & 0xff)
+        val header = new Array[Byte](24)
+        if (!readFully(header, 0, 24)) return false
+        val count = ((header(2) & 0xff) << 8) | (header(3) & 0xff)
         val pktLen = 24 + 48 * count
-        if (offset + pktLen > bytes.length)
-          throw new IllegalArgumentException(
-            s"NetFlow spool $file: packet at $offset declares $count records " +
-              s"($pktLen bytes) but only ${bytes.length - offset} remain")
-        packet = NetFlowV5.parse(java.util.Arrays.copyOfRange(bytes, offset, offset + pktLen))
+        val pkt = java.util.Arrays.copyOf(header, pktLen)
+        readFully(pkt, 24, pktLen - 24)
+        packet = NetFlowV5.parse(pkt)
         records = packet.getArray(5)
         recIdx = 0
         offset += pktLen
@@ -198,5 +214,5 @@ private[sources] class NetFlowPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }
