@@ -324,7 +324,80 @@ object EsAggQueries {
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
         .orderBy(col("event_type").asc, col("user_id").asc)
-        .limit(50)))
+        .limit(50)),
+
+    // ES sibling pipeline aggs avg_bucket/sum_bucket/min_bucket/max_bucket in
+    // one pass over the histogram's buckets; min/max also report WHICH bucket
+    // (the keys ES returns), via min_by/max_by with a total ordering so ties
+    // resolve to the earliest bucket deterministically.
+    "q17e_sibling_bucket_metrics" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(hourBucket(col("ms")))
+        .agg(sumDet(col("value")).as("v"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          min(col("v")).as("min_bucket"),
+          max(col("v")).as("max_bucket"),
+          sumDet(col("v"), 6).as("sum_bucket"),
+          min_by(col("bucket_ms"), struct(col("v"), col("bucket_ms"))).as("min_key"),
+          max_by(col("bucket_ms"), struct(col("v"), (-col("bucket_ms")).as("neg"))).as("max_key"))
+        .withColumn("avg_bucket", round(col("sum_bucket") / col("n_buckets"), 6))),
+
+    // ES bucket_sort pipeline agg: order the histogram's buckets by a metric
+    // and page into them (from=2, size=10). The unpartitioned window is safe:
+    // it runs AFTER aggregation, over at most (end-start)/interval buckets.
+    "q17f_bucket_sort" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(hourBucket(col("ms")))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("sum_value").desc, col("bucket_ms").asc)).cast("long"))
+        .filter(col("rank") > 2 && col("rank") <= 12)),
+
+    // ES cumulative_cardinality pipeline agg: distinct users seen up to each
+    // daily bucket. Scalable form: per-user first-seen day (one shuffle on
+    // user), counts of first-appearances per day, then a prefix sum over the
+    // bounded bucket series — never a per-bucket distinct scan.
+    "q09b_cumulative_cardinality" -> ((s: SparkSession, d: String) => {
+      val e = ev(s, d)
+        .withColumn("day_ms", (floor(col("ms") / lit(DAY_MS)) * lit(DAY_MS)).cast("long"))
+      val days = e.groupBy(col("day_ms")).agg(count(lit(1)).as("doc_count"))
+      val firstSeen = e.groupBy(col("user_id")).agg(min(col("day_ms")).as("first_day"))
+        .groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("day_ms")).rowsBetween(Window.unboundedPreceding, 0)
+      days.join(firstSeen, days("day_ms") === firstSeen("first_day"), "left")
+        .select(col("day_ms"), col("doc_count"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+    }),
+
+    // ES diversified_sampler: cap the sample at max_docs_per_value per key
+    // (3 per user), selection by a deterministic content hash so both
+    // engines draw the identical sample; downstream agg runs on the sample.
+    "q49b_diversified_sampler" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(md5(col("event_id").cast("string").cast("binary")).asc, col("event_id").asc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("sample_count"), sumDet(col("value")).as("sample_sum"))
+    }),
+
+    // ES search `collapse`: one best hit per collapse key (top doc by sort),
+    // top-10 groups by that hit, with the group size inner_hits would report.
+    // argmax via max_by so the per-key reduction collapses map-side.
+    "q16b_field_collapse" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(
+            struct(col("event_id"), col("event_type"), col("value")),
+            struct(col("value"), (-col("event_id")).as("neg"))).as("top"),
+          count(lit(1)).as("group_size"))
+        .select(col("user_id"), col("top.event_id").as("event_id"),
+          col("top.event_type").as("event_type"), col("top.value").as("value"), col("group_size"))
+        .orderBy(col("value").desc, col("user_id").asc)
+        .limit(10)))
 
   val oracleSql: Map[String, String] = Map(
     "q10_date_histogram" ->
@@ -508,5 +581,66 @@ object EsAggQueries {
         |           PARTITION BY event_type
         |           ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR) ASC) AS rank
         |  FROM events GROUP BY event_type, user_id
-        |) WHERE rank <= 5""".stripMargin)
+        |) WHERE rank <= 5""".stripMargin,
+    "q17e_sibling_bucket_metrics" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
+         |         ${sumDetSql("value")} AS v
+         |  FROM events GROUP BY bucket_ms
+         |),
+         |g AS (
+         |  SELECT COUNT(*) AS n_buckets, MIN(v) AS min_bucket, MAX(v) AS max_bucket,
+         |         ${sumDetSql("v", 6)} AS sum_bucket
+         |  FROM b
+         |),
+         |mk AS (SELECT bucket_ms AS min_key FROM b ORDER BY v ASC, bucket_ms ASC LIMIT 1),
+         |xk AS (SELECT bucket_ms AS max_key FROM b ORDER BY v DESC, bucket_ms ASC LIMIT 1)
+         |SELECT n_buckets, min_bucket, max_bucket, sum_bucket, min_key, max_key,
+         |       round(sum_bucket / n_buckets, 6) AS avg_bucket
+         |FROM g, mk, xk""".stripMargin,
+    "q17f_bucket_sort" ->
+      s"""SELECT bucket_ms, doc_count, sum_value, rank FROM (
+         |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
+         |         COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value,
+         |         CAST(row_number() OVER (
+         |           ORDER BY ${sumDetSql("value")} DESC,
+         |                    CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS ASC) AS BIGINT) AS rank
+         |  FROM events GROUP BY bucket_ms
+         |) WHERE rank > 2 AND rank <= 12""".stripMargin,
+    "q09b_cumulative_cardinality" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(floor(epoch_ms(ts) / $DAY_MS) AS BIGINT) * $DAY_MS AS day_ms
+         |  FROM events
+         |),
+         |days AS (SELECT day_ms, COUNT(*) AS doc_count FROM e GROUP BY day_ms),
+         |fs AS (
+         |  SELECT first_day, COUNT(*) AS new_users FROM (
+         |    SELECT user_id, MIN(day_ms) AS first_day FROM e GROUP BY user_id
+         |  ) GROUP BY first_day
+         |)
+         |SELECT days.day_ms AS day_ms, days.doc_count AS doc_count,
+         |       COALESCE(fs.new_users, 0) AS new_users,
+         |       CAST(SUM(COALESCE(fs.new_users, 0)) OVER (
+         |         ORDER BY days.day_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         |FROM days LEFT JOIN fs ON days.day_ms = fs.first_day""".stripMargin,
+    "q49b_diversified_sampler" ->
+      s"""WITH sampled AS (
+         |  SELECT * FROM (
+         |    SELECT event_type, value,
+         |           row_number() OVER (
+         |             PARTITION BY user_id
+         |             ORDER BY md5(CAST(event_id AS VARCHAR)) ASC, event_id ASC) AS rn
+         |    FROM events
+         |  ) WHERE rn <= 3
+         |)
+         |SELECT event_type, COUNT(*) AS sample_count, ${sumDetSql("value")} AS sample_sum
+         |FROM sampled GROUP BY event_type""".stripMargin,
+    "q16b_field_collapse" ->
+      """SELECT user_id, event_id, event_type, value, group_size FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS group_size
+        |  FROM events
+        |) WHERE rn = 1
+        |ORDER BY value DESC, user_id ASC LIMIT 10""".stripMargin)
 }

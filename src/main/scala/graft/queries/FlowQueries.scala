@@ -244,6 +244,28 @@ object FlowQueries {
         .agg(graft.functions.detsum.sumDet(col("__contrib")).as("total_value"))
         .orderBy(col("total_value").desc, col("user_id").asc)
         .limit(5)
+    }),
+    // The OpenNMS Drift UI's actual series shape: top-N talkers each get
+    // their own proportional series, everyone else rolls into an "Other"
+    // series (the plugin's agg under a terms parent + ES "sum_other_doc_count"
+    // rollup). The top-N key set is tiny and BROADCASTS; the exploded rows
+    // never shuffle to find their label.
+    "q18b_topn_other_series" -> ((spark: SparkSession, dir: String) => {
+      val exploded = ProportionalSum.explodeContrib(
+        Flows.df(spark, dir), col("rs"), col("re"), col("v"), None, basicCfg)
+      val top = exploded
+        .groupBy(col("user_id"))
+        .agg(graft.functions.detsum.sumDet(col("__contrib")).as("total_value"))
+        .orderBy(col("total_value").desc, col("user_id").asc)
+        .limit(5)
+        .select(col("user_id"), lit(true).as("is_top"))
+      exploded.join(broadcast(top), Seq("user_id"), "left")
+        .withColumn("series_key",
+          when(col("is_top"), col("user_id").cast("string")).otherwise(lit("Other")))
+        .groupBy(col("series_key"), col("bucket_ms"))
+        .agg(
+          count(lit(1)).as("doc_count"),
+          graft.functions.detsum.sumDet(col("__contrib")).as("value"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -454,5 +476,39 @@ object FlowQueries {
        |ORDER BY total_value DESC, user_id ASC LIMIT 5""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = oracles + ("q18_topk_talkers" -> q18Oracle)
+  // q18b: same exploded core, but labeled by membership in the top-5 set.
+  private val q18bOracle: String = {
+    val itv = basicCfg.intervalMs
+    val det = graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")
+    s"""WITH $sqlCte,
+       |ranged AS (
+       |  SELECT *, re - rs AS dur, v AS eff_v,
+       |         CAST(floor((GREATEST(rs, $S)) / $itv) AS BIGINT) * $itv AS fb,
+       |         CAST(floor((LEAST(re, $E)) / $itv) AS BIGINT) * $itv AS lb
+       |  FROM flows
+       |),
+       |ex AS (
+       |  SELECT *, UNNEST(generate_series(fb, lb, $itv)) AS bucket_ms
+       |  FROM ranged WHERE fb <= lb
+       |),
+       |ovl AS (
+       |  SELECT user_id, bucket_ms, dur, eff_v,
+       |         GREATEST(0, LEAST(bucket_ms + $itv, re) - GREATEST(bucket_ms, rs)) AS ov
+       |  FROM ex
+       |),
+       |top AS (
+       |  SELECT user_id FROM (
+       |    SELECT user_id, $det AS total_value
+       |    FROM ovl GROUP BY user_id
+       |    ORDER BY total_value DESC, user_id ASC LIMIT 5
+       |  )
+       |)
+       |SELECT CASE WHEN user_id IN (SELECT user_id FROM top)
+       |            THEN CAST(user_id AS VARCHAR) ELSE 'Other' END AS series_key,
+       |       bucket_ms, COUNT(*) AS doc_count, $det AS value
+       |FROM ovl GROUP BY 1, 2""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] =
+    oracles + ("q18_topk_talkers" -> q18Oracle) + ("q18b_topn_other_series" -> q18bOracle)
 }
