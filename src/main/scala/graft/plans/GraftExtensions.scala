@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("parse_netflow_v5", "parse_netflow_v5(packet) - decode a NetFlow v5 export packet"),
       (exprs: Seq[Expression]) => graft.sources.ParseNetFlowV5(exprs(0))))
     e.injectFunction((
+      FunctionIdentifier("parse_netflow_v9"),
+      info("parse_netflow_v9", "parse_netflow_v9(packet) - decode a NetFlow v9 (RFC 3954) packet (template-driven)"),
+      (exprs: Seq[Expression]) => graft.sources.ParseNetFlowV9(exprs(0))))
+    e.injectFunction((
       FunctionIdentifier("parse_ipfix"),
       info("parse_ipfix", "parse_ipfix(message) - decode an IPFIX (RFC 7011) message (template-driven)"),
       (exprs: Seq[Expression]) => graft.sources.ParseIpfix(exprs(0))))

@@ -115,6 +115,50 @@ object IngestQueries {
         sum(col("r.flow_end_ms") - col("r.flow_start_ms")).as("total_duration_ms"))
   }
 
+  /** NetFlow v9 (RFC 3954) round trip: template + data FlowSets packed
+    * per-partition, decoded BY TEMPLATE with the native `parse_netflow_v9`
+    * expression. v9 times are sysUptime-relative 32-bit millis, so the
+    * query derives the flow duration from the decoded relative times —
+    * a hash match against the straight-from-events oracle proves the
+    * template-driven decode (including the 4-byte counter widths and the
+    * data-FlowSet padding) is lossless. */
+  private def q50e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val flows = Flows.df(s, d)
+      .repartition(col("event_id"))
+      .select(col("event_id"), col("user_id"), col("v").as("value"),
+        (col("rs") - lit(Flows.JAN_START_MS)).as("rel_first"),
+        (col("re") - lit(Flows.JAN_START_MS)).as("rel_last"))
+      .as[FlowIn]
+    val packets = flows.mapPartitions { it =>
+      it.grouped(25).map { group =>
+        val fl = group.map { f =>
+          graft.sources.NetFlowV9.Flow(
+            srcIp = s"10.2.${(f.user_id >> 8) & 0xff}.${f.user_id & 0xff}",
+            dstIp = "192.168.0.3",
+            srcPort = (f.event_id % 65536).toInt,
+            dstPort = 179,
+            protocol = (f.event_id % 4) match { case 0 => 6; case 1 => 17; case 2 => 1; case _ => 47 },
+            packets = f.event_id % 500 + 1,
+            octets = roundHalfUp(f.value),
+            firstSwMs = f.rel_first,
+            lastSwMs = f.rel_last)
+        }
+        Packet(graft.sources.NetFlowV9.pack(
+          fl, sysUptimeMs = 0L, unixSecs = 1704067200L, sequence = 0L, sourceId = 7L))
+      }
+    }
+    packets
+      .toDF()
+      .select(call_function("parse_netflow_v9", col("bytes")).as("pkt"))
+      .select(explode(col("pkt.records")).as("r"))
+      .groupBy(col("r.protocol").as("protocol"))
+      .agg(
+        count(lit(1)).as("n_flows"),
+        sum(col("r.octets")).as("total_octets"),
+        sum(col("r.last_sw_ms") - col("r.first_sw_ms")).as("total_duration_ms"))
+  }
+
   /** The COMPLETE reference pipeline, streaming: a binary NetFlow v5 feed
     * (written once to a spool dir, as a collector would) is stream-read,
     * decoded, and proportionally bucketed into the hourly series — ingest →
@@ -310,6 +354,7 @@ object IngestQueries {
     "q50c_flow_site_enrich" -> (q50c _),
     "q50d_netflow_dsv2_source" -> (q50d _),
     "q50b_ipfix_ingest" -> (q50b _),
+    "q50e_netflow9_ingest" -> (q50e _),
     "st04_netflow_pipeline" -> (st04 _),
     "st05_ipfix_session_stream" -> (st05 _))
 
@@ -347,6 +392,12 @@ object IngestQueries {
          |FROM events GROUP BY event_type""".stripMargin,
     "st05_ipfix_session_stream" ->
       """SELECT CASE event_id % 2 WHEN 0 THEN 6 ELSE 17 END AS protocol,
+        |       COUNT(*) AS n_flows,
+        |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets,
+        |       CAST(SUM((event_id % 7200) * 1000) AS BIGINT) AS total_duration_ms
+        |FROM events GROUP BY 1""".stripMargin,
+    "q50e_netflow9_ingest" ->
+      """SELECT CASE event_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 17 WHEN 2 THEN 1 ELSE 47 END AS protocol,
         |       COUNT(*) AS n_flows,
         |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets,
         |       CAST(SUM((event_id % 7200) * 1000) AS BIGINT) AS total_duration_ms

@@ -253,6 +253,111 @@ class NetFlowSpec extends AnyFunSuite {
     assert(!cache.contains(400), "4-byte options withdrawal must remove the template")
   }
 
+  test("NetFlow v9 pack → parse round trip preserves flow fields (incl. padding)") {
+    import spark.implicits._
+    import graft.sources.NetFlowV9
+    val flows = Seq(
+      NetFlowV9.Flow("10.2.0.1", "192.168.0.3", 50000, 179, 6, 12L, 3456L, 1000L, 4500L),
+      NetFlowV9.Flow("172.16.0.9", "8.8.4.4", 1, 65535, 17, 1L, 76L, 0L, 0L),
+      // times beyond 2^31 exercise unsigned 32-bit handling
+      NetFlowV9.Flow("255.255.255.255", "0.0.0.0", 0, 0, 1, 4294967295L, 4294967295L, 2500000000L, 2600000000L))
+    val pkt = NetFlowV9.pack(flows, sysUptimeMs = 55L, unixSecs = 1704067200L, sequence = 9L, sourceId = 7L)
+    // 29-byte records → the data FlowSet needs padding to a 4-byte boundary
+    assert((pkt.length - 20) % 4 == 0)
+    val df = Seq(pkt).toDF("b").select(call_function("parse_netflow_v9", col("b")).as("p"))
+    val hdr = df.select("p.version", "p.sys_uptime_ms", "p.unix_secs", "p.sequence", "p.source_id")
+      .collect()(0)
+    assert(hdr.getInt(0) == 9 && hdr.getLong(1) == 55L && hdr.getLong(2) == 1704067200L)
+    assert(hdr.getLong(3) == 9L && hdr.getLong(4) == 7L)
+    val recs = df.select(explode(col("p.records")).as("r")).select("r.*")
+      .collect().map(r => NetFlowV9.Flow(
+        r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(recs.toSeq == flows)
+  }
+
+  test("NetFlow v9: template-driven decode honors reordered/unknown/wide fields") {
+    import graft.sources.NetFlowV9
+    // template 300: protocol first, 8-byte IN_BYTES, unknown field 61 (1B),
+    // then src ip — an order the packer never emits
+    val bb = java.nio.ByteBuffer.allocate(20 + (4 + 4 + 4 * 4) + (4 + 14 + 2))
+    bb.putShort(9.toShort); bb.putShort(2.toShort)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(1)
+    bb.putShort(0.toShort); bb.putShort((4 + 4 + 4 * 4).toShort) // template FlowSet
+    bb.putShort(300.toShort); bb.putShort(4.toShort)
+    bb.putShort(NetFlowV9.FT_PROTO.toShort); bb.putShort(1.toShort)
+    bb.putShort(NetFlowV9.FT_OCTETS.toShort); bb.putShort(8.toShort) // wide counter
+    bb.putShort(61.toShort); bb.putShort(1.toShort) // direction — unsupported, skip
+    bb.putShort(NetFlowV9.FT_SRC_IP.toShort); bb.putShort(4.toShort)
+    bb.putShort(300.toShort); bb.putShort((4 + 14 + 2).toShort) // data FlowSet + 2B pad
+    bb.put(6.toByte); bb.putLong(1234567890123L); bb.put(1.toByte); bb.putInt(0x0a020001)
+    bb.putShort(0.toShort) // padding
+    val pkt = NetFlowV9.decode(bb.array(), NetFlowV9.newTemplateCache(), strict = true)
+    assert(pkt.records.size == 1)
+    val r = pkt.records.head
+    assert(r.protocol == Some(6))
+    assert(r.octets == Some(1234567890123L)) // 8-byte counter read in full
+    assert(r.src_ip == Some("10.2.0.1"))
+    assert(r.dst_ip.isEmpty && r.packets.isEmpty)
+  }
+
+  test("NetFlow v9 session: templates arrive in an earlier packet than data") {
+    import graft.sources.NetFlowV9
+    val flows = Seq(
+      NetFlowV9.Flow("10.2.0.1", "192.168.0.3", 50000, 179, 6, 12L, 3456L, 100L, 200L),
+      NetFlowV9.Flow("172.16.0.9", "8.8.4.4", 1, 65535, 17, 1L, 76L, 0L, 0L))
+    val p1 = NetFlowV9.packTemplateOnly(0L, 1704067200L, 1L, 7L)
+    val p2 = NetFlowV9.packDataOnly(flows.take(1), 0L, 1704067201L, 2L, 7L)
+    val p3 = NetFlowV9.packDataOnly(flows.drop(1), 0L, 1704067202L, 3L, 7L)
+    // strict single-packet decode of a data-only packet must fail ...
+    val ex = intercept[IllegalArgumentException](NetFlowV9.parseSelfContained(p2))
+    assert(ex.getMessage.contains("unknown template"))
+    // ... but the session decoder carries the template across packets
+    val decoded = NetFlowV9.decodeSession(Iterator(p1, p2, p3)).toSeq
+    assert(decoded.map(_.records.size) == Seq(0, 1, 1))
+    val got = decoded.flatMap(_.records).map(r =>
+      NetFlowV9.Flow(r.src_ip.get, r.dst_ip.get, r.src_port.get, r.dst_port.get,
+        r.protocol.get, r.packets.get, r.octets.get, r.first_sw_ms.get, r.last_sw_ms.get))
+    assert(got == flows)
+    // data before template (non-strict) drops, collector-style
+    assert(NetFlowV9.decodeSession(Iterator(p2, p1, p3)).toSeq.map(_.records.size) == Seq(0, 0, 1))
+  }
+
+  test("NetFlow v9 options template (FlowSet 1) registers a walkable layout") {
+    import graft.sources.NetFlowV9
+    // options template 400: scope = System (type 1, 4B), option = packets 4B.
+    // Scope type 1 collides with IN_BYTES numerically but lives in the scope
+    // namespace — it must stay opaque, NOT decode as octets.
+    val bb = java.nio.ByteBuffer.allocate(20 + (4 + 6 + 4 * 2 + 2) + (4 + 8))
+    bb.putShort(9.toShort); bb.putShort(2.toShort)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(1)
+    bb.putShort(1.toShort); bb.putShort((4 + 6 + 4 * 2 + 2).toShort) // options template FlowSet
+    bb.putShort(400.toShort)
+    bb.putShort(4.toShort) // scope length: one (type,len) pair = 4 bytes
+    bb.putShort(4.toShort) // option length: one pair
+    bb.putShort(1.toShort); bb.putShort(4.toShort) // scope field: System (4B)
+    bb.putShort(NetFlowV9.FT_PACKETS.toShort); bb.putShort(4.toShort)
+    bb.putShort(0.toShort) // padding
+    bb.putShort(400.toShort); bb.putShort((4 + 8).toShort) // data FlowSet
+    bb.putInt(3); bb.putInt(4242)
+    val pkt = NetFlowV9.decode(bb.array(), NetFlowV9.newTemplateCache(), strict = true)
+    assert(pkt.records.map(_.packets) == Seq(Some(4242L)))
+    assert(pkt.records.head.octets.isEmpty, "scope System field must not decode as IN_BYTES")
+  }
+
+  test("NetFlow v9: corrupt template fieldCount fails loudly, not overread") {
+    import graft.sources.NetFlowV9
+    val bb = java.nio.ByteBuffer.allocate(20 + 12)
+    bb.putShort(9.toShort); bb.putShort(1.toShort)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(1)
+    bb.putShort(0.toShort); bb.putShort(12.toShort) // template FlowSet, 12 bytes
+    bb.putShort(300.toShort); bb.putShort(500.toShort) // claims 500 fields
+    bb.putInt(0)
+    val ex = intercept[IllegalArgumentException](
+      NetFlowV9.decode(bb.array(), NetFlowV9.newTemplateCache(), strict = true))
+    assert(ex.getMessage.contains("template truncated/invalid"))
+  }
+
   test("q50: packets built per-partition decode to the straight-from-events aggregate") {
     val got = queries.IngestQueries.queries("q50_netflow_ingest")(spark, "/root/testdata/sf0.001")
       .orderBy("protocol").collect()
