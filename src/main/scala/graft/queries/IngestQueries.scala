@@ -115,6 +115,39 @@ object IngestQueries {
         sum(col("r.flow_end_ms") - col("r.flow_start_ms")).as("total_duration_ms"))
   }
 
+  /** The spool WRITE path through the same DataSource V2 format: typed flow
+    * rows land as raw v5 export packets via
+    * `df.write.format(...).mode("overwrite")` (per-task packet packing,
+    * rename-on-commit), then read back through the DSv2 reader and
+    * aggregated. Oracle identical to q50, so a hash match proves write →
+    * wire bytes → read is lossless end to end. */
+  private def q50f(s: SparkSession, d: String): DataFrame = {
+    val spool = scratchDir("graft_nf_dsv2w").toString
+    Flows.df(s, d)
+      .select(
+        lit(1704067200L).as("unix_secs"),
+        lit(0L).as("flow_sequence"),
+        concat(lit("10.0."), ((col("user_id") / 256).cast("long") % 256).cast("string"),
+          lit("."), (col("user_id") % 256).cast("string")).as("src_ip"),
+        lit("192.168.0.1").as("dst_ip"),
+        (col("event_id") % 65536).cast("int").as("src_port"),
+        lit(443).cast("int").as("dst_port"),
+        when(col("event_id") % 3 === 0, 6).when(col("event_id") % 3 === 1, 17).otherwise(1)
+          .cast("int").as("protocol"),
+        lit(0).cast("int").as("tcp_flags"),
+        (col("event_id") % 100 + 1).as("packets"),
+        round(col("v")).cast("long").as("octets"),
+        (col("rs") - lit(Flows.JAN_START_MS)).as("first_ms"),
+        (col("re") - lit(Flows.JAN_START_MS)).as("last_ms"))
+      .write.format("graft.sources.NetFlowDataSource").mode("overwrite").save(spool)
+    s.read.format("graft.sources.NetFlowDataSource").load(spool)
+      .groupBy(col("protocol"))
+      .agg(
+        count(lit(1)).as("n_flows"),
+        sum(col("octets")).as("total_octets"),
+        sum(col("packets")).as("total_packets"))
+  }
+
   /** NetFlow v9 (RFC 3954) round trip: template + data FlowSets packed
     * per-partition, decoded BY TEMPLATE with the native `parse_netflow_v9`
     * expression. v9 times are sysUptime-relative 32-bit millis, so the
@@ -355,6 +388,7 @@ object IngestQueries {
     "q50d_netflow_dsv2_source" -> (q50d _),
     "q50b_ipfix_ingest" -> (q50b _),
     "q50e_netflow9_ingest" -> (q50e _),
+    "q50f_netflow_dsv2_sink" -> (q50f _),
     "st04_netflow_pipeline" -> (st04 _),
     "st05_ipfix_session_stream" -> (st05 _))
 
@@ -411,6 +445,12 @@ object IngestQueries {
     "q50c_flow_site_enrich" ->
       """SELECT 'site' || CAST(user_id % 8 AS VARCHAR) AS site, COUNT(*) AS n_flows,
         |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets
+        |FROM events GROUP BY 1""".stripMargin,
+    "q50f_netflow_dsv2_sink" ->
+      """SELECT CASE event_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS protocol,
+        |       COUNT(*) AS n_flows,
+        |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets,
+        |       CAST(SUM(event_id % 100 + 1) AS BIGINT) AS total_packets
         |FROM events GROUP BY 1""".stripMargin,
     "q50d_netflow_dsv2_source" ->
       """SELECT CASE event_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS protocol,

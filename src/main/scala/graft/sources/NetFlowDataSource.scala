@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -42,13 +43,115 @@ object NetFlowDataSource {
       NetFlowV5.recordType.fields)
 }
 
-private[sources] class NetFlowTable(path: String) extends Table with SupportsRead {
+private[sources] class NetFlowTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"netflow5:$path"
   override def schema(): StructType = NetFlowDataSource.flowSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NetFlowScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new NetFlowWriteBuilder(path, info)
+}
+
+/** Write side of the spool format: each task packs its rows into v5 export
+  * packets (≤30 records each, the wire chunking) and lands one spool file.
+  * Tasks write to `_tmp_`-prefixed files and the job commit renames them,
+  * so a failed/speculative task never leaves a half-visible file — the same
+  * rename-on-commit protocol the built-in file sources use. `truncate`
+  * (SaveMode.Overwrite) clears the directory first. */
+private[sources] class NetFlowWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new NetFlowBatchWrite(path, info.schema(), doTruncate)
+  }
+}
+
+private[sources] case class NetFlowFileCommit(tmpPath: String, finalPath: String)
+    extends WriterCommitMessage
+
+private[sources] class NetFlowBatchWrite(path: String, schema: StructType, doTruncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    if (doTruncate) {
+      val stream = java.nio.file.Files.list(dir)
+      try stream.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .foreach(java.nio.file.Files.delete)
+      finally stream.close()
+    }
+    new NetFlowWriterFactory(path, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case NetFlowFileCommit(tmp, fin) =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(fin),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case NetFlowFileCommit(tmp, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)): Unit
+      case _ => ()
+    }
+}
+
+private[sources] class NetFlowWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new NetFlowDataWriter(path, schema, partitionId, taskId)
+}
+
+private[sources] class NetFlowDataWriter(
+    path: String, schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val fin = s"$path/part-$partitionId.nf5"
+  private val tmp = s"$path/_tmp_part-$partitionId-$taskId.nf5"
+  private val idx = NetFlowDataSource.flowSchema.fields.map(f => schema.fieldIndex(f.name))
+  private val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 16)
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[NetFlowV5.Flow]
+  private var unixSecs = 0L
+  private var flowSeq = 0L
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    out.write(NetFlowV5.pack(buf.toSeq, sysUptimeMs = 0L, unixSecs = unixSecs, flowSequence = flowSeq))
+    buf.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    // row layout follows the logical write schema; idx maps it to the
+    // canonical flowSchema order (unix_secs, flow_sequence, then record)
+    if (buf.isEmpty) {
+      unixSecs = row.getLong(idx(0))
+      flowSeq = row.getLong(idx(1))
+    }
+    buf += NetFlowV5.Flow(
+      srcIp = row.getUTF8String(idx(2)).toString,
+      dstIp = row.getUTF8String(idx(3)).toString,
+      srcPort = row.getInt(idx(4)),
+      dstPort = row.getInt(idx(5)),
+      protocol = row.getInt(idx(6)),
+      tcpFlags = row.getInt(idx(7)),
+      packets = row.getLong(idx(8)),
+      octets = row.getLong(idx(9)),
+      firstMs = row.getLong(idx(10)),
+      lastMs = row.getLong(idx(11)))
+    if (buf.size == 30) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush(); out.close()
+    NetFlowFileCommit(tmp, fin)
+  }
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)): Unit
+  }
+  override def close(): Unit = ()
 }
 
 private[sources] class NetFlowScanBuilder(path: String)

@@ -51,7 +51,8 @@ object NetFlowV5 {
       packets: Long,
       octets: Long,
       firstMs: Long,
-      lastMs: Long)
+      lastMs: Long,
+      tcpFlags: Int = 0)
 
   private def ipToInt(ip: String): Int = {
     val p = ip.split('.')
@@ -88,7 +89,7 @@ object NetFlowV5 {
       buf.putShort(f.srcPort.toShort)
       buf.putShort(f.dstPort.toShort)
       buf.put(0.toByte) // pad1
-      buf.put(0.toByte) // tcp_flags
+      buf.put(f.tcpFlags.toByte)
       buf.put(f.protocol.toByte)
       buf.put(0.toByte) // tos
       buf.putShort(0.toShort) // src_as

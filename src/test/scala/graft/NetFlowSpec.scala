@@ -253,6 +253,29 @@ class NetFlowSpec extends AnyFunSuite {
     assert(!cache.contains(400), "4-byte options withdrawal must remove the template")
   }
 
+  test("DSv2 sink: rows write as v5 packets, read back identically (incl. tcp_flags)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nf_dsv2_write").toString
+    val rows = Seq(
+      (1704067200L, 5L, "1.2.3.4", "5.6.7.8", 1000, 443, 6, 18, 10L, 999L, 0L, 1500L),
+      (1704067200L, 5L, "9.9.9.9", "8.8.8.8", 2000, 53, 17, 0, 1L, 76L, 100L, 100L))
+      .toDF("unix_secs", "flow_sequence", "src_ip", "dst_ip", "src_port", "dst_port",
+        "protocol", "tcp_flags", "packets", "octets", "first_ms", "last_ms")
+    rows.write.format("graft.sources.NetFlowDataSource").mode("overwrite").save(dir)
+    // no half-visible temp files survive the commit
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.nonEmpty && !files.exists(_.startsWith("_tmp_")), files.mkString(","))
+    val back = spark.read.format("graft.sources.NetFlowDataSource").load(dir)
+    assert(back.count() == 2)
+    val r = back.filter(col("src_ip") === "1.2.3.4").collect()(0)
+    assert(r.getAs[Long]("flow_sequence") == 5L)
+    assert(r.getAs[Int]("tcp_flags") == 18) // SYN|ACK survives the wire
+    assert(r.getAs[Long]("octets") == 999L && r.getAs[Long]("last_ms") == 1500L)
+    // overwrite truncates: a second write replaces, never appends
+    rows.limit(1).write.format("graft.sources.NetFlowDataSource").mode("overwrite").save(dir)
+    assert(spark.read.format("graft.sources.NetFlowDataSource").load(dir).count() == 1)
+  }
+
   test("NetFlow v9 pack → parse round trip preserves flow fields (incl. padding)") {
     import spark.implicits._
     import graft.sources.NetFlowV9
