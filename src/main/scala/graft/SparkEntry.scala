@@ -24,7 +24,9 @@ object SparkEntry {
         "mm02_frame_sample" -> ((s, d) =>
           graft.operators.Multimodal.framePipeline(Tables(s, d, "documents"))),
         "mm03_resize_grid" -> ((s, d) =>
-          graft.operators.Multimodal.resizePipeline(Tables(s, d, "documents"))))
+          graft.operators.Multimodal.resizePipeline(Tables(s, d, "documents"))),
+        "mm04_phash_neardup" -> ((s, d) =>
+          graft.operators.Multimodal.phashPairs(Tables(s, d, "documents"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */

@@ -158,4 +158,87 @@ object Multimodal {
     import docs.sparkSession.implicits._
     resize(attachPayload(docs).as[MediaRow], outW = 16, outH = 16).toDF()
   }
+
+  case class PHashRow(doc_id: Long, phash: Long)
+
+  /** Perceptual average-hash (aHash): NN-resize the (stub-)decoded image to
+    * 8×8, channel-average to grayscale, threshold each cell against the
+    * image mean → 64-bit hash. Visually-near images differ in few bits, so
+    * image near-dup detection is Hamming distance on 8 bytes — the standard
+    * image-dedup trick at corpus scale. Only [[decodeStub]] stands in for
+    * the codec; the hash math is the real aHash. */
+  def perceptualHash(rows: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val px = decodeStub(r.payload, r.width, r.height, r.channels)
+        val c = r.channels
+        val g = new Array[Double](64)
+        var y = 0
+        while (y < 8) {
+          val sy = y * r.height / 8
+          var x = 0
+          while (x < 8) {
+            val sx = x * r.width / 8
+            var s = 0
+            var ch = 0
+            while (ch < c) { s += px((sy * r.width + sx) * c + ch) & 0xff; ch += 1 }
+            g(y * 8 + x) = s.toDouble / c
+            x += 1
+          }
+          y += 1
+        }
+        val mean = g.sum / 64
+        var h = 0L
+        var i = 0
+        while (i < 64) { if (g(i) > mean) h |= (1L << i); i += 1 }
+        PHashRow(r.doc_id, h)
+      }
+    }
+  }
+
+  /** Image near-dup summary by perceptual hash: candidates share one of
+    * four 16-bit hash chunks (pigeonhole — any pair within Hamming 3 must
+    * share a chunk; wider matches surface when chunks agree), then every doc
+    * reports its candidate count and closest match by full Hamming. Same
+    * bucketed shape as SimHash text dedup: only (chunk, key, id) crosses the
+    * shuffle, never pixels. One row per doc — byte-identical images show
+    * best_hamming 0. */
+  def phashPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // media dims derive from CONTENT (not doc_id) so duplicate payloads make
+    // identical images — the property image dedup actually relies on
+    val media = docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      (col("n_chars") % 64 + 16).cast("int").as("width"),
+      (col("n_chars") % 48 + 16).cast("int").as("height"),
+      lit(3).as("channels"))
+    val hashes = perceptualHash(media.as[MediaRow]).toDF()
+    val chunked = hashes.select(
+      col("doc_id"), col("phash"),
+      explode(array((0 until 4).map { ci =>
+        struct(lit(ci).as("chunk"),
+          shiftright(col("phash"), ci * 16).bitwiseAND(lit(0xffffL)).as("ckey"))
+      }: _*)).as("cc"))
+      .select(col("doc_id"), col("phash"), col("cc.chunk"), col("cc.ckey"))
+    val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+    val perDoc = a.join(b, Seq("chunk", "ckey"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ph_a"), col("ph_b"))
+      .distinct()
+      .withColumn("hamming", graft.functions.text.hamming64(col("ph_a"), col("ph_b")))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        min_by(struct(col("doc_b"), col("hamming")),
+          struct(col("hamming"), col("doc_b"))).as("best"))
+      .select(col("doc_id"), col("n_candidates"),
+        col("best.doc_b").as("best_match"), col("best.hamming").cast("long").as("best_hamming"))
+    hashes.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_match"), col("best_hamming"))
+  }
 }

@@ -25,6 +25,30 @@ object DedupQueries {
       .select(col("doc_id"), col("fp"), col("keep_id"), col("is_dup"))
   }
 
+  /** Passage-level exact dedup — the boilerplate-removal granularity between
+    * document hash (q30) and shingle overlap (q31): each doc splits into
+    * fixed 20-word passages by pure array slicing (order-safe, zero shuffle
+    * until the passage-hash groupBy), and passages appearing in more than
+    * one document are reported with occurrence counts and a canonical doc.
+    * At 100 TB the only shuffle key is the 16-byte passage hash. */
+  private def q30b(s: SparkSession, d: String): DataFrame = {
+    val P = 20
+    Tables(s, d, "documents")
+      .repartition(col("doc_id")) // single-file scan -> spread the split work
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("passages",
+        transform(
+          sequence(lit(0), ceil(size(col("ws")) / lit(P.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("ws"), i * P + 1, lit(P)), " ")))
+      .select(col("doc_id"), explode(col("passages")).as("passage"))
+      .groupBy(md5(col("passage").cast("binary")).as("passage_hash"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** Word-3-gram Jaccard pairs via capped posting lists
     * ([[graft.operators.NgramJaccard]]): only pairs sharing ≥1 sub-boilerplate
     * shingle are materialized, and no reducer sees more than dfCap² pair
@@ -213,6 +237,7 @@ object DedupQueries {
     "q38_dedup_clusters" -> (q38 _),
     "q38b_dedup_clusters_exact" -> (q38b _),
     "q30_dedup_exact" -> (q30 _),
+    "q30b_dedup_passage" -> (q30b _),
     "q31_dedup_ngram_jaccard" -> (q31 _),
     "q32_dedup_minhash_lsh" -> (q32 _),
     "q33_dedup_simhash" -> (q33 _),
@@ -239,6 +264,17 @@ object DedupQueries {
         |       MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS keep_id,
         |       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS is_dup
         |FROM documents""".stripMargin,
+    "q30b_dedup_passage" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, ws,
+        |         UNNEST(generate_series(0, CAST(ceil(len(ws) / 20.0) AS BIGINT) - 1)) AS i
+        |  FROM d
+        |),
+        |p AS (SELECT doc_id, array_to_string(ws[i*20+1:(i+1)*20], ' ') AS passage FROM p0)
+        |SELECT md5(passage) AS passage_hash, COUNT(*) AS n_occurrences,
+        |       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS canonical_doc
+        |FROM p GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin,
     "q31_dedup_ngram_jaccard" ->
       s"""WITH $shingleDocsCte,
          |d2 AS (SELECT doc_id, sh, len(sh) AS n FROM docs),

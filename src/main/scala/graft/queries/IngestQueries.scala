@@ -21,7 +21,7 @@ object IngestQueries {
 
   /** Scratch dir for spool/checkpoint scaffolding, deleted recursively at
     * JVM exit so repeated Verify/Bench invocations don't accumulate disk. */
-  private def scratchDir(prefix: String): java.nio.file.Path = {
+  private[queries] def scratchDir(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {

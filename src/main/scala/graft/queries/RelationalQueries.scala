@@ -87,6 +87,41 @@ object RelationalQueries {
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), sumDet(col("o_totalprice"), moneyScale).as("revenue"))),
 
+    // stream-stream INTERVAL JOIN: big purchases matched to the errors that
+    // follow within an hour, both sides watermarked so join state is
+    // bounded (each side retains ~watermark+interval of rows per key, GC'd
+    // as the watermark advances — the shape that survives an unbounded
+    // feed). Timestamps are ms-truncated on write so the result is exactly
+    // the batch join the oracle computes.
+    "st06_stream_stream_join" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val spool = IngestQueries.scratchDir("graft_ss_join")
+      Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          timestamp_millis(expr("unix_micros(ts) DIV 1000")).as("ts"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(spool.toString)
+      val src = s.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+        .parquet(spool.toString)
+      val p = src.filter(col("event_type") === "purchase" && col("value") > 300)
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val er = src.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "2 hours")
+      val joined = p.join(er,
+        expr("user_id = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 1 hour"))
+        .select(col("purchase_id"), col("error_id"), col("user_id"))
+      val q = joined.writeStream
+        .format("memory").queryName("st06_mem")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st06_mem")
+    }),
+
     // as-of/range join: last signup within 7 days before each purchase
     "q24_range_join_events" -> ((s: SparkSession, d: String) => {
       val e = Tables(s, d, "events").withColumn("ms", expr("unix_micros(ts) DIV 1000"))
@@ -182,6 +217,12 @@ object RelationalQueries {
          |SELECT user_id, MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
          |       COUNT(*) AS n_events, ${sumDetSql("value")} AS sum_value
          |FROM z GROUP BY user_id, session_idx""".stripMargin,
+    "st06_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id AS user_id
+        |FROM events p JOIN events e ON p.user_id = e.user_id
+        |WHERE p.event_type = 'purchase' AND p.value > 300 AND e.event_type = 'error'
+        |  AND epoch_ms(e.ts) >= epoch_ms(p.ts)
+        |  AND epoch_ms(e.ts) <= epoch_ms(p.ts) + 3600000""".stripMargin,
     "q24_range_join_events" ->
       s"""SELECT p.event_id AS purchase_id, MAX(epoch_ms(s.ts)) AS last_signup_ms
          |FROM events p JOIN events s ON p.user_id = s.user_id

@@ -137,6 +137,45 @@ object SimilarityQueries {
           / 1e15 / 64.0).as("mse"))
   }
 
+  /** Product quantization (the FAISS PQ codebook shape): 64 dims → 8
+    * subspaces × 8 dims; an independent 16-centroid codebook per subspace,
+    * all 8 trained in ONE distributed pass by [[graft.operators.KMeans
+    * .fitGrouped]] (grouped Lloyd's, squared-L2). Each vector encodes as 8
+    * one-byte codes — 64 doubles to 8 bytes — and the output reports, per
+    * (vec_id, subspace), the chosen code and that subspace's squared
+    * reconstruction error (fixed-order sum — deterministic). Rows-only
+    * (k-means codebooks aren't SQL-expressible); the spec checks
+    * determinism across partitionings and that PQ reconstruction beats the
+    * one-centroid baseline. */
+  private def q58b(s: SparkSession, d: String): DataFrame = {
+    val subs = 8
+    val subDim = 8
+    val subv = Tables(s, d, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("full"))
+      .select(col("vec_id").as("id"), posexplode(
+        transform(sequence(lit(0), lit(subs - 1)),
+          i => slice(col("full"), i * subDim + 1, lit(subDim)))).as(Seq("grp", "emb")))
+      .select(col("grp").cast("int").as("grp"), col("id"), col("emb"))
+      .localCheckpoint(true) // reused by train AND encode; freed on dereference
+    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 3)
+      .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
+    subv.join(broadcast(codebooks), Seq("grp"))
+      .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
+      .groupBy(col("grp"), col("id"))
+      .agg(max_by(
+        struct(col("list_id"), col("cemb"), col("emb")),
+        struct(col("score"), (-col("list_id")).as("neg"))).as("best"))
+      .select(
+        col("id").as("vec_id"),
+        col("grp").cast("long").as("sub"),
+        col("best.list_id").cast("long").as("code"),
+        round(
+          aggregate(
+            zip_with(col("best.emb"), col("best.cemb"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x) / subDim, 9).as("sub_sq_err"))
+  }
+
   /** Per-label embedding statistics (norm distribution) — the sanity pass a
     * vector pipeline runs before indexing. */
   private def q52(s: SparkSession, d: String): DataFrame =
@@ -157,7 +196,8 @@ object SimilarityQueries {
     "q36_ann_lsh" -> (q36 _),
     "q37_ann_ivf" -> (q37 _),
     "q52_embedding_stats" -> (q52 _),
-    "q58_embedding_quantize" -> (q58 _))
+    "q58_embedding_quantize" -> (q58 _),
+    "q58b_pq_quantize" -> (q58b _))
 
   val oracleSql: Map[String, String] = Map(
     "q58_embedding_quantize" ->

@@ -122,6 +122,28 @@ class DedupSpec extends AnyFunSuite {
     assert(byCluster.exists(_._2.length >= 2))
   }
 
+  test("PQ (grouped k-means): full coverage, valid codes, beats 1-centroid baseline, deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = queries.SimilarityQueries.queries("q58b_pq_quantize")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
+        r.getAs[Long]("code"), r.getAs[Double]("sub_sq_err"))).sortBy(t => (t._1, t._2))
+    val rows = run()
+    val nVecs = queries.Tables(spark, sf, "embeddings").count()
+    assert(rows.length == nVecs * 8, "8 subspace codes per vector")
+    assert(rows.forall(t => t._3 >= 1 && t._3 <= 16), "codes index the 16-entry codebooks")
+    // reconstruction must beat the k=1 baseline (per-dim variance around the
+    // subspace mean) by a clear margin — otherwise the codebooks didn't train
+    val pqErr = rows.map(_._4).sum / rows.length
+    val dims = queries.Tables(spark, sf, "embeddings")
+      .select(posexplode(vectors.toDoubleArr(col("embedding"))).as(Seq("pos", "x")))
+    val baseline = dims.groupBy(col("pos"))
+      .agg(avg(col("x")).as("mu"), avg(col("x") * col("x")).as("ex2"))
+      .agg(avg(col("ex2") - col("mu") * col("mu"))).first().getDouble(0)
+    assert(pqErr < baseline * 0.8, s"PQ err $pqErr vs k=1 baseline $baseline")
+    // engineered determinism: a second full train+encode is bit-identical
+    assert(run().sameElements(rows), "codes and errors reproduce exactly")
+  }
+
   test("cosine primitives: self-similarity 1, orthogonal 0; LSH bucket stable") {
     import spark.implicits._
     val df = Seq(

@@ -117,6 +117,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("n_bytes").distinct().collect().map(_.getLong(0)).toSeq == Seq(16L * 16 * 3))
   }
 
+  test("perceptual hash: identical images collide, small edits stay near, near-dup pairs surface") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val payload = Array.tabulate[Byte](600)(i => ((i * 31) % 251).toByte)
+    val edited = payload.clone(); edited(5) = 77; edited(300) = 11
+    val other = Array.tabulate[Byte](600)(i => ((i * 17 + 101) % 241).toByte)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, payload, 20, 20, 3),
+      Multimodal.MediaRow(2L, payload, 20, 20, 3), // identical image
+      Multimodal.MediaRow(3L, edited, 20, 20, 3), // two bytes changed
+      Multimodal.MediaRow(4L, other, 20, 20, 3)).toDS()
+    val h = Multimodal.perceptualHash(rows).collect().map(r => r.doc_id -> r.phash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L), "identical pixels must hash identically")
+    assert(ham(h(1L), h(3L)) <= 8, s"tiny edit moved ${ham(h(1L), h(3L))} bits")
+    // the per-doc pipeline: duplicate TEXTS make identical images (dims
+    // derive from content), so both copies report best_hamming 0
+    val docs = Seq(
+      (1L, "the same exact body of text repeated", 37L),
+      (2L, "the same exact body of text repeated", 37L),
+      (3L, "a completely different document body here", 41L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = graft.operators.Multimodal.phashPairs(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out.size == 3, "one summary row per doc, always")
+    assert(out(1L)._2 == 0L && out(2L)._2 == 0L, s"identical docs must report hamming 0: $out")
+    // full corpus run: one row per doc, deterministic
+    val corpus = SparkEntry.queries("mm04_phash_neardup")(spark, "/root/testdata/sf0.001")
+    assert(corpus.count() ==
+      queries.Tables(spark, "/root/testdata/sf0.001", "documents").count())
+  }
+
   test("frame sampling fans each doc out to ceil(height/stride) frames") {
     val sf = "/root/testdata/sf0.001"
     val docs = queries.Tables(spark, sf, "documents")
