@@ -32,6 +32,12 @@ object vectors {
   def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)}) / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
 
+  /** All `tables` RHP-LSH buckets in one compiled pass (native expression;
+    * table t uses seed t*seedStride — elementwise identical to `tables`
+    * separate [[rhpBucket]] calls, parity spec-checked). */
+  def rhpBuckets(vec: Column, bits: Int, tables: Int, seedStride: Int): Column =
+    call_function("rhp_buckets", vec, lit(bits), lit(tables), lit(seedStride))
+
   /** Random-hyperplane LSH bucket: `bits` sign bits from deterministic
     * pseudo-hyperplanes (component sign of xxhash64(planeIdx, componentIdx)).
     * Same-bucket vectors are ANN candidates. */

@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("parse_ipfix", "parse_ipfix(message) - decode an IPFIX (RFC 7011) message (template-driven)"),
       (exprs: Seq[Expression]) => graft.sources.ParseIpfix(exprs(0))))
     e.injectFunction((
+      FunctionIdentifier("rhp_buckets"),
+      info("rhp_buckets", "rhp_buckets(vec, bits, tables, seed_stride) - all multi-table RHP-LSH buckets in one pass"),
+      (exprs: Seq[Expression]) => {
+        def i(e: Expression): Int = e.eval().asInstanceOf[Int]
+        RhpBuckets(exprs(0), i(exprs(1)), i(exprs(2)), i(exprs(3)))
+      }))
+    e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k-component MinHash signature"),
       (exprs: Seq[Expression]) => {

@@ -56,6 +56,20 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(child = newChild)
 }
 
+/** rhp_buckets(vec, bits, tables, seedStride): all multi-table RHP-LSH
+  * buckets in one pass — the fused form of `tables` separate rhpBucket HOF
+  * calls (each of which is `bits` interpreted array folds). */
+case class RhpBuckets(child: Expression, bits: Int, tables: Int, seedStride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.rhpBuckets(input.asInstanceOf[ArrayData], bits, tables, seedStride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.NativeKernels.rhpBuckets($c, $bits, $tables, $seedStride);")
+  override protected def withNewChildInternal(newChild: Expression): RhpBuckets = copy(child = newChild)
+}
+
 /** vec_dot(a, b): double dot product, accumulating left-to-right exactly
   * like the `aggregate(zip_with(...))` fold it replaces — results stay
   * bit-identical to the DuckDB oracle's left-associated term chain. */

@@ -84,6 +84,37 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** All `tables` random-hyperplane LSH buckets in ONE pass: bucket t bit p
+    * is the sign of Σ ±x[i] with the sign of component i drawn from
+    * xxhash64(t*seedStride + p, i) — exactly the per-table
+    * [[graft.functions.vectors.rhpBucket]] HOF (int literals hash via
+    * hashInt, seed chain 42 → plane → component), but tables×bits
+    * interpreted array folds collapse into one compiled loop. */
+  def rhpBuckets(vec: ArrayData, bits: Int, tables: Int, seedStride: Int): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        val hseed = XXH64.hashInt(t * seedStride + p, 42L)
+        var acc = 0.0d
+        var i = 0
+        while (i < n) {
+          val x = vec.getDouble(i)
+          acc += (if ((XXH64.hashInt(i, hseed) & 1L) == 0L) x else -x)
+          i += 1
+        }
+        if (acc > 0.0d) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Double dot product, accumulating left-to-right exactly like the
     * `aggregate(zip_with(...))` fold — bit-identical to the DuckDB oracle's
     * left-associated term chain. */

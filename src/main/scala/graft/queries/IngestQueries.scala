@@ -217,12 +217,14 @@ object IngestQueries {
       .agg(
         count(lit(1)).as("doc_count"),
         graft.functions.detsum.sumDet(col("__contrib")).as("value"))
-    val q = series.writeStream
-      .format("memory").queryName("st04_mem")
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Tables.withShufflePartitions(s, 8) {
+      val q = series.writeStream
+        .format("memory").queryName("st04_mem")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table("st04_mem")
   }
 
@@ -340,13 +342,17 @@ object IngestQueries {
           count(lit(1)).as("n_flows"),
           sum(col("octets")).as("total_octets"),
           sum(col("flow_end_ms") - col("flow_start_ms")).as("total_duration_ms"))
-      val q = agg.writeStream
-        .format("memory").queryName("st05_mem")
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // consistent across BOTH runs: state partitioning is fixed by the
+      // checkpoint at first run
+      Tables.withShufflePartitions(s, 8) {
+        val q = agg.writeStream
+          .format("memory").queryName("st05_mem")
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     // PHASE 1: templates only — no decodable data yet
     tmplMsgs.repartition(1).write.mode("append").parquet(spool.toString)

@@ -96,11 +96,17 @@ object RelationalQueries {
     "st06_stream_stream_join" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.streaming.Trigger
       val spool = IngestQueries.scratchDir("graft_ss_join")
+      // the feed carries only the two topics the join consumes — the
+      // filters would push into the scan anyway, but a smaller spool also
+      // shrinks the streaming state both sides keep
       Tables(s, d, "events")
+        .filter(col("event_type") === "error" ||
+          (col("event_type") === "purchase" && col("value") > 300))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           timestamp_millis(expr("unix_micros(ts) DIV 1000")).as("ts"))
-        .repartition(4)
+        .repartition(2)
         .write.mode("overwrite").parquet(spool.toString)
+      Tables.withShufflePartitions(s, 8) {
       val src = s.readStream
         .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
         .parquet(spool.toString)
@@ -120,6 +126,7 @@ object RelationalQueries {
         .start()
       q.awaitTermination()
       s.table("st06_mem")
+      }
     }),
 
     // as-of/range join: last signup within 7 days before each purchase

@@ -46,11 +46,13 @@ object SimilarityQueries {
   private def q36(s: SparkSession, d: String): DataFrame = {
     val tables = 8
     val bits = 5
+    // all 8 table buckets come from ONE native-kernel pass over the vector
+    // (the per-table HOF form is bits interpreted folds × tables — measured
+    // 4.8s → sub-second for this query at sf0.1); posexplode position = table
     def bucketed(df: DataFrame): DataFrame =
-      df.select(col("*"), explode(array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"), vectors.rhpBucket(col("emb"), bits, seed = t * 64).as("bucket"))
-      }: _*)).as("tb"))
-        .select(df.columns.map(col) :+ col("tb.tbl") :+ col("tb.bucket"): _*)
+      df.withColumn("bkts", vectors.rhpBuckets(col("emb"), bits, tables, seedStride = 64))
+        .select(col("*"), posexplode(col("bkts")).as(Seq("tbl", "bucket")))
+        .drop("bkts")
     val c = corpus(s, d)
     val qb = bucketed(c.filter(col("vec_id") % 50 === 0))
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"),

@@ -17,6 +17,20 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "orders" -> Seq("o_orderdate"))
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily set to `n`,
+    * restoring the previous value after. Streaming harness queries use this
+    * to size the STATE STORE shard count to the state they actually keep —
+    * a stateful operator spins up one store (with per-batch commit I/O) per
+    * shuffle partition, so a tiny-state query at 32 partitions pays 32
+    * store commits per side per batch for nothing. On a cluster the same
+    * knob tracks executor count; results are partitioning-independent
+    * (detsum) either way. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     tsCols.getOrElse(name, Nil).filter(raw.columns.contains).foldLeft(raw) { (df, c) =>

@@ -70,32 +70,37 @@ object FlowStream {
     val dir = Files.createTempDirectory("graft_stream_docs")
     Files.createSymbolicLink(dir.resolve("documents.parquet"), Paths.get(sfDir, "documents.parquet"))
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val docs = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("fp", md5(graft.functions.text.norm(col("text")).cast("binary")))
-      .dropDuplicates("source", "fp")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_distinct"))
-    val q = docs.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    // tiny state (one store per shuffle partition) -> size the shard count
+    // to it instead of paying 32 store commits per batch
+    graft.queries.Tables.withShufflePartitions(spark, 8) {
+      val docs = spark.readStream.schema(schema).parquet(dir.toString)
+        .withColumn("fp", md5(graft.functions.text.norm(col("text")).cast("binary")))
+        .dropDuplicates("source", "fp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct"))
+      val q = docs.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
   }
 
   /** Run the stream to completion (AvailableNow) and return the final
     * histogram — the driver-contract entry point. Matches the batch q01
     * result exactly, so it shares q01's DuckDB oracle. */
-  def runToCompletion(spark: SparkSession, sfDir: String, cfg: Config, name: String): DataFrame = {
-    val result = bucketedStream(flowSource(spark, sfDir), cfg)
-    val q = result.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def runToCompletion(spark: SparkSession, sfDir: String, cfg: Config, name: String): DataFrame =
+    graft.queries.Tables.withShufflePartitions(spark, 8) {
+      val result = bucketedStream(flowSource(spark, sfDir), cfg)
+      val q = result.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 }

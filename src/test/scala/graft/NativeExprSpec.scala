@@ -38,6 +38,15 @@ class NativeExprSpec extends AnyFunSuite {
     assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native RhpBuckets equals the per-table rhpBucket HOF form") {
+    val e = queries.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
+    val cmp = e.select(
+      vectors.rhpBuckets(col("emb"), bits = 5, tables = 8, seedStride = 64).as("native"),
+      array((0 until 8).map(t => vectors.rhpBucket(col("emb"), 5, seed = t * 64)): _*).as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("native functions resolve from SQL via the session extension") {
     val r = spark.sql(
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
