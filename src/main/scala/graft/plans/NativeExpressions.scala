@@ -61,6 +61,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   * calls (each of which is `bits` interpreted array folds). */
 case class RhpBuckets(child: Expression, bits: Int, tables: Int, seedStride: Int)
     extends UnaryExpression {
+  override def prettyName: String = "rhp_buckets"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     NativeKernels.rhpBuckets(input.asInstanceOf[ArrayData], bits, tables, seedStride)

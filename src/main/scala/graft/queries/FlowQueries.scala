@@ -212,6 +212,23 @@ object FlowQueries {
         .filter(col("sdiff").isNotNull)
         .select(col("bucket_ms"), col("value"), col("sdiff"))
     }),
+    // ES `rate` agg (unit: second): the per-bucket proportional sum
+    // normalized by bucket length — the bytes/sec series the Drift UI
+    // actually charts. One deterministic scalar op on the detsum'd value.
+    "q01r_prop_sum_rate" -> ((spark: SparkSession, dir: String) =>
+      q(basicCfg)(spark, dir)
+        .withColumn("rate_per_sec", col("value") / lit(basicCfg.intervalMs / 1000.0))),
+    // ES `moving_percentiles` pipeline agg: exact percentile over a 7-bucket
+    // sliding frame. The window runs AFTER aggregation over the bounded
+    // bucket series (≤(end-start)/interval rows), like q08/q09.
+    "q09c_moving_percentiles" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("bucket_ms")).rowsBetween(-6, 0)
+      q(basicCfg)(spark, dir)
+        .withColumn("moving_p50", round(expr("percentile(value, 0.5)").over(w), 6))
+        .withColumn("moving_p90", round(expr("percentile(value, 0.9)").over(w), 6))
+        .select(col("bucket_ms"), col("value"), col("moving_p50"), col("moving_p90"))
+    }),
     "q09_cumulative_window" -> ((spark: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
       val scaled = round(col("value") * lit(1.0e6)).cast(org.apache.spark.sql.types.DecimalType(27, 0))
@@ -320,6 +337,22 @@ object FlowQueries {
          |       CAST(SUM($scaled) OVER (ORDER BY bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1.0e6 AS cum_value,
          |       round(CAST(SUM($scaled) OVER (ORDER BY bucket_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1.0e6
          |             / COUNT(*) OVER (ORDER BY bucket_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+         |FROM agg""".stripMargin
+    },
+    "q01r_prop_sum_rate" -> {
+      val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
+      s"""$core
+         |SELECT bucket_ms, doc_count, value,
+         |       value / ${basicCfg.intervalMs / 1000.0} AS rate_per_sec
+         |FROM agg""".stripMargin
+    },
+    "q09c_moving_percentiles" -> {
+      val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
+      val frame = "ORDER BY bucket_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW"
+      s"""$core
+         |SELECT bucket_ms, value,
+         |       round(quantile_cont(value, 0.5) OVER ($frame), 6) AS moving_p50,
+         |       round(quantile_cont(value, 0.9) OVER ($frame), 6) AS moving_p90
          |FROM agg""".stripMargin
     },
     "q02_prop_sum_offset" -> oracle(offsetCfg),

@@ -128,6 +128,34 @@ class PlanSpec extends AnyFunSuite {
       s"reader must receive only the 3 pruned columns; plan:\n${p.linesIterator.filter(_.contains("Output")).mkString("\n")}")
   }
 
+  test("q18b: the top-N key set broadcasts; exploded rows never shuffle to find their label") {
+    val p = plan("q18b_topn_other_series")
+    assert(p.contains("BroadcastHashJoin"), "top-N membership must be a broadcast join")
+    assert(!p.contains("SortMergeJoin"), "the exploded fact side must not sort-merge")
+  }
+
+  test("q36: all LSH table buckets come from one fused kernel call") {
+    val p = plan("q36_ann_lsh")
+    assert("rhp_buckets".r.findAllIn(p).size >= 1 && !p.contains("zip_with"),
+      "bucketing must be the fused native expression, not per-table HOF folds")
+    assert(p.contains("BroadcastHashJoin"), "the bucketed query side must broadcast")
+  }
+
+  test("q30b: passage dedup shuffles only on the passage hash (single exchange)") {
+    val p = plan("q30b_dedup_passage")
+    // repartition of the narrow doc scan + the passage-hash aggregation;
+    // nothing else may shuffle
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2,
+      "scan-spreading repartition + passage-hash aggregation only")
+    assert(p.contains("partial_count"), "occurrence counts must combine map-side")
+  }
+
+  test("q58b/q37: k-means centroid frames are literals (training never re-triggers)") {
+    val p = plan("q58b_pq_quantize")
+    assert(p.contains("LocalTableScan"), "codebooks must enter the plan as literal rows")
+    assert(p.contains("BroadcastHashJoin"), "codebooks broadcast to the encode join")
+  }
+
   test("q46: the JSON blob is parsed exactly once per row") {
     val p = plan("q46_json_extract")
     assert("get_json_object".r.findAllIn(p).size == 1,
