@@ -26,7 +26,9 @@ object SparkEntry {
         "mm03_resize_grid" -> ((s, d) =>
           graft.operators.Multimodal.resizePipeline(Tables(s, d, "documents"))),
         "mm04_phash_neardup" -> ((s, d) =>
-          graft.operators.Multimodal.phashPairs(Tables(s, d, "documents"))))
+          graft.operators.Multimodal.phashPairs(Tables(s, d, "documents"))),
+        "mm05_audio_windows" -> ((s, d) =>
+          graft.operators.Multimodal.audioPipeline(Tables(s, d, "documents"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */

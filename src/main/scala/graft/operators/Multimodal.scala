@@ -159,6 +159,53 @@ object Multimodal {
     resize(attachPayload(docs).as[MediaRow], outW = 16, outH = 16).toDF()
   }
 
+  case class AudioWindow(doc_id: Long, win_idx: Int, rms: Double, zero_crossings: Int)
+
+  /** Audio-style plumbing: the payload read as big-endian 16-bit PCM mono,
+    * framed into `win`-sample windows at `hop` stride, per-window RMS and
+    * zero-crossing count — the exact fan-out/feature shape a real audio
+    * featurizer (VAD, loudness normalization) has. The byte→sample read IS
+    * the stub boundary: a real build decodes the container first; everything
+    * downstream (framing, hop arithmetic, features, fan-out) is real. */
+  def audioWindows(rows: Dataset[MediaRow], win: Int = 256, hop: Int = 128): Dataset[AudioWindow] = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { r =>
+      val bytes = r.payload
+      val n = bytes.length / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+        i += 1
+      }
+      val out = Seq.newBuilder[AudioWindow]
+      var w = 0
+      var start = 0
+      while (start + win <= n) {
+        var sumSq = 0L
+        var zc = 0
+        var j = 0
+        while (j < win) {
+          val s = samples(start + j)
+          sumSq += s.toLong * s
+          if (j > 0 && ((s >= 0) != (samples(start + j - 1) >= 0))) zc += 1
+          j += 1
+        }
+        out += AudioWindow(r.doc_id, w, math.sqrt(sumSq.toDouble / win), zc)
+        w += 1
+        start += hop
+      }
+      out.result()
+    }
+  }
+
+  /** Audio-window pipeline over documents (64-sample windows, 32 hop — the
+    * doc payloads are short). */
+  def audioPipeline(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    audioWindows(attachPayload(docs).as[MediaRow], win = 64, hop = 32).toDF()
+  }
+
   case class PHashRow(doc_id: Long, phash: Long)
 
   /** Perceptual average-hash (aHash): NN-resize the (stub-)decoded image to

@@ -383,6 +383,19 @@ object EsAggQueries {
         .agg(count(lit(1)).as("sample_count"), sumDet(col("value")).as("sample_sum"))
     }),
 
+    // ES `top_metrics` agg: the metric value carried by the row that sorts
+    // first (here: latest by timestamp) per bucket — a single map-side
+    // argmax, never a per-group sort.
+    "q16c_top_metrics" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(struct(col("value"), col("event_id")),
+            struct(col("ms"), col("event_id"))).as("top"),
+          max(col("ms")).as("latest_ms"))
+        .select(col("event_type"), col("top.value").as("latest_value"),
+          col("top.event_id").as("latest_event_id"), col("latest_ms"))),
+
     // ES search `collapse`: one best hit per collapse key (top doc by sort),
     // top-10 groups by that hit, with the group size inner_hits would report.
     // argmax via max_by so the per-key reduction collapses map-side.
@@ -635,6 +648,15 @@ object EsAggQueries {
          |)
          |SELECT event_type, COUNT(*) AS sample_count, ${sumDetSql("value")} AS sample_sum
          |FROM sampled GROUP BY event_type""".stripMargin,
+    "q16c_top_metrics" ->
+      """SELECT event_type, value AS latest_value, event_id AS latest_event_id, ms AS latest_ms
+        |FROM (
+        |  SELECT event_type, value, event_id, epoch_ms(ts) AS ms,
+        |         row_number() OVER (
+        |           PARTITION BY event_type
+        |           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
     "q16b_field_collapse" ->
       """SELECT user_id, event_id, event_type, value, group_size FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -31,6 +31,30 @@ object TextQueries {
       |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ES `significant_text`: tokens over-represented in a foreground doc set
+    // (source src0) vs the whole corpus — q11b's ratio scoring at token
+    // granularity, with distinct-per-doc tokenization and a min background
+    // frequency, the way significant_text samples and dedupes. The token
+    // frequency tables shuffle on the token only.
+    "q11g_significant_text" -> ((s: SparkSession, d: String) => {
+      val toks = docs(s, d)
+        .repartition(col("doc_id"))
+        .select(col("source"), explode(array_distinct(col("toks"))).as("tok"))
+      val bg = toks.groupBy(col("tok")).agg(count(lit(1)).as("bg_count"))
+      val fg = toks.filter(col("source") === "src0")
+        .groupBy(col("tok")).agg(count(lit(1)).as("fg_count"))
+      val totals = toks.agg(
+        count(lit(1)).as("bg_total"),
+        count(when(col("source") === "src0", 1)).as("fg_total"))
+      fg.join(bg, Seq("tok"))
+        .crossJoin(broadcast(totals))
+        .filter(col("bg_count") >= 5)
+        .withColumn("score",
+          round((col("fg_count") / col("fg_total")) / (col("bg_count") / col("bg_total")), 6))
+        .select(col("tok"), col("fg_count"), col("bg_count"), col("score"))
+        .orderBy(col("score").desc, col("tok").asc)
+        .limit(15)
+    }),
     "q40_lang_id" -> ((s: SparkSession, d: String) => {
       val base = docs(s, d)
         .withColumn("s_en", text.stopwordCount(col("toks"), stopEn))
@@ -329,6 +353,18 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q11g_significant_text" ->
+      s"""WITH $docsCte,
+         |t AS (SELECT source, UNNEST(list_distinct(toks)) AS tok FROM docs),
+         |bg AS (SELECT tok, COUNT(*) AS bg_count FROM t GROUP BY tok),
+         |fg AS (SELECT tok, COUNT(*) AS fg_count FROM t WHERE source = 'src0' GROUP BY tok),
+         |tot AS (SELECT COUNT(*) AS bg_total,
+         |               COUNT(*) FILTER (WHERE source = 'src0') AS fg_total FROM t)
+         |SELECT fg.tok AS tok, fg_count, bg_count,
+         |       round((fg_count / fg_total) / (bg_count / bg_total), 6) AS score
+         |FROM fg JOIN bg ON fg.tok = bg.tok, tot
+         |WHERE bg_count >= 5
+         |ORDER BY score DESC, tok ASC LIMIT 15""".stripMargin,
     "q57_token_budget_mix" ->
       s"""WITH $docsCte,
          |g AS (

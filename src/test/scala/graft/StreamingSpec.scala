@@ -150,6 +150,30 @@ class StreamingSpec extends AnyFunSuite {
       queries.Tables(spark, "/root/testdata/sf0.001", "documents").count())
   }
 
+  test("audio windows: framing arithmetic, RMS, and zero-crossing counts are exact") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 3 windows' worth of samples at win=4, hop=2: sample i = value v(i)
+    def pcm(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap(s => Seq(((s >> 8) & 0xff).toByte, (s & 0xff).toByte)).toArray
+    val constant = Multimodal.MediaRow(1L, pcm(Seq.fill(8)(100)), 0, 0, 1)
+    val alternating = Multimodal.MediaRow(2L, pcm(Seq(100, -100, 100, -100, 100, -100, 100, -100)), 0, 0, 1)
+    val out = Multimodal.audioWindows(Seq(constant, alternating).toDS(), win = 4, hop = 2)
+      .collect().groupBy(_.doc_id)
+    // 8 samples, win 4, hop 2 -> windows at 0,2,4
+    assert(out(1L).map(_.win_idx).sorted.toSeq == Seq(0, 1, 2))
+    assert(out(1L).forall(w => w.rms == 100.0 && w.zero_crossings == 0))
+    assert(out(2L).forall(w => w.rms == 100.0 && w.zero_crossings == 3))
+    // corpus pipeline: fan-out count = floor((n_samples - win) / hop) + 1 per doc
+    val sf = "/root/testdata/sf0.001"
+    val frames = SparkEntry.queries("mm05_audio_windows")(spark, sf)
+    val perDoc = frames.groupBy("doc_id").count()
+    val expected = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), (length(col("text")) / 2).cast("int").as("n"))
+      .select(col("doc_id"), (floor((col("n") - 64) / 32) + 1).cast("long").as("want"))
+    assert(perDoc.join(expected, "doc_id").filter(col("count") =!= col("want")).count() == 0)
+  }
+
   test("frame sampling fans each doc out to ceil(height/stride) frames") {
     val sf = "/root/testdata/sf0.001"
     val docs = queries.Tables(spark, sf, "documents")
