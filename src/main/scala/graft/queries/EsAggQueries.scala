@@ -383,6 +383,47 @@ object EsAggQueries {
         .agg(count(lit(1)).as("sample_count"), sumDet(col("value")).as("sample_sum"))
     }),
 
+    // ES `variable_width_histogram`: buckets from 1-D clustering of the
+    // value distribution (ES streams a clusterer per shard + coordinator
+    // merge; here it is the deterministic distributed k-means used for IVF,
+    // on 1-dim vectors). Rows-only: a clustering has no SQL oracle; the
+    // spec pins bucket disjointness, full coverage, and determinism.
+    "q10g_variable_width_histogram" -> ((s: SparkSession, d: String) => {
+      val vecs = ev(s, d)
+        .select(lit(0).as("grp"), col("event_id").as("id"), array(col("value")).as("emb"))
+      val cb = graft.operators.KMeans.fitGrouped(vecs, k = 8, rounds = 3)
+        .withColumn("c2", expr("cemb[0] * cemb[0]"))
+      val assigned = vecs.join(broadcast(cb), Seq("grp"))
+        .withColumn("x", expr("emb[0]"))
+        .withColumn("sc", lit(2.0) * col("x") * expr("cemb[0]") - col("c2"))
+        .groupBy(col("id"))
+        .agg(max_by(
+          struct(col("list_id"), col("x")),
+          struct(col("sc"), (-col("list_id")).as("neg"))).as("best"))
+        .select(col("best.list_id").as("list_id"), col("best.x").as("x"))
+      assigned.groupBy(col("list_id"))
+        .agg(
+          count(lit(1)).as("doc_count"),
+          min(col("x")).as("min_value"),
+          max(col("x")).as("max_value"),
+          (sumDet(col("x"), 6) / count(lit(1))).as("centroid"))
+        .withColumn("bucket_rank",
+          row_number().over(Window.orderBy(col("min_value").asc, col("list_id").asc)).cast("long"))
+        .drop("list_id")
+    }),
+
+    // ES `boxplot` agg: exact five-number summary + IQR whiskers per group
+    "q15e_boxplot" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          min(col("value")).as("lo"),
+          round(expr("percentile(value, 0.25)"), 6).as("q1"),
+          round(expr("percentile(value, 0.5)"), 6).as("q2"),
+          round(expr("percentile(value, 0.75)"), 6).as("q3"),
+          max(col("value")).as("hi"))
+        .withColumn("iqr", round(col("q3") - col("q1"), 6))),
+
     // ES `top_metrics` agg: the metric value carried by the row that sorts
     // first (here: latest by timestamp) per bucket — a single map-side
     // argmax, never a per-group sort.
@@ -648,6 +689,16 @@ object EsAggQueries {
          |)
          |SELECT event_type, COUNT(*) AS sample_count, ${sumDetSql("value")} AS sample_sum
          |FROM sampled GROUP BY event_type""".stripMargin,
+    "q15e_boxplot" ->
+      """WITH g AS (
+        |  SELECT event_type, MIN(value) AS lo,
+        |         round(quantile_cont(value, 0.25), 6) AS q1,
+        |         round(quantile_cont(value, 0.5), 6) AS q2,
+        |         round(quantile_cont(value, 0.75), 6) AS q3,
+        |         MAX(value) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, lo, q1, q2, q3, hi, round(q3 - q1, 6) AS iqr FROM g""".stripMargin,
     "q16c_top_metrics" ->
       """SELECT event_type, value AS latest_value, event_id AS latest_event_id, ms AS latest_ms
         |FROM (

@@ -264,8 +264,12 @@ object Ipfix {
           case None =>
             buf.position(setEnd) // data before template: drop (collector behavior)
           case Some(tmpl) =>
-            val recLen = tmpl.map(_._2).sum
-            while (recLen > 0 && buf.position() + recLen <= setEnd) {
+            // 65535 declares a VARIABLE-length field (RFC 7011 §7): the data
+            // record carries a 1-byte length, or 255 + 2-byte length for the
+            // long form. The minimal record size counts 1 byte per varlen
+            // field; the walk stops when less than that remains (padding).
+            val minLen = tmpl.map { case (_, l) => if (l == 65535) 1 else l }.sum
+            while (minLen > 0 && buf.position() + minLen <= setEnd) {
               var srcIp: Option[String] = None
               var dstIp: Option[String] = None
               var srcPort: Option[Int] = None
@@ -286,7 +290,19 @@ object Ipfix {
                   case IE_OCTETS if len == 8 => octets = Some(buf.getLong())
                   case IE_FLOW_START_MS if len == 8 => fStart = Some(buf.getLong())
                   case IE_FLOW_END_MS if len == 8 => fEnd = Some(buf.getLong())
-                  case _ => buf.position(buf.position() + len) // skip unknown IE
+                  case _ =>
+                    // unknown fixed-length IE, or any varlen IE (the
+                    // supported flow IEs are all fixed-width numerics):
+                    // resolve the actual length, bounds-check, skip
+                    val actual =
+                      if (len == 65535) {
+                        val b0 = buf.get() & 0xff
+                        if (b0 < 255) b0 else buf.getShort() & 0xffff
+                      } else len
+                    if (buf.position() + actual > setEnd)
+                      throw new IllegalArgumentException(
+                        s"IPFIX data record truncated: field of $actual bytes at ${buf.position()} exceeds set end $setEnd")
+                    buf.position(buf.position() + actual)
                 }
               }
               records += Record(srcIp, dstIp, srcPort, dstPort, proto, packets, octets, fStart, fEnd)

@@ -229,6 +229,43 @@ class NetFlowSpec extends AnyFunSuite {
     assert(msg.records.head.octets.isEmpty, "vendor element 1 must not decode as octetDeltaCount")
   }
 
+  test("IPFIX variable-length IE (len 65535): short and 255-long forms walk correctly") {
+    import graft.sources.Ipfix
+    // template 600: protocol(1B), interfaceName(82, VARLEN), octets(8B).
+    // Record 1 carries a 3-byte name (short form); record 2 a 300-byte name
+    // (255 + 2-byte length form). Fields AFTER the varlen one must decode.
+    val r1 = 1 + (1 + 3) + 8
+    val r2 = 1 + (3 + 300) + 8
+    val bb = java.nio.ByteBuffer.allocate(16 + (4 + 4 + 4 * 3) + (4 + r1 + r2))
+    bb.putShort(10.toShort); bb.putShort(bb.capacity().toShort)
+    bb.putInt(0); bb.putInt(0); bb.putInt(1)
+    bb.putShort(2.toShort); bb.putShort((4 + 4 + 4 * 3).toShort) // template set
+    bb.putShort(600.toShort); bb.putShort(3.toShort)
+    bb.putShort(4.toShort); bb.putShort(1.toShort) // protocol
+    bb.putShort(82.toShort); bb.putShort(0xffff.toShort) // interfaceName, VARLEN
+    bb.putShort(1.toShort); bb.putShort(8.toShort) // octets
+    bb.putShort(600.toShort); bb.putShort((4 + r1 + r2).toShort) // data set
+    bb.put(6.toByte); bb.put(3.toByte); bb.put("eth".getBytes); bb.putLong(111L)
+    bb.put(17.toByte); bb.put(255.toByte); bb.putShort(300.toShort)
+    bb.put(Array.fill[Byte](300)('x')); bb.putLong(222L)
+    val msg = Ipfix.decode(bb.array(), Ipfix.newTemplateCache(), strict = true)
+    assert(msg.records.map(r => (r.protocol.get, r.octets.get)) == Seq((6, 111L), (17, 222L)))
+    // a varlen field whose declared payload overruns the set must fail loudly
+    val bad = java.nio.ByteBuffer.allocate(16 + (4 + 4 + 4 * 2) + (4 + 3))
+    bad.putShort(10.toShort); bad.putShort(bad.capacity().toShort)
+    bad.putInt(0); bad.putInt(0); bad.putInt(1)
+    bad.putShort(2.toShort); bad.putShort((4 + 4 + 4 * 2).toShort)
+    bad.putShort(601.toShort); bad.putShort(2.toShort)
+    bad.putShort(4.toShort); bad.putShort(1.toShort)
+    bad.putShort(82.toShort); bad.putShort(0xffff.toShort)
+    bad.putShort(601.toShort); bad.putShort((4 + 3).toShort)
+    bad.put(6.toByte); bad.put(200.toByte) // claims 200 bytes, 0 remain
+    bad.put(0.toByte)
+    val ex = intercept[IllegalArgumentException](
+      Ipfix.decode(bad.array(), Ipfix.newTemplateCache(), strict = true))
+    assert(ex.getMessage.contains("data record truncated"))
+  }
+
   test("IPFIX options-template set: trailing 4-byte withdrawal record is processed") {
     import graft.sources.Ipfix
     val cache = Ipfix.newTemplateCache()

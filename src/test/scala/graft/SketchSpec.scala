@@ -66,6 +66,27 @@ class SketchSpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("variable-width histogram: disjoint buckets, full coverage, deterministic") {
+    def run() = SparkEntry.queries("q10g_variable_width_histogram")(spark, sf)
+      .orderBy("bucket_rank").collect()
+      .map(r => (r.getAs[Long]("bucket_rank"), r.getAs[Long]("doc_count"),
+        r.getAs[Double]("min_value"), r.getAs[Double]("max_value"), r.getAs[Double]("centroid")))
+    val rows = run()
+    assert(rows.length >= 2 && rows.length <= 8)
+    val total = queries.Tables(spark, sf, "events").count()
+    assert(rows.map(_._2).sum == total, "every doc lands in exactly one bucket")
+    rows.foreach { case (_, _, mn, mx, c) =>
+      assert(mn <= mx && c >= mn && c <= mx, s"centroid $c outside [$mn,$mx]")
+    }
+    // 1-D L2 assignment to nearest centroid yields interval buckets: sorted
+    // by min they must not overlap
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"buckets overlap: $a vs $b")
+      case _ =>
+    }
+    assert(run().sameElements(rows), "clustering reproduces bit-identically")
+  }
+
   test("IVF ANN returns valid ranked neighbors with measurable recall vs brute force") {
     def pairs(q: String) =
       queries.SimilarityQueries.queries(q)(spark, sf)
