@@ -391,7 +391,11 @@ object EsAggQueries {
     "q10g_variable_width_histogram" -> ((s: SparkSession, d: String) => {
       val vecs = ev(s, d)
         .select(lit(0).as("grp"), col("event_id").as("id"), array(col("value")).as("emb"))
-      val cb = graft.operators.KMeans.fitGrouped(vecs, k = 8, rounds = 3)
+      // train on a deterministic 20% sample (the FAISS pattern: quantizers
+      // train on a sample, ASSIGNMENT covers everything) — bucket quality is
+      // statistical, coverage is exact either way
+      val cb = graft.operators.KMeans
+        .fitGrouped(vecs.filter(col("id") % 5 === 0), k = 8, rounds = 3)
         .withColumn("c2", expr("cemb[0] * cemb[0]"))
       val assigned = vecs.join(broadcast(cb), Seq("grp"))
         .withColumn("x", expr("emb[0]"))

@@ -268,8 +268,12 @@ object FlowQueries {
     // rollup). The top-N key set is tiny and BROADCASTS; the exploded rows
     // never shuffle to find their label.
     "q18b_topn_other_series" -> ((spark: SparkSession, dir: String) => {
+      // materialized once: both the top-N computation and the labeled
+      // aggregation consume it, and the explode is the heavy subtree
       val exploded = ProportionalSum.explodeContrib(
         Flows.df(spark, dir), col("rs"), col("re"), col("v"), None, basicCfg)
+        .select(col("user_id"), col("bucket_ms"), col("__contrib"))
+        .localCheckpoint(true)
       val top = exploded
         .groupBy(col("user_id"))
         .agg(graft.functions.detsum.sumDet(col("__contrib")).as("total_value"))

@@ -20,16 +20,23 @@ object IngestQueries {
     graft.functions.detsum.roundHalfUpLong(v)
 
   /** Scratch dir for spool/checkpoint scaffolding, deleted recursively at
-    * JVM exit so repeated Verify/Bench invocations don't accumulate disk. */
-  private[queries] def scratchDir(prefix: String): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    * JVM exit so repeated Verify/Bench invocations don't accumulate disk.
+    * ONE shutdown hook drains a shared queue — registering a hook thread
+    * per invocation would accumulate live Threads over a long session. */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val scratchHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      rm(p.toFile)
+      scratchDirs.forEach(p => rm(p.toFile))
     }))
+  }
+  private[queries] def scratchDir(prefix: String): java.nio.file.Path = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
     p
   }
 

@@ -93,14 +93,6 @@ object Ipfix {
   type TemplateCache = mutable.Map[Int, IndexedSeq[(Int, Int)]]
   def newTemplateCache(): TemplateCache = mutable.Map.empty
 
-  private def ipToInt(ip: String): Int = {
-    val p = ip.split('.')
-    ((p(0).toInt & 0xff) << 24) | ((p(1).toInt & 0xff) << 16) | ((p(2).toInt & 0xff) << 8) | (p(3).toInt & 0xff)
-  }
-
-  private def intToIp(v: Int): String =
-    s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}"
-
   private val packFields = Seq(
     IE_SRC_IP, IE_DST_IP, IE_SRC_PORT, IE_DST_PORT, IE_PROTO,
     IE_PACKETS, IE_OCTETS, IE_FLOW_START_MS, IE_FLOW_END_MS)
@@ -150,8 +142,8 @@ object Ipfix {
       buf.putShort(256.toShort)
       buf.putShort(dataSetLen.toShort)
       flows.foreach { f =>
-        buf.putInt(ipToInt(f.srcIp))
-        buf.putInt(ipToInt(f.dstIp))
+        buf.putInt(Ip.toInt(f.srcIp))
+        buf.putInt(Ip.toInt(f.dstIp))
         buf.putShort(f.srcPort.toShort)
         buf.putShort(f.dstPort.toShort)
         buf.put(f.protocol.toByte)
@@ -280,9 +272,18 @@ object Ipfix {
               var fStart: Option[Long] = None
               var fEnd: Option[Long] = None
               tmpl.foreach { case (ie, len) =>
+                // every read is bounded by the set: once a varlen field makes
+                // record length dynamic, the minLen loop guard alone no longer
+                // proves later FIXED fields fit — a short varlen payload must
+                // not let getLong() read into the next set
+                def ensure(n: Int): Unit =
+                  if (buf.position() + n > setEnd)
+                    throw new IllegalArgumentException(
+                      s"IPFIX data record truncated: field of $n bytes at ${buf.position()} exceeds set end $setEnd")
+                if (len != 65535) ensure(len)
                 ie match {
-                  case IE_SRC_IP if len == 4 => srcIp = Some(intToIp(buf.getInt()))
-                  case IE_DST_IP if len == 4 => dstIp = Some(intToIp(buf.getInt()))
+                  case IE_SRC_IP if len == 4 => srcIp = Some(Ip.toStr(buf.getInt()))
+                  case IE_DST_IP if len == 4 => dstIp = Some(Ip.toStr(buf.getInt()))
                   case IE_SRC_PORT if len == 2 => srcPort = Some(buf.getShort() & 0xffff)
                   case IE_DST_PORT if len == 2 => dstPort = Some(buf.getShort() & 0xffff)
                   case IE_PROTO if len == 1 => proto = Some(buf.get() & 0xff)
@@ -296,12 +297,11 @@ object Ipfix {
                     // resolve the actual length, bounds-check, skip
                     val actual =
                       if (len == 65535) {
+                        ensure(1)
                         val b0 = buf.get() & 0xff
-                        if (b0 < 255) b0 else buf.getShort() & 0xffff
+                        if (b0 < 255) b0 else { ensure(2); buf.getShort() & 0xffff }
                       } else len
-                    if (buf.position() + actual > setEnd)
-                      throw new IllegalArgumentException(
-                        s"IPFIX data record truncated: field of $actual bytes at ${buf.position()} exceeds set end $setEnd")
+                    ensure(actual)
                     buf.position(buf.position() + actual)
                 }
               }

@@ -109,7 +109,9 @@ private[sources] class NetFlowWriterFactory(path: String, schema: StructType)
 private[sources] class NetFlowDataWriter(
     path: String, schema: StructType, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val fin = s"$path/part-$partitionId.nf5"
+  // taskId is unique across jobs within the application, so append writes
+  // from a later job never rename over an earlier job's files
+  private val fin = s"$path/part-$partitionId-$taskId.nf5"
   private val tmp = s"$path/_tmp_part-$partitionId-$taskId.nf5"
   private val idx = NetFlowDataSource.flowSchema.fields.map(f => schema.fieldIndex(f.name))
   private val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 16)
@@ -226,8 +228,13 @@ private[sources] class NetFlowScan(
     val files =
       if (java.nio.file.Files.isDirectory(dir)) {
         val stream = java.nio.file.Files.list(dir)
+        // skip the writer's _tmp_ files: a crash-orphaned or concurrently
+        // written temp file must never corrupt reads (only renamed-on-commit
+        // files are data)
         try stream.iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toArray.sorted
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .filterNot(_.getFileName.toString.startsWith("_tmp_"))
+          .map(_.toString).toArray.sorted
         finally stream.close()
       } else Array(path)
     files.map(f => NetFlowFilePartition(f): InputPartition)

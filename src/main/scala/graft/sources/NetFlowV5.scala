@@ -54,14 +54,6 @@ object NetFlowV5 {
       lastMs: Long,
       tcpFlags: Int = 0)
 
-  private def ipToInt(ip: String): Int = {
-    val p = ip.split('.')
-    ((p(0).toInt & 0xff) << 24) | ((p(1).toInt & 0xff) << 16) | ((p(2).toInt & 0xff) << 8) | (p(3).toInt & 0xff)
-  }
-
-  private def intToIp(v: Int): String =
-    s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}"
-
   /** Serialize flows into a v5 export packet (≤30 records per packet on the
     * wire; callers chunk accordingly). */
   def pack(flows: Seq[Flow], sysUptimeMs: Long, unixSecs: Long, flowSequence: Long): Array[Byte] = {
@@ -77,8 +69,8 @@ object NetFlowV5 {
     buf.put(0.toByte) // engine_id
     buf.putShort(0.toShort) // sampling_interval
     flows.foreach { f =>
-      buf.putInt(ipToInt(f.srcIp))
-      buf.putInt(ipToInt(f.dstIp))
+      buf.putInt(Ip.toInt(f.srcIp))
+      buf.putInt(Ip.toInt(f.dstIp))
       buf.putInt(0) // nexthop
       buf.putShort(0.toShort) // input if
       buf.putShort(0.toShort) // output if
@@ -142,8 +134,8 @@ object NetFlowV5 {
       buf.getShort(); buf.getShort() // src/dst as
       buf.get(); buf.get(); buf.getShort() // masks, pad2
       records(i) = InternalRow(
-        UTF8String.fromString(intToIpStr(srcIp)),
-        UTF8String.fromString(intToIpStr(dstIp)),
+        UTF8String.fromString(Ip.toStr(srcIp)),
+        UTF8String.fromString(Ip.toStr(dstIp)),
         srcPort, dstPort, proto, tcpFlags,
         packets, octets, first, last)
       i += 1
@@ -151,8 +143,6 @@ object NetFlowV5 {
     InternalRow(version, count, sysUptime, unixSecs, flowSeq, new GenericArrayData(records))
   }
 
-  private def intToIpStr(v: Int): String =
-    s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}"
 }
 
 /** parse_netflow_v5(packet_binary) → typed packet struct. Generates code:

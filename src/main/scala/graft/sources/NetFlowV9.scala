@@ -79,14 +79,6 @@ object NetFlowV9 {
   type TemplateCache = mutable.Map[Int, IndexedSeq[(Int, Int)]]
   def newTemplateCache(): TemplateCache = mutable.Map.empty
 
-  private def ipToInt(ip: String): Int = {
-    val p = ip.split('.')
-    ((p(0).toInt & 0xff) << 24) | ((p(1).toInt & 0xff) << 16) | ((p(2).toInt & 0xff) << 8) | (p(3).toInt & 0xff)
-  }
-
-  private def intToIp(v: Int): String =
-    s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}"
-
   private val packFields = Seq(
     FT_SRC_IP -> 4, FT_DST_IP -> 4, FT_SRC_PORT -> 2, FT_DST_PORT -> 2,
     FT_PROTO -> 1, FT_PACKETS -> 4, FT_OCTETS -> 4, FT_FIRST_SW -> 4, FT_LAST_SW -> 4)
@@ -110,6 +102,10 @@ object NetFlowV9 {
 
   private def packParts(flows: Seq[Flow], sysUptimeMs: Long, unixSecs: Long,
       sequence: Long, sourceId: Long, withTemplate: Boolean, withData: Boolean): Array[Byte] = {
+    // the FlowSet length field is 16-bit: 4 + 29*n + pad must fit (and the
+    // header record count is 16-bit too) — callers chunk like v5's 30-limit
+    require(flows.size <= 2000,
+      s"NetFlow v9 data FlowSet overflows its 16-bit length at ${flows.size} records (max 2000)")
     val recLen = packFields.map(_._2).sum
     val tmplSetLen = if (withTemplate) 4 + 4 + 4 * packFields.size else 0
     val dataBody = recLen * flows.size
@@ -137,8 +133,8 @@ object NetFlowV9 {
       buf.putShort(256.toShort) // data FlowSet id = template id
       buf.putShort(dataSetLen.toShort)
       flows.foreach { f =>
-        buf.putInt(ipToInt(f.srcIp))
-        buf.putInt(ipToInt(f.dstIp))
+        buf.putInt(Ip.toInt(f.srcIp))
+        buf.putInt(Ip.toInt(f.dstIp))
         buf.putShort(f.srcPort.toShort)
         buf.putShort(f.dstPort.toShort)
         buf.put(f.protocol.toByte)
@@ -217,6 +213,12 @@ object NetFlowV9 {
           val tmplId = buf.getShort() & 0xffff
           val scopeLen = buf.getShort() & 0xffff
           val optionLen = buf.getShort() & 0xffff
+          // byte counts must be whole (type, len) pairs — truncating division
+          // on corrupt input would misparse the remainder as the next record
+          if (scopeLen % 4 != 0 || optionLen % 4 != 0)
+            throw new IllegalArgumentException(
+              s"NetFlow v9 options template $tmplId truncated/invalid: " +
+                s"scope/option lengths $scopeLen/$optionLen not multiples of 4")
           val scope = readFields(buf, scopeLen / 4, setEnd).map { case (_, l) => (-1, l) }
           val options = readFields(buf, optionLen / 4, setEnd)
           templates(tmplId) = scope ++ options
@@ -244,8 +246,8 @@ object NetFlowV9 {
               var lastSw: Option[Long] = None
               tmpl.foreach { case (ft, len) =>
                 ft match {
-                  case FT_SRC_IP if len == 4 => srcIp = Some(intToIp(buf.getInt()))
-                  case FT_DST_IP if len == 4 => dstIp = Some(intToIp(buf.getInt()))
+                  case FT_SRC_IP if len == 4 => srcIp = Some(Ip.toStr(buf.getInt()))
+                  case FT_DST_IP if len == 4 => dstIp = Some(Ip.toStr(buf.getInt()))
                   case FT_SRC_PORT if len == 2 => srcPort = Some(buf.getShort() & 0xffff)
                   case FT_DST_PORT if len == 2 => dstPort = Some(buf.getShort() & 0xffff)
                   case FT_PROTO if len == 1 => proto = Some(buf.get() & 0xff)

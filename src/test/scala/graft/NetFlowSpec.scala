@@ -311,6 +311,13 @@ class NetFlowSpec extends AnyFunSuite {
     // overwrite truncates: a second write replaces, never appends
     rows.limit(1).write.format("graft.sources.NetFlowDataSource").mode("overwrite").save(dir)
     assert(spark.read.format("graft.sources.NetFlowDataSource").load(dir).count() == 1)
+    // append ADDS files (job-unique names) — it must never rename over an
+    // earlier job's spool files
+    rows.write.format("graft.sources.NetFlowDataSource").mode("append").save(dir)
+    assert(spark.read.format("graft.sources.NetFlowDataSource").load(dir).count() == 3)
+    // an orphaned _tmp_ file (crashed writer) must not break or pollute reads
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_tmp_part-9-99.nf5"), Array[Byte](1, 2, 3))
+    assert(spark.read.format("graft.sources.NetFlowDataSource").load(dir).count() == 3)
   }
 
   test("NetFlow v9 pack → parse round trip preserves flow fields (incl. padding)") {
