@@ -139,6 +139,88 @@ object SimilarityQueries {
           / 1e15 / 64.0).as("mse"))
   }
 
+  /** IVF-PQ (the FAISS IVFADC shape): the IVF coarse quantizer prunes the
+    * scan to 3 of 10 lists, and within them distances are ASYMMETRIC —
+    * computed against PQ-coded vectors (8 one-byte codes), never the raw
+    * embeddings. Per query the classic ADC lookup table (queries × 8 subs ×
+    * 16 codes of `dot(q_sub, centroid)`) broadcasts; the scan touches only
+    * the (vec_id, sub, code) table, so at 100 TB the hot working set is the
+    * 8-byte codes — 64 doubles never leave the index build. approx cosine =
+    * Σ_sub LUT(q, sub, code) / (‖q‖·‖recon‖), both sums detsum'd (order-free
+    * across the 8 subspace partials). Rows-only; the spec measures recall
+    * against brute force. */
+  private def q37b(s: SparkSession, d: String): DataFrame = {
+    val subs = 8
+    val subDim = 8
+    val c = corpus(s, d).localCheckpoint(true)
+    // coarse quantizer + corpus list assignment (as q37)
+    val cent = graft.operators.KMeans
+      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
+      .withColumn("cnrm", vectors.norm(col("cemb")))
+    def scored(side: DataFrame): DataFrame =
+      side.crossJoin(broadcast(cent))
+        .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+    val corpusLists = scored(c)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("list_id"), struct(col("ccos"), (-col("list_id")).as("neg"))).as("list_id"))
+    // PQ codebooks + corpus codes (as q58b)
+    val subv = c.select(col("vec_id").as("id"), posexplode(
+      transform(sequence(lit(0), lit(subs - 1)),
+        i => slice(col("emb"), i * subDim + 1, lit(subDim)))).as(Seq("grp", "emb")))
+      .select(col("grp").cast("int").as("grp"), col("id"), col("emb"))
+      .localCheckpoint(true)
+    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 3)
+      .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
+    val codes = subv.join(broadcast(codebooks), Seq("grp"))
+      .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
+      .groupBy(col("grp"), col("id"))
+      .agg(max_by(struct(col("list_id"), col("c2")),
+        struct(col("score"), (-col("list_id")).as("neg"))).as("best"))
+      .select(col("id").as("vec_id"), col("grp"),
+        col("best.list_id").as("code"), col("best.c2").as("c2"))
+    // queries: probe the 3 nearest lists; ADC lookup table per (query, sub, code)
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("emb"), col("nrm"))
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("list_id").asc)
+    val probes = scored(q)
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= 3)
+      .select(col("list_id"), col("query_id"))
+    val qsub = q.select(col("query_id"), col("nrm").as("qn"), posexplode(
+      transform(sequence(lit(0), lit(subs - 1)),
+        i => slice(col("emb"), i * subDim + 1, lit(subDim)))).as(Seq("grp", "qemb")))
+      .select(col("grp").cast("int").as("grp"), col("query_id"), col("qn"), col("qemb"))
+    val lut = qsub.join(broadcast(codebooks), Seq("grp"))
+      .select(col("query_id"), col("qn"), col("grp"),
+        col("list_id").as("code"), vectors.dot(col("qemb"), col("cemb")).as("pdot"))
+    // ADC scan: candidates (list probe) → their codes → LUT sum
+    val aw = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("vec_id").asc)
+    val adcTop = corpusLists.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "grp", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(
+        graft.functions.detsum.sumDet(col("pdot"), 9).as("adot"),
+        graft.functions.detsum.sumDet(col("c2"), 9).as("recon2"),
+        first(col("qn")).as("qn"))
+      .withColumn("acos", col("adot") / (col("qn") * sqrt(col("recon2"))))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= 40)
+      .select(col("query_id"), col("vec_id"))
+    // REFINE (FAISS's refine stage): the ADC shortlist — 40 ids per query,
+    // not the probed lists — fetches raw vectors once for an exact re-rank
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    adcTop
+      .join(c.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("emb").as("qe"), col("nrm").as("qn"))),
+        Seq("query_id"))
+      .withColumn("cos", round(vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Product quantization (the FAISS PQ codebook shape): 64 dims → 8
     * subspaces × 8 dims; an independent 16-centroid codebook per subspace,
     * all 8 trained in ONE distributed pass by [[graft.operators.KMeans
@@ -197,6 +279,7 @@ object SimilarityQueries {
     "q35_ann_bruteforce" -> (q35 _),
     "q36_ann_lsh" -> (q36 _),
     "q37_ann_ivf" -> (q37 _),
+    "q37b_ann_ivfpq" -> (q37b _),
     "q52_embedding_stats" -> (q52 _),
     "q58_embedding_quantize" -> (q58 _),
     "q58b_pq_quantize" -> (q58b _))

@@ -55,6 +55,26 @@ object TextQueries {
         .orderBy(col("score").desc, col("tok").asc)
         .limit(15)
     }),
+    // ES `string_stats` (per source): count, min/max/avg length, and the
+    // distinct-character count (the shape of the entropy input; the entropy
+    // double itself is left out — cross-engine log2 can differ in the last
+    // ulp, and a flaky oracle is worse than a narrower one).
+    "q13c_string_stats" -> ((s: SparkSession, d: String) => {
+      val base = Tables(s, d, "documents")
+        .repartition(col("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(length(col("text"))).as("min_len"),
+          max(length(col("text"))).as("max_len"),
+          sum(length(col("text"))).as("sum_len"))
+        .withColumn("avg_len", round(col("sum_len") / col("n_docs"), 6))
+      val chars = Tables(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("ch")).as("n_distinct_chars"))
+      base.join(chars, Seq("source"))
+    }),
     "q40_lang_id" -> ((s: SparkSession, d: String) => {
       val base = docs(s, d)
         .withColumn("s_en", text.stopwordCount(col("toks"), stopEn))
@@ -353,6 +373,21 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q13c_string_stats" ->
+      """WITH base AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         MIN(length(text)) AS min_len, MAX(length(text)) AS max_len,
+        |         CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |  FROM documents GROUP BY source
+        |),
+        |chars AS (
+        |  SELECT source, COUNT(DISTINCT ch) AS n_distinct_chars FROM (
+        |    SELECT source, UNNEST(regexp_split_to_array(text, '')) AS ch FROM documents
+        |  ) GROUP BY source
+        |)
+        |SELECT base.source AS source, n_docs, min_len, max_len, sum_len,
+        |       round(sum_len / n_docs, 6) AS avg_len, n_distinct_chars
+        |FROM base JOIN chars ON base.source = chars.source""".stripMargin,
     "q11g_significant_text" ->
       s"""WITH $docsCte,
          |t AS (SELECT source, UNNEST(list_distinct(toks)) AS tok FROM docs),

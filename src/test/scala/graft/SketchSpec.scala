@@ -100,5 +100,13 @@ class SketchSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"recall $recall collapsed — quantizer or probe join broken")
     // every IVF result must be a real corpus vector, not the query itself
     assert(ivf.forall { case (q, n) => q != n })
+    // IVF-PQ (ADC + exact refine) must land near the IVF-exact ceiling: the
+    // codes-only scan plus a 40-candidate refine loses little recall
+    // (measured 0.52 vs 0.56 at this sf)
+    val ivfpq = pairs("q37b_ann_ivfpq")
+    assert(ivfpq.nonEmpty && ivfpq.forall { case (q, n) => q != n })
+    val pqRecall = ivfpq.intersect(exact).size.toDouble / exact.size
+    info(s"IVF-PQ refine recall@5 = $pqRecall over ${exact.size} true pairs")
+    assert(pqRecall >= 0.25, s"recall $pqRecall collapsed — ADC ranking or refine join broken")
   }
 }
