@@ -383,6 +383,41 @@ object EsAggQueries {
         .agg(count(lit(1)).as("sample_count"), sumDet(col("value")).as("sample_sum"))
     }),
 
+    // ES `bucket_correlation` pipeline agg: Pearson correlation between two
+    // per-bucket count series (purchases vs errors per hour). All sums are
+    // exact integers; the final r is a fixed sequence of double ops, so the
+    // oracle matches bit-for-bit at round-6.
+    "q17h_bucket_correlation" -> ((s: SparkSession, d: String) => {
+      val b = ev(s, d)
+        .groupBy(hourBucket(col("ms")))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("x"),
+          count(when(col("event_type") === "error", 1)).as("y"))
+      b.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+        .withColumn("r", round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            // first variance factor cast to double BEFORE the multiply (the
+            // long×long product of two ~1e10 factors would overflow)
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+    }),
+
+    // ES `percentiles_bucket` sibling pipeline agg: percentiles OVER the
+    // histogram's per-bucket sums (one output row describing the series)
+    "q17i_percentiles_bucket" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(hourBucket(col("ms")))
+        .agg(sumDet(col("value")).as("v"))
+        .agg(
+          round(expr("percentile(v, 0.25)"), 6).as("p25"),
+          round(expr("percentile(v, 0.5)"), 6).as("p50"),
+          round(expr("percentile(v, 0.99)"), 6).as("p99"))),
+
     // ES `variable_width_histogram`: buckets from 1-D clustering of the
     // value distribution (ES streams a clusterer per shard + coordinator
     // merge; here it is the deterministic distributed k-means used for IVF,
@@ -693,6 +728,35 @@ object EsAggQueries {
          |)
          |SELECT event_type, COUNT(*) AS sample_count, ${sumDetSql("value")} AS sample_sum
          |FROM sampled GROUP BY event_type""".stripMargin,
+    "q17h_bucket_correlation" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
+         |         COUNT(*) FILTER (WHERE event_type = 'purchase') AS x,
+         |         COUNT(*) FILTER (WHERE event_type = 'error') AS y
+         |  FROM events GROUP BY bucket_ms
+         |),
+         |g AS (
+         |  SELECT COUNT(*) AS n,
+         |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |         CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM b
+         |)
+         |SELECT n, sx, sy, sxy, sxx, syy,
+         |       round((n * sxy - sx * sy) /
+         |             sqrt(CAST((n * sxx - sx * sx) AS DOUBLE) * (n * syy - sy * sy)), 6) AS r
+         |FROM g""".stripMargin,
+    "q17i_percentiles_bucket" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
+         |         ${sumDetSql("value")} AS v
+         |  FROM events GROUP BY bucket_ms
+         |)
+         |SELECT round(quantile_cont(v, 0.25), 6) AS p25,
+         |       round(quantile_cont(v, 0.5), 6) AS p50,
+         |       round(quantile_cont(v, 0.99), 6) AS p99
+         |FROM b""".stripMargin,
     "q15e_boxplot" ->
       """WITH g AS (
         |  SELECT event_type, MIN(value) AS lo,

@@ -76,6 +76,23 @@ object RelationalQueries {
           .select(col("user_id"), col("event_id"), col("ms"), col("value")),
         gapMs = 1800000L)),
 
+    // the same sessionization through Spark's NATIVE session_window
+    // aggregation (merging-interval state, the idiomatic form) — note the
+    // boundary difference vs the lag-based form: session_window is
+    // half-open, so a gap of EXACTLY 30min starts a new session (the
+    // window-function form only splits on > gap); the oracle mirrors >=.
+    "q25b_session_window" -> ((s: SparkSession, d: String) =>
+      Tables(s, d, "events")
+        .select(col("user_id"), col("value"),
+          timestamp_millis(expr("unix_micros(ts) DIV 1000")).as("ts"))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), sumDet(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          expr("unix_micros(sw.start) DIV 1000").as("session_start_ms"),
+          // sw.end = last event + gap; report the last EVENT time
+          (expr("unix_micros(sw.end) DIV 1000") - lit(1800000L)).as("session_end_ms"),
+          col("n_events"), col("sum_value"))),
+
     // stateful streaming sessionization (flatMapGroupsWithState); emits the
     // sessions closed during the run — oracle drops each user's open last one
     "st02_sessionize_stream" -> ((s: SparkSession, d: String) =>
@@ -202,6 +219,24 @@ object RelationalQueries {
          |)
          |SELECT user_id, session_start_ms, session_end_ms, n_events, sum_value
          |FROM m WHERE session_idx < max_idx""".stripMargin,
+    "q25b_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+         |),
+         |x AS (
+         |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms ASC) AS prev_ms FROM e
+         |),
+         |y AS (
+         |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END AS new_session FROM x
+         |),
+         |z AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms ASC
+         |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM y
+         |)
+         |SELECT user_id, MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+         |       COUNT(*) AS n_events, ${sumDetSql("value")} AS sum_value
+         |FROM z GROUP BY user_id, session_idx""".stripMargin,
     "q26_rollup" ->
       s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
          |       ${sumDetSql("o_totalprice", moneyScale)} AS revenue
