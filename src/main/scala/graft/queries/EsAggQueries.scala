@@ -383,6 +383,38 @@ object EsAggQueries {
         .agg(count(lit(1)).as("sample_count"), sumDet(col("value")).as("sample_sum"))
     }),
 
+    // ES geo family, grid form (`geotile_grid`/`geohash_grid` shape): events
+    // carry derived deterministic coordinates (exact 2-decimal values from
+    // integer arithmetic, identical in both engines); buckets are 5°×5°
+    // grid cells. Plain floor arithmetic — no transcendental functions, so
+    // the oracle matches bit-for-bit (web-mercator tile Y needs ln/tan,
+    // which is NOT cross-engine reproducible; the grid semantics are the
+    // same).
+    "q19b_geo_grid" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .withColumn("lat", ((col("user_id") * 37) % 17000) / lit(100.0) - 85.0)
+        .withColumn("lon", ((col("user_id") * 91) % 36000) / lit(100.0) - 180.0)
+        .groupBy(
+          floor(col("lat") / 5).cast("long").as("cell_lat"),
+          floor(col("lon") / 5).cast("long").as("cell_lon"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))),
+
+    // ES `geo_distance` agg: ring buckets around an origin. Planar distance
+    // on the derived coordinates (sqrt is correctly-rounded IEEE in both
+    // engines; haversine's sin/cos are not cross-engine reproducible).
+    "q19c_geo_distance" -> ((s: SparkSession, d: String) => {
+      val dist = sqrt(
+        (col("lat") - lit(10.0)) * (col("lat") - lit(10.0)) +
+          (col("lon") - lit(20.0)) * (col("lon") - lit(20.0)))
+      ev(s, d)
+        .withColumn("lat", ((col("user_id") * 37) % 17000) / lit(100.0) - 85.0)
+        .withColumn("lon", ((col("user_id") * 91) % 36000) / lit(100.0) - 180.0)
+        .withColumn("ring",
+          when(dist < 30.0, "near").when(dist < 90.0, "mid").otherwise("far"))
+        .groupBy(col("ring"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+    }),
+
     // ES `bucket_correlation` pipeline agg: Pearson correlation between two
     // per-bucket count series (purchases vs errors per hour). All sums are
     // exact integers; the final r is a fixed sequence of double ops, so the
@@ -728,6 +760,32 @@ object EsAggQueries {
          |)
          |SELECT event_type, COUNT(*) AS sample_count, ${sumDetSql("value")} AS sample_sum
          |FROM sampled GROUP BY event_type""".stripMargin,
+    "q19b_geo_grid" ->
+      s"""WITH e AS (
+         |  SELECT value,
+         |         ((user_id * 37) % 17000) / 100.0 - 85.0 AS lat,
+         |         ((user_id * 91) % 36000) / 100.0 - 180.0 AS lon
+         |  FROM events
+         |)
+         |SELECT CAST(floor(lat / 5) AS BIGINT) AS cell_lat,
+         |       CAST(floor(lon / 5) AS BIGINT) AS cell_lon,
+         |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q19c_geo_distance" ->
+      s"""WITH e AS (
+         |  SELECT value,
+         |         ((user_id * 37) % 17000) / 100.0 - 85.0 AS lat,
+         |         ((user_id * 91) % 36000) / 100.0 - 180.0 AS lon
+         |  FROM events
+         |),
+         |d AS (
+         |  SELECT value,
+         |         sqrt((lat - 10.0) * (lat - 10.0) + (lon - 20.0) * (lon - 20.0)) AS dist
+         |  FROM e
+         |)
+         |SELECT CASE WHEN dist < 30.0 THEN 'near' WHEN dist < 90.0 THEN 'mid' ELSE 'far' END AS ring,
+         |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM d GROUP BY 1""".stripMargin,
     "q17h_bucket_correlation" ->
       s"""WITH b AS (
          |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
