@@ -153,9 +153,10 @@ object SimilarityQueries {
     val subs = 8
     val subDim = 8
     val c = corpus(s, d).localCheckpoint(true)
-    // coarse quantizer + corpus list assignment (as q37)
+    // coarse quantizer + corpus list assignment (as q37; 3 training rounds —
+    // the refine stage absorbs quantizer roughness, recall is spec-gated)
     val cent = graft.operators.KMeans
-      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
+      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 3)
       .withColumn("cnrm", vectors.norm(col("cemb")))
     def scored(side: DataFrame): DataFrame =
       side.crossJoin(broadcast(cent))
@@ -169,7 +170,7 @@ object SimilarityQueries {
         i => slice(col("emb"), i * subDim + 1, lit(subDim)))).as(Seq("grp", "emb")))
       .select(col("grp").cast("int").as("grp"), col("id"), col("emb"))
       .localCheckpoint(true)
-    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 3)
+    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 2)
       .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
     val codes = subv.join(broadcast(codebooks), Seq("grp"))
       .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
