@@ -96,6 +96,11 @@ object ProportionalSum {
       .withColumn("__re", reChecked)
       .withColumn("__dur", col("__re") - col("__rs"))
       .withColumn("__val", effectiveValue(value, sampling))
+      // ES skips any doc missing one of the agg's fields (the values-source
+      // advanceExact miss): null range or value ⇒ no buckets, no doc_count.
+      // (A null range already fails the __fb <= __lb filter via null
+      // comparison; the null VALUE case must not count the doc either.)
+      .filter(col("__rs").isNotNull && col("__re").isNotNull && col("__val").isNotNull)
       .withColumn("__fb", roundToBucket(clampS, cfg))
       .withColumn("__lb", roundToBucket(clampE, cfg))
       // rows whose (clamped) bucket range is empty never enter the reference's

@@ -176,6 +176,27 @@ object FlowQueries {
           flows, col("rs"), col("re"), col("v"), None,
           Some(JAN_START_MS), Some(MAY_START_MS), "month", offsetMs = 6 * HOUR_MS))
     }),
+    // ES missing-field semantics: a doc whose range or VALUE field is
+    // absent contributes nothing — no bucket, no doc_count (the values
+    // source's advanceExact miss skips it). Nulls are derived identically
+    // in both engines; the oracle excludes those rows explicitly.
+    "q07b_prop_sum_missing_fields" -> ((spark: SparkSession, dir: String) => {
+      val flows = Flows.df(spark, dir)
+        .withColumn("v", when(col("event_id") % 11 === 0, lit(null)).otherwise(col("v")))
+        .withColumn("re", when(col("event_id") % 13 === 0, lit(null)).otherwise(col("re")))
+      ProportionalSum.run(flows, col("rs"), col("re"), col("v"), None, basicCfg)
+    }),
+    // 3-level ES sub-aggregation tree: terms(event_type) →
+    // date_histogram(doc day, keyed by the DOC's timestamp like the parent
+    // histogram buckets docs) → proportional_sum(hourly) — the whole tree is
+    // one groupBy with compound keys, so Catalyst still sees a single
+    // partial-aggregated exchange.
+    "q04c_prop_sum_nested_tree" -> ((spark: SparkSession, dir: String) => {
+      val flows = Flows.df(spark, dir)
+        .withColumn("doc_day", (floor(col("rs") / lit(DAY_MS)) * lit(DAY_MS)).cast("long"))
+      ProportionalSum.run(flows, col("rs"), col("re"), col("v"), None, basicCfg,
+        Seq(col("event_type"), col("doc_day")))
+    }),
     // min_doc_count=0 with NO extended_bounds — the ES default gap-fill:
     // zero buckets materialize between the first and last populated bucket
     "q05d_prop_sum_gap_fill" -> ((spark: SparkSession, dir: String) =>
@@ -371,6 +392,18 @@ object FlowQueries {
             |    CASE WHEN event_type = 'purchase' THEN 'purchases' END,
             |    CASE WHEN v > 50.0 THEN 'high_value' END], x -> x IS NOT NULL)) AS fname
             |  FROM flows
+            |),
+            |ranged AS (""".stripMargin),
+    // null v (id%11=0) and null re (id%13=0) rows contribute nothing — the
+    // oracle simply excludes them before aggregating
+    "q07b_prop_sum_missing_fields" ->
+      oracle(basicCfg, rowFilterSql = Some("event_id % 11 <> 0 AND event_id % 13 <> 0")),
+    "q04c_prop_sum_nested_tree" ->
+      oracle(basicCfg, groupCols = Seq("event_type", "doc_day"))
+        .replace("FROM flows", "FROM f")
+        .replace("ranged AS (",
+          """f AS (
+            |  SELECT *, CAST(floor(rs / 86400000) AS BIGINT) * 86400000 AS doc_day FROM flows
             |),
             |ranged AS (""".stripMargin),
     "q05_prop_sum_empty_buckets" -> oracle(denseCfg, dense = Some(denseBounds)),
