@@ -122,6 +122,33 @@ object IngestQueries {
         sum(col("r.flow_end_ms") - col("r.flow_start_ms")).as("total_duration_ms"))
   }
 
+  /** Top-N CONVERSATIONS — the other first-class Drift UI query: decoded
+    * flows key by (src_ip, protocol), the top 10 by bytes get their own
+    * row, everyone else rolls into "Other" (ES sum_other_doc_count
+    * semantics). The key set broadcasts; decoded flows never shuffle to
+    * find their label. A hash match against the straight-from-events
+    * oracle proves the decode → conversation-key → rollup path. */
+  private def q50g(s: SparkSession, d: String): DataFrame = {
+    val decoded = netflowPackets(s, d)
+      .toDF()
+      .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
+      .select(explode(col("pkt.records")).as("r"))
+      .select(col("r.src_ip").as("src_ip"), col("r.protocol").as("protocol"),
+        col("r.octets").as("octets"))
+      .localCheckpoint(true) // feeds both the top-N set and the rollup
+    val top = decoded.groupBy(col("src_ip"), col("protocol"))
+      .agg(sum(col("octets")).as("total"))
+      .orderBy(col("total").desc, col("src_ip").asc, col("protocol").asc)
+      .limit(10)
+      .select(col("src_ip"), col("protocol"), lit(true).as("is_top"))
+    decoded.join(broadcast(top), Seq("src_ip", "protocol"), "left")
+      .withColumn("conversation",
+        when(col("is_top"), concat(col("src_ip"), lit("/"), col("protocol").cast("string")))
+          .otherwise(lit("Other")))
+      .groupBy(col("conversation"))
+      .agg(count(lit(1)).as("n_flows"), sum(col("octets")).as("total_octets"))
+  }
+
   /** The spool WRITE path through the same DataSource V2 format: typed flow
     * rows land as raw v5 export packets via
     * `df.write.format(...).mode("overwrite")` (per-task packet packing,
@@ -402,6 +429,7 @@ object IngestQueries {
     "q50b_ipfix_ingest" -> (q50b _),
     "q50e_netflow9_ingest" -> (q50e _),
     "q50f_netflow_dsv2_sink" -> (q50f _),
+    "q50g_conversations" -> (q50g _),
     "st04_netflow_pipeline" -> (st04 _),
     "st05_ipfix_session_stream" -> (st05 _))
 
@@ -459,6 +487,24 @@ object IngestQueries {
       """SELECT 'site' || CAST(user_id % 8 AS VARCHAR) AS site, COUNT(*) AS n_flows,
         |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets
         |FROM events GROUP BY 1""".stripMargin,
+    "q50g_conversations" ->
+      """WITH f AS (
+        |  SELECT '10.0.' || CAST((user_id // 256) % 256 AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR) AS src_ip,
+        |         CASE event_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS protocol,
+        |         CAST(round(value) AS BIGINT) AS octets
+        |  FROM events
+        |),
+        |top AS (
+        |  SELECT src_ip, protocol FROM (
+        |    SELECT src_ip, protocol, SUM(octets) AS total
+        |    FROM f GROUP BY src_ip, protocol
+        |    ORDER BY total DESC, src_ip ASC, protocol ASC LIMIT 10
+        |  )
+        |)
+        |SELECT CASE WHEN (src_ip, protocol) IN (SELECT (src_ip, protocol) FROM top)
+        |            THEN src_ip || '/' || CAST(protocol AS VARCHAR) ELSE 'Other' END AS conversation,
+        |       COUNT(*) AS n_flows, CAST(SUM(octets) AS BIGINT) AS total_octets
+        |FROM f GROUP BY 1""".stripMargin,
     "q50f_netflow_dsv2_sink" ->
       """SELECT CASE event_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS protocol,
         |       COUNT(*) AS n_flows,
