@@ -191,6 +191,9 @@ object ProportionalSum {
       .withColumn("__re", rangeEndMs.cast("long"))
       .withColumn("__dur", col("__re") - col("__rs"))
       .withColumn("__val", effectiveValue(value, sampling))
+      // same ES missing-field skip as the fixed-interval path: a null range
+      // or value field contributes neither buckets nor doc_count
+      .filter(col("__rs").isNotNull && col("__re").isNotNull && col("__val").isNotNull)
       .withColumn("__fbts", date_trunc(unit, timestamp_millis(clampS - off)))
       .withColumn("__lbts", date_trunc(unit, timestamp_millis(clampE - off)))
       .filter(col("__fbts") <= col("__lbts"))

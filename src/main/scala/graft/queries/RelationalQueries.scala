@@ -77,10 +77,11 @@ object RelationalQueries {
         gapMs = 1800000L)),
 
     // the same sessionization through Spark's NATIVE session_window
-    // aggregation (merging-interval state, the idiomatic form) — note the
-    // boundary difference vs the lag-based form: session_window is
-    // half-open, so a gap of EXACTLY 30min starts a new session (the
-    // window-function form only splits on > gap); the oracle mirrors >=.
+    // aggregation (merging-interval state, the idiomatic form).
+    // Boundary semantics verified empirically: session_window MERGES two
+    // events exactly gap-apart (windows [t, t+gap) and [t+gap, ...) touch
+    // and merging is on overlap-or-touch), i.e. only a gap STRICTLY greater
+    // than the threshold splits — the same > rule as the lag-based q25.
     "q25b_session_window" -> ((s: SparkSession, d: String) =>
       Tables(s, d, "events")
         .select(col("user_id"), col("value"),
@@ -227,7 +228,7 @@ object RelationalQueries {
          |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms ASC) AS prev_ms FROM e
          |),
          |y AS (
-         |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END AS new_session FROM x
+         |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM x
          |),
          |z AS (
          |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms ASC

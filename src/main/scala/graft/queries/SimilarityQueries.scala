@@ -139,6 +139,26 @@ object SimilarityQueries {
           / 1e15 / 64.0).as("mse"))
   }
 
+  /** PQ conventions shared by q58b (codebook training + encode) and q37b
+    * (ADC search): 64 dims → 8 subspaces × 8 dims; squared-L2 score
+    * 2·x·c − ‖c‖² (the x² constant cancels in the argmax); -list_id
+    * tiebreak. ONE definition so the encode convention cannot drift
+    * between the trainer and the searcher. */
+  private val PqSubs = 8
+  private val PqSubDim = 8
+
+  /** (id, emb) → one row per (grp, id, subspace slice). */
+  private def subvectors(df: DataFrame): DataFrame =
+    df.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(PqSubs - 1)),
+        i => slice(col("emb"), i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("grp", "emb")))
+      .select(col("grp").cast("int").as("grp"), col("id"), col("emb"))
+
+  /** Subvectors × (broadcast) codebooks with the squared-L2 score column. */
+  private def pqScored(subv: DataFrame, codebooks: DataFrame): DataFrame =
+    subv.join(broadcast(codebooks), Seq("grp"))
+      .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
+
   /** IVF-PQ (the FAISS IVFADC shape): the IVF coarse quantizer prunes the
     * scan to 3 of 10 lists, and within them distances are ASYMMETRIC —
     * computed against PQ-coded vectors (8 one-byte codes), never the raw
@@ -150,8 +170,6 @@ object SimilarityQueries {
     * across the 8 subspace partials). Rows-only; the spec measures recall
     * against brute force. */
   private def q37b(s: SparkSession, d: String): DataFrame = {
-    val subs = 8
-    val subDim = 8
     val c = corpus(s, d).localCheckpoint(true)
     // coarse quantizer + corpus list assignment (as q37; 3 training rounds —
     // the refine stage absorbs quantizer roughness, recall is spec-gated)
@@ -164,16 +182,12 @@ object SimilarityQueries {
     val corpusLists = scored(c)
       .groupBy(col("vec_id"))
       .agg(max_by(col("list_id"), struct(col("ccos"), (-col("list_id")).as("neg"))).as("list_id"))
-    // PQ codebooks + corpus codes (as q58b)
-    val subv = c.select(col("vec_id").as("id"), posexplode(
-      transform(sequence(lit(0), lit(subs - 1)),
-        i => slice(col("emb"), i * subDim + 1, lit(subDim)))).as(Seq("grp", "emb")))
-      .select(col("grp").cast("int").as("grp"), col("id"), col("emb"))
-      .localCheckpoint(true)
+    // PQ codebooks + corpus codes — same subvector/score/tiebreak
+    // conventions as q58b via the shared helpers
+    val subv = subvectors(c.select(col("vec_id").as("id"), col("emb"))).localCheckpoint(true)
     val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 2)
       .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
-    val codes = subv.join(broadcast(codebooks), Seq("grp"))
-      .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
+    val codes = pqScored(subv, codebooks)
       .groupBy(col("grp"), col("id"))
       .agg(max_by(struct(col("list_id"), col("c2")),
         struct(col("score"), (-col("list_id")).as("neg"))).as("best"))
@@ -187,14 +201,13 @@ object SimilarityQueries {
       .withColumn("crank", row_number().over(qw))
       .filter(col("crank") <= 3)
       .select(col("list_id"), col("query_id"))
-    val qsub = q.select(col("query_id"), col("nrm").as("qn"), posexplode(
-      transform(sequence(lit(0), lit(subs - 1)),
-        i => slice(col("emb"), i * subDim + 1, lit(subDim)))).as(Seq("grp", "qemb")))
-      .select(col("grp").cast("int").as("grp"), col("query_id"), col("qn"), col("qemb"))
-    val lut = qsub.join(broadcast(codebooks), Seq("grp"))
-      .select(col("query_id"), col("qn"), col("grp"),
-        col("list_id").as("code"), vectors.dot(col("qemb"), col("cemb")).as("pdot"))
-    // ADC scan: candidates (list probe) → their codes → LUT sum
+    val lut = subvectors(q.select(col("query_id").as("id"), col("emb")))
+      .join(broadcast(codebooks), Seq("grp"))
+      .select(col("id").as("query_id"), col("grp"),
+        col("list_id").as("code"), vectors.dot(col("emb"), col("cemb")).as("pdot"))
+    // ADC scan: candidates (list probe) → their codes → LUT sum. Ranking by
+    // adot/√recon2 is order-identical to the approx cosine (the ‖q‖ divisor
+    // is constant per query)
     val aw = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("vec_id").asc)
     val adcTop = corpusLists.join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -203,23 +216,23 @@ object SimilarityQueries {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(
         graft.functions.detsum.sumDet(col("pdot"), 9).as("adot"),
-        graft.functions.detsum.sumDet(col("c2"), 9).as("recon2"),
-        first(col("qn")).as("qn"))
-      .withColumn("acos", col("adot") / (col("qn") * sqrt(col("recon2"))))
+        graft.functions.detsum.sumDet(col("c2"), 9).as("recon2"))
+      .withColumn("acos", col("adot") / sqrt(col("recon2")))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= 40)
       .select(col("query_id"), col("vec_id"))
     // REFINE (FAISS's refine stage): the ADC shortlist — 40 ids per query,
-    // not the probed lists — fetches raw vectors once for an exact re-rank
+    // not the probed lists — fetches raw vectors once for an exact re-rank.
+    // Rank on the UNROUNDED cosine (like q35/q36/q37); round for display only.
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     adcTop
       .join(c.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("emb").as("qe"), col("nrm").as("qn"))),
         Seq("query_id"))
-      .withColumn("cos", round(vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")), 6))
+      .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** Product quantization (the FAISS PQ codebook shape): 64 dims → 8
@@ -233,20 +246,14 @@ object SimilarityQueries {
     * determinism across partitionings and that PQ reconstruction beats the
     * one-centroid baseline. */
   private def q58b(s: SparkSession, d: String): DataFrame = {
-    val subs = 8
-    val subDim = 8
-    val subv = Tables(s, d, "embeddings")
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("full"))
-      .select(col("vec_id").as("id"), posexplode(
-        transform(sequence(lit(0), lit(subs - 1)),
-          i => slice(col("full"), i * subDim + 1, lit(subDim)))).as(Seq("grp", "emb")))
-      .select(col("grp").cast("int").as("grp"), col("id"), col("emb"))
+    val subv = subvectors(
+      Tables(s, d, "embeddings")
+        .repartition(col("vec_id"))
+        .select(col("vec_id").as("id"), vectors.toDoubleArr(col("embedding")).as("emb")))
       .localCheckpoint(true) // reused by train AND encode; freed on dereference
     val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 3)
       .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
-    subv.join(broadcast(codebooks), Seq("grp"))
-      .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
+    pqScored(subv, codebooks)
       .groupBy(col("grp"), col("id"))
       .agg(max_by(
         struct(col("list_id"), col("cemb"), col("emb")),
@@ -258,7 +265,7 @@ object SimilarityQueries {
         round(
           aggregate(
             zip_with(col("best.emb"), col("best.cemb"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x) / subDim, 9).as("sub_sq_err"))
+            lit(0.0), (acc, x) => acc + x) / PqSubDim, 9).as("sub_sq_err"))
   }
 
   /** Per-label embedding statistics (norm distribution) — the sanity pass a

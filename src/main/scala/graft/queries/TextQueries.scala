@@ -60,8 +60,9 @@ object TextQueries {
     // double itself is left out — cross-engine log2 can differ in the last
     // ulp, and a flaky oracle is worse than a narrower one).
     "q13c_string_stats" -> ((s: SparkSession, d: String) => {
+      // length stats are a cheap single-agg scan; the per-CHARACTER explode
+      // is the heavy branch — that one gets the scan-spreading repartition
       val base = Tables(s, d, "documents")
-        .repartition(col("doc_id"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -70,6 +71,7 @@ object TextQueries {
           sum(length(col("text"))).as("sum_len"))
         .withColumn("avg_len", round(col("sum_len") / col("n_docs"), 6))
       val chars = Tables(s, d, "documents")
+        .repartition(col("doc_id"))
         .select(col("source"), explode(split(col("text"), "")).as("ch"))
         .groupBy(col("source"))
         .agg(countDistinct(col("ch")).as("n_distinct_chars"))
