@@ -212,6 +212,44 @@ object TextQueries {
           ceil(col("alloc_tokens") / col("total_tokens")).cast("long"))
     }),
 
+    // temperature-scaled source mixing (the unigram-LM α=0.5 rebalance):
+    // p_i ∝ share_i^α lifts low-resource sources. α=0.5 is computed as
+    // sqrt() — correctly-rounded IEEE in both engines, where a generic
+    // pow() would not be — and the (tiny) normalizer sums via detsum.
+    "q57b_temperature_mix" -> ((s: SparkSession, d: String) => {
+      val g = docs(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(col("toks"))).as("total_tokens"))
+      val tot = g.agg(sum(col("total_tokens")).as("corpus_tokens"))
+      val tw = g.crossJoin(broadcast(tot))
+        .withColumn("nat_share", col("total_tokens") / col("corpus_tokens"))
+        .withColumn("t_w", sqrt(col("nat_share")))
+      val z = tw.agg(graft.functions.detsum.sumDet(col("t_w"), 12).as("z"))
+      tw.crossJoin(broadcast(z))
+        .select(
+          col("source"), col("total_tokens"),
+          round(col("nat_share"), 6).as("nat_share"),
+          round(col("t_w") / col("z"), 6).as("temp_share"),
+          round((col("t_w") / col("z")) / col("nat_share"), 6).as("boost"))
+    }),
+
+    // the Gopher quality-rule battery, each rule a visible boolean: word
+    // count bounds, mean word length bounds, stopword presence; `kept` is
+    // their conjunction. Integer/ratio arithmetic only.
+    "q41b_gopher_rules" -> ((s: SparkSession, d: String) =>
+      docs(s, d)
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("sum_tok_len",
+          (length(text.norm(col("text"))) - (col("n_tok") - 1)).cast("long"))
+        .withColumn("mean_word_len", round(col("sum_tok_len") / col("n_tok"), 6))
+        .withColumn("n_stop", text.stopwordCount(col("toks"), stopEn).cast("long"))
+        .withColumn("r_word_count", col("n_tok") >= 20 && col("n_tok") <= 100000)
+        .withColumn("r_word_len", col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0)
+        .withColumn("r_stopwords", col("n_stop") >= 1)
+        .withColumn("kept", col("r_word_count") && col("r_word_len") && col("r_stopwords"))
+        .select(col("doc_id"), col("n_tok"), col("mean_word_len"), col("n_stop"),
+          col("r_word_count"), col("r_word_len"), col("r_stopwords"), col("kept"))),
+
     // benchmark-overlap decontamination: docs sharing >= 3 distinct 3-gram
     // shingles with the (small) benchmark set are flagged for removal. The
     // distinct benchmark shingle set is broadcast, so the corpus streams
@@ -375,6 +413,41 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q57b_temperature_mix" -> {
+      val det = graft.functions.detsum.sumDetSql("t_w", 12)
+      s"""WITH $docsCte,
+         |g AS (SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens FROM docs GROUP BY source),
+         |tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens FROM g),
+         |tw AS (
+         |  SELECT source, total_tokens,
+         |         total_tokens / CAST(corpus_tokens AS DOUBLE) AS nat_share,
+         |         sqrt(total_tokens / CAST(corpus_tokens AS DOUBLE)) AS t_w
+         |  FROM g, tot
+         |),
+         |z AS (SELECT $det AS z FROM tw)
+         |SELECT source, total_tokens, round(nat_share, 6) AS nat_share,
+         |       round(t_w / z, 6) AS temp_share,
+         |       round((t_w / z) / nat_share, 6) AS boost
+         |FROM tw, z""".stripMargin
+    },
+    "q41b_gopher_rules" ->
+      s"""WITH $docsCte,
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |         CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) - (len(toks) - 1) AS BIGINT) AS sum_tok_len,
+         |         CAST(${stopSql(stopEn)} AS BIGINT) AS n_stop
+         |  FROM docs
+         |),
+         |r AS (
+         |  SELECT doc_id, n_tok, round(sum_tok_len / n_tok, 6) AS mean_word_len, n_stop,
+         |         n_tok >= 20 AND n_tok <= 100000 AS r_word_count,
+         |         round(sum_tok_len / n_tok, 6) >= 2.0 AND round(sum_tok_len / n_tok, 6) <= 12.0 AS r_word_len,
+         |         n_stop >= 1 AS r_stopwords
+         |  FROM m
+         |)
+         |SELECT doc_id, n_tok, mean_word_len, n_stop, r_word_count, r_word_len, r_stopwords,
+         |       r_word_count AND r_word_len AND r_stopwords AS kept
+         |FROM r""".stripMargin,
     "q13c_string_stats" ->
       """WITH base AS (
         |  SELECT source, COUNT(*) AS n_docs,
