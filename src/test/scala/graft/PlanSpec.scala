@@ -156,6 +156,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "codebooks broadcast to the encode join")
   }
 
+  test("q50g: conversation labeling broadcasts the top-N set; decoded flows never sort-merge") {
+    val p = plan("q50g_conversations")
+    assert(p.contains("BroadcastHashJoin"), "top-N membership must be a broadcast join")
+    assert(!p.contains("SortMergeJoin"), "decoded flows must not shuffle to find their label")
+  }
+
   test("q46: the JSON blob is parsed exactly once per row") {
     val p = plan("q46_json_extract")
     assert("get_json_object".r.findAllIn(p).size == 1,

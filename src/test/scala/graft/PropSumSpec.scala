@@ -91,6 +91,31 @@ class PropSumSpec extends AnyFunSuite {
     assert(got(400L) == (1L, 50.0))
   }
 
+  test("ES missing-field skip: null range/value docs contribute neither value nor doc_count") {
+    import spark.implicits._
+    // fixed-interval path
+    val df = Seq(
+      (Some(100L), Some(300L), Some(10.0)), // normal
+      (Some(100L), Some(300L), None), // null value -> skipped entirely
+      (None, Some(300L), Some(5.0)), // null range -> skipped
+      (Some(100L), None, Some(5.0))).toDF("rs", "re", "v")
+    val got = result(ProportionalSum.run(
+      df, col("rs"), col("re"), col("v"), None,
+      Config(intervalMs = 200, startMs = Some(0L), endMs = Some(400L))))
+    assert(got == Map(0L -> (1L, 5.0), 200L -> (1L, 5.0)),
+      s"only the complete doc may contribute (value AND count): $got")
+    // calendar path: same contract
+    val jan = Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val feb = Instant.parse("2024-02-10T00:00:00Z").toEpochMilli
+    val cal = Seq(
+      (Some(jan), Some(feb), Some(8.0)),
+      (Some(jan), Some(feb), None)).toDF("rs", "re", "v")
+    val gotCal = result(ProportionalSum.aggregate(ProportionalSum.explodeContribCalendarMonth(
+      cal, col("rs"), col("re"), col("v"), None, None, None)))
+    assert(gotCal.values.map(_._1).sum == 2L,
+      s"null-value doc must not inflate calendar doc_count: $gotCal")
+  }
+
   test("conservation invariant: bucketed values sum back to the input total (1000 random flows)") {
     // For any flow fully inside the (unclamped) grid, the overlap ratios
     // over its buckets sum to exactly 1, so the histogram total must equal
