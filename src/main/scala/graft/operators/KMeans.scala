@@ -25,7 +25,12 @@ import graft.functions.{detsum, vectors}
   * the same bounded payload the broadcast ships anyway); that keeps lineage
   * flat with no per-round checkpoint writes, and the final centroid frame is
   * a literal, so consumers never re-trigger training. Empty lists carry
-  * their previous centroid forward. */
+  * their previous centroid forward.
+  *
+  * CALLER CONTRACT: `fit`/`fitGrouped` re-evaluate the full lineage of
+  * `vecs` once per round plus once for seeding. Callers must materialize an
+  * expensive input first (`localCheckpoint(eager = true)` — what every
+  * caller in this repo does) or pay rounds+1 recomputations of the lineage. */
 object KMeans {
 
   private type Centroids = Seq[(Int, Seq[Double])]

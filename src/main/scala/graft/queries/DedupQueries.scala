@@ -74,13 +74,16 @@ object DedupQueries {
     val bands = 8
     val rowsPerBand = numHashes / bands
     // signature table is reused by the banding fan-out AND both verify-join
-    // sides — persist it (cluster equivalent: checkpoint the sketch table)
+    // sides — localCheckpoint it, and free the blocks SYNCHRONOUSLY once the
+    // top-100 result has materialized (materializeAndFree below), so
+    // repeated harness invocations never pin storage (cluster equivalent:
+    // checkpoint the sketch table, drop it after the response)
     val docs = Tables(s, d, "documents")
       .repartition(col("doc_id")) // single-file scan -> spread sketch work
       .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", text.minhashSignature(col("sh"), numHashes))
-      .persist()
+      .localCheckpoint(true)
     // band buckets carry only (band, bucket, doc_id) through the shuffle —
     // the shingle arrays rejoin AFTER candidate pairs are deduplicated
     val banded = docs.select(
@@ -98,7 +101,7 @@ object DedupQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    candidates
+    val result = candidates
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn(
@@ -109,6 +112,7 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
       .orderBy(col("jacc").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(100)
+    Tables.materializeAndFree(result, docs)
   }
 
   /** SimHash near-dup: 64-bit signatures; candidates share one of four
@@ -118,7 +122,7 @@ object DedupQueries {
     val docs = Tables(s, d, "documents")
       .repartition(col("doc_id")) // single-file scan -> spread sketch work
       .select(col("doc_id"), text.simhash64(text.tokens(col("text"))).as("sim"))
-      .persist()
+      .localCheckpoint(true) // blocks freed synchronously by materializeAndFree
     val chunked = docs.select(
       col("doc_id"), col("sim"),
       explode(array((0 until 4).map { c =>
@@ -127,7 +131,7 @@ object DedupQueries {
       .select(col("doc_id"), col("sim"), col("cc.chunk"), col("cc.ckey"))
     val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk", "ckey"))
+    val result = a.join(b, Seq("chunk", "ckey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
       .distinct()
@@ -136,6 +140,7 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
       .limit(100)
+    Tables.materializeAndFree(result, docs)
   }
 
   /** Embedding-cosine near-dup pairs (≥ 0.4) — EXACT all-pairs semantics,

@@ -432,11 +432,14 @@ object EsAggQueries {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
         .withColumn("r", round(
-          (col("n") * col("sxy") - col("sx") * col("sy")) /
-            // first variance factor cast to double BEFORE the multiply (the
-            // long×long product of two ~1e10 factors would overflow)
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-              (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          // every n*s·· / s·*s· product has one factor cast to double BEFORE
+          // the multiply: long×long of two ~1e10 factors would wrap silently
+          // in Spark (non-ANSI) where DuckDB raises — the mirrored SQL casts
+          // in the same positions so both engines run the identical IEEE
+          // double sequence
+          (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+            sqrt((col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+              (col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))), 6))
     }),
 
     // ES `percentiles_bucket` sibling pipeline agg: percentiles OVER the
@@ -802,8 +805,9 @@ object EsAggQueries {
          |  FROM b
          |)
          |SELECT n, sx, sy, sxy, sxx, syy,
-         |       round((n * sxy - sx * sy) /
-         |             sqrt(CAST((n * sxx - sx * sx) AS DOUBLE) * (n * syy - sy * sy)), 6) AS r
+         |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+         |             sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+         |                  (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r
          |FROM g""".stripMargin,
     "q17i_percentiles_bucket" ->
       s"""WITH b AS (

@@ -24,11 +24,32 @@ object Tables {
     * shuffle partition, so a tiny-state query at 32 partitions pays 32
     * store commits per side per batch for nothing. On a cluster the same
     * knob tracks executor count; results are partitioning-independent
-    * (detsum) either way. */
+    * (detsum) either way.
+    *
+    * NOT thread-safe: it mutates the shared session conf and restores it in
+    * `finally`, so two concurrent callers on the same SparkSession race and
+    * one can run (or permanently restore) the wrong value. The Verify/Bench
+    * harnesses run queries strictly sequentially; a concurrent caller must
+    * pass a dedicated `spark.newSession()` instead. */
   def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try f finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  /** Collect the (coordinator-sized: top-N / final-agg) `result` to the
+    * driver, then SYNCHRONOUSLY free `sketch`'s localCheckpoint blocks —
+    * deterministic release, no reliance on GC + ContextCleaner timing. The
+    * returned frame is a LocalRelation (the exact analog of an ES response
+    * materializing on the coordinator); the big intermediates stay
+    * distributed and their storage is gone when this returns. */
+  def materializeAndFree(result: DataFrame, sketch: DataFrame): DataFrame = {
+    val spark = result.sparkSession
+    val rows = java.util.Arrays.asList(result.collect(): _*)
+    sketch.queryExecution.analyzed
+      .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+      .foreach(_.unpersist(blocking = true))
+    spark.createDataFrame(rows, result.schema)
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -126,10 +126,17 @@ private[sources] class NetFlowDataWriter(
 
   override def write(row: InternalRow): Unit = {
     // row layout follows the logical write schema; idx maps it to the
-    // canonical flowSchema order (unix_secs, flow_sequence, then record)
+    // canonical flowSchema order (unix_secs, flow_sequence, then record).
+    // unix_secs/flow_sequence live in the PACKET header, so a mid-buffer
+    // change must flush the open packet first — otherwise differing per-row
+    // header values silently collapse to the first row's on a write-read
+    // round trip
+    val rowSecs = row.getLong(idx(0))
+    val rowSeq = row.getLong(idx(1))
+    if (buf.nonEmpty && (rowSecs != unixSecs || rowSeq != flowSeq)) flush()
     if (buf.isEmpty) {
-      unixSecs = row.getLong(idx(0))
-      flowSeq = row.getLong(idx(1))
+      unixSecs = rowSecs
+      flowSeq = rowSeq
     }
     buf += NetFlowV5.Flow(
       srcIp = row.getUTF8String(idx(2)).toString,

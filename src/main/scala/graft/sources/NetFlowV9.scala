@@ -209,19 +209,27 @@ object NetFlowV9 {
         // 2=Interface, ... — NOT the flow-field numbering), so scope pairs
         // are stored as opaque (-1, len): their lengths drive the record
         // walk but their payloads never decode as flow fields.
-        while (buf.position() + 6 <= setEnd) {
+        var optDone = false
+        while (!optDone && buf.position() + 6 <= setEnd) {
           val tmplId = buf.getShort() & 0xffff
           val scopeLen = buf.getShort() & 0xffff
           val optionLen = buf.getShort() & 0xffff
-          // byte counts must be whole (type, len) pairs — truncating division
-          // on corrupt input would misparse the remainder as the next record
-          if (scopeLen % 4 != 0 || optionLen % 4 != 0)
-            throw new IllegalArgumentException(
-              s"NetFlow v9 options template $tmplId truncated/invalid: " +
-                s"scope/option lengths $scopeLen/$optionLen not multiples of 4")
-          val scope = readFields(buf, scopeLen / 4, setEnd).map { case (_, l) => (-1, l) }
-          val options = readFields(buf, optionLen / 4, setEnd)
-          templates(tmplId) = scope ++ options
+          // template id 0 (or an empty scope+option layout) can only be
+          // over-long zero padding from a non-conformant exporter — RFC
+          // padding is ≤3 bytes, but treat ≥6 zero bytes as padding too
+          // rather than registering a bogus empty template
+          if (tmplId == 0 || scopeLen + optionLen == 0) optDone = true
+          else {
+            // byte counts must be whole (type, len) pairs — truncating division
+            // on corrupt input would misparse the remainder as the next record
+            if (scopeLen % 4 != 0 || optionLen % 4 != 0)
+              throw new IllegalArgumentException(
+                s"NetFlow v9 options template $tmplId truncated/invalid: " +
+                  s"scope/option lengths $scopeLen/$optionLen not multiples of 4")
+            val scope = readFields(buf, scopeLen / 4, setEnd).map { case (_, l) => (-1, l) }
+            val options = readFields(buf, optionLen / 4, setEnd)
+            templates(tmplId) = scope ++ options
+          }
         }
         buf.position(setEnd)
       } else if (setId >= 256) {

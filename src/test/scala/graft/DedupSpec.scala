@@ -164,4 +164,17 @@ class DedupSpec extends AnyFunSuite {
       .select("id", "bkt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(buckets(1L) == buckets(3L), "colinear vectors share an RHP bucket")
   }
+
+  test("q32/q33 leave no cache blocks pinned after their actions complete") {
+    // materializeAndFree unpersists the sketch checkpoint SYNCHRONOUSLY
+    // (blocking) once the top-100 result is on the driver, so the assert
+    // needs no GC/ContextCleaner grace period — repeated Verify/Bench
+    // invocations can never accumulate pinned storage
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    queries.DedupQueries.queries("q32_dedup_minhash_lsh")(spark, "/root/testdata/sf0.001").count()
+    queries.DedupQueries.queries("q33_dedup_simhash")(spark, "/root/testdata/sf0.001").count()
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty, s"RDD blocks still pinned after the queries returned: $leaked")
+  }
 }

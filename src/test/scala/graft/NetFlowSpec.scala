@@ -320,6 +320,28 @@ class NetFlowSpec extends AnyFunSuite {
     assert(spark.read.format("graft.sources.NetFlowDataSource").load(dir).count() == 3)
   }
 
+  test("DSv2 sink: per-row header fields (unix_secs/flow_sequence) survive the round trip") {
+    import spark.implicits._
+    // unix_secs/flow_sequence live in the v5 PACKET header; a mid-buffer
+    // change must flush the open packet so each row keeps its own values —
+    // not silently collapse to the first row's
+    val dir = java.nio.file.Files.createTempDirectory("nf_dsv2_hdr").toString
+    val rows = (1 to 5).map(i =>
+      (1704067200L + i, 100L + i, s"10.0.0.$i", "8.8.8.8", 1000 + i, 53, 17, 0,
+        i.toLong, 100L * i, 0L, 1000L))
+      .toDF("unix_secs", "flow_sequence", "src_ip", "dst_ip", "src_port", "dst_port",
+        "protocol", "tcp_flags", "packets", "octets", "first_ms", "last_ms")
+      .repartition(1).sortWithinPartitions("unix_secs")
+    rows.write.format("graft.sources.NetFlowDataSource").mode("overwrite").save(dir)
+    val back = spark.read.format("graft.sources.NetFlowDataSource").load(dir)
+      .select("src_port", "unix_secs", "flow_sequence")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (1 to 5).foreach { i =>
+      assert(back(1000 + i) == ((1704067200L + i, 100L + i)),
+        s"row $i header fields must survive: got ${back(1000 + i)}")
+    }
+  }
+
   test("NetFlow v9 pack → parse round trip preserves flow fields (incl. padding)") {
     import spark.implicits._
     import graft.sources.NetFlowV9
@@ -410,6 +432,27 @@ class NetFlowSpec extends AnyFunSuite {
     val pkt = NetFlowV9.decode(bb.array(), NetFlowV9.newTemplateCache(), strict = true)
     assert(pkt.records.map(_.packets) == Seq(Some(4242L)))
     assert(pkt.records.head.octets.isEmpty, "scope System field must not decode as IN_BYTES")
+  }
+
+  test("NetFlow v9 options FlowSet: >=6 zero padding bytes are not a bogus template 0") {
+    import graft.sources.NetFlowV9
+    // non-conformant exporter pads the options-template FlowSet with 8 zero
+    // bytes (RFC says <=3); the parser must treat them as padding, not
+    // register an empty template id 0
+    val bb = java.nio.ByteBuffer.allocate(20 + (4 + 6 + 4 * 2 + 8))
+    bb.putShort(9.toShort); bb.putShort(1.toShort)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(1)
+    bb.putShort(1.toShort); bb.putShort((4 + 6 + 4 * 2 + 8).toShort)
+    bb.putShort(401.toShort)
+    bb.putShort(4.toShort) // scope: one pair
+    bb.putShort(4.toShort) // option: one pair
+    bb.putShort(1.toShort); bb.putShort(4.toShort) // scope System (4B)
+    bb.putShort(NetFlowV9.FT_PACKETS.toShort); bb.putShort(4.toShort)
+    bb.position(bb.position() + 8) // 8 zero bytes of padding
+    val cache = NetFlowV9.newTemplateCache()
+    NetFlowV9.decode(bb.array(), cache, strict = true)
+    assert(cache.contains(401), "real options template registers")
+    assert(!cache.contains(0), "zero padding must not register template 0")
   }
 
   test("NetFlow v9: corrupt template fieldCount fails loudly, not overread") {
