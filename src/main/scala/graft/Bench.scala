@@ -12,6 +12,26 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // the ANN/PQ queries share a train-once index (VecIndex); rebuild it
+    // from scratch HERE, timed, so the one-time training cost is visible in
+    // the output instead of hiding in the warmup — the per-query times below
+    // are then honest steady-state search costs against a built index
+    // (exactly how an index-backed deployment runs)
+    queries.VecIndex.reset()
+    val bt0 = System.nanoTime()
+    locally {
+      // the coarse (IVF) and PQ halves are independent — build them as
+      // concurrent jobs (the cluster shape: two training pipelines sharing
+      // the scan cache, scheduled together)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.DurationInt
+      val halves = Seq(
+        Future(queries.VecIndex.coarse(spark, sfDir).lists.count()),
+        Future(queries.VecIndex.pq(spark, sfDir).codes.count()))
+      halves.foreach(Await.result(_, 10.minutes))
+    }
+    val indexBuild = ("vec_index_build", (System.nanoTime() - bt0) / 1e9)
     // min of two timed runs: GC pauses and thread scheduling add seconds of
     // one-sided noise on a shared 32-thread JVM; the min is the honest
     // steady-state cost of the plan itself
@@ -24,7 +44,7 @@ object Bench {
       }
       // a failed query must not masquerade as a (fast) timing
       (name, if (failed) -1.0 else times.min)
-    }
+    } :+ indexBuild
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

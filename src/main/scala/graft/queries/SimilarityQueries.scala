@@ -15,11 +15,7 @@ import graft.functions.vectors
   * query only scores its bucket's candidates. */
 object SimilarityQueries {
 
-  private def corpus(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings")
-      .repartition(col("vec_id")) // single-file scan -> spread the scoring
-      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
-      .withColumn("nrm", vectors.norm(col("emb")))
+  private def corpus(s: SparkSession, d: String): DataFrame = VecIndex.corpus(s, d)
 
   /** Exact cosine top-5 neighbors for query vectors (vec_id % 50 = 0). */
   private def q35(s: SparkSession, d: String): DataFrame = {
@@ -69,48 +65,36 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Score `side` against the (literal) centroid frame with cosine. */
+  private def centScored(side: DataFrame, cent: DataFrame): DataFrame =
+    side.crossJoin(broadcast(cent))
+      .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+
+  /** Query vectors (vec_id % 50 = 0) with their 3 nearest lists — a window
+    * over the (tiny) query set only. */
+  private def queryProbes(idx: VecIndex.Coarse): DataFrame = {
+    val q = idx.lists.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("emb"), col("nrm"))
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("list_id").asc)
+    centScored(q, idx.cent)
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= 3)
+      .select(col("list_id"), col("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+  }
+
   /** IVF ANN: coarse quantizer = unsupervised k-means
     * ([[graft.operators.KMeans]] — deterministic Lloyd's, 10 lists, 5
     * rounds); every vector is assigned to its nearest centroid (inverted
     * list); queries probe the 3 nearest lists only. At corpus scale each
     * list is a partition-pruned slice — the classic IVF trade of recall for
-    * a ~nlists/nprobe scan reduction. Rows-only (spec measures recall). */
+    * a ~nlists/nprobe scan reduction. The index (centroids + inverted
+    * lists) is built ONCE by [[VecIndex.coarse]] and shared with q37b —
+    * the search plan sees only the literal centroid frame and the
+    * materialized lists. Rows-only (spec measures recall). */
   private def q37(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint(true), not persist(): blocks are freed by the
-    // ContextCleaner when the frame is dereferenced, so repeated invocations
-    // don't pin cached blocks for the session lifetime
-    val c = Tables(s, d, "embeddings")
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
-      .withColumn("nrm", vectors.norm(col("emb")))
-      .localCheckpoint(true)
-    // fit() returns a localCheckpoint'ed frame already; the cheap norm
-    // projection on top needs no further caching (k rows)
-    val cent = graft.operators.KMeans
-      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
-      .withColumn("cnrm", vectors.norm(col("cemb")))
-    def scored(side: DataFrame): DataFrame =
-      side.crossJoin(broadcast(cent))
-        .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-    // nearest list via max_by, not a window: the k candidate rows per vector
-    // collapse in the map-side partial aggregate, so nothing k-wide shuffles
-    val corpusAssigned = scored(c)
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("list_id"), col("emb"), col("nrm")),
-        struct(col("ccos"), (-col("list_id")).as("neg"))).as("best"))
-      .select(col("best.list_id").as("list_id"), col("vec_id"),
-        col("best.emb").as("emb"), col("best.nrm").as("nrm"))
-    val q = c.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("emb"), col("nrm"))
-    // query side probes 3 lists — a window over the (tiny) query set only
-    val qw = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("list_id").asc)
-    val queryProbes = scored(q)
-      .withColumn("crank", row_number().over(qw))
-      .filter(col("crank") <= 3)
-      .select(col("list_id"), col("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val idx = VecIndex.coarse(s, d)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    corpusAssigned.join(broadcast(queryProbes), Seq("list_id"))
+    idx.lists.join(broadcast(queryProbes(idx)), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
@@ -139,26 +123,6 @@ object SimilarityQueries {
           / 1e15 / 64.0).as("mse"))
   }
 
-  /** PQ conventions shared by q58b (codebook training + encode) and q37b
-    * (ADC search): 64 dims → 8 subspaces × 8 dims; squared-L2 score
-    * 2·x·c − ‖c‖² (the x² constant cancels in the argmax); -list_id
-    * tiebreak. ONE definition so the encode convention cannot drift
-    * between the trainer and the searcher. */
-  private val PqSubs = 8
-  private val PqSubDim = 8
-
-  /** (id, emb) → one row per (grp, id, subspace slice). */
-  private def subvectors(df: DataFrame): DataFrame =
-    df.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(PqSubs - 1)),
-        i => slice(col("emb"), i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("grp", "emb")))
-      .select(col("grp").cast("int").as("grp"), col("id"), col("emb"))
-
-  /** Subvectors × (broadcast) codebooks with the squared-L2 score column. */
-  private def pqScored(subv: DataFrame, codebooks: DataFrame): DataFrame =
-    subv.join(broadcast(codebooks), Seq("grp"))
-      .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
-
   /** IVF-PQ (the FAISS IVFADC shape): the IVF coarse quantizer prunes the
     * scan to 3 of 10 lists, and within them distances are ASYMMETRIC —
     * computed against PQ-coded vectors (8 one-byte codes), never the raw
@@ -167,42 +131,19 @@ object SimilarityQueries {
     * the (vec_id, sub, code) table, so at 100 TB the hot working set is the
     * 8-byte codes — 64 doubles never leave the index build. approx cosine =
     * Σ_sub LUT(q, sub, code) / (‖q‖·‖recon‖), both sums detsum'd (order-free
-    * across the 8 subspace partials). Rows-only; the spec measures recall
-    * against brute force. */
+    * across the 8 subspace partials). The ENTIRE index is shared: coarse
+    * quantizer + inverted lists with q37 ([[VecIndex.coarse]]), PQ
+    * codebooks + code table with q58b ([[VecIndex.pq]]) — this query trains
+    * nothing. Rows-only; the spec measures recall against brute force. */
   private def q37b(s: SparkSession, d: String): DataFrame = {
-    val c = corpus(s, d).localCheckpoint(true)
-    // coarse quantizer + corpus list assignment (as q37; 3 training rounds —
-    // the refine stage absorbs quantizer roughness, recall is spec-gated)
-    val cent = graft.operators.KMeans
-      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 3)
-      .withColumn("cnrm", vectors.norm(col("cemb")))
-    def scored(side: DataFrame): DataFrame =
-      side.crossJoin(broadcast(cent))
-        .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-    val corpusLists = scored(c)
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("list_id"), struct(col("ccos"), (-col("list_id")).as("neg"))).as("list_id"))
-    // PQ codebooks + corpus codes — same subvector/score/tiebreak
-    // conventions as q58b via the shared helpers
-    val subv = subvectors(c.select(col("vec_id").as("id"), col("emb"))).localCheckpoint(true)
-    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 2)
-      .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
-    val codes = pqScored(subv, codebooks)
-      .groupBy(col("grp"), col("id"))
-      .agg(max_by(struct(col("list_id"), col("c2")),
-        struct(col("score"), (-col("list_id")).as("neg"))).as("best"))
-      .select(col("id").as("vec_id"), col("grp"),
-        col("best.list_id").as("code"), col("best.c2").as("c2"))
-    // queries: probe the 3 nearest lists; ADC lookup table per (query, sub, code)
-    val q = c.filter(col("vec_id") % 50 === 0)
+    val idx = VecIndex.coarse(s, d)
+    val pqIdx = VecIndex.pq(s, d)
+    val corpusLists = idx.lists.select(col("list_id"), col("vec_id"))
+    val q = idx.lists.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("emb"), col("nrm"))
-    val qw = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("list_id").asc)
-    val probes = scored(q)
-      .withColumn("crank", row_number().over(qw))
-      .filter(col("crank") <= 3)
-      .select(col("list_id"), col("query_id"))
-    val lut = subvectors(q.select(col("query_id").as("id"), col("emb")))
-      .join(broadcast(codebooks), Seq("grp"))
+    val probes = queryProbes(idx).select(col("list_id"), col("query_id"))
+    val lut = VecIndex.subvectors(q.select(col("query_id").as("id"), col("emb")))
+      .join(broadcast(pqIdx.codebooks), Seq("grp"))
       .select(col("id").as("query_id"), col("grp"),
         col("list_id").as("code"), vectors.dot(col("emb"), col("cemb")).as("pdot"))
     // ADC scan: candidates (list probe) → their codes → LUT sum. Ranking by
@@ -211,7 +152,7 @@ object SimilarityQueries {
     val aw = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("vec_id").asc)
     val adcTop = corpusLists.join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .join(codes, Seq("vec_id"))
+      .join(pqIdx.codes.select(col("vec_id"), col("grp"), col("code"), col("c2")), Seq("vec_id"))
       .join(broadcast(lut), Seq("query_id", "grp", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(
@@ -222,11 +163,12 @@ object SimilarityQueries {
       .filter(col("arank") <= 40)
       .select(col("query_id"), col("vec_id"))
     // REFINE (FAISS's refine stage): the ADC shortlist — 40 ids per query,
-    // not the probed lists — fetches raw vectors once for an exact re-rank.
+    // not the probed lists — fetches raw vectors once (from the inverted
+    // lists, which store them — the IVFFlat layout) for an exact re-rank.
     // Rank on the UNROUNDED cosine (like q35/q36/q37); round for display only.
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     adcTop
-      .join(c.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
+      .join(idx.lists.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("emb").as("qe"), col("nrm").as("qn"))),
         Seq("query_id"))
       .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
@@ -241,32 +183,18 @@ object SimilarityQueries {
     * .fitGrouped]] (grouped Lloyd's, squared-L2). Each vector encodes as 8
     * one-byte codes — 64 doubles to 8 bytes — and the output reports, per
     * (vec_id, subspace), the chosen code and that subspace's squared
-    * reconstruction error (fixed-order sum — deterministic). Rows-only
-    * (k-means codebooks aren't SQL-expressible); the spec checks
+    * reconstruction error (fixed-order sum — deterministic). Training and
+    * encoding happen ONCE in [[VecIndex.pq]] (shared with q37b's ADC
+    * search); this query is a projection of the materialized code table.
+    * Rows-only (k-means codebooks aren't SQL-expressible); the spec checks
     * determinism across partitionings and that PQ reconstruction beats the
     * one-centroid baseline. */
-  private def q58b(s: SparkSession, d: String): DataFrame = {
-    val subv = subvectors(
-      Tables(s, d, "embeddings")
-        .repartition(col("vec_id"))
-        .select(col("vec_id").as("id"), vectors.toDoubleArr(col("embedding")).as("emb")))
-      .localCheckpoint(true) // reused by train AND encode; freed on dereference
-    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 3)
-      .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
-    pqScored(subv, codebooks)
-      .groupBy(col("grp"), col("id"))
-      .agg(max_by(
-        struct(col("list_id"), col("cemb"), col("emb")),
-        struct(col("score"), (-col("list_id")).as("neg"))).as("best"))
-      .select(
-        col("id").as("vec_id"),
-        col("grp").cast("long").as("sub"),
-        col("best.list_id").cast("long").as("code"),
-        round(
-          aggregate(
-            zip_with(col("best.emb"), col("best.cemb"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x) / PqSubDim, 9).as("sub_sq_err"))
-  }
+  private def q58b(s: SparkSession, d: String): DataFrame =
+    VecIndex.pq(s, d).codes.select(
+      col("vec_id"),
+      col("grp").cast("long").as("sub"),
+      col("code").cast("long").as("code"),
+      col("sub_sq_err"))
 
   /** Per-label embedding statistics (norm distribution) — the sanity pass a
     * vector pipeline runs before indexing. */

@@ -46,11 +46,16 @@ object Tables {
   def materializeAndFree(result: DataFrame, sketch: DataFrame): DataFrame = {
     val spark = result.sparkSession
     val rows = java.util.Arrays.asList(result.collect(): _*)
-    sketch.queryExecution.analyzed
-      .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
-      .foreach(_.unpersist(blocking = true))
+    freeCheckpoint(sketch)
     spark.createDataFrame(rows, result.schema)
   }
+
+  /** Synchronously unpersist the localCheckpoint blocks backing `df` (a
+    * frame returned by `localCheckpoint(true)`). */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed
+      .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+      .foreach(_.unpersist(blocking = true))
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/** Train-once vector index shared by the ANN/quantization queries — the
+  * FAISS IVFADC shape: an index is BUILT once (coarse quantizer + inverted
+  * lists; PQ codebooks + codes) and then MANY searches run against it. The
+  * round-3 surface trained a fresh quantizer inside every query invocation
+  * ("train twice per query"), which is the wrong cost model for a 100 TB
+  * index build; here the trained artifacts are memoized per dataset
+  * directory, so q37 (IVF), q37b (IVF-PQ) and q58b (PQ encode) all read the
+  * SAME index.
+  *
+  * Storage contract: the trained frames are deliberately long-lived — they
+  * ARE the index (the cluster analog is a persisted index table). Centroid /
+  * codebook frames are driver-side literals (LocalRelation — k·dim doubles),
+  * so consumer plans can never re-trigger training; the inverted lists and
+  * code table are localCheckpoint(true) frames whose build-time inputs are
+  * freed synchronously once the artifact materializes. `reset()` drops the
+  * whole index and its storage (used by the determinism specs to force a
+  * retrain).
+  *
+  * Determinism: [[graft.operators.KMeans]] is deterministic under any
+  * partitioning, so the index content does not depend on which query builds
+  * it first. */
+object VecIndex {
+
+  /** Coarse half (IVF): `cent` = 10 cosine k-means centroids (literal rows,
+    * with norm), `lists` = the inverted lists — every corpus vector with its
+    * nearest-centroid list id, vectors stored in-list (the IVFFlat layout). */
+  case class Coarse(cent: DataFrame, lists: DataFrame)
+
+  /** PQ half: `codebooks` = 8 subspaces × 16 squared-L2 centroids (literal
+    * rows, with ‖c‖²), `codes` = per (vector, subspace) the chosen code, its
+    * ‖c‖² and the subspace reconstruction error — 64 doubles → 8 bytes. */
+  case class Pq(codebooks: DataFrame, codes: DataFrame)
+
+  /** PQ conventions shared by the trainer (q58b) and the searcher (q37b):
+    * 64 dims → 8 subspaces × 8 dims; squared-L2 score 2·x·c − ‖c‖² (the x²
+    * constant cancels in the argmax); -list_id tiebreak. ONE definition so
+    * the encode convention cannot drift between them. */
+  private[queries] val PqSubs = 8
+  private[queries] val PqSubDim = 8
+
+  private val coarseCache = scala.collection.concurrent.TrieMap.empty[String, Coarse]
+  private val pqCache = scala.collection.concurrent.TrieMap.empty[String, Pq]
+
+  /** (vec_id, emb: array<double>, nrm) corpus scan, spread across the
+    * cluster (the embeddings table is a single file at test SFs). */
+  private[queries] def corpus(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("nrm", vectors.norm(col("emb")))
+
+  /** (id, emb) → one row per (grp, id, subspace slice). */
+  private[queries] def subvectors(df: DataFrame): DataFrame =
+    df.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(PqSubs - 1)),
+        i => slice(col("emb"), i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("grp", "emb")))
+      .select(col("grp").cast("int").as("grp"), col("id"), col("emb"))
+
+  /** Subvectors × (broadcast) codebooks with the squared-L2 score column. */
+  private[queries] def pqScored(subv: DataFrame, codebooks: DataFrame): DataFrame =
+    subv.join(broadcast(codebooks), Seq("grp"))
+      .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
+
+  def coarse(s: SparkSession, d: String): Coarse = coarseCache.getOrElseUpdate(d, {
+    val c = corpus(s, d).localCheckpoint(true)
+    val cent = graft.operators.KMeans
+      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
+      .withColumn("cnrm", vectors.norm(col("cemb")))
+    // nearest list via max_by, not a window: the k candidate rows per vector
+    // collapse in the map-side partial aggregate, so nothing k-wide shuffles
+    val lists = c.crossJoin(broadcast(cent))
+      .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("list_id"), col("emb"), col("nrm")),
+        struct(col("ccos"), (-col("list_id")).as("neg"))).as("best"))
+      .select(col("best.list_id").as("list_id"), col("vec_id"),
+        col("best.emb").as("emb"), col("best.nrm").as("nrm"))
+      .localCheckpoint(true)
+    Tables.freeCheckpoint(c) // the raw scan checkpoint fed training + assignment only
+    Coarse(cent, lists)
+  })
+
+  def pq(s: SparkSession, d: String): Pq = pqCache.getOrElseUpdate(d, {
+    val subv = subvectors(corpus(s, d).select(col("vec_id").as("id"), col("emb")))
+      .localCheckpoint(true) // reused by train AND encode
+    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 3)
+      .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
+    val codes = pqScored(subv, codebooks)
+      .groupBy(col("grp"), col("id"))
+      .agg(max_by(
+        struct(col("list_id"), col("c2"), col("cemb"), col("emb")),
+        struct(col("score"), (-col("list_id")).as("neg"))).as("best"))
+      .select(
+        col("id").as("vec_id"), col("grp"),
+        col("best.list_id").as("code"), col("best.c2").as("c2"),
+        round(
+          aggregate(
+            zip_with(col("best.emb"), col("best.cemb"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x) / PqSubDim, 9).as("sub_sq_err"))
+      .localCheckpoint(true)
+    Tables.freeCheckpoint(subv)
+    Pq(codebooks, codes)
+  })
+
+  /** Drop every trained index and free its storage (test hook: forces the
+    * next access to retrain from scratch). */
+  def reset(): Unit = {
+    coarseCache.values.foreach(c => Tables.freeCheckpoint(c.lists))
+    pqCache.values.foreach(p => Tables.freeCheckpoint(p.codes))
+    coarseCache.clear()
+    pqCache.clear()
+  }
+}

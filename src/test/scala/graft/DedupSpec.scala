@@ -140,7 +140,10 @@ class DedupSpec extends AnyFunSuite {
       .agg(avg(col("x")).as("mu"), avg(col("x") * col("x")).as("ex2"))
       .agg(avg(col("ex2") - col("mu") * col("mu"))).first().getDouble(0)
     assert(pqErr < baseline * 0.8, s"PQ err $pqErr vs k=1 baseline $baseline")
-    // engineered determinism: a second full train+encode is bit-identical
+    // engineered determinism: a second FULL train+encode is bit-identical —
+    // reset() drops the memoized index so this is a real retrain, not a
+    // cache read
+    queries.VecIndex.reset()
     assert(run().sameElements(rows), "codes and errors reproduce exactly")
   }
 

@@ -110,14 +110,25 @@ class PlanSpec extends AnyFunSuite {
       "the one-row chosen-interval relation must broadcast")
   }
 
-  test("q37: corpus-side list assignment aggregates (no corpus-wide window sort)") {
-    val p = plan("q37_ann_ivf")
-    // only the query-side windows remain (2-probe selection + final top-5
-    // rank, both partitioned by query_id); the corpus assignment must be
-    // the max_by hash aggregate
-    assert("""(?m)^\(\d+\) Window$""".r.findAllIn(p).size <= 2,
-      "corpus assignment must not use a window sort over the n*k cross product")
-    assert(p.contains("max_by"), "argmax assignment should be the max_by aggregate")
+  test("q37/q37b: search plans consume the shared index — literal centroids, no training") {
+    val p37 = plan("q37_ann_ivf")
+    val p37b = plan("q37b_ann_ivfpq")
+    // the shared coarse centroid frame enters BOTH search plans as literal
+    // rows (LocalTableScan) — training can never re-trigger at search time
+    assert(p37.contains("LocalTableScan"), "q37 centroids must be literal")
+    assert(p37b.contains("LocalTableScan"), "q37b centroids must be literal")
+    // the inverted lists are materialized index state, not a recomputed scan
+    assert(p37.contains("Scan ExistingRDD"), "q37 must read the materialized inverted lists")
+    assert(p37b.contains("Scan ExistingRDD"), "q37b must read the materialized lists/codes")
+    // only query-side windows remain (3-probe selection + final top-k rank,
+    // both partitioned by query_id); nothing corpus-wide may window-sort
+    assert("""(?m)^\(\d+\) Window$""".r.findAllIn(p37).size <= 2,
+      "q37: corpus side must not window-sort")
+    // and the index is BUILT once: repeated access returns the same instance
+    assert(queries.VecIndex.coarse(spark, sf) eq queries.VecIndex.coarse(spark, sf),
+      "coarse index must be memoized")
+    assert(queries.VecIndex.pq(spark, sf) eq queries.VecIndex.pq(spark, sf),
+      "pq index must be memoized")
   }
 
   test("q50d: DSv2 netflow source prunes to the three aggregated columns") {
@@ -150,10 +161,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "occurrence counts must combine map-side")
   }
 
-  test("q58b/q37: k-means centroid frames are literals (training never re-triggers)") {
+  test("q58b: encode is a projection of the materialized PQ index (no retrain, no shuffle)") {
     val p = plan("q58b_pq_quantize")
-    assert(p.contains("LocalTableScan"), "codebooks must enter the plan as literal rows")
-    assert(p.contains("BroadcastHashJoin"), "codebooks broadcast to the encode join")
+    assert(p.contains("Scan ExistingRDD"), "must read the materialized code table")
+    assert(!p.contains("Exchange"), "a pure projection of the index must not shuffle")
+    // the codebooks behind it are literal rows (LocalTableScan)
+    val cb = queries.VecIndex.pq(spark, sf).codebooks.queryExecution
+      .explainString(FormattedMode)
+    assert(cb.contains("LocalTableScan"), "codebooks must be literal rows")
   }
 
   test("q50g: conversation labeling broadcasts the top-N set; decoded flows never sort-merge") {
