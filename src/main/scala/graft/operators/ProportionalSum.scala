@@ -182,6 +182,15 @@ object ProportionalSum {
       case "month" => "INTERVAL 1 MONTH"
       case "quarter" => "INTERVAL 3 MONTH"
       case "year" => "INTERVAL 1 YEAR"
+      // the sub-day units of the reference's DATE_FIELD_UNITS family
+      // (ProportionalSumAggregationBuilder.java:78-97); under the pinned UTC
+      // session (tz hard-disabled by the reference — builder:434,492-493)
+      // they are fixed-width and alias the fixed-interval path, but the
+      // builder accepts the calendar spelling, so this path must too
+      case "day" => "INTERVAL 1 DAY"
+      case "hour" => "INTERVAL 1 HOUR"
+      case "minute" => "INTERVAL 1 MINUTE"
+      case "second" => "INTERVAL 1 SECOND"
       case other => throw new IllegalArgumentException(s"unsupported calendar unit: $other")
     }
     val off = lit(offsetMs)

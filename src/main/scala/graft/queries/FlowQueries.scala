@@ -123,6 +123,29 @@ object FlowQueries {
     }),
     "q03_prop_sum_sampling" -> (q(basicCfg, sampling = Some(samplingCol)) _),
     "q04_prop_sum_grouped" -> (q(basicCfg, groupCols = Seq(col("event_type"))) _),
+    // ES `terms` ordered by a SUB-AGGREGATION path ("order": {"total_value":
+    // "desc"} under a terms parent — InternalOrder agg paths, inherited by
+    // the reference via ProportionalSumAggregationBuilder.java:133; the
+    // Drift UI's "top conversations by proportional bytes" sort): each
+    // surviving parent bucket keeps its FULL nested proportional series,
+    // but parent order and the size=3 truncation come from the child sum.
+    // term_rank makes the parent order data-visible. The term totals are a
+    // coordinator-sized frame (one row per term, like the ES reduce phase):
+    // ranking windows over it and broadcasting it back are both tiny.
+    "q11h_terms_order_subagg" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val series = q(basicCfg, groupCols = Seq(col("event_type")))(spark, dir)
+      val totals = series.groupBy(col("event_type"))
+        .agg(graft.functions.detsum.sumDet(col("value")).as("total_value"))
+      val w = Window.orderBy(col("total_value").desc, col("event_type").asc)
+      val top = totals
+        .withColumn("term_rank", row_number().over(w).cast("long"))
+        .filter(col("term_rank") <= 3)
+        .select(col("event_type"), col("term_rank"), round(col("total_value"), 6).as("total_value"))
+      series.join(broadcast(top), Seq("event_type"))
+        .select(col("event_type"), col("term_rank"), col("total_value"),
+          col("bucket_ms"), col("doc_count"), col("value"))
+    }),
     // proportional_sum nested under a `filters` PARENT (the other parent
     // shape the ES histogram framework supports): each named predicate is an
     // independent bucket, so a flow matching several filters contributes a
@@ -164,6 +187,17 @@ object FlowQueries {
         ProportionalSum.explodeContribCalendarMonth(
           flows, col("rs"), col("re"), col("v"), None,
           Some(JAN_START_MS), Some(MAY_START_MS)))
+    }),
+    // sub-day calendar-unit spelling ("day" here; hour/minute/second are
+    // spec-pinned to alias the fixed path under UTC) — DATE_FIELD_UNITS
+    // accepts them and the reference pins tz=null, so they are fixed-width
+    "q06d_prop_sum_calendar_day" -> ((spark: SparkSession, dir: String) => {
+      val flows = Flows.df(spark, dir)
+        .withColumn("re", col("rs") + (col("event_id") % 10) * lit(DAY_MS))
+      ProportionalSum.aggregate(
+        ProportionalSum.explodeContribCalendar(
+          flows, col("rs"), col("re"), col("v"), None,
+          Some(JAN_START_MS), Some(MAY_START_MS), "day"))
     }),
     // calendar interval COMBINED with offset — the reference applies offset
     // inside every rounding (round(x - offset) + offset), so monthly buckets
@@ -383,6 +417,24 @@ object FlowQueries {
     "q02_prop_sum_offset" -> oracle(offsetCfg),
     "q03_prop_sum_sampling" -> oracle(basicCfg, samplingSql = Some(samplingSql)),
     "q04_prop_sum_grouped" -> oracle(basicCfg, groupCols = Seq("event_type")),
+    "q11h_terms_order_subagg" -> {
+      val core = oracle(basicCfg, groupCols = Seq("event_type")).stripSuffix(" SELECT * FROM agg")
+      s"""$core,
+         |totals AS (
+         |  SELECT event_type, ${graft.functions.detsum.sumDetSql("value")} AS total_value
+         |  FROM agg GROUP BY event_type
+         |),
+         |top AS (
+         |  SELECT * FROM (
+         |    SELECT event_type,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY total_value DESC, event_type ASC) AS BIGINT) AS term_rank,
+         |           round(total_value, 6) AS total_value
+         |    FROM totals
+         |  ) WHERE term_rank <= 3
+         |)
+         |SELECT agg.event_type AS event_type, term_rank, total_value, bucket_ms, doc_count, value
+         |FROM agg JOIN top ON agg.event_type = top.event_type""".stripMargin
+    },
     "q04b_prop_sum_filters_parent" ->
       oracle(basicCfg, groupCols = Seq("fname"))
         .replace("FROM flows", "FROM f") // ranged now reads the exploded view
@@ -489,6 +541,32 @@ object FlowQueries {
          |  SELECT epoch_ms(bts) + $off AS bucket_ms, dur, eff_v,
          |         GREATEST(0, LEAST(epoch_ms(bts + INTERVAL 1 MONTH) + $off, re)
          |                   - GREATEST(epoch_ms(bts) + $off, rs)) AS ov
+         |  FROM ex
+         |)
+         |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
+         |FROM ovl GROUP BY bucket_ms""".stripMargin
+    },
+    "q06d_prop_sum_calendar_day" -> {
+      val det = graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")
+      s"""WITH flows AS (
+         |  SELECT event_id, value AS v,
+         |         epoch_ms(ts) AS rs,
+         |         epoch_ms(ts) + (event_id % 10) * 86400000 AS re
+         |  FROM events
+         |),
+         |ranged AS (
+         |  SELECT *, re - rs AS dur, v AS eff_v,
+         |         date_trunc('day', make_timestamp(GREATEST(rs, $JAN_START_MS) * 1000)) AS fbts,
+         |         date_trunc('day', make_timestamp(LEAST(re, $MAY_START_MS) * 1000)) AS lbts
+         |  FROM flows
+         |),
+         |ex AS (
+         |  SELECT *, UNNEST(generate_series(fbts, lbts, INTERVAL 1 DAY)) AS bts
+         |  FROM ranged WHERE fbts <= lbts
+         |),
+         |ovl AS (
+         |  SELECT epoch_ms(bts) AS bucket_ms, dur, eff_v,
+         |         GREATEST(0, LEAST(epoch_ms(bts + INTERVAL 1 DAY), re) - GREATEST(epoch_ms(bts), rs)) AS ov
          |  FROM ex
          |)
          |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value

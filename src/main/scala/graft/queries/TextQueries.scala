@@ -55,10 +55,12 @@ object TextQueries {
         .orderBy(col("score").desc, col("tok").asc)
         .limit(15)
     }),
-    // ES `string_stats` (per source): count, min/max/avg length, and the
-    // distinct-character count (the shape of the entropy input; the entropy
-    // double itself is left out — cross-engine log2 can differ in the last
-    // ulp, and a flaky oracle is worse than a narrower one).
+    // ES `string_stats` (per source): count, min/max/avg length, the
+    // distinct-character count, AND the Shannon entropy over character
+    // frequencies — the full ES output. Entropy uses H = log2(N) −
+    // Σ cᵢ·log2(cᵢ) / N with [[graft.functions.detlog]]'s basic-ops-only
+    // log2 (bit-identical in both engines — no libm) and the detsum recipe
+    // for the order-free Σ, so the hash compare is exact.
     "q13c_string_stats" -> ((s: SparkSession, d: String) => {
       // length stats are a cheap single-agg scan; the per-CHARACTER explode
       // is the heavy branch — that one gets the scan-spreading repartition
@@ -70,12 +72,23 @@ object TextQueries {
           max(length(col("text"))).as("max_len"),
           sum(length(col("text"))).as("sum_len"))
         .withColumn("avg_len", round(col("sum_len") / col("n_docs"), 6))
-      val chars = Tables(s, d, "documents")
+      // per-(source, char) counts: alphabet-bounded — a tiny table at any
+      // corpus scale, so the log2 chain runs on ~|sources|·|alphabet| rows
+      val charCounts = Tables(s, d, "documents")
         .repartition(col("doc_id"))
         .select(col("source"), explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("source"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      val chars = graft.functions.detlog.withLog2(charCounts, "c", "lg")
         .groupBy(col("source"))
-        .agg(countDistinct(col("ch")).as("n_distinct_chars"))
-      base.join(chars, Seq("source"))
+        .agg(
+          count(lit(1)).as("n_distinct_chars"),
+          sum(col("c")).as("n_chars"),
+          graft.functions.detsum.sumDet(col("c") * col("lg"), 9).as("clg"))
+      val entropy = graft.functions.detlog.withLog2(chars, "n_chars", "lgn")
+        .withColumn("entropy", round(col("lgn") - col("clg") / col("n_chars").cast("double"), 6))
+        .select(col("source"), col("n_distinct_chars"), col("entropy"))
+      base.join(entropy, Seq("source"))
     }),
     "q40_lang_id" -> ((s: SparkSession, d: String) => {
       val base = docs(s, d)
@@ -449,20 +462,28 @@ object TextQueries {
          |       r_word_count AND r_word_len AND r_stopwords AS kept
          |FROM r""".stripMargin,
     "q13c_string_stats" ->
-      """WITH base AS (
-        |  SELECT source, COUNT(*) AS n_docs,
-        |         MIN(length(text)) AS min_len, MAX(length(text)) AS max_len,
-        |         CAST(SUM(length(text)) AS BIGINT) AS sum_len
-        |  FROM documents GROUP BY source
-        |),
-        |chars AS (
-        |  SELECT source, COUNT(DISTINCT ch) AS n_distinct_chars FROM (
-        |    SELECT source, UNNEST(regexp_split_to_array(text, '')) AS ch FROM documents
-        |  ) GROUP BY source
-        |)
-        |SELECT base.source AS source, n_docs, min_len, max_len, sum_len,
-        |       round(sum_len / n_docs, 6) AS avg_len, n_distinct_chars
-        |FROM base JOIN chars ON base.source = chars.source""".stripMargin,
+      s"""WITH base AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |         MIN(length(text)) AS min_len, MAX(length(text)) AS max_len,
+         |         CAST(SUM(length(text)) AS BIGINT) AS sum_len
+         |  FROM documents GROUP BY source
+         |),
+         |counts AS (
+         |  SELECT source, ch, COUNT(*) AS c FROM (
+         |    SELECT source, UNNEST(regexp_split_to_array(text, '')) AS ch FROM documents
+         |  ) GROUP BY source, ch
+         |),
+         |${graft.functions.detlog.log2SqlCtes("counts", "c", "lg", "lgc")},
+         |chars AS (
+         |  SELECT source, COUNT(*) AS n_distinct_chars, CAST(SUM(c) AS BIGINT) AS n_chars,
+         |         ${graft.functions.detsum.sumDetSql("c * lg", 9)} AS clg
+         |  FROM lgcfin GROUP BY source
+         |),
+         |${graft.functions.detlog.log2SqlCtes("chars", "n_chars", "lgn", "lgn")}
+         |SELECT base.source AS source, n_docs, min_len, max_len, sum_len,
+         |       round(sum_len / n_docs, 6) AS avg_len, n_distinct_chars,
+         |       round(lgn - clg / CAST(n_chars AS DOUBLE), 6) AS entropy
+         |FROM base JOIN lgnfin ON base.source = lgnfin.source""".stripMargin,
     "q11g_significant_text" ->
       s"""WITH $docsCte,
          |t AS (SELECT source, UNNEST(list_distinct(toks)) AS tok FROM docs),

@@ -55,4 +55,19 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
     assert(r.getSeq[Long](2).size == 4)
   }
+
+  test("detlog.withLog2: basic-ops log2 matches Math.log within 2^-24, exact on powers of 2") {
+    import spark.implicits._
+    val vals = Seq(1L, 2L, 3L, 7L, 8L, 100L, 1023L, 1024L, 1025L, 65537L,
+      999983L, 1L << 40, (1L << 40) + 12345L)
+    val got = graft.functions.detlog
+      .withLog2(vals.toDF("c"), "c", "lg")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vals.foreach { v =>
+      val ref = math.log(v.toDouble) / math.log(2.0)
+      assert(math.abs(got(v) - ref) < 6e-8, s"log2($v): ${got(v)} vs $ref")
+    }
+    assert(got(1L) == 0.0 && got(2L) == 1.0 && got(8L) == 3.0 && got(1024L) == 10.0,
+      "exact on powers of two")
+  }
 }

@@ -181,4 +181,23 @@ class PropSumSpec extends AnyFunSuite {
     }
     assert(math.abs(got.values.map(_._2).sum - 34.0) < 0.01)
   }
+
+  test("sub-day calendar units (day/hour/minute/second) alias the fixed-interval path under UTC") {
+    // the reference accepts the calendar spelling for these DATE_FIELD_UNITS
+    // (builder:78-97) but hard-pins tz=null, so under UTC each is exactly
+    // the fixed-width grid — the two paths must agree bit-for-bit
+    val rnd = new scala.util.Random(11)
+    val flows = rows(Seq.fill(300) {
+      val rs = 1704067200000L + rnd.nextLong(86400000L * 3)
+      (rs, rs + rnd.nextLong(7200000L), rnd.nextDouble() * 100.0)
+    })
+    for ((unit, ms) <- Seq("day" -> 86400000L, "hour" -> 3600000L,
+        "minute" -> 60000L, "second" -> 1000L)) {
+      val cal = result(ProportionalSum.aggregate(ProportionalSum.explodeContribCalendar(
+        flows, col("rs"), col("re"), col("v"), None, None, None, unit)))
+      val fixed = result(ProportionalSum.run(
+        flows, col("rs"), col("re"), col("v"), None, Config(ms)))
+      assert(cal == fixed, s"calendar '$unit' must equal the fixed ${ms}ms grid")
+    }
+  }
 }
