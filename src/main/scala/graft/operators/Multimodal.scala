@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real and tested — schema, typed Dataset encoding,
   * partition-batched processing via `mapPartitions` (the Scala analog of a
-  * batched pandas-UDF pipeline), deterministic feature output. The actual
-  * media DECODE is a clearly-marked STUB (no image/audio codecs in this
-  * environment): it derives fake "pixels" from the payload bytes
-  * deterministically, preserving the interface a real codec would have. */
+  * batched pandas-UDF pipeline), deterministic feature output. The DECODE
+  * step is a real pure-JVM codec for the two container formats that need no
+  * native libraries: uncompressed 24bpp BMP for images and RIFF/WAVE PCM16
+  * for audio (see [[MediaCodec]]) — the pipelines attach genuine container
+  * bytes and the decoder reads dimensions/strides/chunks from the file
+  * itself. Payloads in any OTHER format still hit [[decodeStub]], the
+  * clearly-marked stand-in for codecs this environment cannot host. */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int, channels: Int)
@@ -24,10 +27,12 @@ object Multimodal {
       max_byte: Int,
       payload_hash: Long)
 
-  /** STUB decode — stands in for a real image/video codec. Deterministic:
-    * "pixels" are the payload bytes cycled to width*height*channels length.
-    * A production build swaps this for the real decoder; everything
-    * downstream (batching, features, schema) is unchanged. */
+  /** STUB decode — stands in for codecs this environment cannot host (JPEG,
+    * H.264, ...). Deterministic: "pixels" are the payload bytes cycled to
+    * width*height*channels length. A production build swaps this for the
+    * real decoder; everything downstream (batching, features, schema) is
+    * unchanged. BMP payloads never reach this — [[decodeImage]] dispatches
+    * them to the real [[MediaCodec.decodeBmp]]. */
   def decodeStub(payload: Array[Byte], width: Int, height: Int, channels: Int): Array[Byte] = {
     val n = width * height * channels
     val out = new Array[Byte](n)
@@ -37,15 +42,40 @@ object Multimodal {
     out
   }
 
-  /** Attach a synthetic binary payload + media metadata to documents
-    * (the testdata carries no real media; payload = utf8 bytes of `text`). */
-  def attachPayload(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      (col("n_chars") % 64 + 16).cast("int").as("width"),
-      (col("doc_id") % 48 + 16).cast("int").as("height"),
-      lit(3).as("channels"))
+  /** Real decode dispatch: a well-formed BMP payload is parsed by the real
+    * codec (dims/stride/row-order come from the container, not the
+    * metadata); anything else falls back to [[decodeStub]] with the row's
+    * advisory metadata. Returns (width, height, channels, top-down RGB). */
+  def decodeImage(r: MediaRow): (Int, Int, Int, Array[Byte]) =
+    MediaCodec.decodeBmp(r.payload) match {
+      case Some(d) => (d.width, d.height, 3, d.pixels)
+      case None => (r.width, r.height, r.channels, decodeStub(r.payload, r.width, r.height, r.channels))
+    }
+
+  private def cycleBytes(src: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    if (src.isEmpty) return out
+    var i = 0
+    while (i < n) { out(i) = src(i % src.length); i += 1 }
+    out
+  }
+
+  /** Attach a genuine binary media payload + typed metadata to documents.
+    * The testdata carries no real media, so each doc's image is synthesized
+    * deterministically — pixels are the utf8 text bytes cycled — but the
+    * payload is a real, well-formed 24bpp BMP file (any external viewer
+    * opens it) that the downstream pipeline decodes with the real parser. */
+  def attachPayload(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val w = (nChars % 64 + 16).toInt
+        val h = (id % 48 + 16).toInt
+        val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+        MediaRow(id, MediaCodec.encodeBmp(w, h, cycleBytes(bytes, w * h * 3)), w, h, 3)
+      }
+  }
 
   /** Partition-batched decode → feature extraction. Features are simple
     * deterministic statistics over the decoded bytes (mean, max, fnv-ish
@@ -54,7 +84,7 @@ object Multimodal {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        val px = decodeStub(r.payload, r.width, r.height, r.channels)
+        val (w, h0, _, px) = decodeImage(r)
         var sum = 0L
         var mx = 0
         var h = 1469598103934665603L // FNV offset basis
@@ -66,16 +96,14 @@ object Multimodal {
           h = (h ^ v) * 1099511628211L
           i += 1
         }
-        MediaFeatures(r.doc_id, r.width, r.height, px.length.toLong, sum.toDouble / px.length, mx, h)
+        MediaFeatures(r.doc_id, w, h0, px.length.toLong, sum.toDouble / px.length, mx, h)
       }
     }
   }
 
   /** End-to-end pipeline over the documents table. */
-  def pipeline(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    extractFeatures(attachPayload(docs).as[MediaRow]).toDF()
-  }
+  def pipeline(docs: DataFrame): DataFrame =
+    extractFeatures(attachPayload(docs)).toDF()
 
   case class FrameFeatures(doc_id: Long, frame_idx: Int, mean_byte: Double, max_byte: Int)
 
@@ -87,9 +115,9 @@ object Multimodal {
   def sampleFrames(rows: Dataset[MediaRow], stride: Int): Dataset[FrameFeatures] = {
     import rows.sparkSession.implicits._
     rows.flatMap { r =>
-      val px = decodeStub(r.payload, r.width, r.height, r.channels)
-      val frameLen = r.width * r.channels // one "scanline frame" per height unit
-      (0 until r.height by stride).map { f =>
+      val (w, h, c, px) = decodeImage(r)
+      val frameLen = w * c // one "scanline frame" per height unit
+      (0 until h by stride).map { f =>
         var sum = 0L
         var mx = 0
         var i = f * frameLen
@@ -106,10 +134,8 @@ object Multimodal {
   }
 
   /** Frame-sampling pipeline over documents (every 4th frame). */
-  def framePipeline(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    sampleFrames(attachPayload(docs).as[MediaRow], stride = 4).toDF()
-  }
+  def framePipeline(docs: DataFrame): DataFrame =
+    sampleFrames(attachPayload(docs), stride = 4).toDF()
 
   case class ResizedFeatures(
       doc_id: Long, out_w: Int, out_h: Int, n_bytes: Long,
@@ -117,26 +143,25 @@ object Multimodal {
 
   /** Nearest-neighbor resize to (outW, outH): source index mapping
     * `src = dst * srcDim / outDim` per axis — the standard NN resize grid,
-    * run on the stub-decoded pixels. The mapPartitions batch-in/batch-out
-    * shape (and the per-row output contract: fixed outW*outH*channels
-    * bytes + summary features) is exactly what a real resize UDF has; only
-    * [[decodeStub]] stands in for the codec. */
+    * run on the decoded pixels ([[decodeImage]]: real BMP parse, stub
+    * fallback). The mapPartitions batch-in/batch-out shape (and the per-row
+    * output contract: fixed outW*outH*channels bytes + summary features) is
+    * exactly what a real resize UDF has. */
   def resize(rows: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        val px = decodeStub(r.payload, r.width, r.height, r.channels)
-        val c = r.channels
+        val (w, h, c, px) = decodeImage(r)
         val out = new Array[Byte](outW * outH * c)
         var y = 0
         while (y < outH) {
-          val sy = y * r.height / outH
+          val sy = y * h / outH
           var x = 0
           while (x < outW) {
-            val sx = x * r.width / outW
+            val sx = x * w / outW
             var ch = 0
             while (ch < c) {
-              out((y * outW + x) * c + ch) = px((sy * r.width + sx) * c + ch)
+              out((y * outW + x) * c + ch) = px((sy * w + sx) * c + ch)
               ch += 1
             }
             x += 1
@@ -154,30 +179,34 @@ object Multimodal {
   }
 
   /** Resize pipeline over documents (16×16 thumbnails). */
-  def resizePipeline(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    resize(attachPayload(docs).as[MediaRow], outW = 16, outH = 16).toDF()
-  }
+  def resizePipeline(docs: DataFrame): DataFrame =
+    resize(attachPayload(docs), outW = 16, outH = 16).toDF()
 
   case class AudioWindow(doc_id: Long, win_idx: Int, rms: Double, zero_crossings: Int)
 
-  /** Audio-style plumbing: the payload read as big-endian 16-bit PCM mono,
-    * framed into `win`-sample windows at `hop` stride, per-window RMS and
+  /** Audio-style plumbing: the payload decoded to 16-bit PCM samples, framed
+    * into `win`-sample windows at `hop` stride, per-window RMS and
     * zero-crossing count — the exact fan-out/feature shape a real audio
-    * featurizer (VAD, loudness normalization) has. The byte→sample read IS
-    * the stub boundary: a real build decodes the container first; everything
-    * downstream (framing, hop arithmetic, features, fan-out) is real. */
+    * featurizer (VAD, loudness normalization) has. A RIFF/WAVE payload is
+    * parsed by the real chunk-walking codec ([[MediaCodec.decodeWavPcm16]]);
+    * any other payload falls back to a raw big-endian PCM16 read — that
+    * fallback IS the stub boundary for containers this environment cannot
+    * decode. */
   def audioWindows(rows: Dataset[MediaRow], win: Int = 256, hop: Int = 128): Dataset[AudioWindow] = {
     import rows.sparkSession.implicits._
     rows.flatMap { r =>
-      val bytes = r.payload
-      val n = bytes.length / 2
-      val samples = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        samples(i) = (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
-        i += 1
+      val samples: Array[Int] = MediaCodec.decodeWavPcm16(r.payload).getOrElse {
+        val bytes = r.payload
+        val n = bytes.length / 2
+        val raw = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          raw(i) = (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+          i += 1
+        }
+        raw
       }
+      val n = samples.length
       val out = Seq.newBuilder[AudioWindow]
       var w = 0
       var start = 0
@@ -199,12 +228,32 @@ object Multimodal {
     }
   }
 
+  /** Attach a genuine RIFF/WAVE PCM16 payload to documents: samples are
+    * derived deterministically from the utf8 text bytes (big-endian pairs,
+    * the same derivation the raw fallback reads), wrapped in a real WAV
+    * container that any external player opens and that
+    * [[MediaCodec.decodeWavPcm16]] parses chunk-by-chunk. */
+  def attachAudioPayload(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+        val n = bytes.length / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+          i += 1
+        }
+        MediaRow(id, MediaCodec.encodeWavPcm16(samples), 0, 0, 1)
+      }
+  }
+
   /** Audio-window pipeline over documents (64-sample windows, 32 hop — the
     * doc payloads are short). */
-  def audioPipeline(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    audioWindows(attachPayload(docs).as[MediaRow], win = 64, hop = 32).toDF()
-  }
+  def audioPipeline(docs: DataFrame): DataFrame =
+    audioWindows(attachAudioPayload(docs), win = 64, hop = 32).toDF()
 
   case class PHashRow(doc_id: Long, phash: Long)
 
@@ -212,24 +261,23 @@ object Multimodal {
     * 8×8, channel-average to grayscale, threshold each cell against the
     * image mean → 64-bit hash. Visually-near images differ in few bits, so
     * image near-dup detection is Hamming distance on 8 bytes — the standard
-    * image-dedup trick at corpus scale. Only [[decodeStub]] stands in for
-    * the codec; the hash math is the real aHash. */
+    * image-dedup trick at corpus scale. Decode is [[decodeImage]] (real BMP
+    * parse, stub fallback); the hash math is the real aHash. */
   def perceptualHash(rows: Dataset[MediaRow]): Dataset[PHashRow] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        val px = decodeStub(r.payload, r.width, r.height, r.channels)
-        val c = r.channels
+        val (w, h0, c, px) = decodeImage(r)
         val g = new Array[Double](64)
         var y = 0
         while (y < 8) {
-          val sy = y * r.height / 8
+          val sy = y * h0 / 8
           var x = 0
           while (x < 8) {
-            val sx = x * r.width / 8
+            val sx = x * w / 8
             var s = 0
             var ch = 0
-            while (ch < c) { s += px((sy * r.width + sx) * c + ch) & 0xff; ch += 1 }
+            while (ch < c) { s += px((sy * w + sx) * c + ch) & 0xff; ch += 1 }
             g(y * 8 + x) = s.toDouble / c
             x += 1
           }
@@ -253,15 +301,18 @@ object Multimodal {
     * best_hamming 0. */
   def phashPairs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // media dims derive from CONTENT (not doc_id) so duplicate payloads make
-    // identical images — the property image dedup actually relies on
-    val media = docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      (col("n_chars") % 64 + 16).cast("int").as("width"),
-      (col("n_chars") % 48 + 16).cast("int").as("height"),
-      lit(3).as("channels"))
-    val hashes = perceptualHash(media.as[MediaRow]).toDF()
+    // media dims derive from CONTENT (not doc_id) so duplicate text makes
+    // byte-identical BMPs — the property image dedup actually relies on
+    val media = docs
+      .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val w = (nChars % 64 + 16).toInt
+        val h = (nChars % 48 + 16).toInt
+        val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+        MediaRow(id, MediaCodec.encodeBmp(w, h, cycleBytes(bytes, w * h * 3)), w, h, 3)
+      }
+    val hashes = perceptualHash(media).toDF()
     val chunked = hashes.select(
       col("doc_id"), col("phash"),
       explode(array((0 until 4).map { ci =>

@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MediaCodec
+
+/** The BMP/WAV codecs are real parsers, so they get real codec tests:
+  * hand-built byte-literal fixtures (guarding against a self-consistent but
+  * wrong encode/decode pair), roundtrips across padding/sign edge cases, and
+  * rejection of malformed or unsupported containers (which is the stub
+  * fallback trigger in [[graft.operators.Multimodal]]). */
+class MediaCodecSpec extends AnyFunSuite {
+
+  // ---------------------------------------------------------------- BMP ----
+
+  test("bmp: decode a hand-assembled 2x2 24bpp file (literal bytes, not our encoder)") {
+    // 2x2 image, stride = (2*3+3)&~3 = 8, so each row carries 2 pad bytes.
+    // Bottom-up storage: file row 0 is image row 1. Pixels (top-down RGB):
+    //   (0,0)=red (255,0,0)   (0,1)=green (0,255,0)
+    //   (1,0)=blue (0,0,255)  (1,1)=white (255,255,255)
+    def b(v: Int): Byte = v.toByte
+    val header = Array[Byte](
+      'B', 'M',
+      b(70), 0, 0, 0, // file size 54 + 16
+      0, 0, 0, 0,
+      b(54), 0, 0, 0, // data offset
+      b(40), 0, 0, 0, // info header size
+      2, 0, 0, 0, // width 2
+      2, 0, 0, 0, // height 2 (bottom-up)
+      1, 0, // planes
+      b(24), 0, // bpp
+      0, 0, 0, 0, // BI_RGB
+      b(16), 0, 0, 0, // image size
+      0, 0, 0, 0, 0, 0, 0, 0, // resolutions
+      0, 0, 0, 0, 0, 0, 0, 0) // palette counts
+    val rows = Array[Byte](
+      // file row 0 = image bottom row: blue then white, BGR order, 2 pad
+      b(255), 0, 0, b(255), b(255), b(255), 0, 0,
+      // file row 1 = image top row: red then green
+      0, 0, b(255), 0, b(255), 0, 0, 0)
+    val d = MediaCodec.decodeBmp(header ++ rows).get
+    assert(d.width == 2 && d.height == 2)
+    assert(d.pixels.toSeq == Seq[Byte](
+      b(255), 0, 0, 0, b(255), 0, // top row: red, green (RGB)
+      0, 0, b(255), b(255), b(255), b(255))) // bottom row: blue, white
+  }
+
+  test("bmp: encode/decode roundtrip recovers pixels exactly (odd width exercises padding)") {
+    for ((w, h) <- Seq((5, 3), (16, 16), (1, 1), (63, 17))) {
+      val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 31 + 7) % 256).toByte)
+      val bmp = MediaCodec.encodeBmp(w, h, rgb)
+      assert(bmp(0) == 'B' && bmp(1) == 'M')
+      // stride padding: file size = 54 + ((w*3+3)&~3)*h
+      assert(bmp.length == 54 + ((w * 3 + 3) & ~3) * h)
+      val d = MediaCodec.decodeBmp(bmp).get
+      assert(d.width == w && d.height == h)
+      assert(d.pixels.toSeq == rgb.toSeq, s"roundtrip mismatch at ${w}x$h")
+    }
+  }
+
+  test("bmp: top-down files (negative height) decode to the same raster") {
+    val w = 3; val h = 2
+    val rgb = Array.tabulate[Byte](w * h * 3)(_.toByte)
+    val bmp = MediaCodec.encodeBmp(w, h, rgb)
+    // flip to top-down: height := -h, pixel rows reordered to top-first
+    val stride = (w * 3 + 3) & ~3
+    val flipped = bmp.clone()
+    val negH = -h
+    flipped(22) = negH.toByte; flipped(23) = (negH >> 8).toByte
+    flipped(24) = (negH >> 16).toByte; flipped(25) = (negH >> 24).toByte
+    for (y <- 0 until h; i <- 0 until stride)
+      flipped(54 + y * stride + i) = bmp(54 + (h - 1 - y) * stride + i)
+    val d = MediaCodec.decodeBmp(flipped).get
+    assert(d.pixels.toSeq == rgb.toSeq)
+  }
+
+  test("bmp: malformed and unsupported containers are rejected, not mis-parsed") {
+    val good = MediaCodec.encodeBmp(4, 4, new Array[Byte](48))
+    assert(MediaCodec.decodeBmp(Array[Byte]('B', 'M', 1, 2)).isEmpty, "truncated header")
+    assert(MediaCodec.decodeBmp(good.take(60)).isEmpty, "truncated pixel data")
+    assert(MediaCodec.decodeBmp("not a bitmap at all, just text".getBytes("UTF-8")).isEmpty)
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(MediaCodec.decodeBmp(bpp8).isEmpty, "8bpp unsupported")
+    val rle = good.clone(); rle(30) = 1
+    assert(MediaCodec.decodeBmp(rle).isEmpty, "compressed unsupported")
+    assert(MediaCodec.decodeBmp(Array.emptyByteArray).isEmpty)
+  }
+
+  // ---------------------------------------------------------------- WAV ----
+
+  test("wav: decode a hand-assembled RIFF file with an unknown odd-sized chunk before data") {
+    def b(v: Int): Byte = v.toByte
+    // samples: 1000, -2, little-endian PCM16
+    val out = Array[Byte](
+      'R', 'I', 'F', 'F', b(52), 0, 0, 0, 'W', 'A', 'V', 'E',
+      // unknown 3-byte chunk -> consumes a pad byte (RIFF word alignment)
+      'j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0,
+      'f', 'm', 't', ' ', b(16), 0, 0, 0,
+      1, 0, // PCM
+      1, 0, // mono
+      b(0x80), b(0x3e), 0, 0, // 16000 Hz
+      0, b(0x7d), 0, 0, // byte rate 32000
+      2, 0, b(16), 0, // block align, bits
+      'd', 'a', 't', 'a', 4, 0, 0, 0,
+      b(0xe8), 3, // 1000
+      b(0xfe), b(0xff)) // -2
+    assert(MediaCodec.decodeWavPcm16(out).get.toSeq == Seq(1000, -2))
+  }
+
+  test("wav: encode/decode roundtrip preserves signed samples") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = MediaCodec.encodeWavPcm16(samples, sampleRate = 8000)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(MediaCodec.decodeWavPcm16(wav).get.toSeq == samples.map(_.toInt).toSeq)
+  }
+
+  test("wav: non-PCM, stereo, and truncated containers are rejected") {
+    val wav = MediaCodec.encodeWavPcm16(Array[Short](1, 2, 3))
+    val stereo = wav.clone(); stereo(22) = 2
+    assert(MediaCodec.decodeWavPcm16(stereo).isEmpty)
+    val float32 = wav.clone(); float32(20) = 3
+    assert(MediaCodec.decodeWavPcm16(float32).isEmpty)
+    assert(MediaCodec.decodeWavPcm16(wav.take(40)).isEmpty)
+    assert(MediaCodec.decodeWavPcm16("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // raw big-endian PCM (the stub-path payload shape) is not a WAV
+    assert(MediaCodec.decodeWavPcm16(Array.tabulate[Byte](64)(_.toByte)).isEmpty)
+  }
+
+  // ------------------------------------------------- pipeline integration --
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  test("attachPayload emits genuine BMPs the real parser decodes (dims + cycled pixels)") {
+    val docs = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val rows = graft.operators.Multimodal.attachPayload(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.payload(0) == 'B' && r.payload(1) == 'M')
+      val d = MediaCodec.decodeBmp(r.payload).get
+      assert(d.width == r.width && d.height == r.height)
+    }
+    // pixels are the utf8 text bytes cycled — check one doc end to end
+    val doc = docs.select("doc_id", "text").orderBy("doc_id").limit(1).collect().head
+    val row = rows.find(_.doc_id == doc.getLong(0)).get
+    val txt = doc.getString(1).getBytes("UTF-8")
+    val px = MediaCodec.decodeBmp(row.payload).get.pixels
+    if (txt.nonEmpty) px.zipWithIndex.foreach { case (p, i) => assert(p == txt(i % txt.length)) }
+  }
+
+  test("attachAudioPayload emits genuine WAVs; audio pipeline decodes via the RIFF parser") {
+    val docs = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val rows = graft.operators.Multimodal.attachAudioPayload(docs).limit(20).collect()
+    rows.foreach { r =>
+      assert(new String(r.payload.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(MediaCodec.decodeWavPcm16(r.payload).isDefined)
+    }
+  }
+}
