@@ -74,6 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RhpBuckets(exprs(0), i(exprs(1)), i(exprs(2)), i(exprs(3)))
       }))
     e.injectFunction((
+      FunctionIdentifier("scripted_metric"),
+      info("scripted_metric", "scripted_metric(program, x) - init/map/combine/reduce programmable aggregation (ES scripted_metric)"),
+      (exprs: Seq[Expression]) =>
+        ScriptedMetric.forName(exprs(0).eval().toString, exprs(1)).toAggregateExpression()))
+    e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k-component MinHash signature"),
       (exprs: Seq[Expression]) => {

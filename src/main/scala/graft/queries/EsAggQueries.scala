@@ -373,6 +373,19 @@ object EsAggQueries {
     // ES diversified_sampler: cap the sample at max_docs_per_value per key
     // (3 per user), selection by a deterministic content hash so both
     // engines draw the identical sample; downstream agg runs on the sample.
+    // ES scripted_metric: init/map/combine/reduce closures over the group's
+    // docs (graft.plans.ScriptedMetric, program registered by name like an
+    // ES stored script). The demo program needs the whole per-group sorted
+    // series — inexpressible as any built-in metric agg — yet still runs as
+    // a standard partial-agg: map collects where the data lives, serialized
+    // state crosses the shuffle, reduce runs once per group.
+    "q60_scripted_metric" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("doc_count"),
+          call_function("scripted_metric", lit("max_gap_ms"), col("ms")).as("max_gap_ms"))),
+
     "q49b_diversified_sampler" -> ((s: SparkSession, d: String) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(md5(col("event_id").cast("string").cast("binary")).asc, col("event_id").asc)
@@ -751,6 +764,15 @@ object EsAggQueries {
          |       CAST(SUM(COALESCE(fs.new_users, 0)) OVER (
          |         ORDER BY days.day_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
          |FROM days LEFT JOIN fs ON days.day_ms = fs.first_day""".stripMargin,
+    "q60_scripted_metric" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |           PARTITION BY event_type ORDER BY epoch_ms(ts)) AS gap
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS doc_count, max(gap) AS max_gap_ms
+        |FROM g GROUP BY event_type""".stripMargin,
     "q49b_diversified_sampler" ->
       s"""WITH sampled AS (
          |  SELECT * FROM (

@@ -109,4 +109,31 @@ class SketchSpec extends AnyFunSuite {
     info(s"IVF-PQ refine recall@5 = $pqRecall over ${exact.size} true pairs")
     assert(pqRecall >= 0.25, s"recall $pqRecall collapsed — ADC ranking or refine join broken")
   }
+
+  test("scripted_metric: closures run as a real distributed agg, exact result, merge-invariant") {
+    import spark.implicits._
+    // known series: group a has gaps 5,10,85 -> 85; group b has one row -> null
+    val rows = Seq(("a", 100L), ("a", 105L), ("a", 115L), ("a", 200L), ("b", 42L))
+      .toDF("k", "t")
+    val out = rows.groupBy(col("k"))
+      .agg(expr("scripted_metric('max_gap_ms', t)").as("g"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(out == Map("a" -> 85L, "b" -> null))
+    // partition-layout invariance: serialized state crosses the shuffle and
+    // combine/finish canonicalize, so any layout reduces identically
+    val ev = queries.Tables(spark, sf, "events")
+      .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type")
+      .agg(expr("scripted_metric('max_gap_ms', ms)").as("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val one = run(ev.coalesce(1))
+    val many = run(ev.repartition(7, col("event_id")))
+    assert(one == many && one.nonEmpty)
+    // unregistered programs fail fast with the registry listing
+    val err = intercept[Exception] {
+      rows.agg(expr("scripted_metric('nope', t)")).collect()
+    }
+    assert(err.getMessage.contains("unknown scripted_metric program"))
+  }
 }
