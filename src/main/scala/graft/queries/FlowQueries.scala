@@ -241,6 +241,12 @@ object FlowQueries {
     // sink); result equals q01's batch histogram, so it shares that oracle
     "st01_prop_sum_stream" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.runToCompletion(spark, dir, basicCfg, "st01_mem")),
+    // production collector shape: watermarked append mode — emits exactly
+    // the buckets at or below the final watermark (max bucket − 2h;
+    // eviction is NON-strict, empirically pinned by the StreamingSpec
+    // probe); the oracle applies the same cutoff to the batch series
+    "st07_prop_sum_append" -> ((spark: SparkSession, dir: String) =>
+      graft.streaming.FlowStream.runAppendMode(spark, dir, basicCfg, 2 * HOUR_MS, "st07_mem")),
     // ingest-time dedup on the document stream (state = distinct fingerprints)
     "st03_stream_dedup" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.streamingDedupCounts(spark, dir, "st03_mem")),
@@ -355,6 +361,12 @@ object FlowQueries {
          |FROM agg""".stripMargin
     },
     "st01_prop_sum_stream" -> oracle(basicCfg),
+    "st07_prop_sum_append" -> {
+      val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
+      s"""$core,
+         |wm AS (SELECT max(bucket_ms) - ${2 * HOUR_MS} AS w FROM agg)
+         |SELECT agg.* FROM agg, wm WHERE agg.bucket_ms <= wm.w""".stripMargin
+    },
     "st03_stream_dedup" ->
       """SELECT source,
         |       COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_distinct

@@ -88,6 +88,49 @@ object FlowStream {
     }
   }
 
+  /** Production-collector shape: append-mode proportional_sum with an
+    * event-time watermark on the bucket timestamp. Only FINALIZED buckets
+    * are emitted — a bucket leaves the state store once the watermark
+    * (max observed bucket time − delay) passes it — so state is bounded by
+    * `delay / interval` open buckets per group regardless of stream length,
+    * and late flows beyond the delay are dropped instead of reopening
+    * history. Contrast with [[runToCompletion]] (complete mode: the whole
+    * series stays in state, right for finite backfills only).
+    *
+    * Emission boundary, empirically pinned (the q25b method — probed, then
+    * encoded in the spec AND the DuckDB oracle): with delay D, the final
+    * watermark is `max(bucket_ts) − D` exactly (no rounding), a bucket is
+    * emitted iff `bucket_ts <= watermark` (NON-strict — the bucket AT the
+    * watermark is evicted), and an arriving row is dropped as late iff its
+    * event time `<= watermark` (also non-strict — the two predicates agree,
+    * so an accepted row can always still reach live state). AvailableNow
+    * runs one extra no-data micro-batch after the last file so the final
+    * watermark's evictions flush — without it append mode would emit
+    * nothing on a single-file source. */
+  def runAppendMode(
+      spark: SparkSession, sfDir: String, cfg: Config, delayMs: Long, name: String): DataFrame =
+    graft.queries.Tables.withShufflePartitions(spark, 8) {
+      val series = ProportionalSum
+        .explodeContrib(flowSource(spark, sfDir), col("rs"), col("re"), col("v"), None, cfg)
+        .withColumn("bucket_ts", timestamp_millis(col("bucket_ms")))
+        .withWatermark("bucket_ts", s"${delayMs / 1000} seconds")
+        .groupBy(col("bucket_ts"))
+        .agg(
+          count(lit(1)).as("doc_count"),
+          graft.functions.detsum.sumDet(col("__contrib")).as("value"))
+      val q = series.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).select(
+        expr("unix_micros(bucket_ts) DIV 1000").as("bucket_ms"),
+        col("doc_count"),
+        col("value"))
+    }
+
   /** Run the stream to completion (AvailableNow) and return the final
     * histogram — the driver-contract entry point. Matches the batch q01
     * result exactly, so it shares q01's DuckDB oracle. */

@@ -183,4 +183,15 @@ class PlanSpec extends AnyFunSuite {
       "the parse must appear once (as the first grouping expression) — a " +
         "withColumn feeding two aggregate inputs gets inlined twice by CollapseProject")
   }
+
+  test("q60: scripted_metric maps where the data lives (partial object agg before the exchange)") {
+    val p = plan("q60_scripted_metric")
+    // the ES contract: map_script on the shard, serialized state over the
+    // wire, reduce on the coordinator — in Spark terms a two-phase
+    // ObjectHashAggregate with the partial below the exchange
+    assert(p.contains("ObjectHashAggregate"), "closure agg runs in the object agg operator")
+    assert(p.contains("partial_scripted_metric"),
+      "map/combine must run map-side; only serialized state may cross the shuffle")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, "one shuffle: the group-by exchange")
+  }
 }

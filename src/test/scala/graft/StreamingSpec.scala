@@ -50,6 +50,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(mustEmit.subsetOf(emitted), s"${mustEmit.size} finalized buckets expected in ${emitted.size} emitted")
   }
 
+  test("st07 boundary probe: eviction and late-drop are both non-strict at the watermark") {
+    // Controlled MemoryStream probe (the q25b method). First batch: event
+    // times 1h, 14h-1s, 14h, 16h with a 2h delay → final watermark exactly
+    // 16h-2h = 14h (no rounding). Observed (and here pinned, because the
+    // DuckDB oracle of st07 must encode the same boundary): the bucket AT
+    // the watermark IS evicted/emitted (non-strict <=), and an arriving row
+    // with event time == watermark is DROPPED as late (also non-strict), so
+    // the two predicates agree and append output stays exactly-once per key.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000L
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF().select(timestamp_millis(col("value")).as("bucket_ts"))
+      .withWatermark("bucket_ts", "7200 seconds")
+      .groupBy(col("bucket_ts"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("st07_probe")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      def emitted(): Set[(Long, Long)] = spark.table("st07_probe")
+        .select(expr("unix_micros(bucket_ts) DIV 1000"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      mem.addData(1 * H, 14 * H - 1000L, 14 * H, 16 * H)
+      q.processAllAvailable()
+      // wm = 14h: 14h itself evicted (non-strict), 16h stays open
+      assert(emitted() == Set((1 * H, 1L), ((14 * H - 1000L), 1L), (14 * H, 1L)),
+        s"eviction boundary: got ${emitted()}")
+
+      // late rows at the watermark are dropped; just above it are accepted
+      mem.addData(14 * H, 14 * H + 1000L)
+      q.processAllAvailable()
+      val dropped = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == 1L, s"exactly the ==watermark row must drop, got $dropped")
+
+      // advancing the watermark flushes the accepted row once; the dropped
+      // row never reappears (no duplicate 14h key in append output)
+      mem.addData(18 * H)
+      q.processAllAvailable()
+      assert(emitted() == Set(
+        (1 * H, 1L), ((14 * H - 1000L), 1L), (14 * H, 1L), ((14 * H + 1000L), 1L), (16 * H, 1L)),
+        s"late-drop/exactly-once: got ${emitted()}")
+    } finally q.stop()
+  }
+
+  test("st07 equals the batch series restricted to buckets at or below max - 2h") {
+    val sf = "/root/testdata/sf0.001"
+    val emitted = queries.FlowQueries.queries("st07_prop_sum_append")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = queries.FlowQueries.queries("q01_prop_sum_basic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cutoff = batch.map(_._1).max - 2 * 3600000L
+    val expected = batch.filter(_._1 <= cutoff)
+    assert(emitted == expected,
+      s"emitted ${emitted.size} buckets, expected ${expected.size} (cutoff $cutoff)")
+    assert(emitted.nonEmpty)
+  }
+
   test("stateful sessionization emits sessions closed by a gap, keeps the open one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
