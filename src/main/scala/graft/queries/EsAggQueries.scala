@@ -24,6 +24,58 @@ object EsAggQueries {
   private def hourBucket(c: org.apache.spark.sql.Column) =
     (floor(c / lit(HOUR_MS)) * lit(HOUR_MS)).as("bucket_ms")
 
+  // ---- q61 matrix_stats / q62 t_test: shared derived-stat text -----------
+  // These SQL fragments are parsed by BOTH Spark (selectExpr) and DuckDB
+  // (oracle), so the derived IEEE double arithmetic is identical by
+  // construction; only the moment sums beneath them need the usual
+  // sumDet/sumDetSql lockstep.
+
+  private val msFields = Seq("q", "p", "dd")
+  private val msLabels = Map("q" -> "quantity", "p" -> "extendedprice", "dd" -> "discount")
+  private val msPairs: Seq[(String, String)] =
+    for (i <- msFields.indices; j <- i until msFields.size) yield (msFields(i), msFields(j))
+  private def msPairCol(a: String, b: String): String =
+    if (msFields.indexOf(a) <= msFields.indexOf(b)) s"s_$a$b" else s"s_$b$a"
+
+  /** Per-field output row of the matrix: mean/variance/skewness/kurtosis +
+    * covariance and correlation against every field (self-covariance is the
+    * sample variance, self-correlation literal 1). */
+  private def matrixStatsSelect(i: String): Seq[String] = {
+    def mean(f: String) = s"(s_$f / n)"
+    def varp(f: String) = s"((s_$f$f - ${mean(f)} * s_$f) / n)"
+    def vars(f: String) = s"((s_$f$f - ${mean(f)} * s_$f) / (n - 1.0))"
+    def cov(a: String, b: String) =
+      if (a == b) vars(a) else s"((${msPairCol(a, b)} - ${mean(a)} * s_$b) / (n - 1.0))"
+    val m = mean(i)
+    val skewNum = s"((s_$i$i$i - 3.0 * $m * s_$i$i + 2.0 * $m * $m * s_$i) / n)"
+    val kurtNum =
+      s"((s_$i$i$i$i - 4.0 * $m * s_$i$i$i + 6.0 * $m * $m * s_$i$i - 3.0 * $m * $m * $m * s_$i) / n)"
+    Seq(
+      s"'${msLabels(i)}' AS field",
+      "cnt AS doc_count",
+      s"round($m, 6) AS mean",
+      s"round(${vars(i)}, 6) AS variance",
+      s"round($skewNum / (${varp(i)} * sqrt(${varp(i)})), 6) AS skewness",
+      s"round($kurtNum / (${varp(i)} * ${varp(i)}), 6) AS kurtosis") ++
+      msFields.map(j => s"round(${cov(i, j)}, 6) AS cov_${msLabels(j)}") ++
+      msFields.map { j =>
+        if (i == j) s"1.0 AS corr_${msLabels(j)}"
+        else s"round(${cov(i, j)} / sqrt(${vars(i)} * ${vars(j)}), 6) AS corr_${msLabels(j)}"
+      }
+  }
+
+  /** Welch t-test derived row from the two groups' (count, sum, sumsq). */
+  private val tTestSelect: Seq[String] = {
+    def m(k: Int) = s"(s$k / CAST(cnt$k AS DOUBLE))"
+    def vars(k: Int) = s"((s$k$k - ${m(k)} * s$k) / (CAST(cnt$k AS DOUBLE) - 1.0))"
+    Seq(
+      "cnt1 AS n_purchase",
+      "cnt2 AS n_error",
+      s"round(${m(1)}, 6) AS mean_purchase",
+      s"round(${m(2)}, 6) AS mean_error",
+      s"round((${m(1)} - ${m(2)}) / sqrt(${vars(1)} / CAST(cnt1 AS DOUBLE) + ${vars(2)} / CAST(cnt2 AS DOUBLE)), 6) AS t_stat")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_date_histogram" -> ((s: SparkSession, d: String) =>
       ev(s, d)
@@ -373,6 +425,45 @@ object EsAggQueries {
     // ES diversified_sampler: cap the sample at max_docs_per_value per key
     // (3 per user), selection by a deterministic content hash so both
     // engines draw the identical sample; downstream agg runs on the sample.
+    // ES matrix_stats: the full moment/covariance/correlation matrix over
+    // three numeric fields in ONE scan (count + 15 detsum moments), reshaped
+    // to one row per field like the ES response's per-field objects. The
+    // derived-stat formulas are SHARED TEXT (matrixStatsSelect) parsed by
+    // both Spark selectExpr and DuckDB, so the IEEE double sequence is
+    // identical by construction — the q17h recipe taken to its conclusion.
+    // Fields are pre-normalized by fixed constants (quantity/100,
+    // extendedprice/1e5): skewness/kurtosis/correlation are scale-invariant,
+    // and bounded magnitudes keep the DECIMAL(27,0) moment accumulators far
+    // from overflow at any corpus size.
+    "q61_matrix_stats" -> ((s: SparkSession, d: String) => {
+      val li = Tables(s, d, "lineitem").select(
+        (col("l_quantity") / 100.0).as("q"),
+        (col("l_extendedprice") / 100000.0).as("p"),
+        col("l_discount").as("dd"))
+      val moments = msFields.flatMap { f =>
+        Seq(sumDet(col(f)).as(s"s_$f")) ++
+          msPairs.collect { case (a, b) if a == f => sumDet(col(a) * col(b)).as(s"s_$a$b") } ++
+          Seq(
+            sumDet(col(f) * col(f) * col(f)).as(s"s_$f$f$f"),
+            sumDet(col(f) * col(f) * col(f) * col(f)).as(s"s_$f$f$f$f"))
+      }
+      val g = li.agg(count(lit(1)).as("cnt"), moments: _*)
+        .withColumn("n", col("cnt").cast("double"))
+      msFields.map(f => g.selectExpr(matrixStatsSelect(f): _*)).reduce(_.unionAll(_))
+    }),
+
+    // ES t_test (unpaired, heteroscedastic — Welch): one scan computing both
+    // groups' detsum moments, shared-text derived statistic (tTestSelect).
+    "q62_t_test" -> ((s: SparkSession, d: String) =>
+      ev(s, d).agg(
+        count(when(col("event_type") === "purchase", 1)).as("cnt1"),
+        count(when(col("event_type") === "error", 1)).as("cnt2"),
+        sumDet(when(col("event_type") === "purchase", col("value"))).as("s1"),
+        sumDet(when(col("event_type") === "error", col("value"))).as("s2"),
+        sumDet(when(col("event_type") === "purchase", col("value") * col("value"))).as("s11"),
+        sumDet(when(col("event_type") === "error", col("value") * col("value"))).as("s22"))
+        .selectExpr(tTestSelect: _*)),
+
     // ES scripted_metric: init/map/combine/reduce closures over the group's
     // docs (graft.plans.ScriptedMetric, program registered by name like an
     // ES stored script). The demo program needs the whole per-group sorted
@@ -426,6 +517,81 @@ object EsAggQueries {
           when(dist < 30.0, "near").when(dist < 90.0, "mid").otherwise("far"))
         .groupBy(col("ring"))
         .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+    }),
+
+    // ES `geo_centroid`: per-bucket centroid of the points — plain
+    // detsum-mean of lat/lon per event_type (the ES metric is exactly the
+    // arithmetic mean of the coordinates).
+    "q19d_geo_centroid" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .withColumn("lat", ((col("user_id") * 37) % 17000) / lit(100.0) - 85.0)
+        .withColumn("lon", ((col("user_id") * 91) % 36000) / lit(100.0) - 180.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("lat")).as("slat"), sumDet(col("lon")).as("slon"))
+        .select(
+          col("event_type"), col("doc_count"),
+          round(col("slat") / col("doc_count").cast("double"), 6).as("centroid_lat"),
+          round(col("slon") / col("doc_count").cast("double"), 6).as("centroid_lon"))),
+
+    // ES `geo_line`: per group, the track — points joined in event-time
+    // order, capped at `size` points like the ES agg (first-N by sort key,
+    // deterministic tiebreak on event_id). Coordinates stay integer
+    // centi-degrees so the string form is engine-independent (double
+    // formatting is not); output is one WKT-ish string per group so the
+    // hash compare is exact.
+    "q19e_geo_line" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms").asc, col("event_id").asc)
+      ev(s, d)
+        .filter(col("user_id") % 97 === 0) // a handful of tracked entities
+        .withColumn("lat100", (col("event_id") * 37) % 17000 - 8500)
+        .withColumn("lon100", (col("event_id") * 91) % 36000 - 18000)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .withColumn("pt", concat(col("lon100").cast("string"), lit(" "), col("lat100").cast("string")))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          concat_ws(";", array_sort(collect_list(struct(col("rn"), col("pt"))))
+            .getField("pt")).as("line"))
+    }),
+
+    // ES `categorize_text`: template-cluster semi-structured text by masking
+    // the variable parts (numbers) and counting the surviving patterns —
+    // the deterministic core of ES's log categorizer (its token-weight
+    // refinements vary by version; the mask-and-group semantics are the
+    // stable contract). Top templates by doc_count.
+    "q11i_categorize_text" -> ((s: SparkSession, d: String) =>
+      Tables(s, d, "documents")
+        .withColumn("template",
+          regexp_replace(graft.functions.text.norm(col("text")), "[0-9]+", "#"))
+        .groupBy(col("template"))
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("template").asc)
+        .limit(20)),
+
+    // ES `frequent_item_sets` (size-2 itemsets): co-occurring item pairs
+    // over order baskets with a minimum support, the Apriori join — pair
+    // candidates are generated INSIDE each basket (self-join on the basket
+    // key, i<j triangle), so the shuffle is basket-keyed and nothing is
+    // all-pairs across baskets.
+    "q64_frequent_item_sets" -> ((s: SparkSession, d: String) => {
+      val items = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
+        .distinct()
+      val a = items.select(col("basket"), col("item").as("item_a"))
+      val b = items.select(col("basket"), col("item").as("item_b"))
+      val nb = Tables(s, d, "lineitem")
+        .agg(countDistinct(col("l_orderkey")).cast("double").as("n_baskets"))
+      a.join(b, Seq("basket"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 20)
+        .crossJoin(broadcast(nb))
+        .withColumn("support_ratio", round(col("support").cast("double") / col("n_baskets"), 6))
+        .drop("n_baskets")
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(25)
     }),
 
     // ES `bucket_correlation` pipeline agg: Pearson correlation between two
@@ -764,6 +930,79 @@ object EsAggQueries {
          |       CAST(SUM(COALESCE(fs.new_users, 0)) OVER (
          |         ORDER BY days.day_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
          |FROM days LEFT JOIN fs ON days.day_ms = fs.first_day""".stripMargin,
+    "q19d_geo_centroid" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |         ((user_id * 37) % 17000) / 100.0 - 85.0 AS lat,
+         |         ((user_id * 91) % 36000) / 100.0 - 180.0 AS lon
+         |  FROM events
+         |)
+         |SELECT event_type, COUNT(*) AS doc_count,
+         |       round((${sumDetSql("lat")}) / CAST(COUNT(*) AS DOUBLE), 6) AS centroid_lat,
+         |       round((${sumDetSql("lon")}) / CAST(COUNT(*) AS DOUBLE), 6) AS centroid_lon
+         |FROM e GROUP BY event_type""".stripMargin,
+    "q19e_geo_line" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |         (event_id * 37) % 17000 - 8500 AS lat100,
+        |         (event_id * 91) % 36000 - 18000 AS lon100
+        |  FROM events WHERE user_id % 97 = 0
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS rn
+        |  FROM e
+        |)
+        |SELECT user_id, COUNT(*) AS n_points,
+        |       string_agg(CAST(lon100 AS VARCHAR) || ' ' || CAST(lat100 AS VARCHAR), ';' ORDER BY rn) AS line
+        |FROM r WHERE rn <= 10 GROUP BY user_id""".stripMargin,
+    "q11i_categorize_text" ->
+      """SELECT regexp_replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+        |                      '[0-9]+', '#', 'g') AS template,
+        |       COUNT(*) AS doc_count
+        |FROM documents GROUP BY template
+        |ORDER BY doc_count DESC, template ASC LIMIT 20""".stripMargin,
+    "q64_frequent_item_sets" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey % 50 AS item FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets FROM lineitem),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2
+        |)
+        |SELECT item_a, item_b, support, round(CAST(support AS DOUBLE) / n_baskets, 6) AS support_ratio
+        |FROM pairs, nb WHERE support >= 20
+        |ORDER BY support DESC, item_a ASC, item_b ASC LIMIT 25""".stripMargin,
+    "q61_matrix_stats" -> {
+      val momentsSql = msFields.flatMap { f =>
+        Seq(s"${sumDetSql(f)} AS s_$f") ++
+          msPairs.collect { case (a, b) if a == f => s"${sumDetSql(s"$a * $b")} AS s_$a$b" } ++
+          Seq(
+            s"${sumDetSql(s"$f * $f * $f")} AS s_$f$f$f",
+            s"${sumDetSql(s"$f * $f * $f * $f")} AS s_$f$f$f$f")
+      }
+      s"""WITH li AS (
+         |  SELECT l_quantity / 100.0 AS q, l_extendedprice / 100000.0 AS p, l_discount AS dd
+         |  FROM lineitem
+         |),
+         |g0 AS (
+         |  SELECT COUNT(*) AS cnt, ${momentsSql.mkString(",\n         ")}
+         |  FROM li
+         |),
+         |g AS (SELECT *, CAST(cnt AS DOUBLE) AS n FROM g0)
+         |${msFields.map(f => s"SELECT ${matrixStatsSelect(f).mkString(", ")} FROM g")
+          .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    "q62_t_test" ->
+      s"""WITH g AS (
+         |  SELECT COUNT(*) FILTER (WHERE event_type = 'purchase') AS cnt1,
+         |         COUNT(*) FILTER (WHERE event_type = 'error') AS cnt2,
+         |         ${sumDetSql("CASE WHEN event_type = 'purchase' THEN value END")} AS s1,
+         |         ${sumDetSql("CASE WHEN event_type = 'error' THEN value END")} AS s2,
+         |         ${sumDetSql("CASE WHEN event_type = 'purchase' THEN value * value END")} AS s11,
+         |         ${sumDetSql("CASE WHEN event_type = 'error' THEN value * value END")} AS s22
+         |  FROM events
+         |)
+         |SELECT ${tTestSelect.mkString(", ")} FROM g""".stripMargin,
     "q60_scripted_metric" ->
       """WITH g AS (
         |  SELECT event_type,

@@ -186,6 +186,28 @@ object TextQueries {
 
     // TF-IDF: per-doc top term by tf·ln(N/df) — the vocabulary-weighting
     // primitive of classic retrieval / data-curation pipelines
+    // CCNet-style LM quality scoring: per-doc cross-entropy (bits/token)
+    // under the corpus's own unigram model — the classic perplexity filter
+    // for training-data curation. xent = log2(T) − mean(log2 c_tok): only
+    // integer-count log2s are needed, so [[graft.functions.detlog]] keeps it
+    // hash-exact cross-engine. Scale shape: the log2 chain runs on the
+    // VOCAB-sized table, docs join the model on the token key (the shuffle
+    // is token-keyed — never doc×vocab), and the per-doc reduce is a detsum.
+    "q63_unigram_logprob" -> ((s: SparkSession, d: String) => {
+      val t = docs(s, d).select(col("doc_id"), explode(col("toks")).as("tok"))
+      val vocab = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val vocabLg = graft.functions.detlog.withLog2(vocab, "c", "lg")
+      val totalLg = graft.functions.detlog.withLog2(
+        vocab.agg(sum(col("c")).as("tc")), "tc", "lgt")
+      t.join(vocabLg, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), graft.functions.detsum.sumDet(col("lg"), 9).as("slg"))
+        .crossJoin(broadcast(totalLg.select(col("lgt"))))
+        .select(
+          col("doc_id"), col("n_tok"),
+          round(col("lgt") - col("slg") / col("n_tok").cast("double"), 6).as("xent"))
+    }),
+
     "q53_tfidf_top_terms" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val terms = docs(s, d)
@@ -636,6 +658,19 @@ object TextQueries {
          |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,
          |       COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
          |FROM docs GROUP BY len_bucket""".stripMargin,
+    "q63_unigram_logprob" ->
+      s"""WITH $docsCte,
+         |t AS (SELECT doc_id, UNNEST(toks) AS tok FROM docs),
+         |vocab AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+         |${graft.functions.detlog.log2SqlCtes("vocab", "c", "lg", "vlg")},
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM vocab),
+         |${graft.functions.detlog.log2SqlCtes("tot", "tc", "lgt", "tlg")},
+         |per AS (
+         |  SELECT doc_id, COUNT(*) AS n_tok, ${graft.functions.detsum.sumDetSql("lg", 9)} AS slg
+         |  FROM t JOIN vlgfin ON t.tok = vlgfin.tok GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tok, round(lgt - slg / CAST(n_tok AS DOUBLE), 6) AS xent
+         |FROM per, tlgfin""".stripMargin,
     "q53_tfidf_top_terms" ->
       s"""WITH $docsCte,
          |terms AS (SELECT doc_id, UNNEST(toks) AS term FROM docs),
