@@ -95,8 +95,12 @@ object MediaCodec {
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
     if (width <= 0 || height <= 0 || planes != 1 || bpp != 24 || compression != 0) return None
-    val stride = (width * 3 + 3) & ~3
-    if (dataOffset < 54 || dataOffset.toLong + stride.toLong * height > bytes.length) return None
+    // all size arithmetic in Long: a hostile width like 0x40000000 would wrap
+    // `width * 3` to a negative stride and defeat the bounds check below
+    val strideL = (width.toLong * 3 + 3) & ~3L
+    if (dataOffset < 54 || dataOffset.toLong + strideL * height > bytes.length) return None
+    if (width.toLong * height * 3 > Int.MaxValue) return None
+    val stride = strideL.toInt
     val out = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -158,7 +162,9 @@ object MediaCodec {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = le32(bytes, pos + 4)
       val body = pos + 8
-      if (size < 0 || body + size > bytes.length) return None
+      // Long arithmetic: a corrupt size near Int.MaxValue would wrap
+      // `body + size` negative and bypass this bound
+      if (size < 0 || body.toLong + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

@@ -33,14 +33,8 @@ object Multimodal {
     * real decoder; everything downstream (batching, features, schema) is
     * unchanged. BMP payloads never reach this — [[decodeImage]] dispatches
     * them to the real [[MediaCodec.decodeBmp]]. */
-  def decodeStub(payload: Array[Byte], width: Int, height: Int, channels: Int): Array[Byte] = {
-    val n = width * height * channels
-    val out = new Array[Byte](n)
-    if (payload.isEmpty) return out // empty doc ⇒ all-zero pixels, not %0
-    var i = 0
-    while (i < n) { out(i) = payload(i % payload.length); i += 1 }
-    out
-  }
+  def decodeStub(payload: Array[Byte], width: Int, height: Int, channels: Int): Array[Byte] =
+    cycleBytes(payload, width * height * channels)
 
   /** Real decode dispatch: a well-formed BMP payload is parsed by the real
     * codec (dims/stride/row-order come from the container, not the

@@ -48,6 +48,19 @@ object VecIndex {
   private val coarseCache = scala.collection.concurrent.TrieMap.empty[String, Coarse]
   private val pqCache = scala.collection.concurrent.TrieMap.empty[String, Pq]
 
+  /** Memoized artifacts are bound to the SparkContext that built them; after
+    * a spark.stop()/restart in the same JVM the cached frames are unusable
+    * ("Cannot call methods on a stopped SparkContext"). Evict-and-rebuild on
+    * a dead context instead of handing the caller a corpse. */
+  private def live[T](cache: scala.collection.concurrent.TrieMap[String, T], d: String)(
+      frameOf: T => DataFrame)(build: => T): T = {
+    cache.get(d) match {
+      case Some(v) if !frameOf(v).sparkSession.sparkContext.isStopped => v
+      case Some(_) => cache.remove(d); cache.getOrElseUpdate(d, build)
+      case None => cache.getOrElseUpdate(d, build)
+    }
+  }
+
   /** (vec_id, emb: array<double>, nrm) corpus scan, spread across the
     * cluster (the embeddings table is a single file at test SFs). */
   private[queries] def corpus(s: SparkSession, d: String): DataFrame =
@@ -68,7 +81,7 @@ object VecIndex {
     subv.join(broadcast(codebooks), Seq("grp"))
       .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
 
-  def coarse(s: SparkSession, d: String): Coarse = coarseCache.getOrElseUpdate(d, {
+  def coarse(s: SparkSession, d: String): Coarse = live(coarseCache, d)(_.lists) {
     val c = corpus(s, d).localCheckpoint(true)
     val cent = graft.operators.KMeans
       .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
@@ -86,9 +99,9 @@ object VecIndex {
       .localCheckpoint(true)
     Tables.freeCheckpoint(c) // the raw scan checkpoint fed training + assignment only
     Coarse(cent, lists)
-  })
+  }
 
-  def pq(s: SparkSession, d: String): Pq = pqCache.getOrElseUpdate(d, {
+  def pq(s: SparkSession, d: String): Pq = live(pqCache, d)(_.codes) {
     val subv = subvectors(corpus(s, d).select(col("vec_id").as("id"), col("emb")))
       .localCheckpoint(true) // reused by train AND encode
     val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 3)
@@ -108,7 +121,7 @@ object VecIndex {
       .localCheckpoint(true)
     Tables.freeCheckpoint(subv)
     Pq(codebooks, codes)
-  })
+  }
 
   /** Drop every trained index and free its storage (test hook: forces the
     * next access to retrain from scratch). */

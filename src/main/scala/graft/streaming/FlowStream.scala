@@ -113,7 +113,7 @@ object FlowStream {
       val series = ProportionalSum
         .explodeContrib(flowSource(spark, sfDir), col("rs"), col("re"), col("v"), None, cfg)
         .withColumn("bucket_ts", timestamp_millis(col("bucket_ms")))
-        .withWatermark("bucket_ts", s"${delayMs / 1000} seconds")
+        .withWatermark("bucket_ts", s"$delayMs milliseconds") // exact — the oracle subtracts the full delayMs
         .groupBy(col("bucket_ts"))
         .agg(
           count(lit(1)).as("doc_count"),

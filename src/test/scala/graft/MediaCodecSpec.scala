@@ -84,6 +84,11 @@ class MediaCodecSpec extends AnyFunSuite {
     val rle = good.clone(); rle(30) = 1
     assert(MediaCodec.decodeBmp(rle).isEmpty, "compressed unsupported")
     assert(MediaCodec.decodeBmp(Array.emptyByteArray).isEmpty)
+    // hostile width 0x40000000: `width * 3` wraps negative in Int — the
+    // bounds math must run in Long and reject, not crash the task
+    val wide = good.clone()
+    wide(18) = 0; wide(19) = 0; wide(20) = 0; wide(21) = 0x40
+    assert(MediaCodec.decodeBmp(wide).isEmpty, "overflowing width must be rejected")
   }
 
   // ---------------------------------------------------------------- WAV ----
@@ -125,6 +130,11 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeWavPcm16("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
     // raw big-endian PCM (the stub-path payload shape) is not a WAV
     assert(MediaCodec.decodeWavPcm16(Array.tabulate[Byte](64)(_.toByte)).isEmpty)
+    // corrupt chunk size near Int.MaxValue: `body + size` wraps negative —
+    // the bound must run in Long and reject instead of allocating ~4 GB
+    val huge = wav.clone()
+    huge(40) = 0xf0.toByte; huge(41) = 0xff.toByte; huge(42) = 0xff.toByte; huge(43) = 0x7f
+    assert(MediaCodec.decodeWavPcm16(huge).isEmpty, "overflowing chunk size must be rejected")
   }
 
   // ------------------------------------------------- pipeline integration --
