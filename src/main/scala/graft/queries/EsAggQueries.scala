@@ -555,6 +555,18 @@ object EsAggQueries {
             .getField("pt")).as("line"))
     }),
 
+    // ES `geo_bounds`: the tight bounding envelope of each bucket's points
+    // (plain min/max — exact, no float summation involved).
+    "q19f_geo_bounds" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .withColumn("lat", ((col("user_id") * 37) % 17000) / lit(100.0) - 85.0)
+        .withColumn("lon", ((col("user_id") * 91) % 36000) / lit(100.0) - 180.0)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("doc_count"),
+          max(col("lat")).as("top"), min(col("lat")).as("bottom"),
+          min(col("lon")).as("left"), max(col("lon")).as("right"))),
+
     // ES `categorize_text`: template-cluster semi-structured text by masking
     // the variable parts (numbers) and counting the surviving patterns —
     // the deterministic core of ES's log categorizer (its token-weight
@@ -955,6 +967,16 @@ object EsAggQueries {
         |SELECT user_id, COUNT(*) AS n_points,
         |       string_agg(CAST(lon100 AS VARCHAR) || ' ' || CAST(lat100 AS VARCHAR), ';' ORDER BY rn) AS line
         |FROM r WHERE rn <= 10 GROUP BY user_id""".stripMargin,
+    "q19f_geo_bounds" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         ((user_id * 37) % 17000) / 100.0 - 85.0 AS lat,
+        |         ((user_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS doc_count,
+        |       MAX(lat) AS top, MIN(lat) AS bottom, MIN(lon) AS "left", MAX(lon) AS "right"
+        |FROM e GROUP BY event_type""".stripMargin,
     "q11i_categorize_text" ->
       """SELECT regexp_replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
         |                      '[0-9]+', '#', 'g') AS template,

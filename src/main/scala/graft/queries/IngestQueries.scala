@@ -149,6 +149,22 @@ object IngestQueries {
       .agg(count(lit(1)).as("n_flows"), sum(col("octets")).as("total_octets"))
   }
 
+  /** ES `ip_prefix` agg over the DECODED flow stream: bucket source
+    * addresses by their /24 network (the Drift "which subnets talk most"
+    * view). Decode → prefix-mask → count/sum, one aggregation on the masked
+    * key; the oracle recomputes from raw events so a hash match proves the
+    * decode → mask path. */
+  private def q50h(s: SparkSession, d: String): DataFrame = {
+    netflowPackets(s, d)
+      .toDF()
+      .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
+      .select(explode(col("pkt.records")).as("r"))
+      .select(col("r.src_ip").as("src_ip"), col("r.octets").as("octets"))
+      .withColumn("prefix", concat(substring_index(col("src_ip"), ".", 3), lit(".0/24")))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_flows"), sum(col("octets")).as("total_octets"))
+  }
+
   /** The spool WRITE path through the same DataSource V2 format: typed flow
     * rows land as raw v5 export packets via
     * `df.write.format(...).mode("overwrite")` (per-task packet packing,
@@ -430,6 +446,7 @@ object IngestQueries {
     "q50e_netflow9_ingest" -> (q50e _),
     "q50f_netflow_dsv2_sink" -> (q50f _),
     "q50g_conversations" -> (q50g _),
+    "q50h_ip_prefix" -> (q50h _),
     "st04_netflow_pipeline" -> (st04 _),
     "st05_ipfix_session_stream" -> (st05 _))
 
@@ -487,6 +504,14 @@ object IngestQueries {
       """SELECT 'site' || CAST(user_id % 8 AS VARCHAR) AS site, COUNT(*) AS n_flows,
         |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets
         |FROM events GROUP BY 1""".stripMargin,
+    "q50h_ip_prefix" ->
+      """WITH f AS (
+        |  SELECT '10.0.' || CAST((user_id // 256) % 256 AS VARCHAR) || '.0/24' AS prefix,
+        |         CAST(round(value) AS BIGINT) AS octets
+        |  FROM events
+        |)
+        |SELECT prefix, COUNT(*) AS n_flows, CAST(SUM(octets) AS BIGINT) AS total_octets
+        |FROM f GROUP BY prefix""".stripMargin,
     "q50g_conversations" ->
       """WITH f AS (
         |  SELECT '10.0.' || CAST((user_id // 256) % 256 AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR) AS src_ip,

@@ -208,6 +208,31 @@ object TextQueries {
           round(col("lgt") - col("slg") / col("n_tok").cast("double"), 6).as("xent"))
     }),
 
+    // ES `more_like_this`: rank documents by similarity to a "like" doc.
+    // Query terms = the like-doc's 25 rarest terms by idf (ES
+    // max_query_terms); candidates score by the idf sum of shared terms.
+    // Scale shape: the ≤25-term query set broadcasts, the corpus term
+    // stream joins it (never doc×doc); ln at round-6 follows the q53
+    // precedent (hash-stable across engines for these magnitudes).
+    "q65_more_like_this" -> ((s: SparkSession, d: String) => {
+      val t = docs(s, d).select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      val dfreq = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val likeTerms = t.filter(col("doc_id") === 0)
+        .join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("w", round(log(col("n_docs") / col("df")), 6))
+        .orderBy(col("w").desc, col("term").asc)
+        .limit(25)
+        .select(col("term"), col("w"))
+      t.filter(col("doc_id") =!= 0)
+        .join(broadcast(likeTerms), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"), graft.functions.detsum.sumDet(col("w"), 9).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     "q53_tfidf_top_terms" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val terms = docs(s, d)
@@ -658,6 +683,22 @@ object TextQueries {
          |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,
          |       COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
          |FROM docs GROUP BY len_bucket""".stripMargin,
+    "q65_more_like_this" ->
+      s"""WITH $docsCte,
+         |t AS (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM docs),
+         |like_terms AS (
+         |  SELECT t.term, round(ln(n.n_docs / dfreq.df), 6) AS w
+         |  FROM t JOIN dfreq ON t.term = dfreq.term, n
+         |  WHERE t.doc_id = 0
+         |  ORDER BY w DESC, t.term ASC LIMIT 25
+         |)
+         |SELECT t.doc_id, COUNT(*) AS n_shared, ${graft.functions.detsum.sumDetSql("w", 9)} AS score
+         |FROM t JOIN like_terms ON t.term = like_terms.term
+         |WHERE t.doc_id <> 0
+         |GROUP BY t.doc_id
+         |ORDER BY score DESC, t.doc_id ASC LIMIT 10""".stripMargin,
     "q63_unigram_logprob" ->
       s"""WITH $docsCte,
          |t AS (SELECT doc_id, UNNEST(toks) AS tok FROM docs),

@@ -184,6 +184,14 @@ class PlanSpec extends AnyFunSuite {
         "withColumn feeding two aggregate inputs gets inlined twice by CollapseProject")
   }
 
+  test("q27: bucketed fact-fact join and join-key aggregation run with ZERO exchanges") {
+    val p = plan("q27_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "bucket-aware join must sort-merge in place")
+    assert(!p.contains("Exchange"),
+      "bucketing pays the shuffle at write time — the read plan must have none")
+    assert(p.contains("Bucketed: true"), "both scans must be bucket-aware")
+  }
+
   test("q60: scripted_metric maps where the data lives (partial object agg before the exchange)") {
     val p = plan("q60_scripted_metric")
     // the ES contract: map_script on the shard, serialized state over the
