@@ -208,6 +208,22 @@ object TextQueries {
           round(col("lgt") - col("slg") / col("n_tok").cast("double"), 6).as("xent"))
     }),
 
+    // REAL BPE (Sennrich 2016): merges learned by distributed pair-count
+    // rounds over the vocab-sized word-frequency table (train-once model,
+    // [[graft.operators.Bpe]]), then documents encoded with the learned
+    // merge priorities. rows-only: the 40-round argmax training loop is not
+    // SQL-expressible; BpeSpec pins a hand-computed merge sequence,
+    // partition-layout determinism, and the encode invariants.
+    "q66_bpe_tokenize" -> ((s: SparkSession, d: String) => {
+      val model = graft.operators.Bpe.model(s, d, nMerges = 40)
+      val sub = graft.operators.Bpe.tokenize(docs(s, d), model)
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(sub, "doc_id")
+        .select(col("source"), explode(col("subwords")).as("sw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_subwords"), countDistinct(col("sw")).as("n_distinct_subwords"))
+    }),
+
     // ES `more_like_this`: rank documents by similarity to a "like" doc.
     // Query terms = the like-doc's 25 rarest terms by idf (ES
     // max_query_terms); candidates score by the idf sum of shared terms.

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** BPE training/encoding contracts: the merge sequence is hand-computable
+  * on a tiny corpus, independent of partition layout, and encoding is
+  * lossless (subwords concatenate back to the word). */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("training learns the hand-computed merge sequence") {
+    import spark.implicits._
+    // words {abab:2, abc:1}: pair counts round 1 — (a,b)=5, (b,a)=2,
+    // (b,c)=1 → merge (a,b). Round 2 — (ab,ab)=2, (ab,c)=1 → merge
+    // (ab,ab). Round 3 — (ab,c)=1 < minFreq=2? no: use minFreq=1 so the
+    // full sequence (a,b),(ab,ab),(ab,c) is learned, then training stops
+    // with no pairs left.
+    val words = Seq(("abab", 2L), ("abc", 1L)).toDF("word", "freq")
+    val merges = Bpe.train(words, nMerges = 10, minFreq = 1L)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b"), ("ab", "ab"), ("ab", "c")))
+    assert(merges.map(_.rank) == Seq(0, 1, 2))
+  }
+
+  test("merge sequence is independent of partition layout") {
+    import spark.implicits._
+    val words = queries.Tables(spark, sf, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val one = Bpe.train(words.coalesce(1), nMerges = 12)
+    val many = Bpe.train(words.repartition(7, col("word")), nMerges = 12)
+    assert(one == many && one.size == 12)
+  }
+
+  test("encodeWord applies merges by PRIORITY, not position") {
+    val ranks = Map(("a", "b") -> 0, ("ab", "ab") -> 1, ("ab", "c") -> 2)
+    assert(Bpe.encodeWord("ababab", ranks) == Seq("abab", "ab"))
+    assert(Bpe.encodeWord("abcx", ranks) == Seq("abc", "x"))
+    assert(Bpe.encodeWord("zq", ranks) == Seq("z", "q"))
+    assert(Bpe.encodeWord("a", ranks) == Seq("a"))
+  }
+
+  test("tokenization is lossless and the pipeline query aggregates it") {
+    import spark.implicits._
+    val docs = queries.Tables(spark, sf, "documents")
+      .withColumn("toks", graft.functions.text.tokens(col("text")))
+    val model = Bpe.model(spark, sf, nMerges = 40)
+    assert(model.size == 40, s"expected a full 40-merge model, got ${model.size}")
+    val sub = Bpe.tokenize(docs, model)
+    val joined = docs.select(col("doc_id"), col("toks")).join(sub, "doc_id")
+      .as[(Long, Seq[String], Seq[String])].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, toks, subwords) =>
+      assert(subwords.mkString == toks.filter(_.nonEmpty).mkString,
+        s"doc $id: subwords must concatenate back to the original words")
+    }
+    val out = SparkEntry.queries("q66_bpe_tokenize")(spark, sf).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) > 0))
+  }
+}
