@@ -165,6 +165,37 @@ object IngestQueries {
       .agg(count(lit(1)).as("n_flows"), sum(col("octets")).as("total_octets"))
   }
 
+  /** Stream-STATIC enrichment: the streaming decoded flow records join a
+    * broadcast site dimension mid-stream — the always-on form of q50c's
+    * collector-side enrich (Spark re-broadcasts the static side per
+    * micro-batch; state is only the running aggregate). Shares q50c's
+    * oracle: a hash match proves stream decode → broadcast join → agg. */
+  private def st08(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val spool = scratchDir("graft_nf_spool_st08")
+    netflowPackets(s, d).toDF().write.mode("overwrite").parquet(spool.toString)
+    val sites = (0 until 256).map(o => (o, s"site${o % 8}")).toDF("octet", "site")
+    val agg = s.readStream
+      .schema("bytes BINARY")
+      .parquet(spool.toString)
+      .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
+      .select(explode(col("pkt.records")).as("r"))
+      .withColumn("octet", regexp_extract(col("r.src_ip"), "(\\d+)$", 1).cast("int"))
+      .join(broadcast(sites), Seq("octet"))
+      .groupBy(col("site"))
+      .agg(count(lit(1)).as("n_flows"), sum(col("r.octets")).as("total_octets"))
+    Tables.withShufflePartitions(s, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName("st08_mem")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table("st08_mem")
+  }
+
   /** The spool WRITE path through the same DataSource V2 format: typed flow
     * rows land as raw v5 export packets via
     * `df.write.format(...).mode("overwrite")` (per-task packet packing,
@@ -447,6 +478,7 @@ object IngestQueries {
     "q50f_netflow_dsv2_sink" -> (q50f _),
     "q50g_conversations" -> (q50g _),
     "q50h_ip_prefix" -> (q50h _),
+    "st08_stream_static_enrich" -> (st08 _),
     "st04_netflow_pipeline" -> (st04 _),
     "st05_ipfix_session_stream" -> (st05 _))
 
@@ -501,6 +533,10 @@ object IngestQueries {
         |       CAST(SUM((event_id % 7200) * 1000) AS BIGINT) AS total_duration_ms
         |FROM events GROUP BY 1""".stripMargin,
     "q50c_flow_site_enrich" ->
+      """SELECT 'site' || CAST(user_id % 8 AS VARCHAR) AS site, COUNT(*) AS n_flows,
+        |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets
+        |FROM events GROUP BY 1""".stripMargin,
+    "st08_stream_static_enrich" ->
       """SELECT 'site' || CAST(user_id % 8 AS VARCHAR) AS site, COUNT(*) AS n_flows,
         |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets
         |FROM events GROUP BY 1""".stripMargin,

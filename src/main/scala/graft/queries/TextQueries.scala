@@ -208,6 +208,32 @@ object TextQueries {
           round(col("lgt") - col("slg") / col("n_tok").cast("double"), 6).as("xent"))
     }),
 
+    // ES `term` suggester: spell-correction candidates ranked by
+    // (edit distance asc, doc frequency desc, term asc) — the ES suggest
+    // contract. Query strings are deterministic single-char-deletion typos
+    // of the 20 rarest vocab terms; the tiny query set BROADCASTS against
+    // the vocab (never vocab×vocab), and levenshtein is an exact integer
+    // metric with the identical definition in both engines, so the whole
+    // row hash-matches.
+    "q67_term_suggest" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = docs(s, d)
+        .select(explode(array_distinct(col("toks"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(length(col("term")) >= 4)
+      val typos = vocab.orderBy(col("df").asc, col("term").asc).limit(20)
+        .select(concat(substring(col("term"), 1, 1), expr("substring(term, 3)")).as("q"))
+        .distinct()
+      val w = Window.partitionBy(col("q"))
+        .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+      vocab.crossJoin(broadcast(typos))
+        .withColumn("dist", levenshtein(col("q"), col("term")).cast("long"))
+        .filter(col("dist") <= 2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q"), col("term").as("suggestion"), col("dist"), col("df"))
+    }),
+
     // REAL BPE (Sennrich 2016): merges learned by distributed pair-count
     // rounds over the vocab-sized word-frequency table (train-once model,
     // [[graft.operators.Bpe]]), then documents encoded with the learned
@@ -234,8 +260,10 @@ object TextQueries {
       val t = docs(s, d).select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
       val dfreq = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
-      val likeTerms = t.filter(col("doc_id") === 0)
-        .join(broadcast(dfreq), Seq("term"))
+      // broadcast the LIKE-DOC's term set (one doc's vocabulary), stream the
+      // corpus-wide dfreq past it — never broadcast the full vocab
+      val likeTerms = dfreq
+        .join(broadcast(t.filter(col("doc_id") === 0).select(col("term"))), Seq("term"))
         .crossJoin(broadcast(nDocs))
         .withColumn("w", round(log(col("n_docs") / col("df")), 6))
         .orderBy(col("w").desc, col("term").asc)
@@ -699,6 +727,29 @@ object TextQueries {
          |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,
          |       COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
          |FROM docs GROUP BY len_bucket""".stripMargin,
+    "q67_term_suggest" ->
+      s"""WITH $docsCte,
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) WHERE length(term) >= 4 GROUP BY term
+         |),
+         |typos AS (
+         |  SELECT DISTINCT q FROM (
+         |    SELECT substring(term, 1, 1) || substring(term, 3) AS q
+         |    FROM vocab ORDER BY df ASC, term ASC LIMIT 20
+         |  )
+         |),
+         |cand AS (
+         |  SELECT typos.q, vocab.term, CAST(levenshtein(typos.q, vocab.term) AS BIGINT) AS dist, vocab.df
+         |  FROM vocab, typos
+         |  WHERE levenshtein(typos.q, vocab.term) <= 2
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q ORDER BY dist ASC, df DESC, term ASC) AS rn
+         |  FROM cand
+         |)
+         |SELECT q, term AS suggestion, dist, df FROM r WHERE rn = 1""".stripMargin,
     "q65_more_like_this" ->
       s"""WITH $docsCte,
          |t AS (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs),

@@ -192,6 +192,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"), "both scans must be bucket-aware")
   }
 
+  test("q64: itemset pair generation is a basket-keyed equi-join, never all-pairs") {
+    val p = plan("q64_frequent_item_sets")
+    assert(!p.contains("CartesianProduct"), "pair candidates must come from the basket join")
+    // the single-row n_baskets scalar legitimately attaches via a 1-row
+    // nested-loop broadcast; the PAIR join itself must be a hash equi-join
+    // on the basket key
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), "basket join must be an equi-join")
+    // formatted explain names each operator twice (tree + details), so ONE
+    // nested-loop operator (the scalar attach) appears as two mentions
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the scalar attach may nested-loop")
+  }
+
+  test("q65: the like-doc term set broadcasts; the corpus term stream never all-pairs") {
+    val p = plan("q65_more_like_this")
+    assert(p.contains("BroadcastHashJoin"), "query-term joins must broadcast the tiny side")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "nothing here justifies a sort-merge exchange")
+  }
+
   test("q60: scripted_metric maps where the data lives (partial object agg before the exchange)") {
     val p = plan("q60_scripted_metric")
     // the ES contract: map_script on the shard, serialized state over the
