@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.detsum.{sumDet, sumDetSql}
 
@@ -30,6 +31,14 @@ object EsAggQueries {
   // construction; only the moment sums beneath them need the usual
   // sumDet/sumDetSql lockstep.
 
+  /** Round-to-6 as SHARED IEEE text: `floor(x·1e6 + 0.5)/1e6`. The engines'
+    * native `round(x, 6)` functions disagree on .5-boundary doubles (Spark
+    * rounds the DECIMAL string half-up, DuckDB rounds the binary double —
+    * observed: a q61 mean off by exactly 1e-6 at sf0.01), so the rounding
+    * itself must be part of the shared expression; floor and the basic ops
+    * are correctly-rounded IEEE everywhere. */
+  private def r6(e: String): String = s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+
   private val msFields = Seq("q", "p", "dd")
   private val msLabels = Map("q" -> "quantity", "p" -> "extendedprice", "dd" -> "discount")
   private val msPairs: Seq[(String, String)] =
@@ -53,14 +62,14 @@ object EsAggQueries {
     Seq(
       s"'${msLabels(i)}' AS field",
       "cnt AS doc_count",
-      s"round($m, 6) AS mean",
-      s"round(${vars(i)}, 6) AS variance",
-      s"round($skewNum / (${varp(i)} * sqrt(${varp(i)})), 6) AS skewness",
-      s"round($kurtNum / (${varp(i)} * ${varp(i)}), 6) AS kurtosis") ++
-      msFields.map(j => s"round(${cov(i, j)}, 6) AS cov_${msLabels(j)}") ++
+      s"${r6(m)} AS mean",
+      s"${r6(vars(i))} AS variance",
+      s"${r6(s"$skewNum / (${varp(i)} * sqrt(${varp(i)}))")} AS skewness",
+      s"${r6(s"$kurtNum / (${varp(i)} * ${varp(i)})")} AS kurtosis") ++
+      msFields.map(j => s"${r6(cov(i, j))} AS cov_${msLabels(j)}") ++
       msFields.map { j =>
         if (i == j) s"1.0 AS corr_${msLabels(j)}"
-        else s"round(${cov(i, j)} / sqrt(${vars(i)} * ${vars(j)}), 6) AS corr_${msLabels(j)}"
+        else s"${r6(s"${cov(i, j)} / sqrt(${vars(i)} * ${vars(j)})")} AS corr_${msLabels(j)}"
       }
   }
 
@@ -71,9 +80,9 @@ object EsAggQueries {
     Seq(
       "cnt1 AS n_purchase",
       "cnt2 AS n_error",
-      s"round(${m(1)}, 6) AS mean_purchase",
-      s"round(${m(2)}, 6) AS mean_error",
-      s"round((${m(1)} - ${m(2)}) / sqrt(${vars(1)} / CAST(cnt1 AS DOUBLE) + ${vars(2)} / CAST(cnt2 AS DOUBLE)), 6) AS t_stat")
+      s"${r6(m(1))} AS mean_purchase",
+      s"${r6(m(2))} AS mean_error",
+      s"${r6(s"(${m(1)} - ${m(2)}) / sqrt(${vars(1)} / CAST(cnt1 AS DOUBLE) + ${vars(2)} / CAST(cnt2 AS DOUBLE))")} AS t_stat")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -606,6 +615,34 @@ object EsAggQueries {
         .limit(25)
     }),
 
+    // ES `change_point` pipeline agg (simplified to its stable contract —
+    // the ES implementation's test menagerie varies by version): the step
+    // change in the bucket series is the split maximizing |mean(after) −
+    // mean(before)|. Prefix sums run as EXACT decimals over the
+    // coordinator-sized series (the q09 cumulative recipe) so both engines
+    // walk identical doubles into the argmax.
+    "q17j_change_point" -> ((s: SparkSession, d: String) => {
+      val b = ev(s, d).groupBy(hourBucket(col("ms"))).agg(sumDet(col("value")).as("v"))
+      val scaled = round(col("v") * lit(1e6)).cast(DecimalType(27, 0))
+      val wOrd = Window.orderBy(col("bucket_ms"))
+      val pre = b
+        .withColumn("pre_s", sum(scaled).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("pre_n", row_number().over(wOrd))
+        .crossJoin(broadcast(b.agg(sum(scaled).as("tot_s"), count(lit(1)).as("tot_n"))))
+        .filter(col("pre_n") < col("tot_n"))
+        .withColumn("before_mean", (col("pre_s").cast("double") / lit(1e6)) / col("pre_n").cast("double"))
+        .withColumn("after_mean",
+          ((col("tot_s") - col("pre_s")).cast("double") / lit(1e6)) /
+            (col("tot_n") - col("pre_n")).cast("double"))
+        .withColumn("delta", col("after_mean") - col("before_mean"))
+      pre.orderBy(abs(col("delta")).desc, col("bucket_ms").asc).limit(1)
+        .select(
+          col("bucket_ms").as("change_at_ms"),
+          round(col("before_mean"), 6).as("before_mean"),
+          round(col("after_mean"), 6).as("after_mean"),
+          round(col("delta"), 6).as("delta"))
+    }),
+
     // ES `bucket_correlation` pipeline agg: Pearson correlation between two
     // per-bucket count series (purchases vs errors per hour). All sums are
     // exact integers; the final r is a fixed sequence of double ops, so the
@@ -1072,6 +1109,32 @@ object EsAggQueries {
          |SELECT CASE WHEN dist < 30.0 THEN 'near' WHEN dist < 90.0 THEN 'mid' ELSE 'far' END AS ring,
          |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM d GROUP BY 1""".stripMargin,
+    "q17j_change_point" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
+         |         ${sumDetSql("value")} AS v
+         |  FROM events GROUP BY bucket_ms
+         |),
+         |sc AS (SELECT bucket_ms, CAST(round(v * 1.0e6) AS DECIMAL(27,0)) AS sv FROM b),
+         |cum AS (
+         |  SELECT bucket_ms,
+         |         SUM(sv) OVER (ORDER BY bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre_s,
+         |         row_number() OVER (ORDER BY bucket_ms) AS pre_n
+         |  FROM sc
+         |),
+         |tot AS (SELECT SUM(sv) AS tot_s, COUNT(*) AS tot_n FROM sc),
+         |m AS (
+         |  SELECT bucket_ms,
+         |         (CAST(pre_s AS DOUBLE) / 1.0e6) / CAST(pre_n AS DOUBLE) AS before_mean,
+         |         (CAST(tot_s - pre_s AS DOUBLE) / 1.0e6) / CAST(tot_n - pre_n AS DOUBLE) AS after_mean
+         |  FROM cum, tot WHERE pre_n < tot_n
+         |)
+         |SELECT bucket_ms AS change_at_ms,
+         |       round(before_mean, 6) AS before_mean,
+         |       round(after_mean, 6) AS after_mean,
+         |       round(after_mean - before_mean, 6) AS delta
+         |FROM m
+         |ORDER BY abs(after_mean - before_mean) DESC, bucket_ms ASC LIMIT 1""".stripMargin,
     "q17h_bucket_correlation" ->
       s"""WITH b AS (
          |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
