@@ -60,7 +60,9 @@ object Bpe {
         merges += Merge(rank, l, r)
         cur = cur.map(w => WordRow(w.freq, mergeOnce(w.syms, l, r)))
         rank += 1
-        if (rank % 8 == 0) { // keep lineage flat across many rounds
+        // keep lineage flat across many rounds — but never on the final
+        // round, where the eager materialization would go entirely unread
+        if (rank % 8 == 0 && rank < nMerges) {
           val next = cur.localCheckpoint(true)
           graft.queries.Tables.freeCheckpoint(prev.toDF())
           prev = next
@@ -121,8 +123,15 @@ object Bpe {
     val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
     docs.select(col("doc_id").cast("long"), col("toks"))
       .as[(Long, Seq[String])]
-      .map { case (id, toks) =>
-        (id, toks.filter(_.nonEmpty).flatMap(w => encodeWord(w, rankOf)))
+      .mapPartitions { it =>
+        // per-partition word memo: token/type ratio is 10-100× under Zipf,
+        // so encoding each DISTINCT word once per partition removes almost
+        // all of the O(len²) merge-loop work
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        it.map { case (id, toks) =>
+          (id, toks.filter(_.nonEmpty)
+            .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, rankOf))))
+        }
       }
       .toDF("doc_id", "subwords")
   }

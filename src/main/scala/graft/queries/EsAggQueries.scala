@@ -635,12 +635,15 @@ object EsAggQueries {
           ((col("tot_s") - col("pre_s")).cast("double") / lit(1e6)) /
             (col("tot_n") - col("pre_n")).cast("double"))
         .withColumn("delta", col("after_mean") - col("before_mean"))
+      // r6's floor form, not native round: the output means are exactly the
+      // value shape whose .5-boundary rounding diverges between engines
+      def fl6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
       pre.orderBy(abs(col("delta")).desc, col("bucket_ms").asc).limit(1)
         .select(
           col("bucket_ms").as("change_at_ms"),
-          round(col("before_mean"), 6).as("before_mean"),
-          round(col("after_mean"), 6).as("after_mean"),
-          round(col("delta"), 6).as("delta"))
+          fl6(col("before_mean")).as("before_mean"),
+          fl6(col("after_mean")).as("after_mean"),
+          fl6(col("delta")).as("delta"))
     }),
 
     // ES `bucket_correlation` pipeline agg: Pearson correlation between two
@@ -1130,9 +1133,9 @@ object EsAggQueries {
          |  FROM cum, tot WHERE pre_n < tot_n
          |)
          |SELECT bucket_ms AS change_at_ms,
-         |       round(before_mean, 6) AS before_mean,
-         |       round(after_mean, 6) AS after_mean,
-         |       round(after_mean - before_mean, 6) AS delta
+         |       floor(before_mean * 1000000.0 + 0.5) / 1000000.0 AS before_mean,
+         |       floor(after_mean * 1000000.0 + 0.5) / 1000000.0 AS after_mean,
+         |       floor((after_mean - before_mean) * 1000000.0 + 0.5) / 1000000.0 AS delta
          |FROM m
          |ORDER BY abs(after_mean - before_mean) DESC, bucket_ms ASC LIMIT 1""".stripMargin,
     "q17h_bucket_correlation" ->

@@ -172,19 +172,14 @@ object IngestQueries {
     * oracle: a hash match proves stream decode → broadcast join → agg. */
   private def st08(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    import s.implicits._
     val spool = scratchDir("graft_nf_spool_st08")
     netflowPackets(s, d).toDF().write.mode("overwrite").parquet(spool.toString)
-    val sites = (0 until 256).map(o => (o, s"site${o % 8}")).toDF("octet", "site")
-    val agg = s.readStream
-      .schema("bytes BINARY")
-      .parquet(spool.toString)
-      .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
-      .select(explode(col("pkt.records")).as("r"))
-      .withColumn("octet", regexp_extract(col("r.src_ip"), "(\\d+)$", 1).cast("int"))
-      .join(broadcast(sites), Seq("octet"))
-      .groupBy(col("site"))
-      .agg(count(lit(1)).as("n_flows"), sum(col("r.octets")).as("total_octets"))
+    val agg = siteEnrich(s,
+      s.readStream
+        .schema("bytes BINARY")
+        .parquet(spool.toString)
+        .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
+        .select(explode(col("pkt.records")).as("r")))
     Tables.withShufflePartitions(s, 8) {
       val q = agg.writeStream
         .format("memory").queryName("st08_mem")
@@ -316,18 +311,32 @@ object IngestQueries {
     * extracted from the DECODED ip string, so a hash match against the
     * straight-from-events oracle proves the binary round trip through the
     * enrichment path. */
-  private def q50c(s: SparkSession, d: String): DataFrame = {
+  /** The ONE site-enrichment pipeline (decoded records → broadcast site dim
+    * → per-site rollup), shared verbatim by the batch (q50c) and streaming
+    * (st08) forms — `records` is any frame with the decoded `r` struct, so
+    * the two query shapes cannot drift apart. */
+  private def siteEnrich(s: SparkSession, records: DataFrame): DataFrame = {
     import s.implicits._
     val sites = (0 until 256).map(o => (o, s"site${o % 8}")).toDF("octet", "site")
-    netflowPackets(s, d)
-      .toDF()
-      .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
-      .select(explode(col("pkt.records")).as("r"))
+    records
       .withColumn("octet", regexp_extract(col("r.src_ip"), "(\\d+)$", 1).cast("int"))
       .join(broadcast(sites), Seq("octet"))
       .groupBy(col("site"))
       .agg(count(lit(1)).as("n_flows"), sum(col("r.octets")).as("total_octets"))
   }
+
+  /** Both forms share one oracle: the enrichment recomputed from raw events. */
+  private val siteEnrichOracleSql =
+    """SELECT 'site' || CAST(user_id % 8 AS VARCHAR) AS site, COUNT(*) AS n_flows,
+      |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets
+      |FROM events GROUP BY 1""".stripMargin
+
+  private def q50c(s: SparkSession, d: String): DataFrame =
+    siteEnrich(s,
+      netflowPackets(s, d)
+        .toDF()
+        .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
+        .select(explode(col("pkt.records")).as("r")))
 
   /** The spool read through the DataSource V2 format
     * ([[graft.sources.NetFlowDataSource]]): raw concatenated v5 packets on
@@ -532,14 +541,8 @@ object IngestQueries {
         |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets,
         |       CAST(SUM((event_id % 7200) * 1000) AS BIGINT) AS total_duration_ms
         |FROM events GROUP BY 1""".stripMargin,
-    "q50c_flow_site_enrich" ->
-      """SELECT 'site' || CAST(user_id % 8 AS VARCHAR) AS site, COUNT(*) AS n_flows,
-        |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets
-        |FROM events GROUP BY 1""".stripMargin,
-    "st08_stream_static_enrich" ->
-      """SELECT 'site' || CAST(user_id % 8 AS VARCHAR) AS site, COUNT(*) AS n_flows,
-        |       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS total_octets
-        |FROM events GROUP BY 1""".stripMargin,
+    "q50c_flow_site_enrich" -> siteEnrichOracleSql,
+    "st08_stream_static_enrich" -> siteEnrichOracleSql,
     "q50h_ip_prefix" ->
       """WITH f AS (
         |  SELECT '10.0.' || CAST((user_id // 256) % 256 AS VARCHAR) || '.0/24' AS prefix,

@@ -265,7 +265,9 @@ object TextQueries {
       val likeTerms = dfreq
         .join(broadcast(t.filter(col("doc_id") === 0).select(col("term"))), Seq("term"))
         .crossJoin(broadcast(nDocs))
-        .withColumn("w", round(log(col("n_docs") / col("df")), 6))
+        // floor-form round-6 (not native round): a .5-boundary idf would
+        // round differently across engines and flip the top-25/top-10 cuts
+        .withColumn("w", floor(log(col("n_docs") / col("df")) * lit(1e6) + lit(0.5)) / lit(1e6))
         .orderBy(col("w").desc, col("term").asc)
         .limit(25)
         .select(col("term"), col("w"))
@@ -756,7 +758,7 @@ object TextQueries {
          |dfreq AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
          |n AS (SELECT COUNT(*) AS n_docs FROM docs),
          |like_terms AS (
-         |  SELECT t.term, round(ln(n.n_docs / dfreq.df), 6) AS w
+         |  SELECT t.term, floor(ln(n.n_docs / dfreq.df) * 1000000.0 + 0.5) / 1000000.0 AS w
          |  FROM t JOIN dfreq ON t.term = dfreq.term, n
          |  WHERE t.doc_id = 0
          |  ORDER BY w DESC, t.term ASC LIMIT 25
