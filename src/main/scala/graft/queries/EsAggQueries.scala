@@ -458,7 +458,11 @@ object EsAggQueries {
       }
       val g = li.agg(count(lit(1)).as("cnt"), moments: _*)
         .withColumn("n", col("cnt").cast("double"))
-      msFields.map(f => g.selectExpr(matrixStatsSelect(f): _*)).reduce(_.unionAll(_))
+      // the aggregate is ONE row — materialize it on the driver (the ES
+      // coordinator-reduce analog) so the three per-field output rows are
+      // projections of a LocalRelation, not three re-runs of the scan
+      val gLocal = s.createDataFrame(java.util.Arrays.asList(g.collect(): _*), g.schema)
+      msFields.map(f => gLocal.selectExpr(matrixStatsSelect(f): _*)).reduce(_.unionAll(_))
     }),
 
     // ES t_test (unpaired, heteroscedastic — Welch): one scan computing both

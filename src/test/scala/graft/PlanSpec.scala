@@ -192,6 +192,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"), "both scans must be bucket-aware")
   }
 
+  test("q61: the moment aggregate runs once; field rows project a LocalRelation") {
+    val p = plan("q61_matrix_stats")
+    // without the driver materialization the 3-way union re-ran the full
+    // 17-moment scan+aggregate per output row (observed: 3 scans)
+    assert(!p.contains("Scan parquet"), "no re-scan per field row")
+    assert(!p.contains("Exchange"), "the reduced row is local — nothing to shuffle")
+  }
+
   test("q64: itemset pair generation is a basket-keyed equi-join, never all-pairs") {
     val p = plan("q64_frequent_item_sets")
     assert(!p.contains("CartesianProduct"), "pair candidates must come from the basket join")
