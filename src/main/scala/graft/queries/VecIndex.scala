@@ -131,4 +131,37 @@ object VecIndex {
     coarseCache.clear()
     pqCache.clear()
   }
+
+  // ------------------------------------------------- persistence ----------
+  // The cluster shape: an index is BUILT by one job and SEARCHED by many.
+  // save/load round the artifacts through parquet — centroids/codebooks
+  // re-enter as driver-local literals (the storage contract above), while
+  // the big lists/codes tables come back as plain parquet scans (pruned and
+  // pushed down like any table, and no longer pinned in executor storage).
+
+  /** Persist the trained index (building it first if needed). */
+  def save(s: SparkSession, d: String, dir: String): Unit = {
+    val c = coarse(s, d)
+    val p = pq(s, d)
+    c.cent.write.mode("overwrite").parquet(s"$dir/cent")
+    c.lists.write.mode("overwrite").parquet(s"$dir/lists")
+    p.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    p.codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  private def localized(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** Install a saved index for dataset `d` — searches (q37/q37b/q58b) then
+    * run against the loaded artifacts with no training jobs at all. */
+  def load(s: SparkSession, d: String, dir: String): Unit = {
+    reset()
+    coarseCache.put(d, Coarse(
+      localized(s.read.parquet(s"$dir/cent")),
+      s.read.parquet(s"$dir/lists")))
+    pqCache.put(d, Pq(
+      localized(s.read.parquet(s"$dir/codebooks")),
+      s.read.parquet(s"$dir/codes")))
+  }
 }

@@ -110,6 +110,21 @@ class SketchSpec extends AnyFunSuite {
     assert(pqRecall >= 0.25, s"recall $pqRecall collapsed — ADC ranking or refine join broken")
   }
 
+  test("vector index: save/load round trip reproduces every search byte-identically") {
+    def run(q: String): Seq[String] =
+      SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted.toSeq
+    queries.VecIndex.reset()
+    val before = Seq("q37_ann_ivf", "q37b_ann_ivfpq", "q58b_pq_quantize").map(q => q -> run(q))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx").toString
+    queries.VecIndex.save(spark, sf, dir)
+    queries.VecIndex.reset()
+    queries.VecIndex.load(spark, sf, dir)
+    before.foreach { case (q, expected) =>
+      assert(run(q) == expected, s"$q diverged after the parquet round trip")
+    }
+    queries.VecIndex.reset() // leave no parquet-backed index for later suites
+  }
+
   test("scripted_metric: closures run as a real distributed agg, exact result, merge-invariant") {
     import spark.implicits._
     // known series: group a has gaps 5,10,85 -> 85; group b has one row -> null
