@@ -74,16 +74,17 @@ object DedupQueries {
     val bands = 8
     val rowsPerBand = numHashes / bands
     // signature table is reused by the banding fan-out AND both verify-join
-    // sides — localCheckpoint it, and free the blocks SYNCHRONOUSLY once the
+    // sides — persist it LAZILY (the first consumer materializes the cache;
+    // an eager localCheckpoint here cost an extra full job, measured
+    // 0.3-0.6 s at sf0.1) and free the blocks SYNCHRONOUSLY once the
     // top-100 result has materialized (materializeAndFree below), so
-    // repeated harness invocations never pin storage (cluster equivalent:
-    // checkpoint the sketch table, drop it after the response)
+    // repeated harness invocations never pin storage
     val docs = Tables(s, d, "documents")
       .repartition(col("doc_id")) // single-file scan -> spread sketch work
       .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", text.minhashSignature(col("sh"), numHashes))
-      .localCheckpoint(true)
+      .persist()
     // band buckets carry only (band, bucket, doc_id) through the shuffle —
     // the shingle arrays rejoin AFTER candidate pairs are deduplicated
     val banded = docs.select(
@@ -122,7 +123,7 @@ object DedupQueries {
     val docs = Tables(s, d, "documents")
       .repartition(col("doc_id")) // single-file scan -> spread sketch work
       .select(col("doc_id"), text.simhash64(text.tokens(col("text"))).as("sim"))
-      .localCheckpoint(true) // blocks freed synchronously by materializeAndFree
+      .persist() // lazy cache; blocks freed synchronously by materializeAndFree
     val chunked = docs.select(
       col("doc_id"), col("sim"),
       explode(array((0 until 4).map { c =>

@@ -211,7 +211,31 @@ object SimilarityQueries {
         graft.functions.detsum.sumDet(col("nrm"), 6).as("sum_norm"))
       .withColumn("avg_norm", round(col("sum_norm") / col("n_vecs"), 6))
 
+  /** Cluster-balanced sampling (the DataComp-style diversity sampler): the
+    * IVF coarse lists ARE the embedding-space clusters, so a deterministic
+    * hash-ordered cap per list downsamples dense regions and keeps coverage
+    * of the embedding space even — the curation step between near-dup
+    * removal and training-mix planning. Per-list window only (state bounded
+    * by the cap); reuses the train-once index, no extra training job.
+    * Rows-only (k-means lists aren't SQL-expressible); spec pins the
+    * per-cluster cap arithmetic and determinism. */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val cap = 40
+    val lists = VecIndex.coarse(s, d).lists.select(col("list_id"), col("vec_id"))
+    val w = Window.partitionBy(col("list_id"))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc, col("vec_id").asc)
+    val kept = lists.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+    lists.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
+      .join(
+        kept.groupBy(col("list_id"))
+          .agg(count(lit(1)).as("n_kept"), min(col("vec_id")).as("first_kept")),
+        Seq("list_id"))
+      .select(col("list_id").cast("long").as("list_id"),
+        col("n_vecs"), col("n_kept"), col("first_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_cluster_balanced_sample" -> (q68 _),
     "q35_ann_bruteforce" -> (q35 _),
     "q36_ann_lsh" -> (q36 _),
     "q37_ann_ivf" -> (q37 _),

@@ -46,7 +46,8 @@ object Tables {
   def materializeAndFree(result: DataFrame, sketch: DataFrame): DataFrame = {
     val spark = result.sparkSession
     val rows = java.util.Arrays.asList(result.collect(): _*)
-    freeCheckpoint(sketch)
+    sketch.unpersist(blocking = true) // cache()/persist()-backed storage
+    freeCheckpoint(sketch) // localCheckpoint-backed storage (no-op otherwise)
     spark.createDataFrame(rows, result.schema)
   }
 

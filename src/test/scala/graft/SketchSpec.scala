@@ -110,6 +110,23 @@ class SketchSpec extends AnyFunSuite {
     assert(pqRecall >= 0.25, s"recall $pqRecall collapsed — ADC ranking or refine join broken")
   }
 
+  test("cluster-balanced sample: per-cluster cap arithmetic, full coverage, deterministic") {
+    val out = SparkEntry.queries("q68_cluster_balanced_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // every cluster keeps exactly min(cap, n_vecs)
+    out.foreach { case (list, nVecs, nKept, _) =>
+      assert(nKept == math.min(40L, nVecs), s"list $list: $nKept of $nVecs")
+    }
+    // all vectors are covered by some cluster
+    val corpusN = queries.Tables(spark, sf, "embeddings").count()
+    assert(out.map(_._2).sum == corpusN)
+    // deterministic: the hash-ordered pick reproduces exactly
+    val again = SparkEntry.queries("q68_cluster_balanced_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("vector index: save/load round trip reproduces every search byte-identically") {
     def run(q: String): Seq[String] =
       SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted.toSeq
