@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RhpBuckets(exprs(0), i(exprs(1)), i(exprs(2)), i(exprs(3)))
       }))
     e.injectFunction((
+      FunctionIdentifier("int128_sum"),
+      info("int128_sum", "int128_sum(x) - exact 128-bit integer sum of BIGINT terms (detsum fast path)"),
+      (exprs: Seq[Expression]) => SumScaledInt128(exprs(0)).toAggregateExpression()))
+    e.injectFunction((
       FunctionIdentifier("scripted_metric"),
       info("scripted_metric", "scripted_metric(program, x) - init/map/combine/reduce programmable aggregation (ES scripted_metric)"),
       (exprs: Seq[Expression]) =>

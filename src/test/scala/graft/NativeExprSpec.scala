@@ -1,3 +1,4 @@
+// (int128_sum equivalence tests appended at the bottom of this suite)
 package graft
 
 import org.apache.spark.sql.functions._
@@ -54,6 +55,39 @@ class NativeExprSpec extends AnyFunSuite {
         "minhash_sig(array('a','b','c'), 4) AS m").collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getSeq[Long](2).size == 4)
+  }
+
+  test("int128_sum: bit-identical to the decimal detsum path on real data and adversarial layouts") {
+    import spark.implicits._
+    // real-data equivalence across every grouping the queries use
+    val ev = queries.Tables(spark, "/root/testdata/sf0.001", "events")
+    val cmp = ev.groupBy(col("event_type"))
+      .agg(
+        graft.functions.detsum.sumDet(col("value")).as("fast"),
+        graft.functions.detsum.sumDetDecimal(col("value")).as("ref"),
+        graft.functions.detsum.sumDet(col("value") - 500.0).as("fast_neg"),
+        graft.functions.detsum.sumDetDecimal(col("value") - 500.0).as("ref_neg"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"${r.getString(0)}: positive sums diverge")
+      assert(r.getDouble(3) == r.getDouble(4), s"${r.getString(0)}: signed sums diverge")
+    }
+    // carry edges: many max-magnitude terms force low-word wraparound in
+    // both directions; reference is BigInt
+    val terms = Seq.tabulate(4000)(i =>
+      if (i % 3 == 0) -(1L << 53) + i else (1L << 53) - 2 * i)
+    val expected = terms.map(BigInt(_)).sum
+    for (parts <- Seq(1, 7)) {
+      val got = terms.toDF("x").repartition(parts)
+        .agg(expr("int128_sum(x)")).collect()(0).getDecimal(0)
+      assert(BigInt(got.toBigInteger) == expected, s"carry chain broken at $parts partitions")
+    }
+    // null semantics match the decimal sum: all-null → null, mixed → skip
+    val withNulls = Seq[java.lang.Long](null, 5L, null, -2L).toDF("x")
+    assert(withNulls.agg(expr("int128_sum(x)")).collect()(0).getDecimal(0).longValueExact == 3L)
+    val allNull = Seq[java.lang.Long](null, null).toDF("x")
+    assert(allNull.agg(expr("int128_sum(x)")).collect()(0).isNullAt(0))
   }
 
   test("detlog.withLog2: basic-ops log2 matches Math.log within 2^-24, exact on powers of 2") {

@@ -19,7 +19,8 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q20_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
     assert(!p.contains("l_orderkey"), "unused columns must not be read")
-    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+    assert(p.contains("partial_int128_sum"),
+      "map-side partial aggregation through the int128 fast path expected")
   }
 
   test("q21: dimension joins broadcast, no sort-merge") {
