@@ -22,18 +22,32 @@ object detsum {
 
   /** Sum `term` (double) deterministically at `scale` decimal digits.
     *
-    * Fast path: the rounded term (an integral double ≤ 2^53 by
-    * construction) casts to BIGINT and accumulates in
+    * Fast path: the rounded term casts to BIGINT and accumulates in
     * [[graft.plans.SumScaledInt128]] — exact 128-bit integer addition at
     * long speed and fully codegen'd, where the original DECIMAL(27,0) sum
     * ran Spark's BigDecimal slow path (~5× slower per aggregate). The
     * result is the identical exact integer, so the decimal-path oracles
     * are unaffected. [[sumDetDecimal]] keeps the original formulation for
-    * the equivalence spec. */
+    * the equivalence spec.
+    *
+    * Domain: |term| must stay below ~9.2e18 / 10^scale (the scaled term
+    * must fit a BIGINT — far above every column this engine sums, whose
+    * rounded doubles are ≲2^53 anyway, but NARROWER than the old decimal
+    * path's 1e17). The guard below raises a descriptive error in every
+    * eval mode rather than letting an ANSI cast throw late or a legacy
+    * cast clamp silently; terms beyond the long domain should use
+    * [[sumDetDecimal]]. Requires a session with GraftExtensions installed
+    * (GraftSession does this; clusters pass
+    * `spark.sql.extensions=graft.plans.GraftExtensions`). */
   def sumDet(term: Column, scale: Int = 10): Column = {
     val factor = math.pow(10, scale)
-    call_function("int128_sum", round(term * lit(factor)).cast("long"))
-      .cast("double") / lit(factor)
+    val scaled = round(term * lit(factor))
+    val guarded = when(scaled.isNull, lit(null).cast("long"))
+      .when(abs(scaled) < lit(9.2e18), scaled.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"detsum: |term| * 1e$scale exceeds the BIGINT fast-path domain (term="),
+        term.cast("string"), lit("); use sumDetDecimal"))))
+    call_function("int128_sum", guarded).cast("double") / lit(factor)
   }
 
   /** The original decimal-typed formulation of [[sumDet]] — kept as the

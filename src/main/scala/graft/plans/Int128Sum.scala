@@ -15,10 +15,11 @@ import org.apache.spark.sql.types._
   * (q61's 16 moments: 8.6 s). This aggregate keeps the exactness and drops
   * the cost: the accumulator is two 64-bit words (hi, lo) updated with
   * plain long arithmetic + a classic carry-out bit trick, fully
-  * whole-stage-codegen'd as a [[DeclarativeAggregate]]. Capacity 2^127 —
-  * at the standard scale (1e10) that is ~1e28 of summed magnitude, i.e.
-  * exabytes of rows before overflow, vs DECIMAL(27,0)'s 1e27 at the same
-  * exactness.
+  * whole-stage-codegen'd as a [[DeclarativeAggregate]]. Usable capacity is
+  * the DECIMAL(38,0) emit bound (|total| < 1e38 — at the standard 1e10
+  * scale that is ~1e28 of summed magnitude, exabytes of rows, an order
+  * above DECIMAL(27,0)'s bound); evaluation RAISES on a total beyond it
+  * rather than wrapping or nulling silently.
   *
   * Semantics match the decimal sum bit-for-bit: same null-skipping (null
   * terms ignored; all-null/empty group → null), same exact integer total,
@@ -81,7 +82,17 @@ case class SumScaledInt128(child: Expression)
     // lo as an UNSIGNED word: add 2^64 back when the sign bit is set
     val loUnsigned = If(LessThan(lo, Literal(0L)), Add(loDec, two64, EvalMode.LEGACY), loDec)
     val total = Add(Multiply(Cast(hi, dec), two64, EvalMode.LEGACY), loUnsigned, EvalMode.LEGACY)
-    If(Not(seen), Literal(null, dec), total)
+    // totals with |hi| beyond this bound cannot round-trip DECIMAL(38,0)
+    // (LEGACY decimal overflow would NULL silently) — fail loudly instead;
+    // exactness must never degrade quietly. 5.4e18 ≈ (1e38 − 2^64) / 2^64.
+    val hiSafe = LessThan(Abs(hi, failOnError = false), Literal(5400000000000000000L))
+    val checked = If(
+      hiSafe,
+      total,
+      Cast(
+        RaiseError(Literal("int128_sum: total exceeds the DECIMAL(38,0) emit bound")),
+        dec))
+    If(Not(seen), Literal(null, dec), checked)
   }
 
   override def prettyName: String = "int128_sum"

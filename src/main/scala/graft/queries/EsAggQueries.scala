@@ -442,8 +442,9 @@ object EsAggQueries {
     // identical by construction — the q17h recipe taken to its conclusion.
     // Fields are pre-normalized by fixed constants (quantity/100,
     // extendedprice/1e5): skewness/kurtosis/correlation are scale-invariant,
-    // and bounded magnitudes keep the DECIMAL(27,0) moment accumulators far
-    // from overflow at any corpus size.
+    // and O(1) per-row magnitudes keep every scaled moment term far inside
+    // detsum's BIGINT fast-path domain (|term|·1e10 < 9.2e18 — see
+    // functions/detsum) at any corpus size.
     "q61_matrix_stats" -> ((s: SparkSession, d: String) => {
       val li = Tables(s, d, "lineitem").select(
         (col("l_quantity") / 100.0).as("q"),
@@ -461,7 +462,7 @@ object EsAggQueries {
       // the aggregate is ONE row — materialize it on the driver (the ES
       // coordinator-reduce analog) so the three per-field output rows are
       // projections of a LocalRelation, not three re-runs of the scan
-      val gLocal = s.createDataFrame(java.util.Arrays.asList(g.collect(): _*), g.schema)
+      val gLocal = Tables.localize(g)
       msFields.map(f => gLocal.selectExpr(matrixStatsSelect(f): _*)).reduce(_.unionAll(_))
     }),
 

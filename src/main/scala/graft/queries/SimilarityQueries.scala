@@ -224,12 +224,14 @@ object SimilarityQueries {
     val lists = VecIndex.coarse(s, d).lists.select(col("list_id"), col("vec_id"))
     val w = Window.partitionBy(col("list_id"))
       .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc, col("vec_id").asc)
-    val kept = lists.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
-    lists.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
-      .join(
-        kept.groupBy(col("list_id"))
-          .agg(count(lit(1)).as("n_kept"), min(col("vec_id")).as("first_kept")),
-        Seq("list_id"))
+    // one scan: the windowed frame already carries everything, and the
+    // groupBy reuses the window's hash partitioning — no join, no re-scan
+    lists.withColumn("rn", row_number().over(w))
+      .groupBy(col("list_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        count(when(col("rn") <= cap, 1)).as("n_kept"),
+        min(when(col("rn") <= cap, col("vec_id"))).as("first_kept"))
       .select(col("list_id").cast("long").as("list_id"),
         col("n_vecs"), col("n_kept"), col("first_kept"))
   }

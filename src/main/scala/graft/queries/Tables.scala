@@ -43,12 +43,18 @@ object Tables {
     * returned frame is a LocalRelation (the exact analog of an ES response
     * materializing on the coordinator); the big intermediates stay
     * distributed and their storage is gone when this returns. */
+  /** Collect `df` (coordinator-sized by contract) to the driver and return
+    * it as a LocalRelation — the ES coordinator-materialization analog.
+    * Shared by materializeAndFree, VecIndex, and the one-row-aggregate
+    * queries so the collect/rebuild idiom lives in exactly one place. */
+  def localize(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   def materializeAndFree(result: DataFrame, sketch: DataFrame): DataFrame = {
-    val spark = result.sparkSession
-    val rows = java.util.Arrays.asList(result.collect(): _*)
+    val local = localize(result)
     sketch.unpersist(blocking = true) // cache()/persist()-backed storage
     freeCheckpoint(sketch) // localCheckpoint-backed storage (no-op otherwise)
-    spark.createDataFrame(rows, result.schema)
+    local
   }
 
   /** Synchronously unpersist the localCheckpoint blocks backing `df` (a

@@ -139,29 +139,30 @@ object VecIndex {
   // the big lists/codes tables come back as plain parquet scans (pruned and
   // pushed down like any table, and no longer pinned in executor storage).
 
-  /** Persist the trained index (building it first if needed). */
+  /** Persist the trained index (building it first if needed). No-op when
+    * the installed index is already backed by `dir` (a save after load(dir)
+    * would otherwise overwrite the very parquet paths the frames read —
+    * Spark rejects that mid-write, after some artifacts are clobbered). */
   def save(s: SparkSession, d: String, dir: String): Unit = {
     val c = coarse(s, d)
     val p = pq(s, d)
+    val target = new java.io.File(dir).getAbsolutePath
+    if ((c.lists.inputFiles ++ p.codes.inputFiles).exists(_.contains(target))) return
     c.cent.write.mode("overwrite").parquet(s"$dir/cent")
     c.lists.write.mode("overwrite").parquet(s"$dir/lists")
     p.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     p.codes.write.mode("overwrite").parquet(s"$dir/codes")
   }
 
-  private def localized(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
-
   /** Install a saved index for dataset `d` — searches (q37/q37b/q58b) then
     * run against the loaded artifacts with no training jobs at all. */
   def load(s: SparkSession, d: String, dir: String): Unit = {
     reset()
     coarseCache.put(d, Coarse(
-      localized(s.read.parquet(s"$dir/cent")),
+      Tables.localize(s.read.parquet(s"$dir/cent")),
       s.read.parquet(s"$dir/lists")))
     pqCache.put(d, Pq(
-      localized(s.read.parquet(s"$dir/codebooks")),
+      Tables.localize(s.read.parquet(s"$dir/codebooks")),
       s.read.parquet(s"$dir/codes")))
   }
 }

@@ -132,14 +132,25 @@ class SketchSpec extends AnyFunSuite {
       SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted.toSeq
     queries.VecIndex.reset()
     val before = Seq("q37_ann_ivf", "q37b_ann_ivfpq", "q58b_pq_quantize").map(q => q -> run(q))
-    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx").toString
-    queries.VecIndex.save(spark, sf, dir)
-    queries.VecIndex.reset()
-    queries.VecIndex.load(spark, sf, dir)
-    before.foreach { case (q, expected) =>
-      assert(run(q) == expected, s"$q diverged after the parquet round trip")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_vecidx")
+    try {
+      val dir = dirPath.toString
+      queries.VecIndex.save(spark, sf, dir)
+      queries.VecIndex.reset()
+      queries.VecIndex.load(spark, sf, dir)
+      before.foreach { case (q, expected) =>
+        assert(run(q) == expected, s"$q diverged after the parquet round trip")
+      }
+      // a save over the very dir the loaded index reads from must be the
+      // documented no-op, not a mid-write self-overwrite failure
+      queries.VecIndex.save(spark, sf, dir)
+      assert(run("q37_ann_ivf") == before.head._2)
+    } finally {
+      queries.VecIndex.reset() // leave no parquet-backed index for later suites
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    queries.VecIndex.reset() // leave no parquet-backed index for later suites
   }
 
   test("scripted_metric: closures run as a real distributed agg, exact result, merge-invariant") {
