@@ -247,6 +247,11 @@ object FlowQueries {
     // probe); the oracle applies the same cutoff to the batch series
     "st07_prop_sum_append" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.runAppendMode(spark, dir, basicCfg, 2 * HOUR_MS, "st07_mem")),
+    // the Space-Saving sketch as a streaming aggregation: bounded sketch
+    // state per group in the state store, exact when keys fit capacity —
+    // shares q11c's exact oracle
+    "st09_stream_topk" -> ((spark: SparkSession, dir: String) =>
+      graft.streaming.FlowStream.streamingTopK(spark, dir, "st09_mem")),
     // ingest-time dedup on the document stream (state = distinct fingerprints)
     "st03_stream_dedup" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.streamingDedupCounts(spark, dir, "st03_mem")),
@@ -361,6 +366,9 @@ object FlowQueries {
          |FROM agg""".stripMargin
     },
     "st01_prop_sum_stream" -> oracle(basicCfg),
+    // the finished stream equals the batch sketch, which is exact at this
+    // cardinality — q11c's oracle verbatim
+    "st09_stream_topk" -> EsAggQueries.oracleSql("q11c_terms_sketch"),
     "st07_prop_sum_append" -> {
       val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
       s"""$core,

@@ -131,6 +131,35 @@ object FlowStream {
         col("value"))
     }
 
+  /** Always-on top-K talkers: the Space-Saving sketch
+    * ([[graft.plans.TopKFreq]]) as a STREAMING aggregation — the state
+    * store holds one bounded sketch buffer per group (capacity counters,
+    * regardless of user cardinality), the live form of the Drift UI's top
+    * talkers. Merge-order invariance (spec-pinned for the batch agg) is
+    * what makes the result independent of micro-batch arrival order; when
+    * distinct keys fit the capacity the sketch is exact, so the finished
+    * stream hash-matches q11c's exact DuckDB oracle. */
+  def streamingTopK(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.queries.Tables.withShufflePartitions(spark, 8) {
+      val agg = eventsStream(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(expr("topk_freq(CAST(user_id AS STRING), 200)").as("top_users"))
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .select(col("event_type"), posexplode(col("top_users")).as(Seq("pos", "tu")))
+        .select(
+          col("event_type"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("tu.item").as("item"),
+          col("tu.cnt").as("cnt"))
+        .filter(col("rank") <= 5)
+    }
+
   /** Run the stream to completion (AvailableNow) and return the final
     * histogram — the driver-contract entry point. Matches the batch q01
     * result exactly, so it shares q01's DuckDB oracle. */
