@@ -252,6 +252,10 @@ object FlowQueries {
     // shares q11c's exact oracle
     "st09_stream_topk" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.streamingTopK(spark, dir, "st09_mem")),
+    // the quantile sketch as streaming state; rows-only (sketch not
+    // SQL-expressible) — StreamingSpec pins equality with the batch sketch
+    "st10_stream_quantile" -> ((spark: SparkSession, dir: String) =>
+      graft.streaming.FlowStream.streamingQuantiles(spark, dir, "st10_mem")),
     // ingest-time dedup on the document stream (state = distinct fingerprints)
     "st03_stream_dedup" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.streamingDedupCounts(spark, dir, "st03_mem")),

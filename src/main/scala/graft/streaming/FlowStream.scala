@@ -160,6 +160,27 @@ object FlowStream {
         .filter(col("rank") <= 5)
     }
 
+  /** Always-on percentile monitoring: the mergeable binned-histogram
+    * quantile sketch ([[graft.plans.HistQuantile]]) as a streaming
+    * aggregation — bounded sketch state per group, the live latency/size
+    * percentile view. Deterministic merge (spec-pinned) ⇒ the finished
+    * stream equals the batch sketch exactly (StreamingSpec asserts it). */
+  def streamingQuantiles(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.queries.Tables.withShufflePartitions(spark, 8) {
+      val agg = eventsStream(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("hist_quantile(value, 0.5, 0.0, 1000.0, 1000)").as("p50"),
+          expr("hist_quantile(value, 0.95, 0.0, 1000.0, 1000)").as("p95"))
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+
   /** Run the stream to completion (AvailableNow) and return the final
     * histogram — the driver-contract entry point. Matches the batch q01
     * result exactly, so it shares q01's DuckDB oracle. */

@@ -110,6 +110,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.nonEmpty)
   }
 
+  test("st10: the streaming quantile sketch equals the batch sketch exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = queries.FlowQueries.queries("st10_stream_quantile")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val batch = queries.Tables(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("hist_quantile(value, 0.5, 0.0, 1000.0, 1000)").as("p50"),
+        expr("hist_quantile(value, 0.95, 0.0, 1000.0, 1000)").as("p95"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful sessionization emits sessions closed by a gap, keeps the open one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
