@@ -36,7 +36,10 @@ object detsum {
     * path's 1e17). The guard below raises a descriptive error in every
     * eval mode rather than letting an ANSI cast throw late or a legacy
     * cast clamp silently; terms beyond the long domain should use
-    * [[sumDetDecimal]]. Requires a session with GraftExtensions installed
+    * [[sumDetDecimal]]. NaN/Infinity terms also raise (abs(NaN) < bound is
+    * false): a non-finite term means the upstream expression is broken, and
+    * a loud error beats the decimal path's silent null-skip — asserted in
+    * NativeExprSpec. Requires a session with GraftExtensions installed
     * (GraftSession does this; clusters pass
     * `spark.sql.extensions=graft.plans.GraftExtensions`). */
   def sumDet(term: Column, scale: Int = 10): Column = {

@@ -66,8 +66,18 @@ case class ScriptedMetric(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): AnyRef =
-    new ObjectInputStream(new ByteArrayInputStream(bytes)).readObject()
+  /** Resolve classes against the context classloader: on a cluster,
+    * user-registered Program state classes live in the application jar's
+    * classloader, which a bare ObjectInputStream (latest user-defined
+    * loader) misses during shuffle-side merge. */
+  override def deserialize(bytes: Array[Byte]): AnyRef = {
+    val in = new ObjectInputStream(new ByteArrayInputStream(bytes)) {
+      override def resolveClass(desc: java.io.ObjectStreamClass): Class[_] =
+        try Class.forName(desc.getName, false, Thread.currentThread().getContextClassLoader)
+        catch { case _: ClassNotFoundException => super.resolveClass(desc) }
+    }
+    in.readObject()
+  }
 
   override def withNewMutableAggBufferOffset(o: Int): ScriptedMetric = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): ScriptedMetric = copy(inputAggBufferOffset = o)

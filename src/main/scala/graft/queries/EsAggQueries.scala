@@ -36,8 +36,14 @@ object EsAggQueries {
     * rounds the DECIMAL string half-up, DuckDB rounds the binary double —
     * observed: a q61 mean off by exactly 1e-6 at sf0.01), so the rounding
     * itself must be part of the shared expression; floor and the basic ops
-    * are correctly-rounded IEEE everywhere. */
-  private def r6(e: String): String = s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    * are correctly-rounded IEEE everywhere.
+    *
+    * Numeric literals are spelled `1e6`, NOT `1000000.0`: Spark parses the
+    * latter as DECIMAL(8,1) (and its `floor` returns LONG), so the division
+    * would land as DECIMAL(30,9) while DuckDB produces DOUBLE — identical
+    * values, different typed hash. `1e6` parses as DOUBLE in both engines,
+    * and LONG/DOUBLE promotes to DOUBLE in Spark. */
+  private def r6(e: String): String = s"(floor(($e) * 1e6 + 0.5) / 1e6)"
 
   private val msFields = Seq("q", "p", "dd")
   private val msLabels = Map("q" -> "quantity", "p" -> "extendedprice", "dd" -> "discount")
@@ -68,7 +74,7 @@ object EsAggQueries {
       s"${r6(s"$kurtNum / (${varp(i)} * ${varp(i)})")} AS kurtosis") ++
       msFields.map(j => s"${r6(cov(i, j))} AS cov_${msLabels(j)}") ++
       msFields.map { j =>
-        if (i == j) s"1.0 AS corr_${msLabels(j)}"
+        if (i == j) s"CAST(1.0 AS DOUBLE) AS corr_${msLabels(j)}"
         else s"${r6(s"${cov(i, j)} / sqrt(${vars(i)} * ${vars(j)})")} AS corr_${msLabels(j)}"
       }
   }

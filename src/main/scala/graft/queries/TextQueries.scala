@@ -288,7 +288,11 @@ object TextQueries {
       val df_ = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-      tf.join(broadcast(df_), Seq("term"))
+      // df_ is vocabulary-sized (O(10^8) rows over a 100 TB corpus) — never
+      // hint-broadcast it. The tf⋈df join stays term-keyed; AQE may still
+      // choose a broadcast at runtime when the measured size is small.
+      // broadcast(nDocs) stays: that side is a one-row scalar.
+      tf.join(df_, Seq("term"))
         .crossJoin(broadcast(nDocs))
         .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
         .withColumn("rn", row_number().over(w))

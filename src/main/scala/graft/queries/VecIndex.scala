@@ -146,8 +146,12 @@ object VecIndex {
   def save(s: SparkSession, d: String, dir: String): Unit = {
     val c = coarse(s, d)
     val p = pq(s, d)
-    val target = new java.io.File(dir).getAbsolutePath
-    if ((c.lists.inputFiles ++ p.codes.inputFiles).exists(_.contains(target))) return
+    // separator-terminated prefix on normalized paths: a bare contains()
+    // would also match a dir whose path merely starts with `dir` (save to
+    // /tmp/idx after load from /tmp/idx2) and silently skip the write
+    val target = new java.io.File(dir).getAbsolutePath + java.io.File.separator
+    if ((c.lists.inputFiles ++ p.codes.inputFiles)
+        .exists(f => f.replaceFirst("^file:(//)?", "").startsWith(target))) return
     c.cent.write.mode("overwrite").parquet(s"$dir/cent")
     c.lists.write.mode("overwrite").parquet(s"$dir/lists")
     p.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
@@ -157,7 +161,10 @@ object VecIndex {
   /** Install a saved index for dataset `d` — searches (q37/q37b/q58b) then
     * run against the loaded artifacts with no training jobs at all. */
   def load(s: SparkSession, d: String, dir: String): Unit = {
-    reset()
+    // evict only dataset d (freeing its storage) — a global reset() would
+    // silently drop live trained indexes for every OTHER dataset too
+    coarseCache.remove(d).foreach(c => Tables.freeCheckpoint(c.lists))
+    pqCache.remove(d).foreach(p => Tables.freeCheckpoint(p.codes))
     coarseCache.put(d, Coarse(
       Tables.localize(s.read.parquet(s"$dir/cent")),
       s.read.parquet(s"$dir/lists")))

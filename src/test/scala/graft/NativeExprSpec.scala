@@ -90,6 +90,19 @@ class NativeExprSpec extends AnyFunSuite {
     assert(allNull.agg(expr("int128_sum(x)")).collect()(0).isNullAt(0))
   }
 
+  test("detsum fast path raises loudly on non-finite terms (domain contract)") {
+    import spark.implicits._
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val ex = intercept[Exception] {
+        Seq(1.0, bad).toDF("x").agg(graft.functions.detsum.sumDet(col("x"))).collect()
+      }
+      val messages = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      assert(messages.contains("detsum"),
+        s"expected the detsum domain error for $bad, got: $messages")
+    }
+  }
+
   test("detlog.withLog2: basic-ops log2 matches Math.log within 2^-24, exact on powers of 2") {
     import spark.implicits._
     val vals = Seq(1L, 2L, 3L, 7L, 8L, 100L, 1023L, 1024L, 1025L, 65537L,

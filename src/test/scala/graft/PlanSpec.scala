@@ -222,6 +222,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "nothing here justifies a sort-merge exchange")
   }
 
+  test("q53: the vocabulary-sized df table is never hint-broadcast") {
+    // at 100 TB the distinct-term document-frequency table is O(10^8) rows —
+    // a broadcast HINT forces an OOM there even though AQE's own runtime
+    // choice at small SF is fine. Exactly one hint survives: the one-row
+    // n_docs scalar.
+    val q = SparkEntry.queries("q53_tfidf_top_terms")(spark, sf)
+    val hints = "ResolvedHint".r.findAllIn(q.queryExecution.analyzed.toString).size
+    assert(hints == 1, s"expected only the n_docs scalar broadcast hint, found $hints")
+  }
+
   test("q60: scripted_metric maps where the data lives (partial object agg before the exchange)") {
     val p = plan("q60_scripted_metric")
     // the ES contract: map_script on the shard, serialized state over the
