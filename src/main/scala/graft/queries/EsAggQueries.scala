@@ -393,6 +393,29 @@ object EsAggQueries {
         .orderBy(col("event_type").asc, col("user_id").asc)
         .limit(50)),
 
+    // ES composite agg cursor paging (`after`): page 1 is the first `size`
+    // buckets in composite key order; the client echoes the LAST bucket key
+    // back as `after`, and the next request resumes STRICTLY after it —
+    // the resumable-cursor contract a real exporter uses to walk 10M
+    // buckets. The after_key is one bucket key crossing the driver
+    // (coordinator-sized by definition), and page 2's keyset predicate
+    // lands on the RAW columns, so it reaches the parquet scan as a pushed
+    // filter (PlanSpec-gated) — a resumed export prunes pages it already
+    // served instead of re-aggregating them.
+    "q17g_composite_after" -> ((s: SparkSession, d: String) => {
+      def buckets(df: DataFrame) = df
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+        .orderBy(col("event_type").asc, col("user_id").asc)
+        .limit(50)
+      val page1 = Tables.localize(buckets(ev(s, d)))
+      val after = page1.orderBy(col("event_type").desc, col("user_id").desc).limit(1).collect()(0)
+      val (a1, a2) = (after.getAs[String]("event_type"), after.getAs[Long]("user_id"))
+      val page2 = buckets(ev(s, d).filter(
+        col("event_type") > a1 || (col("event_type") === a1 && col("user_id") > a2)))
+      page1.withColumn("page", lit(1L)).unionByName(page2.withColumn("page", lit(2L)))
+    }),
+
     // ES sibling pipeline aggs avg_bucket/sum_bucket/min_bucket/max_bucket in
     // one pass over the histogram's buckets; min/max also report WHICH bucket
     // (the keys ES returns), via min_by/max_by with a total ordering so ties
@@ -944,6 +967,28 @@ object EsAggQueries {
          |WHERE event_type > 'purchase' OR (event_type = 'purchase' AND user_id > 10)
          |GROUP BY event_type, user_id
          |ORDER BY event_type ASC, user_id ASC LIMIT 50""".stripMargin,
+    // keyset pagination, cursor derived from page 1's last key — the same
+    // resumable contract as the Spark side
+    "q17g_composite_after" ->
+      s"""WITH agg AS (
+         |  SELECT event_type, user_id, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |  FROM events GROUP BY event_type, user_id
+         |),
+         |p1 AS (
+         |  SELECT * FROM agg ORDER BY event_type ASC, user_id ASC LIMIT 50
+         |),
+         |ak AS (
+         |  SELECT event_type AS a1, user_id AS a2 FROM p1
+         |  ORDER BY event_type DESC, user_id DESC LIMIT 1
+         |),
+         |p2 AS (
+         |  SELECT agg.* FROM agg, ak
+         |  WHERE agg.event_type > ak.a1 OR (agg.event_type = ak.a1 AND agg.user_id > ak.a2)
+         |  ORDER BY agg.event_type ASC, agg.user_id ASC LIMIT 50
+         |)
+         |SELECT event_type, user_id, doc_count, sum_value, CAST(1 AS BIGINT) AS page FROM p1
+         |UNION ALL
+         |SELECT event_type, user_id, doc_count, sum_value, CAST(2 AS BIGINT) AS page FROM p2""".stripMargin,
     "q11c_terms_sketch" ->
       """SELECT event_type, rank, item, cnt FROM (
         |  SELECT event_type, CAST(user_id AS VARCHAR) AS item, COUNT(*) AS cnt,

@@ -256,6 +256,11 @@ object FlowQueries {
     // SQL-expressible) — StreamingSpec pins equality with the batch sketch
     "st10_stream_quantile" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.streamingQuantiles(spark, dir, "st10_mem")),
+    // calendar-interval (monthly) prop-sum through the always-on streaming
+    // path — q06's series in watermarked append mode; the oracle applies
+    // the st07 watermark cutoff to the batch series
+    "st11_prop_sum_calendar" -> ((spark: SparkSession, dir: String) =>
+      graft.streaming.FlowStream.runCalendarAppendMode(spark, dir, 20 * DAY_MS, "st11_mem")),
     // ingest-time dedup on the document stream (state = distinct fingerprints)
     "st03_stream_dedup" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.streamingDedupCounts(spark, dir, "st03_mem")),
@@ -358,6 +363,35 @@ object FlowQueries {
           count(lit(1)).as("doc_count"),
           graft.functions.detsum.sumDet(col("__contrib")).as("value"))
     }))
+
+  // q06's oracle body — shared verbatim by st11 (which only adds the
+  // watermark cutoff), so the batch and streaming forms can never drift
+  private val q06Oracle: String = {
+    val det = graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")
+    s"""WITH flows AS (
+       |  SELECT event_id, value AS v,
+       |         epoch_ms(ts) AS rs,
+       |         epoch_ms(ts) + (event_id % 90) * 86400000 AS re
+       |  FROM events
+       |),
+       |ranged AS (
+       |  SELECT *, re - rs AS dur, v AS eff_v,
+       |         date_trunc('month', make_timestamp(GREATEST(rs, $JAN_START_MS) * 1000)) AS fbts,
+       |         date_trunc('month', make_timestamp(LEAST(re, $MAY_START_MS) * 1000)) AS lbts
+       |  FROM flows
+       |),
+       |ex AS (
+       |  SELECT *, UNNEST(generate_series(fbts, lbts, INTERVAL 1 MONTH)) AS bts
+       |  FROM ranged WHERE fbts <= lbts
+       |),
+       |ovl AS (
+       |  SELECT epoch_ms(bts) AS bucket_ms, dur, eff_v,
+       |         GREATEST(0, LEAST(epoch_ms(bts + INTERVAL 1 MONTH), re) - GREATEST(epoch_ms(bts), rs)) AS ov
+       |  FROM ex
+       |)
+       |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
+       |FROM ovl GROUP BY bucket_ms""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q01_prop_sum_basic" -> oracle(basicCfg),
@@ -596,32 +630,13 @@ object FlowQueries {
          |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
          |FROM ovl GROUP BY bucket_ms""".stripMargin
     },
-    "q06_prop_sum_calendar" -> {
-      val det = graft.functions.detsum.sumDetSql("CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END")
-      s"""WITH flows AS (
-         |  SELECT event_id, value AS v,
-         |         epoch_ms(ts) AS rs,
-         |         epoch_ms(ts) + (event_id % 90) * 86400000 AS re
-         |  FROM events
-         |),
-         |ranged AS (
-         |  SELECT *, re - rs AS dur, v AS eff_v,
-         |         date_trunc('month', make_timestamp(GREATEST(rs, $JAN_START_MS) * 1000)) AS fbts,
-         |         date_trunc('month', make_timestamp(LEAST(re, $MAY_START_MS) * 1000)) AS lbts
-         |  FROM flows
-         |),
-         |ex AS (
-         |  SELECT *, UNNEST(generate_series(fbts, lbts, INTERVAL 1 MONTH)) AS bts
-         |  FROM ranged WHERE fbts <= lbts
-         |),
-         |ovl AS (
-         |  SELECT epoch_ms(bts) AS bucket_ms, dur, eff_v,
-         |         GREATEST(0, LEAST(epoch_ms(bts + INTERVAL 1 MONTH), re) - GREATEST(epoch_ms(bts), rs)) AS ov
-         |  FROM ex
-         |)
-         |SELECT bucket_ms, COUNT(*) AS doc_count, $det AS value
-         |FROM ovl GROUP BY bucket_ms""".stripMargin
-    })
+    "q06_prop_sum_calendar" -> q06Oracle,
+    // st11 = q06's batch series with the st07 watermark cutoff applied: the
+    // final watermark is max(bucket) − delay exactly, eviction non-strict
+    "st11_prop_sum_calendar" ->
+      s"""WITH base AS ($q06Oracle),
+         |wm AS (SELECT max(bucket_ms) - ${20 * DAY_MS} AS w FROM base)
+         |SELECT base.* FROM base, wm WHERE base.bucket_ms <= wm.w""".stripMargin)
 
   // q18's oracle shares the exploded core but aggregates per user, not per bucket.
   private val q18Oracle: String = {

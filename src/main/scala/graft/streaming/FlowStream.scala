@@ -131,6 +131,44 @@ object FlowStream {
         col("value"))
     }
 
+  /** Calendar-interval (monthly) streaming proportional_sum in append mode —
+    * the always-on form of q06's batch series (the reference's continuous
+    * ProportionalSumAggregatorIT scenario). `explodeContribCalendar` is
+    * stateless, so the batch operator reuses unchanged; the groupBy key is
+    * the variable-width UTC month bucket, watermarked on its start
+    * timestamp. State stays bounded by `delay / min-bucket-width` open
+    * buckets per group; the emission boundary is the st07 contract
+    * (watermark = max bucket_ts − delay exactly, eviction NON-strict at
+    * `bucket_ts <= watermark` — empirically pinned in StreamingSpec), and
+    * the oracle applies the same cutoff to q06's batch series. */
+  def runCalendarAppendMode(
+      spark: SparkSession, sfDir: String, delayMs: Long, name: String): DataFrame =
+    graft.queries.Tables.withShufflePartitions(spark, 8) {
+      import graft.queries.Flows.{DAY_MS, JAN_START_MS, MAY_START_MS}
+      val flows = flowSource(spark, sfDir)
+        .withColumn("re", col("rs") + (col("event_id") % 90) * lit(DAY_MS))
+      val series = ProportionalSum
+        .explodeContribCalendarMonth(flows, col("rs"), col("re"), col("v"), None,
+          Some(JAN_START_MS), Some(MAY_START_MS))
+        .withColumn("bucket_ts", timestamp_millis(col("bucket_ms")))
+        .withWatermark("bucket_ts", s"$delayMs milliseconds")
+        .groupBy(col("bucket_ts"))
+        .agg(
+          count(lit(1)).as("doc_count"),
+          graft.functions.detsum.sumDet(col("__contrib")).as("value"))
+      val q = series.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).select(
+        expr("unix_micros(bucket_ts) DIV 1000").as("bucket_ms"),
+        col("doc_count"),
+        col("value"))
+    }
+
   /** Always-on top-K talkers: the Space-Saving sketch
     * ([[graft.plans.TopKFreq]]) as a STREAMING aggregation — the state
     * store holds one bounded sketch buffer per group (capacity counters,

@@ -222,6 +222,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "nothing here justifies a sort-merge exchange")
   }
 
+  test("q17g: page 2's keyset cursor predicate reaches the parquet scan") {
+    val p = plan("q17g_composite_after")
+    assert(p.contains("Or(GreaterThan(event_type"),
+      "the after-key predicate must push down so a resumed export prunes served pages")
+  }
+
   test("q53: the vocabulary-sized df table is never hint-broadcast") {
     // at 100 TB the distinct-term document-frequency table is O(10^8) rows —
     // a broadcast HINT forces an OOM there even though AQE's own runtime
