@@ -81,14 +81,12 @@ object VecIndex {
     subv.join(broadcast(codebooks), Seq("grp"))
       .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
 
-  def coarse(s: SparkSession, d: String): Coarse = live(coarseCache, d)(_.lists) {
-    val c = corpus(s, d).localCheckpoint(true)
-    val cent = graft.operators.KMeans
-      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
-      .withColumn("cnrm", vectors.norm(col("cemb")))
-    // nearest list via max_by, not a window: the k candidate rows per vector
-    // collapse in the map-side partial aggregate, so nothing k-wide shuffles
-    val lists = c.crossJoin(broadcast(cent))
+  /** Nearest-existing-list assignment — shared by build and [[append]] so
+    * the assignment convention cannot drift between them. Nearest list via
+    * max_by, not a window: the k candidate rows per vector collapse in the
+    * map-side partial aggregate, so nothing k-wide shuffles. */
+  private def assignToLists(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
       .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
       .groupBy(col("vec_id"))
       .agg(max_by(
@@ -96,17 +94,11 @@ object VecIndex {
         struct(col("ccos"), (-col("list_id")).as("neg"))).as("best"))
       .select(col("best.list_id").as("list_id"), col("vec_id"),
         col("best.emb").as("emb"), col("best.nrm").as("nrm"))
-      .localCheckpoint(true)
-    Tables.freeCheckpoint(c) // the raw scan checkpoint fed training + assignment only
-    Coarse(cent, lists)
-  }
 
-  def pq(s: SparkSession, d: String): Pq = live(pqCache, d)(_.codes) {
-    val subv = subvectors(corpus(s, d).select(col("vec_id").as("id"), col("emb")))
-      .localCheckpoint(true) // reused by train AND encode
-    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 3)
-      .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
-    val codes = pqScored(subv, codebooks)
+  /** PQ-encode subvectors against FROZEN codebooks — shared by build and
+    * [[append]]. */
+  private def encodeAgainst(subv: DataFrame, codebooks: DataFrame): DataFrame =
+    pqScored(subv, codebooks)
       .groupBy(col("grp"), col("id"))
       .agg(max_by(
         struct(col("list_id"), col("c2"), col("cemb"), col("emb")),
@@ -118,9 +110,59 @@ object VecIndex {
           aggregate(
             zip_with(col("best.emb"), col("best.cemb"), (a, b) => (a - b) * (a - b)),
             lit(0.0), (acc, x) => acc + x) / PqSubDim, 9).as("sub_sq_err"))
-      .localCheckpoint(true)
+
+  def coarse(s: SparkSession, d: String): Coarse = live(coarseCache, d)(_.lists) {
+    val c = corpus(s, d).localCheckpoint(true)
+    val cent = graft.operators.KMeans
+      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
+      .withColumn("cnrm", vectors.norm(col("cemb")))
+    val lists = assignToLists(c, cent).localCheckpoint(true)
+    Tables.freeCheckpoint(c) // the raw scan checkpoint fed training + assignment only
+    Coarse(cent, lists)
+  }
+
+  def pq(s: SparkSession, d: String): Pq = live(pqCache, d)(_.codes) {
+    val subv = subvectors(corpus(s, d).select(col("vec_id").as("id"), col("emb")))
+      .localCheckpoint(true) // reused by train AND encode
+    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 3)
+      .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
+    val codes = encodeAgainst(subv, codebooks).localCheckpoint(true)
     Tables.freeCheckpoint(subv)
     Pq(codebooks, codes)
+  }
+
+  /** Incremental index maintenance: add `newVecs` ((vec_id, embedding)) to
+    * dataset `d`'s installed index WITHOUT retraining — new vectors are
+    * assigned to their nearest EXISTING coarse list and PQ-encoded against
+    * the FROZEN codebooks, exactly the daily-increment shape at 100 TB
+    * (you rebuild codebooks on drift, never for an append). No training
+    * jobs run: centroids/codebooks enter the append plans as the installed
+    * driver-local literals. The appended lists/codes re-checkpoint and the
+    * previous generation's storage is freed synchronously; a subsequent
+    * [[save]] persists the appended index. */
+  def append(s: SparkSession, d: String, newVecs: DataFrame): Unit = {
+    val c = coarse(s, d)
+    val p = pq(s, d)
+    val nv = newVecs
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("nrm", vectors.norm(col("emb")))
+      .localCheckpoint(true) // feeds both the list assignment and the encode
+    val lists = c.lists.unionByName(assignToLists(nv, c.cent)).localCheckpoint(true)
+    val codes = p.codes.unionByName(
+      encodeAgainst(subvectors(nv.select(col("vec_id").as("id"), col("emb"))), p.codebooks))
+      .localCheckpoint(true)
+    Tables.freeCheckpoint(nv)
+    Tables.freeCheckpoint(c.lists)
+    Tables.freeCheckpoint(p.codes)
+    coarseCache.put(d, Coarse(c.cent, lists))
+    pqCache.put(d, Pq(p.codebooks, codes))
+  }
+
+  /** Test hook: install explicit artifacts for dataset `d` (no storage
+    * bookkeeping — the caller owns the frames' lifecycle). */
+  private[graft] def install(d: String, c: Coarse, p: Pq): Unit = {
+    coarseCache.put(d, c)
+    pqCache.put(d, p)
   }
 
   /** Drop every trained index and free its storage (test hook: forces the

@@ -153,6 +153,52 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("vector index append: frozen-artifact assign+encode equals the full build, and persists") {
+    import org.apache.spark.sql.functions.col
+    queries.VecIndex.reset()
+    val full = queries.VecIndex.coarse(spark, sf)
+    val fullPq = queries.VecIndex.pq(spark, sf)
+    val wantLists = full.lists.collect().map(_.toString).sorted.toSeq
+    val wantCodes = fullPq.codes.collect().map(_.toString).sorted.toSeq
+    // hold out every 7th vector: install the reduced index with the SAME
+    // frozen centroids/codebooks, then append the holdout back in
+    val reduced = queries.VecIndex.Coarse(full.cent,
+      full.lists.filter(col("vec_id") % 7 =!= 0).localCheckpoint(true))
+    val reducedPq = queries.VecIndex.Pq(fullPq.codebooks,
+      fullPq.codes.filter(col("vec_id") % 7 =!= 0).localCheckpoint(true))
+    queries.VecIndex.install(sf, reduced, reducedPq)
+    val holdout = queries.Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding"))
+    queries.VecIndex.append(spark, sf, holdout)
+    // deterministic assignment/encode against frozen artifacts ⇒ the
+    // appended index is row-identical to building from the full corpus
+    assert(queries.VecIndex.coarse(spark, sf).lists.collect().map(_.toString).sorted.toSeq
+      == wantLists, "appended inverted lists diverge from the full build")
+    assert(queries.VecIndex.pq(spark, sf).codes.collect().map(_.toString).sorted.toSeq
+      == wantCodes, "appended PQ codes diverge from the full build")
+    // no retraining: the installed centroid/codebook frames are untouched
+    assert(queries.VecIndex.coarse(spark, sf).cent eq full.cent)
+    assert(queries.VecIndex.pq(spark, sf).codebooks eq fullPq.codebooks)
+    // save/load round-trips the appended index
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_vecidx_app")
+    try {
+      queries.VecIndex.save(spark, sf, dirPath.toString)
+      queries.VecIndex.reset()
+      queries.VecIndex.load(spark, sf, dirPath.toString)
+      assert(queries.VecIndex.coarse(spark, sf).lists.collect().map(_.toString).sorted.toSeq
+        == wantLists, "appended index lost through the parquet round trip")
+      assert(SparkEntry.queries("q37b_ann_ivfpq")(spark, sf).count() > 0)
+    } finally {
+      queries.VecIndex.reset()
+      queries.Tables.freeCheckpoint(full.lists) // pre-install generation
+      queries.Tables.freeCheckpoint(fullPq.codes)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("scripted_metric: closures run as a real distributed agg, exact result, merge-invariant") {
     import spark.implicits._
     // known series: group a has gaps 5,10,85 -> 85; group b has one row -> null
