@@ -2,13 +2,15 @@ package graft.operators
 
 /** Pure-JVM media codecs for the multimodal pipeline.
   *
-  * The sandbox has no native image/audio libraries, but two ubiquitous
+  * The sandbox has no native image/audio libraries, but three ubiquitous
   * container formats need none: uncompressed 24-bit BMP (Windows
-  * BITMAPINFOHEADER) and RIFF/WAVE PCM16. Both are fully specified public
-  * formats, so the parsers here are real codecs — they read dimensions,
-  * strides, chunk layout and sample data from the container itself, exactly
-  * as a production decoder would — and the encoders emit files any external
-  * viewer/player opens. Formats beyond these two still fall back to
+  * BITMAPINFOHEADER), 8-bit truecolor PNG (zlib via `java.util.zip`,
+  * full filter reconstruction), and RIFF/WAVE PCM16. All are fully
+  * specified public formats, so the parsers here are real codecs — they
+  * read dimensions, strides, chunk layout, compressed streams and sample
+  * data from the container itself, exactly as a production decoder would —
+  * and the encoders emit files any external viewer/player opens. Formats
+  * beyond these (JPEG, H.264 video) still fall back to
   * [[Multimodal.decodeStub]] (clearly marked there).
   *
   * Everything is per-row and allocation-bounded by the payload size, so the
@@ -111,6 +113,167 @@ object MediaCodec {
         out(dstRow + x * 3) = bytes(srcRow + x * 3 + 2) // R
         out(dstRow + x * 3 + 1) = bytes(srcRow + x * 3 + 1) // G
         out(dstRow + x * 3 + 2) = bytes(srcRow + x * 3) // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedImage(width, height, out))
+  }
+
+  // ---------------------------------------------------------------- PNG ----
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  /** Encode a top-down RGB raster as a standard 8-bit truecolor PNG
+    * (IHDR color type 2, one zlib-deflated IDAT, filter type 0 rows, CRCs
+    * per chunk — any external viewer opens it). */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != ${width * height * 3}")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(PngSig)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      val len = new Array[Byte](4)
+      putBe32(len, 0, body.length)
+      bos.write(len)
+      val tb = tag.getBytes("US-ASCII")
+      bos.write(tb)
+      bos.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb)
+      crc.update(body)
+      val cb = new Array[Byte](4)
+      putBe32(cb, 0, crc.getValue.toInt)
+      bos.write(cb)
+    }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width)
+    putBe32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor RGB
+    // bytes 10..12: compression 0, filter method 0, interlace 0
+    chunk("IHDR", ihdr)
+    // raw scanline stream: each row is a filter byte (0 = None) + RGB bytes
+    val stride = width * 3
+    val raw = new Array[Byte](height * (stride + 1))
+    var y = 0
+    while (y < height) {
+      System.arraycopy(rgb, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  /** Decode an 8-bit truecolor (color type 2, non-interlaced) PNG: chunk
+    * walk (ancillary chunks skipped, multiple IDATs concatenated per spec),
+    * zlib inflate via `java.util.zip.Inflater`, and FULL filter
+    * reconstruction — types 0-4 None/Sub/Up/Average/Paeth (PNG spec §9,
+    * Paeth predictor §9.4). Returns None for malformed files and variants
+    * outside this profile (palette, alpha, 16-bit, interlaced) so callers
+    * can fall back. */
+  def decodePng(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes.length < PngSig.length + 12) return None
+    var i = 0
+    while (i < PngSig.length) {
+      if (bytes(i) != PngSig(i)) return None
+      i += 1
+    }
+    var pos = PngSig.length
+    var width = 0
+    var height = 0
+    var seenIhdr = false
+    var ended = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!ended && pos + 8 <= bytes.length) {
+      val len = be32(bytes, pos)
+      // Long arithmetic: a corrupt length near Int.MaxValue would wrap the
+      // chunk-end bound negative and walk out of the array
+      if (len < 0 || pos.toLong + 12 + len > bytes.length) return None
+      val tag = new String(bytes, pos + 4, 4, "US-ASCII")
+      val body = pos + 8
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = be32(bytes, body)
+          height = be32(bytes, body + 4)
+          val bitDepth = bytes(body + 8)
+          val colorType = bytes(body + 9)
+          val interlace = bytes(body + 12)
+          if (bitDepth != 8 || colorType != 2 || interlace != 0) return None
+          if (width <= 0 || height <= 0) return None
+          if (width.toLong * height * 3 + height > Int.MaxValue) return None
+          seenIhdr = true
+        case "IDAT" => idat.write(bytes, body, len)
+        case "IEND" => ended = true
+        case _ => // ancillary chunk (tEXt, pHYs, tIME, ...) — skip
+      }
+      pos = body + len + 4 // body + CRC
+    }
+    if (!seenIhdr || idat.size() == 0) return None
+    val stride = width * 3
+    val rawLen = height * (stride + 1)
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, got, rawLen - got)
+        if (n == 0 && inf.needsInput()) return None // truncated zlib stream
+        got += n
+      }
+      if (got < rawLen) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // per-row filter reconstruction; `out` is the already-reconstructed
+    // raster, so the a/b/c predictors read final bytes (spec: Recon(x))
+    val out = new Array[Byte](height * stride)
+    val bpp = 3
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      if (ft > 4) return None
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val v = raw(src + x) & 0xff
+        val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0 // left
+        val b = if (y > 0) out(dst - stride + x) & 0xff else 0 // up
+        val c = if (x >= bpp && y > 0) out(dst - stride + x - bpp) & 0xff else 0 // up-left
+        val rec = ft match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + b
+          case 3 => v + ((a + b) >> 1)
+          case _ => // 4: Paeth — nearest of a/b/c to p = a+b-c, ties a>b>c
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        out(dst + x) = rec.toByte
         x += 1
       }
       y += 1

@@ -31,17 +31,18 @@ object Multimodal {
     * H.264, ...). Deterministic: "pixels" are the payload bytes cycled to
     * width*height*channels length. A production build swaps this for the
     * real decoder; everything downstream (batching, features, schema) is
-    * unchanged. BMP payloads never reach this — [[decodeImage]] dispatches
-    * them to the real [[MediaCodec.decodeBmp]]. */
+    * unchanged. BMP and PNG payloads never reach this — [[decodeImage]]
+    * dispatches them to the real [[MediaCodec]] parsers. */
   def decodeStub(payload: Array[Byte], width: Int, height: Int, channels: Int): Array[Byte] =
     cycleBytes(payload, width * height * channels)
 
-  /** Real decode dispatch: a well-formed BMP payload is parsed by the real
-    * codec (dims/stride/row-order come from the container, not the
-    * metadata); anything else falls back to [[decodeStub]] with the row's
-    * advisory metadata. Returns (width, height, channels, top-down RGB). */
+  /** Real decode dispatch: a well-formed BMP or PNG payload is parsed by
+    * the real codec (dims/stride/row-order/filters come from the container,
+    * not the metadata); anything else falls back to [[decodeStub]] with the
+    * row's advisory metadata. Returns (width, height, channels, top-down
+    * RGB). */
   def decodeImage(r: MediaRow): (Int, Int, Int, Array[Byte]) =
-    MediaCodec.decodeBmp(r.payload) match {
+    MediaCodec.decodeBmp(r.payload).orElse(MediaCodec.decodePng(r.payload)) match {
       case Some(d) => (d.width, d.height, 3, d.pixels)
       case None => (r.width, r.height, r.channels, decodeStub(r.payload, r.width, r.height, r.channels))
     }
@@ -57,8 +58,10 @@ object Multimodal {
   /** Attach a genuine binary media payload + typed metadata to documents.
     * The testdata carries no real media, so each doc's image is synthesized
     * deterministically — pixels are the utf8 text bytes cycled — but the
-    * payload is a real, well-formed 24bpp BMP file (any external viewer
-    * opens it) that the downstream pipeline decodes with the real parser. */
+    * payload is a real, well-formed image file (alternating 24bpp BMP and
+    * 8-bit truecolor PNG by doc id, so every pipeline run exercises BOTH
+    * real parsers; any external viewer opens either). The decoded raster is
+    * identical whichever container carried it. */
   def attachPayload(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
@@ -67,7 +70,10 @@ object Multimodal {
         val w = (nChars % 64 + 16).toInt
         val h = (id % 48 + 16).toInt
         val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
-        MediaRow(id, MediaCodec.encodeBmp(w, h, cycleBytes(bytes, w * h * 3)), w, h, 3)
+        val rgb = cycleBytes(bytes, w * h * 3)
+        val payload = if (id % 2 == 0) MediaCodec.encodePng(w, h, rgb)
+          else MediaCodec.encodeBmp(w, h, rgb)
+        MediaRow(id, payload, w, h, 3)
       }
   }
 
@@ -295,8 +301,9 @@ object Multimodal {
     * best_hamming 0. */
   def phashPairs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // media dims derive from CONTENT (not doc_id) so duplicate text makes
-    // byte-identical BMPs — the property image dedup actually relies on
+    // media dims AND container format derive from CONTENT (not doc_id) so
+    // duplicate text makes byte-identical files — the property image dedup
+    // actually relies on; both real parsers are exercised across the corpus
     val media = docs
       .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
@@ -304,7 +311,10 @@ object Multimodal {
         val w = (nChars % 64 + 16).toInt
         val h = (nChars % 48 + 16).toInt
         val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
-        MediaRow(id, MediaCodec.encodeBmp(w, h, cycleBytes(bytes, w * h * 3)), w, h, 3)
+        val rgb = cycleBytes(bytes, w * h * 3)
+        val payload = if (nChars % 2 == 0) MediaCodec.encodePng(w, h, rgb)
+          else MediaCodec.encodeBmp(w, h, rgb)
+        MediaRow(id, payload, w, h, 3)
       }
     val hashes = perceptualHash(media).toDF()
     val chunked = hashes.select(

@@ -91,6 +91,105 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeBmp(wide).isEmpty, "overflowing width must be rejected")
   }
 
+  // ---------------------------------------------------------------- PNG ----
+
+  test("png: decode a hand-assembled file with Sub and Up filters (stored deflate, literal bytes)") {
+    def b(v: Int): Byte = v.toByte
+    // 2x2 RGB, pixels (top-down): row0 (10,20,30),(40,60,80)
+    //                             row1 (15,25,35),(45,65,85)
+    // scanlines: row0 filter 1 (Sub): deltas vs left pixel
+    //            row1 filter 2 (Up):  deltas vs row above
+    val raw = Array[Byte](1, 10, 20, 30, 30, 40, 50, 2, 5, 5, 5, 5, 5, 5)
+    // zlib container hand-built around ONE stored (uncompressed) deflate
+    // block — independent of any encoder: header, BFINAL|BTYPE=00, LEN,
+    // NLEN, data, Adler-32
+    val adler = {
+      var a = 1L; var s = 0L
+      raw.foreach { x => a = (a + (x & 0xff)) % 65521; s = (s + a) % 65521 }
+      (s << 16) | a
+    }
+    val z = Array[Byte](0x78, 0x01,
+      1, b(raw.length), 0, b(~raw.length & 0xff), b(0xff)) ++ raw ++
+      Array[Byte](b((adler >> 24).toInt), b((adler >> 16).toInt), b((adler >> 8).toInt), b(adler.toInt))
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val tb = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      java.nio.ByteBuffer.allocate(4).putInt(body.length).array() ++ tb ++ body ++
+        java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(b(8)).put(b(2)).put(b(0)).put(b(0)).put(b(0)).array()
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z) ++ chunk("IEND", Array.emptyByteArray)
+    val d = MediaCodec.decodePng(png).get
+    assert(d.width == 2 && d.height == 2)
+    assert(d.pixels.toSeq == Seq[Byte](10, 20, 30, 40, 60, 80, 15, 25, 35, 45, 65, 85))
+  }
+
+  test("png: encode/decode roundtrip recovers pixels exactly") {
+    for ((w, h) <- Seq((5, 3), (16, 16), (1, 1), (63, 17))) {
+      val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 31 + 7) % 256).toByte)
+      val png = MediaCodec.encodePng(w, h, rgb)
+      assert(png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val d = MediaCodec.decodePng(png).get
+      assert(d.width == w && d.height == h)
+      assert(d.pixels.toSeq == rgb.toSeq, s"roundtrip mismatch at ${w}x$h")
+    }
+  }
+
+  test("png: cross-validated against the JDK's independent ImageIO codec (adaptive filters)") {
+    val w = 21; val h = 13
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 97 + 13) % 256).toByte)
+    // our encoder → ImageIO's decoder
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MediaCodec.encodePng(w, h, rgb)))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val off = (y * w + x) * 3
+      assert(((p >> 16) & 0xff) == (rgb(off) & 0xff)
+        && ((p >> 8) & 0xff) == (rgb(off + 1) & 0xff)
+        && (p & 0xff) == (rgb(off + 2) & 0xff), s"ImageIO disagrees at ($x,$y)")
+    }
+    // ImageIO's encoder (emits adaptive per-row filters, including Average
+    // and Paeth) → our filter reconstruction
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val off = (y * w + x) * 3
+      bi.setRGB(x, y,
+        ((rgb(off) & 0xff) << 16) | ((rgb(off + 1) & 0xff) << 8) | (rgb(off + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val d = MediaCodec.decodePng(bos.toByteArray).get
+    assert(d.width == w && d.height == h)
+    assert(d.pixels.toSeq == rgb.toSeq, "ImageIO-encoded PNG must reconstruct exactly")
+  }
+
+  test("png: unsupported profiles and malformed files are rejected, not mis-parsed") {
+    val good = MediaCodec.encodePng(4, 4, new Array[Byte](48))
+    // IHDR body starts at 16 (sig 8 + len 4 + tag 4): depth +8, color +9,
+    // interlace +12; IDAT body starts at 8 + 25 + 8 = 41
+    assert(MediaCodec.decodePng(good.take(30)).isEmpty, "truncated file")
+    assert(MediaCodec.decodePng("definitely not a png".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.decodePng(Array.emptyByteArray).isEmpty)
+    val pal = good.clone(); pal(25) = 3
+    assert(MediaCodec.decodePng(pal).isEmpty, "palette color type unsupported")
+    val rgba = good.clone(); rgba(25) = 6
+    assert(MediaCodec.decodePng(rgba).isEmpty, "alpha color type unsupported")
+    val deep = good.clone(); deep(24) = 16
+    assert(MediaCodec.decodePng(deep).isEmpty, "16-bit depth unsupported")
+    val il = good.clone(); il(28) = 1
+    assert(MediaCodec.decodePng(il).isEmpty, "Adam7 interlace unsupported")
+    val badZlib = good.clone(); badZlib(41) = 0
+    assert(MediaCodec.decodePng(badZlib).isEmpty, "corrupt zlib header must not crash")
+    // hostile chunk length near Int.MaxValue: the bound must run in Long
+    val huge = good.clone()
+    huge(33) = 0x7f; huge(34) = 0xff.toByte; huge(35) = 0xff.toByte; huge(36) = 0xf0.toByte
+    assert(MediaCodec.decodePng(huge).isEmpty, "overflowing chunk length must be rejected")
+  }
+
   // ---------------------------------------------------------------- WAV ----
 
   test("wav: decode a hand-assembled RIFF file with an unknown odd-sized chunk before data") {
@@ -141,20 +240,24 @@ class MediaCodecSpec extends AnyFunSuite {
 
   lazy val spark = GraftSession.builder("4").getOrCreate()
 
-  test("attachPayload emits genuine BMPs the real parser decodes (dims + cycled pixels)") {
+  test("attachPayload emits genuine BMPs AND PNGs that the real parsers decode") {
     val docs = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
     val rows = graft.operators.Multimodal.attachPayload(docs).collect()
     assert(rows.nonEmpty)
+    // both container formats are present across the corpus...
+    assert(rows.exists(_.payload(0) == 'B'), "no BMP payloads")
+    assert(rows.exists(_.payload(1) == 'P'), "no PNG payloads")
     rows.foreach { r =>
-      assert(r.payload(0) == 'B' && r.payload(1) == 'M')
-      val d = MediaCodec.decodeBmp(r.payload).get
+      // ...and each decodes through its REAL parser (never the stub), with
+      // container dims matching the row metadata
+      val d = MediaCodec.decodeBmp(r.payload).orElse(MediaCodec.decodePng(r.payload)).get
       assert(d.width == r.width && d.height == r.height)
     }
     // pixels are the utf8 text bytes cycled — check one doc end to end
     val doc = docs.select("doc_id", "text").orderBy("doc_id").limit(1).collect().head
     val row = rows.find(_.doc_id == doc.getLong(0)).get
     val txt = doc.getString(1).getBytes("UTF-8")
-    val px = MediaCodec.decodeBmp(row.payload).get.pixels
+    val px = MediaCodec.decodeBmp(row.payload).orElse(MediaCodec.decodePng(row.payload)).get.pixels
     if (txt.nonEmpty) px.zipWithIndex.foreach { case (p, i) => assert(p == txt(i % txt.length)) }
   }
 
