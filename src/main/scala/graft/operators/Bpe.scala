@@ -153,4 +153,33 @@ object Bpe {
 
   /** Test hook: drop trained models. */
   def reset(): Unit = modelCache.clear()
+
+  // ------------------------------------------------- persistence ----------
+  // The tokenizer-artifact shape: a model is TRAINED once and shipped with
+  // the pipeline (the VecIndex discipline). The merge table is tiny —
+  // `nMerges` rows of (rank, left, right) — so parquet is both the storage
+  // and the interchange format; rank order is the model, so load sorts.
+
+  /** Persist a trained model (training it first if absent) for dataset `d`
+    * at `nMerges` merges. */
+  def save(spark: SparkSession, d: String, nMerges: Int, dir: String): Unit = {
+    import spark.implicits._
+    model(spark, d, nMerges).toDF("rank", "left", "right")
+      .repartition(1) // nMerges rows — one file IS the artifact
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Install a saved model for dataset `d` — encodes then run with no
+    * training jobs; byte-identical to encoding after train (spec-pinned). */
+  def load(spark: SparkSession, d: String, nMerges: Int, dir: String): Unit = {
+    import spark.implicits._
+    val merges = spark.read.parquet(dir)
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .as[(Int, String, String)]
+      .collect()
+      .sortBy(_._1)
+      .map { case (rank, l, r) => Merge(rank, l, r) }
+      .toSeq
+    modelCache.put(s"$d#$nMerges", merges)
+  }
 }

@@ -45,6 +45,31 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encodeWord("a", ranks) == Seq("a"))
   }
 
+  test("save/load round-trips the model: encode after load is identical to encode after train") {
+    import spark.implicits._
+    val docs = queries.Tables(spark, sf, "documents")
+      .withColumn("toks", graft.functions.text.tokens(col("text")))
+    val trained = Bpe.model(spark, sf, nMerges = 40)
+    val want = Bpe.tokenize(docs, trained)
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_bpe")
+    try {
+      Bpe.save(spark, sf, 40, dirPath.toString)
+      Bpe.reset() // drop the trained model: load must be the only source
+      Bpe.load(spark, sf, 40, dirPath.toString)
+      val loaded = Bpe.model(spark, sf, nMerges = 40) // cache hit, no training
+      assert(loaded == trained, "merge table (ranks + pairs) lost in the round trip")
+      val got = Bpe.tokenize(docs, loaded)
+        .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+      assert(got == want, "encode after load diverged from encode after train")
+    } finally {
+      Bpe.reset()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("tokenization is lossless and the pipeline query aggregates it") {
     import spark.implicits._
     val docs = queries.Tables(spark, sf, "documents")
