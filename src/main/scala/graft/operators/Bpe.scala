@@ -161,25 +161,33 @@ object Bpe {
   // and the interchange format; rank order is the model, so load sorts.
 
   /** Persist a trained model (training it first if absent) for dataset `d`
-    * at `nMerges` merges. */
+    * at `nMerges` merges. The training budget is stored alongside the rows
+    * so [[load]] can refuse a mismatched install. */
   def save(spark: SparkSession, d: String, nMerges: Int, dir: String): Unit = {
     import spark.implicits._
     model(spark, d, nMerges).toDF("rank", "left", "right")
+      .withColumn("n_merges", lit(nMerges))
       .repartition(1) // nMerges rows — one file IS the artifact
       .write.mode("overwrite").parquet(dir)
   }
 
   /** Install a saved model for dataset `d` — encodes then run with no
-    * training jobs; byte-identical to encoding after train (spec-pinned). */
+    * training jobs; byte-identical to encoding after train (spec-pinned).
+    * Refuses an artifact trained at a different merge budget: installing it
+    * under the wrong cache key would silently tokenize with the wrong model
+    * (a merge table can be legitimately SHORTER than its budget via the
+    * minFreq early stop, so the row count alone cannot distinguish). */
   def load(spark: SparkSession, d: String, nMerges: Int, dir: String): Unit = {
     import spark.implicits._
-    val merges = spark.read.parquet(dir)
-      .select(col("rank").cast("int"), col("left"), col("right"))
-      .as[(Int, String, String)]
+    val rows = spark.read.parquet(dir)
+      .select(col("rank").cast("int"), col("left"), col("right"), col("n_merges").cast("int"))
+      .as[(Int, String, String, Int)]
       .collect()
-      .sortBy(_._1)
-      .map { case (rank, l, r) => Merge(rank, l, r) }
-      .toSeq
+    require(rows.nonEmpty, s"no BPE model at $dir")
+    val budgets = rows.map(_._4).distinct
+    require(budgets.sameElements(Array(nMerges)),
+      s"BPE model at $dir was trained with n_merges=${budgets.mkString(",")}, not $nMerges")
+    val merges = rows.sortBy(_._1).map { case (rank, l, r, _) => Merge(rank, l, r) }.toSeq
     modelCache.put(s"$d#$nMerges", merges)
   }
 }

@@ -238,7 +238,10 @@ object MediaCodec {
       var got = 0
       while (got < rawLen && !inf.finished()) {
         val n = inf.inflate(raw, got, rawLen - got)
-        if (n == 0 && inf.needsInput()) return None // truncated zlib stream
+        // n == 0 with output space remaining means the inflater is stuck:
+        // truncated stream (needsInput) OR a preset-dictionary request
+        // (FDICT, needsDictionary) — looping on either would hang the task
+        if (n == 0) return None
         got += n
       }
       if (got < rawLen) return None

@@ -55,6 +55,19 @@ object Multimodal {
     out
   }
 
+  /** The ONE synthesized-payload construction shared by [[attachPayload]]
+    * and [[phashPairs]]: text bytes cycled to a w×h RGB raster, wrapped in
+    * a real container — PNG on even `selector`, BMP on odd — so every
+    * pipeline run exercises both image parsers. The decoded raster is
+    * identical whichever container carried it. */
+  private def makeImageRow(id: Long, selector: Long, w: Int, h: Int, text: String): MediaRow = {
+    val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+    val rgb = cycleBytes(bytes, w * h * 3)
+    val payload = if (selector % 2 == 0) MediaCodec.encodePng(w, h, rgb)
+      else MediaCodec.encodeBmp(w, h, rgb)
+    MediaRow(id, payload, w, h, 3)
+  }
+
   /** Attach a genuine binary media payload + typed metadata to documents.
     * The testdata carries no real media, so each doc's image is synthesized
     * deterministically — pixels are the utf8 text bytes cycled — but the
@@ -67,13 +80,7 @@ object Multimodal {
     docs.select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
-        val w = (nChars % 64 + 16).toInt
-        val h = (id % 48 + 16).toInt
-        val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
-        val rgb = cycleBytes(bytes, w * h * 3)
-        val payload = if (id % 2 == 0) MediaCodec.encodePng(w, h, rgb)
-          else MediaCodec.encodeBmp(w, h, rgb)
-        MediaRow(id, payload, w, h, 3)
+        makeImageRow(id, selector = id, (nChars % 64 + 16).toInt, (id % 48 + 16).toInt, text)
       }
   }
 
@@ -308,13 +315,8 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
-        val w = (nChars % 64 + 16).toInt
-        val h = (nChars % 48 + 16).toInt
-        val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
-        val rgb = cycleBytes(bytes, w * h * 3)
-        val payload = if (nChars % 2 == 0) MediaCodec.encodePng(w, h, rgb)
-          else MediaCodec.encodeBmp(w, h, rgb)
-        MediaRow(id, payload, w, h, 3)
+        // selector = nChars: format choice derives from CONTENT here too
+        makeImageRow(id, selector = nChars, (nChars % 64 + 16).toInt, (nChars % 48 + 16).toInt, text)
       }
     val hashes = perceptualHash(media).toDF()
     val chunked = hashes.select(

@@ -409,10 +409,16 @@ object EsAggQueries {
         .orderBy(col("event_type").asc, col("user_id").asc)
         .limit(50)
       val page1 = Tables.localize(buckets(ev(s, d)))
-      val after = page1.orderBy(col("event_type").desc, col("user_id").desc).limit(1).collect()(0)
-      val (a1, a2) = (after.getAs[String]("event_type"), after.getAs[Long]("user_id"))
-      val page2 = buckets(ev(s, d).filter(
-        col("event_type") > a1 || (col("event_type") === a1 && col("user_id") > a2)))
+      // empty input ⇒ no buckets, no cursor, no page 2 (the oracle's CTEs
+      // evaluate to empty rowsets — the engines must agree, not one throw)
+      val page2 = page1.orderBy(col("event_type").desc, col("user_id").desc)
+        .limit(1).collect().headOption match {
+        case Some(after) =>
+          val (a1, a2) = (after.getAs[String]("event_type"), after.getAs[Long]("user_id"))
+          buckets(ev(s, d).filter(
+            col("event_type") > a1 || (col("event_type") === a1 && col("user_id") > a2)))
+        case None => page1.limit(0)
+      }
       page1.withColumn("page", lit(1L)).unionByName(page2.withColumn("page", lit(2L)))
     }),
 

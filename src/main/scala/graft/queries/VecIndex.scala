@@ -188,12 +188,17 @@ object VecIndex {
   def save(s: SparkSession, d: String, dir: String): Unit = {
     val c = coarse(s, d)
     val p = pq(s, d)
-    // separator-terminated prefix on normalized paths: a bare contains()
-    // would also match a dir whose path merely starts with `dir` (save to
-    // /tmp/idx after load from /tmp/idx2) and silently skip the write
-    val target = new java.io.File(dir).getAbsolutePath + java.io.File.separator
-    if ((c.lists.inputFiles ++ p.codes.inputFiles)
-        .exists(f => f.replaceFirst("^file:(//)?", "").startsWith(target))) return
+    // skip only when one of the CONCRETE write paths would clobber a file
+    // the installed frames read: a whole-dir prefix check false-skips both
+    // sibling dirs (/tmp/idx vs /tmp/idx2) and ancestors (save to /tmp/run
+    // after load from /tmp/run/idx — writing /tmp/run/{lists,...} clobbers
+    // nothing there)
+    val writeDirs = Seq("cent", "lists", "codebooks", "codes")
+      .map(sub => new java.io.File(dir, sub).getAbsolutePath + java.io.File.separator)
+    if ((c.lists.inputFiles ++ p.codes.inputFiles).exists { f =>
+      val path = f.replaceFirst("^file:(//)?", "")
+      writeDirs.exists(path.startsWith)
+    }) return
     c.cent.write.mode("overwrite").parquet(s"$dir/cent")
     c.lists.write.mode("overwrite").parquet(s"$dir/lists")
     p.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")

@@ -110,26 +110,38 @@ object FlowStream {
   def runAppendMode(
       spark: SparkSession, sfDir: String, cfg: Config, delayMs: Long, name: String): DataFrame =
     graft.queries.Tables.withShufflePartitions(spark, 8) {
-      val series = ProportionalSum
-        .explodeContrib(flowSource(spark, sfDir), col("rs"), col("re"), col("v"), None, cfg)
-        .withColumn("bucket_ts", timestamp_millis(col("bucket_ms")))
-        .withWatermark("bucket_ts", s"$delayMs milliseconds") // exact — the oracle subtracts the full delayMs
-        .groupBy(col("bucket_ts"))
-        .agg(
-          count(lit(1)).as("doc_count"),
-          graft.functions.detsum.sumDet(col("__contrib")).as("value"))
-      val q = series.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name).select(
-        expr("unix_micros(bucket_ts) DIV 1000").as("bucket_ms"),
-        col("doc_count"),
-        col("value"))
+      appendSink(
+        ProportionalSum
+          .explodeContrib(flowSource(spark, sfDir), col("rs"), col("re"), col("v"), None, cfg),
+        delayMs, name)
     }
+
+  /** The ONE copy of the watermarked append-mode emission contract shared
+    * by the fixed-interval (st07) and calendar (st11) paths: watermark the
+    * bucket start timestamp with the EXACT delay (the oracle subtracts the
+    * full delayMs), aggregate per bucket, run AvailableNow to completion,
+    * and re-project the bucket back to epoch millis. */
+  private def appendSink(exploded: DataFrame, delayMs: Long, name: String): DataFrame = {
+    val spark = exploded.sparkSession
+    val series = exploded
+      .withColumn("bucket_ts", timestamp_millis(col("bucket_ms")))
+      .withWatermark("bucket_ts", s"$delayMs milliseconds")
+      .groupBy(col("bucket_ts"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        graft.functions.detsum.sumDet(col("__contrib")).as("value"))
+    val q = series.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).select(
+      expr("unix_micros(bucket_ts) DIV 1000").as("bucket_ms"),
+      col("doc_count"),
+      col("value"))
+  }
 
   /** Calendar-interval (monthly) streaming proportional_sum in append mode —
     * the always-on form of q06's batch series (the reference's continuous
@@ -147,26 +159,10 @@ object FlowStream {
       import graft.queries.Flows.{DAY_MS, JAN_START_MS, MAY_START_MS}
       val flows = flowSource(spark, sfDir)
         .withColumn("re", col("rs") + (col("event_id") % 90) * lit(DAY_MS))
-      val series = ProportionalSum
-        .explodeContribCalendarMonth(flows, col("rs"), col("re"), col("v"), None,
-          Some(JAN_START_MS), Some(MAY_START_MS))
-        .withColumn("bucket_ts", timestamp_millis(col("bucket_ms")))
-        .withWatermark("bucket_ts", s"$delayMs milliseconds")
-        .groupBy(col("bucket_ts"))
-        .agg(
-          count(lit(1)).as("doc_count"),
-          graft.functions.detsum.sumDet(col("__contrib")).as("value"))
-      val q = series.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name).select(
-        expr("unix_micros(bucket_ts) DIV 1000").as("bucket_ms"),
-        col("doc_count"),
-        col("value"))
+      appendSink(
+        ProportionalSum.explodeContribCalendarMonth(flows, col("rs"), col("re"), col("v"), None,
+          Some(JAN_START_MS), Some(MAY_START_MS)),
+        delayMs, name)
     }
 
   /** Always-on top-K talkers: the Space-Saving sketch

@@ -62,6 +62,12 @@ class BpeSpec extends AnyFunSuite {
       val got = Bpe.tokenize(docs, loaded)
         .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
       assert(got == want, "encode after load diverged from encode after train")
+      // an artifact trained at a different merge budget must be refused,
+      // not silently installed under the wrong cache key
+      val ex = intercept[IllegalArgumentException] {
+        Bpe.load(spark, sf, 80, dirPath.toString)
+      }
+      assert(ex.getMessage.contains("n_merges"))
     } finally {
       Bpe.reset()
       import scala.jdk.CollectionConverters._

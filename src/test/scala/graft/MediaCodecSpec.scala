@@ -11,6 +11,18 @@ import graft.operators.MediaCodec
   * fallback trigger in [[graft.operators.Multimodal]]). */
 class MediaCodecSpec extends AnyFunSuite {
 
+  /** Assemble one PNG chunk (length + tag + body + CRC32) — test-side
+    * scaffolding independent of the production encoder. */
+  private def pngChunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val tb = tag.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(body)
+    java.nio.ByteBuffer.allocate(4).putInt(body.length).array() ++ tb ++ body ++
+      java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+  }
+
+  private val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
   // ---------------------------------------------------------------- BMP ----
 
   test("bmp: decode a hand-assembled 2x2 24bpp file (literal bytes, not our encoder)") {
@@ -111,17 +123,10 @@ class MediaCodecSpec extends AnyFunSuite {
     val z = Array[Byte](0x78, 0x01,
       1, b(raw.length), 0, b(~raw.length & 0xff), b(0xff)) ++ raw ++
       Array[Byte](b((adler >> 24).toInt), b((adler >> 16).toInt), b((adler >> 8).toInt), b(adler.toInt))
-    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
-      val tb = tag.getBytes("US-ASCII")
-      val crc = new java.util.zip.CRC32()
-      crc.update(tb); crc.update(body)
-      java.nio.ByteBuffer.allocate(4).putInt(body.length).array() ++ tb ++ body ++
-        java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
-    }
-    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(2).putInt(2).put(b(8)).put(b(2)).put(b(0)).put(b(0)).put(b(0)).array()
-    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z) ++ chunk("IEND", Array.emptyByteArray)
+    val png = pngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", z) ++
+      pngChunk("IEND", Array.emptyByteArray)
     val d = MediaCodec.decodePng(png).get
     assert(d.width == 2 && d.height == 2)
     assert(d.pixels.toSeq == Seq[Byte](10, 20, 30, 40, 60, 80, 15, 25, 35, 45, 65, 85))
@@ -188,6 +193,16 @@ class MediaCodecSpec extends AnyFunSuite {
     val huge = good.clone()
     huge(33) = 0x7f; huge(34) = 0xff.toByte; huge(35) = 0xff.toByte; huge(36) = 0xf0.toByte
     assert(MediaCodec.decodePng(huge).isEmpty, "overflowing chunk length must be rejected")
+    // zlib FDICT (preset dictionary, header 0x78 0x20): Inflater returns 0
+    // from inflate() with needsDictionary set and needsInput FALSE — the
+    // decode loop must bail, not spin forever on an executor task
+    val ihdr1x1 = java.nio.ByteBuffer.allocate(13)
+      .putInt(1).putInt(1).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val fdict = pngSig ++ pngChunk("IHDR", ihdr1x1) ++
+      pngChunk("IDAT", Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(MediaCodec.decodePng(fdict).isEmpty, "FDICT stream must be rejected, not hang")
   }
 
   // ---------------------------------------------------------------- WAV ----
