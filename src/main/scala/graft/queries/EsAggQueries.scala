@@ -481,10 +481,18 @@ object EsAggQueries {
     // detsum's BIGINT fast-path domain (|term|·1e10 < 9.2e18 — see
     // functions/detsum) at any corpus size.
     "q61_matrix_stats" -> ((s: SparkSession, d: String) => {
-      val li = Tables(s, d, "lineitem").select(
-        (col("l_quantity") / 100.0).as("q"),
-        (col("l_extendedprice") / 100000.0).as("p"),
-        col("l_discount").as("dd"))
+      // scan-spreading repartition (the Flows.df discipline): locally the
+      // table is ONE parquet split, which would run the 16-moment compute —
+      // the dominant cost here — on a single thread (A/B: 2.4s -> 1.0s).
+      // The narrow 4-column shuffle is cheap and the partial aggregate
+      // still collapses map-side to one row per partition.
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .repartition(col("l_orderkey"))
+        .select(
+          (col("l_quantity") / 100.0).as("q"),
+          (col("l_extendedprice") / 100000.0).as("p"),
+          col("l_discount").as("dd"))
       val moments = msFields.flatMap { f =>
         Seq(sumDet(col(f)).as(s"s_$f")) ++
           msPairs.collect { case (a, b) if a == f => sumDet(col(a) * col(b)).as(s"s_$a$b") } ++
