@@ -741,11 +741,19 @@ object EsAggQueries {
       val vecs = ev(s, d)
         .select(lit(0).as("grp"), col("event_id").as("id"), array(col("value")).as("emb"))
       // train on a deterministic 20% sample (the FAISS pattern: quantizers
-      // train on a sample, ASSIGNMENT covers everything) — bucket quality is
-      // statistical, coverage is exact either way
+      // train on a sample, ASSIGNMENT covers everything) — bucket quality
+      // is statistical, coverage is exact either way. The sample
+      // materializes first (the KMeans caller contract): without it,
+      // seeding + each round re-evaluates the scan lineage — locally the
+      // residual cost is per-round job latency, but at scale the repeated
+      // scans are the real bill.
+      val sample = vecs.filter(col("id") % 5 === 0).localCheckpoint(true)
       val cb = graft.operators.KMeans
-        .fitGrouped(vecs.filter(col("id") % 5 === 0), k = 8, rounds = 3)
+        .fitGrouped(sample, k = 8, rounds = 3)
         .withColumn("c2", expr("cemb[0] * cemb[0]"))
+      // centroids are driver-local literals once fitGrouped returns — the
+      // training input's storage frees synchronously
+      Tables.freeCheckpoint(sample)
       val assigned = vecs.join(broadcast(cb), Seq("grp"))
         .withColumn("x", expr("emb[0]"))
         .withColumn("sc", lit(2.0) * col("x") * expr("cemb[0]") - col("c2"))
