@@ -236,8 +236,38 @@ object SimilarityQueries {
         col("n_vecs"), col("n_kept"), col("first_kept"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup removal
+    * in embedding space. Cluster with the train-once IVF quantizer (the
+    * paper's k-means step — no extra training job), compare pairs ONLY
+    * within a cluster, and drop every vector that has an earlier (lower-id)
+    * same-cluster neighbor at cosine ≥ τ — the paper's keep-one-per-group
+    * rule. The pairwise work is an equi-join on list_id, so cost is
+    * Σ(listᵢ²), never corpus²; at 100 TB you raise k so lists stay bounded
+    * and the join stays a spillable sort-merge. Rows-only (k-means lists
+    * aren't SQL-expressible); the spec recomputes the rule by brute force. */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.4
+    val lists = VecIndex.coarse(s, d).lists
+    val a = lists.select(col("list_id"), col("vec_id").as("id_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = lists.select(col("list_id"), col("vec_id").as("id_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val dups = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", vectors.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(round(max(col("cos")), 6).as("max_sim"), min(col("id_a")).as("dup_of"))
+    lists.select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        col("dup_of").isNull.as("keep"), col("dup_of"), col("max_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_cluster_balanced_sample" -> (q68 _),
+    "q69_semdedup" -> (q69 _),
     "q35_ann_bruteforce" -> (q35 _),
     "q36_ann_lsh" -> (q36 _),
     "q37_ann_ivf" -> (q37 _),

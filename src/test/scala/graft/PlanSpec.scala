@@ -222,6 +222,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "nothing here justifies a sort-merge exchange")
   }
 
+  test("q69: within-cluster pairwise only — equi-join on list_id over the materialized lists") {
+    val p = plan("q69_semdedup")
+    assert(!p.contains("CartesianProduct"), "pair generation must be cluster-bounded, not all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "the corpus must never nested-loop")
+    assert(p.contains("Scan ExistingRDD"), "must consume the materialized inverted lists, not retrain")
+  }
+
   test("q17g: page 2's keyset cursor predicate reaches the parquet scan") {
     val p = plan("q17g_composite_after")
     assert(p.contains("Or(GreaterThan(event_type"),

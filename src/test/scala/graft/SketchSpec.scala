@@ -153,6 +153,30 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q69 SemDeDup: the drop rule matches a brute-force within-cluster recompute") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q69_semdedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val lists = queries.VecIndex.coarse(spark, sf).lists
+      .select(col("list_id"), col("vec_id"), col("emb"), col("nrm")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.indices.iterator.map(i => x(i) * y(i)).sum
+    val expectedDrop = scala.collection.mutable.Set[Long]()
+    for ((_, vs) <- lists.groupBy(_._1)) {
+      val sorted = vs.sortBy(_._2)
+      for (i <- sorted.indices; j <- 0 until i)
+        if (dot(sorted(j)._3, sorted(i)._3) / (sorted(j)._4 * sorted(i)._4) >= 0.4)
+          expectedDrop += sorted(i)._2
+    }
+    assert(out.size == lists.length, "one verdict row per corpus vector")
+    out.foreach { case (id, keep) =>
+      assert(keep == !expectedDrop.contains(id), s"vec $id: keep=$keep disagrees with brute force")
+    }
+    info(s"semantic dups dropped: ${expectedDrop.size} of ${lists.length}")
+    assert(expectedDrop.nonEmpty, "fixture should contain within-cluster semantic dups")
+  }
+
   test("vector index append: frozen-artifact assign+encode equals the full build, and persists") {
     import org.apache.spark.sql.functions.col
     queries.VecIndex.reset()

@@ -110,6 +110,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.nonEmpty)
   }
 
+  test("st11 equals the batch CALENDAR series restricted to buckets at or below max - 20d") {
+    val sf = "/root/testdata/sf0.001"
+    val emitted = queries.FlowQueries.queries("st11_prop_sum_calendar")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = queries.FlowQueries.queries("q06_prop_sum_calendar")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cutoff = batch.map(_._1).max - 20 * 86400000L
+    val expected = batch.filter(_._1 <= cutoff)
+    assert(emitted == expected,
+      s"emitted ${emitted.size} monthly buckets, expected ${expected.size} (cutoff $cutoff)")
+    assert(emitted.nonEmpty)
+  }
+
   test("st10: the streaming quantile sketch equals the batch sketch exactly") {
     val sf = "/root/testdata/sf0.001"
     val streamed = queries.FlowQueries.queries("st10_stream_quantile")(spark, sf)
