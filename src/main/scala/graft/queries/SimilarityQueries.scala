@@ -268,6 +268,11 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_cluster_balanced_sample" -> (q68 _),
     "q69_semdedup" -> (q69 _),
+    // always-on index maintenance: the holdout quarter of the corpus
+    // arrives as a stream, each micro-batch appends against the frozen
+    // artifacts; rows-only — the spec pins row-identity to the batch build
+    "st12_stream_index_append" -> ((s: SparkSession, d: String) =>
+      graft.streaming.VecStream.streamingIndexAppend(s, d, "st12_mem")),
     "q35_ann_bruteforce" -> (q35 _),
     "q36_ann_lsh" -> (q36 _),
     "q37_ann_ivf" -> (q37 _),
