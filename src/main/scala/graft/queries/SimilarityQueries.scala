@@ -258,7 +258,12 @@ object SimilarityQueries {
       .withColumn("cos", vectors.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= tau)
       .groupBy(col("id_b").as("vec_id"))
-      .agg(round(max(col("cos")), 6).as("max_sim"), min(col("id_a")).as("dup_of"))
+      // dup_of is the ARGMAX-cos neighbor (ties → smaller id), so the two
+      // output columns describe the same pair — a min(id_a) here could name
+      // a different neighbor than the one max_sim was measured against
+      .agg(
+        round(max(col("cos")), 6).as("max_sim"),
+        max_by(col("id_a"), struct(col("cos"), (-col("id_a")).as("neg"))).as("dup_of"))
     lists.select(col("vec_id"), col("list_id").cast("long").as("list_id"))
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("list_id"),

@@ -152,17 +152,18 @@ object VecIndex {
       encodeAgainst(subvectors(nv.select(col("vec_id").as("id"), col("emb"))), p.codebooks))
       .localCheckpoint(true)
     Tables.freeCheckpoint(nv)
-    Tables.freeCheckpoint(c.lists)
-    Tables.freeCheckpoint(p.codes)
-    coarseCache.put(d, Coarse(c.cent, lists))
-    pqCache.put(d, Pq(p.codebooks, codes))
+    replace(d, Coarse(c.cent, lists), Pq(p.codebooks, codes))
   }
 
-  /** Test hook: install explicit artifacts for dataset `d` (no storage
-    * bookkeeping — the caller owns the frames' lifecycle). */
-  private[graft] def install(d: String, c: Coarse, p: Pq): Unit = {
-    coarseCache.put(d, c)
-    pqCache.put(d, p)
+  /** Swap dataset `d`'s installed artifacts for `c`/`p`, synchronously
+    * freeing the checkpoint storage of whatever they displace (the same
+    * generation-swap bookkeeping [[append]] and [[load]] do). Callers keep
+    * responsibility for the NEW frames' lifecycle. */
+  private[graft] def replace(d: String, c: Coarse, p: Pq): Unit = {
+    coarseCache.put(d, c).foreach(old =>
+      if (!(old.lists eq c.lists)) Tables.freeCheckpoint(old.lists))
+    pqCache.put(d, p).foreach(old =>
+      if (!(old.codes eq p.codes)) Tables.freeCheckpoint(old.codes))
   }
 
   /** Drop every trained index and free its storage (test hook: forces the
@@ -207,16 +208,15 @@ object VecIndex {
 
   /** Install a saved index for dataset `d` — searches (q37/q37b/q58b) then
     * run against the loaded artifacts with no training jobs at all. */
-  def load(s: SparkSession, d: String, dir: String): Unit = {
-    // evict only dataset d (freeing its storage) — a global reset() would
-    // silently drop live trained indexes for every OTHER dataset too
-    coarseCache.remove(d).foreach(c => Tables.freeCheckpoint(c.lists))
-    pqCache.remove(d).foreach(p => Tables.freeCheckpoint(p.codes))
-    coarseCache.put(d, Coarse(
-      Tables.localize(s.read.parquet(s"$dir/cent")),
-      s.read.parquet(s"$dir/lists")))
-    pqCache.put(d, Pq(
-      Tables.localize(s.read.parquet(s"$dir/codebooks")),
-      s.read.parquet(s"$dir/codes")))
-  }
+  def load(s: SparkSession, d: String, dir: String): Unit =
+    // replace() evicts only dataset d (freeing its storage) — a global
+    // reset() would silently drop live trained indexes for every OTHER
+    // dataset too
+    replace(d,
+      Coarse(
+        Tables.localize(s.read.parquet(s"$dir/cent")),
+        s.read.parquet(s"$dir/lists")),
+      Pq(
+        Tables.localize(s.read.parquet(s"$dir/codebooks")),
+        s.read.parquet(s"$dir/codes")))
 }

@@ -22,18 +22,27 @@ import graft.operators.ProportionalSum.Config
   * noted in [[bucketedStream]]. */
 object FlowStream {
 
-  /** Raw streaming read of the events table. The file source wants a
-    * directory of (arriving) files; the test dir mixes all tables, so expose
-    * events.parquet alone via a symlink dir. */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Streaming file-source for ONE table: the file source wants a directory
+    * of (arriving) files and the test dir mixes all tables, so expose the
+    * table alone via a fresh symlink dir (registered for JVM-exit cleanup;
+    * link before dir — deleteOnExit deletes in reverse registration order).
+    * The ONE copy of this scaffold, shared by every streaming harness. */
+  private[streaming] def tableStream(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft_stream_src")
-    Files.createSymbolicLink(dir.resolve("events.parquet"), Paths.get(sfDir, "events.parquet"))
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = Files.createTempDirectory(s"graft_stream_$table")
+    val link = Files.createSymbolicLink(
+      dir.resolve(s"$table.parquet"), Paths.get(sfDir, s"$table.parquet"))
+    dir.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
     spark.readStream
       .schema(schema)
       .parquet(dir.toString)
   }
+
+  /** Raw streaming read of the events table. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    tableStream(spark, sfDir, "events")
 
   /** Streaming version of [[graft.queries.Flows.df]] over the events file. */
   def flowSource(spark: SparkSession, sfDir: String): DataFrame = {
@@ -66,14 +75,10 @@ object FlowStream {
     * `withWatermark + dropDuplicatesWithinWatermark` on unbounded feeds).
     * Counts match `COUNT(DISTINCT fp)` per source, so it is oracle-checkable. */
   def streamingDedupCounts(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft_stream_docs")
-    Files.createSymbolicLink(dir.resolve("documents.parquet"), Paths.get(sfDir, "documents.parquet"))
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     // tiny state (one store per shuffle partition) -> size the shard count
     // to it instead of paying 32 store commits per batch
     graft.queries.Tables.withShufflePartitions(spark, 8) {
-      val docs = spark.readStream.schema(schema).parquet(dir.toString)
+      val docs = tableStream(spark, sfDir, "documents")
         .withColumn("fp", md5(graft.functions.text.norm(col("text")).cast("binary")))
         .dropDuplicates("source", "fp")
         .groupBy(col("source"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.queries.{Tables, VecIndex}
+import graft.queries.VecIndex
 
 /** Always-on vector-index maintenance: the streaming form of
   * [[graft.queries.VecIndex.append]].
@@ -28,25 +28,20 @@ object VecStream {
     * through foreachBatch appends, and return the maintained index's
     * per-list occupancy — identical to the batch build's. */
   def streamingIndexAppend(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val holdMod = 4
     // train-once artifacts (builds if absent); the "already indexed"
-    // corpus is everything outside the holdout
+    // corpus is everything outside the holdout. replace() swaps the
+    // installed generation and frees the displaced frames' storage.
     val full = VecIndex.coarse(spark, sfDir)
     val fullPq = VecIndex.pq(spark, sfDir)
-    val reduced = VecIndex.Coarse(full.cent,
-      full.lists.filter(col("vec_id") % holdMod =!= 0).localCheckpoint(true))
-    val reducedPq = VecIndex.Pq(fullPq.codebooks,
-      fullPq.codes.filter(col("vec_id") % holdMod =!= 0).localCheckpoint(true))
-    VecIndex.install(sfDir, reduced, reducedPq)
-    Tables.freeCheckpoint(full.lists) // replaced generation's storage
-    Tables.freeCheckpoint(fullPq.codes)
+    VecIndex.replace(sfDir,
+      VecIndex.Coarse(full.cent,
+        full.lists.filter(col("vec_id") % holdMod =!= 0).localCheckpoint(true)),
+      VecIndex.Pq(fullPq.codebooks,
+        fullPq.codes.filter(col("vec_id") % holdMod =!= 0).localCheckpoint(true)))
     // the holdout arrives as a stream; each micro-batch appends against
     // the frozen artifacts (no training jobs in the hot path)
-    val dir = Files.createTempDirectory("graft_stream_vecs")
-    Files.createSymbolicLink(dir.resolve("embeddings.parquet"), Paths.get(sfDir, "embeddings.parquet"))
-    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
-    val arriving = spark.readStream.schema(schema).parquet(dir.toString)
+    val arriving = FlowStream.tableStream(spark, sfDir, "embeddings")
       .filter(col("vec_id") % holdMod === 0)
       .select(col("vec_id"), col("embedding"))
     val q = arriving.writeStream

@@ -185,12 +185,13 @@ class SketchSpec extends AnyFunSuite {
     val wantLists = full.lists.collect().map(_.toString).sorted.toSeq
     val wantCodes = fullPq.codes.collect().map(_.toString).sorted.toSeq
     // hold out every 7th vector: install the reduced index with the SAME
-    // frozen centroids/codebooks, then append the holdout back in
+    // frozen centroids/codebooks (replace frees the displaced full
+    // generation's storage), then append the holdout back in
     val reduced = queries.VecIndex.Coarse(full.cent,
       full.lists.filter(col("vec_id") % 7 =!= 0).localCheckpoint(true))
     val reducedPq = queries.VecIndex.Pq(fullPq.codebooks,
       fullPq.codes.filter(col("vec_id") % 7 =!= 0).localCheckpoint(true))
-    queries.VecIndex.install(sf, reduced, reducedPq)
+    queries.VecIndex.replace(sf, reduced, reducedPq)
     val holdout = queries.Tables(spark, sf, "embeddings")
       .filter(col("vec_id") % 7 === 0)
       .select(col("vec_id"), col("embedding"))

@@ -126,20 +126,21 @@ class StreamingSpec extends AnyFunSuite {
   test("st12: streaming index maintenance equals the batch build (frozen artifacts, any batching)") {
     val sf = "/root/testdata/sf0.001"
     queries.VecIndex.reset()
-    val wantLists = queries.VecIndex.coarse(spark, sf).lists
-      .collect().map(_.toString).sorted.toSeq
-    val wantCodes = queries.VecIndex.pq(spark, sf).codes
-      .collect().map(_.toString).sorted.toSeq
-    val out = SparkEntry.queries("st12_stream_index_append")(spark, sf).collect()
-    assert(out.nonEmpty && out.map(_.getLong(1)).sum == wantLists.size,
-      "per-list occupancy must cover the whole corpus")
-    // the maintained index is row-identical to the batch build — micro-batch
-    // boundaries cannot change assignment/encoding against frozen artifacts
-    assert(queries.VecIndex.coarse(spark, sf).lists.collect().map(_.toString).sorted.toSeq
-      == wantLists, "streamed-in inverted lists diverge from the batch build")
-    assert(queries.VecIndex.pq(spark, sf).codes.collect().map(_.toString).sorted.toSeq
-      == wantCodes, "streamed-in PQ codes diverge from the batch build")
-    queries.VecIndex.reset()
+    try {
+      val wantLists = queries.VecIndex.coarse(spark, sf).lists
+        .collect().map(_.toString).sorted.toSeq
+      val wantCodes = queries.VecIndex.pq(spark, sf).codes
+        .collect().map(_.toString).sorted.toSeq
+      val out = SparkEntry.queries("st12_stream_index_append")(spark, sf).collect()
+      assert(out.nonEmpty && out.map(_.getLong(1)).sum == wantLists.size,
+        "per-list occupancy must cover the whole corpus")
+      // the maintained index is row-identical to the batch build — micro-batch
+      // boundaries cannot change assignment/encoding against frozen artifacts
+      assert(queries.VecIndex.coarse(spark, sf).lists.collect().map(_.toString).sorted.toSeq
+        == wantLists, "streamed-in inverted lists diverge from the batch build")
+      assert(queries.VecIndex.pq(spark, sf).codes.collect().map(_.toString).sorted.toSeq
+        == wantCodes, "streamed-in PQ codes diverge from the batch build")
+    } finally queries.VecIndex.reset() // a failure must not leak the appended index to later suites
   }
 
   test("st10: the streaming quantile sketch equals the batch sketch exactly") {
