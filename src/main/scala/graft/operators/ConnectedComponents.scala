@@ -57,30 +57,39 @@ object ConnectedComponents {
         .union(neighborLabels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-      var propCached: DataFrame = null
       // localCheckpoint (not persist): each round's plan references the
       // previous round's 2-3 times, so lineage grows exponentially across
       // rounds — checkpointing truncates the plan to a materialized leaf
       // while keeping the data distributed (blocks are freed by the
       // ContextCleaner once the old round is dereferenced)
-      val next = (if (pointerJump) {
+      val propCached = prop.localCheckpoint(true)
+      // labels only ever decrease, so the label sum strictly decreases iff
+      // anything changed — one scalar aggregate per round (previous round's
+      // sum is carried, not recomputed)
+      val propSum = propCached.agg(sum(col("component"))).first().getLong(0)
+      if (propSum == labelSum || !pointerJump) {
+        // A propagation fixed point means comp(v) ≤ comp(u) across every
+        // (symmetric) edge, i.e. comp is CONSTANT per component and already
+        // the component minimum — the jump below could not change anything,
+        // so the final round (every run pays one) skips its join entirely.
+        labels.unpersist()
+        labels = propCached
+        converged = propSum == labelSum
+        labelSum = propSum
+      } else {
         // shortcut: comp(v) := comp(comp(v)). Every label IS a vertex id
         // (the min of a reachable set that contains it), so the inner join
         // always finds it; labels only decrease, so the jump stays within
         // the component. Propagate(+1 hop) then jump(×2 reach) per round.
-        propCached = prop.localCheckpoint(true)
         val shortcut = propCached.select(col("id").as("jid"), col("component").as("jcomp"))
-        propCached.join(shortcut, col("component") === col("jid"))
+        val next = propCached.join(shortcut, col("component") === col("jid"))
           .select(col("id"), col("jcomp").as("component"))
-      } else prop).localCheckpoint(true)
-      // labels only ever decrease, so the label sum strictly decreases iff
-      // anything changed — one scalar aggregate per round (previous round's
-      // sum is carried, not recomputed)
-      val sumNew = next.agg(sum(col("component"))).first().getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = sumNew == labelSum
-      labelSum = sumNew
+          .localCheckpoint(true)
+        val sumNew = next.agg(sum(col("component"))).first().getLong(0)
+        labels.unpersist()
+        labels = next
+        labelSum = sumNew
+      }
       iter += 1
     }
     // labels is materialized (the convergence aggregate forced it); the

@@ -732,6 +732,48 @@ object EsAggQueries {
           round(expr("percentile(v, 0.5)"), 6).as("p50"),
           round(expr("percentile(v, 0.99)"), 6).as("p99"))),
 
+    // ES `normalize` pipeline agg: per-bucket rescaling of the hourly sum
+    // series — methods percent_of_sum ( v / Σv ) and rescale_0_1
+    // ( (v−min)/(max−min) ). The series totals reduce through detsum (an
+    // order-free exact scaled-integer sum — a plain double Σ over shuffle
+    // partitions is order-dependent) and re-enter the coordinator-sized
+    // series as one broadcast row; every derived op is a correctly-rounded
+    // IEEE basic op, identical in the mirrored oracle.
+    "q17k_normalize" -> ((s: SparkSession, d: String) => {
+      val b = ev(s, d)
+        .groupBy(hourBucket(col("ms")))
+        .agg(sumDet(col("value")).as("v"))
+      val tot = b.agg(
+        sumDet(col("v"), 6).as("total"),
+        min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+      b.crossJoin(broadcast(tot))
+        .select(
+          col("bucket_ms"),
+          col("v"),
+          round(col("v") / col("total"), 6).as("pct_of_sum"),
+          round((col("v") - col("mn")) / (col("mx") - col("mn")), 6).as("rescaled"))
+    }),
+
+    // ES `random_sampler` agg: probability sampling by deterministic hash
+    // (the ES implementation seeds a hash per shard; here the hash IS the
+    // row key, so both engines draw the identical sample), downstream aggs
+    // run on the sample and report inverse-probability (÷0.25 = ×4)
+    // estimates. p is a power of two, so the double scaling is EXACT and
+    // the estimate hashes cross-engine. At 100 TB the filter prunes before
+    // any shuffle — the whole point of the agg.
+    "q12e_random_sampler" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .withColumn("hk", substring(md5(col("event_id").cast("string").cast("binary")), 1, 2))
+        .filter(col("hk") < "40") // 64/256 = exact p = 0.25
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("sampled_count"), sumDet(col("value")).as("sampled_sum"))
+        .select(
+          col("event_type"),
+          col("sampled_count"),
+          (col("sampled_count") * lit(4L)).as("est_count"),
+          round(col("sampled_sum") * lit(4.0), 6).as("est_sum"))),
+
     // ES `variable_width_histogram`: buckets from 1-D clustering of the
     // value distribution (ES streams a clusterer per shard + coordinator
     // merge; here it is the deterministic distributed k-means used for IVF,
@@ -1246,6 +1288,27 @@ object EsAggQueries {
          |       round(quantile_cont(v, 0.5), 6) AS p50,
          |       round(quantile_cont(v, 0.99), 6) AS p99
          |FROM b""".stripMargin,
+    "q17k_normalize" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
+         |         ${sumDetSql("value")} AS v
+         |  FROM events GROUP BY bucket_ms
+         |),
+         |tot AS (
+         |  SELECT ${sumDetSql("v", 6)} AS total, MIN(v) AS mn, MAX(v) AS mx FROM b
+         |)
+         |SELECT bucket_ms, v,
+         |       round(v / total, 6) AS pct_of_sum,
+         |       round((v - mn) / (mx - mn), 6) AS rescaled
+         |FROM b, tot""".stripMargin,
+    "q12e_random_sampler" ->
+      s"""SELECT event_type,
+         |       COUNT(*) AS sampled_count,
+         |       COUNT(*) * 4 AS est_count,
+         |       round(${sumDetSql("value")} * 4.0, 6) AS est_sum
+         |FROM events
+         |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'
+         |GROUP BY event_type""".stripMargin,
     "q15e_boxplot" ->
       """WITH g AS (
         |  SELECT event_type, MIN(value) AS lo,

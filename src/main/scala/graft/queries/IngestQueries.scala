@@ -165,6 +165,42 @@ object IngestQueries {
       .agg(count(lit(1)).as("n_flows"), sum(col("octets")).as("total_octets"))
   }
 
+  /** ES `ip_range` agg: explicit from/to (to-exclusive) address ranges over
+    * the decoded flow source IPs — including an OVERLAPPING range, because
+    * ES ranges are independent buckets (a doc lands in every range that
+    * contains it), not a partition. The dotted address from the decoder is
+    * re-parsed to its numeric form (so a hash match proves the decode →
+    * parse path), the 4-row range table broadcasts, and the only shuffle is
+    * the per-range aggregation. */
+  private def q50i(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // (key, from, to) — numeric IPv4; null = unbounded, matching ES
+    val ranges = Seq(
+      ("r0_low", None: Option[Long], Some(ip("10.0.64.0"))),
+      ("r1_mid", Some(ip("10.0.64.0")), Some(ip("10.0.128.0"))),
+      ("r2_high", Some(ip("10.0.128.0")), None: Option[Long]),
+      ("r3_overlap", Some(ip("10.0.32.0")), Some(ip("10.0.192.0"))))
+      .toDF("range_key", "ip_from", "ip_to")
+    val p = split(col("src_ip"), "\\.")
+    netflowPackets(s, d)
+      .toDF()
+      .select(call_function("parse_netflow_v5", col("bytes")).as("pkt"))
+      .select(explode(col("pkt.records")).as("r"))
+      .select(col("r.src_ip").as("src_ip"), col("r.octets").as("octets"))
+      .withColumn("ipnum",
+        p.getItem(0).cast("long") * lit(16777216L) + p.getItem(1).cast("long") * lit(65536L) +
+          p.getItem(2).cast("long") * lit(256L) + p.getItem(3).cast("long"))
+      .join(
+        broadcast(ranges),
+        (col("ip_from").isNull || col("ipnum") >= col("ip_from")) &&
+          (col("ip_to").isNull || col("ipnum") < col("ip_to")))
+      .groupBy(col("range_key"))
+      .agg(count(lit(1)).as("n_flows"), sum(col("octets")).as("total_octets"))
+  }
+
+  private def ip(dotted: String): Long =
+    dotted.split('.').foldLeft(0L)((a, o) => a * 256L + o.toLong)
+
   /** Stream-STATIC enrichment: the streaming decoded flow records join a
     * broadcast site dimension mid-stream — the always-on form of q50c's
     * collector-side enrich (Spark re-broadcasts the static side per
@@ -487,6 +523,7 @@ object IngestQueries {
     "q50f_netflow_dsv2_sink" -> (q50f _),
     "q50g_conversations" -> (q50g _),
     "q50h_ip_prefix" -> (q50h _),
+    "q50i_ip_range" -> (q50i _),
     "st08_stream_static_enrich" -> (st08 _),
     "st04_netflow_pipeline" -> (st04 _),
     "st05_ipfix_session_stream" -> (st05 _))
@@ -551,6 +588,23 @@ object IngestQueries {
         |)
         |SELECT prefix, COUNT(*) AS n_flows, CAST(SUM(octets) AS BIGINT) AS total_octets
         |FROM f GROUP BY prefix""".stripMargin,
+    "q50i_ip_range" ->
+      """WITH f AS (
+        |  SELECT 167772160 + ((user_id // 256) % 256) * 256 + (user_id % 256) AS ipnum,
+        |         CAST(round(value) AS BIGINT) AS octets
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT * FROM (VALUES
+        |    ('r0_low', NULL, 167788544),
+        |    ('r1_mid', 167788544, 167804928),
+        |    ('r2_high', 167804928, NULL),
+        |    ('r3_overlap', 167780352, 167821312)) AS t(range_key, ip_from, ip_to)
+        |)
+        |SELECT range_key, COUNT(*) AS n_flows, CAST(SUM(octets) AS BIGINT) AS total_octets
+        |FROM f JOIN r ON (ip_from IS NULL OR ipnum >= ip_from)
+        |             AND (ip_to IS NULL OR ipnum < ip_to)
+        |GROUP BY range_key""".stripMargin,
     "q50g_conversations" ->
       """WITH f AS (
         |  SELECT '10.0.' || CAST((user_id // 256) % 256 AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR) AS src_ip,

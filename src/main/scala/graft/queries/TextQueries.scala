@@ -143,6 +143,47 @@ object TextQueries {
         .orderBy(col("freq").desc, col("bigram").asc)
         .limit(50)),
 
+    // DSIR (Xie 2023, "Data Selection for Language Models via Importance
+    // Resampling"): rank raw docs by how target-like their hashed n-gram
+    // profile is. Unigram+bigram features hash into 256 buckets (md5 prefix
+    // — the same deterministic bucketing in both engines); bucket
+    // distributions are estimated for the TARGET slice (source src0, the
+    // curated exemplar) and the RAW corpus with add-1 smoothing; a doc's
+    // importance weight is Σ_features [log2 p̂_target(b) − log2 p̂_raw(b)].
+    // Scale shape: the log2 chains run on the 256-row bucket table, the
+    // weight table BROADCASTS back (never doc×vocab), and the per-doc
+    // reduce is a detsum — so the corpus is touched by exactly two scans
+    // (count pass, score pass). The paper's final Gumbel-top-k resample is
+    // seeded noise; its testable core — the ranked importance weights — is
+    // what this query emits (top 20, deterministic tiebreak).
+    "q70_dsir" -> ((s: SparkSession, d: String) => {
+      import graft.functions.{detlog, detsum}
+      val grams = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(concat(col("toks"), text.shingles(col("toks"), 2))).as("g"))
+        .withColumn("b", substring(md5(col("g").cast("binary")), 1, 2))
+      val counts0 = grams.groupBy(col("b")).agg(
+        count(lit(1)).as("cr"),
+        count(when(col("source") === "src0", 1)).as("ct0"))
+      val counts1 = counts0
+        .withColumn("crp", col("cr") + lit(1L))
+        .withColumn("ctp", col("ct0") + lit(1L))
+      val bucketLg = detlog.withLog2(detlog.withLog2(counts1, "ctp", "lgt"), "crp", "lgr")
+      val tot = counts0.agg(
+        (sum(col("cr")) + lit(256L)).as("nr"),
+        (sum(col("ct0")) + lit(256L)).as("nt"))
+      val totLg = detlog.withLog2(detlog.withLog2(tot, "nt", "lgnt"), "nr", "lgnr")
+      val w = bucketLg
+        .crossJoin(broadcast(totLg.select(col("lgnt"), col("lgnr"))))
+        .select(col("b"), ((col("lgt") - col("lgnt")) - (col("lgr") - col("lgnr"))).as("w"))
+      grams.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_feat"), detsum.sumDet(col("w"), 9).as("sw"))
+        .select(col("doc_id"), col("source"), col("n_feat"), round(col("sw"), 6).as("logratio"))
+        .orderBy(col("logratio").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     "q45_length_histogram" -> ((s: SparkSession, d: String) =>
       docs(s, d)
         .withColumn("len_bucket", (floor(size(col("toks")) / lit(10)) * 10).cast("long"))
@@ -728,6 +769,34 @@ object TextQueries {
          |)
          |SELECT bigram, COUNT(*) AS freq FROM bg GROUP BY bigram
          |ORDER BY freq DESC, bigram ASC LIMIT 50""".stripMargin,
+    "q70_dsir" ->
+      s"""WITH $docsCte,
+         |g AS (
+         |  SELECT doc_id, source,
+         |         substring(md5(UNNEST(list_concat(toks,
+         |           list_transform(generate_series(1, len(toks) - 1),
+         |                          i -> array_to_string(list_slice(toks, i, i + 1), ' '))))), 1, 2) AS b
+         |  FROM docs
+         |),
+         |counts0 AS MATERIALIZED (
+         |  SELECT b, COUNT(*) AS cr, COUNT(*) FILTER (WHERE source = 'src0') AS ct0
+         |  FROM g GROUP BY b
+         |),
+         |counts1 AS MATERIALIZED (SELECT b, cr + 1 AS crp, ct0 + 1 AS ctp FROM counts0),
+         |${graft.functions.detlog.log2SqlCtes("counts1", "ctp", "lgt", "tg")},
+         |${graft.functions.detlog.log2SqlCtes("tgfin", "crp", "lgr", "rg")},
+         |tot AS (SELECT CAST(SUM(cr) + 256 AS BIGINT) AS nr, CAST(SUM(ct0) + 256 AS BIGINT) AS nt FROM counts0),
+         |${graft.functions.detlog.log2SqlCtes("tot", "nt", "lgnt", "ntg")},
+         |${graft.functions.detlog.log2SqlCtes("ntgfin", "nr", "lgnr", "nrg")},
+         |w AS MATERIALIZED (
+         |  SELECT b, ((lgt - lgnt) - (lgr - lgnr)) AS w FROM rgfin, nrgfin
+         |),
+         |per AS (
+         |  SELECT doc_id, source, COUNT(*) AS n_feat, ${graft.functions.detsum.sumDetSql("w", 9)} AS sw
+         |  FROM g JOIN w USING (b) GROUP BY doc_id, source
+         |)
+         |SELECT doc_id, source, n_feat, round(sw, 6) AS logratio
+         |FROM per ORDER BY logratio DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q45_length_histogram" ->
       s"""WITH $docsCte
          |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,

@@ -255,4 +255,35 @@ class PlanSpec extends AnyFunSuite {
       "map/combine must run map-side; only serialized state may cross the shuffle")
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, "one shuffle: the group-by exchange")
   }
+
+  test("q70: the 256-row weight table broadcasts back onto the gram stream") {
+    val p = plan("q70_dsir")
+    // the doc×vocab hazard: the per-bucket weights must re-enter as a
+    // broadcast (bucket-keyed), never shuffle the corpus-sized gram stream
+    // against them sort-merge
+    assert(p.contains("BroadcastHashJoin"), "bucket-weight join must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the gram stream must not sort-merge against the 256-row weight table")
+  }
+
+  test("q12e: the sample filter prunes before any shuffle") {
+    val p = plan("q12e_random_sampler")
+    // random_sampler's contract is cost reduction: the hash filter must sit
+    // below the aggregation exchange so 75% of rows never shuffle. Formatted
+    // detail sections number operators leaf-first: a smaller number = closer
+    // to the scan.
+    def opNum(op: String): Int =
+      s"""\\((\\d+)\\) $op""".r.findAllMatchIn(p).map(_.group(1).toInt).minOption
+        .getOrElse(fail(s"no $op operator in plan:\n$p"))
+    assert(opNum("Filter") < opNum("Exchange"),
+      "the sample filter must run below the aggregation exchange")
+    assert(p.contains("partial_count"), "partial aggregation before the shuffle")
+  }
+
+  test("q50i: the 4-row range table broadcasts (theta join, no shuffle of flows)") {
+    val p = plan("q50i_ip_range")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "range membership is a theta join against a broadcast 4-row table")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
