@@ -38,22 +38,27 @@ object text {
   def minhash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
 
-  /** Full MinHash signature as an array of `k` 64-bit components — native
-    * single-pass expression (graft.plans.MinHashSig). */
+  /** Full MinHash signature as an array of `k` components — native
+    * single-pass expression (graft.plans.MinHashSig). Cross-engine
+    * deterministic: md5-based base fingerprint + affine family mod 2³¹−1
+    * (see NativeKernels.minhashSig), so DuckDB oracles can recompute the
+    * identical signature. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     call_function("minhash_sig", shingleCol, lit(k))
 
-  /** 64-bit SimHash over tokens: for each bit, majority vote of the tokens'
-    * seed-42 xxhash64 bits — native single-pass expression
-    * (graft.plans.SimHash64). */
-  def simhash64(toks: Column): Column =
-    call_function("simhash64", toks)
+  /** 60-bit SimHash over tokens: for each bit, majority vote of the tokens'
+    * md5-derived bits — native single-pass expression
+    * (graft.plans.SimHash60). Cross-engine deterministic: the per-token
+    * hash is the value of md5's first 15 hex chars, so DuckDB oracles can
+    * recompute the identical sketch. */
+  def simhash60(toks: Column): Column =
+    call_function("simhash60", toks)
 
-  /** Interpreted HOF form of [[simhash64]] — kept for parity testing. */
-  def simhash64Hof(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
+  /** Interpreted HOF form of [[simhash60]] — kept for parity testing. */
+  def simhash60Hof(toks: Column): Column = {
+    val hashes = transform(toks, t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
     val n = size(toks)
-    (0 until 64)
+    (0 until 60)
       .map { b =>
         val cnt = aggregate(hashes, lit(0L), (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
         when(cnt * 2 > n, shiftleft(lit(1L), b)).otherwise(lit(0L))
@@ -61,7 +66,7 @@ object text {
       .reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Hamming distance between two 64-bit hashes. */
+  /** Hamming distance between two ≤64-bit hashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 }

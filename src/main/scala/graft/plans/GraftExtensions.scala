@@ -22,9 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
     e.injectFunction((
-      FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
-      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+      FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(tokens) - 60-bit md5-based SimHash of a string array"),
+      (exprs: Seq[Expression]) => SimHash60(exprs(0))))
     e.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(tokens, n) - word n-gram shingles joined by ' '"),

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   *
   * The composable higher-order-function forms (graft.functions.text/vectors)
   * are interpreted per element and re-hash their inputs once per signature
-  * component — measured 19s for MinHash-LSH at sf0.1. These keep the same
-  * semantics (seed-42 xxhash64 per token, identical accumulation order for
-  * dot products, so DuckDB oracles still match bit-for-bit) at a fraction of
-  * the cost. Registered SQL-side via [[GraftExtensions]].
+  * component — measured 19s for MinHash-LSH at sf0.1. These keep exact,
+  * oracle-matchable semantics (seed-42 xxhash64 per token for SimHash/RHP,
+  * the md5-affine family for MinHash, identical accumulation order for dot
+  * products) at a fraction of the cost. Registered SQL-side via
+  * [[GraftExtensions]].
   *
   * All four generate code (`doGenCode` emits one [[NativeKernels]] call), so
   * they sit INSIDE whole-stage codegen instead of forcing the interpreted
@@ -35,15 +36,15 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHashSig = copy(child = newChild)
 }
 
-/** simhash64(tokens): 64-bit SimHash in one pass (vs 64 folds each
-  * re-hashing every token). */
-case class SimHash64(child: Expression) extends UnaryExpression {
+/** simhash60(tokens): 60-bit md5-based SimHash in one pass (vs 60 folds
+  * each re-hashing every token). */
+case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(NativeKernels.simhash64(input.asInstanceOf[ArrayData]))
+    java.lang.Long.valueOf(NativeKernels.simhash60(input.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.NativeKernels.simhash64($c);")
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.NativeKernels.simhash60($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 = copy(child = newChild)
 }
 
 /** word_shingles(tokens, n): word n-grams joined by ' ', single pass. */

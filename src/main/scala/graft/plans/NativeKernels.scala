@@ -23,17 +23,59 @@ object NativeKernels {
     z ^ (z >>> 31)
   }
 
+  // ---- cross-engine MinHash (md5 base + universal hashing mod 2³¹−1) ----
+  // The base fingerprint is the value of the first 15 hex chars of md5
+  // (= the high 60 bits of the digest), because BOTH engines can compute
+  // it: Spark `conv(substring(md5(s),1,15),16,10)`, DuckDB
+  // `CAST('0x' || substring(md5(s),1,15) AS BIGINT)`. Components are the
+  // classic affine family h_j = (a_j·base + b_j) mod p over the Mersenne
+  // prime p = 2³¹−1 — a_j, b_j < p and base < p keep every product under
+  // 2⁶², so the arithmetic is overflow-free identical integer math in
+  // Spark, DuckDB, and this kernel. The family constants derive from
+  // [[mix64]] HERE and are inlined as literals into the DuckDB oracle
+  // (DedupQueries reads these methods), so there is exactly one source.
+
+  /** MinHash modulus: the Mersenne prime 2³¹−1. */
+  val MinHashP = 2147483647L
+
+  /** Multiplier of the j-th (1-based) affine family member, in [1, p). */
+  def minhashA(j: Int): Long = (mix64(2L * j + 1) & 0x7fffffffL) % (MinHashP - 1) + 1
+
+  /** Offset of the j-th (1-based) affine family member, in [0, p). */
+  def minhashB(j: Int): Long = (mix64(2L * j + 2) & 0x7fffffffL) % MinHashP
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** High 60 bits of md5(s) — the value of the digest's first 15 hex
+    * chars, which both engines can recompute from their md5 functions. */
+  def md5Hex60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val dig = md.digest(s.getBytes)
+    var be = 0L
+    var c = 0
+    while (c < 8) { be = (be << 8) | (dig(c) & 0xffL); c += 1 }
+    be >>> 4
+  }
+
+  /** The shared MinHash base fingerprint: [[md5Hex60]] mod p. */
+  def minhashBase(s: UTF8String): Long = md5Hex60(s) % MinHashP
+
   /** k-component MinHash signature in one pass over the shingle array. */
   def minhashSig(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
+    val as = Array.tabulate(k)(j => minhashA(j + 1))
+    val bs = Array.tabulate(k)(j => minhashB(j + 1))
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val base = minhashBase(arr.getUTF8String(i))
       var j = 0
       while (j < k) {
-        val h = mix64(h0 + 0x9e3779b97f4a7c15L * (j + 1))
+        val h = (as(j) * base + bs(j)) % MinHashP
         if (h < mins(j)) mins(j) = h
         j += 1
       }
@@ -42,17 +84,19 @@ object NativeKernels {
     new GenericArrayData(mins)
   }
 
-  /** 64-bit SimHash in one pass: per-token seed-42 xxhash64, bit b set iff
-    * strictly more than half the tokens have bit b set. */
-  def simhash64(arr: ArrayData): Long = {
+  /** 60-bit SimHash in one pass: per-token [[md5Hex60]] (cross-engine — the
+    * first 15 md5 hex chars), bit b set iff strictly more than half the
+    * tokens have bit b set. 60 bits rather than 64 because 15 hex chars is
+    * the widest md5 prefix whose value fits a signed BIGINT in both
+    * engines, keeping the whole sketch oracle-recomputable. */
+  def simhash60(arr: ArrayData): Long = {
     val n = arr.numElements()
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](60)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h = md5Hex60(arr.getUTF8String(i))
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         counts(b) += ((h >>> b) & 1L).toInt
         b += 1
       }
@@ -60,7 +104,7 @@ object NativeKernels {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (counts(b) * 2 > n) out |= (1L << b)
       b += 1
     }

@@ -68,7 +68,13 @@ object DedupQueries {
   /** MinHash + LSH banding: 32-component signatures, 8 bands × 4 rows.
     * Candidates = pairs sharing ≥1 band bucket; verified by true Jaccard on
     * shingle sets. Bucket join means no O(n²) pair scan — the scale path.
-    * No DuckDB oracle (xxhash64 sketch) — spec-tested, rows-only here. */
+    *
+    * ORACLE-BACKED since round 5: the signature is the md5-based affine
+    * family ([[graft.plans.NativeKernels.minhashSig]] — base = high 60 md5
+    * bits mod 2³¹−1, h_j = (a_j·base+b_j) mod p), which DuckDB can compute
+    * verbatim, and the band bucket is an md5 prefix of the component
+    * string — so the ENTIRE sketch→band→candidate→verify pipeline is
+    * hash-checked cross-engine, not just spec-tested. */
   private def q32(s: SparkSession, d: String): DataFrame = {
     val numHashes = 32
     val bands = 8
@@ -91,9 +97,13 @@ object DedupQueries {
       col("doc_id"),
       explode(array((0 until bands).map { bnd =>
         val sigRows = (1 to rowsPerBand).map(r => element_at(col("sig"), bnd * rowsPerBand + r))
+        // fixed-width cross-engine bucket key: md5 prefix of
+        // "band,c1,c2,c3,c4" (concat_ws casts the longs identically in
+        // both engines) — 16 hex chars keep the shuffle key narrow at scale
         struct(
           lit(bnd).as("band"),
-          xxhash64(sigRows :+ lit(bnd): _*).as("bucket"))
+          substring(md5(concat_ws(",", lit(bnd) +: sigRows: _*).cast("binary")), 1, 16)
+            .as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
@@ -116,18 +126,20 @@ object DedupQueries {
     Tables.materializeAndFree(result, docs)
   }
 
-  /** SimHash near-dup: 64-bit signatures; candidates share one of four
-    * 16-bit chunks (pigeonhole: any pair within Hamming distance 3 shares a
-    * chunk); verified by Hamming ≤ 12. Rows-only (spec-tested). */
+  /** SimHash near-dup: 60-bit md5-based signatures; candidates share one of
+    * four 15-bit chunks (pigeonhole: any pair within Hamming distance 3
+    * shares a chunk); verified by Hamming ≤ 12. Oracle-backed since round 5:
+    * the per-token hash is md5's first 15 hex chars, so DuckDB recomputes
+    * the identical sketch, chunks, and distances. */
   private def q33(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
       .repartition(col("doc_id")) // single-file scan -> spread sketch work
-      .select(col("doc_id"), text.simhash64(text.tokens(col("text"))).as("sim"))
+      .select(col("doc_id"), text.simhash60(text.tokens(col("text"))).as("sim"))
       .persist() // lazy cache; blocks freed synchronously by materializeAndFree
     val chunked = docs.select(
       col("doc_id"), col("sim"),
       explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"), shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("ckey"))
+        struct(lit(c).as("chunk"), shiftright(col("sim"), c * 15).bitwiseAND(lit(0x7fffL)).as("ckey"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("sim"), col("cc.chunk"), col("cc.ckey"))
     val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
@@ -136,7 +148,7 @@ object DedupQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
       .distinct()
-      .withColumn("hamming", text.hamming64(col("sim_a"), col("sim_b")))
+      .withColumn("hamming", text.hamming64(col("sim_a"), col("sim_b")).cast("long"))
       .filter(col("hamming") <= 12)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
@@ -211,7 +223,9 @@ object DedupQueries {
 
   /** Dedup clusters: MinHash-LSH pairs (verified Jaccard ≥ 0.5) become
     * edges; connected components pick one canonical doc per group — the
-    * final step of a real near-dup removal pipeline. Rows-only. */
+    * final step of a real near-dup removal pipeline. Oracle-backed since
+    * round 5 (the md5-affine MinHash is engine-independent): DuckDB closes
+    * the same edge set transitively with a recursive CTE. */
   private def q38(s: SparkSession, d: String): DataFrame = {
     val edges = q32(s, d).filter(col("jacc") >= 0.5).select(col("doc_a"), col("doc_b"))
     graft.operators.ConnectedComponents.run(edges)
@@ -263,7 +277,103 @@ object DedupQueries {
 
   private val shingleDocsCte = shingleDocsCteWhere("WHERE doc_id % 5 = 0")
 
+  /** Shared CTE chain for the q32/q38 oracles: the EXACT md5-affine MinHash
+    * pipeline ([[graft.plans.NativeKernels.minhashSig]]) in DuckDB SQL —
+    * family constants inlined from the kernel's own methods, so there is
+    * one source of truth. Ends with `ver` (candidate pairs + intersection
+    * counts). */
+  private def minhashVerCtes: String = {
+    val p = graft.plans.NativeKernels.MinHashP
+    val params = (1 to 32)
+      .map(j => s"($j, ${graft.plans.NativeKernels.minhashA(j)}, ${graft.plans.NativeKernels.minhashB(j)})")
+      .mkString(", ")
+    s"""${shingleDocsCteWhere("")},
+       |d2 AS MATERIALIZED (SELECT doc_id, sh, len(sh) AS n FROM docs WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM d2),
+       |bh AS MATERIALIZED (
+       |  SELECT doc_id, CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % $p AS base
+       |  FROM ex
+       |),
+       |params(j, a, b) AS (VALUES $params),
+       |comp AS MATERIALIZED (
+       |  SELECT doc_id, j, MIN((a * base + b) % $p) AS c
+       |  FROM bh CROSS JOIN params GROUP BY doc_id, j
+       |),
+       |sig AS MATERIALIZED (SELECT doc_id, list(c ORDER BY j ASC) AS sig FROM comp GROUP BY doc_id),
+       |banded AS MATERIALIZED (
+       |  SELECT doc_id, bnd,
+       |         substring(md5(CAST(bnd AS VARCHAR) || ',' ||
+       |                       array_to_string(sig[bnd*4+1:bnd*4+4], ',')), 1, 16) AS bucket
+       |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS bnd)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         len(list_intersect(x.sh, y.sh)) AS inter, x.n AS na, y.n AS nb
+       |  FROM cand c JOIN d2 x ON c.doc_a = x.doc_id JOIN d2 y ON c.doc_b = y.doc_id
+       |)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q32_dedup_minhash_lsh" ->
+      s"""WITH $minhashVerCtes
+         |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jacc
+         |FROM ver
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.02
+         |ORDER BY jacc DESC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin,
+    "q33_dedup_simhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |),
+        |t AS (SELECT doc_id, UNNEST(toks) AS tok FROM docs),
+        |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS hv FROM t),
+        |bits AS MATERIALIZED (
+        |  SELECT doc_id, b, SUM((hv >> b) & 1) AS ones, COUNT(*) AS n
+        |  FROM h CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS b)
+        |  GROUP BY doc_id, b
+        |),
+        |sim AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN ones * 2 > n THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id
+        |),
+        |chunked AS (
+        |  SELECT doc_id, sim, c, (sim >> (c * 15)) & 32767 AS ckey
+        |  FROM sim CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS c)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sim_a, b.sim AS sim_b
+        |  FROM chunked a JOIN chunked b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 12
+        |ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin,
+    "q38_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerCtes,
+         |top100 AS (
+         |  SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jacc
+         |  FROM ver
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.02
+         |  ORDER BY jacc DESC, doc_a ASC, doc_b ASC LIMIT 100
+         |),
+         |pairs AS (SELECT doc_a, doc_b FROM top100 WHERE jacc >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |)
+         |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+         |FROM reach GROUP BY id""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT doc_id,
         |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,

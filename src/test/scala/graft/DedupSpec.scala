@@ -31,7 +31,7 @@ class DedupSpec extends AnyFunSuite {
     val b = a.replace("window", "stream") // 1 of 10 tokens changed
     val c = "totally different words about cooking pasta tomatoes basil garlic olive oil"
     val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "t")
-      .withColumn("sim", text.simhash64(text.tokens(col("t"))))
+      .withColumn("sim", text.simhash60(text.tokens(col("t"))))
     val m = df.select("id", "sim").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(ham(m(1L), m(2L)) == 0)

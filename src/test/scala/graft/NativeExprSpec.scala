@@ -21,12 +21,12 @@ class NativeExprSpec extends AnyFunSuite {
     assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
   }
 
-  test("native SimHash64 equals the 64-fold HOF form") {
+  test("native SimHash60 equals the 60-fold HOF form") {
     val d = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
       .withColumn("toks", text.tokens(col("text")))
     val cmp = d.select(
-      text.simhash64(col("toks")).as("native"),
-      text.simhash64Hof(col("toks")).as("hof"))
+      text.simhash60(col("toks")).as("native"),
+      text.simhash60Hof(col("toks")).as("hof"))
     assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
   }
 
@@ -51,7 +51,7 @@ class NativeExprSpec extends AnyFunSuite {
   test("native functions resolve from SQL via the session extension") {
     val r = spark.sql(
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-        "simhash64(array('a','b')) AS s, " +
+        "simhash60(array('a','b')) AS s, " +
         "minhash_sig(array('a','b','c'), 4) AS m").collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getSeq[Long](2).size == 4)
