@@ -732,6 +732,30 @@ object EsAggQueries {
           round(expr("percentile(v, 0.5)"), 6).as("p50"),
           round(expr("percentile(v, 0.99)"), 6).as("p99"))),
 
+    // ES `bucket_count_ks_test` pipeline agg (its deterministic core): the
+    // two-sided Kolmogorov–Smirnov statistic of the sibling histogram's
+    // doc_count distribution against uniform — max |ECDF_actual − ECDF_uniform|
+    // over the ordered buckets. Both ECDFs derive from INTEGER running
+    // counts/ranks with one double division each, so the statistic is
+    // IEEE-identical cross-engine (the agg's p-value is an asymptotic
+    // approximation and intentionally not emitted).
+    "q17l_bucket_count_ks_test" -> ((s: SparkSession, d: String) => {
+      val w = Window.orderBy(col("bucket_ms"))
+      val b = ev(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(hourBucket(col("ms")))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val tot = b.agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("total_docs"))
+      b.crossJoin(broadcast(tot))
+        .withColumn("diff", abs(
+          col("cum").cast("double") / col("total_docs") -
+            col("rn").cast("double") / col("n_buckets")))
+        .groupBy(col("n_buckets"), col("total_docs"))
+        .agg(round(max(col("diff")), 6).as("d_statistic"))
+    }),
+
     // ES `normalize` pipeline agg: per-bucket rescaling of the hourly sum
     // series — methods percent_of_sum ( v / Σv ) and rescale_0_1
     // ( (v−min)/(max−min) ). The series totals reduce through detsum (an
@@ -1288,6 +1312,23 @@ object EsAggQueries {
          |       round(quantile_cont(v, 0.5), 6) AS p50,
          |       round(quantile_cont(v, 0.99), 6) AS p99
          |FROM b""".stripMargin,
+    "q17l_bucket_count_ks_test" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
+         |         COUNT(*) AS c
+         |  FROM events WHERE event_type = 'purchase' GROUP BY bucket_ms
+         |),
+         |r AS (
+         |  SELECT c,
+         |         SUM(c) OVER (ORDER BY bucket_ms) AS cum,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY bucket_ms) AS BIGINT) AS rn
+         |  FROM b
+         |),
+         |tot AS (SELECT COUNT(*) AS n_buckets, CAST(SUM(c) AS BIGINT) AS total_docs FROM r)
+         |SELECT n_buckets, total_docs,
+         |       round(MAX(abs(CAST(cum AS DOUBLE) / total_docs -
+         |                     CAST(rn AS DOUBLE) / n_buckets)), 6) AS d_statistic
+         |FROM r, tot GROUP BY n_buckets, total_docs""".stripMargin,
     "q17k_normalize" ->
       s"""WITH b AS (
          |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,

@@ -24,6 +24,26 @@ object TextQueries {
     Tables(spark, dir, "documents")
       .withColumn("toks", text.tokens(col("text")))
 
+  /** Per-doc unigram cross-entropy (bits/token) under the corpus's own
+    * model — the q63 pipeline, shared with q71's perplexity bucketing.
+    * `xent_raw` is the UNROUNDED double (both engines compute the identical
+    * value, so comparisons against percentile edges stay exact); emitters
+    * round for display. Also carries `source`. */
+  private def unigramXent(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+    val vocab = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val vocabLg = graft.functions.detlog.withLog2(vocab, "c", "lg")
+    val totalLg = graft.functions.detlog.withLog2(
+      vocab.agg(sum(col("c")).as("tc")), "tc", "lgt")
+    t.join(vocabLg, "tok")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"), graft.functions.detsum.sumDet(col("lg"), 9).as("slg"))
+      .crossJoin(broadcast(totalLg.select(col("lgt"))))
+      .select(
+        col("doc_id"), col("source"), col("n_tok"),
+        (col("lgt") - col("slg") / col("n_tok").cast("double")).as("xent_raw"))
+  }
+
   private val docsCte =
     """docs AS (
       |  SELECT *, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
@@ -234,19 +254,33 @@ object TextQueries {
     // hash-exact cross-engine. Scale shape: the log2 chain runs on the
     // VOCAB-sized table, docs join the model on the token key (the shuffle
     // is token-keyed — never doc×vocab), and the per-doc reduce is a detsum.
-    "q63_unigram_logprob" -> ((s: SparkSession, d: String) => {
-      val t = docs(s, d).select(col("doc_id"), explode(col("toks")).as("tok"))
-      val vocab = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val vocabLg = graft.functions.detlog.withLog2(vocab, "c", "lg")
-      val totalLg = graft.functions.detlog.withLog2(
-        vocab.agg(sum(col("c")).as("tc")), "tc", "lgt")
-      t.join(vocabLg, "tok")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"), graft.functions.detsum.sumDet(col("lg"), 9).as("slg"))
-        .crossJoin(broadcast(totalLg.select(col("lgt"))))
-        .select(
-          col("doc_id"), col("n_tok"),
-          round(col("lgt") - col("slg") / col("n_tok").cast("double"), 6).as("xent"))
+    "q63_unigram_logprob" -> ((s: SparkSession, d: String) =>
+      unigramXent(s, d)
+        .select(col("doc_id"), col("n_tok"), round(col("xent_raw"), 6).as("xent"))),
+
+    // CCNet's final pipeline stage: split the corpus into head/middle/tail
+    // perplexity buckets (quartile edges over the q63 cross-entropy) and
+    // report per-source bucket sizes + mean xent — the quality-tiered mix a
+    // curation run feeds to sampling. Bucket assignment is edge-safe
+    // cross-engine: an interpolated quartile lies STRICTLY between two data
+    // values (or IS a data value when the index is integral), so a ±1-ulp
+    // interpolation difference between engines can never flip a doc's
+    // bucket. Means reduce through detsum.
+    "q71_perplexity_buckets" -> ((s: SparkSession, d: String) => {
+      val x = unigramXent(s, d)
+      val edges = x.agg(
+        expr("percentile(xent_raw, 0.25)").as("e1"),
+        expr("percentile(xent_raw, 0.75)").as("e2"))
+      x.crossJoin(broadcast(edges))
+        .withColumn("bucket",
+          when(col("xent_raw") <= col("e1"), "head")
+            .when(col("xent_raw") <= col("e2"), "middle")
+            .otherwise("tail"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(graft.functions.detsum.sumDet(col("xent_raw"), 9) / count(lit(1)), 6)
+            .as("mean_xent"))
     }),
 
     // ES `term` suggester: spell-correction candidates ranked by
@@ -854,6 +888,26 @@ object TextQueries {
          |)
          |SELECT doc_id, n_tok, round(lgt - slg / CAST(n_tok AS DOUBLE), 6) AS xent
          |FROM per, tlgfin""".stripMargin,
+    "q71_perplexity_buckets" ->
+      s"""WITH $docsCte,
+         |t AS (SELECT doc_id, source, UNNEST(toks) AS tok FROM docs),
+         |vocab AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+         |${graft.functions.detlog.log2SqlCtes("vocab", "c", "lg", "vlg")},
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM vocab),
+         |${graft.functions.detlog.log2SqlCtes("tot", "tc", "lgt", "tlg")},
+         |per AS (
+         |  SELECT doc_id, source, COUNT(*) AS n_tok, ${graft.functions.detsum.sumDetSql("lg", 9)} AS slg
+         |  FROM t JOIN vlgfin ON t.tok = vlgfin.tok GROUP BY doc_id, source
+         |),
+         |x AS MATERIALIZED (
+         |  SELECT doc_id, source, lgt - slg / CAST(n_tok AS DOUBLE) AS xr FROM per, tlgfin
+         |),
+         |e AS (SELECT quantile_cont(xr, 0.25) AS e1, quantile_cont(xr, 0.75) AS e2 FROM x)
+         |SELECT source,
+         |       CASE WHEN xr <= e1 THEN 'head' WHEN xr <= e2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |       COUNT(*) AS n_docs,
+         |       round(${graft.functions.detsum.sumDetSql("xr", 9)} / COUNT(*), 6) AS mean_xent
+         |FROM x, e GROUP BY 1, 2""".stripMargin,
     "q53_tfidf_top_terms" ->
       s"""WITH $docsCte,
          |terms AS (SELECT doc_id, UNNEST(toks) AS term FROM docs),
