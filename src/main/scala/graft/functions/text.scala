@@ -34,10 +34,6 @@ object text {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
 
-  /** One MinHash signature component: min over shingles of xxhash64(shingle, seed). */
-  def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
-
   /** Full MinHash signature as an array of `k` components — native
     * single-pass expression (graft.plans.MinHashSig). Cross-engine
     * deterministic: md5-based base fingerprint + affine family mod 2³¹−1

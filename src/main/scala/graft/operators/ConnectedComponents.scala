@@ -97,6 +97,12 @@ object ConnectedComponents {
     // don't accumulate cached blocks
     sym.unpersist(blocking = false)
     e.unpersist(blocking = false)
+    // unconverged labels are not component minima — callers (including the
+    // oracle-checked dedup queries) must never consume them silently
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge in $maxIter rounds " +
+          s"(pointerJump=$pointerJump); raise maxIter or enable pointerJump")
     (labels, iter)
   }
 }

@@ -10,10 +10,10 @@ import org.apache.spark.sql.types._
   * The composable higher-order-function forms (graft.functions.text/vectors)
   * are interpreted per element and re-hash their inputs once per signature
   * component — measured 19s for MinHash-LSH at sf0.1. These keep exact,
-  * oracle-matchable semantics (seed-42 xxhash64 per token for SimHash/RHP,
-  * the md5-affine family for MinHash, identical accumulation order for dot
-  * products) at a fraction of the cost. Registered SQL-side via
-  * [[GraftExtensions]].
+  * oracle-matchable semantics (md5-derived hashes for MinHash/SimHash so
+  * DuckDB recomputes the identical sketches; seed-42 xxhash64 only for RHP,
+  * which has no oracle; identical accumulation order for dot products) at a
+  * fraction of the cost. Registered SQL-side via [[GraftExtensions]].
   *
   * All four generate code (`doGenCode` emits one [[NativeKernels]] call), so
   * they sit INSIDE whole-stage codegen instead of forcing the interpreted

@@ -64,11 +64,18 @@ object NativeKernels {
   /** The shared MinHash base fingerprint: [[md5Hex60]] mod p. */
   def minhashBase(s: UTF8String): Long = md5Hex60(s) % MinHashP
 
+  // family constants depend only on k — computed once per k, not per row
+  // (the kernel runs once per row inside whole-stage codegen)
+  private val familyCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def minhashFamily(k: Int): (Array[Long], Array[Long]) =
+    familyCache.computeIfAbsent(
+      k, _ => (Array.tabulate(k)(j => minhashA(j + 1)), Array.tabulate(k)(j => minhashB(j + 1))))
+
   /** k-component MinHash signature in one pass over the shingle array. */
   def minhashSig(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
-    val as = Array.tabulate(k)(j => minhashA(j + 1))
-    val bs = Array.tabulate(k)(j => minhashB(j + 1))
+    val (as, bs) = minhashFamily(k)
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {

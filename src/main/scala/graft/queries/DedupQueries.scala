@@ -228,7 +228,9 @@ object DedupQueries {
     * the same edge set transitively with a recursive CTE. */
   private def q38(s: SparkSession, d: String): DataFrame = {
     val edges = q32(s, d).filter(col("jacc") >= 0.5).select(col("doc_a"), col("doc_b"))
-    graft.operators.ConnectedComponents.run(edges)
+    // pointerJump: the transitive-closure oracle demands FULL convergence,
+    // and a long near-dup chain would exhaust plain propagation's maxIter
+    graft.operators.ConnectedComponents.run(edges, pointerJump = true)
       .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
       .orderBy(col("cluster_rep").asc, col("doc_id").asc)
   }
