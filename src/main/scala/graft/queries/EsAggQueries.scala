@@ -560,6 +560,23 @@ object EsAggQueries {
           floor(col("lon") / 5).cast("long").as("cell_lon"))
         .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))),
 
+    // ES `geohash_grid` with the REAL geohash cell id: interleaved-bisection
+    // base32 encoding ([[graft.functions.geohash]]) — every midpoint and
+    // comparison is a correctly-rounded IEEE basic op run in the identical
+    // sequence by both engines, so the 3-char cells hash-match exactly
+    // (q19b keeps the coarse floor-grid variant; this is the ES-faithful
+    // one). Top 20 cells by doc_count, the agg's size-limited contract.
+    "q19g_geohash_grid" -> ((s: SparkSession, d: String) => {
+      val pts = ev(s, d)
+        .withColumn("lat", ((col("user_id") * 37) % 17000) / lit(100.0) - 85.0)
+        .withColumn("lon", ((col("user_id") * 91) % 36000) / lit(100.0) - 180.0)
+      graft.functions.geohash.withGeohash(pts, "lat", "lon", "gh", 3)
+        .groupBy(col("gh"))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+        .orderBy(col("doc_count").desc, col("gh").asc)
+        .limit(20)
+    }),
+
     // ES `geo_distance` agg: ring buckets around an origin. Planar distance
     // on the derived coordinates (sqrt is correctly-rounded IEEE in both
     // engines; haversine's sin/cos are not cross-engine reproducible).
@@ -1241,6 +1258,17 @@ object EsAggQueries {
          |       CAST(floor(lon / 5) AS BIGINT) AS cell_lon,
          |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM e GROUP BY 1, 2""".stripMargin,
+    "q19g_geohash_grid" ->
+      s"""WITH pts AS (
+         |  SELECT value,
+         |         ((user_id * 37) % 17000) / 100.0 - 85.0 AS lat,
+         |         ((user_id * 91) % 36000) / 100.0 - 180.0 AS lon
+         |  FROM events
+         |),
+         |${graft.functions.geohash.geohashSqlCtes("pts", "lat", "lon", "gh", 3, "gh")}
+         |SELECT gh, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |FROM ghfin GROUP BY gh
+         |ORDER BY doc_count DESC, gh ASC LIMIT 20""".stripMargin,
     "q19c_geo_distance" ->
       s"""WITH e AS (
          |  SELECT value,

@@ -250,4 +250,14 @@ class SketchSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("unknown scripted_metric program"))
   }
+
+  test("geohash encoding matches the published test vectors") {
+    import spark.implicits._
+    // classic vectors from the geohash spec: (42.6, -5.6) -> ezs42...,
+    // (57.64911, 10.40744) -> u4pruydqqvj
+    val pts = Seq((1L, 42.6, -5.6), (2L, 57.64911, 10.40744)).toDF("id", "lat", "lon")
+    val got = graft.functions.geohash.withGeohash(pts, "lat", "lon", "gh", 3)
+      .orderBy("id").collect().map(_.getString(3))
+    assert(got.toSeq == Seq("ezs", "u4p"))
+  }
 }
