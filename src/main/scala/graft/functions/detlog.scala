@@ -37,8 +37,18 @@ object detlog {
   private val MaxExp = 62
 
   /** Spark side: adds `out` = log2(`in`) (double) to `df`. `in` must be a
-    * positive integral column. */
-  def withLog2(df: DataFrame, in: String, out: String): DataFrame = {
+    * positive integral column. One codegen'd kernel call
+    * (graft.plans.DetLog2) computing the identical IEEE sequence as
+    * [[withLog2Chain]] — the chain's ~100 withColumns cost quadratic plan
+    * analysis per query (measured 2.2 s of pure planning in q70's four
+    * chains); NativeExprSpec asserts the two stay bit-equal. */
+  def withLog2(df: DataFrame, in: String, out: String): DataFrame =
+    df.withColumn(out, call_function("det_log2", col(in).cast("long")))
+
+  /** The original withColumn-chain form — the executable specification of
+    * the op sequence (and of the DuckDB mirror [[log2SqlCtes]]); kept for
+    * the native expression's parity test. */
+  def withLog2Chain(df: DataFrame, in: String, out: String): DataFrame = {
     val c = col(in)
     // E and 2^E via CASE chains (first match = highest power <= c)
     def caseChain(value: Int => Double): org.apache.spark.sql.Column = {

@@ -83,6 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         ScriptedMetric.forName(exprs(0).eval().toString, exprs(1)).toAggregateExpression()))
     e.injectFunction((
+      FunctionIdentifier("det_log2"),
+      info("det_log2", "det_log2(c) - cross-engine-deterministic log2 of a positive integer"),
+      (exprs: Seq[Expression]) => DetLog2(exprs(0))))
+    e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k-component MinHash signature"),
       (exprs: Seq[Expression]) => {

@@ -72,6 +72,19 @@ case class RhpBuckets(child: Expression, bits: Int, tables: Int, seedStride: Int
   override protected def withNewChildInternal(newChild: Expression): RhpBuckets = copy(child = newChild)
 }
 
+/** det_log2(c): graft.functions.detlog's cross-engine log2 as a single
+  * codegen'd call — bit-equal to the 24-step chain (and therefore to the
+  * DuckDB CTE mirror), minus the chain's quadratic plan-analysis cost. */
+case class DetLog2(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "det_log2"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(NativeKernels.detLog2(input.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.NativeKernels.detLog2($c);")
+  override protected def withNewChildInternal(newChild: Expression): DetLog2 = copy(child = newChild)
+}
+
 /** vec_dot(a, b): double dot product, accumulating left-to-right exactly
   * like the `aggregate(zip_with(...))` fold it replaces — results stay
   * bit-identical to the DuckDB oracle's left-associated term chain. */

@@ -118,6 +118,26 @@ object NativeKernels {
     out
   }
 
+  /** graft.functions.detlog's square-and-halve log2 as one kernel call —
+    * the IDENTICAL IEEE double sequence as the 24-step withColumn chain
+    * (every op below is the same correctly-rounded basic op the chain's
+    * codegen emits, so results are bit-equal — asserted in NativeExprSpec),
+    * without the chain's quadratic plan-analysis cost. Domain: c ≥ 1
+    * (mirrors the chain's CASE-default E=0 for smaller inputs). */
+  def detLog2(c: Long): Double = {
+    val e = if (c < 2L) 0 else 63 - java.lang.Long.numberOfLeadingZeros(c)
+    var y = c.toDouble / (1L << e).toDouble
+    var f = 0.0
+    var k = 1
+    while (k <= 24) {
+      val s = y * y
+      if (s >= 2.0) { y = s / 2.0; f += 1.0 / (1L << k) }
+      else y = s
+      k += 1
+    }
+    e.toDouble + f
+  }
+
   /** Word n-grams joined by ' ', single pass — exactly the strings of the
     * HOF form `transform(sequence(...), i -> array_join(slice(toks, i, n), ' '))`. */
   def wordShingles(arr: ArrayData, n: Int): ArrayData = {

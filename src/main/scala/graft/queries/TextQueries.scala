@@ -182,9 +182,14 @@ object TextQueries {
         .select(col("doc_id"), col("source"),
           explode(concat(col("toks"), text.shingles(col("toks"), 2))).as("g"))
         .withColumn("b", substring(md5(col("g").cast("binary")), 1, 2))
+      // the 256-row bucket-count table is read by BOTH log chains and the
+      // totals — materialize it once so the corpus-sized gram stream is
+      // scanned exactly twice (count pass, score pass), the DSIR paper
+      // shape, instead of once per consumer
       val counts0 = grams.groupBy(col("b")).agg(
         count(lit(1)).as("cr"),
         count(when(col("source") === "src0", 1)).as("ct0"))
+        .localCheckpoint(true)
       val counts1 = counts0
         .withColumn("crp", col("cr") + lit(1L))
         .withColumn("ctp", col("ct0") + lit(1L))
@@ -267,7 +272,12 @@ object TextQueries {
     // interpolation difference between engines can never flip a doc's
     // bucket. Means reduce through detsum.
     "q71_perplexity_buckets" -> ((s: SparkSession, d: String) => {
-      val x = unigramXent(s, d)
+      // the xent table (one row per doc, 4 narrow columns) feeds both the
+      // quartile pass and the bucketing pass — materialize it once instead
+      // of running the whole vocab-join pipeline twice (at scale this is
+      // the natural pipeline break anyway: scores land, then the mix is
+      // planned over them)
+      val x = unigramXent(s, d).localCheckpoint(true)
       val edges = x.agg(
         expr("percentile(xent_raw, 0.25)").as("e1"),
         expr("percentile(xent_raw, 0.75)").as("e2"))

@@ -117,4 +117,26 @@ class NativeExprSpec extends AnyFunSuite {
     assert(got(1L) == 0.0 && got(2L) == 1.0 && got(8L) == 3.0 && got(1024L) == 10.0,
       "exact on powers of two")
   }
+
+  test("native det_log2 is bit-identical to the withColumn-chain form") {
+    import spark.implicits._
+    // edge values + real count magnitudes; the two forms run as SEPARATE
+    // plans (a combined plan holds ~200 chained projection columns and
+    // stalls the optimizer — the exact cost det_log2 exists to avoid)
+    val counts = (Seq(1L, 2L, 3L, 5L, 255L, 256L, 257L, 999983L, 1L << 40, (1L << 40) + 12345L) ++
+      queries.Tables(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .collect().map(_.getLong(1))).distinct
+    val df = counts.toDF("c")
+    def vals(mk: (org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame) =
+      mk(df, "c", "lg").select("c", "lg").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = vals(graft.functions.detlog.withLog2)
+    val chain = vals(graft.functions.detlog.withLog2Chain)
+    counts.foreach { c =>
+      assert(
+        java.lang.Double.doubleToRawLongBits(native(c)) ==
+          java.lang.Double.doubleToRawLongBits(chain(c)),
+        s"det_log2($c): native ${native(c)} vs chain ${chain(c)}")
+    }
+  }
 }
