@@ -749,6 +749,46 @@ object EsAggQueries {
           round(expr("percentile(v, 0.5)"), 6).as("p50"),
           round(expr("percentile(v, 0.99)"), 6).as("p99"))),
 
+    // ES `nested` + `reverse_nested` aggs: aggregate over the ELEMENTS of a
+    // per-doc array-of-objects field, then jump back to parent-doc counts.
+    // The items array derives deterministically from event fields (the geo
+    // queries' convention — both engines build the identical array), the
+    // nested tree is explode → terms(sku) → sum(qty), and reverse_nested is
+    // the distinct-parent count per bucket. One exchange: partial aggs
+    // combine per sku before the shuffle.
+    "q72_nested_agg" -> ((s: SparkSession, d: String) => {
+      val items = ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("items", expr(
+          """transform(sequence(0, CAST(event_id % 5 AS INT)),
+            |  i -> struct(concat('sku', CAST((k + i) % 7 AS STRING)) AS sku,
+            |              (event_id + i) % 3 + 1 AS qty))""".stripMargin))
+        .select(col("event_id"), explode(col("items")).as("it"))
+      items
+        .groupBy(col("it.sku").as("sku"))
+        .agg(
+          count(lit(1)).as("item_count"),
+          sum(col("it.qty")).as("total_qty"),
+          countDistinct(col("event_id")).as("parent_doc_count"))
+    }),
+
+    // ES `children` agg (join-field families): parent terms buckets fan out
+    // to their child docs — orders(o_orderpriority) → children(lineitem) →
+    // metrics — with the parent doc_count kept per bucket. The join is the
+    // parent-key equi-join ES materializes through its join field; Spark
+    // broadcastable dims don't apply (fact-fact), so it shuffles on the
+    // order key once and aggregates per priority.
+    "q73_children_agg" -> ((s: SparkSession, d: String) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      val l = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("parent_doc_count"),
+          count(lit(1)).as("child_doc_count"),
+          sumDet(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ES `bucket_count_ks_test` pipeline agg (its deterministic core): the
     // two-sided Kolmogorov–Smirnov statistic of the sibling histogram's
     // doc_count distribution against uniform — max |ECDF_actual − ECDF_uniform|
@@ -1340,6 +1380,26 @@ object EsAggQueries {
          |       round(quantile_cont(v, 0.5), 6) AS p50,
          |       round(quantile_cont(v, 0.99), 6) AS p99
          |FROM b""".stripMargin,
+    "q72_nested_agg" ->
+      """WITH it AS (
+        |  SELECT event_id,
+        |         UNNEST(list_transform(generate_series(0, CAST(event_id % 5 AS INT)),
+        |           i -> {'sku': 'sku' || CAST((CAST(json_extract(props, '$.k') AS BIGINT) + i) % 7 AS VARCHAR),
+        |                 'qty': (event_id + i) % 3 + 1})) AS item
+        |  FROM events
+        |)
+        |SELECT item.sku AS sku,
+        |       COUNT(*) AS item_count,
+        |       CAST(SUM(item.qty) AS BIGINT) AS total_qty,
+        |       COUNT(DISTINCT event_id) AS parent_doc_count
+        |FROM it GROUP BY 1""".stripMargin,
+    "q73_children_agg" ->
+      s"""SELECT o_orderpriority,
+         |       COUNT(DISTINCT o_orderkey) AS parent_doc_count,
+         |       COUNT(*) AS child_doc_count,
+         |       ${sumDetSql("l_quantity")} AS sum_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
     "q17l_bucket_count_ks_test" ->
       s"""WITH b AS (
          |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
