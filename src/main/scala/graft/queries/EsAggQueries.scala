@@ -544,6 +544,30 @@ object EsAggQueries {
         .agg(count(lit(1)).as("sample_count"), sumDet(col("value")).as("sample_sum"))
     }),
 
+    // ES plain `sampler` agg: sub-aggs run over only the top-`shard_size`
+    // hits by score (here the deterministic value/event_id ordering stands
+    // in for _score). Global top-200 via a single ordered limit, then the
+    // downstream agg — the agg's cost-bounding contract.
+    "q49c_sampler" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(200)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("sample_count"), sumDet(col("value")).as("sample_sum"))),
+
+    // ES `global` agg: sibling aggregations that ESCAPE the query filter —
+    // the "this bucket vs the whole index" comparison. ONE scan computes
+    // both scopes via conditional aggregation (a second scan is exactly
+    // what the ES agg exists to avoid on the coordinator side).
+    "q74_global_agg" -> ((s: SparkSession, d: String) => {
+      val filt = col("event_type") === "purchase" && col("value") > 50.0
+      ev(s, d).agg(
+        count(when(filt, 1)).as("hit_count"),
+        sumDet(when(filt, col("value")).otherwise(lit(null))).as("hit_sum"),
+        count(lit(1)).as("global_count"),
+        sumDet(col("value")).as("global_sum"))
+    }),
+
     // ES geo family, grid form (`geotile_grid`/`geohash_grid` shape): events
     // carry derived deterministic coordinates (exact 2-decimal values from
     // integer arithmetic, identical in both engines); buckets are 5°×5°
@@ -1287,6 +1311,19 @@ object EsAggQueries {
          |)
          |SELECT event_type, COUNT(*) AS sample_count, ${sumDetSql("value")} AS sample_sum
          |FROM sampled GROUP BY event_type""".stripMargin,
+    "q49c_sampler" ->
+      s"""WITH sampled AS (
+         |  SELECT event_type, value FROM events
+         |  ORDER BY value DESC, event_id ASC LIMIT 200
+         |)
+         |SELECT event_type, COUNT(*) AS sample_count, ${sumDetSql("value")} AS sample_sum
+         |FROM sampled GROUP BY event_type""".stripMargin,
+    "q74_global_agg" ->
+      s"""SELECT COUNT(*) FILTER (WHERE event_type = 'purchase' AND value > 50.0) AS hit_count,
+         |       ${sumDetSql("CASE WHEN event_type = 'purchase' AND value > 50.0 THEN value END")} AS hit_sum,
+         |       COUNT(*) AS global_count,
+         |       ${sumDetSql("value")} AS global_sum
+         |FROM events""".stripMargin,
     "q19b_geo_grid" ->
       s"""WITH e AS (
          |  SELECT value,
