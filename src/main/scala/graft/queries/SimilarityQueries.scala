@@ -37,8 +37,10 @@ object SimilarityQueries {
     * ~2% at this density; 8×5-bit reaches 0.48). The query side (queries × tables rows) broadcasts,
     * so the corpus streams once with no shuffle; multi-table duplicate hits
     * collapse in a map-side partial aggregate before ranking. Approximate
-    * (recall measured in the spec); rows-only — the sketch isn't
-    * reproducible in DuckDB SQL. */
+    * (recall measured in the spec) yet ORACLE-BACKED since round 5: the
+    * hyperplane signs are data-independent constants, so the oracle inlines
+    * the sign pattern as literal ± terms from the same XXH64 calls the
+    * kernel makes and replays the identical left-associated projections. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val tables = 8
     val bits = 5
@@ -62,7 +64,8 @@ object SimilarityQueries {
       .agg(max(col("cos")).as("cos")) // same pair may hit in several tables
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Score `side` against the (literal) centroid frame with cosine. */
@@ -99,7 +102,8 @@ object SimilarityQueries {
       .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Int8 scalar quantization of embeddings + reconstruction-error audit —
@@ -174,7 +178,8 @@ object SimilarityQueries {
       .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Product quantization (the FAISS PQ codebook shape): 64 dims → 8
@@ -287,6 +292,55 @@ object SimilarityQueries {
     "q58b_pq_quantize" -> (q58b _))
 
   val oracleSql: Map[String, String] = Map(
+    "q36_ann_lsh" -> {
+      // The hyperplane signs are DATA-INDEPENDENT constants (xxhash64 of
+      // (table, bit, dim) — graft.plans.NativeKernels.rhpBuckets), so the
+      // oracle need not compute the hash at all: the sign pattern is
+      // inlined here as literal +/- terms FROM THE SAME XXH64 CALLS the
+      // kernel makes, and the projection is the kernel's exact
+      // left-associated accumulation (0.0 ± emb[1] ± emb[2] ...). One
+      // source of truth, zero cross-engine hash dependence.
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val (tables, bits, stride, dim) = (8, 5, 64, 64)
+      def proj(t: Int, p: Int): String = {
+        val hseed = XXH64.hashInt(t * stride + p, 42L)
+        val terms = (0 until dim).map { i =>
+          val pos = (XXH64.hashInt(i, hseed) & 1L) == 0L
+          s"${if (pos) "+" else "-"} emb[${i + 1}]"
+        }.mkString(" ")
+        s"(0.0 $terms)"
+      }
+      def bucketExpr(t: Int): String =
+        (0 until bits)
+          .map(p => s"(CASE WHEN ${proj(t, p)} > 0.0 THEN ${1L << p} ELSE 0 END)")
+          .mkString(" + ")
+      val bkSelects = (0 until tables)
+        .map(t => s"  SELECT vec_id, emb, nrm, $t AS tbl, ${bucketExpr(t)} AS bucket FROM n")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |),
+         |n AS (
+         |  SELECT vec_id, emb, sqrt(${vectors.dotSql("emb", "emb", 64)}) AS nrm FROM e
+         |),
+         |bk AS MATERIALIZED (
+         |$bkSelects
+         |),
+         |qs AS (SELECT * FROM bk WHERE vec_id % 50 = 0),
+         |pair AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+         |         MAX((${vectors.dotSql("c.emb", "qs.emb", 64)}) / (c.nrm * qs.nrm)) AS cos
+         |  FROM bk c JOIN qs ON c.tbl = qs.tbl AND c.bucket = qs.bucket AND c.vec_id <> qs.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pair
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
     "q58_embedding_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
