@@ -24,6 +24,20 @@ object TextQueries {
     Tables(spark, dir, "documents")
       .withColumn("toks", text.tokens(col("text")))
 
+  /** The q41 quality-score map (stateless — reused verbatim by the st13
+    * streaming form; input needs `doc_id`, `text`, `toks`). */
+  private def qualityScore(in: DataFrame): DataFrame =
+    in.withColumn("n_tok", size(col("toks")))
+      .withColumn("txt_len", length(col("text")))
+      .withColumn("punct_cnt", length(regexp_replace(col("text"), "[^.!?,;:]", "")))
+      .withColumn("stop_cnt", text.stopwordCount(col("toks"), stopEn))
+      .withColumn("stop_ratio", col("stop_cnt") / col("n_tok"))
+      .withColumn("punct_ratio", col("punct_cnt") / col("txt_len"))
+      .withColumn(
+        "quality",
+        round(least(lit(1.0), col("n_tok") / lit(100.0)) * 0.5 + col("stop_ratio") * 0.3 - col("punct_ratio") * 0.2, 6))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"), col("stop_ratio"), col("punct_ratio"), col("quality"))
+
   /** Per-doc unigram cross-entropy (bits/token) under the corpus's own
     * model — the q63 pipeline, shared with q71's perplexity bucketing.
     * `xent_raw` is the UNROUNDED double (both engines compute the identical
@@ -130,18 +144,32 @@ object TextQueries {
           col("s_es").cast("long").as("s_es"), col("s_fr").cast("long").as("s_fr"))
     }),
 
-    "q41_quality_score" -> ((s: SparkSession, d: String) => {
-      docs(s, d)
-        .withColumn("n_tok", size(col("toks")))
-        .withColumn("txt_len", length(col("text")))
-        .withColumn("punct_cnt", length(regexp_replace(col("text"), "[^.!?,;:]", "")))
-        .withColumn("stop_cnt", text.stopwordCount(col("toks"), stopEn))
-        .withColumn("stop_ratio", col("stop_cnt") / col("n_tok"))
-        .withColumn("punct_ratio", col("punct_cnt") / col("txt_len"))
-        .withColumn(
-          "quality",
-          round(least(lit(1.0), col("n_tok") / lit(100.0)) * 0.5 + col("stop_ratio") * 0.3 - col("punct_ratio") * 0.2, 6))
-        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"), col("stop_ratio"), col("punct_ratio"), col("quality"))
+    "q41_quality_score" -> ((s: SparkSession, d: String) =>
+      qualityScore(docs(s, d))),
+
+    // The always-on form of q41: quality scoring applied AT INGEST — a
+    // stateless map over the document stream (no watermark, no state
+    // store), the shape a collector uses to tag arriving docs before they
+    // land. Append mode; shares q41's oracle, so a hash match proves the
+    // streaming map is row-identical to the batch operator.
+    "st13_stream_quality" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      // the testdata table is a single parquet file; the file stream source
+      // wants a directory feed — spool it (multi-file, so several
+      // micro-batch splits exercise the map)
+      val spool = IngestQueries.scratchDir("graft_doc_spool_st13")
+      Tables(s, d, "documents").repartition(4).write.mode("overwrite").parquet(spool.toString)
+      val src = s.readStream
+        .schema(Tables(s, d, "documents").schema)
+        .parquet(spool.toString)
+        .withColumn("toks", text.tokens(col("text")))
+      val q = qualityScore(src).writeStream
+        .format("memory").queryName("st13_mem")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st13_mem")
     }),
 
     "q42_token_count" -> ((s: SparkSession, d: String) => {
@@ -607,7 +635,28 @@ object TextQueries {
           graft.functions.detsum.sumDet(col("quality"), 6).as("sum_quality"))
     }))
 
+  /** q41's oracle — shared verbatim by st13 (the streaming map must be
+    * row-identical to the batch operator). */
+  private val q41Sql =
+    s"""WITH $docsCte,
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n_tok, length(text) AS txt_len,
+       |         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_cnt,
+       |         ${stopSql(stopEn)} AS stop_cnt
+       |  FROM docs
+       |),
+       |r AS (
+       |  SELECT doc_id, n_tok,
+       |         stop_cnt / n_tok AS stop_ratio,
+       |         punct_cnt / txt_len AS punct_ratio
+       |  FROM m
+       |)
+       |SELECT doc_id, n_tok, stop_ratio, punct_ratio,
+       |       round(LEAST(1.0, n_tok / 100.0) * 0.5 + stop_ratio * 0.3 - punct_ratio * 0.2, 6) AS quality
+       |FROM r""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "st13_stream_quality" -> q41Sql,
     "q57b_temperature_mix" -> {
       val det = graft.functions.detsum.sumDetSql("t_w", 12)
       s"""WITH $docsCte,
@@ -764,23 +813,7 @@ object TextQueries {
          |            ELSE 'und' END AS lang_pred,
          |       s_en, s_de, s_es, s_fr
          |FROM scored""".stripMargin,
-    "q41_quality_score" ->
-      s"""WITH $docsCte,
-         |m AS (
-         |  SELECT doc_id, len(toks) AS n_tok, length(text) AS txt_len,
-         |         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_cnt,
-         |         ${stopSql(stopEn)} AS stop_cnt
-         |  FROM docs
-         |),
-         |r AS (
-         |  SELECT doc_id, n_tok,
-         |         stop_cnt / n_tok AS stop_ratio,
-         |         punct_cnt / txt_len AS punct_ratio
-         |  FROM m
-         |)
-         |SELECT doc_id, n_tok, stop_ratio, punct_ratio,
-         |       round(LEAST(1.0, n_tok / 100.0) * 0.5 + stop_ratio * 0.3 - punct_ratio * 0.2, 6) AS quality
-         |FROM r""".stripMargin,
+    "q41_quality_score" -> q41Sql,
     "q42_token_count" ->
       s"""WITH $docsCte
          |SELECT doc_id,
