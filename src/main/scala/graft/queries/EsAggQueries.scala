@@ -788,12 +788,18 @@ object EsAggQueries {
             |  i -> struct(concat('sku', CAST((k + i) % 7 AS STRING)) AS sku,
             |              (event_id + i) % 3 + 1 AS qty))""".stripMargin))
         .select(col("event_id"), explode(col("items")).as("it"))
+      // two-level aggregate instead of countDistinct: a single-pass
+      // distinct agg plans through Expand (3× the exploded rows); keying
+      // the first level by (sku, parent) pre-combines map-side and the
+      // second level counts groups — same result, no row multiplication
       items
-        .groupBy(col("it.sku").as("sku"))
+        .groupBy(col("it.sku").as("sku"), col("event_id"))
+        .agg(count(lit(1)).as("c"), sum(col("it.qty")).as("q"))
+        .groupBy(col("sku"))
         .agg(
-          count(lit(1)).as("item_count"),
-          sum(col("it.qty")).as("total_qty"),
-          countDistinct(col("event_id")).as("parent_doc_count"))
+          sum(col("c")).as("item_count"),
+          sum(col("q")).as("total_qty"),
+          count(lit(1)).as("parent_doc_count"))
     }),
 
     // ES `children` agg (join-field families): parent terms buckets fan out

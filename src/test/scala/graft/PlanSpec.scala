@@ -286,4 +286,13 @@ class PlanSpec extends AnyFunSuite {
       "range membership is a theta join against a broadcast 4-row table")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q72: the distinct-parent count never plans through Expand") {
+    val p = plan("q72_nested_agg")
+    // a single-pass countDistinct would Expand the exploded item stream 3x;
+    // the two-level (sku, parent) aggregate pre-combines map-side instead
+    assert(!p.contains("Expand"), "two-level aggregate must not row-multiply")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "map-side partials before the first exchange")
+  }
 }
