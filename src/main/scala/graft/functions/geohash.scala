@@ -27,8 +27,19 @@ object geohash {
   val Alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
 
   /** Spark side: adds `out` = `chars`-character geohash of
-    * (`latIn`, `lonIn`) to `df`. */
-  def withGeohash(df: DataFrame, latIn: String, lonIn: String, out: String, chars: Int): DataFrame = {
+    * (`latIn`, `lonIn`) to `df` — one codegen'd kernel call
+    * (graft.plans.GeohashEnc) computing the identical IEEE sequence as
+    * [[withGeohashChain]] (the ~80-projection chain pays quadratic plan
+    * analysis per query, the det_log2 lesson; SketchSpec pins the two
+    * forms equal). */
+  def withGeohash(df: DataFrame, latIn: String, lonIn: String, out: String, chars: Int): DataFrame =
+    df.withColumn(out,
+      call_function("geohash_enc", col(latIn).cast("double"), col(lonIn).cast("double"), lit(chars)))
+
+  /** The withColumn-chain form — the executable specification of the op
+    * sequence (and of the DuckDB mirror [[geohashSqlCtes]]); kept for the
+    * native expression's parity test. */
+  def withGeohashChain(df: DataFrame, latIn: String, lonIn: String, out: String, chars: Int): DataFrame = {
     val bits = chars * 5
     var d = df
       .withColumn("__lonlo", lit(-180.0)).withColumn("__lonhi", lit(180.0))

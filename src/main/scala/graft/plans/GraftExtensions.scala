@@ -87,6 +87,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("det_log2", "det_log2(c) - cross-engine-deterministic log2 of a positive integer"),
       (exprs: Seq[Expression]) => DetLog2(exprs(0))))
     e.injectFunction((
+      FunctionIdentifier("geohash_enc"),
+      info("geohash_enc", "geohash_enc(lat, lon, chars) - base32 geohash cell id"),
+      (exprs: Seq[Expression]) => {
+        val chars = exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval().asInstanceOf[Int]
+        }
+        GeohashEnc(exprs(0), exprs(1), chars)
+      }))
+    e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k-component MinHash signature"),
       (exprs: Seq[Expression]) => {

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -74,15 +75,45 @@ case class RhpBuckets(child: Expression, bits: Int, tables: Int, seedStride: Int
 
 /** det_log2(c): graft.functions.detlog's cross-engine log2 as a single
   * codegen'd call — bit-equal to the 24-step chain (and therefore to the
-  * DuckDB CTE mirror), minus the chain's quadratic plan-analysis cost. */
+  * DuckDB CTE mirror), minus the chain's quadratic plan-analysis cost.
+  * Accepts INT or BIGINT (a SQL caller's literal folds through the
+  * interpreted path as an Integer — a bare asInstanceOf[Long] would CCE);
+  * anything else fails analysis with a readable message. */
 case class DetLog2(child: Expression) extends UnaryExpression {
   override def prettyName: String = "det_log2"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"det_log2 requires an integral argument, got $t")
+  }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(input: Any): Any =
-    java.lang.Double.valueOf(NativeKernels.detLog2(input.asInstanceOf[Long]))
+    java.lang.Double.valueOf(NativeKernels.detLog2(input match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+    }))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.NativeKernels.detLog2($c);")
   override protected def withNewChildInternal(newChild: Expression): DetLog2 = copy(child = newChild)
+}
+
+/** geohash_enc(lat, lon): `chars`-character base32 geohash via the
+  * interleaved-bisection kernel — bit-equal to graft.functions.geohash's
+  * withColumn chain (and its DuckDB CTE mirror), minus the chain's
+  * quadratic plan-analysis cost. */
+case class GeohashEnc(left: Expression, right: Expression, chars: Int) extends BinaryExpression {
+  override def prettyName: String = "geohash_enc"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"geohash_enc requires DOUBLE lat/lon, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(lat: Any, lon: Any): Any =
+    NativeKernels.geohashEnc(lat.asInstanceOf[Double], lon.asInstanceOf[Double], chars)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (la, lo) =>
+      s"${ev.value} = graft.plans.NativeKernels.geohashEnc($la, $lo, $chars);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GeohashEnc =
+    copy(left = newLeft, right = newRight)
 }
 
 /** vec_dot(a, b): double dot product, accumulating left-to-right exactly

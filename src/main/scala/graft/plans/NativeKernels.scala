@@ -138,6 +138,40 @@ object NativeKernels {
     e.toDouble + f
   }
 
+  private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz".getBytes("US-ASCII")
+
+  /** graft.functions.geohash's interleaved bisection as one kernel call —
+    * the IDENTICAL IEEE sequence as the withColumn chain (every midpoint
+    * and comparison below is the same correctly-rounded basic op), so the
+    * encoding stays bit-equal to the DuckDB CTE mirror without the chain's
+    * quadratic plan-analysis cost. */
+  def geohashEnc(lat: Double, lon: Double, chars: Int): UTF8String = {
+    val bits = chars * 5
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    var g = 0L
+    var b = 0
+    while (b < bits) {
+      if (b % 2 == 0) {
+        val mid = (lonLo + lonHi) / 2.0
+        if (lon >= mid) { g = g * 2 + 1; lonLo = mid }
+        else { g = g * 2; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2.0
+        if (lat >= mid) { g = g * 2 + 1; latLo = mid }
+        else { g = g * 2; latHi = mid }
+      }
+      b += 1
+    }
+    val out = new Array[Byte](chars)
+    var i = 0
+    while (i < chars) {
+      out(i) = GeohashAlphabet(((g >> (5 * (chars - 1 - i))) & 31L).toInt)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** Word n-grams joined by ' ', single pass — exactly the strings of the
     * HOF form `transform(sequence(...), i -> array_join(slice(toks, i, n), ' '))`. */
   def wordShingles(arr: ArrayData, n: Int): ArrayData = {

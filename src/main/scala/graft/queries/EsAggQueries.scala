@@ -781,11 +781,15 @@ object EsAggQueries {
     // the distinct-parent count per bucket. One exchange: partial aggs
     // combine per sku before the shuffle.
     "q72_nested_agg" -> ((s: SparkSession, d: String) => {
+      // sku period 3 < max items-per-doc 6, so parents DO repeat skus —
+      // item_count > parent_doc_count for real rows, which is the whole
+      // reverse_nested distinction (a %7 period made the two counts
+      // provably equal and the semantics vacuously tested)
       val items = ev(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .withColumn("items", expr(
           """transform(sequence(0, CAST(event_id % 5 AS INT)),
-            |  i -> struct(concat('sku', CAST((k + i) % 7 AS STRING)) AS sku,
+            |  i -> struct(concat('sku', CAST((k + i) % 3 AS STRING)) AS sku,
             |              (event_id + i) % 3 + 1 AS qty))""".stripMargin))
         .select(col("event_id"), explode(col("items")).as("it"))
       // two-level aggregate instead of countDistinct: a single-pass
@@ -1427,7 +1431,7 @@ object EsAggQueries {
       """WITH it AS (
         |  SELECT event_id,
         |         UNNEST(list_transform(generate_series(0, CAST(event_id % 5 AS INT)),
-        |           i -> {'sku': 'sku' || CAST((CAST(json_extract(props, '$.k') AS BIGINT) + i) % 7 AS VARCHAR),
+        |           i -> {'sku': 'sku' || CAST((CAST(json_extract(props, '$.k') AS BIGINT) + i) % 3 AS VARCHAR),
         |                 'qty': (event_id + i) % 3 + 1})) AS item
         |  FROM events
         |)

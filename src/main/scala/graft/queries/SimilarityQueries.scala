@@ -64,7 +64,10 @@ object SimilarityQueries {
       .agg(max(col("cos")).as("cos")) // same pair may hit in several tables
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"),
+      // cos emitted UNROUNDED (the q35 convention): native round(x,6)
+      // diverges between engines on .5-boundary doubles, and the raw
+      // cosine is already the identical IEEE value in both
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
         col("rank").cast("long").as("rank"))
   }
 
@@ -338,7 +341,7 @@ object SimilarityQueries {
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
          |  FROM pair
          |)
-         |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+         |SELECT query_id, vec_id AS neighbor_id, cos, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
     "q58_embedding_quantize" ->

@@ -251,7 +251,7 @@ class SketchSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unknown scripted_metric program"))
   }
 
-  test("geohash encoding matches the published test vectors") {
+  test("geohash encoding matches the published test vectors, native == chain") {
     import spark.implicits._
     // classic vectors from the geohash spec: (42.6, -5.6) -> ezs42...,
     // (57.64911, 10.40744) -> u4pruydqqvj
@@ -259,5 +259,16 @@ class SketchSpec extends AnyFunSuite {
     val got = graft.functions.geohash.withGeohash(pts, "lat", "lon", "gh", 3)
       .orderBy("id").collect().map(_.getString(3))
     assert(got.toSeq == Seq("ezs", "u4p"))
+    // the native kernel must stay bit-equal to the chain (the executable
+    // spec of the DuckDB mirror) — checked on real derived coordinates
+    val ev = queries.Tables(spark, sf, "events")
+      .withColumn("lat", (col("user_id") * 37 % 17000) / lit(100.0) - 85.0)
+      .withColumn("lon", (col("user_id") * 91 % 36000) / lit(100.0) - 180.0)
+      .select("lat", "lon").distinct()
+    val native = graft.functions.geohash.withGeohash(ev, "lat", "lon", "gh", 3)
+      .select("lat", "lon", "gh").collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getString(2)).toMap
+    val chain = graft.functions.geohash.withGeohashChain(ev, "lat", "lon", "gh", 3)
+      .select("lat", "lon", "gh").collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getString(2)).toMap
+    assert(native == chain && native.nonEmpty)
   }
 }
