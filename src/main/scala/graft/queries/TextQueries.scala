@@ -347,6 +347,68 @@ object TextQueries {
         .select(col("q"), col("term").as("suggestion"), col("dist"), col("df"))
     }),
 
+    // ES `completion` suggester: prefix-matched suggestions ranked by
+    // popularity. Query prefixes derive deterministically from the corpus
+    // (first 3 chars of the 10 highest-df terms); the tiny prefix set
+    // broadcasts against the vocab, top-5 per prefix by (df desc, term asc)
+    // — the ES completion contract (weight-ordered, size-limited).
+    "q67b_completion_suggest" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = docs(s, d)
+        .select(explode(array_distinct(col("toks"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(length(col("term")) >= 4)
+      val prefixes = vocab.orderBy(col("df").desc, col("term").asc).limit(10)
+        .select(substring(col("term"), 1, 3).as("prefix"))
+        .distinct()
+      val w = Window.partitionBy(col("prefix")).orderBy(col("df").desc, col("term").asc)
+      vocab.crossJoin(broadcast(prefixes))
+        .filter(col("term").startsWith(col("prefix")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("prefix"), col("term").as("suggestion"), col("df"), col("rank"))
+    }),
+
+    // ES `phrase` suggester (its deterministic core): candidate corrections
+    // for the typo'd second word of a query bigram, ranked by the corpus
+    // BIGRAM LANGUAGE MODEL — count of (context word, candidate) — then
+    // edit distance, then term. Queries derive from the top-5 corpus
+    // bigrams with the q67 typo convention (drop the 2nd char). The tiny
+    // query set broadcasts twice (vocab candidates, bigram scores); all
+    // ranking metrics are exact integers.
+    "q75_phrase_suggest" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val bigrams = docs(s, d)
+        .select(explode(text.shingles(col("toks"), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+      val queries = bigrams
+        .filter(length(col("w2")) >= 4)
+        .orderBy(col("bc").desc, col("bg").asc).limit(5)
+        .select(col("w1"),
+          concat(substring(col("w2"), 1, 1), expr("substring(w2, 3)")).as("typo"))
+        .distinct()
+      val vocab = docs(s, d)
+        .select(explode(array_distinct(col("toks"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val cands = vocab.crossJoin(broadcast(queries))
+        .withColumn("dist", levenshtein(col("typo"), col("term")).cast("long"))
+        .filter(col("dist") <= 1)
+      val scored = cands.join(
+        bigrams.select(col("w1").as("c_w1"), col("w2").as("c_w2"), col("bc")),
+        col("w1") === col("c_w1") && col("term") === col("c_w2"), "left")
+        .withColumn("big_count", coalesce(col("bc"), lit(0L)))
+      val w = Window.partitionBy(col("w1"), col("typo"))
+        .orderBy(col("big_count").desc, col("dist").asc, col("term").asc)
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(
+          concat(col("w1"), lit(" "), col("typo")).as("query_phrase"),
+          col("term").as("suggestion"), col("big_count"), col("dist"), col("rank"))
+    }),
+
     // REAL BPE (Sennrich 2016): merges learned by distributed pair-count
     // rounds over the vocab-sized word-frequency table (train-once model,
     // [[graft.operators.Bpe]]), then documents encoded with the learned
@@ -902,6 +964,69 @@ object TextQueries {
          |  FROM cand
          |)
          |SELECT q, term AS suggestion, dist, df FROM r WHERE rn = 1""".stripMargin,
+    "q67b_completion_suggest" ->
+      s"""WITH $docsCte,
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) WHERE length(term) >= 4 GROUP BY term
+         |),
+         |prefixes AS (
+         |  SELECT DISTINCT prefix FROM (
+         |    SELECT substring(term, 1, 3) AS prefix
+         |    FROM vocab ORDER BY df DESC, term ASC LIMIT 10
+         |  )
+         |),
+         |m AS (
+         |  SELECT prefixes.prefix, vocab.term, vocab.df
+         |  FROM vocab, prefixes
+         |  WHERE starts_with(vocab.term, prefixes.prefix)
+         |),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY prefix ORDER BY df DESC, term ASC) AS BIGINT) AS rank
+         |  FROM m
+         |)
+         |SELECT prefix, term AS suggestion, df, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q75_phrase_suggest" ->
+      s"""WITH $docsCte,
+         |bg AS (
+         |  SELECT bg, COUNT(*) AS bc,
+         |         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[-1] AS w2
+         |  FROM (
+         |    SELECT UNNEST(list_transform(generate_series(1, len(toks) - 1),
+         |                                 i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bg
+         |    FROM docs
+         |  ) GROUP BY bg
+         |),
+         |queries AS (
+         |  SELECT DISTINCT w1, substring(w2, 1, 1) || substring(w2, 3) AS typo FROM (
+         |    SELECT * FROM bg WHERE length(w2) >= 4
+         |    ORDER BY bc DESC, bg ASC LIMIT 5
+         |  )
+         |),
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) GROUP BY term
+         |),
+         |cand AS (
+         |  SELECT q.w1, q.typo, v.term, CAST(levenshtein(q.typo, v.term) AS BIGINT) AS dist
+         |  FROM vocab v, queries q
+         |  WHERE levenshtein(q.typo, v.term) <= 1
+         |),
+         |scored AS (
+         |  SELECT c.*, COALESCE(b.bc, 0) AS big_count
+         |  FROM cand c LEFT JOIN bg b ON c.w1 = b.w1 AND c.term = b.w2
+         |),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY w1, typo
+         |    ORDER BY big_count DESC, dist ASC, term ASC) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT w1 || ' ' || typo AS query_phrase, term AS suggestion,
+         |       CAST(big_count AS BIGINT) AS big_count, dist, rank
+         |FROM r WHERE rank <= 3""".stripMargin,
     "q65_more_like_this" ->
       s"""WITH $docsCte,
          |t AS (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs),
