@@ -409,6 +409,61 @@ object TextQueries {
           col("term").as("suggestion"), col("big_count"), col("dist"), col("rank"))
     }),
 
+    // ES's actual SEARCH core, hash-exact: BM25 ranked retrieval
+    // (Robertson/Sparck Jones, the Lucene similarity) for a deterministic
+    // 5-term query. Lucene's smoothed idf becomes detlog-computable through
+    // an integer identity — 1 + (N−df+0.5)/(df+0.5) = (2N+2)/(2df+1), both
+    // integers — so idf = log2(2N+2) − log2(2df+1) (a constant ln2 factor
+    // off canonical BM25: rank-identical, engine-exact, always ≥ 0). The tf
+    // normalization (k1=1.2, b=0.75) is plain IEEE arithmetic mirrored
+    // textually; per-doc scores reduce through detsum and docs rank on the
+    // UNROUNDED score. Scale shape: the corpus token stream filters against
+    // the broadcast query-term set BEFORE any shuffle; joins are doc-keyed.
+    "q76_bm25_search" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val k1 = 1.2
+      val b = 0.75
+      val t = docs(s, d).select(col("doc_id"), explode(col("toks")).as("tok"))
+      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val vocab = t.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(length(col("tok")) >= 4)
+      // query = the terms ranked 21..25 by (df desc, term asc) — mid-head
+      // terms that hit many but not all docs; deterministic in both engines
+      val qterms = vocab
+        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
+        .filter(col("r") >= 21 && col("r") <= 25)
+        .crossJoin(broadcast(stats))
+        .withColumn("num", lit(2L) * col("n_docs") + lit(2L))
+        .withColumn("den", lit(2L) * col("df") + lit(1L))
+      val qIdf = graft.functions.detlog
+        .withLog2(graft.functions.detlog.withLog2(qterms, "num", "lgn"), "den", "lgd")
+        .select(col("tok"), (col("lgn") - col("lgd")).as("idf"), col("avgdl"))
+      val tf = t.join(broadcast(qIdf.select(col("tok"))), Seq("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val scored = tf
+        .join(broadcast(qIdf), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .withColumn("score_t",
+          // literals spelled as decimal literals on BOTH sides: Scala
+          // `k1 + 1` computes 2.1999...956, a DIFFERENT double than the
+          // parsed literal 2.2 — the oracle must see the identical bits
+          col("idf") * ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))))
+      scored.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_terms_hit"),
+          graft.functions.detsum.sumDet(col("score_t"), 9).as("score"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("n_terms_hit"), round(col("score"), 6).as("score"))
+    }),
+
     // REAL BPE (Sennrich 2016): merges learned by distributed pair-count
     // rounds over the vocab-sized word-frequency table (train-once model,
     // [[graft.operators.Bpe]]), then documents encoded with the learned
@@ -1027,6 +1082,47 @@ object TextQueries {
          |SELECT w1 || ' ' || typo AS query_phrase, term AS suggestion,
          |       CAST(big_count AS BIGINT) AS big_count, dist, rank
          |FROM r WHERE rank <= 3""".stripMargin,
+    "q76_bm25_search" ->
+      s"""WITH $docsCte,
+         |t AS (SELECT doc_id, UNNEST(toks) AS tok FROM docs),
+         |dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |vocab AS MATERIALIZED (
+         |  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM t)
+         |  WHERE length(tok) >= 4 GROUP BY tok
+         |),
+         |qt0 AS (
+         |  SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS r FROM vocab
+         |),
+         |qt1 AS MATERIALIZED (
+         |  SELECT tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+         |         CAST(2 * df + 1 AS BIGINT) AS den, avgdl
+         |  FROM qt0, stats WHERE r BETWEEN 21 AND 25
+         |),
+         |${graft.functions.detlog.log2SqlCtes("qt1", "num", "lgn", "qn")},
+         |${graft.functions.detlog.log2SqlCtes("qnfin", "den", "lgd", "qd")},
+         |qidf AS (SELECT tok, lgn - lgd AS idf, avgdl FROM qdfin),
+         |tf AS (
+         |  SELECT t.doc_id, t.tok, COUNT(*) AS tf
+         |  FROM t JOIN qidf ON t.tok = qidf.tok GROUP BY 1, 2
+         |),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         qidf.idf * ((CAST(tf.tf AS DOUBLE) * 2.2e0) /
+         |           (CAST(tf.tf AS DOUBLE) +
+         |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / qidf.avgdl))) AS score_t
+         |  FROM tf JOIN qidf ON tf.tok = qidf.tok JOIN dl ON tf.doc_id = dl.doc_id
+         |),
+         |per AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms_hit, ${graft.functions.detsum.sumDetSql("score_t", 9)} AS score
+         |  FROM sc GROUP BY doc_id
+         |),
+         |rr AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM per
+         |)
+         |SELECT rank, doc_id, n_terms_hit, round(score, 6) AS score
+         |FROM rr WHERE rank <= 20""".stripMargin,
     "q65_more_like_this" ->
       s"""WITH $docsCte,
          |t AS (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs),
