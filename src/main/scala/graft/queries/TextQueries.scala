@@ -24,6 +24,23 @@ object TextQueries {
     Tables(spark, dir, "documents")
       .withColumn("toks", text.tokens(col("text")))
 
+  /** The percolator's stored-query registry: 8 term+min-length rules from
+    * the vocab terms ranked 26..33 by (df desc, term asc) — deterministic
+    * in both engines; shared by q77 (batch) and st14 (streaming). */
+  private def percolateRules(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d)
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(length(col("term")) >= 4)
+      .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
+      .filter(col("r") >= 26 && col("r") <= 33)
+      .select(
+        (col("r") - lit(25)).cast("long").as("rule_id"),
+        col("term"),
+        (lit(40L) + (col("r") - lit(26)) * lit(5L)).as("min_toks"))
+  }
+
   /** The q41 quality-score map (stateless — reused verbatim by the st13
     * streaming form; input needs `doc_id`, `text`, `toks`). */
   private def qualityScore(in: DataFrame): DataFrame =
@@ -464,6 +481,44 @@ object TextQueries {
         .select(col("rank"), col("doc_id"), col("n_terms_hit"), round(col("score"), 6).as("score"))
     }),
 
+    // ES `percolate`: REVERSE search — a registry of stored queries, each
+    // incoming doc reports which stored queries match it (the alerting
+    // shape: OpenNMS-style rules over arriving flows/documents). Stored
+    // queries here are 8 term+length predicates derived deterministically
+    // from the corpus; the tiny registry broadcasts, docs stream by once.
+    "q77_percolate" -> ((s: SparkSession, d: String) =>
+      docs(s, d)
+        .crossJoin(broadcast(percolateRules(s, d)))
+        .filter(array_contains(col("toks"), col("term")) && size(col("toks")) >= col("min_toks"))
+        .groupBy(col("rule_id"), col("term"), col("min_toks"))
+        .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))),
+
+    // The always-on percolator: the same rule registry matched against the
+    // DOCUMENT STREAM (alert-at-ingest), complete-mode running counts.
+    // Shares q77's oracle — a hash match proves the streaming percolation
+    // equals the batch reverse search.
+    "st14_percolate_stream" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val spool = IngestQueries.scratchDir("graft_doc_spool_st14")
+      Tables(s, d, "documents").repartition(4).write.mode("overwrite").parquet(spool.toString)
+      val src = s.readStream
+        .schema(Tables(s, d, "documents").schema)
+        .parquet(spool.toString)
+        .withColumn("toks", text.tokens(col("text")))
+      val agg = src
+        .crossJoin(broadcast(percolateRules(s, d)))
+        .filter(array_contains(col("toks"), col("term")) && size(col("toks")) >= col("min_toks"))
+        .groupBy(col("rule_id"), col("term"), col("min_toks"))
+        .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))
+      val q = agg.writeStream
+        .format("memory").queryName("st14_mem")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st14_mem")
+    }),
+
     // REAL BPE (Sennrich 2016): merges learned by distributed pair-count
     // rounds over the vocab-sized word-frequency table (train-once model,
     // [[graft.operators.Bpe]]), then documents encoded with the learned
@@ -772,7 +827,29 @@ object TextQueries {
        |       round(LEAST(1.0, n_tok / 100.0) * 0.5 + stop_ratio * 0.3 - punct_ratio * 0.2, 6) AS quality
        |FROM r""".stripMargin
 
+  /** q77's oracle — shared verbatim by st14 (streaming percolation must
+    * equal the batch reverse search). */
+  private val percolateSql =
+    s"""WITH $docsCte,
+       |vocab AS (
+       |  SELECT term, COUNT(*) AS df FROM (
+       |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+       |  ) WHERE length(term) >= 4 GROUP BY term
+       |),
+       |rules AS (
+       |  SELECT CAST(r - 25 AS BIGINT) AS rule_id, term,
+       |         CAST(40 + (r - 26) * 5 AS BIGINT) AS min_toks
+       |  FROM (SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM vocab)
+       |  WHERE r BETWEEN 26 AND 33
+       |)
+       |SELECT rule_id, term, min_toks, COUNT(*) AS n_matches, MIN(doc_id) AS first_doc
+       |FROM docs, rules
+       |WHERE list_contains(toks, term) AND len(toks) >= min_toks
+       |GROUP BY 1, 2, 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q77_percolate" -> percolateSql,
+    "st14_percolate_stream" -> percolateSql,
     "st13_stream_quality" -> q41Sql,
     "q57b_temperature_mix" -> {
       val det = graft.functions.detsum.sumDetSql("t_w", 12)
