@@ -90,9 +90,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("geohash_enc"),
       info("geohash_enc", "geohash_enc(lat, lon, chars) - base32 geohash cell id"),
       (exprs: Seq[Expression]) => {
-        val chars = exprs(2) match {
-          case Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Int]
+        val chars = exprs(2).eval() match {
+          case i: java.lang.Integer => i.intValue
+          case l: java.lang.Long => l.intValue
+          case other => throw new IllegalArgumentException(
+            s"geohash_enc: chars must be an integer literal, got $other")
         }
         GeohashEnc(exprs(0), exprs(1), chars)
       }))

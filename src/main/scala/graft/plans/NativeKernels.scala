@@ -152,13 +152,17 @@ object NativeKernels {
     var g = 0L
     var b = 0
     while (b < bits) {
+      // !(x < mid), not x >= mid: SQL comparison semantics (both the chain
+      // and the DuckDB mirror) order NaN ABOVE every double, while Java's
+      // >= is false for NaN — the negated form makes NaN take the high
+      // branch here too, preserving bit-equality on non-finite input
       if (b % 2 == 0) {
         val mid = (lonLo + lonHi) / 2.0
-        if (lon >= mid) { g = g * 2 + 1; lonLo = mid }
+        if (!(lon < mid)) { g = g * 2 + 1; lonLo = mid }
         else { g = g * 2; lonHi = mid }
       } else {
         val mid = (latLo + latHi) / 2.0
-        if (lat >= mid) { g = g * 2 + 1; latLo = mid }
+        if (!(lat < mid)) { g = g * 2 + 1; latLo = mid }
         else { g = g * 2; latHi = mid }
       }
       b += 1

@@ -24,22 +24,43 @@ object TextQueries {
     Tables(spark, dir, "documents")
       .withColumn("toks", text.tokens(col("text")))
 
-  /** The percolator's stored-query registry: 8 term+min-length rules from
-    * the vocab terms ranked 26..33 by (df desc, term asc) — deterministic
-    * in both engines; shared by q77 (batch) and st14 (streaming). */
-  private def percolateRules(s: SparkSession, d: String): DataFrame = {
+  /** The length-≥4 document-frequency vocabulary with its (df desc, term
+    * asc) rank — the ONE base every rank-windowed consumer (percolator
+    * rules, completion prefixes, BM25 query terms) derives from. NOTE: the
+    * shipped corpus has only 24 such terms at every SF — a rank window must
+    * stay inside that (q77's original 26..33 window selected NOTHING and
+    * made its oracle vacuous; TextSurfaceSpec now asserts non-emptiness). */
+  private[graft] def rankedVocab(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs(s, d)
       .select(explode(array_distinct(col("toks"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(length(col("term")) >= 4)
       .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
-      .filter(col("r") >= 26 && col("r") <= 33)
-      .select(
-        (col("r") - lit(25)).cast("long").as("rule_id"),
-        col("term"),
-        (lit(40L) + (col("r") - lit(26)) * lit(5L)).as("min_toks"))
   }
+
+  /** The shared DuckDB mirror of [[rankedVocab]] — a CTE named `rvocab`. */
+  private val rankedVocabCte =
+    """rvocab AS (
+      |  SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS r
+      |  FROM (
+      |    SELECT term, COUNT(*) AS df FROM (
+      |      SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+      |    ) WHERE length(term) >= 4 GROUP BY term
+      |  )
+      |)""".stripMargin
+
+  /** The percolator's stored-query registry: 8 term+min-length rules from
+    * the vocab terms ranked 5..12 by (df desc, term asc) — deterministic
+    * in both engines and guaranteed non-empty on the 24-term vocab; shared
+    * by q77 (batch) and st14 (streaming). */
+  private[graft] def percolateRules(s: SparkSession, d: String): DataFrame =
+    rankedVocab(s, d)
+      .filter(col("r") >= 5 && col("r") <= 12)
+      .select(
+        (col("r") - lit(4)).cast("long").as("rule_id"),
+        col("term"),
+        (lit(40L) + (col("r") - lit(5)) * lit(5L)).as("min_toks"))
 
   /** The q41 quality-score map (stateless — reused verbatim by the st13
     * streaming form; input needs `doc_id`, `text`, `toks`). */
@@ -371,11 +392,8 @@ object TextQueries {
     // — the ES completion contract (weight-ordered, size-limited).
     "q67b_completion_suggest" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val vocab = docs(s, d)
-        .select(explode(array_distinct(col("toks"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .filter(length(col("term")) >= 4)
-      val prefixes = vocab.orderBy(col("df").desc, col("term").asc).limit(10)
+      val vocab = rankedVocab(s, d).select(col("term"), col("df"))
+      val prefixes = rankedVocab(s, d).filter(col("r") <= 10)
         .select(substring(col("term"), 1, 3).as("prefix"))
         .distinct()
       val w = Window.partitionBy(col("prefix")).orderBy(col("df").desc, col("term").asc)
@@ -445,14 +463,13 @@ object TextQueries {
       val stats = dl.agg(
         count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val vocab = t.select(col("doc_id"), col("tok")).distinct()
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .filter(length(col("tok")) >= 4)
-      // query = the terms ranked 21..25 by (df desc, term asc) — mid-head
-      // terms that hit many but not all docs; deterministic in both engines
-      val qterms = vocab
-        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
-        .filter(col("r") >= 21 && col("r") <= 25)
+      // query = the terms ranked 11..15 by (df desc, term asc) — mid-head
+      // terms that hit many but not all docs; deterministic in both
+      // engines, and safely inside the 24-term length-≥4 vocabulary (a
+      // 21..25 window silently yielded a 4-term query)
+      val qterms = rankedVocab(s, d)
+        .filter(col("r") >= 11 && col("r") <= 15)
+        .select(col("term").as("tok"), col("df"))
         .crossJoin(broadcast(stats))
         .withColumn("num", lit(2L) * col("n_docs") + lit(2L))
         .withColumn("den", lit(2L) * col("df") + lit(1L))
@@ -478,7 +495,9 @@ object TextQueries {
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)
-        .select(col("rank"), col("doc_id"), col("n_terms_hit"), round(col("score"), 6).as("score"))
+        // score emitted UNROUNDED (the q35/q36 convention): the detsum
+        // value is identical in both engines; native round(x,6) is not
+        .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("score"))
     }),
 
     // ES `percolate`: REVERSE search — a registry of stored queries, each
@@ -831,16 +850,11 @@ object TextQueries {
     * equal the batch reverse search). */
   private val percolateSql =
     s"""WITH $docsCte,
-       |vocab AS (
-       |  SELECT term, COUNT(*) AS df FROM (
-       |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
-       |  ) WHERE length(term) >= 4 GROUP BY term
-       |),
+       |$rankedVocabCte,
        |rules AS (
-       |  SELECT CAST(r - 25 AS BIGINT) AS rule_id, term,
-       |         CAST(40 + (r - 26) * 5 AS BIGINT) AS min_toks
-       |  FROM (SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM vocab)
-       |  WHERE r BETWEEN 26 AND 33
+       |  SELECT CAST(r - 4 AS BIGINT) AS rule_id, term,
+       |         CAST(40 + (r - 5) * 5 AS BIGINT) AS min_toks
+       |  FROM rvocab WHERE r BETWEEN 5 AND 12
        |)
        |SELECT rule_id, term, min_toks, COUNT(*) AS n_matches, MIN(doc_id) AS first_doc
        |FROM docs, rules
@@ -1098,21 +1112,15 @@ object TextQueries {
          |SELECT q, term AS suggestion, dist, df FROM r WHERE rn = 1""".stripMargin,
     "q67b_completion_suggest" ->
       s"""WITH $docsCte,
-         |vocab AS (
-         |  SELECT term, COUNT(*) AS df FROM (
-         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
-         |  ) WHERE length(term) >= 4 GROUP BY term
-         |),
+         |$rankedVocabCte,
          |prefixes AS (
-         |  SELECT DISTINCT prefix FROM (
-         |    SELECT substring(term, 1, 3) AS prefix
-         |    FROM vocab ORDER BY df DESC, term ASC LIMIT 10
-         |  )
+         |  SELECT DISTINCT substring(term, 1, 3) AS prefix
+         |  FROM rvocab WHERE r <= 10
          |),
          |m AS (
-         |  SELECT prefixes.prefix, vocab.term, vocab.df
-         |  FROM vocab, prefixes
-         |  WHERE starts_with(vocab.term, prefixes.prefix)
+         |  SELECT prefixes.prefix, rvocab.term, rvocab.df
+         |  FROM rvocab, prefixes
+         |  WHERE starts_with(rvocab.term, prefixes.prefix)
          |),
          |r AS (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY prefix ORDER BY df DESC, term ASC) AS BIGINT) AS rank
@@ -1164,17 +1172,11 @@ object TextQueries {
          |t AS (SELECT doc_id, UNNEST(toks) AS tok FROM docs),
          |dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
          |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-         |vocab AS MATERIALIZED (
-         |  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM t)
-         |  WHERE length(tok) >= 4 GROUP BY tok
-         |),
-         |qt0 AS (
-         |  SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS r FROM vocab
-         |),
+         |$rankedVocabCte,
          |qt1 AS MATERIALIZED (
-         |  SELECT tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+         |  SELECT term AS tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
          |         CAST(2 * df + 1 AS BIGINT) AS den, avgdl
-         |  FROM qt0, stats WHERE r BETWEEN 21 AND 25
+         |  FROM rvocab, stats WHERE r BETWEEN 11 AND 15
          |),
          |${graft.functions.detlog.log2SqlCtes("qt1", "num", "lgn", "qn")},
          |${graft.functions.detlog.log2SqlCtes("qnfin", "den", "lgd", "qd")},
@@ -1198,7 +1200,7 @@ object TextQueries {
          |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
          |  FROM per
          |)
-         |SELECT rank, doc_id, n_terms_hit, round(score, 6) AS score
+         |SELECT rank, doc_id, n_terms_hit, score
          |FROM rr WHERE rank <= 20""".stripMargin,
     "q65_more_like_this" ->
       s"""WITH $docsCte,

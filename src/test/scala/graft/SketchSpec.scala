@@ -255,10 +255,16 @@ class SketchSpec extends AnyFunSuite {
     import spark.implicits._
     // classic vectors from the geohash spec: (42.6, -5.6) -> ezs42...,
     // (57.64911, 10.40744) -> u4pruydqqvj
-    val pts = Seq((1L, 42.6, -5.6), (2L, 57.64911, 10.40744)).toDF("id", "lat", "lon")
+    val pts = Seq((1L, 42.6, -5.6), (2L, 57.64911, 10.40744), (3L, Double.NaN, 1.0))
+      .toDF("id", "lat", "lon")
     val got = graft.functions.geohash.withGeohash(pts, "lat", "lon", "gh", 3)
       .orderBy("id").collect().map(_.getString(3))
-    assert(got.toSeq == Seq("ezs", "u4p"))
+    // NaN follows SQL comparison semantics (greater than everything) in
+    // BOTH forms — the kernel uses !(x < mid) so Java agrees with the chain
+    assert(got.take(2).toSeq == Seq("ezs", "u4p"))
+    val chainNaN = graft.functions.geohash.withGeohashChain(pts, "lat", "lon", "gh", 3)
+      .orderBy("id").collect().map(_.getString(3))
+    assert(got.toSeq == chainNaN.toSeq)
     // the native kernel must stay bit-equal to the chain (the executable
     // spec of the DuckDB mirror) — checked on real derived coordinates
     val ev = queries.Tables(spark, sf, "events")
