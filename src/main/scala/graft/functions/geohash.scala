@@ -61,7 +61,12 @@ object geohash {
         (shiftright(col("__g"), shift).bitwiseAND(lit(31L)) + lit(1L)).cast("int"),
         lit(1))
     }: _*)
-    d.withColumn(out, s)
+    // null parity with the native kernel: GeohashEnc is nullSafeEval (null
+    // lat/lon → null hash), while the bisection chain would silently encode
+    // a null coordinate as all-low bits (`null >= mid` is null → otherwise
+    // branch every step)
+    d.withColumn(out,
+        when(col(latIn).isNull || col(lonIn).isNull, lit(null).cast("string")).otherwise(s))
       .drop("__lonlo", "__lonhi", "__latlo", "__lathi", "__g", "__mid", "__bit")
   }
 

@@ -184,10 +184,11 @@ object MediaCodec {
   }
 
   /** Decode an 8-bit truecolor (color type 2, non-interlaced) PNG: chunk
-    * walk (ancillary chunks skipped, multiple IDATs concatenated per spec),
-    * zlib inflate via `java.util.zip.Inflater`, and FULL filter
-    * reconstruction — types 0-4 None/Sub/Up/Average/Paeth (PNG spec §9,
-    * Paeth predictor §9.4). Returns None for malformed files and variants
+    * walk (ancillary chunks skipped, multiple IDATs concatenated per spec,
+    * every chunk's CRC32 validated per spec §5.3), zlib inflate via
+    * `java.util.zip.Inflater`, and FULL filter reconstruction — types 0-4
+    * None/Sub/Up/Average/Paeth (PNG spec §9, Paeth predictor §9.4). Returns
+    * None for malformed files (including CRC mismatches) and variants
     * outside this profile (palette, alpha, 16-bit, interlaced) so callers
     * can fall back. */
   def decodePng(bytes: Array[Byte]): Option[DecodedImage] = {
@@ -210,6 +211,11 @@ object MediaCodec {
       if (len < 0 || pos.toLong + 12 + len > bytes.length) return None
       val tag = new String(bytes, pos + 4, 4, "US-ASCII")
       val body = pos + 8
+      // CRC validation (PNG spec §5.3: CRC32 over tag + body) — a chunk
+      // whose stored CRC disagrees means the file is corrupt; fall back
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      if (crc.getValue.toInt != be32(bytes, body + len)) return None
       tag match {
         case "IHDR" =>
           if (len != 13) return None

@@ -781,7 +781,8 @@ object EsAggQueries {
     // the distinct-parent count per bucket. One exchange: partial aggs
     // combine per sku before the shuffle.
     "q72_nested_agg" -> ((s: SparkSession, d: String) => {
-      // sku period 3 < max items-per-doc 6, so parents DO repeat skus —
+      // sku period 3 < max items-per-doc 5 (sequence(0, event_id % 5) has
+      // (event_id % 5) + 1 ≤ 5 elements), so parents DO repeat skus —
       // item_count > parent_doc_count for real rows, which is the whole
       // reverse_nested distinction (a %7 period made the two counts
       // provably equal and the semantics vacuously tested)
@@ -815,12 +816,20 @@ object EsAggQueries {
     "q73_children_agg" -> ((s: SparkSession, d: String) => {
       val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
       val l = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      // two-level aggregate instead of countDistinct(o_orderkey): mixing a
+      // distinct agg with non-distinct ones plans through Expand (every
+      // joined row duplicated before the shuffle). Keying the first level by
+      // (priority, orderkey) pre-combines map-side; the second level counts
+      // groups for the distinct-parent count. sumDet is an exact
+      // scaled-integer sum, so the two-level split is value-identical.
       o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"), col("o_orderkey"))
+        .agg(count(lit(1)).as("c"), sumDet(col("l_quantity")).as("q"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          countDistinct(col("o_orderkey")).as("parent_doc_count"),
-          count(lit(1)).as("child_doc_count"),
-          sumDet(col("l_quantity")).as("sum_qty"))
+          count(lit(1)).as("parent_doc_count"),
+          sum(col("c")).as("child_doc_count"),
+          sumDet(col("q")).as("sum_qty"))
     }),
 
     // ES `bucket_count_ks_test` pipeline agg (its deterministic core): the

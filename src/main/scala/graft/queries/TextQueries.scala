@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.text
@@ -23,6 +24,45 @@ object TextQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("toks", text.tokens(col("text")))
+
+  /** The q70 DSIR pipeline up to (but not including) the coordinator
+    * localization — exposed so PlanSpec can gate the DISTRIBUTED plan (the
+    * broadcast weight join) that `materializeAndFree` hides behind a
+    * LocalRelation. Returns (top-20 result, checkpointed bucket-count frame
+    * whose blocks the caller frees after materializing). */
+  private[graft] def dsirDistributed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.functions.{detlog, detsum}
+    val grams = docs(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("toks"), text.shingles(col("toks"), 2))).as("g"))
+      .withColumn("b", substring(md5(col("g").cast("binary")), 1, 2))
+    // the 256-row bucket-count table is read by BOTH log chains and the
+    // totals — materialize it once so the corpus-sized gram stream is
+    // scanned exactly twice (count pass, score pass), the DSIR paper
+    // shape, instead of once per consumer
+    val counts0 = grams.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("source") === "src0", 1)).as("ct0"))
+      .localCheckpoint(true)
+    val counts1 = counts0
+      .withColumn("crp", col("cr") + lit(1L))
+      .withColumn("ctp", col("ct0") + lit(1L))
+    val bucketLg = detlog.withLog2(detlog.withLog2(counts1, "ctp", "lgt"), "crp", "lgr")
+    val tot = counts0.agg(
+      (sum(col("cr")) + lit(256L)).as("nr"),
+      (sum(col("ct0")) + lit(256L)).as("nt"))
+    val totLg = detlog.withLog2(detlog.withLog2(tot, "nt", "lgnt"), "nr", "lgnr")
+    val w = bucketLg
+      .crossJoin(broadcast(totLg.select(col("lgnt"), col("lgnr"))))
+      .select(col("b"), ((col("lgt") - col("lgnt")) - (col("lgr") - col("lgnr"))).as("w"))
+    val result = grams.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_feat"), detsum.sumDet(col("w"), 9).as("sw"))
+      .select(col("doc_id"), col("source"), col("n_feat"), round(col("sw"), 6).as("logratio"))
+      .orderBy(col("logratio").desc, col("doc_id").asc)
+      .limit(20)
+    (result, counts0)
+  }
 
   /** The length-≥4 document-frequency vocabulary with its (df desc, term
     * asc) rank — the ONE base every rank-windowed consumer (percolator
@@ -243,36 +283,9 @@ object TextQueries {
     // seeded noise; its testable core — the ranked importance weights — is
     // what this query emits (top 20, deterministic tiebreak).
     "q70_dsir" -> ((s: SparkSession, d: String) => {
-      import graft.functions.{detlog, detsum}
-      val grams = docs(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(concat(col("toks"), text.shingles(col("toks"), 2))).as("g"))
-        .withColumn("b", substring(md5(col("g").cast("binary")), 1, 2))
-      // the 256-row bucket-count table is read by BOTH log chains and the
-      // totals — materialize it once so the corpus-sized gram stream is
-      // scanned exactly twice (count pass, score pass), the DSIR paper
-      // shape, instead of once per consumer
-      val counts0 = grams.groupBy(col("b")).agg(
-        count(lit(1)).as("cr"),
-        count(when(col("source") === "src0", 1)).as("ct0"))
-        .localCheckpoint(true)
-      val counts1 = counts0
-        .withColumn("crp", col("cr") + lit(1L))
-        .withColumn("ctp", col("ct0") + lit(1L))
-      val bucketLg = detlog.withLog2(detlog.withLog2(counts1, "ctp", "lgt"), "crp", "lgr")
-      val tot = counts0.agg(
-        (sum(col("cr")) + lit(256L)).as("nr"),
-        (sum(col("ct0")) + lit(256L)).as("nt"))
-      val totLg = detlog.withLog2(detlog.withLog2(tot, "nt", "lgnt"), "nr", "lgnr")
-      val w = bucketLg
-        .crossJoin(broadcast(totLg.select(col("lgnt"), col("lgnr"))))
-        .select(col("b"), ((col("lgt") - col("lgnt")) - (col("lgr") - col("lgnr"))).as("w"))
-      grams.join(broadcast(w), Seq("b"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_feat"), detsum.sumDet(col("w"), 9).as("sw"))
-        .select(col("doc_id"), col("source"), col("n_feat"), round(col("sw"), 6).as("logratio"))
-        .orderBy(col("logratio").desc, col("doc_id").asc)
-        .limit(20)
+      val (result, counts0) = dsirDistributed(s, d)
+      // top-20 rows — coordinator-sized; free the 256-row bucket-count blocks
+      Tables.materializeAndFree(result, counts0)
     }),
 
     "q45_length_histogram" -> ((s: SparkSession, d: String) =>
@@ -332,11 +345,18 @@ object TextQueries {
     // CCNet's final pipeline stage: split the corpus into head/middle/tail
     // perplexity buckets (quartile edges over the q63 cross-entropy) and
     // report per-source bucket sizes + mean xent — the quality-tiered mix a
-    // curation run feeds to sampling. Bucket assignment is edge-safe
-    // cross-engine: an interpolated quartile lies STRICTLY between two data
-    // values (or IS a data value when the index is integral), so a ±1-ulp
-    // interpolation difference between engines can never flip a doc's
-    // bucket. Means reduce through detsum.
+    // curation run feeds to sampling. The quartile edges are DISTRIBUTED
+    // EXACT order statistics, not an exact-percentile aggregate: `percentile
+    // (xent_raw, q)` over one row per document is a single unbounded agg
+    // buffer (the whole corpus on one reducer at 100 TB). Instead:
+    // range-partition by value, rank within partitions, offset by the tiny
+    // per-partition count table, select the two interpolation neighbors per
+    // edge, interpolate — identical value to percentile(), with the corpus
+    // never leaving its partitions. Bucket assignment is edge-exact
+    // cross-engine: both engines select the SAME two order statistics and
+    // interpolate with the textually identical expression on an exact
+    // quarter fraction, so the edges are bit-identical by construction
+    // (stronger than the old strictly-between argument).
     "q71_perplexity_buckets" -> ((s: SparkSession, d: String) => {
       // the xent table (one row per doc, 4 narrow columns) feeds both the
       // quartile pass and the bucketing pass — materialize it once instead
@@ -344,10 +364,43 @@ object TextQueries {
       // the natural pipeline break anyway: scores land, then the mix is
       // planned over them)
       val x = unigramXent(s, d).localCheckpoint(true)
-      val edges = x.agg(
-        expr("percentile(xent_raw, 0.25)").as("e1"),
-        expr("percentile(xent_raw, 0.75)").as("e2"))
-      x.crossJoin(broadcast(edges))
+      // distributed rank: RangePartitioner gives a global sort order across
+      // partitions (deterministic sampling on the checkpointed input), so
+      // global rank = per-partition row_number + cumulative offset of the
+      // preceding partitions. Only the 32-row count table ever sees a
+      // single-partition window.
+      val parted = x.select(col("xent_raw"))
+        .repartitionByRange(32, col("xent_raw"))
+        .withColumn("pid", spark_partition_id())
+      val ranked = parted.withColumn("pr",
+        row_number().over(Window.partitionBy(col("pid")).orderBy(col("xent_raw"))).cast("long"))
+      val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("pc"))
+      val offsets = counts.withColumn("off",
+        coalesce(sum(col("pc")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // target ranks k (=floor(1+(n-1)q)) and k+1; the fraction f is an
+      // exact quarter (n-1 exact in double, ×0.25/×0.75 exact), so the
+      // interpolation arithmetic below is reproducible bit-for-bit
+      val ks = counts.agg(sum(col("pc")).as("n")).select(
+        (floor((col("n") - 1) * lit(0.25)) + 1).cast("long").as("k1"),
+        ((col("n") - 1) * lit(0.25) - floor((col("n") - 1) * lit(0.25))).as("f1"),
+        (floor((col("n") - 1) * lit(0.75)) + 1).cast("long").as("k2"),
+        ((col("n") - 1) * lit(0.75) - floor((col("n") - 1) * lit(0.75))).as("f2"))
+      val edges = ranked.join(broadcast(offsets.select(col("pid"), col("off"))), Seq("pid"))
+        .withColumn("gr", col("off") + col("pr"))
+        .crossJoin(broadcast(ks))
+        .filter(col("gr") === col("k1") || col("gr") === col("k1") + 1 ||
+          col("gr") === col("k2") || col("gr") === col("k2") + 1)
+        .groupBy(col("f1"), col("f2")) // ≤4 rows survive the filter
+        .agg(
+          min(when(col("gr") === col("k1"), col("xent_raw"))).as("v1"),
+          min(when(col("gr") === col("k1") + 1, col("xent_raw"))).as("v1n"),
+          min(when(col("gr") === col("k2"), col("xent_raw"))).as("v2"),
+          min(when(col("gr") === col("k2") + 1, col("xent_raw"))).as("v2n"))
+        .select(
+          (col("v1") + col("f1") * (coalesce(col("v1n"), col("v1")) - col("v1"))).as("e1"),
+          (col("v2") + col("f2") * (coalesce(col("v2n"), col("v2")) - col("v2"))).as("e2"))
+      val result = x.crossJoin(broadcast(edges))
         .withColumn("bucket",
           when(col("xent_raw") <= col("e1"), "head")
             .when(col("xent_raw") <= col("e2"), "middle")
@@ -357,6 +410,8 @@ object TextQueries {
           count(lit(1)).as("n_docs"),
           round(graft.functions.detsum.sumDet(col("xent_raw"), 9) / count(lit(1)), 6)
             .as("mean_xent"))
+      // per-(source,bucket) rows — coordinator-sized; free the xent blocks
+      Tables.materializeAndFree(result, x)
     }),
 
     // ES `term` suggester: spell-correction candidates ranked by
@@ -1245,7 +1300,26 @@ object TextQueries {
          |x AS MATERIALIZED (
          |  SELECT doc_id, source, lgt - slg / CAST(n_tok AS DOUBLE) AS xr FROM per, tlgfin
          |),
-         |e AS (SELECT quantile_cont(xr, 0.25) AS e1, quantile_cont(xr, 0.75) AS e2 FROM x)
+         |rk AS (SELECT xr, CAST(row_number() OVER (ORDER BY xr) AS BIGINT) AS gr FROM x),
+         |kk AS (
+         |  SELECT CAST(floor((n - 1) * 0.25e0) AS BIGINT) + 1 AS k1,
+         |         (n - 1) * 0.25e0 - floor((n - 1) * 0.25e0) AS f1,
+         |         CAST(floor((n - 1) * 0.75e0) AS BIGINT) + 1 AS k2,
+         |         (n - 1) * 0.75e0 - floor((n - 1) * 0.75e0) AS f2
+         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x)
+         |),
+         |ev AS (
+         |  SELECT MIN(CASE WHEN gr = k1 THEN xr END) AS v1,
+         |         MIN(CASE WHEN gr = k1 + 1 THEN xr END) AS v1n,
+         |         MIN(CASE WHEN gr = k2 THEN xr END) AS v2,
+         |         MIN(CASE WHEN gr = k2 + 1 THEN xr END) AS v2n
+         |  FROM rk, kk
+         |),
+         |e AS (
+         |  SELECT v1 + f1 * (COALESCE(v1n, v1) - v1) AS e1,
+         |         v2 + f2 * (COALESCE(v2n, v2) - v2) AS e2
+         |  FROM ev, kk
+         |)
          |SELECT source,
          |       CASE WHEN xr <= e1 THEN 'head' WHEN xr <= e2 THEN 'middle' ELSE 'tail' END AS bucket,
          |       COUNT(*) AS n_docs,

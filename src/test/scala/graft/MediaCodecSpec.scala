@@ -176,19 +176,31 @@ class MediaCodecSpec extends AnyFunSuite {
     val good = MediaCodec.encodePng(4, 4, new Array[Byte](48))
     // IHDR body starts at 16 (sig 8 + len 4 + tag 4): depth +8, color +9,
     // interlace +12; IDAT body starts at 8 + 25 + 8 = 41
+    // recompute the CRC of the chunk at `pos` after a test mutation, so the
+    // assertion exercises the PROFILE check, not the CRC gate in front of it
+    def reCrc(png: Array[Byte], pos: Int): Array[Byte] = {
+      val len = java.nio.ByteBuffer.wrap(png, pos, 4).getInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(png, pos + 4, 4 + len)
+      java.nio.ByteBuffer.wrap(png, pos + 8 + len, 4).putInt(crc.getValue.toInt)
+      png
+    }
     assert(MediaCodec.decodePng(good.take(30)).isEmpty, "truncated file")
     assert(MediaCodec.decodePng("definitely not a png".getBytes("UTF-8")).isEmpty)
     assert(MediaCodec.decodePng(Array.emptyByteArray).isEmpty)
     val pal = good.clone(); pal(25) = 3
-    assert(MediaCodec.decodePng(pal).isEmpty, "palette color type unsupported")
+    assert(MediaCodec.decodePng(reCrc(pal, 8)).isEmpty, "palette color type unsupported")
     val rgba = good.clone(); rgba(25) = 6
-    assert(MediaCodec.decodePng(rgba).isEmpty, "alpha color type unsupported")
+    assert(MediaCodec.decodePng(reCrc(rgba, 8)).isEmpty, "alpha color type unsupported")
     val deep = good.clone(); deep(24) = 16
-    assert(MediaCodec.decodePng(deep).isEmpty, "16-bit depth unsupported")
+    assert(MediaCodec.decodePng(reCrc(deep, 8)).isEmpty, "16-bit depth unsupported")
     val il = good.clone(); il(28) = 1
-    assert(MediaCodec.decodePng(il).isEmpty, "Adam7 interlace unsupported")
+    assert(MediaCodec.decodePng(reCrc(il, 8)).isEmpty, "Adam7 interlace unsupported")
     val badZlib = good.clone(); badZlib(41) = 0
-    assert(MediaCodec.decodePng(badZlib).isEmpty, "corrupt zlib header must not crash")
+    assert(MediaCodec.decodePng(reCrc(badZlib, 33)).isEmpty, "corrupt zlib header must not crash")
+    // same mutation WITHOUT the CRC fix-up: the CRC gate itself must reject
+    val badCrc = good.clone(); badCrc(41) = 0
+    assert(MediaCodec.decodePng(badCrc).isEmpty, "CRC mismatch must be rejected")
     // hostile chunk length near Int.MaxValue: the bound must run in Long
     val huge = good.clone()
     huge(33) = 0x7f; huge(34) = 0xff.toByte; huge(35) = 0xff.toByte; huge(36) = 0xf0.toByte

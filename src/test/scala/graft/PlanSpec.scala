@@ -257,7 +257,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q70: the 256-row weight table broadcasts back onto the gram stream") {
-    val p = plan("q70_dsir")
+    // the queries entry localizes (materializeAndFree) — gate the
+    // distributed plan underneath it
+    val p = queries.TextQueries.dsirDistributed(spark, sf)._1
+      .queryExecution.explainString(FormattedMode)
     // the doc×vocab hazard: the per-bucket weights must re-enter as a
     // broadcast (bucket-keyed), never shuffle the corpus-sized gram stream
     // against them sort-merge
@@ -293,6 +296,16 @@ class PlanSpec extends AnyFunSuite {
     // the two-level (sku, parent) aggregate pre-combines map-side instead
     assert(!p.contains("Expand"), "two-level aggregate must not row-multiply")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "map-side partials before the first exchange")
+  }
+
+  test("q73: the distinct-parent count never plans through Expand") {
+    val p = plan("q73_children_agg")
+    // countDistinct(o_orderkey) mixed with non-distinct aggs would Expand
+    // every orders⋈lineitem row before the shuffle; the two-level
+    // (priority, orderkey) aggregate pre-combines map-side instead
+    assert(!p.contains("Expand"), "two-level aggregate must not row-multiply")
+    assert(p.contains("partial_count") || p.contains("partial_int128_sum"),
       "map-side partials before the first exchange")
   }
 }

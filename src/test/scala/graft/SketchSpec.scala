@@ -255,13 +255,18 @@ class SketchSpec extends AnyFunSuite {
     import spark.implicits._
     // classic vectors from the geohash spec: (42.6, -5.6) -> ezs42...,
     // (57.64911, 10.40744) -> u4pruydqqvj
-    val pts = Seq((1L, 42.6, -5.6), (2L, 57.64911, 10.40744), (3L, Double.NaN, 1.0))
+    val pts = Seq(
+      (1L, Option(42.6), Option(-5.6)), (2L, Option(57.64911), Option(10.40744)),
+      (3L, Option(Double.NaN), Option(1.0)), (4L, None: Option[Double], Option(1.0)))
       .toDF("id", "lat", "lon")
     val got = graft.functions.geohash.withGeohash(pts, "lat", "lon", "gh", 3)
       .orderBy("id").collect().map(_.getString(3))
     // NaN follows SQL comparison semantics (greater than everything) in
     // BOTH forms — the kernel uses !(x < mid) so Java agrees with the chain
     assert(got.take(2).toSeq == Seq("ezs", "u4p"))
+    // null parity: both forms must return null for a null coordinate (the
+    // chain used to encode it as all-low bits)
+    assert(got(3) == null)
     val chainNaN = graft.functions.geohash.withGeohashChain(pts, "lat", "lon", "gh", 3)
       .orderBy("id").collect().map(_.getString(3))
     assert(got.toSeq == chainNaN.toSeq)
