@@ -821,7 +821,13 @@ object EsAggQueries {
       // joined row duplicated before the shuffle). Keying the first level by
       // (priority, orderkey) pre-combines map-side; the second level counts
       // groups for the distinct-parent count. sumDet is an exact
-      // scaled-integer sum, so the two-level split is value-identical.
+      // scaled-integer sum, so the two-level split is value-identical —
+      // PROVIDED each per-(priority, orderkey) scaled sum stays below 2^53
+      // (~9e5 in quantity units at scale 10): above that, round(q*1e10) in
+      // the outer level can lose integer exactness well before the 9.2e18
+      // raise_error guard. TPC-H per-order quantity sums are ≤ ~350, three
+      // orders of magnitude inside the bound; a reuse with larger per-group
+      // sums must pass a smaller scale to the outer sumDet.
       o.join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"), col("o_orderkey"))
         .agg(count(lit(1)).as("c"), sumDet(col("l_quantity")).as("q"))

@@ -136,6 +136,74 @@ object TextQueries {
         (col("lgt") - col("slg") / col("n_tok").cast("double")).as("xent_raw"))
   }
 
+  /** The q71 pipeline up to (but not including) the coordinator
+    * localization — exposed so PlanSpec can gate the distributed plan (the
+    * single range exchange all three rank branches must share). Returns
+    * (per-(source,bucket) result, checkpointed xent frame whose blocks the
+    * caller frees after materializing). */
+  private[graft] def perplexityBucketsDistributed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // the xent table (one row per doc, 4 narrow columns) feeds both the
+    // quartile pass and the bucketing pass — materialize it once instead
+    // of running the whole vocab-join pipeline twice (at scale this is
+    // the natural pipeline break anyway: scores land, then the mix is
+    // planned over them)
+    val x = unigramXent(s, d).localCheckpoint(true)
+    // distributed rank: RangePartitioner gives a global sort order across
+    // partitions (deterministic sampling on the checkpointed input), so
+    // global rank = per-partition row_number + cumulative offset of the
+    // preceding partitions. Only the 32-row count table ever sees a
+    // single-partition window. The `ranked`, `counts`, and `ks` branches
+    // all read this ONE range exchange (ReuseExchange dedupes them) — the
+    // offsets are only valid against the same partitioning that produced
+    // the pids, which PlanSpec gates. xent_raw is non-null by construction
+    // (the token join guarantees n_tok ≥ 1), but the rank/count pass pins
+    // that explicitly: Spark's nulls-first and DuckDB's nulls-last default
+    // orderings would silently shift every rank if a null ever appeared.
+    val parted = x.select(col("xent_raw"))
+      .filter(col("xent_raw").isNotNull)
+      .repartitionByRange(32, col("xent_raw"))
+      .withColumn("pid", spark_partition_id())
+    val ranked = parted.withColumn("pr",
+      row_number().over(Window.partitionBy(col("pid")).orderBy(col("xent_raw"))).cast("long"))
+    val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("pc"))
+    val offsets = counts.withColumn("off",
+      coalesce(sum(col("pc")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // target ranks k (=floor(1+(n-1)q)) and k+1; the fraction f is an
+    // exact quarter (n-1 exact in double, ×0.25/×0.75 exact), so the
+    // interpolation arithmetic below is reproducible bit-for-bit
+    val ks = counts.agg(sum(col("pc")).as("n")).select(
+      (floor((col("n") - 1) * lit(0.25)) + 1).cast("long").as("k1"),
+      ((col("n") - 1) * lit(0.25) - floor((col("n") - 1) * lit(0.25))).as("f1"),
+      (floor((col("n") - 1) * lit(0.75)) + 1).cast("long").as("k2"),
+      ((col("n") - 1) * lit(0.75) - floor((col("n") - 1) * lit(0.75))).as("f2"))
+    val edges = ranked.join(broadcast(offsets.select(col("pid"), col("off"))), Seq("pid"))
+      .withColumn("gr", col("off") + col("pr"))
+      .crossJoin(broadcast(ks))
+      .filter(col("gr") === col("k1") || col("gr") === col("k1") + 1 ||
+        col("gr") === col("k2") || col("gr") === col("k2") + 1)
+      .groupBy(col("f1"), col("f2")) // ≤4 rows survive the filter
+      .agg(
+        min(when(col("gr") === col("k1"), col("xent_raw"))).as("v1"),
+        min(when(col("gr") === col("k1") + 1, col("xent_raw"))).as("v1n"),
+        min(when(col("gr") === col("k2"), col("xent_raw"))).as("v2"),
+        min(when(col("gr") === col("k2") + 1, col("xent_raw"))).as("v2n"))
+      .select(
+        (col("v1") + col("f1") * (coalesce(col("v1n"), col("v1")) - col("v1"))).as("e1"),
+        (col("v2") + col("f2") * (coalesce(col("v2n"), col("v2")) - col("v2"))).as("e2"))
+    val result = x.crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        when(col("xent_raw") <= col("e1"), "head")
+          .when(col("xent_raw") <= col("e2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(graft.functions.detsum.sumDet(col("xent_raw"), 9) / count(lit(1)), 6)
+          .as("mean_xent"))
+    (result, x)
+  }
+
   private val docsCte =
     """docs AS (
       |  SELECT *, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
@@ -358,58 +426,7 @@ object TextQueries {
     // quarter fraction, so the edges are bit-identical by construction
     // (stronger than the old strictly-between argument).
     "q71_perplexity_buckets" -> ((s: SparkSession, d: String) => {
-      // the xent table (one row per doc, 4 narrow columns) feeds both the
-      // quartile pass and the bucketing pass — materialize it once instead
-      // of running the whole vocab-join pipeline twice (at scale this is
-      // the natural pipeline break anyway: scores land, then the mix is
-      // planned over them)
-      val x = unigramXent(s, d).localCheckpoint(true)
-      // distributed rank: RangePartitioner gives a global sort order across
-      // partitions (deterministic sampling on the checkpointed input), so
-      // global rank = per-partition row_number + cumulative offset of the
-      // preceding partitions. Only the 32-row count table ever sees a
-      // single-partition window.
-      val parted = x.select(col("xent_raw"))
-        .repartitionByRange(32, col("xent_raw"))
-        .withColumn("pid", spark_partition_id())
-      val ranked = parted.withColumn("pr",
-        row_number().over(Window.partitionBy(col("pid")).orderBy(col("xent_raw"))).cast("long"))
-      val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("pc"))
-      val offsets = counts.withColumn("off",
-        coalesce(sum(col("pc")).over(
-          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // target ranks k (=floor(1+(n-1)q)) and k+1; the fraction f is an
-      // exact quarter (n-1 exact in double, ×0.25/×0.75 exact), so the
-      // interpolation arithmetic below is reproducible bit-for-bit
-      val ks = counts.agg(sum(col("pc")).as("n")).select(
-        (floor((col("n") - 1) * lit(0.25)) + 1).cast("long").as("k1"),
-        ((col("n") - 1) * lit(0.25) - floor((col("n") - 1) * lit(0.25))).as("f1"),
-        (floor((col("n") - 1) * lit(0.75)) + 1).cast("long").as("k2"),
-        ((col("n") - 1) * lit(0.75) - floor((col("n") - 1) * lit(0.75))).as("f2"))
-      val edges = ranked.join(broadcast(offsets.select(col("pid"), col("off"))), Seq("pid"))
-        .withColumn("gr", col("off") + col("pr"))
-        .crossJoin(broadcast(ks))
-        .filter(col("gr") === col("k1") || col("gr") === col("k1") + 1 ||
-          col("gr") === col("k2") || col("gr") === col("k2") + 1)
-        .groupBy(col("f1"), col("f2")) // ≤4 rows survive the filter
-        .agg(
-          min(when(col("gr") === col("k1"), col("xent_raw"))).as("v1"),
-          min(when(col("gr") === col("k1") + 1, col("xent_raw"))).as("v1n"),
-          min(when(col("gr") === col("k2"), col("xent_raw"))).as("v2"),
-          min(when(col("gr") === col("k2") + 1, col("xent_raw"))).as("v2n"))
-        .select(
-          (col("v1") + col("f1") * (coalesce(col("v1n"), col("v1")) - col("v1"))).as("e1"),
-          (col("v2") + col("f2") * (coalesce(col("v2n"), col("v2")) - col("v2"))).as("e2"))
-      val result = x.crossJoin(broadcast(edges))
-        .withColumn("bucket",
-          when(col("xent_raw") <= col("e1"), "head")
-            .when(col("xent_raw") <= col("e2"), "middle")
-            .otherwise("tail"))
-        .groupBy(col("source"), col("bucket"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          round(graft.functions.detsum.sumDet(col("xent_raw"), 9) / count(lit(1)), 6)
-            .as("mean_xent"))
+      val (result, x) = perplexityBucketsDistributed(s, d)
       // per-(source,bucket) rows — coordinator-sized; free the xent blocks
       Tables.materializeAndFree(result, x)
     }),
@@ -564,6 +581,25 @@ object TextQueries {
       docs(s, d)
         .crossJoin(broadcast(percolateRules(s, d)))
         .filter(array_contains(col("toks"), col("term")) && size(col("toks")) >= col("min_toks"))
+        .groupBy(col("rule_id"), col("term"), col("min_toks"))
+        .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))),
+
+    // The percolator's REGISTRY-SCALE form: ES percolation doesn't fan every
+    // doc across every stored query — it indexes the queries' terms and
+    // candidate-matches sub-linearly. Same here: the doc token stream
+    // (distinct per doc, so each (doc, rule) pair surfaces at most once)
+    // equi-joins the broadcast rule-TERM table on the term key — only tokens
+    // that hit a rule produce rows, vs q77's rules×docs row multiplication —
+    // then the min_toks length predicate verifies candidates. Shares q77's
+    // oracle: a hash match proves the inverted form IS the reverse search.
+    // At a 10k-rule registry this is the shape that survives; q77 stays as
+    // the contract-fidelity form.
+    "q77b_percolate_inverted" -> ((s: SparkSession, d: String) =>
+      docs(s, d)
+        .select(col("doc_id"), size(col("toks")).as("n_toks"),
+          explode(array_distinct(col("toks"))).as("tok"))
+        .join(broadcast(percolateRules(s, d)), col("tok") === col("term"))
+        .filter(col("n_toks") >= col("min_toks"))
         .groupBy(col("rule_id"), col("term"), col("min_toks"))
         .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))),
 
@@ -918,6 +954,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q77_percolate" -> percolateSql,
+    "q77b_percolate_inverted" -> percolateSql,
     "st14_percolate_stream" -> percolateSql,
     "st13_stream_quality" -> q41Sql,
     "q57b_temperature_mix" -> {
@@ -1300,13 +1337,14 @@ object TextQueries {
          |x AS MATERIALIZED (
          |  SELECT doc_id, source, lgt - slg / CAST(n_tok AS DOUBLE) AS xr FROM per, tlgfin
          |),
-         |rk AS (SELECT xr, CAST(row_number() OVER (ORDER BY xr) AS BIGINT) AS gr FROM x),
+         |rk AS (SELECT xr, CAST(row_number() OVER (ORDER BY xr) AS BIGINT) AS gr
+         |       FROM x WHERE xr IS NOT NULL),
          |kk AS (
          |  SELECT CAST(floor((n - 1) * 0.25e0) AS BIGINT) + 1 AS k1,
          |         (n - 1) * 0.25e0 - floor((n - 1) * 0.25e0) AS f1,
          |         CAST(floor((n - 1) * 0.75e0) AS BIGINT) + 1 AS k2,
          |         (n - 1) * 0.75e0 - floor((n - 1) * 0.75e0) AS f2
-         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x)
+         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x WHERE xr IS NOT NULL)
          |),
          |ev AS (
          |  SELECT MIN(CASE WHEN gr = k1 THEN xr END) AS v1,

@@ -259,14 +259,48 @@ class PlanSpec extends AnyFunSuite {
   test("q70: the 256-row weight table broadcasts back onto the gram stream") {
     // the queries entry localizes (materializeAndFree) — gate the
     // distributed plan underneath it
-    val p = queries.TextQueries.dsirDistributed(spark, sf)._1
-      .queryExecution.explainString(FormattedMode)
+    val (result, counts0) = queries.TextQueries.dsirDistributed(spark, sf)
+    val p = result.queryExecution.explainString(FormattedMode)
+    // dsirDistributed eagerly checkpointed counts0 so the caller can free
+    // it — do so, or its blocks stay cached for the rest of the suite
+    queries.Tables.freeCheckpoint(counts0)
     // the doc×vocab hazard: the per-bucket weights must re-enter as a
     // broadcast (bucket-keyed), never shuffle the corpus-sized gram stream
     // against them sort-merge
     assert(p.contains("BroadcastHashJoin"), "bucket-weight join must broadcast")
     assert(!p.contains("SortMergeJoin"),
       "the gram stream must not sort-merge against the 256-row weight table")
+  }
+
+  test("q71: all rank branches share ONE range exchange (reuse is a correctness invariant)") {
+    // the global-rank scheme is only right if `ranked`, `counts`, and `ks`
+    // read the SAME physical range exchange: RangePartitioner's sample seed
+    // is per-RDD-instance, so if ReuseExchange ever failed to dedupe, the
+    // offsets would describe a different partitioning than the pids and the
+    // quartile edges would shift silently. Gate it loudly instead.
+    // the initial AQE plan legitimately shows one Exchange node per branch —
+    // dedup happens at runtime through AQE's stage cache (canonicalized
+    // subplan match), so the invariant is only observable on the FINAL plan
+    val (result, x) = queries.TextQueries.perplexityBucketsDistributed(spark, sf)
+    result.collect()
+    // plain toString prints arguments inline; keep only the final plan
+    // (the Initial Plan section legitimately repeats the exchange per branch)
+    val p = result.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    queries.Tables.freeCheckpoint(x)
+    // a ReusedExchange line echoes its target's "Exchange rangepartitioning"
+    // text — count only lines that ARE the materialized exchange
+    val ranges = p.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    val reuses = p.linesIterator.count(_.contains("ReusedExchange"))
+    assert(ranges == 1, s"exactly one range exchange may materialize, found $ranges:\n$p")
+    assert(reuses >= 2, s"the counts and ks branches must read reused stages (found $reuses):\n$p")
+  }
+
+  test("q77b: inverted percolation candidate-matches by term key, no rules-per-doc fan-out") {
+    val p = plan("q77b_percolate_inverted")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "registry-scale percolation must not multiply docs across the rule registry")
+    assert(p.contains("BroadcastHashJoin"), "term-keyed candidate match expected")
   }
 
   test("q12e: the sample filter prunes before any shuffle") {
