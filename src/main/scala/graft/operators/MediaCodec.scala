@@ -2,15 +2,19 @@ package graft.operators
 
 /** Pure-JVM media codecs for the multimodal pipeline.
   *
-  * The sandbox has no native image/audio libraries, but three ubiquitous
-  * container formats need none: uncompressed 24-bit BMP (Windows
-  * BITMAPINFOHEADER), 8-bit truecolor PNG (zlib via `java.util.zip`,
-  * full filter reconstruction), and RIFF/WAVE PCM16. All are fully
-  * specified public formats, so the parsers here are real codecs — they
-  * read dimensions, strides, chunk layout, compressed streams and sample
-  * data from the container itself, exactly as a production decoder would —
-  * and the encoders emit files any external viewer/player opens. Formats
-  * beyond these (JPEG, H.264 video) still fall back to
+  * The sandbox has no native image/audio libraries, but four ubiquitous
+  * formats need none: uncompressed 24-bit BMP (Windows BITMAPINFOHEADER),
+  * 8-bit truecolor PNG (zlib via `java.util.zip`, full filter
+  * reconstruction), RIFF/WAVE PCM16, and baseline JPEG (ITU-T T.81
+  * sequential DCT: huffman entropy decode, dequantization, integer IDCT,
+  * chroma upsampling, YCbCr→RGB — all implemented here from the public
+  * spec). The parsers are real codecs — they read dimensions, strides,
+  * chunk layout, compressed/entropy-coded streams and sample data from the
+  * container itself, exactly as a production decoder would — and the
+  * encoders emit files any external viewer/player opens (JPEG encode
+  * delegates to the JDK's bundled ImageIO writer; decode, the hard
+  * direction, is [[decodeJpeg]], cross-validated against ImageIO in
+  * MediaCodecSpec). Only video (H.264) remains stubbed, at
   * [[Multimodal.decodeStub]] (clearly marked there).
   *
   * Everything is per-row and allocation-bounded by the payload size, so the
@@ -360,5 +364,518 @@ object MediaCodec {
       pos = body + size + (size & 1) // RIFF chunks are word-aligned
     }
     if (fmtOk && data != null) Some(data) else None
+  }
+
+  // --------------------------------------------------------------- JPEG ----
+  //
+  // Baseline JPEG decoder, implemented from ITU-T T.81 (the public JPEG
+  // spec): marker/segment parse, DQT/DHT tables, canonical huffman DECODE
+  // (Annex F.2.2.3 MINCODE/MAXCODE/VALPTR), sequential-DCT scan with
+  // restart markers, dequantize + de-zigzag, the classic 13-bit fixed-point
+  // Loeffler-Lighterberg-Moshytz integer IDCT (the same arithmetic the IJG
+  // reference implementation standardized, so outputs line up with every
+  // mainstream decoder), triangular ("fancy") chroma upsampling for the 2:1
+  // cases, and 16-bit fixed-point YCbCr→RGB. Supported profile: 8-bit
+  // baseline/extended-sequential huffman (SOF0/SOF1), 1 or 3 components,
+  // sampling factors 1-2 (grayscale, 4:4:4, 4:2:2, 4:2:0). Progressive
+  // (SOF2), arithmetic coding, 12-bit, and CMYK return None so callers can
+  // fall back.
+
+  /** Natural-order index for each zigzag position (T.81 Figure A.6). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical huffman table (T.81 Annex C code assignment, Annex F decode). */
+  private final class JpegHuff(counts: Array[Int], val symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Entropy-coded-segment bit reader: handles 0xFF00 byte stuffing; any
+    * bare marker mid-stream aborts the decode (malformed for our profile —
+    * restarts are consumed explicitly between MCU groups, not here). */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def readBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) throw new IllegalArgumentException("jpeg: truncated scan")
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) throw new IllegalArgumentException("jpeg: truncated scan")
+          val m = b(pos) & 0xff
+          if (m != 0) throw new IllegalArgumentException(f"jpeg: marker $m%02x inside scan")
+          pos += 1 // stuffed zero: the data byte IS 0xff
+        }
+        acc = v
+        nbits = 8
+      }
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Discard bits to the next byte boundary (before a restart marker). */
+    def align(): Unit = nbits = 0
+    def decode(h: JpegHuff): Int = {
+      var code = readBit()
+      var l = 1
+      while (code > h.maxCode(l) || h.maxCode(l) < 0) {
+        if (l >= 16) throw new IllegalArgumentException("jpeg: bad huffman code")
+        code = (code << 1) | readBit()
+        l += 1
+      }
+      h.symbols(h.valPtr(l) + code - h.minCode(l))
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map an SSSS-bit magnitude to its signed value. */
+  private def jExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private def jDescale(x: Long, n: Int): Int = ((x + (1L << (n - 1))) >> n).toInt
+
+  // 13-bit fixed-point IDCT constants: round(c * 2^13) for the rotation
+  // angles of the Loeffler 8-point factorization
+  private final val FIX_0_298631336 = 2446L
+  private final val FIX_0_390180644 = 3196L
+  private final val FIX_0_541196100 = 4433L
+  private final val FIX_0_765366865 = 6270L
+  private final val FIX_0_899976223 = 7373L
+  private final val FIX_1_175875602 = 9633L
+  private final val FIX_1_501321110 = 12299L
+  private final val FIX_1_847759065 = 15137L
+  private final val FIX_1_961570560 = 16069L
+  private final val FIX_2_053119869 = 16819L
+  private final val FIX_2_562915447 = 20995L
+  private final val FIX_3_072711026 = 25172L
+  private final val ConstBits = 13
+  private final val Pass1Bits = 2
+
+  /** 2-D integer IDCT on one dequantized 8×8 block (natural order), writing
+    * level-shifted, clamped 8-bit samples into `out` at `(ox, oy)` with row
+    * stride `stride`. Column pass at 13+2 fractional bits, row pass
+    * descaled by 13+2+3 — the standard "islow" accuracy profile. */
+  private def idctBlock(coef: Array[Int], out: Array[Int], ox: Int, oy: Int, stride: Int): Unit = {
+    val ws = new Array[Long](64)
+    // pass 1: columns
+    var c = 0
+    while (c < 8) {
+      val s0 = coef(c); val s1 = coef(8 + c); val s2 = coef(16 + c); val s3 = coef(24 + c)
+      val s4 = coef(32 + c); val s5 = coef(40 + c); val s6 = coef(48 + c); val s7 = coef(56 + c)
+      if ((s1 | s2 | s3 | s4 | s5 | s6 | s7) == 0) {
+        val dc = (s0.toLong << Pass1Bits)
+        var r = 0
+        while (r < 8) { ws(r * 8 + c) = dc; r += 1 }
+      } else {
+        // even part
+        val z1 = (s2 + s6) * FIX_0_541196100
+        val tmp2 = z1 - s6 * FIX_1_847759065
+        val tmp3 = z1 + s2 * FIX_0_765366865
+        val tmp0 = (s0.toLong + s4) << ConstBits
+        val tmp1 = (s0.toLong - s4) << ConstBits
+        val t10 = tmp0 + tmp3; val t13 = tmp0 - tmp3
+        val t11 = tmp1 + tmp2; val t12 = tmp1 - tmp2
+        // odd part
+        var o0 = s7.toLong; var o1 = s5.toLong; var o2 = s3.toLong; var o3 = s1.toLong
+        var w1 = o0 + o3; var w2 = o1 + o2
+        var w3 = o0 + o2; var w4 = o1 + o3
+        val z5 = (w3 + w4) * FIX_1_175875602
+        o0 *= FIX_0_298631336; o1 *= FIX_2_053119869
+        o2 *= FIX_3_072711026; o3 *= FIX_1_501321110
+        w1 *= -FIX_0_899976223; w2 *= -FIX_2_562915447
+        w3 = w3 * -FIX_1_961570560 + z5
+        w4 = w4 * -FIX_0_390180644 + z5
+        o0 += w1 + w3; o1 += w2 + w4; o2 += w2 + w3; o3 += w1 + w4
+        ws(c) = jDescale(t10 + o3, ConstBits - Pass1Bits)
+        ws(56 + c) = jDescale(t10 - o3, ConstBits - Pass1Bits)
+        ws(8 + c) = jDescale(t11 + o2, ConstBits - Pass1Bits)
+        ws(48 + c) = jDescale(t11 - o2, ConstBits - Pass1Bits)
+        ws(16 + c) = jDescale(t12 + o1, ConstBits - Pass1Bits)
+        ws(40 + c) = jDescale(t12 - o1, ConstBits - Pass1Bits)
+        ws(24 + c) = jDescale(t13 + o0, ConstBits - Pass1Bits)
+        ws(32 + c) = jDescale(t13 - o0, ConstBits - Pass1Bits)
+      }
+      c += 1
+    }
+    // pass 2: rows, with final level shift (+128) and clamp
+    var r = 0
+    while (r < 8) {
+      val b = r * 8
+      val s0 = ws(b); val s1 = ws(b + 1); val s2 = ws(b + 2); val s3 = ws(b + 3)
+      val s4 = ws(b + 4); val s5 = ws(b + 5); val s6 = ws(b + 6); val s7 = ws(b + 7)
+      val z1 = (s2 + s6) * FIX_0_541196100
+      val tmp2 = z1 - s6 * FIX_1_847759065
+      val tmp3 = z1 + s2 * FIX_0_765366865
+      val tmp0 = (s0 + s4) << ConstBits
+      val tmp1 = (s0 - s4) << ConstBits
+      val t10 = tmp0 + tmp3; val t13 = tmp0 - tmp3
+      val t11 = tmp1 + tmp2; val t12 = tmp1 - tmp2
+      var o0 = s7; var o1 = s5; var o2 = s3; var o3 = s1
+      var w1 = o0 + o3; var w2 = o1 + o2
+      var w3 = o0 + o2; var w4 = o1 + o3
+      val z5 = (w3 + w4) * FIX_1_175875602
+      o0 *= FIX_0_298631336; o1 *= FIX_2_053119869
+      o2 *= FIX_3_072711026; o3 *= FIX_1_501321110
+      w1 *= -FIX_0_899976223; w2 *= -FIX_2_562915447
+      w3 = w3 * -FIX_1_961570560 + z5
+      w4 = w4 * -FIX_0_390180644 + z5
+      o0 += w1 + w3; o1 += w2 + w4; o2 += w2 + w3; o3 += w1 + w4
+      val shift = ConstBits + Pass1Bits + 3
+      val row = (oy + r) * stride + ox
+      def clamp(v: Int): Int = { val s = v + 128; if (s < 0) 0 else if (s > 255) 255 else s }
+      out(row) = clamp(jDescale(t10 + o3, shift))
+      out(row + 7) = clamp(jDescale(t10 - o3, shift))
+      out(row + 1) = clamp(jDescale(t11 + o2, shift))
+      out(row + 6) = clamp(jDescale(t11 - o2, shift))
+      out(row + 2) = clamp(jDescale(t12 + o1, shift))
+      out(row + 5) = clamp(jDescale(t12 - o1, shift))
+      out(row + 3) = clamp(jDescale(t13 + o0, shift))
+      out(row + 4) = clamp(jDescale(t13 - o0, shift))
+      r += 1
+    }
+  }
+
+  private final class JpegComponent(val id: Int, val h: Int, val v: Int, val tq: Int) {
+    var dcTab: JpegHuff = null
+    var acTab: JpegHuff = null
+    var plane: Array[Int] = null // padded to full MCU blocks
+    var planeW = 0
+    var planeH = 0
+    var pred = 0
+  }
+
+  /** Decode a baseline/extended-sequential huffman JPEG (see the section
+    * comment for the exact profile). Returns top-down interleaved RGB
+    * (grayscale replicated across channels), or None for malformed files
+    * and unsupported variants so callers can fall back. */
+  def decodeJpeg(bytes: Array[Byte]): Option[DecodedImage] =
+    try decodeJpegImpl(bytes)
+    catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => None }
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def decodeJpegImpl(b: Array[Byte]): Option[DecodedImage] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    val quant = new Array[Array[Int]](4) // zigzag order, as transmitted
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var restartInterval = 0
+    var width = 0
+    var height = 0
+    var comps: Array[JpegComponent] = null
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      while (pos < b.length && (b(pos) & 0xff) == 0xff) pos += 1 // fill bytes
+      if (pos >= b.length) return None
+      val marker = b(pos) & 0xff
+      pos += 1
+      marker match {
+        case 0xd9 => return None // EOI before any scan produced an image
+        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          val len = be16(b, pos)
+          if (b(pos + 2) != 8) return None // 12-bit precision unsupported
+          height = be16(b, pos + 3)
+          width = be16(b, pos + 5)
+          val nc = b(pos + 7) & 0xff
+          if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+          if (width.toLong * height * 3 > Int.MaxValue) return None
+          comps = Array.tabulate(nc) { i =>
+            val o = pos + 8 + 3 * i
+            val hv = b(o + 1) & 0xff
+            new JpegComponent(b(o) & 0xff, hv >> 4, hv & 15, b(o + 2) & 0xff)
+          }
+          if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2)) return None
+          pos += len
+        case 0xc2 => return None // progressive: outside the profile
+        case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          return None // other SOFn (lossless, arithmetic, differential)
+        case 0xc4 => // DHT: one or more tables
+          val len = be16(b, pos)
+          val end = pos + len
+          var p = pos + 2
+          while (p < end) {
+            val tc = (b(p) & 0xff) >> 4
+            val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+            val total = counts.sum
+            if (total > 256 || p + 17 + total > end) return None
+            val syms = Array.tabulate(total)(i => b(p + 17 + i) & 0xff)
+            val tab = new JpegHuff(counts, syms)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            p += 17 + total
+          }
+          pos += len
+        case 0xdb => // DQT: one or more tables
+          val len = be16(b, pos)
+          val end = pos + len
+          var p = pos + 2
+          while (p < end) {
+            val pq = (b(p) & 0xff) >> 4
+            val tq = b(p) & 0x0f
+            if (pq > 1 || tq > 3) return None
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              t(i) = if (pq == 0) b(p + 1 + i) & 0xff else be16(b, p + 1 + 2 * i)
+              i += 1
+            }
+            quant(tq) = t
+            p += 1 + (if (pq == 0) 64 else 128)
+          }
+          pos += len
+        case 0xdd => // DRI
+          restartInterval = be16(b, pos + 2)
+          pos += be16(b, pos)
+        case 0xda => // SOS — decode the (single, interleaved) scan
+          if (comps == null) return None
+          val len = be16(b, pos)
+          val ns = b(pos + 2) & 0xff
+          if (ns != comps.length) return None // baseline: one interleaved scan
+          var i = 0
+          while (i < ns) {
+            val cs = b(pos + 3 + 2 * i) & 0xff
+            val tt = b(pos + 4 + 2 * i) & 0xff
+            val found = comps.find(_.id == cs)
+            if (found.isEmpty) return None
+            val comp = found.get
+            comp.dcTab = dcTabs(tt >> 4)
+            comp.acTab = acTabs(tt & 15)
+            if (comp.dcTab == null || comp.acTab == null || quant(comp.tq) == null) return None
+            i += 1
+          }
+          return decodeJpegScan(b, pos + len, width, height, comps, quant, restartInterval)
+        case 0x01 | 0xd0 | 0xd1 | 0xd2 | 0xd3 | 0xd4 | 0xd5 | 0xd6 | 0xd7 =>
+          () // TEM/RSTn: standalone markers, no length field
+        case _ => // APPn, COM, DNL, ... — skip by length
+          pos += be16(b, pos)
+      }
+    }
+    None
+  }
+
+  private def decodeJpegScan(
+      b: Array[Byte],
+      scanStart: Int,
+      width: Int,
+      height: Int,
+      comps: Array[JpegComponent],
+      quant: Array[Array[Int]],
+      restartInterval: Int): Option[DecodedImage] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      c.pred = 0
+    }
+    val bits = new JpegBits(b, scanStart)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    var restarts = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bits.align()
+        // consume the RSTn marker (cyclic 0xd0..0xd7) and reset predictors
+        if ((b(bits.pos) & 0xff) != 0xff || (b(bits.pos + 1) & 0xff) != (0xd0 + restarts % 8))
+          return None
+        bits.pos += 2
+        restarts += 1
+        comps.foreach(_.pred = 0)
+      }
+      val my = mcu / mcusX
+      val mx = mcu % mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val qt = quant(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            // DC: predictor + EXTENDed diff, dequantized
+            val t = bits.decode(c.dcTab)
+            c.pred += jExtend(bits.receive(t), t)
+            coef(0) = c.pred * qt(0)
+            // AC: run-length (RRRRSSSS) in zigzag order
+            var k = 1
+            while (k < 64) {
+              val rs = bits.decode(c.acTab)
+              val r = rs >> 4
+              val s = rs & 15
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL: 16 zeros
+                else k = 64 // EOB
+              } else {
+                k += r
+                if (k > 63) return None
+                coef(Zigzag(k)) = jExtend(bits.receive(s), s) * qt(k)
+                k += 1
+              }
+            }
+            idctBlock(coef, c.plane, (mx * c.h + bx) * 8, (my * c.v + by) * 8, c.planeW)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // upsample each component to full resolution and color-convert
+    val full = comps.map(c => upsampleJpegPlane(c, width, height, hmax, vmax))
+    val out = new Array[Byte](width * height * 3)
+    if (comps.length == 1) {
+      var i = 0
+      val y = full(0)
+      while (i < width * height) {
+        val g = y(i).toByte
+        out(3 * i) = g; out(3 * i + 1) = g; out(3 * i + 2) = g
+        i += 1
+      }
+    } else {
+      // JFIF YCbCr, 16-bit fixed point: R=Y+1.402Cr, B=Y+1.772Cb,
+      // G=Y-0.34414Cb-0.71414Cr (constants × 2^16, half-added rounding)
+      val yp = full(0); val cbp = full(1); val crp = full(2)
+      var i = 0
+      while (i < width * height) {
+        val y = yp(i)
+        val cb = cbp(i) - 128
+        val cr = crp(i) - 128
+        val r = y + ((91881 * cr + 32768) >> 16)
+        val g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16)
+        val bl = y + ((116130 * cb + 32768) >> 16)
+        def cl(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        out(3 * i) = cl(r); out(3 * i + 1) = cl(g); out(3 * i + 2) = cl(bl)
+        i += 1
+      }
+    }
+    Some(DecodedImage(width, height, out))
+  }
+
+  /** Upsample one component plane to the full image grid. The 2:1 cases use
+    * triangular ("fancy") interpolation — 3:1 weighting of the nearer
+    * sample, the scheme mainstream decoders default to — so edges stay
+    * smooth; anything else falls back to nearest-neighbor replication. */
+  private def upsampleJpegPlane(
+      c: JpegComponent, width: Int, height: Int, hmax: Int, vmax: Int): Array[Int] = {
+    if (c.h == hmax && c.v == vmax) {
+      if (c.planeW == width && c.planeH == height) return c.plane
+      val out = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(c.plane, y * c.planeW, out, y * width, width)
+        y += 1
+      }
+      return out
+    }
+    val compW = (width * c.h + hmax - 1) / hmax
+    val compH = (height * c.v + vmax - 1) / vmax
+    val out = new Array[Int](width * height)
+    val h2 = c.h * 2 == hmax
+    val v2 = c.v * 2 == vmax
+    if (h2 && (v2 || c.v == vmax)) {
+      // triangular: vertical pair weights 3:1 (when v2), then horizontal
+      var y = 0
+      while (y < height) {
+        val sy = if (v2) y >> 1 else y
+        val syn = if (!v2) sy
+          else if ((y & 1) == 0) math.max(sy - 1, 0) // upper output row leans up
+          else math.min(sy + 1, compH - 1) // lower leans down
+        var x = 0
+        while (x < width) {
+          val sx = x >> 1
+          val sxn = if ((x & 1) == 0) math.max(sx - 1, 0) else math.min(sx + 1, compW - 1)
+          val near = 3 * c.plane(sy * c.planeW + sx) + c.plane(sy * c.planeW + sxn)
+          val v = if (!v2) (near + 2) >> 2
+          else {
+            val far = 3 * c.plane(syn * c.planeW + sx) + c.plane(syn * c.planeW + sxn)
+            (3 * near + far + 8) >> 4
+          }
+          out(y * width + x) = v
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < height) {
+        val sy = y * c.v / vmax
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = c.plane(sy * c.planeW + x * c.h / hmax)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  /** Encode a top-down RGB raster as baseline JPEG via the JDK's bundled
+    * ImageIO writer (public JDK API) — the one codec direction this file
+    * does not re-implement; [[decodeJpeg]], the hard direction, is ours.
+    * In-memory output stream (no ImageIO disk cache), so it is safe inside
+    * `mapPartitions` on executors. */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte], quality: Float = 0.9f): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != ${width * height * 3}")
+    val bi = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = bi.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < width * height) {
+      data(3 * i) = rgb(3 * i + 2) // B
+      data(3 * i + 1) = rgb(3 * i + 1) // G
+      data(3 * i + 2) = rgb(3 * i) // R
+      i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      ios.flush()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
   }
 }

@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real and tested — schema, typed Dataset encoding,
   * partition-batched processing via `mapPartitions` (the Scala analog of a
   * batched pandas-UDF pipeline), deterministic feature output. The DECODE
-  * step is a real pure-JVM codec for the two container formats that need no
-  * native libraries: uncompressed 24bpp BMP for images and RIFF/WAVE PCM16
-  * for audio (see [[MediaCodec]]) — the pipelines attach genuine container
-  * bytes and the decoder reads dimensions/strides/chunks from the file
-  * itself. Payloads in any OTHER format still hit [[decodeStub]], the
+  * step is a real pure-JVM codec for the image/audio formats in the
+  * pipelines: uncompressed 24bpp BMP, 8-bit truecolor PNG, baseline JPEG
+  * (huffman + IDCT, cross-validated against ImageIO), and RIFF/WAVE PCM16
+  * (see [[MediaCodec]]) — the pipelines attach genuine container bytes and
+  * the decoder reads dimensions/strides/chunks/entropy streams from the
+  * file itself. Payloads in any OTHER format (video codecs like H.264,
+  * JPEG variants outside the baseline profile) hit [[decodeStub]], the
   * clearly-marked stand-in for codecs this environment cannot host. */
 object Multimodal {
 
@@ -27,22 +29,25 @@ object Multimodal {
       max_byte: Int,
       payload_hash: Long)
 
-  /** STUB decode — stands in for codecs this environment cannot host (JPEG,
-    * H.264, ...). Deterministic: "pixels" are the payload bytes cycled to
+  /** STUB decode — stands in for codecs this environment cannot host
+    * (H.264 video; JPEG variants outside the baseline profile, e.g.
+    * progressive). Deterministic: "pixels" are the payload bytes cycled to
     * width*height*channels length. A production build swaps this for the
     * real decoder; everything downstream (batching, features, schema) is
-    * unchanged. BMP and PNG payloads never reach this — [[decodeImage]]
-    * dispatches them to the real [[MediaCodec]] parsers. */
+    * unchanged. BMP, PNG, and baseline JPEG payloads never reach this —
+    * [[decodeImage]] dispatches them to the real [[MediaCodec]] parsers. */
   def decodeStub(payload: Array[Byte], width: Int, height: Int, channels: Int): Array[Byte] =
     cycleBytes(payload, width * height * channels)
 
-  /** Real decode dispatch: a well-formed BMP or PNG payload is parsed by
-    * the real codec (dims/stride/row-order/filters come from the container,
-    * not the metadata); anything else falls back to [[decodeStub]] with the
-    * row's advisory metadata. Returns (width, height, channels, top-down
-    * RGB). */
+  /** Real decode dispatch: a well-formed BMP, PNG, or baseline JPEG payload
+    * is parsed by the real codec (dims/stride/row-order/filters/entropy
+    * stream come from the container, not the metadata); anything else falls
+    * back to [[decodeStub]] with the row's advisory metadata. Returns
+    * (width, height, channels, top-down RGB). */
   def decodeImage(r: MediaRow): (Int, Int, Int, Array[Byte]) =
-    MediaCodec.decodeBmp(r.payload).orElse(MediaCodec.decodePng(r.payload)) match {
+    MediaCodec.decodeBmp(r.payload)
+      .orElse(MediaCodec.decodePng(r.payload))
+      .orElse(MediaCodec.decodeJpeg(r.payload)) match {
       case Some(d) => (d.width, d.height, 3, d.pixels)
       case None => (r.width, r.height, r.channels, decodeStub(r.payload, r.width, r.height, r.channels))
     }
@@ -57,24 +62,30 @@ object Multimodal {
 
   /** The ONE synthesized-payload construction shared by [[attachPayload]]
     * and [[phashPairs]]: text bytes cycled to a w×h RGB raster, wrapped in
-    * a real container — PNG on even `selector`, BMP on odd — so every
-    * pipeline run exercises both image parsers. The decoded raster is
-    * identical whichever container carried it. */
+    * a real container — PNG / BMP / baseline JPEG cycling on `selector` —
+    * so every pipeline run exercises all three image parsers (including the
+    * full huffman+IDCT path). The lossless containers decode to the
+    * identical raster; JPEG decodes to its own deterministic lossy raster
+    * (same bytes in ⇒ same features out, which is all the pipeline
+    * contracts require). */
   private def makeImageRow(id: Long, selector: Long, w: Int, h: Int, text: String): MediaRow = {
     val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
     val rgb = cycleBytes(bytes, w * h * 3)
-    val payload = if (selector % 2 == 0) MediaCodec.encodePng(w, h, rgb)
-      else MediaCodec.encodeBmp(w, h, rgb)
+    val payload = (selector % 3) match {
+      case 0 => MediaCodec.encodePng(w, h, rgb)
+      case 1 => MediaCodec.encodeBmp(w, h, rgb)
+      case _ => MediaCodec.encodeJpeg(w, h, rgb)
+    }
     MediaRow(id, payload, w, h, 3)
   }
 
   /** Attach a genuine binary media payload + typed metadata to documents.
     * The testdata carries no real media, so each doc's image is synthesized
     * deterministically — pixels are the utf8 text bytes cycled — but the
-    * payload is a real, well-formed image file (alternating 24bpp BMP and
-    * 8-bit truecolor PNG by doc id, so every pipeline run exercises BOTH
-    * real parsers; any external viewer opens either). The decoded raster is
-    * identical whichever container carried it. */
+    * payload is a real, well-formed image file (cycling 8-bit truecolor
+    * PNG, 24bpp BMP, and baseline JPEG by doc id, so every pipeline run
+    * exercises all THREE real parsers; any external viewer opens any of
+    * them). */
   def attachPayload(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
@@ -310,7 +321,7 @@ object Multimodal {
     import docs.sparkSession.implicits._
     // media dims AND container format derive from CONTENT (not doc_id) so
     // duplicate text makes byte-identical files — the property image dedup
-    // actually relies on; both real parsers are exercised across the corpus
+    // actually relies on; all three real parsers are exercised across the corpus
     val media = docs
       .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]

@@ -263,21 +263,116 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeWavPcm16(huge).isEmpty, "overflowing chunk size must be rejected")
   }
 
+  // --------------------------------------------------------------- JPEG ----
+
+  /** Decode `bytes` with the JDK's (libjpeg-based) ImageIO reader into
+    * top-down RGB — the independent reference our decoder is held against. */
+  private def imageIoRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val off = (y * w + x) * 3
+      out(off) = (p >> 16) & 0xff; out(off + 1) = (p >> 8) & 0xff; out(off + 2) = p & 0xff
+    }
+    (w, h, out)
+  }
+
+  private def maxDiff(a: Array[Byte], b: Array[Int]): Int =
+    a.indices.map(i => math.abs((a(i) & 0xff) - b(i))).max
+
+  test("jpeg: grayscale cross-validated against ImageIO (no chroma, IDCT-only path)") {
+    val w = 40; val h = 25 // odd-MCU edges: 40x25 is 5x4 MCUs with partial rows
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = bi.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      g.setSample(x, y, 0, (x * 7 + y * 11 + ((x * y) % 5) * 20) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpeg", bos))
+    val jpeg = bos.toByteArray
+    val d = MediaCodec.decodeJpeg(jpeg).get
+    assert(d.width == w && d.height == h)
+    // compare raw luma raster samples: getRGB on a CS_GRAY image applies a
+    // gray→sRGB gamma conversion that has nothing to do with JPEG decoding
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg)).getRaster
+    val md = (for (y <- 0 until h; x <- 0 until w)
+      yield math.abs((d.pixels((y * w + x) * 3) & 0xff) - ref.getSample(x, y, 0))).max
+    assert(md <= 1, s"grayscale decode differs from ImageIO by $md (>1)")
+  }
+
+  test("jpeg: color cross-validated against ImageIO (subsampled chroma, both qualities)") {
+    for ((w, h, q) <- Seq((37, 21, 0.9f), (24, 16, 0.7f), (17, 13, 0.95f))) {
+      // smooth gradient + mild texture: representative content where the
+      // IDCT and upsample paths both matter
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val off = (y * w + x) * 3
+        rgb(off) = ((x * 255 / w + (y % 3)) & 0xff).toByte
+        rgb(off + 1) = ((y * 255 / h + (x % 3)) & 0xff).toByte
+        rgb(off + 2) = (((x + y) * 128 / (w + h) + 64) & 0xff).toByte
+      }
+      val jpeg = MediaCodec.encodeJpeg(w, h, rgb, q)
+      val d = MediaCodec.decodeJpeg(jpeg).get
+      assert(d.width == w && d.height == h, s"dims at ${w}x$h q=$q")
+      val (rw, rh, ref) = imageIoRgb(jpeg)
+      assert(rw == w && rh == h)
+      val md = maxDiff(d.pixels, ref)
+      // both decoders read the same coefficients; residual differences are
+      // IDCT descale rounding and chroma-upsample bias ticks
+      assert(md <= 4, s"color decode differs from ImageIO by $md (>4) at ${w}x$h q=$q")
+    }
+  }
+
+  test("jpeg: decoded raster tracks the pre-compression source (lossy but faithful)") {
+    val w = 32; val h = 32
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      rgb((y * w + x) * 3 + c) = ((x * 8 + c * 40) & 0xff).toByte
+    val d = MediaCodec.decodeJpeg(MediaCodec.encodeJpeg(w, h, rgb, 0.95f)).get
+    val meanErr = d.pixels.indices.map(i => math.abs((d.pixels(i) & 0xff) - (rgb(i) & 0xff))).sum
+      .toDouble / d.pixels.length
+    assert(meanErr < 8.0, s"decode drifted from the source (mean err $meanErr)")
+  }
+
+  test("jpeg: progressive, truncated, and garbage inputs are rejected, not mis-parsed") {
+    val w = 24; val h = 24
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, (x * 10) << 16 | (y * 10) << 8)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // SOF2
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.flush(); writer.dispose(); ios.close()
+    assert(MediaCodec.decodeJpeg(bos.toByteArray).isEmpty, "progressive must be rejected")
+    val good = MediaCodec.encodeJpeg(w, h, new Array[Byte](w * h * 3))
+    assert(MediaCodec.decodeJpeg(good.take(good.length / 2)).isEmpty, "truncated must be rejected")
+    assert(MediaCodec.decodeJpeg(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(MediaCodec.decodeJpeg(Array.fill[Byte](200)(0x55)).isEmpty)
+  }
+
   // ------------------------------------------------- pipeline integration --
 
   lazy val spark = GraftSession.builder("4").getOrCreate()
 
-  test("attachPayload emits genuine BMPs AND PNGs that the real parsers decode") {
+  test("attachPayload emits genuine BMPs, PNGs, AND JPEGs that the real parsers decode") {
     val docs = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
     val rows = graft.operators.Multimodal.attachPayload(docs).collect()
     assert(rows.nonEmpty)
-    // both container formats are present across the corpus...
+    // all three container formats are present across the corpus...
     assert(rows.exists(_.payload(0) == 'B'), "no BMP payloads")
     assert(rows.exists(_.payload(1) == 'P'), "no PNG payloads")
+    assert(rows.exists(r => (r.payload(0) & 0xff) == 0xff && (r.payload(1) & 0xff) == 0xd8),
+      "no JPEG payloads")
     rows.foreach { r =>
       // ...and each decodes through its REAL parser (never the stub), with
       // container dims matching the row metadata
-      val d = MediaCodec.decodeBmp(r.payload).orElse(MediaCodec.decodePng(r.payload)).get
+      val d = MediaCodec.decodeBmp(r.payload)
+        .orElse(MediaCodec.decodePng(r.payload))
+        .orElse(MediaCodec.decodeJpeg(r.payload)).get
       assert(d.width == r.width && d.height == r.height)
     }
     // pixels are the utf8 text bytes cycled — check one doc end to end
