@@ -3,9 +3,11 @@ import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional 3rd arg: explicit data dir (e.g. the tools/make_sf10x.py output)
+datadir = sys.argv[3] if len(sys.argv) > 3 else f"/root/testdata/sf{sf}"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf{sf}/{t}.parquet'")
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{datadir}/{t}.parquet'")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 for name, sql in sorted(oracle.items()):
     try:

@@ -1,0 +1,68 @@
+"""Derive a 10x-scaled dataset from /root/testdata/sf0.1 for the scale
+proof pass (VERDICT round-5 item 6): replicate fact tables 10x with
+consistently shifted surrogate keys (foreign keys shift with their parent
+so join fan-outs stay realistic), keep the fixed dimension tables
+(region/nation) at 1x. The oracle recomputes over the SAME derived files,
+so Spark-vs-DuckDB comparisons remain exact.
+
+Usage: python3 tools/make_sf10x.py [outdir]   (default /tmp/sfx10)
+"""
+import sys, os, shutil
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx10"
+REPLICAS = 10
+
+# per-table key columns shifted by replica * span(key-family); span is taken
+# from the parent table's max so parent/child shift identically
+FAMILIES = {
+    "custkey": ("customer.parquet", "c_custkey"),
+    "orderkey": ("orders.parquet", "o_orderkey"),
+    "partkey": ("part.parquet", "p_partkey"),
+    "suppkey": ("supplier.parquet", "s_suppkey"),
+    "doc": ("documents.parquet", "doc_id"),
+    "vec": ("embeddings.parquet", "vec_id"),
+    "event": ("events.parquet", "event_id"),
+    "user": ("events.parquet", "user_id"),
+}
+SHIFT_COLS = {
+    "customer.parquet": {"c_custkey": "custkey"},
+    "orders.parquet": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem.parquet": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
+    "part.parquet": {"p_partkey": "partkey"},
+    "supplier.parquet": {"s_suppkey": "suppkey"},
+    "documents.parquet": {"doc_id": "doc"},
+    "embeddings.parquet": {"vec_id": "vec"},
+    "events.parquet": {"event_id": "event", "user_id": "user"},
+}
+FIXED = ["region.parquet", "nation.parquet"]
+
+os.makedirs(OUT, exist_ok=True)
+spans = {}
+for fam, (tbl, col) in FAMILIES.items():
+    t = pq.read_table(os.path.join(SRC, tbl), columns=[col])
+    spans[fam] = int(pc.max(t.column(col)).as_py()) + 1
+
+for tbl in FIXED:
+    shutil.copyfile(os.path.join(SRC, tbl), os.path.join(OUT, tbl))
+    print(tbl, "copied 1x")
+
+for tbl, cols in SHIFT_COLS.items():
+    src = pq.read_table(os.path.join(SRC, tbl))
+    parts = []
+    for r in range(REPLICAS):
+        t = src
+        if r > 0:
+            for col, fam in cols.items():
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(t.column(col), r * spans[fam])
+                # preserve the original dtype (add may upcast)
+                shifted = pc.cast(shifted, src.schema.field(col).type)
+                t = t.set_column(idx, src.schema.field(col), shifted)
+        parts.append(t)
+    out = pa.concat_tables(parts)
+    pq.write_table(out, os.path.join(OUT, tbl))
+    print(tbl, f"{src.num_rows} -> {out.num_rows}")
