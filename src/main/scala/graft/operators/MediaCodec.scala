@@ -479,8 +479,8 @@ object MediaCodec {
     * level-shifted, clamped 8-bit samples into `out` at `(ox, oy)` with row
     * stride `stride`. Column pass at 13+2 fractional bits, row pass
     * descaled by 13+2+3 — the standard "islow" accuracy profile. */
-  private def idctBlock(coef: Array[Int], out: Array[Int], ox: Int, oy: Int, stride: Int): Unit = {
-    val ws = new Array[Long](64)
+  private def idctBlock(
+      coef: Array[Int], ws: Array[Long], out: Array[Int], ox: Int, oy: Int, stride: Int): Unit = {
     // pass 1: columns
     var c = 0
     while (c < 8) {
@@ -700,6 +700,7 @@ object MediaCodec {
     }
     val bits = new JpegBits(b, scanStart)
     val coef = new Array[Int](64)
+    val ws = new Array[Long](64) // IDCT workspace, reused across all blocks
     var mcu = 0
     var restarts = 0
     val totalMcus = mcusX * mcusY
@@ -724,8 +725,12 @@ object MediaCodec {
           var bx = 0
           while (bx < c.h) {
             java.util.Arrays.fill(coef, 0)
-            // DC: predictor + EXTENDed diff, dequantized
+            // DC: predictor + EXTENDed diff, dequantized. T.81 bounds the
+            // DC magnitude category at 11 for 8-bit data; a corrupt table
+            // can emit any symbol byte, and an unchecked t would silently
+            // mis-shift (1 << t wraps at 32) instead of rejecting the file
             val t = bits.decode(c.dcTab)
+            if (t > 11) return None
             c.pred += jExtend(bits.receive(t), t)
             coef(0) = c.pred * qt(0)
             // AC: run-length (RRRRSSSS) in zigzag order
@@ -739,12 +744,12 @@ object MediaCodec {
                 else k = 64 // EOB
               } else {
                 k += r
-                if (k > 63) return None
+                if (k > 63 || s > 10) return None // T.81: AC SSSS ≤ 10 at 8-bit
                 coef(Zigzag(k)) = jExtend(bits.receive(s), s) * qt(k)
                 k += 1
               }
             }
-            idctBlock(coef, c.plane, (mx * c.h + bx) * 8, (my * c.v + by) * 8, c.planeW)
+            idctBlock(coef, ws, c.plane, (mx * c.h + bx) * 8, (my * c.v + by) * 8, c.planeW)
             bx += 1
           }
           by += 1
@@ -843,6 +848,14 @@ object MediaCodec {
     out
   }
 
+  /** Per-thread cached JPEG writer: ImageIO writers are reusable but not
+    * thread-safe, and the ServiceRegistry lookup is too expensive for a
+    * per-row hot path (the mm pipelines encode a third of the corpus). */
+  private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+  }
+
   /** Encode a top-down RGB raster as baseline JPEG via the JDK's bundled
     * ImageIO writer (public JDK API) — the one codec direction this file
     * does not re-implement; [[decodeJpeg]], the hard direction, is ours.
@@ -862,7 +875,7 @@ object MediaCodec {
       data(3 * i + 2) = rgb(3 * i) // R
       i += 1
     }
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val writer = jpegWriter.get()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
@@ -873,7 +886,7 @@ object MediaCodec {
       writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
       ios.flush()
     } finally {
-      writer.dispose()
+      writer.setOutput(null) // keep the cached writer; just detach the stream
       ios.close()
     }
     bos.toByteArray

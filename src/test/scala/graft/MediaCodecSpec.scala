@@ -375,8 +375,13 @@ class MediaCodecSpec extends AnyFunSuite {
         .orElse(MediaCodec.decodeJpeg(r.payload)).get
       assert(d.width == r.width && d.height == r.height)
     }
-    // pixels are the utf8 text bytes cycled — check one doc end to end
-    val doc = docs.select("doc_id", "text").orderBy("doc_id").limit(1).collect().head
+    // pixels are the utf8 text bytes cycled — check one doc end to end.
+    // Must be a doc that got a LOSSLESS container (selector = doc_id,
+    // doc_id % 3 == 2 → JPEG, where the premise cannot hold): pick the
+    // lowest doc_id with a non-JPEG selector explicitly instead of relying
+    // on doc 0 happening to map to PNG.
+    val doc = docs.select("doc_id", "text").orderBy("doc_id")
+      .collect().find(_.getLong(0) % 3 != 2).get
     val row = rows.find(_.doc_id == doc.getLong(0)).get
     val txt = doc.getString(1).getBytes("UTF-8")
     val px = MediaCodec.decodeBmp(row.payload).orElse(MediaCodec.decodePng(row.payload)).get.pixels
