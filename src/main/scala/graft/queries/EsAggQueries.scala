@@ -785,8 +785,17 @@ object EsAggQueries {
       // (event_id % 5) + 1 ≤ 5 elements), so parents DO repeat skus —
       // item_count > parent_doc_count for real rows, which is the whole
       // reverse_nested distinction (a %7 period made the two counts
-      // provably equal and the semantics vacuously tested)
+      // provably equal and the semantics vacuously tested).
+      // Scan-spreading repartition (the Flows.df discipline) BEFORE the
+      // JSON parse + 5× explode: a single-row-group events file is one
+      // input split, and without it the whole nested-doc fan-out runs on
+      // one core (measured 27s → 9.2s at 10×-sf0.1; the remainder is the
+      // unavoidably serial single-split scan). Explicit partition count so
+      // AQE's small-exchange coalescing can't fold the spread back to one
+      // task. Two exchanges by design: the narrow-row spread, then the
+      // (sku, parent) aggregation.
       val items = ev(s, d)
+        .repartition(32, col("event_id"))
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .withColumn("items", expr(
           """transform(sequence(0, CAST(event_id % 5 AS INT)),
