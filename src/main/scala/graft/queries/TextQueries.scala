@@ -122,7 +122,11 @@ object TextQueries {
     * value, so comparisons against percentile edges stay exact); emitters
     * round for display. Also carries `source`. */
   private def unigramXent(s: SparkSession, d: String): DataFrame = {
-    val t = docs(s, d).select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+    // scan-spreading repartition (the q72/Flows discipline): a single-split
+    // documents file would otherwise tokenize + explode its whole token
+    // stream on one core
+    val t = docs(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
     val vocab = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val vocabLg = graft.functions.detlog.withLog2(vocab, "c", "lg")
     val totalLg = graft.functions.detlog.withLog2(
