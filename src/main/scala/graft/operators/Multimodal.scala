@@ -88,7 +88,11 @@ object Multimodal {
     * them). */
   def attachPayload(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
+    // scan-spreading repartition: the per-row encode/decode is CPU-bound,
+    // and a single-row-group documents file is one input split — without
+    // the spread the whole corpus encodes on one core
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         makeImageRow(id, selector = id, (nChars % 64 + 16).toInt, (id % 48 + 16).toInt, text)
@@ -253,7 +257,8 @@ object Multimodal {
     * [[MediaCodec.decodeWavPcm16]] parses chunk-by-chunk. */
   def attachAudioPayload(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    docs.repartition(col("doc_id")) // spread the CPU-bound per-row encode
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
@@ -323,6 +328,7 @@ object Multimodal {
     // duplicate text makes byte-identical files — the property image dedup
     // actually relies on; all three real parsers are exercised across the corpus
     val media = docs
+      .repartition(col("doc_id")) // spread the CPU-bound per-row encode+hash
       .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>

@@ -534,7 +534,10 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val k1 = 1.2
       val b = 0.75
-      val t = docs(s, d).select(col("doc_id"), explode(col("toks")).as("tok"))
+      // scan-spreading repartition before the token explode (the q72/
+      // unigramXent discipline against single-split corpus files)
+      val t = docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
       val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       val stats = dl.agg(
         count(lit(1)).as("n_docs"),
