@@ -3,6 +3,15 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Measurement-integrity guard: concurrent load makes per-query wall
+    // times unusable for cross-round comparison (a dirty bench shows 10-50x
+    // "regressions" on untouched code). Sample the 1-min load average
+    // BEFORE Spark spins up its own pool: a busy machine self-identifies
+    // in the output instead of masquerading as a plan regression.
+    val nproc = Runtime.getRuntime.availableProcessors()
+    val loadStart =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val dirty = loadStart > 0.25 * nproc
     val spark = GraftSession.local()
     // One untimed warmup pass (JIT + codegen + parquet footer caching), then
     // time the steady-state run — per-query numbers are otherwise dominated
@@ -50,7 +59,9 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val loadEnd =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadEnd,"nproc":$nproc,"dirty":$dirty}""")
     spark.stop()
   }
 }

@@ -17,6 +17,11 @@ object GraftSession {
       // testdata parquet carries TIMESTAMP(NANOS); read as nano-longs and
       // let graft.queries.Tables restore TimestampType
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata TIMESTAMP(MICROS) columns are written isAdjustedToUTC=false;
+      // read them as TimestampType (session tz is UTC, so the instant is the
+      // wall-clock — DuckDB's naive read of the same file agrees) instead of
+      // TIMESTAMP_NTZ, keeping unix_micros()/pushdown on the scan column
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

@@ -605,6 +605,13 @@ object MediaCodec {
           val nc = b(pos + 7) & 0xff
           if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
           if (width.toLong * height * 3 > Int.MaxValue) return None
+          // hostile-input bound (the decodeBmp posture): the declared raster
+          // must be plausible for the payload size. Baseline huffman needs
+          // ≥1 bit per 8×8 block per component ≈ hundreds of pixels/byte at
+          // the theoretical floor; 4096 px/byte is far past any real JPEG,
+          // so a few-KB header declaring a multi-GB raster dies here instead
+          // of OOMing the executor on the plane allocation.
+          if (width.toLong * height > 4096L * b.length) return None
           comps = Array.tabulate(nc) { i =>
             val o = pos + 8 + 3 * i
             val hv = b(o + 1) & 0xff
@@ -850,7 +857,11 @@ object MediaCodec {
 
   /** Per-thread cached JPEG writer: ImageIO writers are reusable but not
     * thread-safe, and the ServiceRegistry lookup is too expensive for a
-    * per-row hot path (the mm pipelines encode a third of the corpus). */
+    * per-row hot path (the mm pipelines encode a third of the corpus).
+    * Deliberately never disposed: executor task pools are fixed-size, so
+    * the retained writers are bounded by the pool size and live for the
+    * JVM — the per-encode dispose/re-lookup alternative costs more than
+    * the handful of cached native buffers it would free. */
   private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
     override def initialValue(): javax.imageio.ImageWriter =
       javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()

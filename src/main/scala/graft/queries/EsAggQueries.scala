@@ -792,10 +792,11 @@ object EsAggQueries {
       // one core (measured 27s → 9.2s at 10×-sf0.1; the remainder is the
       // unavoidably serial single-split scan). Explicit partition count so
       // AQE's small-exchange coalescing can't fold the spread back to one
-      // task. Two exchanges by design: the narrow-row spread, then the
-      // (sku, parent) aggregation.
+      // task — derived from the cluster's parallelism, not a literal, so
+      // the stage scales with the executor count. Two exchanges by design:
+      // the narrow-row spread, then the (sku, parent) aggregation.
       val items = ev(s, d)
-        .repartition(32, col("event_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .withColumn("items", expr(
           """transform(sequence(0, CAST(event_id % 5 AS INT)),
@@ -845,6 +846,29 @@ object EsAggQueries {
           count(lit(1)).as("parent_doc_count"),
           sum(col("c")).as("child_doc_count"),
           sumDet(col("q")).as("sum_qty"))
+    }),
+
+    // ES `parent` agg — the inverse join-field direction of q73: buckets on
+    // a CHILD field (lineitem.l_returnflag), sub-aggs over the DISTINCT
+    // parent docs each bucket's children map to (a parent counts once per
+    // bucket even when several of its children land there; reference:
+    // join/aggregations/ParentAggregator semantics). Same two-level
+    // no-Expand recipe: level one keys (shipmode, orderkey) — the child
+    // fan-in pre-combines map-side and min() carries the parent metric
+    // exactly once per (bucket, parent), it is constant within the group —
+    // and level two counts groups for parent_doc_count and sums the
+    // per-parent metric. One order-key shuffle, fact-fact, no Expand.
+    "q73b_parent_agg" -> ((s: SparkSession, d: String) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val l = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_returnflag"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"), col("o_orderkey"))
+        .agg(count(lit(1)).as("c"), min(col("o_totalprice")).as("p"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("parent_doc_count"),
+          sum(col("c")).as("child_doc_count"),
+          sumDet(col("p"), 6).as("sum_parent_price"))
     }),
 
     // ES `bucket_count_ks_test` pipeline agg (its deterministic core): the
@@ -1138,6 +1162,48 @@ object EsAggQueries {
         |       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
         |FROM events e JOIN m ON e.event_type = m.event_type
         |GROUP BY e.event_type, m.med""".stripMargin,
+    // Exact SQL mirror of the HistQuantile sketch (plans/HistQuantile.scala):
+    // the fixed-bin histogram is deterministic given the value multiset —
+    // bin counts are exact integers and eval() is a fixed IEEE-double op
+    // sequence (target = q*n; first non-empty bin with cum >= target;
+    // clamped linear interpolation inside it) — so DuckDB replaying the
+    // identical sequence hash-matches bit-for-bit. lo=0, hi=1000,
+    // bins=1000 → width exactly 1.0.
+    "q15b_percentiles_sketch" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CASE WHEN value < 0.0 THEN 0
+        |              WHEN value >= 1000.0 THEN 1001
+        |              ELSE 1 + LEAST(999, CAST(FLOOR((value - 0.0) / 1.0) AS INT)) END AS idx,
+        |         COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |),
+        |c AS (
+        |  SELECT event_type, idx, cnt,
+        |         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS BIGINT) AS cum,
+        |         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b
+        |),
+        |qs AS (SELECT UNNEST([0.5, 0.95]) AS qq),
+        |sel AS (
+        |  SELECT event_type, qq, idx, cnt, cum, n,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type, qq ORDER BY idx) AS rn
+        |  FROM c CROSS JOIN qs
+        |  WHERE CAST(cum AS DOUBLE) >= qq * CAST(n AS DOUBLE)
+        |),
+        |v AS (
+        |  SELECT event_type, qq,
+        |         CASE WHEN idx = 0 THEN 0.0
+        |              WHEN idx = 1001 THEN 1000.0
+        |              ELSE 0.0 + (idx - 1 + GREATEST(0.0, LEAST(1.0,
+        |                (qq * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)))) * 1.0
+        |         END AS val
+        |  FROM sel WHERE rn = 1
+        |)
+        |SELECT event_type,
+        |       MAX(CASE WHEN qq = 0.5 THEN val END) AS p50_sketch,
+        |       MAX(CASE WHEN qq = 0.95 THEN val END) AS p95_sketch
+        |FROM v GROUP BY event_type""".stripMargin,
     "q15d_percentile_ranks" ->
       """WITH g AS (
         |  SELECT event_type, COUNT(*) AS n,
@@ -1471,6 +1537,18 @@ object EsAggQueries {
          |       ${sumDetSql("l_quantity")} AS sum_qty
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+    "q73b_parent_agg" ->
+      s"""WITH pp AS (
+         |  SELECT l_returnflag, o_orderkey,
+         |         COUNT(*) AS c, MIN(o_totalprice) AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |)
+         |SELECT l_returnflag,
+         |       COUNT(*) AS parent_doc_count,
+         |       CAST(SUM(c) AS BIGINT) AS child_doc_count,
+         |       ${sumDetSql("p", 6)} AS sum_parent_price
+         |FROM pp GROUP BY l_returnflag""".stripMargin,
     "q17l_bucket_count_ks_test" ->
       s"""WITH b AS (
          |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,

@@ -69,6 +69,10 @@ object Tables {
     tsCols.getOrElse(name, Nil).filter(raw.columns.contains).foldLeft(raw) { (df, c) =>
       if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
         df.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+      else if (df.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType)
+        // only reachable without GraftSession's inferTimestampNTZ=false (a
+        // foreign session): same instant under the UTC session timezone
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
       else df
     }
   }

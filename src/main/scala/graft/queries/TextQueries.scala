@@ -102,6 +102,33 @@ object TextQueries {
         col("term"),
         (lit(40L) + (col("r") - lit(5)) * lit(5L)).as("min_toks"))
 
+  /** Registry-scale ("inverted") percolation, shared by q77b (batch) and
+    * st14 (streaming): the doc token stream (distinct per doc, so each
+    * (doc, rule) pair surfaces at most once) equi-joins the broadcast
+    * rule-TERM table on the term key — only tokens that hit a rule produce
+    * rows, vs q77's rules×docs row multiplication — then the min_toks
+    * length predicate verifies candidates. Stateless, so it applies
+    * unchanged to a streaming source. Input needs `doc_id`, `toks`. */
+  private[graft] def percolateInvertedAgg(in: DataFrame, rules: DataFrame): DataFrame =
+    in.select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(array_distinct(col("toks"))).as("tok"))
+      .join(broadcast(rules), col("tok") === col("term"))
+      .filter(col("n_toks") >= col("min_toks"))
+      .groupBy(col("rule_id"), col("term"), col("min_toks"))
+      .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))
+
+  /** st14's streaming aggregate, exposed unstarted so PlanSpec can gate the
+    * physical join shape of the exact streaming DataFrame the query runs. */
+  private[graft] def st14StreamAgg(s: SparkSession, d: String): DataFrame = {
+    val spool = IngestQueries.scratchDir("graft_doc_spool_st14")
+    Tables(s, d, "documents").repartition(4).write.mode("overwrite").parquet(spool.toString)
+    val src = s.readStream
+      .schema(Tables(s, d, "documents").schema)
+      .parquet(spool.toString)
+      .withColumn("toks", text.tokens(col("text")))
+    percolateInvertedAgg(src, percolateRules(s, d))
+  }
+
   /** The q41 quality-score map (stateless — reused verbatim by the st13
     * streaming form; input needs `doc_id`, `text`, `toks`). */
   private def qualityScore(in: DataFrame): DataFrame =
@@ -155,8 +182,11 @@ object TextQueries {
     // distributed rank: RangePartitioner gives a global sort order across
     // partitions (deterministic sampling on the checkpointed input), so
     // global rank = per-partition row_number + cumulative offset of the
-    // preceding partitions. Only the 32-row count table ever sees a
-    // single-partition window. The `ranked`, `counts`, and `ks` branches
+    // preceding partitions. Only the parallelism-sized count table ever
+    // sees a single-partition window. The partition count derives from the
+    // cluster's parallelism (the offsets are computed from the same
+    // partitioning that produced the pids, so the result is partition-
+    // count-independent). The `ranked`, `counts`, and `ks` branches
     // all read this ONE range exchange (ReuseExchange dedupes them) — the
     // offsets are only valid against the same partitioning that produced
     // the pids, which PlanSpec gates. xent_raw is non-null by construction
@@ -165,7 +195,7 @@ object TextQueries {
     // orderings would silently shift every rank if a null ever appeared.
     val parted = x.select(col("xent_raw"))
       .filter(col("xent_raw").isNotNull)
-      .repartitionByRange(32, col("xent_raw"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("xent_raw"))
       .withColumn("pid", spark_partition_id())
     val ranked = parted.withColumn("pr",
       row_number().over(Window.partitionBy(col("pid")).orderBy(col("xent_raw"))).cast("long"))
@@ -602,32 +632,21 @@ object TextQueries {
     // At a 10k-rule registry this is the shape that survives; q77 stays as
     // the contract-fidelity form.
     "q77b_percolate_inverted" -> ((s: SparkSession, d: String) =>
-      docs(s, d)
-        .select(col("doc_id"), size(col("toks")).as("n_toks"),
-          explode(array_distinct(col("toks"))).as("tok"))
-        .join(broadcast(percolateRules(s, d)), col("tok") === col("term"))
-        .filter(col("n_toks") >= col("min_toks"))
-        .groupBy(col("rule_id"), col("term"), col("min_toks"))
-        .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))),
+      percolateInvertedAgg(docs(s, d), percolateRules(s, d))),
 
     // The always-on percolator: the same rule registry matched against the
     // DOCUMENT STREAM (alert-at-ingest), complete-mode running counts.
     // Shares q77's oracle — a hash match proves the streaming percolation
-    // equals the batch reverse search.
+    // equals the batch reverse search. Registry-scale shape (q77b's, not
+    // q77's): each micro-batch explodes the doc's DISTINCT tokens and
+    // equi-joins the broadcast rule-term table — rows surface only for
+    // tokens that hit a rule, so a 10k-rule registry costs O(matching
+    // tokens), not rules×docs row fan-out. The transform is stateless, so
+    // it drops straight into the complete-mode agg; PlanSpec gates the
+    // plan against BroadcastNestedLoopJoin regressions.
     "st14_percolate_stream" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.streaming.Trigger
-      val spool = IngestQueries.scratchDir("graft_doc_spool_st14")
-      Tables(s, d, "documents").repartition(4).write.mode("overwrite").parquet(spool.toString)
-      val src = s.readStream
-        .schema(Tables(s, d, "documents").schema)
-        .parquet(spool.toString)
-        .withColumn("toks", text.tokens(col("text")))
-      val agg = src
-        .crossJoin(broadcast(percolateRules(s, d)))
-        .filter(array_contains(col("toks"), col("term")) && size(col("toks")) >= col("min_toks"))
-        .groupBy(col("rule_id"), col("term"), col("min_toks"))
-        .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))
-      val q = agg.writeStream
+      val q = st14StreamAgg(s, d).writeStream
         .format("memory").queryName("st14_mem")
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())

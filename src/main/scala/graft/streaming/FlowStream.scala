@@ -52,8 +52,8 @@ object FlowStream {
         col("user_id"),
         col("event_type"),
         col("value").as("v"),
-        // ts arrives as nano-longs (see GraftSession); floor to millis
-        expr("ts DIV 1000000").as("rs"))
+        // ts arrives as TimestampType (see GraftSession); floor to millis
+        expr("unix_micros(ts) DIV 1000").as("rs"))
       .withColumn("re", col("rs") + (col("event_id") % 7200) * 1000)
   }
 

@@ -56,7 +56,7 @@ object Sessionize {
         .select(
           org.apache.spark.sql.functions.col("user_id"),
           org.apache.spark.sql.functions.col("event_id"),
-          org.apache.spark.sql.functions.expr("ts DIV 1000000").as("ms"),
+          org.apache.spark.sql.functions.expr("unix_micros(ts) DIV 1000").as("ms"),
           org.apache.spark.sql.functions.col("value"))
         .as[Ev]
       val q = statefulSessions(evs, gapMs).writeStream

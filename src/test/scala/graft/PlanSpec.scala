@@ -31,7 +31,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("q01: scan pruned to the three used columns, bounded shuffles") {
     val p = plan("q01_prop_sum_basic")
-    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,value:double>"))
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp,value:double>"))
     // two exchanges by design: the scan-spreading repartition (narrow rows,
     // pre-explode) and the bucket aggregation (partial states only)
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, "repartition + bucket aggregation")
@@ -303,6 +303,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "term-keyed candidate match expected")
   }
 
+  test("st14: the streaming percolator keeps q77b's inverted equi-join shape") {
+    // the streaming DataFrame explains without starting — this is the exact
+    // plan each micro-batch runs, so a regression back to the rules×docs
+    // crossJoin (rules-linear row fan-out per batch) fails here
+    val p = queries.TextQueries.st14StreamAgg(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the streaming registry must candidate-match by term key, not fan per rule")
+    assert(p.contains("BroadcastHashJoin"), "term-keyed candidate match expected")
+  }
+
   test("q12e: the sample filter prunes before any shuffle") {
     val p = plan("q12e_random_sampler")
     // random_sampler's contract is cost reduction: the hash filter must sit
@@ -338,6 +349,15 @@ class PlanSpec extends AnyFunSuite {
     // countDistinct(o_orderkey) mixed with non-distinct aggs would Expand
     // every orders⋈lineitem row before the shuffle; the two-level
     // (priority, orderkey) aggregate pre-combines map-side instead
+    assert(!p.contains("Expand"), "two-level aggregate must not row-multiply")
+    assert(p.contains("partial_count") || p.contains("partial_int128_sum"),
+      "map-side partials before the first exchange")
+  }
+
+  test("q73b: the parent agg keeps q73's no-Expand two-level shape") {
+    val p = plan("q73b_parent_agg")
+    // the inverse join-field direction: distinct-parent counting via the
+    // (bucket, orderkey) first level, never an Expand row-multiply
     assert(!p.contains("Expand"), "two-level aggregate must not row-multiply")
     assert(p.contains("partial_count") || p.contains("partial_int128_sum"),
       "map-side partials before the first exchange")

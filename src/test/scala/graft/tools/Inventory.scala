@@ -7,8 +7,10 @@ object Inventory {
     val o = graft.SparkEntry.oracleSql.keySet
     println(s"INV queries=${q.size} oracle=${o.size}")
     println(s"INV oracle-not-in-queries=${(o -- q).toSeq.sorted.mkString(",")}")
-    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines()
-      .filter(_.matches("^- `(q|st|mm).*")).map(_.drop(3).takeWhile(_ != '`')).toSet
+    val survey = scala.util.Using.resource(scala.io.Source.fromFile("SURVEY.md", "UTF-8")) {
+      _.getLines()
+        .filter(_.matches("^- `(q|st|mm).*")).map(_.drop(3).takeWhile(_ != '`')).toSet
+    }
     println(s"INV survey_rows=${survey.size}")
     println(s"INV survey-not-in-queries=${(survey -- q).toSeq.sorted.mkString(",")}")
     println(s"INV queries-not-in-survey=${(q -- survey).toSeq.sorted.mkString(",")}")

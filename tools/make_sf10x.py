@@ -5,7 +5,9 @@ so join fan-outs stay realistic), keep the fixed dimension tables
 (region/nation) at 1x. The oracle recomputes over the SAME derived files,
 so Spark-vs-DuckDB comparisons remain exact.
 
-Usage: python3 tools/make_sf10x.py [outdir]   (default /tmp/sfx10)
+Usage: python3 tools/make_sf10x.py [outdir] [replicas] [tables...]
+(defaults: /tmp/sfx10, 10, all tables — pass e.g. `100 documents events`
+for the 100x spot-proof subset)
 """
 import sys, os, shutil
 import pyarrow as pa
@@ -14,7 +16,8 @@ import pyarrow.compute as pc
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx10"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+ONLY = set(t + ".parquet" for t in sys.argv[3:]) or None
 
 # per-table key columns shifted by replica * span(key-family); span is taken
 # from the parent table's max so parent/child shift identically
@@ -47,10 +50,14 @@ for fam, (tbl, col) in FAMILIES.items():
     spans[fam] = int(pc.max(t.column(col)).as_py()) + 1
 
 for tbl in FIXED:
+    if ONLY and tbl not in ONLY:
+        continue
     shutil.copyfile(os.path.join(SRC, tbl), os.path.join(OUT, tbl))
     print(tbl, "copied 1x")
 
 for tbl, cols in SHIFT_COLS.items():
+    if ONLY and tbl not in ONLY:
+        continue
     src = pq.read_table(os.path.join(SRC, tbl))
     parts = []
     for r in range(REPLICAS):
