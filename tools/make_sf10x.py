@@ -5,19 +5,29 @@ so join fan-outs stay realistic), keep the fixed dimension tables
 (region/nation) at 1x. The oracle recomputes over the SAME derived files,
 so Spark-vs-DuckDB comparisons remain exact.
 
-Usage: python3 tools/make_sf10x.py [outdir] [replicas] [tables...]
+Usage: python3 tools/make_sf10x.py [--salt-text] [outdir] [replicas] [tables...]
 (defaults: /tmp/sfx10, 10, all tables — pass e.g. `100 documents events`
 for the 100x spot-proof subset)
+
+--salt-text appends a per-replica tag to documents.text (replica 0
+unchanged). Without it, every doc has (replicas-1) byte-identical copies,
+so the dedup queries' candidate-PAIR work grows as replicas^2 — at 100x
+that is ~4950 pairs per original dup group in BOTH engines, which measures
+the derivation artifact, not scaling. Salting keeps the dup structure at
+its 1x density per replica so the scale-up is work-linear and the
+hash-compare still exact (the oracle recomputes over the same files).
 """
 import sys, os, shutil
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
 
+args = [a for a in sys.argv[1:] if a != "--salt-text"]
+SALT = "--salt-text" in sys.argv[1:]
 SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx10"
-REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-ONLY = set(t + ".parquet" for t in sys.argv[3:]) or None
+OUT = args[0] if len(args) > 0 else "/tmp/sfx10"
+REPLICAS = int(args[1]) if len(args) > 1 else 10
+ONLY = set(t + ".parquet" for t in args[2:]) or None
 
 # per-table key columns shifted by replica * span(key-family); span is taken
 # from the parent table's max so parent/child shift identically
@@ -69,6 +79,14 @@ for tbl, cols in SHIFT_COLS.items():
                 # preserve the original dtype (add may upcast)
                 shifted = pc.cast(shifted, src.schema.field(col).type)
                 t = t.set_column(idx, src.schema.field(col), shifted)
+            if SALT and tbl == "documents.parquet":
+                ti = t.schema.get_field_index("text")
+                salted = pc.binary_join_element_wise(
+                    t.column("text"), pa.scalar(f"r{r}"), " ")
+                t = t.set_column(ti, src.schema.field("text"), salted)
+                ni = t.schema.get_field_index("n_chars")
+                t = t.set_column(ni, src.schema.field("n_chars"),
+                                 pc.cast(pc.utf8_length(t.column("text")), pa.int64()))
         parts.append(t)
     out = pa.concat_tables(parts)
     pq.write_table(out, os.path.join(OUT, tbl))
