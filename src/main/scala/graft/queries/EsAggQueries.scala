@@ -853,7 +853,7 @@ object EsAggQueries {
     // parent docs each bucket's children map to (a parent counts once per
     // bucket even when several of its children land there; reference:
     // join/aggregations/ParentAggregator semantics). Same two-level
-    // no-Expand recipe: level one keys (shipmode, orderkey) — the child
+    // no-Expand recipe: level one keys (l_returnflag, orderkey) — the child
     // fan-in pre-combines map-side and min() carries the parent metric
     // exactly once per (bucket, parent), it is constant within the group —
     // and level two counts groups for parent_doc_count and sums the
@@ -1172,7 +1172,12 @@ object EsAggQueries {
     "q15b_percentiles_sketch" ->
       """WITH b AS (
         |  SELECT event_type,
-        |         CASE WHEN value < 0.0 THEN 0
+        |         -- isnan guard: DuckDB orders NaN above every double, so
+        |         -- without it NaN would take the >= 1000.0 branch (bin
+        |         -- 1001), while the sketch's x >= hi is FALSE for NaN and
+        |         -- (NaN).toInt == 0 lands it in bin 1
+        |         CASE WHEN isnan(value) THEN 1
+        |              WHEN value < 0.0 THEN 0
         |              WHEN value >= 1000.0 THEN 1001
         |              ELSE 1 + LEAST(999, CAST(FLOOR((value - 0.0) / 1.0) AS INT)) END AS idx,
         |         COUNT(*) AS cnt

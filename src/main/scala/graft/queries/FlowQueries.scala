@@ -407,6 +407,13 @@ object FlowQueries {
     // the finished stream equals the batch sketch, which is exact at this
     // cardinality — q11c's oracle verbatim
     "st09_stream_topk" -> EsAggQueries.oracleSql("q11c_terms_sketch"),
+    // complete-mode AvailableNow over the whole table: the finished stream
+    // IS the batch sketch (bin counts merge additively across triggers,
+    // eval is deterministic given the multiset), so q15b's exact DuckDB
+    // bin/cumsum/interpolation mirror applies verbatim — only the output
+    // aliases differ
+    "st10_stream_quantile" -> EsAggQueries.oracleSql("q15b_percentiles_sketch")
+      .replace("AS p50_sketch", "AS p50").replace("AS p95_sketch", "AS p95"),
     "st07_prop_sum_append" -> {
       val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
       s"""$core,

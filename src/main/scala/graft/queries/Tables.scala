@@ -64,16 +64,30 @@ object Tables {
       .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
       .foreach(_.unpersist(blocking = true))
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    tsCols.getOrElse(name, Nil).filter(raw.columns.contains).foldLeft(raw) { (df, c) =>
+  /** Coerce `name`'s declared timestamp columns to TimestampType whatever
+    * physical type the drop and session config produced — nano-longs under
+    * `nanosAsLong`, TimestampNTZ under a foreign session that skipped
+    * GraftSession's `inferTimestampNTZ=false`. Shared by the batch reader
+    * below and the streaming file sources
+    * ([[graft.streaming.FlowStream.tableStream]]), so every path that
+    * reads `ts` downstream sees the same type. */
+  def coerceTs(df0: DataFrame, name: String): DataFrame =
+    tsCols.getOrElse(name, Nil).filter(df0.columns.contains).foldLeft(df0) { (df, c) =>
       if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
         df.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
       else if (df.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType)
-        // only reachable without GraftSession's inferTimestampNTZ=false (a
-        // foreign session): same instant under the UTC session timezone
-        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+        // only reachable from a foreign session, which may also run a
+        // non-UTC session timezone — a bare NTZ→Timestamp cast would
+        // interpret the naive wall clock in THAT zone and silently shift
+        // the instant. The naive values are UTC by the generator contract:
+        // render the UTC instant in the current zone (convert_timezone),
+        // then let the cast read that wall clock back in the same zone —
+        // instant preserved under any session timezone.
+        df.withColumn(c,
+          expr(s"CAST(convert_timezone('UTC', current_timezone(), `$c`) AS TIMESTAMP)"))
       else df
     }
-  }
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    coerceTs(spark.read.parquet(s"$sfDir/$name.parquet"), name)
 }

@@ -35,9 +35,14 @@ object FlowStream {
     dir.toFile.deleteOnExit()
     link.toFile.deleteOnExit()
     val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .parquet(dir.toString)
+    // same ts coercion as the batch reader (graft.queries.Tables): under a
+    // nanos drop the schema above carries LongType ts (nanosAsLong), and
+    // the downstream unix_micros(ts) would fail at analysis without this
+    graft.queries.Tables.coerceTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(dir.toString),
+      table)
   }
 
   /** Raw streaming read of the events table. */
