@@ -9,13 +9,19 @@ Usage: python3 tools/make_sf10x.py [--salt-text] [outdir] [replicas] [tables...]
 (defaults: /tmp/sfx10, 10, all tables — pass e.g. `100 documents events`
 for the 100x spot-proof subset)
 
---salt-text appends a per-replica tag to documents.text (replica 0
-unchanged). Without it, every doc has (replicas-1) byte-identical copies,
-so the dedup queries' candidate-PAIR work grows as replicas^2 — at 100x
-that is ~4950 pairs per original dup group in BOTH engines, which measures
-the derivation artifact, not scaling. Salting keeps the dup structure at
-its 1x density per replica so the scale-up is work-linear and the
-hash-compare still exact (the oracle recomputes over the same files).
+--salt-text interleaves a per-replica tag between every token of
+documents.text (replica 0 unchanged). Without it, every doc has
+(replicas-1) byte-identical copies, so the dedup queries' candidate-PAIR
+work grows as replicas^2 — at 100x that is ~4950 pairs per original dup
+group in BOTH engines, which measures the derivation artifact, not
+scaling. A trailing tag is NOT enough: interior 3-gram shingles stay
+identical across replicas, and a shingle unique at 1x has df exactly
+`replicas` at Nx — under the df<=100 hot-shingle cap those survive at
+100x and still connect all replica pairs. Interleaving the tag puts it
+inside every shingle window, so replicas share no shingles at all: the
+dup structure keeps its 1x density per replica, the scale-up is
+work-linear, and the hash-compare stays exact (the oracle recomputes
+over the same files).
 """
 import sys, os, shutil
 import pyarrow as pa
@@ -81,8 +87,9 @@ for tbl, cols in SHIFT_COLS.items():
                 t = t.set_column(idx, src.schema.field(col), shifted)
             if SALT and tbl == "documents.parquet":
                 ti = t.schema.get_field_index("text")
-                salted = pc.binary_join_element_wise(
-                    t.column("text"), pa.scalar(f"r{r}"), " ")
+                salted = pc.replace_substring_regex(
+                    t.column("text"), pattern=r"\s+", replacement=f" zr{r}z ")
+                salted = pc.binary_join_element_wise(salted, pa.scalar(f"zr{r}z"), " ")
                 t = t.set_column(ti, src.schema.field("text"), salted)
                 ni = t.schema.get_field_index("n_chars")
                 t = t.set_column(ni, src.schema.field("n_chars"),
