@@ -6,8 +6,11 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   /** One concurrent coarse+PQ index build from scratch (the cluster shape:
-    * two training pipelines sharing the scan cache, scheduled together). */
-  private def buildIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    * two training pipelines sharing the scan cache, scheduled together).
+    * ONE definition — [[graft.tools.BenchIndex]] times this same build, so
+    * the isolated reproduction can never drift from what the bench
+    * reports. */
+  private[graft] def buildIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.DurationInt
@@ -76,6 +79,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadAvg
+    loadMax = math.max(loadMax, loadEnd) // the record's max covers every sample, loadEnd included
     val record =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"nproc":$nproc,"dirty":$dirty}"""
     println(record)

@@ -252,8 +252,10 @@ object FlowQueries {
     // shares q11c's exact oracle
     "st09_stream_topk" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.streamingTopK(spark, dir, "st09_mem")),
-    // the quantile sketch as streaming state; rows-only (sketch not
-    // SQL-expressible) — StreamingSpec pins equality with the batch sketch
+    // the quantile sketch as streaming state; the finished complete-mode
+    // stream equals the batch sketch, so it shares q15b's exact DuckDB
+    // mirror (aliases renamed) — StreamingSpec additionally pins the
+    // streaming-vs-batch equality directly
     "st10_stream_quantile" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.streamingQuantiles(spark, dir, "st10_mem")),
     // calendar-interval (monthly) prop-sum through the always-on streaming

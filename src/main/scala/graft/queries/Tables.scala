@@ -80,11 +80,14 @@ object Tables {
         // non-UTC session timezone — a bare NTZ→Timestamp cast would
         // interpret the naive wall clock in THAT zone and silently shift
         // the instant. The naive values are UTC by the generator contract:
-        // render the UTC instant in the current zone (convert_timezone),
-        // then let the cast read that wall clock back in the same zone —
-        // instant preserved under any session timezone.
+        // rebuild the instant from the NTZ fields with an EXPLICIT 'UTC'
+        // zone (make_timestamp), which is session-tz-independent AND free
+        // of the DST fall-back ambiguity a render-then-cast round trip has
+        // in zones with overlapping wall clocks (UTC has no DST). extract
+        // SECOND keeps the fractional micros (DECIMAL(8,6)).
         df.withColumn(c,
-          expr(s"CAST(convert_timezone('UTC', current_timezone(), `$c`) AS TIMESTAMP)"))
+          expr(s"make_timestamp(year(`$c`), month(`$c`), day(`$c`), " +
+            s"hour(`$c`), minute(`$c`), extract(SECOND FROM `$c`), 'UTC')"))
       else df
     }
 

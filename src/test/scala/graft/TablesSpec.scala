@@ -45,6 +45,25 @@ class TablesSpec extends AnyFunSuite {
     } finally spark.conf.set(tzKey, prev)
   }
 
+  test("coerceTs NTZ handling is exact inside a DST fall-back overlap") {
+    import spark.implicits._
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      // 2024-11-03 06:30 UTC renders as 01:30 in New York — a wall clock
+      // that occurs TWICE (EDT first pass, EST second pass). A
+      // render-then-cast round trip resolves the ambiguity to the earlier
+      // offset and lands one hour off; the make_timestamp('UTC') path has
+      // no ambiguity to resolve. Fractional micros must survive too.
+      val df = spark.sql("SELECT TIMESTAMP_NTZ '2024-11-03 06:30:00.123456' AS ts")
+      val out = graft.queries.Tables.coerceTs(df, "events")
+      val micros = out.select(unix_micros(col("ts"))).as[Long].head()
+      val expected = java.time.Instant.parse("2024-11-03T06:30:00.123456Z")
+      assert(micros == expected.getEpochSecond * 1000000L + 123456L)
+    } finally spark.conf.set(tzKey, prev)
+  }
+
   test("coerceTs leaves an already-TimestampType column untouched") {
     val df = spark.sql("SELECT TIMESTAMP '2024-03-01 12:00:00Z' AS ts")
     val out = graft.queries.Tables.coerceTs(df, "events")
