@@ -312,12 +312,14 @@ object EsAggQueries {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))),
 
-    // ES `cardinality` is HLL-approximate; Spark's approx_count_distinct is the
-    // same sketch family. No cross-engine oracle (sketches differ) — rows-only.
+    // ES `cardinality` is HLL-approximate. Round 10: our own deterministic
+    // HLL (graft.operators.Hll — md5 hash, exact integer register sums,
+    // detlog linear-counting branch) instead of Spark's opaque
+    // approx_count_distinct, so DuckDB replays the sketch bit-for-bit and
+    // the query is oracle-backed like q15b.
     "q14b_cardinality_hll" -> ((s: SparkSession, d: String) =>
-      ev(s, d)
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))),
+      graft.operators.Hll.cardinality(
+        ev(s, d), Seq(col("event_type")), col("user_id"), "n_users_approx")),
 
     "q15_percentiles" -> ((s: SparkSession, d: String) =>
       ev(s, d)
@@ -1149,6 +1151,8 @@ object EsAggQueries {
          |       sum_value / cnt AS avg_value FROM g""".stripMargin,
     "q14_cardinality" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+    // bit-exact DuckDB replay of the deterministic HLL (see operators/Hll)
+    "q14b_cardinality_hll" -> graft.operators.Hll.eventsOracleSql("n_users_approx"),
     "q15_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 6) AS p50,

@@ -23,6 +23,30 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic HLL is within 5% of exact across both estimator branches") {
+    import spark.implicits._
+    // n = 100 and 2000 exercise linear counting (E <= 2.5m with empty
+    // registers); n = 50000 >> 10240 exercises the raw-estimate branch
+    for (n <- Seq(100, 2000, 50000)) {
+      val df = (1 to n).map(i => ("g", i.toLong)).toDF("grp", "id")
+      val est = operators.Hll.cardinality(df, Seq(col("grp")), col("id"), "c")
+        .collect()(0).getLong(1)
+      assert(math.abs(est - n).toDouble / n <= 0.05,
+        s"n=$n: HLL estimate $est off by ${math.abs(est - n).toDouble / n}")
+    }
+  }
+
+  test("deterministic HLL is partition-layout independent") {
+    import spark.implicits._
+    val base = (1 to 20000).map(i => ((i % 3).toString, i.toLong * 7919)).toDF("grp", "id")
+    val one = operators.Hll.cardinality(base.coalesce(1), Seq(col("grp")), col("id"), "c")
+      .orderBy("grp").collect().map(_.getLong(1)).toSeq
+    val many = operators.Hll.cardinality(
+      base.repartition(13, col("id")), Seq(col("grp")), col("id"), "c")
+      .orderBy("grp").collect().map(_.getLong(1)).toSeq
+    assert(one == many, s"$one vs $many")
+  }
+
   test("hist_quantile merge is partition-order independent") {
     val one = queries.Tables(spark, sf, "events").coalesce(1)
       .agg(expr("hist_quantile(value, 0.9, 0.0, 1000.0, 1000)")).collect()(0).getDouble(0)
