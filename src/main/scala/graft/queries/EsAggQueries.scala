@@ -941,12 +941,21 @@ object EsAggQueries {
 
     // ES `variable_width_histogram`: buckets from 1-D clustering of the
     // value distribution (ES streams a clusterer per shard + coordinator
-    // merge; here it is the deterministic distributed k-means used for IVF,
-    // on 1-dim vectors). Rows-only: a clustering has no SQL oracle; the
-    // spec pins bucket disjointness, full coverage, and determinism.
+    // merge; here: deterministic Lloyd's k-means on the 1-D values, k=8,
+    // 3 fixed rounds). Engineered for a DuckDB oracle, unlike the
+    // xxhash64-seeded `operators.KMeans` (xxhash64 has no DuckDB
+    // counterpart): init is the 8 odd-sixteenth quantiles of the training
+    // sample — the dyadic probabilities are exact doubles in both engines
+    // and the shared floor(q*1e6+0.5)/1e6 rounding absorbs interpolation
+    // op-order ulps — and every later step (tie-broken argmin assignment,
+    // detsum/COUNT centroid means, empty clusters carrying forward) is
+    // mirrored op-for-op in the oracle SQL. Scale shape: per round one
+    // 8-double literal rides INTO the scan (argmin is a codegen'd
+    // array_min over literal structs — no join, no per-row shuffle) and 8
+    // partial-sum rows come back through the driver; the vectors never
+    // shuffle (the KMeans exchange discipline, minus its broadcast join).
     "q10g_variable_width_histogram" -> ((s: SparkSession, d: String) => {
-      val vecs = ev(s, d)
-        .select(lit(0).as("grp"), col("event_id").as("id"), array(col("value")).as("emb"))
+      val vals = ev(s, d).select(col("event_id").as("id"), col("value").as("x"))
       // train on a deterministic 20% sample (the FAISS pattern: quantizers
       // train on a sample, ASSIGNMENT covers everything) — bucket quality
       // is statistical, coverage is exact either way. The sample
@@ -954,22 +963,33 @@ object EsAggQueries {
       // seeding + each round re-evaluates the scan lineage — locally the
       // residual cost is per-round job latency, but at scale the repeated
       // scans are the real bill.
-      val sample = vecs.filter(col("id") % 5 === 0).localCheckpoint(true)
-      val cb = graft.operators.KMeans
-        .fitGrouped(sample, k = 8, rounds = 3)
-        .withColumn("c2", expr("cemb[0] * cemb[0]"))
-      // centroids are driver-local literals once fitGrouped returns — the
-      // training input's storage frees synchronously
-      Tables.freeCheckpoint(sample)
-      val assigned = vecs.join(broadcast(cb), Seq("grp"))
-        .withColumn("x", expr("emb[0]"))
-        .withColumn("sc", lit(2.0) * col("x") * expr("cemb[0]") - col("c2"))
-        .groupBy(col("id"))
-        .agg(max_by(
-          struct(col("list_id"), col("x")),
-          struct(col("sc"), (-col("list_id")).as("neg"))).as("best"))
-        .select(col("best.list_id").as("list_id"), col("best.x").as("x"))
-      assigned.groupBy(col("list_id"))
+      val samp = vals.filter(col("id") % 5 === 0).localCheckpoint(true)
+      // nearest-centroid assignment as a scalar expression: lexicographic
+      // min over (|x − cᵢ|, list_id) literal structs ≡ the oracle's
+      // row_number() OVER (ORDER BY abs(x - c), list_id); the list_id
+      // tiebreak makes exact-distance ties deterministic, and Spark's
+      // array_min and DuckDB's ORDER BY agree that NaN sorts last.
+      def bestList(cent: Seq[(Int, Double)]) =
+        array_min(array(cent.map { case (l, c) =>
+          struct(abs(col("x") - lit(c)).as("d"), lit(l).as("l"))
+        }: _*)).getField("l").as("list_id")
+      var cent: Seq[(Int, Double)] = samp
+        .agg(percentile(col("x"),
+          array((1 to 8).map(i => lit((2.0 * i - 1) / 16.0)): _*)).as("qs"))
+        .select(posexplode(col("qs")).as(Seq("p", "c")))
+        .select((col("p") + 1).cast("int").as("list_id"),
+          (floor(col("c") * lit(1e6) + lit(0.5)) / lit(1e6)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq.sortBy(_._1)
+      for (_ <- 1 to 3) {
+        val updated = samp.select(bestList(cent), col("x"))
+          .groupBy(col("list_id"))
+          .agg((sumDet(col("x")) / count(lit(1))).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        cent = cent.map { case (l, old) => (l, updated.getOrElse(l, old)) }
+      }
+      Tables.freeCheckpoint(samp)
+      vals.select(bestList(cent), col("x"))
+        .groupBy(col("list_id"))
         .agg(
           count(lit(1)).as("doc_count"),
           min(col("x")).as("min_value"),
@@ -1066,6 +1086,49 @@ object EsAggQueries {
       s"""SELECT CASE WHEN value < 50.0 THEN 'lo' WHEN value < 200.0 THEN 'mid' ELSE 'hi' END AS range_key,
          |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM events GROUP BY 1""".stripMargin,
+    "q10g_variable_width_histogram" -> {
+      // op-for-op mirror of the quantile-init Lloyd rounds (see the query
+      // comment): ROW_NUMBER OVER (ORDER BY abs(x-c), list_id) = the Spark
+      // side's lexicographic struct argmin; coalesce = empty clusters carry
+      // their centroid forward; sumDetSql/COUNT = the detsum centroid mean.
+      def roundCte(i: Int): String =
+        s"""a$i AS (
+           |  SELECT id, x, list_id,
+           |         row_number() OVER (PARTITION BY id ORDER BY abs(x - c), list_id) AS rn
+           |  FROM samp, c${i - 1}
+           |), u$i AS (
+           |  SELECT list_id, ${sumDetSql("x")} / COUNT(*) AS c
+           |  FROM a$i WHERE rn = 1 GROUP BY list_id
+           |), c$i AS (
+           |  SELECT c${i - 1}.list_id, coalesce(u$i.c, c${i - 1}.c) AS c
+           |  FROM c${i - 1} LEFT JOIN u$i ON u$i.list_id = c${i - 1}.list_id
+           |)""".stripMargin
+      s"""WITH vals AS (SELECT event_id AS id, value AS x FROM events),
+         |samp AS (SELECT * FROM vals WHERE id % 5 = 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY c) AS INT) AS list_id,
+         |         floor(c * 1e6 + 0.5) / 1e6 AS c
+         |  FROM (SELECT unnest(quantile_cont(x, [0.0625, 0.1875, 0.3125, 0.4375,
+         |                                        0.5625, 0.6875, 0.8125, 0.9375])) AS c
+         |        FROM samp)
+         |),
+         |${roundCte(1)},
+         |${roundCte(2)},
+         |${roundCte(3)},
+         |af AS (
+         |  SELECT id, x, list_id,
+         |         row_number() OVER (PARTITION BY id ORDER BY abs(x - c), list_id) AS rn
+         |  FROM vals, c3
+         |),
+         |b AS (
+         |  SELECT list_id, COUNT(*) AS doc_count, MIN(x) AS min_value, MAX(x) AS max_value,
+         |         ${sumDetSql("x", 6)} / COUNT(*) AS centroid
+         |  FROM af WHERE rn = 1 GROUP BY list_id
+         |)
+         |SELECT doc_count, min_value, max_value, centroid,
+         |       CAST(row_number() OVER (ORDER BY min_value, list_id) AS BIGINT) AS bucket_rank
+         |FROM b""".stripMargin
+    },
     "q13b_weighted_avg" ->
       s"""WITH g AS (
          |  SELECT event_type,
