@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,13 +19,18 @@ import graft.functions.{detsum, vectors}
   *    under any partitioning, AQE re-plan, or speculative retry;
   *  - a FIXED round count — no data-dependent stopping rule.
   *
-  * Scale shape per round: one broadcast of k·dim doubles out, one shuffle of
-  * (list_id, pos) partial sums back — the vectors themselves never shuffle.
-  * Centroids round-trip through the DRIVER between rounds (k·dim doubles —
-  * the same bounded payload the broadcast ships anyway); that keeps lineage
-  * flat with no per-round checkpoint writes, and the final centroid frame is
-  * a literal, so consumers never re-trigger training. Empty lists carry
-  * their previous centroid forward.
+  * Scale shape per round: the k·dim centroid doubles ride INTO the scan as
+  * literals (assignment is a scalar argmax expression — no broadcast join,
+  * no candidate rows), and one shuffle of (list_id, pos) partial sums comes
+  * back — the vectors themselves NEVER shuffle. The earlier formulation
+  * (broadcast join + per-vector max_by groupBy) still exchanged one row per
+  * vector per round to collapse the argmax; at 100 TB that is a full-corpus
+  * shuffle per round for what is a per-row pure function. Centroids
+  * round-trip through the DRIVER between rounds (k·dim doubles — the same
+  * bounded payload a broadcast would ship anyway); that keeps lineage flat
+  * with no per-round checkpoint writes, and the final centroid frame is a
+  * literal, so consumers never re-trigger training. Empty lists carry their
+  * previous centroid forward.
   *
   * CALLER CONTRACT: `fit`/`fitGrouped` re-evaluate the full lineage of
   * `vecs` once per round plus once for seeding. Callers must materialize an
@@ -35,31 +40,31 @@ object KMeans {
 
   private type Centroids = Seq[(Int, Seq[Double])]
 
-  /** One Lloyd's round: broadcast `cent`, argmax-assign via max_by (the k
-    * candidate rows per vector collapse in the map-side partial, so one row
-    * per vector crosses the wire), then per-dimension detsum means.
-    * `score` maps (emb, cemb) to the assignment objective. posexplode +
-    * one narrow aggregate beats k·dim aggregate expressions, which overflow
-    * codegen limits. Returns list_id -> new centroid (empty lists absent). */
-  private def round(
-      vecs: DataFrame, centDf: DataFrame, keyCols: Seq[String],
-      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
-      : DataFrame = {
-    val joined =
-      if (keyCols.isEmpty) vecs.crossJoin(broadcast(centDf))
-      else vecs.join(broadcast(centDf), keyCols)
-    val grpCols = keyCols.map(col)
-    joined
-      .withColumn("sc", score(col("emb"), col("cemb")))
-      .groupBy(grpCols :+ col("id"): _*)
-      .agg(max_by(
-        struct(col("list_id"), col("emb")),
-        struct(col("sc"), (-col("list_id")).as("neg"))).as("best"))
-      .select(grpCols ++ Seq(col("best.list_id").as("list_id"), col("best.emb").as("emb")): _*)
-      .select(grpCols ++ Seq(col("list_id"), posexplode(col("emb")).as(Seq("pos", "x"))): _*)
-      .groupBy(grpCols ++ Seq(col("list_id"), col("pos")): _*)
+  /** The engine-wide assignment tiebreak as ONE lexicographic argmax:
+    * array_max over struct(score, -list_id, list_id) — highest score wins,
+    * exact-score ties go to the smallest list_id (identical to the former
+    * max_by(_, struct(sc, -list_id)), including NaN-sorts-greatest). */
+  private[graft] def bestBy(entries: Seq[Column]): Column =
+    array_max(array(entries: _*))
+
+  /** Left-to-right Σx², the driver-side twin of the native `vec_dot(a, a)`
+    * accumulation — same op sequence, so a norm computed here is
+    * bit-identical to one computed by [[vectors.norm]] on executors. */
+  private def sqSum(v: Seq[Double]): Double = v.foldLeft(0.0)((a, x) => a + x * x)
+
+  /** One Lloyd's round: per-row scalar-argmax assignment (`bestList` — built
+    * from driver-local centroid literals by the caller), then per-dimension
+    * detsum means. posexplode + one narrow aggregate beats k·dim aggregate
+    * expressions, which overflow codegen limits; the (list_id, pos) partial
+    * sums collapse map-side, so only k·dim rows per partition cross the
+    * wire. Returns list_id -> new centroid (empty lists absent). */
+  private def round(vecs: DataFrame, grpCols: Seq[String], bestList: Column): DataFrame = {
+    val g = grpCols.map(col)
+    vecs
+      .select(g ++ Seq(bestList.as("list_id"), posexplode(col("emb")).as(Seq("pos", "x"))): _*)
+      .groupBy(g ++ Seq(col("list_id"), col("pos")): _*)
       .agg((detsum.sumDet(col("x"), 9) / count(lit(1))).as("cx"))
-      .groupBy(grpCols :+ col("list_id"): _*)
+      .groupBy(g :+ col("list_id"): _*)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         t => t.getField("cx")).as("cnew"))
   }
@@ -78,10 +83,12 @@ object KMeans {
       .select(col("list_id"), col("emb"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     for (_ <- 1 to rounds) {
-      val cn = cent.toDF("list_id", "cemb")
-        .withColumn("cnrm", vectors.norm(col("cemb")))
-      val updated = round(vecs, cn, Nil,
-        (e, c) => vectors.dot(e, c) / (col("nrm") * col("cnrm")))
+      val best = bestBy(cent.map { case (l, ce) =>
+        struct(
+          (vectors.dot(col("emb"), typedLit(ce)) / (col("nrm") * lit(math.sqrt(sqSum(ce))))).as("sc"),
+          lit(-l).as("neg"), lit(l).as("l"))
+      }).getField("l")
+      val updated = round(vecs, Nil, best)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cent = cent.map { case (l, old) => (l, updated.getOrElse(l, old)) }
     }
@@ -92,7 +99,10 @@ object KMeans {
     * distributed pass — the shape a product-quantization trainer needs (8
     * subspace codebooks from one scan, not 8 sequential fits). Metric is
     * squared-L2 (argmin distance ≡ argmax 2·x·c − ‖c‖², so the per-row score
-    * reuses the dot kernel and the x² constant cancels).
+    * reuses the dot kernel and the x² constant cancels). The per-grp
+    * codebooks enter the scan as ONE nested map literal — the row's own
+    * grp's entries resolve via element_at, so every grp still assigns in
+    * the same single pass.
     *
     * vecs: (grp: int, id: long, emb: array<double>).
     * Returns (grp, list_id: int, cemb: array<double>). */
@@ -108,10 +118,19 @@ object KMeans {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .toSeq.sortBy(t => (t._1, t._2))
     for (_ <- 1 to rounds) {
-      val cn = cent.toDF("grp", "list_id", "cemb")
-        .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
-      val updated = round(vecs, cn, Seq("grp"),
-        (e, c) => lit(2.0) * vectors.dot(e, c) - col("c2"))
+      val byGrp: Map[Int, Seq[(Int, Seq[Double], Double)]] =
+        cent.groupBy(_._1).map { case (g, cs) =>
+          g -> cs.sortBy(_._2).map { case (_, l, ce) => (l, ce, sqSum(ce)) }
+        }
+      val entries = element_at(typedLit(byGrp), col("grp"))
+      // aliases are stripped inside HOF lambdas, so name the argmax
+      // result's fields by a positional cast before extracting
+      val scored = transform(entries, e => struct(
+        lit(2.0) * vectors.dot(col("emb"), e.getField("_2")) - e.getField("_3"),
+        -e.getField("_1"), e.getField("_1")))
+      val best = array_max(scored)
+        .cast("struct<sc:double,neg:int,l:int>").getField("l")
+      val updated = round(vecs, Seq("grp"), best)
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
       cent = cent.map { case (g, l, old) => (g, l, updated.getOrElse((g, l), old)) }
     }

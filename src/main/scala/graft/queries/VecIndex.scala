@@ -82,34 +82,54 @@ object VecIndex {
       .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
 
   /** Nearest-existing-list assignment — shared by build and [[append]] so
-    * the assignment convention cannot drift between them. Nearest list via
-    * max_by, not a window: the k candidate rows per vector collapse in the
-    * map-side partial aggregate, so nothing k-wide shuffles. */
-  private def assignToLists(vecs: DataFrame, cent: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cent))
-      .withColumn("ccos", vectors.dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("list_id"), col("emb"), col("nrm")),
-        struct(col("ccos"), (-col("list_id")).as("neg"))).as("best"))
-      .select(col("best.list_id").as("list_id"), col("vec_id"),
-        col("best.emb").as("emb"), col("best.nrm").as("nrm"))
+    * the assignment convention cannot drift between them. The centroid
+    * frame is coordinator-sized by the storage contract (k literal rows, or
+    * a `Tables.localize`d load), so it collapses into the scan as a scalar
+    * argmax expression: the former crossJoin(broadcast)+max_by shape still
+    * exchanged one row per vector to collapse the argmax — at 100 TB a
+    * full-corpus shuffle for a per-row pure function. Tiebreak identical
+    * (highest cosine, then smallest list_id). */
+  private def assignToLists(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val cs = cent.select(col("list_id"), col("cemb"), col("cnrm")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2))).toSeq.sortBy(_._1)
+    val best = array_max(array(cs.map { case (l, ce, cn) =>
+      struct(
+        (vectors.dot(col("emb"), typedLit(ce)) / (col("nrm") * lit(cn))).as("sc"),
+        lit(-l).as("neg"), lit(l).as("l"))
+    }: _*))
+    vecs.select(best.getField("l").as("list_id"), col("vec_id"), col("emb"), col("nrm"))
+  }
 
   /** PQ-encode subvectors against FROZEN codebooks — shared by build and
-    * [[append]]. */
-  private def encodeAgainst(subv: DataFrame, codebooks: DataFrame): DataFrame =
-    pqScored(subv, codebooks)
-      .groupBy(col("grp"), col("id"))
-      .agg(max_by(
-        struct(col("list_id"), col("c2"), col("cemb"), col("emb")),
-        struct(col("score"), (-col("list_id")).as("neg"))).as("best"))
-      .select(
-        col("id").as("vec_id"), col("grp"),
-        col("best.list_id").as("code"), col("best.c2").as("c2"),
-        round(
-          aggregate(
-            zip_with(col("best.emb"), col("best.cemb"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x) / PqSubDim, 9).as("sub_sq_err"))
+    * [[append]]. Codebooks are coordinator-sized literals (8 grps × 16
+    * codes), inlined as ONE nested map literal keyed by grp — encoding is a
+    * pure projection of the subvector scan (the former broadcast join +
+    * per-(grp,id) max_by shuffled 8 rows per vector). The chosen code's
+    * centroid rides in the argmax struct, so the reconstruction error needs
+    * no second lookup. */
+  private def encodeAgainst(subv: DataFrame, codebooks: DataFrame): DataFrame = {
+    val cb: Map[Int, Seq[(Int, Seq[Double], Double)]] = codebooks
+      .select(col("grp"), col("list_id"), col("cemb"), col("c2")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq
+      }
+    val entries = element_at(typedLit(cb), col("grp"))
+    // aliases are stripped inside HOF lambdas, so name the argmax result's
+    // fields by a positional cast before extracting
+    val best = array_max(transform(entries, e => struct(
+      lit(2.0) * vectors.dot(col("emb"), e.getField("_2")) - e.getField("_3"),
+      -e.getField("_1"),
+      e.getField("_1"), e.getField("_3"), e.getField("_2"))))
+      .cast("struct<sc:double,neg:int,code:int,c2:double,cemb:array<double>>")
+    subv.select(
+      col("id").as("vec_id"), col("grp"),
+      best.getField("code").as("code"), best.getField("c2").as("c2"),
+      round(
+        aggregate(
+          zip_with(col("emb"), best.getField("cemb"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x) / PqSubDim, 9).as("sub_sq_err"))
+  }
 
   def coarse(s: SparkSession, d: String): Coarse = live(coarseCache, d)(_.lists) {
     val c = corpus(s, d).localCheckpoint(true)
