@@ -25,6 +25,16 @@ object vectors {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Cross-engine 60-bit seed hash (the q33 md5 convention — value of the
+    * digest's first 15 hex chars over the value's string form): used by the
+    * k-means seed selection so the DuckDB oracle can replay index training.
+    * Spark `conv(substring(md5(s),1,15),16,10)`; DuckDB mirror below. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+
+  def hash60Sql(e: String): String =
+    s"CAST('0x' || substring(md5(CAST($e AS VARCHAR)), 1, 15) AS BIGINT)"
+
   /** DuckDB SQL mirrors (dim fixed): explicit left-associated chains. */
   def dotSql(a: String, b: String, dim: Int): String =
     (1 to dim).map(i => s"$a[$i]*$b[$i]").mkString(" + ")

@@ -19,7 +19,8 @@ import graft.functions.detlog
   *  - registers: low 12 bits bucket (m = 4096), remaining 48 bits `w`,
   *    rho(w) = leading-zero count + 1 via an integer CASE chain (exact);
   *  - register sum: Σ 2^(49−rho_max) as an EXACT integer (each term a
-  *    power of two, max 4096·2^48 = 2^60 < 2^63), so the only floating
+  *    power of two ≤ 2^49 — the empty-register rho_max = 0 term — so the
+  *    sum is at most 4096·2^49 = 2^61 < 2^63), so the only floating
   *    point is the final estimate formula — a fixed IEEE sequence from
   *    shared SQL text, identical in both engines;
   *  - small-range (linear-counting) branch: m·ln(m/V) via [[detlog]]'s

@@ -11,8 +11,10 @@ import graft.functions.{detsum, vectors}
   * here it is pure DataFrame algebra so Catalyst/AQE stay in play).
   *
   * Determinism is engineered, not hoped for:
-  *  - init: the k vectors with the smallest `xxhash64(id)` — arbitrary but
-  *    fixed under any partitioning;
+  *  - init: the k vectors with the smallest [[vectors.hash60]] of the id —
+  *    arbitrary but fixed under any partitioning, and (being the md5
+  *    convention) recomputable by the DuckDB oracle, which replays the whole
+  *    training loop op-for-op (the q10g recipe generalized to n dims);
   *  - assignment: argmax score with list_id as the tiebreak;
   *  - update: per-dimension means via [[detsum]] (terms rounded in double
   *    space, summed exactly as decimals), so centroids are bit-identical

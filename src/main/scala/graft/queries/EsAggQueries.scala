@@ -1107,7 +1107,7 @@ object EsAggQueries {
          |samp AS (SELECT * FROM vals WHERE id % 5 = 0),
          |c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY c) AS INT) AS list_id,
-         |         floor(c * 1e6 + 0.5) / 1e6 AS c
+         |         ${r6("c")} AS c
          |  FROM (SELECT unnest(quantile_cont(x, [0.0625, 0.1875, 0.3125, 0.4375,
          |                                        0.5625, 0.6875, 0.8125, 0.9375])) AS c
          |        FROM samp)

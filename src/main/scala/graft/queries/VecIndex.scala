@@ -76,11 +76,6 @@ object VecIndex {
         i => slice(col("emb"), i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("grp", "emb")))
       .select(col("grp").cast("int").as("grp"), col("id"), col("emb"))
 
-  /** Subvectors × (broadcast) codebooks with the squared-L2 score column. */
-  private[queries] def pqScored(subv: DataFrame, codebooks: DataFrame): DataFrame =
-    subv.join(broadcast(codebooks), Seq("grp"))
-      .withColumn("score", lit(2.0) * vectors.dot(col("emb"), col("cemb")) - col("c2"))
-
   /** Nearest-existing-list assignment — shared by build and [[append]] so
     * the assignment convention cannot drift between them. The centroid
     * frame is coordinator-sized by the storage contract (k literal rows, or
@@ -92,11 +87,11 @@ object VecIndex {
   private def assignToLists(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val cs = cent.select(col("list_id"), col("cemb"), col("cnrm")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2))).toSeq.sortBy(_._1)
-    val best = array_max(array(cs.map { case (l, ce, cn) =>
+    val best = graft.operators.KMeans.bestBy(cs.map { case (l, ce, cn) =>
       struct(
         (vectors.dot(col("emb"), typedLit(ce)) / (col("nrm") * lit(cn))).as("sc"),
         lit(-l).as("neg"), lit(l).as("l"))
-    }: _*))
+    })
     vecs.select(best.getField("l").as("list_id"), col("vec_id"), col("emb"), col("nrm"))
   }
 
@@ -107,7 +102,7 @@ object VecIndex {
     * per-(grp,id) max_by shuffled 8 rows per vector). The chosen code's
     * centroid rides in the argmax struct, so the reconstruction error needs
     * no second lookup. */
-  private def encodeAgainst(subv: DataFrame, codebooks: DataFrame): DataFrame = {
+  private[graft] def encodeAgainst(subv: DataFrame, codebooks: DataFrame): DataFrame = {
     val cb: Map[Int, Seq[(Int, Seq[Double], Double)]] = codebooks
       .select(col("grp"), col("list_id"), col("cemb"), col("c2")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
@@ -122,13 +117,20 @@ object VecIndex {
       -e.getField("_1"),
       e.getField("_1"), e.getField("_3"), e.getField("_2"))))
       .cast("struct<sc:double,neg:int,code:int,c2:double,cemb:array<double>>")
-    subv.select(
-      col("id").as("vec_id"), col("grp"),
-      best.getField("code").as("code"), best.getField("c2").as("c2"),
-      round(
-        aggregate(
-          zip_with(col("emb"), best.getField("cemb"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x) / PqSubDim, 9).as("sub_sq_err"))
+    // Materialize the argmax ONCE: the output references it three times
+    // (code, c2, and the error lambda), and HOFs are CodegenFallback with no
+    // common-subexpression elimination — inlining `best` would re-run the
+    // 16-entry scoring per reference. CollapseProject keeps the two Projects
+    // apart (the producer is non-cheap and multiply referenced), so the
+    // inner projection pins single evaluation.
+    subv.select(col("id"), col("grp"), col("emb"), best.as("best"))
+      .select(
+        col("id").as("vec_id"), col("grp"),
+        col("best").getField("code").as("code"), col("best").getField("c2").as("c2"),
+        round(
+          aggregate(
+            zip_with(col("emb"), col("best").getField("cemb"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x) / PqSubDim, 9).as("sub_sq_err"))
   }
 
   def coarse(s: SparkSession, d: String): Coarse = live(coarseCache, d)(_.lists) {

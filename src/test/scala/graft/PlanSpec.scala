@@ -172,6 +172,26 @@ class PlanSpec extends AnyFunSuite {
     assert(cb.contains("LocalTableScan"), "codebooks must be literal rows")
   }
 
+  test("PQ encode: the 16-entry argmax evaluates once (pinned by a separate Project)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a parquet-backed input (a literal one would be constant-folded into a
+    // LocalRelation and the plan shape would vanish)
+    val subv = queries.Tables(spark, sf, "embeddings")
+      .select(lit(0).as("grp"), col("vec_id").as("id"),
+        slice(graft.functions.vectors.toDoubleArr(col("embedding")), 1, 2).as("emb"))
+    val cbs = Seq(
+      (0, 1, Seq(1.0, 0.0), 1.0), (0, 2, Seq(0.0, 1.0), 1.0))
+      .toDF("grp", "list_id", "cemb", "c2")
+    val opt = queries.VecIndex.encodeAgainst(subv, cbs)
+      .queryExecution.optimizedPlan.toString
+    // three consumers (code, c2, error lambda) must share ONE argmax: HOFs
+    // are CodegenFallback with no CSE, so CollapseProject folding the inner
+    // Project away would re-run the full codebook scoring per reference
+    assert("array_max".r.findAllIn(opt).size == 1,
+      s"argmax must be materialized exactly once:\n$opt")
+  }
+
   test("q50g: conversation labeling broadcasts the top-N set; decoded flows never sort-merge") {
     val p = plan("q50g_conversations")
     assert(p.contains("BroadcastHashJoin"), "top-N membership must be a broadcast join")
