@@ -67,6 +67,21 @@ object detsum {
   def roundHalfUpLong(v: Double): Long =
     BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
 
+  /** Cross-engine half-up rounding to `scale` decimal digits (the q10g
+    * centroid convention): floor(x·10^s + 0.5)/10^s is three correctly-
+    * rounded IEEE ops, so both engines produce the identical double —
+    * unlike native round(x, s), whose half-way tie detection differs
+    * between Spark's BigDecimal path and DuckDB's C++ round and can
+    * diverge on doubles within an ulp of a .5 boundary. Used for DISPLAY
+    * rounding in oracle-backed outputs; [[roundDetSql]] is the mirror. */
+  def roundDet(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  def roundDetSql(e: String, scale: Int): String =
+    s"(floor(($e) * 1e$scale + 0.5) / 1e$scale)"
+
   /** DuckDB SQL mirror of [[sumDet]] — identical operation sequence. */
   def sumDetSql(termSql: String, scale: Int = 10): String = {
     val factor = s"1.0e$scale"

@@ -78,7 +78,7 @@ object KMeans {
     import spark.implicits._
     val seedW = Window.orderBy(col("h").asc, col("id").asc)
     var cent: Centroids = vecs
-      .withColumn("h", xxhash64(col("id")))
+      .withColumn("h", vectors.hash60(col("id")))
       .orderBy(col("h").asc, col("id").asc)
       .limit(k)
       .withColumn("list_id", row_number().over(seedW).cast("int"))
@@ -113,7 +113,7 @@ object KMeans {
     import spark.implicits._
     val seedW = Window.partitionBy(col("grp")).orderBy(col("h").asc, col("id").asc)
     var cent: Seq[(Int, Int, Seq[Double])] = vecs
-      .withColumn("h", xxhash64(col("grp"), col("id")))
+      .withColumn("h", vectors.hash60(concat_ws(":", col("grp"), col("id"))))
       .withColumn("rn", row_number().over(seedW))
       .filter(col("rn") <= k)
       .select(col("grp"), col("rn").cast("int").as("list_id"), col("emb"))

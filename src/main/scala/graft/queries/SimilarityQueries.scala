@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.vectors
+import graft.functions.{detsum, vectors}
 
 /** Similarity search over the `embeddings` table.
   *
@@ -96,7 +96,8 @@ object SimilarityQueries {
     * a ~nlists/nprobe scan reduction. The index (centroids + inverted
     * lists) is built ONCE by [[VecIndex.coarse]] and shared with q37b —
     * the search plan sees only the literal centroid frame and the
-    * materialized lists. Rows-only (spec measures recall). */
+    * materialized lists. Oracle-backed: VecOracle replays the whole index
+    * training in DuckDB SQL (the spec additionally measures recall). */
   private def q37(s: SparkSession, d: String): DataFrame = {
     val idx = VecIndex.coarse(s, d)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -105,7 +106,8 @@ object SimilarityQueries {
       .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.detsum.roundDet(col("cos"), 6).as("cos"),
         col("rank").cast("long").as("rank"))
   }
 
@@ -141,7 +143,9 @@ object SimilarityQueries {
     * across the 8 subspace partials). The ENTIRE index is shared: coarse
     * quantizer + inverted lists with q37 ([[VecIndex.coarse]]), PQ
     * codebooks + code table with q58b ([[VecIndex.pq]]) — this query trains
-    * nothing. Rows-only; the spec measures recall against brute force. */
+    * nothing. Oracle-backed: the VecOracle coarse+PQ replay mirrors training,
+    * encode, LUT, ADC scan and refine op-for-op (the spec additionally
+    * measures recall against brute force). */
   private def q37b(s: SparkSession, d: String): DataFrame = {
     val idx = VecIndex.coarse(s, d)
     val pqIdx = VecIndex.pq(s, d)
@@ -181,7 +185,8 @@ object SimilarityQueries {
       .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.detsum.roundDet(col("cos"), 6).as("cos"),
         col("rank").cast("long").as("rank"))
   }
 
@@ -194,9 +199,10 @@ object SimilarityQueries {
     * reconstruction error (fixed-order sum — deterministic). Training and
     * encoding happen ONCE in [[VecIndex.pq]] (shared with q37b's ADC
     * search); this query is a projection of the materialized code table.
-    * Rows-only (k-means codebooks aren't SQL-expressible); the spec checks
-    * determinism across partitionings and that PQ reconstruction beats the
-    * one-centroid baseline. */
+    * Oracle-backed: VecOracle.pqPrefix replays the grouped trainer and the
+    * encode in DuckDB SQL; the spec additionally checks determinism across
+    * partitionings and that PQ reconstruction beats the one-centroid
+    * baseline. */
   private def q58b(s: SparkSession, d: String): DataFrame =
     VecIndex.pq(s, d).codes.select(
       col("vec_id"),
@@ -225,8 +231,8 @@ object SimilarityQueries {
     * of the embedding space even — the curation step between near-dup
     * removal and training-mix planning. Per-list window only (state bounded
     * by the cap); reuses the train-once index, no extra training job.
-    * Rows-only (k-means lists aren't SQL-expressible); spec pins the
-    * per-cluster cap arithmetic and determinism. */
+    * Oracle-backed via the VecOracle coarse replay; the spec additionally
+    * pins the per-cluster cap arithmetic and determinism. */
   private def q68(s: SparkSession, d: String): DataFrame = {
     val cap = 40
     val lists = VecIndex.coarse(s, d).lists.select(col("list_id"), col("vec_id"))
@@ -252,8 +258,8 @@ object SimilarityQueries {
     * same-cluster neighbor at cosine ≥ τ — the paper's keep-one-per-group
     * rule. The pairwise work is an equi-join on list_id, so cost is
     * Σ(listᵢ²), never corpus²; at 100 TB you raise k so lists stay bounded
-    * and the join stays a spillable sort-merge. Rows-only (k-means lists
-    * aren't SQL-expressible); the spec recomputes the rule by brute force. */
+    * and the join stays a spillable sort-merge. Oracle-backed via the
+    * VecOracle coarse replay; the spec recomputes the rule by brute force. */
   private def q69(s: SparkSession, d: String): DataFrame = {
     val tau = 0.4
     val lists = VecIndex.coarse(s, d).lists
@@ -270,7 +276,7 @@ object SimilarityQueries {
       // output columns describe the same pair — a min(id_a) here could name
       // a different neighbor than the one max_sim was measured against
       .agg(
-        round(max(col("cos")), 6).as("max_sim"),
+        graft.functions.detsum.roundDet(max(col("cos")), 6).as("max_sim"),
         max_by(col("id_a"), struct(col("cos"), (-col("id_a")).as("neg"))).as("dup_of"))
     lists.select(col("vec_id"), col("list_id").cast("long").as("list_id"))
       .join(dups, Seq("vec_id"), "left")
@@ -295,6 +301,99 @@ object SimilarityQueries {
     "q58b_pq_quantize" -> (q58b _))
 
   val oracleSql: Map[String, String] = Map(
+    // ---- the IVF/PQ family: VecOracle replays index TRAINING in SQL ----
+    "q37_ann_ivf" -> s"""${VecOracle.coarsePrefix},
+      |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM lists WHERE vec_id % 50 = 0),
+      |probes AS (
+      |  -- queryProbes: the 3 nearest lists per query
+      |  SELECT list_id, query_id, qe, qn FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, list_id ASC) AS crank
+      |    FROM (SELECT c.list_id, q.query_id, q.qe, q.qn,
+      |                 (${vectors.dotSql("q.qe", "c.cemb", 64)}) / (q.qn * c.cnrm) AS ccos
+      |          FROM q CROSS JOIN cent c)
+      |  ) WHERE crank <= 3
+      |)
+      |SELECT query_id, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM (SELECT p.query_id, l.vec_id,
+      |               (${vectors.dotSql("l.emb", "p.qe", 64)}) / (l.nrm * p.qn) AS cos
+      |        FROM lists l JOIN probes p ON l.list_id = p.list_id
+      |        WHERE l.vec_id <> p.query_id)
+      |) WHERE rank <= 5""".stripMargin,
+    "q68_cluster_balanced_sample" -> s"""${VecOracle.coarsePrefix}
+      |SELECT CAST(list_id AS BIGINT) AS list_id, COUNT(*) AS n_vecs,
+      |       COUNT(CASE WHEN rn <= 40 THEN 1 END) AS n_kept,
+      |       MIN(CASE WHEN rn <= 40 THEN vec_id END) AS first_kept
+      |FROM (SELECT list_id, vec_id,
+      |             row_number() OVER (PARTITION BY list_id
+      |               ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+      |      FROM lists)
+      |GROUP BY list_id""".stripMargin,
+    "q69_semdedup" -> s"""${VecOracle.coarsePrefix},
+      |pairs AS (
+      |  SELECT b.vec_id AS id_b, a.vec_id AS id_a,
+      |         (${vectors.dotSql("a.emb", "b.emb", 64)}) / (a.nrm * b.nrm) AS cos
+      |  FROM lists a JOIN lists b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      |),
+      |dups AS (
+      |  SELECT id_b AS vec_id, ${detsum.roundDetSql("cos", 6)} AS max_sim, id_a AS dup_of FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a ASC) AS rn
+      |    FROM pairs WHERE cos >= 0.4
+      |  ) WHERE rn = 1
+      |)
+      |SELECT l.vec_id, CAST(l.list_id AS BIGINT) AS list_id,
+      |       (d.dup_of IS NULL) AS keep, d.dup_of, d.max_sim
+      |FROM lists l LEFT JOIN dups d ON l.vec_id = d.vec_id""".stripMargin,
+    // st12 installs the FULL-corpus-trained artifacts, filters the lists
+    // to the non-holdout part, then streams the holdout back in through
+    // deterministic appends against the same frozen centroids — so the
+    // maintained index is row-identical to the batch build and its
+    // per-list occupancy is the coarse replay's lists, aggregated.
+    "st12_stream_index_append" -> s"""${VecOracle.coarsePrefix}
+      |SELECT CAST(list_id AS BIGINT) AS list_id, COUNT(*) AS n_vecs
+      |FROM lists GROUP BY list_id""".stripMargin,
+    "q58b_pq_quantize" -> s"""WITH ${VecOracle.pqPrefix}
+      |SELECT vec_id, CAST(grp AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, sub_sq_err
+      |FROM pcodes""".stripMargin,
+    "q37b_ann_ivfpq" -> s"""${VecOracle.coarsePrefix},
+      |${VecOracle.pqPrefix},
+      |q AS (SELECT vec_id AS query_id, emb, nrm FROM lists WHERE vec_id % 50 = 0),
+      |probes AS (
+      |  SELECT list_id, query_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, list_id ASC) AS crank
+      |    FROM (SELECT c.list_id, q.query_id,
+      |                 (${vectors.dotSql("q.emb", "c.cemb", 64)}) / (q.nrm * c.cnrm) AS ccos
+      |          FROM q CROSS JOIN cent c)
+      |  ) WHERE crank <= 3
+      |),
+      |lut AS (
+      |  -- per-query ADC lookup table: dot(q_sub, centroid) per (sub, code)
+      |  SELECT s.id AS query_id, s.grp, c.list_id AS code,
+      |         (${vectors.dotSql("s.emb", "c.cemb", 8)}) AS pdot
+      |  FROM sv s JOIN pcb c ON s.grp = c.grp WHERE s.id % 50 = 0
+      |),
+      |adc AS (
+      |  -- codes-only asymmetric scan over the probed lists, top 40
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id ASC) AS arank
+      |    FROM (SELECT query_id, vec_id, adot / sqrt(recon2) AS acos FROM (
+      |            SELECT l.query_id, cd.vec_id,
+      |                   ${detsum.sumDetSql("l.pdot", 9)} AS adot,
+      |                   ${detsum.sumDetSql("cd.c2", 9)} AS recon2
+      |            FROM lists cl JOIN probes p ON cl.list_id = p.list_id
+      |              JOIN pcodes cd ON cd.vec_id = cl.vec_id
+      |              JOIN lut l ON l.query_id = p.query_id AND l.grp = cd.grp AND l.code = cd.code
+      |            WHERE cl.vec_id <> p.query_id
+      |            GROUP BY l.query_id, cd.vec_id))
+      |  ) WHERE arank <= 40
+      |)
+      |SELECT query_id, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM (SELECT a.query_id, a.vec_id,
+      |               (${vectors.dotSql("cl.emb", "q.emb", 64)}) / (cl.nrm * q.nrm) AS cos
+      |        FROM adc a JOIN lists cl ON cl.vec_id = a.vec_id
+      |          JOIN q ON q.query_id = a.query_id)
+      |) WHERE rank <= 5""".stripMargin,
     "q36_ann_lsh" -> {
       // The hyperplane signs are DATA-INDEPENDENT constants (xxhash64 of
       // (table, bit, dim) — graft.plans.NativeKernels.rhpBuckets), so the

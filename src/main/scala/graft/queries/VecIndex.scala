@@ -127,7 +127,7 @@ object VecIndex {
       .select(
         col("id").as("vec_id"), col("grp"),
         col("best").getField("code").as("code"), col("best").getField("c2").as("c2"),
-        round(
+        graft.functions.detsum.roundDet(
           aggregate(
             zip_with(col("emb"), col("best").getField("cemb"), (a, b) => (a - b) * (a - b)),
             lit(0.0), (acc, x) => acc + x) / PqSubDim, 9).as("sub_sq_err"))
