@@ -104,7 +104,9 @@ object KMeans {
     * reuses the dot kernel and the x² constant cancels). The per-grp
     * codebooks enter the scan as ONE nested map literal — the row's own
     * grp's entries resolve via element_at, so every grp still assigns in
-    * the same single pass.
+    * the same single pass. Seeding follows the fit convention with the
+    * grouped twist: per grp, the k smallest [[vectors.hash60]] of
+    * "grp:id" (concat_ws — the DuckDB mirror is `grp || ':' || id`).
     *
     * vecs: (grp: int, id: long, emb: array<double>).
     * Returns (grp, list_id: int, cemb: array<double>). */
