@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.detsum.{sumDet, sumDetSql}
+import graft.functions.detsum.{roundDetSql, sumDet, sumDetSql}
 
 /** The Elasticsearch search/aggregation surface the reference plugin lives
   * inside, re-expressed declaratively: date_histogram, terms (top-N), bool
@@ -43,7 +43,7 @@ object EsAggQueries {
     * would land as DECIMAL(30,9) while DuckDB produces DOUBLE — identical
     * values, different typed hash. `1e6` parses as DOUBLE in both engines,
     * and LONG/DOUBLE promotes to DOUBLE in Spark. */
-  private def r6(e: String): String = s"(floor(($e) * 1e6 + 0.5) / 1e6)"
+  private def r6(e: String): String = roundDetSql(e, 6)
 
   private val msFields = Seq("q", "p", "dd")
   private val msLabels = Map("q" -> "quantity", "p" -> "extendedprice", "dd" -> "discount")
@@ -1554,9 +1554,9 @@ object EsAggQueries {
          |  FROM cum, tot WHERE pre_n < tot_n
          |)
          |SELECT bucket_ms AS change_at_ms,
-         |       floor(before_mean * 1000000.0 + 0.5) / 1000000.0 AS before_mean,
-         |       floor(after_mean * 1000000.0 + 0.5) / 1000000.0 AS after_mean,
-         |       floor((after_mean - before_mean) * 1000000.0 + 0.5) / 1000000.0 AS delta
+         |       ${roundDetSql("before_mean", 6)} AS before_mean,
+         |       ${roundDetSql("after_mean", 6)} AS after_mean,
+         |       ${roundDetSql("after_mean - before_mean", 6)} AS delta
          |FROM m
          |ORDER BY abs(after_mean - before_mean) DESC, bucket_ms ASC LIMIT 1""".stripMargin,
     "q17h_bucket_correlation" ->

@@ -107,7 +107,7 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.functions.detsum.roundDet(col("cos"), 6).as("cos"),
+        detsum.roundDet(col("cos"), 6).as("cos"),
         col("rank").cast("long").as("rank"))
   }
 
@@ -167,8 +167,8 @@ object SimilarityQueries {
       .join(broadcast(lut), Seq("query_id", "grp", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(
-        graft.functions.detsum.sumDet(col("pdot"), 9).as("adot"),
-        graft.functions.detsum.sumDet(col("c2"), 9).as("recon2"))
+        detsum.sumDet(col("pdot"), 9).as("adot"),
+        detsum.sumDet(col("c2"), 9).as("recon2"))
       .withColumn("acos", col("adot") / sqrt(col("recon2")))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= 40)
@@ -186,7 +186,7 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.functions.detsum.roundDet(col("cos"), 6).as("cos"),
+        detsum.roundDet(col("cos"), 6).as("cos"),
         col("rank").cast("long").as("rank"))
   }
 
@@ -222,7 +222,7 @@ object SimilarityQueries {
         count(lit(1)).as("n_vecs"),
         min(col("nrm")).as("min_norm"),
         max(col("nrm")).as("max_norm"),
-        graft.functions.detsum.sumDet(col("nrm"), 6).as("sum_norm"))
+        detsum.sumDet(col("nrm"), 6).as("sum_norm"))
       .withColumn("avg_norm", round(col("sum_norm") / col("n_vecs"), 6))
 
   /** Cluster-balanced sampling (the DataComp-style diversity sampler): the
@@ -276,7 +276,7 @@ object SimilarityQueries {
       // output columns describe the same pair — a min(id_a) here could name
       // a different neighbor than the one max_sim was measured against
       .agg(
-        graft.functions.detsum.roundDet(max(col("cos")), 6).as("max_sim"),
+        detsum.roundDet(max(col("cos")), 6).as("max_sim"),
         max_by(col("id_a"), struct(col("cos"), (-col("id_a")).as("neg"))).as("dup_of"))
     lists.select(col("vec_id"), col("list_id").cast("long").as("list_id"))
       .join(dups, Seq("vec_id"), "left")
@@ -309,14 +309,14 @@ object SimilarityQueries {
       |  SELECT list_id, query_id, qe, qn FROM (
       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, list_id ASC) AS crank
       |    FROM (SELECT c.list_id, q.query_id, q.qe, q.qn,
-      |                 (${vectors.dotSql("q.qe", "c.cemb", 64)}) / (q.qn * c.cnrm) AS ccos
+      |                 ${VecOracle.nanDiv(vectors.dotSql("q.qe", "c.cemb", 64), "q.qn * c.cnrm")} AS ccos
       |          FROM q CROSS JOIN cent c)
       |  ) WHERE crank <= 3
       |)
       |SELECT query_id, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos, rank FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
       |  FROM (SELECT p.query_id, l.vec_id,
-      |               (${vectors.dotSql("l.emb", "p.qe", 64)}) / (l.nrm * p.qn) AS cos
+      |               ${VecOracle.nanDiv(vectors.dotSql("l.emb", "p.qe", 64), "l.nrm * p.qn")} AS cos
       |        FROM lists l JOIN probes p ON l.list_id = p.list_id
       |        WHERE l.vec_id <> p.query_id)
       |) WHERE rank <= 5""".stripMargin,
@@ -332,13 +332,15 @@ object SimilarityQueries {
     "q69_semdedup" -> s"""${VecOracle.coarsePrefix},
       |pairs AS (
       |  SELECT b.vec_id AS id_b, a.vec_id AS id_a,
-      |         (${vectors.dotSql("a.emb", "b.emb", 64)}) / (a.nrm * b.nrm) AS cos
+      |         ${VecOracle.nanDiv(vectors.dotSql("a.emb", "b.emb", 64), "a.nrm * b.nrm")} AS cos
       |  FROM lists a JOIN lists b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
       |),
       |dups AS (
       |  SELECT id_b AS vec_id, ${detsum.roundDetSql("cos", 6)} AS max_sim, id_a AS dup_of FROM (
       |    SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a ASC) AS rn
-      |    FROM pairs WHERE cos >= 0.4
+      |    -- isnan guard: Spark's NaN >= tau is FALSE while DuckDB orders NaN
+      |    -- above every double (a zero-norm pair would pass only here)
+      |    FROM pairs WHERE cos >= 0.4 AND NOT isnan(cos)
       |  ) WHERE rn = 1
       |)
       |SELECT l.vec_id, CAST(l.list_id AS BIGINT) AS list_id,
@@ -362,7 +364,7 @@ object SimilarityQueries {
       |  SELECT list_id, query_id FROM (
       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, list_id ASC) AS crank
       |    FROM (SELECT c.list_id, q.query_id,
-      |                 (${vectors.dotSql("q.emb", "c.cemb", 64)}) / (q.nrm * c.cnrm) AS ccos
+      |                 ${VecOracle.nanDiv(vectors.dotSql("q.emb", "c.cemb", 64), "q.nrm * c.cnrm")} AS ccos
       |          FROM q CROSS JOIN cent c)
       |  ) WHERE crank <= 3
       |),
@@ -376,7 +378,7 @@ object SimilarityQueries {
       |  -- codes-only asymmetric scan over the probed lists, top 40
       |  SELECT query_id, vec_id FROM (
       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id ASC) AS arank
-      |    FROM (SELECT query_id, vec_id, adot / sqrt(recon2) AS acos FROM (
+      |    FROM (SELECT query_id, vec_id, ${VecOracle.nanDiv("adot", "sqrt(recon2)")} AS acos FROM (
       |            SELECT l.query_id, cd.vec_id,
       |                   ${detsum.sumDetSql("l.pdot", 9)} AS adot,
       |                   ${detsum.sumDetSql("cd.c2", 9)} AS recon2
@@ -390,7 +392,7 @@ object SimilarityQueries {
       |SELECT query_id, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos, rank FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
       |  FROM (SELECT a.query_id, a.vec_id,
-      |               (${vectors.dotSql("cl.emb", "q.emb", 64)}) / (cl.nrm * q.nrm) AS cos
+      |               ${VecOracle.nanDiv(vectors.dotSql("cl.emb", "q.emb", 64), "cl.nrm * q.nrm")} AS cos
       |        FROM adc a JOIN lists cl ON cl.vec_id = a.vec_id
       |          JOIN q ON q.query_id = a.query_id)
       |) WHERE rank <= 5""".stripMargin,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.vectors
+import graft.functions.{detsum, vectors}
 
 /** Train-once vector index shared by the ANN/quantization queries — the
   * FAISS IVFADC shape: an index is BUILT once (coarse quantizer + inverted
@@ -44,6 +44,15 @@ object VecIndex {
     * the encode convention cannot drift between them. */
   private[queries] val PqSubs = 8
   private[queries] val PqSubDim = 8
+
+  /** Trainer hyperparameters, shared with [[VecOracle]] so the DuckDB
+    * replay can never drift from what the trainer actually runs — tuning
+    * either side alone would hash-mismatch every IVF/PQ oracle with no
+    * compile-time signal. */
+  private[queries] val CoarseK = 10
+  private[queries] val CoarseRounds = 5
+  private[queries] val PqK = 16
+  private[queries] val PqRounds = 3
 
   private val coarseCache = scala.collection.concurrent.TrieMap.empty[String, Coarse]
   private val pqCache = scala.collection.concurrent.TrieMap.empty[String, Pq]
@@ -127,7 +136,7 @@ object VecIndex {
       .select(
         col("id").as("vec_id"), col("grp"),
         col("best").getField("code").as("code"), col("best").getField("c2").as("c2"),
-        graft.functions.detsum.roundDet(
+        detsum.roundDet(
           aggregate(
             zip_with(col("emb"), col("best").getField("cemb"), (a, b) => (a - b) * (a - b)),
             lit(0.0), (acc, x) => acc + x) / PqSubDim, 9).as("sub_sq_err"))
@@ -136,7 +145,7 @@ object VecIndex {
   def coarse(s: SparkSession, d: String): Coarse = live(coarseCache, d)(_.lists) {
     val c = corpus(s, d).localCheckpoint(true)
     val cent = graft.operators.KMeans
-      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = 10, rounds = 5)
+      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = CoarseK, rounds = CoarseRounds)
       .withColumn("cnrm", vectors.norm(col("cemb")))
     val lists = assignToLists(c, cent).localCheckpoint(true)
     Tables.freeCheckpoint(c) // the raw scan checkpoint fed training + assignment only
@@ -146,7 +155,7 @@ object VecIndex {
   def pq(s: SparkSession, d: String): Pq = live(pqCache, d)(_.codes) {
     val subv = subvectors(corpus(s, d).select(col("vec_id").as("id"), col("emb")))
       .localCheckpoint(true) // reused by train AND encode
-    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = 16, rounds = 3)
+    val codebooks = graft.operators.KMeans.fitGrouped(subv, k = PqK, rounds = PqRounds)
       .withColumn("c2", vectors.dot(col("cemb"), col("cemb")))
     val codes = encodeAgainst(subv, codebooks).localCheckpoint(true)
     Tables.freeCheckpoint(subv)

@@ -5,8 +5,8 @@ import graft.functions.{detsum, vectors}
 /** DuckDB oracle generators that replay [[graft.operators.KMeans]] index
   * training op-for-op — the q10g recipe (quantile-init 1-D k-means mirrored
   * in SQL) generalized to the n-dimensional coarse quantizer and the grouped
-  * PQ trainer, so the IVF/PQ query family (q37, q37b, q58b, q68, q69) is
-  * oracle-backed instead of rows-only.
+  * PQ trainer, so the IVF/PQ query family (q37, q37b, q58b, q68, q69, st12)
+  * is oracle-backed instead of rows-only.
   *
   * Why this is possible at all: every step of the trainer is engineered
   * deterministic AND cross-engine reproducible —
@@ -17,10 +17,19 @@ import graft.functions.{detsum, vectors}
   *  - centroid means go through the detsum recipe (per-term rounding, exact
   *    decimal sum — [[detsum.sumDetSql]]),
   *  - assignment is a lexicographic argmax (score desc, list_id asc) that
-  *    maps to `row_number() OVER (ORDER BY sc DESC, list_id ASC)` with
-  *    identical NaN-sorts-greatest semantics,
+  *    maps to `row_number() OVER (ORDER BY sc DESC, list_id ASC)`; every
+  *    cosine division is wrapped in [[nanDiv]] because the one IEEE case
+  *    the engines disagree on is division by zero — Spark yields NaN
+  *    (sorts greatest, like DuckDB's NaN) while DuckDB yields NULL (sorts
+  *    LAST under DESC), so an all-zero embedding would silently fall out
+  *    of the oracle's rankings without the COALESCE,
   *  - display rounding uses [[detsum.roundDetSql]] (floor(x·10^s + 0.5) —
   *    three correctly-rounded IEEE ops, bit-identical across engines).
+  *
+  * Hyperparameters come from [[VecIndex]] (one definition with the
+  * trainer), and per-round centroid norms / ‖c‖² are hoisted into the
+  * centroid CTEs (k rows) instead of being recomputed per (vector,
+  * centroid) pair — value-identical (same expression, evaluated once).
   *
   * Every CTE below names the Spark step it mirrors. Fixed round counts mean
   * the whole loop unrolls to a linear CTE chain — ~50 KB of generated SQL
@@ -29,32 +38,42 @@ import graft.functions.{detsum, vectors}
 object VecOracle {
 
   private val Dim = 64
-  private val CoarseK = 10
-  private val CoarseRounds = 5
-  private val PqK = 16
-  private val PqRounds = 3
   private val Subs = VecIndex.PqSubs
   private val SubDim = VecIndex.PqSubDim
 
   private def dotN(a: String, b: String) = vectors.dotSql(a, b, Dim)
   private def dotS(a: String, b: String) = vectors.dotSql(a, b, SubDim)
 
-  /** Mirrors KMeans.fit(k=10, rounds=5, cosine) + VecIndex.assignToLists:
-    * CTEs `v` (corpus with norm), `cent` (final centroids with cnrm) and
-    * `lists` (the inverted lists — every vector with its nearest list). */
+  /** Division mirroring Spark's IEEE behavior: both engines agree except at
+    * a zero divisor, where Spark's 0/0 is NaN but DuckDB returns NULL —
+    * COALESCE maps that NULL back to NaN (a non-zero numerator over zero is
+    * impossible here: a zero norm forces a zero dot). NaN then sorts
+    * greatest in both engines' DESC orderings, matching Spark's ranking. */
+  private[queries] def nanDiv(num: String, den: String): String =
+    s"COALESCE(($num) / ($den), 'NaN'::DOUBLE)"
+
+  /** Mirrors KMeans.fit(k=CoarseK, rounds=CoarseRounds, cosine) +
+    * VecIndex.assignToLists: CTEs `v` (corpus with norm), `cent` (final
+    * centroids with cnrm) and `lists` (the inverted lists — every vector
+    * with its nearest list). */
   val coarsePrefix: String = {
+    val k = VecIndex.CoarseK
+    val rounds = VecIndex.CoarseRounds
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       |), v AS MATERIALIZED (
       |  SELECT id, emb, sqrt(${dotN("emb", "emb")}) AS nrm FROM e
       |), c0 AS MATERIALIZED (
-      |  -- seeding: the k smallest hash60(id), list_id by (h, id) order
-      |  SELECT CAST(row_number() OVER (ORDER BY h, id) AS INT) AS list_id, emb AS cemb
-      |  FROM (SELECT id, emb, ${vectors.hash60Sql("id")} AS h FROM v
-      |        ORDER BY h, id LIMIT $CoarseK)
+      |  -- seeding: the k smallest hash60(id), list_id by (h, id) order;
+      |  -- cnrm hoisted here (k rows) instead of per (vector, centroid) pair
+      |  SELECT list_id, cemb, sqrt(${dotN("cemb", "cemb")}) AS cnrm FROM (
+      |    SELECT CAST(row_number() OVER (ORDER BY h, id) AS INT) AS list_id, emb AS cemb
+      |    FROM (SELECT id, emb, ${vectors.hash60Sql("id")} AS h FROM v
+      |          ORDER BY h, id LIMIT $k)
+      |  )
       |)""".stripMargin
-    for (r <- 1 to CoarseRounds) {
+    for (r <- 1 to rounds) {
       val prev = s"c${r - 1}"
       val means = (1 to Dim)
         .map(i => s"${detsum.sumDetSql(s"emb[$i]", 9)} / COUNT(*) AS x$i")
@@ -65,8 +84,7 @@ object VecOracle {
         |  SELECT id, emb, list_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, list_id ASC) AS rn
         |    FROM (SELECT v.id, v.emb, c.list_id,
-        |                 (${dotN("v.emb", "c.cemb")})
-        |                   / (v.nrm * sqrt(${dotN("c.cemb", "c.cemb")})) AS sc
+        |                 ${nanDiv(dotN("v.emb", "c.cemb"), "v.nrm * c.cnrm")} AS sc
         |          FROM v CROSS JOIN $prev c)
         |  ) WHERE rn = 1
         |), u$r AS (
@@ -78,32 +96,37 @@ object VecOracle {
         |  )
         |), c$r AS MATERIALIZED (
         |  -- empty lists carry the previous centroid forward
-        |  SELECT p.list_id, COALESCE(u.cemb, p.cemb) AS cemb
-        |  FROM $prev p LEFT JOIN u$r u ON p.list_id = u.list_id
+        |  SELECT list_id, cemb, sqrt(${dotN("cemb", "cemb")}) AS cnrm FROM (
+        |    SELECT p.list_id, COALESCE(u.cemb, p.cemb) AS cemb
+        |    FROM $prev p LEFT JOIN u$r u ON p.list_id = u.list_id
+        |  )
         |)""".stripMargin
     }
-    sb ++= s""", cent AS MATERIALIZED (
-      |  SELECT list_id, cemb, sqrt(${dotN("cemb", "cemb")}) AS cnrm FROM c$CoarseRounds
+    sb ++= s""", cent AS (
+      |  SELECT list_id, cemb, cnrm FROM c$rounds
       |), lists AS MATERIALIZED (
       |  -- VecIndex.assignToLists: final nearest-centroid assignment
       |  SELECT list_id, id AS vec_id, emb, nrm FROM (
       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, list_id ASC) AS rn
       |    FROM (SELECT v.id, v.emb, v.nrm, c.list_id,
-      |                 (${dotN("v.emb", "c.cemb")}) / (v.nrm * c.cnrm) AS sc
+      |                 ${nanDiv(dotN("v.emb", "c.cemb"), "v.nrm * c.cnrm")} AS sc
       |          FROM v CROSS JOIN cent c)
       |  ) WHERE rn = 1
       |)""".stripMargin
     sb.toString
   }
 
-  /** Mirrors VecIndex.pq — subvector split, KMeans.fitGrouped(k=16,
-    * rounds=3, squared-L2) and the PQ encode: CTEs `sv` (one row per
+  /** Mirrors VecIndex.pq — subvector split, KMeans.fitGrouped(k=PqK,
+    * rounds=PqRounds, squared-L2) and the PQ encode: CTEs `sv` (one row per
     * (grp, id) subvector), `pcb` (codebooks with ‖c‖²) and `pcodes`
     * (per-subvector chosen code + reconstruction error). Standalone —
     * composes with [[coarsePrefix]] by comma (the CTE names are disjoint).
     * `pe` re-reads embeddings rather than referencing `e` so this prefix
-    * also works alone (q58b needs no coarse half). */
+    * also works alone (q58b needs no coarse half). The squared-L2 score
+    * 2·x·c − ‖c‖² divides nothing, so no [[nanDiv]] is needed here. */
   val pqPrefix: String = {
+    val k = VecIndex.PqK
+    val rounds = VecIndex.PqRounds
     val sb = new StringBuilder
     val slices = (0 until Subs).map { g =>
       val elems = (1 to SubDim).map(i => s"emb[${g * SubDim + i}]").mkString(", ")
@@ -115,13 +138,16 @@ object VecOracle {
       |  -- VecIndex.subvectors: 64 dims -> 8 x 8-dim slices
       |  $slices
       |), pc0 AS MATERIALIZED (
-      |  -- fitGrouped seeding: per grp, the k smallest hash60(grp:id)
-      |  SELECT grp, CAST(rn AS INT) AS list_id, emb AS cemb FROM (
-      |    SELECT grp, id, emb, row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rn
-      |    FROM (SELECT grp, id, emb, ${vectors.hash60Sql("grp || ':' || id")} AS h FROM sv)
-      |  ) WHERE rn <= $PqK
+      |  -- fitGrouped seeding: per grp, the k smallest hash60(grp:id);
+      |  -- c2 (= ||c||^2) hoisted here, k rows per grp
+      |  SELECT grp, list_id, cemb, (${dotS("cemb", "cemb")}) AS c2 FROM (
+      |    SELECT grp, CAST(rn AS INT) AS list_id, emb AS cemb FROM (
+      |      SELECT grp, id, emb, row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rn
+      |      FROM (SELECT grp, id, emb, ${vectors.hash60Sql("grp || ':' || id")} AS h FROM sv)
+      |    ) WHERE rn <= $k
+      |  )
       |)""".stripMargin
-    for (r <- 1 to PqRounds) {
+    for (r <- 1 to rounds) {
       val prev = s"pc${r - 1}"
       val means = (1 to SubDim)
         .map(i => s"${detsum.sumDetSql(s"emb[$i]", 9)} / COUNT(*) AS x$i")
@@ -132,8 +158,7 @@ object VecOracle {
         |  SELECT grp, id, emb, list_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY grp, id ORDER BY sc DESC, list_id ASC) AS rn
         |    FROM (SELECT s.grp, s.id, s.emb, c.list_id,
-        |                 2.0 * (${dotS("s.emb", "c.cemb")})
-        |                   - (${dotS("c.cemb", "c.cemb")}) AS sc
+        |                 2.0 * (${dotS("s.emb", "c.cemb")}) - c.c2 AS sc
         |          FROM sv s JOIN $prev c ON s.grp = c.grp)
         |  ) WHERE rn = 1
         |), pu$r AS (
@@ -143,15 +168,17 @@ object VecOracle {
         |    FROM pa$r GROUP BY grp, list_id
         |  )
         |), pc$r AS MATERIALIZED (
-        |  SELECT p.grp, p.list_id, COALESCE(u.cemb, p.cemb) AS cemb
-        |  FROM $prev p LEFT JOIN pu$r u ON p.grp = u.grp AND p.list_id = u.list_id
+        |  SELECT grp, list_id, cemb, (${dotS("cemb", "cemb")}) AS c2 FROM (
+        |    SELECT p.grp, p.list_id, COALESCE(u.cemb, p.cemb) AS cemb
+        |    FROM $prev p LEFT JOIN pu$r u ON p.grp = u.grp AND p.list_id = u.list_id
+        |  )
         |)""".stripMargin
     }
     val err = (1 to SubDim)
       .map(i => s"(s.emb[$i] - c.cemb[$i]) * (s.emb[$i] - c.cemb[$i])")
       .mkString(" + ")
-    sb ++= s""", pcb AS MATERIALIZED (
-      |  SELECT grp, list_id, cemb, (${dotS("cemb", "cemb")}) AS c2 FROM pc$PqRounds
+    sb ++= s""", pcb AS (
+      |  SELECT grp, list_id, cemb, c2 FROM pc$rounds
       |), pcodes AS MATERIALIZED (
       |  -- VecIndex.encodeAgainst: chosen code + subspace reconstruction error
       |  SELECT id AS vec_id, grp, list_id AS code, c2,
