@@ -309,14 +309,14 @@ object SimilarityQueries {
       |  SELECT list_id, query_id, qe, qn FROM (
       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, list_id ASC) AS crank
       |    FROM (SELECT c.list_id, q.query_id, q.qe, q.qn,
-      |                 ${VecOracle.nanDiv(vectors.dotSql("q.qe", "c.cemb", 64), "q.qn * c.cnrm")} AS ccos
+      |                 (${vectors.dotSql("q.qe", "c.cemb", 64)}) / (q.qn * c.cnrm) AS ccos
       |          FROM q CROSS JOIN cent c)
       |  ) WHERE crank <= 3
       |)
       |SELECT query_id, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos, rank FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
       |  FROM (SELECT p.query_id, l.vec_id,
-      |               ${VecOracle.nanDiv(vectors.dotSql("l.emb", "p.qe", 64), "l.nrm * p.qn")} AS cos
+      |               (${vectors.dotSql("l.emb", "p.qe", 64)}) / (l.nrm * p.qn) AS cos
       |        FROM lists l JOIN probes p ON l.list_id = p.list_id
       |        WHERE l.vec_id <> p.query_id)
       |) WHERE rank <= 5""".stripMargin,
@@ -332,15 +332,16 @@ object SimilarityQueries {
     "q69_semdedup" -> s"""${VecOracle.coarsePrefix},
       |pairs AS (
       |  SELECT b.vec_id AS id_b, a.vec_id AS id_a,
-      |         ${VecOracle.nanDiv(vectors.dotSql("a.emb", "b.emb", 64), "a.nrm * b.nrm")} AS cos
+      |         (${vectors.dotSql("a.emb", "b.emb", 64)}) / (a.nrm * b.nrm) AS cos
       |  FROM lists a JOIN lists b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
       |),
       |dups AS (
       |  SELECT id_b AS vec_id, ${detsum.roundDetSql("cos", 6)} AS max_sim, id_a AS dup_of FROM (
       |    SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a ASC) AS rn
-      |    -- isnan guard: Spark's NaN >= tau is FALSE while DuckDB orders NaN
-      |    -- above every double (a zero-norm pair would pass only here)
-      |    FROM pairs WHERE cos >= 0.4 AND NOT isnan(cos)
+      |    -- a zero-norm pair is excluded identically in both engines: the
+      |    -- SQL division yields NULL (ANSI Spark raises long before), and
+      |    -- NULL >= tau filters out on both sides
+      |    FROM pairs WHERE cos >= 0.4
       |  ) WHERE rn = 1
       |)
       |SELECT l.vec_id, CAST(l.list_id AS BIGINT) AS list_id,
@@ -364,7 +365,7 @@ object SimilarityQueries {
       |  SELECT list_id, query_id FROM (
       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, list_id ASC) AS crank
       |    FROM (SELECT c.list_id, q.query_id,
-      |                 ${VecOracle.nanDiv(vectors.dotSql("q.emb", "c.cemb", 64), "q.nrm * c.cnrm")} AS ccos
+      |                 (${vectors.dotSql("q.emb", "c.cemb", 64)}) / (q.nrm * c.cnrm) AS ccos
       |          FROM q CROSS JOIN cent c)
       |  ) WHERE crank <= 3
       |),
@@ -378,7 +379,7 @@ object SimilarityQueries {
       |  -- codes-only asymmetric scan over the probed lists, top 40
       |  SELECT query_id, vec_id FROM (
       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id ASC) AS arank
-      |    FROM (SELECT query_id, vec_id, ${VecOracle.nanDiv("adot", "sqrt(recon2)")} AS acos FROM (
+      |    FROM (SELECT query_id, vec_id, adot / sqrt(recon2) AS acos FROM (
       |            SELECT l.query_id, cd.vec_id,
       |                   ${detsum.sumDetSql("l.pdot", 9)} AS adot,
       |                   ${detsum.sumDetSql("cd.c2", 9)} AS recon2
@@ -392,7 +393,7 @@ object SimilarityQueries {
       |SELECT query_id, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos, rank FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
       |  FROM (SELECT a.query_id, a.vec_id,
-      |               ${VecOracle.nanDiv(vectors.dotSql("cl.emb", "q.emb", 64), "cl.nrm * q.nrm")} AS cos
+      |               (${vectors.dotSql("cl.emb", "q.emb", 64)}) / (cl.nrm * q.nrm) AS cos
       |        FROM adc a JOIN lists cl ON cl.vec_id = a.vec_id
       |          JOIN q ON q.query_id = a.query_id)
       |) WHERE rank <= 5""".stripMargin,

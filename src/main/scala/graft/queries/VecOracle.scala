@@ -17,12 +17,12 @@ import graft.functions.{detsum, vectors}
   *  - centroid means go through the detsum recipe (per-term rounding, exact
   *    decimal sum — [[detsum.sumDetSql]]),
   *  - assignment is a lexicographic argmax (score desc, list_id asc) that
-  *    maps to `row_number() OVER (ORDER BY sc DESC, list_id ASC)`; every
-  *    cosine division is wrapped in [[nanDiv]] because the one IEEE case
-  *    the engines disagree on is division by zero — Spark yields NaN
-  *    (sorts greatest, like DuckDB's NaN) while DuckDB yields NULL (sorts
-  *    LAST under DESC), so an all-zero embedding would silently fall out
-  *    of the oracle's rankings without the COALESCE,
+  *    maps to `row_number() OVER (ORDER BY sc DESC, list_id ASC)`; the
+  *    degenerate zero-norm-vector case agrees too — under the engine's
+  *    pinned ANSI mode Spark RAISES on the 0/0 division (loud error,
+  *    nothing to compare; SketchSpec pins this), and under a legacy
+  *    ansi=false override Spark's SQL division yields NULL with
+  *    NULLS-LAST DESC ordering, exactly DuckDB's behavior,
   *  - display rounding uses [[detsum.roundDetSql]] (floor(x·10^s + 0.5) —
   *    three correctly-rounded IEEE ops, bit-identical across engines).
   *
@@ -43,14 +43,6 @@ object VecOracle {
 
   private def dotN(a: String, b: String) = vectors.dotSql(a, b, Dim)
   private def dotS(a: String, b: String) = vectors.dotSql(a, b, SubDim)
-
-  /** Division mirroring Spark's IEEE behavior: both engines agree except at
-    * a zero divisor, where Spark's 0/0 is NaN but DuckDB returns NULL —
-    * COALESCE maps that NULL back to NaN (a non-zero numerator over zero is
-    * impossible here: a zero norm forces a zero dot). NaN then sorts
-    * greatest in both engines' DESC orderings, matching Spark's ranking. */
-  private[queries] def nanDiv(num: String, den: String): String =
-    s"COALESCE(($num) / ($den), 'NaN'::DOUBLE)"
 
   /** Mirrors KMeans.fit(k=CoarseK, rounds=CoarseRounds, cosine) +
     * VecIndex.assignToLists: CTEs `v` (corpus with norm), `cent` (final
@@ -84,7 +76,7 @@ object VecOracle {
         |  SELECT id, emb, list_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, list_id ASC) AS rn
         |    FROM (SELECT v.id, v.emb, c.list_id,
-        |                 ${nanDiv(dotN("v.emb", "c.cemb"), "v.nrm * c.cnrm")} AS sc
+        |                 (${dotN("v.emb", "c.cemb")}) / (v.nrm * c.cnrm) AS sc
         |          FROM v CROSS JOIN $prev c)
         |  ) WHERE rn = 1
         |), u$r AS (
@@ -109,7 +101,7 @@ object VecOracle {
       |  SELECT list_id, id AS vec_id, emb, nrm FROM (
       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, list_id ASC) AS rn
       |    FROM (SELECT v.id, v.emb, v.nrm, c.list_id,
-      |                 ${nanDiv(dotN("v.emb", "c.cemb"), "v.nrm * c.cnrm")} AS sc
+      |                 (${dotN("v.emb", "c.cemb")}) / (v.nrm * c.cnrm) AS sc
       |          FROM v CROSS JOIN cent c)
       |  ) WHERE rn = 1
       |)""".stripMargin

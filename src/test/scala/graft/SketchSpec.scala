@@ -306,4 +306,44 @@ class SketchSpec extends AnyFunSuite {
       .select("lat", "lon", "gh").collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getString(2)).toMap
     assert(native == chain && native.nonEmpty)
   }
+
+  test("zero-norm vector contract: ANSI raises; legacy NULL ranks last like DuckDB") {
+    import spark.implicits._
+    // The IVF/PQ oracles divide cosines as plain SQL division. This pins
+    // why that agrees with Spark even for a degenerate zero-norm vector
+    // (always 0/0 -- a zero norm forces a zero dot):
+    //  - under the engine's pinned ANSI mode the division RAISES (a loud
+    //    error, never a silently divergent row), and
+    //  - under a legacy ansi=false override Spark's SQL division yields
+    //    NULL, which sorts LAST in the (cos desc) window ordering --
+    //    exactly DuckDB's NULLS-LAST DESC behavior, and NULL >= tau
+    //    excludes the pair in both engines (q69's filter).
+    val df = Seq(
+      (1L, Seq.fill(4)(0.0)), // zero vector: nrm = 0, dot = 0
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.9, 0.1, 0.0, 0.0))).toDF("vec_id", "emb")
+      .withColumn("nrm", functions.vectors.norm(col("emb")))
+    val q = Seq((9L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("query_id", "qe")
+      .withColumn("qn", functions.vectors.norm(col("qe")))
+    def ranked() = df.crossJoin(broadcast(q))
+      .withColumn("cos", functions.vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .select(col("vec_id"), col("cos"), col("rank"))
+      .collect().sortBy(_.getInt(2))
+    val raised = intercept[Exception] { ranked() }
+    assert(raised.getMessage.contains("DIVIDE_BY_ZERO"), s"expected ANSI raise, got $raised")
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val r = ranked()
+      assert(r(0).getLong(0) == 2L && r(0).getDouble(1) == 1.0)
+      assert(r(2).getLong(0) == 1L && r(2).isNullAt(1),
+        s"zero-norm vector must rank last with NULL cosine, got ${r.toSeq}")
+      assert(df.crossJoin(broadcast(q))
+        .withColumn("cos", functions.vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
+        .filter(col("cos") >= 0.4).count() == 2)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
 }
