@@ -75,7 +75,7 @@ object Bpe {
   }
 
   /** One leftmost-greedy merge pass: every adjacent (l, r) fuses. */
-  private[operators] def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+  private[graft] def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
     val n = syms.length

@@ -658,9 +658,13 @@ object TextQueries {
     // REAL BPE (Sennrich 2016): merges learned by distributed pair-count
     // rounds over the vocab-sized word-frequency table (train-once model,
     // [[graft.operators.Bpe]]), then documents encoded with the learned
-    // merge priorities. rows-only: the 40-round argmax training loop is not
-    // SQL-expressible; BpeSpec pins a hand-computed merge sequence,
-    // partition-layout determinism, and the encode invariants.
+    // merge priorities. Oracle-backed since round 10: `bpeSql` unrolls all
+    // 40 training rounds as DuckDB CTEs over unit-delimited segmentation
+    // strings (replace() == mergeOnce, see the oracle's scaladoc), so DuckDB
+    // RELEARNS the identical merge table and replays the encode; BpeSpec
+    // additionally pins a hand-computed merge sequence, partition-layout
+    // determinism, and the encode-equals-final-training-segmentation
+    // identity the oracle's encode phase rests on.
     "q66_bpe_tokenize" -> ((s: SparkSession, d: String) => {
       val model = graft.operators.Bpe.model(s, d, nMerges = 40)
       val sub = graft.operators.Bpe.tokenize(docs(s, d), model)
@@ -963,6 +967,67 @@ object TextQueries {
        |       round(LEAST(1.0, n_tok / 100.0) * 0.5 + stop_ratio * 0.3 - punct_ratio * 0.2, 6) AS quality
        |FROM r""".stripMargin
 
+  /** q66's DuckDB oracle: replay the WHOLE `nMerges`-round BPE merge
+    * training (the q10g/VecOracle unrolled-round recipe applied to
+    * [[graft.operators.Bpe.train]]), then aggregate the encode.
+    *
+    * Segmentations live as unit-delimited strings — every symbol wrapped
+    * chr(1)…chr(2) — so one non-overlapping left-to-right `replace()` of
+    * `(1)l(2)(1)r(2) → (1)lr(2)` IS `Bpe.mergeOnce`'s single scan: the
+    * delimiters anchor symbol boundaries (no mid-symbol match), and a
+    * replacement can never create a new occurrence of the SAME pair (the
+    * fused symbol is strictly longer than l and r), so one pass reaches the
+    * scan's fixpoint. Each round: adjacent-pair counts from the split
+    * segmentation, the argmax with Bpe's exact tiebreak (cnt desc, l asc,
+    * r asc) gated on minFreq=2 (`Bpe.train`'s default), and a LEFT JOIN
+    * carry-forward so the early-stop rounds leave segmentations unchanged —
+    * exactly `done=true`.
+    *
+    * The encode phase is FREE: a merge learned at rank k can never recreate
+    * a pair of rank < k (every pair involving a fused symbol is first
+    * countable only after that symbol exists, so its rank is later), which
+    * makes priority-order encodeWord identical to the training's own final
+    * segmentation for every vocab word — so the final round's word→syms
+    * table IS the tokenizer output, and the oracle just joins the doc token
+    * stream against it. (Identity spec-pinned in BpeSpec; delimiter safety:
+    * the corpus vocabulary is [a-z0-9], no word can contain chr(1)/chr(2).) */
+  private def bpeSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH words AS MATERIALIZED (
+             |  SELECT word, count(*) AS freq
+             |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
+             |  WHERE length(word) > 0 GROUP BY word
+             |),
+             |r0 AS MATERIALIZED (
+             |  SELECT word, freq, regexp_replace(word, '(.)', chr(1)||'\1'||chr(2), 'g') AS seg FROM words
+             |),
+             |""".stripMargin
+    for (i <- 0 until nMerges) {
+      sb ++= s"""p$i AS MATERIALIZED (
+                |  SELECT syms[j] AS l, syms[j+1] AS rr, sum(freq) AS cnt
+                |  FROM (SELECT freq, string_split(substr(seg, 2, length(seg)-2), chr(2)||chr(1)) AS syms FROM r$i),
+                |       unnest(generate_series(1, len(syms)-1)) AS t(j)
+                |  GROUP BY 1, 2
+                |),
+                |w$i AS MATERIALIZED (SELECT l, rr FROM p$i WHERE cnt >= 2 ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1),
+                |r${i + 1} AS MATERIALIZED (
+                |  SELECT word, freq,
+                |    CASE WHEN w.l IS NULL THEN seg
+                |         ELSE replace(seg, chr(1)||w.l||chr(2)||chr(1)||w.rr||chr(2), chr(1)||w.l||w.rr||chr(2)) END AS seg
+                |  FROM r$i LEFT JOIN w$i w ON TRUE
+                |),
+                |""".stripMargin
+    }
+    sb ++= s"""bpefinal AS MATERIALIZED (
+              |  SELECT word, string_split(substr(seg, 2, length(seg)-2), chr(2)||chr(1)) AS syms FROM r$nMerges
+              |),
+              |docw AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents)
+              |SELECT source, count(*) AS n_subwords, count(DISTINCT sw) AS n_distinct_subwords
+              |FROM (SELECT d.source, unnest(f.syms) AS sw FROM docw d JOIN bpefinal f ON d.word = f.word WHERE length(d.word) > 0)
+              |GROUP BY source""".stripMargin
+    sb.result()
+  }
+
   /** q77's oracle — shared verbatim by st14 (streaming percolation must
     * equal the batch reverse search). */
   private val percolateSql =
@@ -979,6 +1044,7 @@ object TextQueries {
        |GROUP BY 1, 2, 3""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q66_bpe_tokenize" -> bpeSql(40),
     "q77_percolate" -> percolateSql,
     "q77b_percolate_inverted" -> percolateSql,
     "st14_percolate_stream" -> percolateSql,

@@ -76,6 +76,55 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encode equals the training's own final segmentation (the q66 oracle identity)") {
+    import spark.implicits._
+    // The DuckDB oracle replays training and then uses the FINAL round's
+    // word→syms table as the encode — valid because a merge learned at rank
+    // k can never recreate a pair of rank < k. Pin that identity here by
+    // re-running the training segmentation passes in-process and comparing
+    // against priority-order encodeWord for every vocab word.
+    val words = queries.Tables(spark, sf, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .as[String].collect()
+    val merges = Bpe.model(spark, sf, nMerges = 40)
+    val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    words.foreach { w =>
+      var syms: Seq[String] = w.split("").toSeq
+      merges.foreach(m => syms = Bpe.mergeOnce(syms, m.left, m.right))
+      assert(syms == Bpe.encodeWord(w, rankOf),
+        s"word '$w': rank-order training segmentation diverged from priority encode")
+    }
+  }
+
+  test("mergeOnce equals single-pass non-overlapping string replace (the oracle's replace() mirror)") {
+    // The oracle represents a segmentation as chr(1)+sym+chr(2) units and
+    // merges with ONE replace() call; that is only mergeOnce if a single
+    // left-to-right non-overlapping pass reaches the fixpoint. Adversarial
+    // fixtures: self-overlap (l==r), chained occurrences, mid-symbol bytes.
+    def viaReplace(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val seg = syms.map(s => "" + s + "").mkString
+      // Java's String.replace is the same leftmost non-overlapping scan as
+      // DuckDB's replace()
+      val merged = seg.replace("" + l + "" + r + "", "" + l + r + "")
+      merged.stripPrefix("").stripSuffix("").split("").toSeq
+    }
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a"),
+      (Seq("a", "a", "a", "a"), "a", "a"),
+      (Seq("a", "a", "a", "a", "a"), "a", "a"),
+      (Seq("a", "b", "b"), "a", "b"),
+      (Seq("a", "a", "b"), "a", "b"),
+      (Seq("ab", "c"), "b", "c"), // mid-symbol 'b c' must NOT match
+      (Seq("x", "ab", "ab", "y"), "ab", "ab"),
+      (Seq("e", "r", "e", "r"), "e", "r"))
+    cases.foreach { case (syms, l, r) =>
+      assert(viaReplace(syms, l, r) == Bpe.mergeOnce(syms, l, r),
+        s"replace-mirror diverged on $syms merging ($l,$r)")
+    }
+  }
+
   test("tokenization is lossless and the pipeline query aggregates it") {
     import spark.implicits._
     val docs = queries.Tables(spark, sf, "documents")
