@@ -49,6 +49,38 @@ object DedupQueries {
       .filter(col("n_docs") > 1)
   }
 
+  /** ROLLING-window span dedup — the exact-substring-dedup approximation
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): every 20-token window at stride 5 over the normalized token
+    * stream is fingerprinted, and windows recurring across documents
+    * surface as duplicated spans. Catches cross-doc boilerplate that
+    * q30b's FIXED non-overlapping 20-word cells miss whenever the shared
+    * text is offset by a few tokens (alignment-free up to the stride). At
+    * 100 TB the only shuffle key is the 16-byte span hash (the q30b
+    * discipline); the len/stride window fan-out happens inside the scan
+    * stage, after the scan-spreading repartition. */
+  private def q30c(s: SparkSession, d: String): DataFrame = {
+    val W = 20 // window tokens
+    val S = 5  // stride
+    Tables(s, d, "documents")
+      .repartition(col("doc_id")) // single-file scan -> spread the window work
+      .select(col("doc_id"), text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - lit(W - 1), lit(S))).as("j"),
+        col("toks"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("j"), lit(W)), " ").cast("binary")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("span_hash").asc)
+      .limit(20)
+  }
+
   /** Word-3-gram Jaccard pairs via capped posting lists
     * ([[graft.operators.NgramJaccard]]): only pairs sharing ≥1 sub-boilerplate
     * shingle are materialized, and no reducer sees more than dfCap² pair
@@ -260,6 +292,7 @@ object DedupQueries {
     "q38b_dedup_clusters_exact" -> (q38b _),
     "q30_dedup_exact" -> (q30 _),
     "q30b_dedup_passage" -> (q30b _),
+    "q30c_dedup_span" -> (q30c _),
     "q31_dedup_ngram_jaccard" -> (q31 _),
     "q32_dedup_minhash_lsh" -> (q32 _),
     "q33_dedup_simhash" -> (q33 _),
@@ -393,6 +426,20 @@ object DedupQueries {
         |SELECT md5(passage) AS passage_hash, COUNT(*) AS n_occurrences,
         |       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS canonical_doc
         |FROM p GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin,
+    "q30c_dedup_span" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |),
+        |w AS (
+        |  SELECT doc_id, md5(array_to_string(toks[j:j+19], ' ')) AS span_hash
+        |  FROM d, UNNEST(generate_series(1, len(toks) - 19, 5)) AS t(j)
+        |  WHERE len(toks) >= 20
+        |)
+        |SELECT span_hash, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+        |       MIN(doc_id) AS first_doc
+        |FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY n_occ DESC, n_docs DESC, span_hash ASC LIMIT 20""".stripMargin,
     "q31_dedup_ngram_jaccard" ->
       s"""WITH $shingleDocsCte,
          |d2 AS (SELECT doc_id, sh, len(sh) AS n FROM docs),

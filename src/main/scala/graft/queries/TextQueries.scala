@@ -79,6 +79,72 @@ object TextQueries {
       .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
   }
 
+  /** Per-doc BM25 score for the deterministic 5-term query (vocab ranks
+    * 11..15) — the first-pass retrieval shared by q76 (top-20 search) and
+    * q76b (rescore window). Returns (doc_id, n_terms_hit, score); see q76's
+    * §2 entry for the detlog idf recipe. */
+  private def bm25PerDoc(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    // scan-spreading repartition before the token explode (the q72/
+    // unigramXent discipline against single-split corpus files)
+    val t = docs(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // query = the terms ranked 11..15 by (df desc, term asc) — mid-head
+    // terms that hit many but not all docs; deterministic in both
+    // engines, and safely inside the 24-term length-≥4 vocabulary (a
+    // 21..25 window silently yielded a 4-term query)
+    val qterms = rankedVocab(s, d)
+      .filter(col("r") >= 11 && col("r") <= 15)
+      .select(col("term").as("tok"), col("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("num", lit(2L) * col("n_docs") + lit(2L))
+      .withColumn("den", lit(2L) * col("df") + lit(1L))
+    val qIdf = graft.functions.detlog
+      .withLog2(graft.functions.detlog.withLog2(qterms, "num", "lgn"), "den", "lgd")
+      .select(col("tok"), (col("lgn") - col("lgd")).as("idf"), col("avgdl"))
+    val tf = t.join(broadcast(qIdf.select(col("tok"))), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf
+      .join(broadcast(qIdf), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("score_t",
+        // literals spelled as decimal literals on BOTH sides: Scala
+        // `k1 + 1` computes 2.1999...956, a DIFFERENT double than the
+        // parsed literal 2.2 — the oracle must see the identical bits
+        col("idf") * ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        graft.functions.detsum.sumDet(col("score_t"), 9).as("score"))
+  }
+
+  /** Exact adjacent-pair count of (w1, w2) in a token array — ES
+    * match_phrase tf at slop 0. A pure array HOF: positions never leave
+    * the row (no posexplode, no self-join), ANSI-safe (i+1 ≤ size by the
+    * sequence bound). */
+  private def phraseTf(toks: Column, w1: Column, w2: Column): Column =
+    when(size(toks) >= 2,
+      size(filter(sequence(lit(1), size(toks) - 1),
+        i => element_at(toks, i) === w1 && element_at(toks, i + 1) === w2)))
+      .otherwise(0).cast("long")
+
+  /** Ordered span_near anchor count: w1 positions with a w2 within `slop`
+    * intervening tokens (gap ≤ slop ⇒ w2 in the next slop+1 positions —
+    * `slice` clamps at the array end in both engines). */
+  private def spanNearTf(toks: Column, w1: Column, w2: Column, slop: Int): Column =
+    when(size(toks) >= 2,
+      size(filter(sequence(lit(1), size(toks) - 1),
+        i => element_at(toks, i) === w1 &&
+          array_contains(slice(toks, i + 1, lit(slop + 1)), w2))))
+      .otherwise(0).cast("long")
+
   /** The shared DuckDB mirror of [[rankedVocab]] — a CTE named `rvocab`. */
   private val rankedVocabCte =
     """rvocab AS (
@@ -444,6 +510,73 @@ object TextQueries {
       unigramXent(s, d)
         .select(col("doc_id"), col("n_tok"), round(col("xent_raw"), 6).as("xent"))),
 
+    // CCNet's ACTUAL LM shape, one order up from q63: per-doc cross-entropy
+    // (bits/token) under a BIGRAM model with stupid backoff (Brants 2007,
+    // α=0.4) — the model trains on a held CLEAN partition (sources
+    // src0..src4, the CCNet train-on-Wikipedia/score-the-crawl split), so
+    // unseen bigrams in scored docs genuinely back off. All probabilities
+    // are integer-ratio detlog differences: seen bigram lg(cvw)−lg(cv);
+    // backoff α·(cw+1)/(N+V) = lg(2(cw+1))−lg(5(N+V)) (α=0.4=2/5 as exact
+    // integer factors, add-1 unigram smoothing for unseen tokens); doc-start
+    // tokens score by the smoothed unigram. Scale: the bigram/context/
+    // unigram model tables are vocab-bounded and broadcast (AQE shifts to
+    // shuffled-hash if a corpus outgrows that); the scoring stream builds
+    // (prev, tok) pairs as a pure array projection — the corpus never
+    // shuffles for pairing.
+    "q63b_bigram_logprob" -> ((s: SparkSession, d: String) => {
+      import graft.functions.{detlog, detsum}
+      val m = docs(s, d)
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .repartition(col("doc_id"))
+      val big = m.select(explode(text.shingles(col("toks"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("cvw"))
+      val bigLg = detlog.withLog2(big, "cvw", "lgvw").select(col("g"), col("lgvw"))
+      val ctx = big
+        .select(split(col("g"), " ").getItem(0).as("prev"), col("cvw"))
+        .groupBy(col("prev")).agg(sum(col("cvw")).as("cv"))
+      val ctxLg = detlog.withLog2(ctx, "cv", "lgv").select(col("prev"), col("lgv"))
+      val uni = m.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cw"))
+      val uniLg = detlog.withLog2(
+        detlog.withLog2(
+          uni.withColumn("cw1", col("cw") + lit(1L))
+            .withColumn("cw2", lit(2L) * (col("cw") + lit(1L))),
+          "cw1", "lgw1"),
+        "cw2", "lg2w")
+        .select(col("tok"), col("lgw1"), col("lg2w"))
+      val scLg = detlog.withLog2(
+        detlog.withLog2(
+          uni.agg((sum(col("cw")) + count(lit(1))).as("nv"))
+            .withColumn("nv5", lit(5L) * col("nv")),
+          "nv", "lgnv"),
+        "nv5", "lg5nv")
+        .select(col("lgnv"), col("lg5nv"))
+      docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(transform(sequence(lit(1), size(col("toks"))),
+            i => struct(element_at(col("toks"), i).as("tok"),
+              when(i > lit(1), element_at(col("toks"), i - 1)).as("prev")))).as("x"))
+        .select(col("doc_id"), col("source"), col("x.tok").as("tok"), col("x.prev").as("prev"))
+        // concat propagates null: doc-start rows get g = null and miss the
+        // bigram join by construction (mirrored by || in DuckDB)
+        .withColumn("g", concat(col("prev"), lit(" "), col("tok")))
+        .join(broadcast(uniLg), Seq("tok"), "left")
+        .join(broadcast(bigLg), Seq("g"), "left")
+        .join(broadcast(ctxLg), Seq("prev"), "left")
+        .crossJoin(broadcast(scLg))
+        .withColumn("lgp",
+          when(col("prev").isNull, coalesce(col("lgw1"), lit(0.0)) - col("lgnv"))
+            .when(col("lgvw").isNotNull, col("lgvw") - col("lgv"))
+            .otherwise(coalesce(col("lg2w"), lit(1.0)) - col("lg5nv")))
+        .withColumn("bo",
+          when(col("prev").isNotNull && col("lgvw").isNull, lit(1L)).otherwise(lit(0L)))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("bo")).as("n_backoff"),
+          detsum.sumDet(col("lgp"), 9).as("slg"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("n_backoff"),
+          detsum.roundDet((lit(0.0) - col("slg")) / col("n_tok").cast("double"), 6).as("xent"))
+    }),
+
     // CCNet's final pipeline stage: split the corpus into head/middle/tail
     // perplexity buckets (quartile edges over the q63 cross-entropy) and
     // report per-source bucket sizes + mean xent — the quality-tiered mix a
@@ -562,51 +695,72 @@ object TextQueries {
     // the broadcast query-term set BEFORE any shuffle; joins are doc-keyed.
     "q76_bm25_search" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val k1 = 1.2
-      val b = 0.75
-      // scan-spreading repartition before the token explode (the q72/
-      // unigramXent discipline against single-split corpus files)
-      val t = docs(s, d).repartition(col("doc_id"))
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(
-        count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      // query = the terms ranked 11..15 by (df desc, term asc) — mid-head
-      // terms that hit many but not all docs; deterministic in both
-      // engines, and safely inside the 24-term length-≥4 vocabulary (a
-      // 21..25 window silently yielded a 4-term query)
-      val qterms = rankedVocab(s, d)
-        .filter(col("r") >= 11 && col("r") <= 15)
-        .select(col("term").as("tok"), col("df"))
-        .crossJoin(broadcast(stats))
-        .withColumn("num", lit(2L) * col("n_docs") + lit(2L))
-        .withColumn("den", lit(2L) * col("df") + lit(1L))
-      val qIdf = graft.functions.detlog
-        .withLog2(graft.functions.detlog.withLog2(qterms, "num", "lgn"), "den", "lgd")
-        .select(col("tok"), (col("lgn") - col("lgd")).as("idf"), col("avgdl"))
-      val tf = t.join(broadcast(qIdf.select(col("tok"))), Seq("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val scored = tf
-        .join(broadcast(qIdf), Seq("tok"))
-        .join(dl, Seq("doc_id"))
-        .withColumn("score_t",
-          // literals spelled as decimal literals on BOTH sides: Scala
-          // `k1 + 1` computes 2.1999...956, a DIFFERENT double than the
-          // parsed literal 2.2 — the oracle must see the identical bits
-          col("idf") * ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") +
-              lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))))
-      scored.groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_terms_hit"),
-          graft.functions.detsum.sumDet(col("score_t"), 9).as("score"))
+      bm25PerDoc(s, d)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)
         // score emitted UNROUNDED (the q35/q36 convention): the detsum
         // value is identical in both engines; native round(x,6) is not
         .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("score"))
+    }),
+
+    // ES search `rescore`: the cost-bounding two-pass ranking contract —
+    // the cheap first-pass query (q76's 5-term BM25) retrieves a
+    // window_size=50 candidate window, and only THOSE docs pay the
+    // expensive secondary query (a match_phrase of the first two query
+    // terms); final score = query_weight·bm25 + rescore_query_weight·
+    // phrase_tf (1.0/0.5, ES combine mode `total`), re-ranked top 10.
+    // Scale shape: the 50-row window broadcasts into the docs scan, so the
+    // positional phrase scan touches 50 documents regardless of corpus
+    // size — exactly why ES rescore exists.
+    "q76b_rescore" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val window = bm25PerDoc(s, d)
+        .withColumn("first_rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("first_rank") <= 50)
+      // rescore query: match_phrase of the two HIGHEST-df query terms
+      // (vocab ranks 11 and 12) — deterministic in both engines
+      val phrase = rankedVocab(s, d).filter(col("r") === 11 || col("r") === 12)
+        .groupBy().agg(
+          min(when(col("r") === 11, col("term"))).as("w1"),
+          min(when(col("r") === 12, col("term"))).as("w2"))
+      val ph = docs(s, d)
+        .join(broadcast(window.select(col("doc_id"))), Seq("doc_id"))
+        .crossJoin(broadcast(phrase))
+        .select(col("doc_id"), phraseTf(col("toks"), col("w1"), col("w2")).as("phrase_tf"))
+      window.join(ph, Seq("doc_id"))
+        .withColumn("rescored", col("score") + lit(0.5) * col("phrase_tf").cast("double"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("rescored").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("first_rank"),
+          col("score"), col("phrase_tf"), col("rescored"))
+    }),
+
+    // ES `match_phrase` + `span_near`: POSITIONAL search — the query is the
+    // top corpus bigram (count desc, gram asc); per doc, n_phrase counts
+    // exact adjacent occurrences (slop 0) and n_near counts anchors whose
+    // second term follows within slop 3 (ordered, the span_near contract).
+    // Both are single-projection array scans (HOFs over the token array —
+    // no position fan-out, no self-join): positions never leave the row,
+    // so the per-doc cost is O(len·slop) inside the scan stage and the
+    // only shuffle is the final top-k.
+    "q78_match_phrase" -> ((s: SparkSession, d: String) => {
+      val top = docs(s, d).repartition(col("doc_id"))
+        .select(explode(text.shingles(col("toks"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g").asc).limit(1)
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+      docs(s, d).crossJoin(broadcast(top))
+        .select(col("doc_id"), col("source"),
+          concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+          phraseTf(col("toks"), col("w1"), col("w2")).as("n_phrase"),
+          spanNearTf(col("toks"), col("w1"), col("w2"), slop = 3).as("n_near"))
+        .filter(col("n_near") > 0)
+        .orderBy(col("n_phrase").desc, col("n_near").desc, col("doc_id").asc)
+        .limit(15)
     }),
 
     // ES `percolate`: REVERSE search — a registry of stored queries, each
@@ -1028,6 +1182,40 @@ object TextQueries {
     sb.result()
   }
 
+  /** Shared DuckDB CTE chain mirroring [[bm25PerDoc]] — ends with `per`
+    * (per-doc n_terms_hit + detsum'd BM25 score); includes `docs` and
+    * `rvocab`. Shared by the q76 and q76b oracles exactly like the Spark
+    * helper is shared by the two queries. */
+  private val bm25PerCtes =
+    s"""$docsCte,
+       |t AS (SELECT doc_id, UNNEST(toks) AS tok FROM docs),
+       |dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |$rankedVocabCte,
+       |qt1 AS MATERIALIZED (
+       |  SELECT term AS tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+       |         CAST(2 * df + 1 AS BIGINT) AS den, avgdl
+       |  FROM rvocab, stats WHERE r BETWEEN 11 AND 15
+       |),
+       |${graft.functions.detlog.log2SqlCtes("qt1", "num", "lgn", "qn")},
+       |${graft.functions.detlog.log2SqlCtes("qnfin", "den", "lgd", "qd")},
+       |qidf AS (SELECT tok, lgn - lgd AS idf, avgdl FROM qdfin),
+       |tf AS (
+       |  SELECT t.doc_id, t.tok, COUNT(*) AS tf
+       |  FROM t JOIN qidf ON t.tok = qidf.tok GROUP BY 1, 2
+       |),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         qidf.idf * ((CAST(tf.tf AS DOUBLE) * 2.2e0) /
+       |           (CAST(tf.tf AS DOUBLE) +
+       |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / qidf.avgdl))) AS score_t
+       |  FROM tf JOIN qidf ON tf.tok = qidf.tok JOIN dl ON tf.doc_id = dl.doc_id
+       |),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms_hit, ${graft.functions.detsum.sumDetSql("score_t", 9)} AS score
+       |  FROM sc GROUP BY doc_id
+       |)""".stripMargin
+
   /** q77's oracle — shared verbatim by st14 (streaming percolation must
     * equal the batch reverse search). */
   private val percolateSql =
@@ -1352,40 +1540,119 @@ object TextQueries {
          |       CAST(big_count AS BIGINT) AS big_count, dist, rank
          |FROM r WHERE rank <= 3""".stripMargin,
     "q76_bm25_search" ->
-      s"""WITH $docsCte,
-         |t AS (SELECT doc_id, UNNEST(toks) AS tok FROM docs),
-         |dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
-         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-         |$rankedVocabCte,
-         |qt1 AS MATERIALIZED (
-         |  SELECT term AS tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
-         |         CAST(2 * df + 1 AS BIGINT) AS den, avgdl
-         |  FROM rvocab, stats WHERE r BETWEEN 11 AND 15
-         |),
-         |${graft.functions.detlog.log2SqlCtes("qt1", "num", "lgn", "qn")},
-         |${graft.functions.detlog.log2SqlCtes("qnfin", "den", "lgd", "qd")},
-         |qidf AS (SELECT tok, lgn - lgd AS idf, avgdl FROM qdfin),
-         |tf AS (
-         |  SELECT t.doc_id, t.tok, COUNT(*) AS tf
-         |  FROM t JOIN qidf ON t.tok = qidf.tok GROUP BY 1, 2
-         |),
-         |sc AS (
-         |  SELECT tf.doc_id,
-         |         qidf.idf * ((CAST(tf.tf AS DOUBLE) * 2.2e0) /
-         |           (CAST(tf.tf AS DOUBLE) +
-         |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / qidf.avgdl))) AS score_t
-         |  FROM tf JOIN qidf ON tf.tok = qidf.tok JOIN dl ON tf.doc_id = dl.doc_id
-         |),
-         |per AS (
-         |  SELECT doc_id, COUNT(*) AS n_terms_hit, ${graft.functions.detsum.sumDetSql("score_t", 9)} AS score
-         |  FROM sc GROUP BY doc_id
-         |),
+      s"""WITH $bm25PerCtes,
          |rr AS (
          |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
          |  FROM per
          |)
          |SELECT rank, doc_id, n_terms_hit, score
          |FROM rr WHERE rank <= 20""".stripMargin,
+    "q76b_rescore" ->
+      s"""WITH $bm25PerCtes,
+         |win AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS first_rank
+         |  FROM per QUALIFY first_rank <= 50
+         |),
+         |phr AS (
+         |  SELECT MIN(CASE WHEN r = 11 THEN term END) AS w1,
+         |         MIN(CASE WHEN r = 12 THEN term END) AS w2
+         |  FROM rvocab WHERE r IN (11, 12)
+         |),
+         |ph AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN len(toks) >= 2
+         |              THEN len(list_filter(generate_series(1, len(toks) - 1),
+         |                                   i -> toks[i] = w1 AND toks[i+1] = w2))
+         |              ELSE 0 END AS phrase_tf
+         |  FROM docs d JOIN win ON d.doc_id = win.doc_id, phr
+         |),
+         |re AS (
+         |  SELECT win.first_rank, win.doc_id, win.score, CAST(ph.phrase_tf AS BIGINT) AS phrase_tf,
+         |         win.score + 0.5e0 * CAST(ph.phrase_tf AS DOUBLE) AS rescored
+         |  FROM win JOIN ph ON win.doc_id = ph.doc_id
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY rescored DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, first_rank, score, phrase_tf, rescored
+         |FROM re QUALIFY rank <= 10""".stripMargin,
+    "q78_match_phrase" ->
+      s"""WITH $docsCte,
+         |bg AS (
+         |  SELECT toks[j] AS w1, toks[j+1] AS w2, COUNT(*) AS cnt
+         |  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(j)
+         |  GROUP BY 1, 2
+         |),
+         |top1 AS (SELECT w1, w2 FROM bg ORDER BY cnt DESC, (w1 || ' ' || w2) ASC LIMIT 1),
+         |m AS (
+         |  SELECT doc_id, source, w1 || ' ' || w2 AS phrase,
+         |         CASE WHEN len(toks) >= 2
+         |              THEN len(list_filter(generate_series(1, len(toks) - 1),
+         |                                   i -> toks[i] = w1 AND toks[i+1] = w2))
+         |              ELSE 0 END AS n_phrase,
+         |         CASE WHEN len(toks) >= 2
+         |              THEN len(list_filter(generate_series(1, len(toks) - 1),
+         |                                   i -> toks[i] = w1 AND list_contains(toks[i+1:i+4], w2)))
+         |              ELSE 0 END AS n_near
+         |  FROM docs, top1
+         |)
+         |SELECT doc_id, source, phrase,
+         |       CAST(n_phrase AS BIGINT) AS n_phrase, CAST(n_near AS BIGINT) AS n_near
+         |FROM m WHERE n_near > 0
+         |ORDER BY n_phrase DESC, n_near DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "q63b_bigram_logprob" ->
+      s"""WITH $docsCte,
+         |mdocs AS (SELECT * FROM docs WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+         |big0 AS MATERIALIZED (
+         |  SELECT g, COUNT(*) AS cvw FROM (
+         |    SELECT toks[i] || ' ' || toks[i+1] AS g
+         |    FROM mdocs, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  ) GROUP BY g
+         |),
+         |${graft.functions.detlog.log2SqlCtes("big0", "cvw", "lgvw", "bg")},
+         |ctx0 AS MATERIALIZED (
+         |  SELECT string_split(g, ' ')[1] AS prev, CAST(SUM(cvw) AS BIGINT) AS cv
+         |  FROM big0 GROUP BY 1
+         |),
+         |${graft.functions.detlog.log2SqlCtes("ctx0", "cv", "lgv", "cx")},
+         |uni0 AS MATERIALIZED (
+         |  SELECT tok, COUNT(*) AS cw FROM (SELECT UNNEST(toks) AS tok FROM mdocs) GROUP BY tok
+         |),
+         |u0 AS (SELECT tok, cw, cw + 1 AS cw1, 2 * (cw + 1) AS cw2 FROM uni0),
+         |${graft.functions.detlog.log2SqlCtes("u0", "cw1", "lgw1", "uA")},
+         |${graft.functions.detlog.log2SqlCtes("uAfin", "cw2", "lg2w", "uB")},
+         |sc0 AS (SELECT CAST(SUM(cw) + COUNT(*) AS BIGINT) AS nv FROM uni0),
+         |sc1 AS (SELECT nv, 5 * nv AS nv5 FROM sc0),
+         |${graft.functions.detlog.log2SqlCtes("sc1", "nv", "lgnv", "sA")},
+         |${graft.functions.detlog.log2SqlCtes("sAfin", "nv5", "lg5nv", "sB")},
+         |sp AS (
+         |  SELECT doc_id, source, toks[i] AS tok,
+         |         CASE WHEN i > 1 THEN toks[i-1] END AS prev
+         |  FROM docs, unnest(generate_series(1, len(toks))) AS t(i)
+         |),
+         |j AS (
+         |  SELECT sp.doc_id, sp.source, sp.prev,
+         |         COALESCE(u.lgw1, 0.0) AS lgw1, COALESCE(u.lg2w, 1.0) AS lg2w,
+         |         b.lgvw, c.lgv
+         |  FROM sp
+         |  LEFT JOIN uBfin u ON sp.tok = u.tok
+         |  LEFT JOIN bgfin b ON sp.prev || ' ' || sp.tok = b.g
+         |  LEFT JOIN cxfin c ON sp.prev = c.prev
+         |),
+         |lp AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN prev IS NULL THEN lgw1 - s.lgnv
+         |              WHEN lgvw IS NOT NULL THEN lgvw - lgv
+         |              ELSE lg2w - s.lg5nv END AS lgp,
+         |         CASE WHEN prev IS NOT NULL AND lgvw IS NULL THEN 1 ELSE 0 END AS bo
+         |  FROM j, sBfin s
+         |),
+         |agg AS (
+         |  SELECT doc_id, source, COUNT(*) AS n_tok, CAST(SUM(bo) AS BIGINT) AS n_backoff,
+         |         ${graft.functions.detsum.sumDetSql("lgp", 9)} AS slg
+         |  FROM lp GROUP BY doc_id, source
+         |)
+         |SELECT doc_id, source, n_tok, n_backoff,
+         |       ${graft.functions.detsum.roundDetSql("(0.0 - slg) / CAST(n_tok AS DOUBLE)", 6)} AS xent
+         |FROM agg""".stripMargin,
     "q65_more_like_this" ->
       s"""WITH $docsCte,
          |t AS (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs),

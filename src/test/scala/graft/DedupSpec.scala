@@ -11,6 +11,43 @@ class DedupSpec extends AnyFunSuite {
 
   lazy val spark = GraftSession.builder("4").getOrCreate()
 
+  test("q30c rolling spans: cross-doc duplicated spans surface, with the stride-alignment contract") {
+    val out = SparkEntry.queries("q30c_dedup_span")(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty, "no cross-doc duplicated 20-token span found")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_docs") >= 2)
+    }
+    // the operator's detection contract on a hand-built fixture: two docs
+    // sharing a ≥24-token run whose in-doc offsets are CONGRUENT mod the
+    // stride (here both 0) collide on every stride-aligned window of the
+    // run; a third doc with unrelated text collides on nothing. (A shared
+    // run at non-congruent offsets is the documented miss — stride 1 is
+    // the exact Lee et al. suffix-array semantics, stride 5 trades that
+    // for 5x less fan-out.)
+    import spark.implicits._
+    def spanHashes(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 20)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - lit(19), lit(5))).as("j"), col("toks"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("j"), lit(20)), " ").cast("binary")).as("h"))
+    val run = (1 to 25).map(i => s"w$i").mkString(" ")
+    val fixture = Seq(
+      (1L, run),
+      (2L, run + " x y z"),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val collided = spanHashes(fixture)
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("d0"))
+      .filter(col("nd") > 1).collect()
+    // doc1 windows start at 1 and 6 (len 25); doc2 at 1, 6, 11 — the two
+    // shared-prefix windows (positions 1 and 6) collide, doc3 never does
+    assert(collided.length == 2, s"expected exactly 2 collided windows, got ${collided.length}")
+    assert(collided.forall(_.getAs[Long]("d0") == 1L))
+  }
+
   test("minhash signature agreement approximates Jaccard similarity") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")

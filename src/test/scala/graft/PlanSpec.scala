@@ -382,4 +382,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_int128_sum"),
       "map-side partials before the first exchange")
   }
+
+  test("q76b: the rescore window broadcasts so the phrase pass reads 50 docs, not the corpus") {
+    val p = plan("q76b_rescore")
+    // the window-id set and the 1-row phrase pair must both enter the docs
+    // scan as broadcasts — a sort-merge here would shuffle the corpus to
+    // rescore 50 documents
+    assert(p.contains("BroadcastHashJoin"), "the window doc_id set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "rescore must not shuffle the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q78: positional counting is a projection — no posexplode fan-out, no self-join") {
+    val p = plan("q78_match_phrase")
+    // one row per doc through the whole phrase/near pass: the only join is
+    // the broadcast of the single-row top-bigram relation
+    assert(!p.contains("SortMergeJoin"), "positions must not leave the row")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row phrase relation must broadcast")
+  }
+
+  test("q63b: LM model tables broadcast; the token stream pairs without a join") {
+    val p = plan("q63b_bigram_logprob")
+    // (prev, tok) pairing is an array projection, so the scoring stream's
+    // only joins are the broadcast model lookups
+    assert(p.contains("BroadcastHashJoin"), "bigram/context/unigram tables must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the scored token stream must not shuffle for the model join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q30c: span dedup shuffles only hashes (exchanges: spread + one hash aggregation)") {
+    val p = plan("q30c_dedup_span")
+    // scan-spreading repartition, the span_hash partial/final aggregation,
+    // and the top-k single-partition exchange; the 20-token window strings
+    // themselves must never be shuffle payload
+    assert(p.contains("partial_count"), "map-side partials on the span hash")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected extra exchange ($exchanges): window strings leaking into a shuffle?")
+  }
 }

@@ -37,4 +37,49 @@ class TextSurfaceSpec extends AnyFunSuite {
     assert(out.select("prefix").distinct().count() > 0)
     assert(out.count() > 0)
   }
+
+  test("q76b rescore: window honored, phrase hits exist, and the re-rank genuinely reorders") {
+    val out = SparkEntry.queries("q76b_rescore")(spark, sf).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("first_rank") <= 50), "rescore must stay inside the window")
+    assert(out.exists(_.getAs[Long]("phrase_tf") > 0),
+      "the rescore query never matched — the secondary pass is vacuous")
+    assert(out.exists(r => r.getAs[Long]("rank") != r.getAs[Long]("first_rank")),
+      "rescoring changed no rank — the operator is indistinguishable from q76")
+    // combine mode `total`: rescored = score + 0.5·phrase_tf exactly
+    out.foreach { r =>
+      assert(r.getAs[Double]("rescored") ==
+        r.getAs[Double]("score") + 0.5 * r.getAs[Long]("phrase_tf"))
+    }
+  }
+
+  test("q78 match_phrase/span_near: near dominates phrase and a slop-only hit exists") {
+    val out = SparkEntry.queries("q78_match_phrase")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_near") >= r.getAs[Long]("n_phrase"),
+        "every exact adjacency is also a within-slop match")
+    }
+    assert(out.exists(_.getAs[Long]("n_phrase") > 0), "no exact phrase hit anywhere")
+    assert(out.exists(r => r.getAs[Long]("n_near") > r.getAs[Long]("n_phrase")),
+      "slop semantics vacuous: span_near found nothing beyond exact adjacency")
+  }
+
+  test("q63b bigram LM: backoff fires on held-out sources and only there") {
+    val out = SparkEntry.queries("q63b_bigram_logprob")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("xent") > 0.0))
+    val model = Set("src0", "src1", "src2", "src3", "src4")
+    val heldOutBackoff = out
+      .filter(r => !model.contains(r.getAs[String]("source")))
+      .map(_.getAs[Long]("n_backoff")).sum
+    assert(heldOutBackoff > 0,
+      "no held-out bigram ever backed off — the train/score split is vacuous")
+    // a bigram seen in training can never back off: model-source docs are
+    // their own training data
+    out.filter(r => model.contains(r.getAs[String]("source"))).foreach { r =>
+      assert(r.getAs[Long]("n_backoff") == 0L,
+        s"doc ${r.getAs[Long]("doc_id")} is IN the model corpus but backed off")
+    }
+  }
 }
