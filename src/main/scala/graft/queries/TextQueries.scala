@@ -145,6 +145,22 @@ object TextQueries {
           array_contains(slice(toks, i + 1, lit(slop + 1)), w2))))
       .otherwise(0).cast("long")
 
+  /** DuckDB mirror of [[phraseTf]] — generated once (the bm25PerCtes
+    * precedent) so the q76b and q78 oracles can never drift apart on the
+    * guard or the index window. `w1`/`w2` are SQL expressions in scope. */
+  private def phraseTfSql(w1: String, w2: String): String =
+    s"""CASE WHEN len(toks) >= 2
+       |              THEN len(list_filter(generate_series(1, len(toks) - 1),
+       |                                   i -> toks[i] = $w1 AND toks[i+1] = $w2))
+       |              ELSE 0 END""".stripMargin
+
+  /** DuckDB mirror of [[spanNearTf]] — same single-definition rule. */
+  private def spanNearTfSql(w1: String, w2: String, slop: Int): String =
+    s"""CASE WHEN len(toks) >= 2
+       |              THEN len(list_filter(generate_series(1, len(toks) - 1),
+       |                                   i -> toks[i] = $w1 AND list_contains(toks[i+1:i+${slop + 1}], $w2)))
+       |              ELSE 0 END""".stripMargin
+
   /** The shared DuckDB mirror of [[rankedVocab]] — a CTE named `rvocab`. */
   private val rankedVocabCte =
     """rvocab AS (
@@ -1137,14 +1153,23 @@ object TextQueries {
     * carry-forward so the early-stop rounds leave segmentations unchanged —
     * exactly `done=true`.
     *
-    * The encode phase is FREE: a merge learned at rank k can never recreate
-    * a pair of rank < k (every pair involving a fused symbol is first
-    * countable only after that symbol exists, so its rank is later), which
-    * makes priority-order encodeWord identical to the training's own final
-    * segmentation for every vocab word — so the final round's word→syms
-    * table IS the tokenizer output, and the oracle just joins the doc token
-    * stream against it. (Identity spec-pinned in BpeSpec; delimiter safety:
-    * the corpus vocabulary is [a-z0-9], no word can contain chr(1)/chr(2).) */
+    * The encode phase reuses the training result: the final round's
+    * word→syms table IS the tokenizer output, so the oracle just joins the
+    * doc token stream against it. That identity (priority-order encodeWord
+    * == rank-order training segmentation) rests on "a merge learned at
+    * rank k never recreates a pair of rank < k": every pair involving a
+    * fused symbol is first countable only after that symbol exists, so its
+    * rank is later. The argument has one theoretical hole — the SAME
+    * symbol string can arise from two different merge paths (e.g. 'abc'
+    * via (ab,c) at rank j and via (a,bc) at rank k>j), after which a pair
+    * learned against the rank-j symbol could newly apply to rank-k
+    * occurrences, where priority encode would fire it but the rank-order
+    * replay would not. BpeSpec therefore pins the identity EXPLICITLY over
+    * the full vocab of the shipped corpora (sf0.001 and sf0.01) rather
+    * than trusting the argument alone; a corpus that ever trips the corner
+    * case fails that spec loudly instead of producing a silent oracle
+    * mismatch. (Delimiter safety: the corpus vocabulary is [a-z0-9], no
+    * word can contain chr(1)/chr(2).) */
   private def bpeSql(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH words AS MATERIALIZED (
@@ -1560,10 +1585,7 @@ object TextQueries {
          |),
          |ph AS (
          |  SELECT d.doc_id,
-         |         CASE WHEN len(toks) >= 2
-         |              THEN len(list_filter(generate_series(1, len(toks) - 1),
-         |                                   i -> toks[i] = w1 AND toks[i+1] = w2))
-         |              ELSE 0 END AS phrase_tf
+         |         ${phraseTfSql("w1", "w2")} AS phrase_tf
          |  FROM docs d JOIN win ON d.doc_id = win.doc_id, phr
          |),
          |re AS (
@@ -1584,14 +1606,8 @@ object TextQueries {
          |top1 AS (SELECT w1, w2 FROM bg ORDER BY cnt DESC, (w1 || ' ' || w2) ASC LIMIT 1),
          |m AS (
          |  SELECT doc_id, source, w1 || ' ' || w2 AS phrase,
-         |         CASE WHEN len(toks) >= 2
-         |              THEN len(list_filter(generate_series(1, len(toks) - 1),
-         |                                   i -> toks[i] = w1 AND toks[i+1] = w2))
-         |              ELSE 0 END AS n_phrase,
-         |         CASE WHEN len(toks) >= 2
-         |              THEN len(list_filter(generate_series(1, len(toks) - 1),
-         |                                   i -> toks[i] = w1 AND list_contains(toks[i+1:i+4], w2)))
-         |              ELSE 0 END AS n_near
+         |         ${phraseTfSql("w1", "w2")} AS n_phrase,
+         |         ${spanNearTfSql("w1", "w2", slop = 3)} AS n_near
          |  FROM docs, top1
          |)
          |SELECT doc_id, source, phrase,

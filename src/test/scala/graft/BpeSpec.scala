@@ -79,22 +79,26 @@ class BpeSpec extends AnyFunSuite {
   test("encode equals the training's own final segmentation (the q66 oracle identity)") {
     import spark.implicits._
     // The DuckDB oracle replays training and then uses the FINAL round's
-    // word→syms table as the encode — valid because a merge learned at rank
-    // k can never recreate a pair of rank < k. Pin that identity here by
-    // re-running the training segmentation passes in-process and comparing
-    // against priority-order encodeWord for every vocab word.
-    val words = queries.Tables(spark, sf, "documents")
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0)
-      .distinct()
-      .as[String].collect()
-    val merges = Bpe.model(spark, sf, nMerges = 40)
-    val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
-    words.foreach { w =>
-      var syms: Seq[String] = w.split("").toSeq
-      merges.foreach(m => syms = Bpe.mergeOnce(syms, m.left, m.right))
-      assert(syms == Bpe.encodeWord(w, rankOf),
-        s"word '$w': rank-order training segmentation diverged from priority encode")
+    // word→syms table as the encode. The rank-monotonicity argument behind
+    // that has a theoretical hole (the same symbol string reachable via two
+    // merge paths — see bpeSql's scaladoc), so this spec pins the identity
+    // EXPLICITLY over the full vocab of every corpus the oracle certifies:
+    // rank-order mergeOnce passes must equal priority-order encodeWord for
+    // every word.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val words = queries.Tables(spark, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .distinct()
+        .as[String].collect()
+      val merges = Bpe.model(spark, dir, nMerges = 40)
+      val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
+      words.foreach { w =>
+        var syms: Seq[String] = w.split("").toSeq
+        merges.foreach(m => syms = Bpe.mergeOnce(syms, m.left, m.right))
+        assert(syms == Bpe.encodeWord(w, rankOf),
+          s"word '$w' ($dir): rank-order training segmentation diverged from priority encode")
+      }
     }
   }
 

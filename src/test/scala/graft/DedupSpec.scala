@@ -42,8 +42,9 @@ class DedupSpec extends AnyFunSuite {
     val collided = spanHashes(fixture)
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("d0"))
       .filter(col("nd") > 1).collect()
-    // doc1 windows start at 1 and 6 (len 25); doc2 at 1, 6, 11 — the two
-    // shared-prefix windows (positions 1 and 6) collide, doc3 never does
+    // doc1 (25 tokens) and doc2 (28 tokens) both have window starts
+    // {1, 6} (last valid start = len-19), so exactly the two shared-prefix
+    // windows collide; doc3 never does
     assert(collided.length == 2, s"expected exactly 2 collided windows, got ${collided.length}")
     assert(collided.forall(_.getAs[Long]("d0") == 1L))
   }
