@@ -95,7 +95,7 @@ object detlog {
       s"""${tag}0 AS MATERIALIZED (
          |  SELECT *, $eCase AS ${tag}_e,
          |         CAST($in AS DOUBLE) / ($p2Case) AS ${tag}_y0,
-         |         0.0 AS ${tag}_f0
+         |         CAST(0.0 AS DOUBLE) AS ${tag}_f0
          |  FROM $src
          |)""".stripMargin
     val steps = (1 to Steps).map { k =>
@@ -111,7 +111,13 @@ object detlog {
          |  FROM $tag${k - 1}
          |)""".stripMargin
     }
-    val fin = s"${tag}fin AS (SELECT *, ${tag}_e + ${tag}_f$Steps AS $out FROM $tag$Steps)"
+    // DOUBLE f0 (and an explicit DOUBLE at the emit) keep the whole f
+    // accumulator in IEEE doubles — the IDENTICAL arithmetic to
+    // withLog2Chain. A bare `0.0` seeds a DECIMAL accumulator instead,
+    // whose materialized 38-digit cap can drift the late dyadic bits by
+    // 1 ulp vs the double chain — invisible under round(x,6) consumers,
+    // a hash mismatch for raw-emitted outputs (q76c's factor).
+    val fin = s"${tag}fin AS (SELECT *, CAST(${tag}_e AS DOUBLE) + ${tag}_f$Steps AS $out FROM $tag$Steps)"
     (head +: steps :+ fin).mkString(",\n")
   }
 }

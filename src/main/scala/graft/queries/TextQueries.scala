@@ -145,6 +145,25 @@ object TextQueries {
           array_contains(slice(toks, i + 1, lit(slop + 1)), w2))))
       .otherwise(0).cast("long")
 
+  /** q40's stopword-heuristic language predictor — per-doc frame with
+    * (doc_id, lang, lang_pred, s_en..s_fr); shared by q40 (per-doc output)
+    * and q40b (confusion-matrix evaluation). */
+  private def langPred(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("s_en", text.stopwordCount(col("toks"), stopEn))
+      .withColumn("s_de", text.stopwordCount(col("toks"), stopDe))
+      .withColumn("s_es", text.stopwordCount(col("toks"), stopEs))
+      .withColumn("s_fr", text.stopwordCount(col("toks"), stopFr))
+      .withColumn("n_cjk", length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")))
+      .withColumn(
+        "lang_pred",
+        when(col("n_cjk") * 4 > length(col("text")), "zh")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und"))
+
   /** DuckDB mirror of [[phraseTf]] — generated once (the bm25PerCtes
     * precedent) so the q76b and q78 oracles can never drift apart on the
     * guard or the index window. `w1`/`w2` are SQL expressions in scope. */
@@ -386,24 +405,27 @@ object TextQueries {
         .select(col("source"), col("n_distinct_chars"), col("entropy"))
       base.join(entropy, Seq("source"))
     }),
-    "q40_lang_id" -> ((s: SparkSession, d: String) => {
-      val base = docs(s, d)
-        .withColumn("s_en", text.stopwordCount(col("toks"), stopEn))
-        .withColumn("s_de", text.stopwordCount(col("toks"), stopDe))
-        .withColumn("s_es", text.stopwordCount(col("toks"), stopEs))
-        .withColumn("s_fr", text.stopwordCount(col("toks"), stopFr))
-        .withColumn("n_cjk", length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")))
-      base.withColumn(
-        "lang_pred",
-        when(col("n_cjk") * 4 > length(col("text")), "zh")
-          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
-          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
-          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
-          .when(col("s_fr") > 0, "fr")
-          .otherwise("und"))
+    "q40_lang_id" -> ((s: SparkSession, d: String) =>
+      langPred(s, d)
         .select(col("doc_id"), col("lang"), col("lang_pred"),
           col("s_en").cast("long").as("s_en"), col("s_de").cast("long").as("s_de"),
-          col("s_es").cast("long").as("s_es"), col("s_fr").cast("long").as("s_fr"))
+          col("s_es").cast("long").as("s_es"), col("s_fr").cast("long").as("s_fr"))),
+
+    // The language-ID EVALUATION pass a curation run needs before trusting
+    // q40's router: the full confusion matrix of predicted vs labeled
+    // language, with marginal totals carried per row so precision/recall
+    // are derivable integer ratios (all-BIGINT output — nothing to drift
+    // cross-engine). The matrix is #langs²-bounded, so the marginal
+    // windows run over a coordinator-sized frame.
+    "q40b_langid_eval" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      langPred(s, d)
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lang_total", sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .withColumn("pred_total", sum(col("n")).over(Window.partitionBy(col("lang_pred"))))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          col("lang_total"), col("pred_total"))
     }),
 
     "q41_quality_score" -> ((s: SparkSession, d: String) =>
@@ -777,6 +799,104 @@ object TextQueries {
         .filter(col("n_near") > 0)
         .orderBy(col("n_phrase").desc, col("n_near").desc, col("doc_id").asc)
         .limit(15)
+    }),
+
+    // ES `terms_set` query: match docs containing at least
+    // minimum_should_match of a term set — the q76 query terms with msm=3.
+    // The q77b candidate shape: distinct doc tokens equi-join the broadcast
+    // term set (only matching tokens surface rows), count distinct hits per
+    // doc, verify the threshold.
+    "q79_terms_set" -> ((s: SparkSession, d: String) => {
+      val terms = rankedVocab(s, d)
+        .filter(col("r") >= 11 && col("r") <= 15)
+        .select(col("term").as("tok"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"), explode(array_distinct(col("toks"))).as("tok"))
+        .join(broadcast(terms), Seq("tok"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_matched"))
+        .filter(col("n_matched") >= 3)
+        .orderBy(col("n_matched").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // ES `boosting` query: the positive query is q76's BM25; docs
+    // containing either negative term (vocab ranks 16..17) keep their hit
+    // but are DEMOTED by negative_boost 0.5 (an exact power-of-two factor,
+    // bit-identical cross-engine), then re-ranked. The negative-term check
+    // is a per-row array_contains against a broadcast 1-row pair — the
+    // per-doc score table joins the docs scan on doc_id, never a cartesian.
+    "q80_boosting" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val neg = rankedVocab(s, d).filter(col("r") === 16 || col("r") === 17)
+        .groupBy().agg(
+          min(when(col("r") === 16, col("term"))).as("n1"),
+          min(when(col("r") === 17, col("term"))).as("n2"))
+      bm25PerDoc(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("toks")), Seq("doc_id"))
+        .crossJoin(broadcast(neg))
+        .withColumn("demoted",
+          array_contains(col("toks"), col("n1")) || array_contains(col("toks"), col("n2")))
+        .withColumn("final",
+          when(col("demoted"), col("score") * lit(0.5)).otherwise(col("score")))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("score"), col("demoted"), col("final"))
+    }),
+
+    // ES `function_score` with `field_value_factor` (boost_mode multiply):
+    // final = bm25 · log2(1 + doc_length) — the production "boost rich
+    // documents" shape. ES's log1p modifier is ln-based; log2 is the
+    // engine-exact detlog form and differs by the constant 1/ln2 factor,
+    // which multiplies EVERY doc's score equally, so the ranking is
+    // identical to log1p (the q76 idf precedent). The factor's integer
+    // argument (dl+1) makes the whole score chain IEEE-exact.
+    "q76c_function_score" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val dl = docs(s, d)
+        .select(col("doc_id"), (size(col("toks")) + 1).cast("long").as("dl1"))
+      val withF = graft.functions.detlog.withLog2(
+        bm25PerDoc(s, d).join(dl, Seq("doc_id")), "dl1", "factor")
+      withF
+        .withColumn("final", col("score") * col("factor"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), (col("dl1") - 1).as("dl"),
+          col("score"), col("factor"), col("final"))
+    }),
+
+    // ES search `highlight`: each top-20 BM25 hit returns a fragment —
+    // ±3 tokens around the FIRST occurrence of any query term, the match
+    // wrapped in <em> tags (fragment_size ≈ 7 tokens, number_of_fragments
+    // 1). Pure array HOFs on the 20 broadcast-joined hits: the corpus
+    // never re-scans for highlighting, matching ES's hit-phase cost model.
+    "q82_highlight" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val hits = bm25PerDoc(s, d)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"))
+      val qarr = rankedVocab(s, d)
+        .filter(col("r") >= 11 && col("r") <= 15)
+        .groupBy().agg(sort_array(collect_list(col("term"))).as("qterms"))
+      docs(s, d)
+        .join(broadcast(hits), Seq("doc_id"))
+        .crossJoin(broadcast(qarr))
+        // first matching position: hits contain ≥1 query term by
+        // construction, so element 1 exists
+        .withColumn("p",
+          element_at(filter(sequence(lit(1), size(col("toks"))),
+            i => array_contains(col("qterms"), element_at(col("toks"), i))), 1))
+        .withColumn("pre",
+          array_join(slice(col("toks"), greatest(lit(1), col("p") - 3),
+            col("p") - greatest(lit(1), col("p") - 3)), " "))
+        .withColumn("post", array_join(slice(col("toks"), col("p") + 1, lit(3)), " "))
+        .select(col("rank"), col("doc_id"), col("p").cast("long").as("frag_pos"),
+          trim(concat(col("pre"), lit(" <em>"), element_at(col("toks"), col("p")),
+            lit("</em> "), col("post"))).as("fragment"))
     }),
 
     // ES `percolate`: REVERSE search — a registry of stored queries, each
@@ -1241,6 +1361,30 @@ object TextQueries {
        |  FROM sc GROUP BY doc_id
        |)""".stripMargin
 
+  /** Shared DuckDB mirror of [[langPred]] — ends with `pred` (per-doc
+    * lang/lang_pred/stopword counts); shared by the q40 and q40b oracles. */
+  private val langPredCtes =
+    s"""$docsCte,
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |         ${stopSql(stopEn)} AS s_en, ${stopSql(stopDe)} AS s_de,
+       |         ${stopSql(stopEs)} AS s_es, ${stopSql(stopFr)} AS s_fr,
+       |         length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
+       |         length(text) AS txt_len
+       |  FROM docs
+       |),
+       |pred AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN n_cjk * 4 > txt_len THEN 'zh'
+       |              WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+       |              WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+       |              WHEN s_fr > 0 THEN 'fr'
+       |              ELSE 'und' END AS lang_pred,
+       |         s_en, s_de, s_es, s_fr
+       |  FROM scored
+       |)""".stripMargin
+
   /** q77's oracle — shared verbatim by st14 (streaming percolation must
     * equal the batch reverse search). */
   private val percolateSql =
@@ -1400,24 +1544,16 @@ object TextQueries {
          |       round(1.0 - n_2g_uniq / n_2g, 6) AS bigram_rep_ratio
          |FROM m2 WHERE n_tok >= 2""".stripMargin,
     "q40_lang_id" ->
-      s"""WITH $docsCte,
-         |scored AS (
-         |  SELECT doc_id, lang,
-         |         ${stopSql(stopEn)} AS s_en, ${stopSql(stopDe)} AS s_de,
-         |         ${stopSql(stopEs)} AS s_es, ${stopSql(stopFr)} AS s_fr,
-         |         length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
-         |         length(text) AS txt_len
-         |  FROM docs
-         |)
-         |SELECT doc_id, lang,
-         |       CASE WHEN n_cjk * 4 > txt_len THEN 'zh'
-         |            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
-         |            WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
-         |            WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
-         |            WHEN s_fr > 0 THEN 'fr'
-         |            ELSE 'und' END AS lang_pred,
-         |       s_en, s_de, s_es, s_fr
-         |FROM scored""".stripMargin,
+      s"""WITH $langPredCtes
+         |SELECT doc_id, lang, lang_pred, s_en, s_de, s_es, s_fr
+         |FROM pred""".stripMargin,
+    "q40b_langid_eval" ->
+      s"""WITH $langPredCtes,
+         |cm AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |       CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+         |       CAST(SUM(n) OVER (PARTITION BY lang_pred) AS BIGINT) AS pred_total
+         |FROM cm""".stripMargin,
     "q41_quality_score" -> q41Sql,
     "q42_token_count" ->
       s"""WITH $docsCte
@@ -1614,6 +1750,69 @@ object TextQueries {
          |       CAST(n_phrase AS BIGINT) AS n_phrase, CAST(n_near AS BIGINT) AS n_near
          |FROM m WHERE n_near > 0
          |ORDER BY n_phrase DESC, n_near DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "q79_terms_set" ->
+      s"""WITH $docsCte,
+         |$rankedVocabCte,
+         |t AS (SELECT doc_id, source, UNNEST(list_distinct(toks)) AS tok FROM docs)
+         |SELECT t.doc_id, t.source, COUNT(*) AS n_matched
+         |FROM t JOIN rvocab ON t.tok = rvocab.term AND rvocab.r BETWEEN 11 AND 15
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY n_matched DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q80_boosting" ->
+      s"""WITH $bm25PerCtes,
+         |neg AS (
+         |  SELECT MIN(CASE WHEN r = 16 THEN term END) AS n1,
+         |         MIN(CASE WHEN r = 17 THEN term END) AS n2
+         |  FROM rvocab WHERE r IN (16, 17)
+         |),
+         |bo AS (
+         |  SELECT per.doc_id, per.score,
+         |         (list_contains(toks, n1) OR list_contains(toks, n2)) AS demoted
+         |  FROM per JOIN docs ON per.doc_id = docs.doc_id, neg
+         |),
+         |fin AS (
+         |  SELECT doc_id, score, demoted,
+         |         CASE WHEN demoted THEN score * 0.5e0 ELSE score END AS final
+         |  FROM bo
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, score, demoted, final
+         |FROM fin QUALIFY rank <= 20""".stripMargin,
+    "q76c_function_score" ->
+      s"""WITH $bm25PerCtes,
+         |d1 AS (SELECT doc_id, CAST(dl + 1 AS BIGINT) AS dl1 FROM dl),
+         |${graft.functions.detlog.log2SqlCtes("d1", "dl1", "factor", "fv")},
+         |fin AS (
+         |  -- explicit DOUBLE: the chain's decimal-literal f accumulator
+         |  -- otherwise emits DECIMAL here (exact dyadic value, so the cast
+         |  -- is lossless — the §5 typed-hash rule, q61/q62 precedent)
+         |  SELECT per.doc_id, fv.dl1, per.score, CAST(fv.factor AS DOUBLE) AS factor,
+         |         per.score * CAST(fv.factor AS DOUBLE) AS final
+         |  FROM per JOIN fvfin fv ON per.doc_id = fv.doc_id
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, CAST(dl1 - 1 AS BIGINT) AS dl, score, factor, final
+         |FROM fin QUALIFY rank <= 20""".stripMargin,
+    "q82_highlight" ->
+      s"""WITH $bm25PerCtes,
+         |hits AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM per QUALIFY rank <= 20
+         |),
+         |qarr AS (SELECT list(term ORDER BY term ASC) AS qterms FROM rvocab WHERE r BETWEEN 11 AND 15),
+         |hl AS (
+         |  SELECT hits.rank, d.doc_id, d.toks,
+         |         list_filter(generate_series(1, len(toks)), i -> list_contains(qterms, toks[i]))[1] AS p
+         |  FROM docs d JOIN hits ON d.doc_id = hits.doc_id, qarr
+         |)
+         |SELECT rank, doc_id, CAST(p AS BIGINT) AS frag_pos,
+         |       -- COALESCE: DuckDB's array_to_string of an EMPTY slice is
+         |       -- NULL (Spark's array_join is ''), which would null the
+         |       -- whole fragment at p=1 or p=len
+         |       trim(COALESCE(array_to_string(toks[greatest(1, p - 3):p - 1], ' '), '') ||
+         |            ' <em>' || toks[p] || '</em> ' ||
+         |            COALESCE(array_to_string(toks[p + 1:p + 3], ' '), '')) AS fragment
+         |FROM hl""".stripMargin,
     "q63b_bigram_logprob" ->
       s"""WITH $docsCte,
          |mdocs AS (SELECT * FROM docs WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),

@@ -412,6 +412,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q79/q82: term set and hit window broadcast; the corpus never sort-merges or cross-joins") {
+    for (q <- Seq("q79_terms_set", "q82_highlight")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: the tiny side must broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus must not shuffle for the join")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q80: negative-term demotion joins by key, never a cartesian") {
+    val p = plan("q80_boosting")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row negative-term pair must broadcast")
+  }
+
   test("q30c: span dedup shuffles only hashes (exchanges: spread + one hash aggregation)") {
     val p = plan("q30c_dedup_span")
     // scan-spreading repartition, the span_hash partial/final aggregation,

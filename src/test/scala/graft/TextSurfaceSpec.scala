@@ -65,6 +65,72 @@ class TextSurfaceSpec extends AnyFunSuite {
       "slop semantics vacuous: span_near found nothing beyond exact adjacency")
   }
 
+  test("q79 terms_set: threshold honored and some doc matches more than the minimum") {
+    val out = SparkEntry.queries("q79_terms_set")(spark, sf).collect()
+    assert(out.nonEmpty, "no doc reached minimum_should_match")
+    assert(out.forall(_.getAs[Long]("n_matched") >= 3))
+    assert(out.forall(_.getAs[Long]("n_matched") <= 5), "can never exceed the 5-term set")
+  }
+
+  test("q80 boosting: demoted docs halve exactly, others untouched, and demotion reorders") {
+    val out = SparkEntry.queries("q80_boosting")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (s, f) = (r.getAs[Double]("score"), r.getAs[Double]("final"))
+      if (r.getAs[Boolean]("demoted")) assert(f == s * 0.5) else assert(f == s)
+    }
+    // non-vacuity: demotion either shows inside the window or pushed docs
+    // out of it (at sf0.001, 457/496 scored docs are demoted and the top-20
+    // becomes the undemoted survivors — fully disjoint from q76's)
+    val q76ids = SparkEntry.queries("q76_bm25_search")(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val q80ids = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(out.exists(_.getAs[Boolean]("demoted")) || q76ids != q80ids,
+      "demotion changed nothing — the boosting clause is vacuous")
+  }
+
+  test("q76c function_score: factor is log2(1+dl) and multiplies the score exactly") {
+    val out = SparkEntry.queries("q76c_function_score")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val f = r.getAs[Double]("factor")
+      val dl = r.getAs[Long]("dl")
+      assert(math.abs(f - math.log(dl + 1.0) / math.log(2.0)) < 1e-6,
+        s"factor $f far from log2(${dl + 1})")
+      assert(r.getAs[Double]("final") == r.getAs[Double]("score") * f)
+    }
+  }
+
+  test("q82 highlight: every fragment tags a real query term at its reported position") {
+    val qterms = queries.TextQueries.rankedVocab(spark, sf)
+      .filter(col("r") >= 11 && col("r") <= 15)
+      .select("term").collect().map(_.getString(0)).toSet
+    val out = SparkEntry.queries("q82_highlight")(spark, sf).collect()
+    assert(out.length == 20, "highlights must cover all 20 hits")
+    out.foreach { r =>
+      val frag = r.getAs[String]("fragment")
+      val m = "<em>(.*?)</em>".r.findFirstMatchIn(frag)
+      assert(m.isDefined, s"no <em> tag in '$frag'")
+      assert(qterms.contains(m.get.group(1)), s"highlighted '${m.get.group(1)}' is not a query term")
+      assert(r.getAs[Long]("frag_pos") >= 1)
+    }
+  }
+
+  test("q40b: confusion matrix totals are consistent and accuracy is computable") {
+    val out = SparkEntry.queries("q40b_langid_eval")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n")).sum
+    val docTotal = queries.Tables(spark, sf, "documents").count()
+    assert(total == docTotal, s"matrix covers $total of $docTotal docs")
+    // marginals: per-lang rows must sum to that lang's carried total
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).sum == rows.head.getAs[Long]("lang_total"))
+    }
+    out.groupBy(_.getAs[String]("lang_pred")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).sum == rows.head.getAs[Long]("pred_total"))
+    }
+  }
+
   test("q63b bigram LM: backoff fires on held-out sources and only there") {
     val out = SparkEntry.queries("q63b_bigram_logprob")(spark, sf).collect()
     assert(out.nonEmpty)
