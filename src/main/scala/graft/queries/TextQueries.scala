@@ -867,6 +867,58 @@ object TextQueries {
           col("score"), col("factor"), col("final"))
     }),
 
+    // ES 8.x `rrf` retriever (Reciprocal Rank Fusion): two rankings of the
+    // same corpus — q76's BM25 and q76c's length-boosted function_score —
+    // fuse by Σ 1/(k + rank) with the ES default rank_constant k=60. Ranks
+    // are exact integers, each 1/(60+r) one correctly-rounded IEEE
+    // division, and the two-term sum is fixed textually, so the fused
+    // score is engine-exact without detsum. Docs missing from a ranking
+    // contribute nothing for it (the ES window semantics, window = all
+    // scored docs here). Fusion runs on the two per-doc RANK tables (hit-
+    // count-sized), never the corpus.
+    "q83_rrf" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      // both rankings as two window functions over ONE per-doc frame —
+      // a two-branch self-join would evaluate the whole BM25 subtree
+      // twice (measured 2.2s → 1.5s at sf0.1); the dl inner join drops
+      // nothing (every scored doc has a length)
+      val dl = docs(s, d)
+        .select(col("doc_id"), (size(col("toks")) + 1).cast("long").as("dl1"))
+      graft.functions.detlog.withLog2(bm25PerDoc(s, d).join(dl, Seq("doc_id")), "dl1", "factor")
+        .withColumn("f2", col("score") * col("factor"))
+        .withColumn("r1", row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .withColumn("r2", row_number().over(Window.orderBy(col("f2").desc, col("doc_id").asc)).cast("long"))
+        .withColumn("rrf",
+          lit(1.0) / (lit(60.0) + col("r1").cast("double")) +
+            lit(1.0) / (lit(60.0) + col("r2").cast("double")))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("r1"), col("r2"), col("rrf"))
+    }),
+
+    // ES `search_after`: keyset paging over HITS (q17g covered composite
+    // AGG paging) — page 2 resumes strictly after page 1's last
+    // (score, doc_id) sort key, the cursor read from the same deterministic
+    // ranking (rank 20's key), so the query is self-contained. The cursor
+    // is one row through the driver-sized window; the keyset predicate
+    // filters the per-doc score table, never re-serving page 1.
+    "q84_search_after" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = bm25PerDoc(s, d)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      val cursor = per.filter(col("rank") === 20)
+        .select(col("score").as("c_score"), col("doc_id").as("c_doc"))
+      per.crossJoin(broadcast(cursor))
+        .filter(col("score") < col("c_score") ||
+          (col("score") === col("c_score") && col("doc_id") > col("c_doc")))
+        .withColumn("page_rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("page_rank") <= 20)
+        .select(col("page_rank"), col("doc_id"), col("n_terms_hit"), col("score"))
+    }),
+
     // ES search `highlight`: each top-20 BM25 hit returns a fragment —
     // ±3 tokens around the FIRST occurrence of any query term, the match
     // wrapped in <em> tags (fragment_size ≈ 7 tokens, number_of_fragments
@@ -1793,6 +1845,39 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
          |       doc_id, CAST(dl1 - 1 AS BIGINT) AS dl, score, factor, final
          |FROM fin QUALIFY rank <= 20""".stripMargin,
+    "q83_rrf" ->
+      s"""WITH $bm25PerCtes,
+         |rk1 AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r1
+         |  FROM per
+         |),
+         |d1 AS (SELECT doc_id, CAST(dl + 1 AS BIGINT) AS dl1 FROM dl),
+         |${graft.functions.detlog.log2SqlCtes("d1", "dl1", "factor", "fr")},
+         |rk2 AS (
+         |  SELECT per.doc_id,
+         |         CAST(row_number() OVER (ORDER BY per.score * CAST(fr.factor AS DOUBLE) DESC, per.doc_id ASC) AS BIGINT) AS r2
+         |  FROM per JOIN frfin fr ON per.doc_id = fr.doc_id
+         |),
+         |fu AS (
+         |  SELECT rk1.doc_id, r1, r2,
+         |         1.0e0 / (6.0e1 + CAST(r1 AS DOUBLE)) + 1.0e0 / (6.0e1 + CAST(r2 AS DOUBLE)) AS rrf
+         |  FROM rk1 JOIN rk2 ON rk1.doc_id = rk2.doc_id
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, r1, r2, rrf
+         |FROM fu QUALIFY rank <= 20""".stripMargin,
+    "q84_search_after" ->
+      s"""WITH $bm25PerCtes,
+         |rr AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM per
+         |),
+         |cur AS (SELECT score AS c_score, doc_id AS c_doc FROM rr WHERE rank = 20)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS page_rank,
+         |       doc_id, n_terms_hit, score
+         |FROM rr, cur
+         |WHERE score < c_score OR (score = c_score AND doc_id > c_doc)
+         |QUALIFY page_rank <= 20""".stripMargin,
     "q82_highlight" ->
       s"""WITH $bm25PerCtes,
          |hits AS (

@@ -131,6 +131,32 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q83 RRF: fused score is the exact two-term formula and the rankings genuinely disagree") {
+    val out = SparkEntry.queries("q83_rrf")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (r1, r2) = (r.getAs[Long]("r1"), r.getAs[Long]("r2"))
+      assert(r1 >= 1 && r2 >= 1)
+      assert(r.getAs[Double]("rrf") == 1.0 / (60.0 + r1) + 1.0 / (60.0 + r2))
+    }
+    assert(out.exists(r => r.getAs[Long]("r1") != r.getAs[Long]("r2")),
+      "both rankings identical everywhere — fusion is vacuous")
+  }
+
+  test("q84 search_after: page 2 is disjoint from page 1 and strictly after the cursor") {
+    val p1 = SparkEntry.queries("q76_bm25_search")(spark, sf).collect()
+    val cursor = p1.filter(_.getAs[Long]("rank") == 20).head
+    val (cs, cd) = (cursor.getAs[Double]("score"), cursor.getAs[Long]("doc_id"))
+    val p2 = SparkEntry.queries("q84_search_after")(spark, sf).collect()
+    assert(p2.nonEmpty, "no page 2 — corpus too small for the window")
+    val p1ids = p1.map(_.getAs[Long]("doc_id")).toSet
+    p2.foreach { r =>
+      assert(!p1ids.contains(r.getAs[Long]("doc_id")), "page 2 re-served a page-1 hit")
+      val (s2, d2) = (r.getAs[Double]("score"), r.getAs[Long]("doc_id"))
+      assert(s2 < cs || (s2 == cs && d2 > cd), "hit not strictly after the cursor")
+    }
+  }
+
   test("q63b bigram LM: backoff fires on held-out sources and only there") {
     val out = SparkEntry.queries("q63b_bigram_logprob")(spark, sf).collect()
     assert(out.nonEmpty)
