@@ -111,6 +111,37 @@ object SimilarityQueries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** ES 8 filtered kNN (`knn` with `filter`): the IVF 3-probe search with a
+    * per-query SAME-label predicate on the candidates — the "nearest
+    * neighbors within a category" production shape (faceted / access-
+    * controlled vector search). With inverted lists the filter applies to
+    * the probed candidates before ranking (the FAISS IDSelector
+    * convention; Lucene's HNSW instead does filter-aware traversal — same
+    * contract, different index). Labels ride a key join against the raw
+    * table, so the trained index artifact stays label-free and is the
+    * SAME train-once index q37/q37b share; recall for rare labels
+    * degrades with post-filtering — the documented IVF trade (raise
+    * nprobe for selective filters at scale). */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val idx = VecIndex.coarse(s, d)
+    val labels = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    // probes (queries × 3 lists) pick up their query's label: broadcast the
+    // tiny probe frame, stream the label table past it
+    val probes = labels
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      .join(broadcast(queryProbes(idx)), Seq("query_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    idx.lists.join(labels, Seq("vec_id"))
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("qlabel").as("label"), col("vec_id").as("neighbor_id"),
+        detsum.roundDet(col("cos"), 6).as("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** Int8 scalar quantization of embeddings + reconstruction-error audit —
     * the compression step a vector store runs before indexing (FAISS SQ8
     * shape). Per-vector scale = max|x|/127; q = round(x/scale); errors are
@@ -296,6 +327,7 @@ object SimilarityQueries {
     "q36_ann_lsh" -> (q36 _),
     "q37_ann_ivf" -> (q37 _),
     "q37b_ann_ivfpq" -> (q37b _),
+    "q85_knn_filtered" -> (q85 _),
     "q52_embedding_stats" -> (q52 _),
     "q58_embedding_quantize" -> (q58 _),
     "q58b_pq_quantize" -> (q58b _))
@@ -319,6 +351,28 @@ object SimilarityQueries {
       |               (${vectors.dotSql("l.emb", "p.qe", 64)}) / (l.nrm * p.qn) AS cos
       |        FROM lists l JOIN probes p ON l.list_id = p.list_id
       |        WHERE l.vec_id <> p.query_id)
+      |) WHERE rank <= 5""".stripMargin,
+    "q85_knn_filtered" -> s"""${VecOracle.coarsePrefix},
+      |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      |q AS (
+      |  SELECT l.vec_id AS query_id, l.emb AS qe, l.nrm AS qn, lab.label AS qlabel
+      |  FROM lists l JOIN lab ON l.vec_id = lab.vec_id WHERE l.vec_id % 50 = 0
+      |),
+      |probes AS (
+      |  SELECT list_id, query_id, qe, qn, qlabel FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, list_id ASC) AS crank
+      |    FROM (SELECT c.list_id, q.query_id, q.qe, q.qn, q.qlabel,
+      |                 (${vectors.dotSql("q.qe", "c.cemb", 64)}) / (q.qn * c.cnrm) AS ccos
+      |          FROM q CROSS JOIN cent c)
+      |  ) WHERE crank <= 3
+      |)
+      |SELECT query_id, qlabel AS label, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM (SELECT p.query_id, p.qlabel, l.vec_id,
+      |               (${vectors.dotSql("l.emb", "p.qe", 64)}) / (l.nrm * p.qn) AS cos
+      |        FROM lists l JOIN lab ON l.vec_id = lab.vec_id
+      |                     JOIN probes p ON l.list_id = p.list_id
+      |        WHERE l.vec_id <> p.query_id AND lab.label = p.qlabel)
       |) WHERE rank <= 5""".stripMargin,
     "q68_cluster_balanced_sample" -> s"""${VecOracle.coarsePrefix}
       |SELECT CAST(list_id AS BIGINT) AS list_id, COUNT(*) AS n_vecs,

@@ -111,6 +111,33 @@ class SketchSpec extends AnyFunSuite {
     assert(run().sameElements(rows), "clustering reproduces bit-identically")
   }
 
+  test("q85 filtered kNN: every neighbor shares its query's label, ranks contiguous") {
+    val out = queries.SimilarityQueries.queries("q85_knn_filtered")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per-query: the label is the query's own, neighbors never the query,
+    // ranks are 1..n with n <= 5
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    val labels = queries.Tables(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    byQ.foreach { case (q, rows) =>
+      rows.foreach { r =>
+        assert(r.getAs[Long]("label") == labels(q), s"query $q: neighbor label != query label")
+        assert(labels(r.getAs[Long]("neighbor_id")) == labels(q),
+          s"query $q: neighbor ${r.getAs[Long]("neighbor_id")} fails the filter")
+        assert(r.getAs[Long]("neighbor_id") != q)
+      }
+      assert(rows.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rows.length),
+        s"query $q: ranks not contiguous")
+    }
+    // the filter must actually bite: an unfiltered q37 result set contains
+    // cross-label neighbors at this sf
+    val unfiltered = queries.SimilarityQueries.queries("q37_ann_ivf")(spark, sf).collect()
+    assert(unfiltered.exists(r =>
+      labels(r.getAs[Long]("query_id")) != labels(r.getAs[Long]("neighbor_id"))),
+      "unfiltered IVF already label-pure — the filtered variant is indistinguishable")
+  }
+
   test("IVF ANN returns valid ranked neighbors with measurable recall vs brute force") {
     def pairs(q: String) =
       queries.SimilarityQueries.queries(q)(spark, sf)
