@@ -332,19 +332,29 @@ object SimilarityQueries {
     "q58_embedding_quantize" -> (q58 _),
     "q58b_pq_quantize" -> (q58b _))
 
+  /** DuckDB mirror of [[queryProbes]] — the 3-nearest-lists replay over a
+    * `q` CTE exposing (query_id, qe, qn, extras…). ONE definition shared by
+    * the q37 and q85 oracles, exactly like the Spark side shares
+    * queryProbes (q37b keeps its own probes: its q CTE carries raw emb/nrm
+    * for the ADC refine instead). */
+  private def probesCteSql(extras: Seq[String]): String = {
+    val outer = extras.map(c => s", $c").mkString
+    val inner = extras.map(c => s", q.$c").mkString
+    s"""probes AS (
+       |  SELECT list_id, query_id, qe, qn$outer FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, list_id ASC) AS crank
+       |    FROM (SELECT c.list_id, q.query_id, q.qe, q.qn$inner,
+       |                 (${vectors.dotSql("q.qe", "c.cemb", 64)}) / (q.qn * c.cnrm) AS ccos
+       |          FROM q CROSS JOIN cent c)
+       |  ) WHERE crank <= 3
+       |)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     // ---- the IVF/PQ family: VecOracle replays index TRAINING in SQL ----
     "q37_ann_ivf" -> s"""${VecOracle.coarsePrefix},
       |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM lists WHERE vec_id % 50 = 0),
-      |probes AS (
-      |  -- queryProbes: the 3 nearest lists per query
-      |  SELECT list_id, query_id, qe, qn FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, list_id ASC) AS crank
-      |    FROM (SELECT c.list_id, q.query_id, q.qe, q.qn,
-      |                 (${vectors.dotSql("q.qe", "c.cemb", 64)}) / (q.qn * c.cnrm) AS ccos
-      |          FROM q CROSS JOIN cent c)
-      |  ) WHERE crank <= 3
-      |)
+      |${probesCteSql(Nil)}
       |SELECT query_id, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos, rank FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
       |  FROM (SELECT p.query_id, l.vec_id,
@@ -358,14 +368,7 @@ object SimilarityQueries {
       |  SELECT l.vec_id AS query_id, l.emb AS qe, l.nrm AS qn, lab.label AS qlabel
       |  FROM lists l JOIN lab ON l.vec_id = lab.vec_id WHERE l.vec_id % 50 = 0
       |),
-      |probes AS (
-      |  SELECT list_id, query_id, qe, qn, qlabel FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, list_id ASC) AS crank
-      |    FROM (SELECT c.list_id, q.query_id, q.qe, q.qn, q.qlabel,
-      |                 (${vectors.dotSql("q.qe", "c.cemb", 64)}) / (q.qn * c.cnrm) AS ccos
-      |          FROM q CROSS JOIN cent c)
-      |  ) WHERE crank <= 3
-      |)
+      |${probesCteSql(Seq("qlabel"))}
       |SELECT query_id, qlabel AS label, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos, rank FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
       |  FROM (SELECT p.query_id, p.qlabel, l.vec_id,

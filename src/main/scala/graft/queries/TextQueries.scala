@@ -79,10 +79,18 @@ object TextQueries {
       .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
   }
 
+  /** The deterministic BM25 query window: vocab ranks [QLo, QHi] by
+    * (df desc, term asc). ONE definition feeding bm25PerDoc, q79's term
+    * set, q82's highlight array AND their oracle SQL — a retune here
+    * retunes all six sites together (the file's history shows exactly this
+    * hazard: a 21..25 window silently yielded a 4-term query). */
+  private val QLo = 11
+  private val QHi = 15
+
   /** Per-doc BM25 score for the deterministic 5-term query (vocab ranks
-    * 11..15) — the first-pass retrieval shared by q76 (top-20 search) and
-    * q76b (rescore window). Returns (doc_id, n_terms_hit, score); see q76's
-    * §2 entry for the detlog idf recipe. */
+    * [[QLo]]..[[QHi]]) — the first-pass retrieval shared by q76 (top-20
+    * search) and q76b (rescore window). Returns (doc_id, n_terms_hit,
+    * score); see q76's §2 entry for the detlog idf recipe. */
   private def bm25PerDoc(s: SparkSession, d: String): DataFrame = {
     val k1 = 1.2
     val b = 0.75
@@ -99,7 +107,7 @@ object TextQueries {
     // engines, and safely inside the 24-term length-≥4 vocabulary (a
     // 21..25 window silently yielded a 4-term query)
     val qterms = rankedVocab(s, d)
-      .filter(col("r") >= 11 && col("r") <= 15)
+      .filter(col("r") >= QLo && col("r") <= QHi)
       .select(col("term").as("tok"), col("df"))
       .crossJoin(broadcast(stats))
       .withColumn("num", lit(2L) * col("n_docs") + lit(2L))
@@ -163,6 +171,23 @@ object TextQueries {
           .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
           .when(col("s_fr") > 0, "fr")
           .otherwise("und"))
+
+  /** [[bm25PerDoc]] joined with the detlog length factor log2(1+doc_length)
+    * — ONE definition shared by q76c (function_score) and q83 (the second
+    * RRF ranking), so the ranking RRF fuses can never drift from the
+    * function_score it claims to share. Adds (dl1, factor). */
+  private def bm25LengthFactored(s: SparkSession, d: String): DataFrame = {
+    // the dl inner join drops nothing: every scored doc has a length
+    val dl = docs(s, d)
+      .select(col("doc_id"), (size(col("toks")) + 1).cast("long").as("dl1"))
+    graft.functions.detlog.withLog2(bm25PerDoc(s, d).join(dl, Seq("doc_id")), "dl1", "factor")
+  }
+
+  /** DuckDB mirror of [[bm25LengthFactored]] — appends to [[bm25PerCtes]];
+    * ends with `fvfin` (per + dl1 + factor, joinable on doc_id). */
+  private val lengthFactorCtes =
+    s"""d1 AS (SELECT doc_id, CAST(dl + 1 AS BIGINT) AS dl1 FROM dl),
+       |${graft.functions.detlog.log2SqlCtes("d1", "dl1", "factor", "fv")}""".stripMargin
 
   /** DuckDB mirror of [[phraseTf]] — generated once (the bm25PerCtes
     * precedent) so the q76b and q78 oracles can never drift apart on the
@@ -808,7 +833,7 @@ object TextQueries {
     // doc, verify the threshold.
     "q79_terms_set" -> ((s: SparkSession, d: String) => {
       val terms = rankedVocab(s, d)
-        .filter(col("r") >= 11 && col("r") <= 15)
+        .filter(col("r") >= QLo && col("r") <= QHi)
         .select(col("term").as("tok"))
       docs(s, d)
         .select(col("doc_id"), col("source"), explode(array_distinct(col("toks"))).as("tok"))
@@ -854,11 +879,7 @@ object TextQueries {
     // argument (dl+1) makes the whole score chain IEEE-exact.
     "q76c_function_score" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val dl = docs(s, d)
-        .select(col("doc_id"), (size(col("toks")) + 1).cast("long").as("dl1"))
-      val withF = graft.functions.detlog.withLog2(
-        bm25PerDoc(s, d).join(dl, Seq("doc_id")), "dl1", "factor")
-      withF
+      bm25LengthFactored(s, d)
         .withColumn("final", col("score") * col("factor"))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
@@ -880,11 +901,9 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       // both rankings as two window functions over ONE per-doc frame —
       // a two-branch self-join would evaluate the whole BM25 subtree
-      // twice (measured 2.2s → 1.5s at sf0.1); the dl inner join drops
-      // nothing (every scored doc has a length)
-      val dl = docs(s, d)
-        .select(col("doc_id"), (size(col("toks")) + 1).cast("long").as("dl1"))
-      graft.functions.detlog.withLog2(bm25PerDoc(s, d).join(dl, Seq("doc_id")), "dl1", "factor")
+      // twice (measured 2.2s → 1.5s at sf0.1); the second ranking is
+      // EXACTLY q76c's function_score via the shared helper
+      bm25LengthFactored(s, d)
         .withColumn("f2", col("score") * col("factor"))
         .withColumn("r1", row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .withColumn("r2", row_number().over(Window.orderBy(col("f2").desc, col("doc_id").asc)).cast("long"))
@@ -905,12 +924,17 @@ object TextQueries {
     // filters the per-doc score table, never re-serving page 1.
     "q84_search_after" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val per = bm25PerDoc(s, d)
+      // ONE evaluation of the BM25 subtree: the cursor key rides the
+      // ranked frame as an unbounded-window aggregate instead of a second
+      // branch (a cursor self-join re-evaluates the whole pipeline — the
+      // q83 lesson; 1.69s → 1.59s at sf0.1 locally, and the avoided
+      // second scan grows with the corpus)
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      bm25PerDoc(s, d)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-      val cursor = per.filter(col("rank") === 20)
-        .select(col("score").as("c_score"), col("doc_id").as("c_doc"))
-      per.crossJoin(broadcast(cursor))
+        .withColumn("c_score", max(when(col("rank") === 20, col("score"))).over(all))
+        .withColumn("c_doc", max(when(col("rank") === 20, col("doc_id"))).over(all))
         .filter(col("score") < col("c_score") ||
           (col("score") === col("c_score") && col("doc_id") > col("c_doc")))
         .withColumn("page_rank",
@@ -932,7 +956,7 @@ object TextQueries {
         .filter(col("rank") <= 20)
         .select(col("rank"), col("doc_id"))
       val qarr = rankedVocab(s, d)
-        .filter(col("r") >= 11 && col("r") <= 15)
+        .filter(col("r") >= QLo && col("r") <= QHi)
         .groupBy().agg(sort_array(collect_list(col("term"))).as("qterms"))
       docs(s, d)
         .join(broadcast(hits), Seq("doc_id"))
@@ -1392,7 +1416,7 @@ object TextQueries {
        |qt1 AS MATERIALIZED (
        |  SELECT term AS tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
        |         CAST(2 * df + 1 AS BIGINT) AS den, avgdl
-       |  FROM rvocab, stats WHERE r BETWEEN 11 AND 15
+       |  FROM rvocab, stats WHERE r BETWEEN $QLo AND $QHi
        |),
        |${graft.functions.detlog.log2SqlCtes("qt1", "num", "lgn", "qn")},
        |${graft.functions.detlog.log2SqlCtes("qnfin", "den", "lgd", "qd")},
@@ -1807,7 +1831,7 @@ object TextQueries {
          |$rankedVocabCte,
          |t AS (SELECT doc_id, source, UNNEST(list_distinct(toks)) AS tok FROM docs)
          |SELECT t.doc_id, t.source, COUNT(*) AS n_matched
-         |FROM t JOIN rvocab ON t.tok = rvocab.term AND rvocab.r BETWEEN 11 AND 15
+         |FROM t JOIN rvocab ON t.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
          |ORDER BY n_matched DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q80_boosting" ->
@@ -1832,14 +1856,13 @@ object TextQueries {
          |FROM fin QUALIFY rank <= 20""".stripMargin,
     "q76c_function_score" ->
       s"""WITH $bm25PerCtes,
-         |d1 AS (SELECT doc_id, CAST(dl + 1 AS BIGINT) AS dl1 FROM dl),
-         |${graft.functions.detlog.log2SqlCtes("d1", "dl1", "factor", "fv")},
+         |$lengthFactorCtes,
          |fin AS (
-         |  -- explicit DOUBLE: the chain's decimal-literal f accumulator
-         |  -- otherwise emits DECIMAL here (exact dyadic value, so the cast
-         |  -- is lossless — the §5 typed-hash rule, q61/q62 precedent)
-         |  SELECT per.doc_id, fv.dl1, per.score, CAST(fv.factor AS DOUBLE) AS factor,
-         |         per.score * CAST(fv.factor AS DOUBLE) AS final
+         |  -- factor is DOUBLE by detlog's own contract (its SQL chain pins
+         |  -- the f accumulator to DOUBLE precisely for raw-emitted
+         |  -- consumers like this one)
+         |  SELECT per.doc_id, fv.dl1, per.score, fv.factor,
+         |         per.score * fv.factor AS final
          |  FROM per JOIN fvfin fv ON per.doc_id = fv.doc_id
          |)
          |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
@@ -1851,12 +1874,11 @@ object TextQueries {
          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r1
          |  FROM per
          |),
-         |d1 AS (SELECT doc_id, CAST(dl + 1 AS BIGINT) AS dl1 FROM dl),
-         |${graft.functions.detlog.log2SqlCtes("d1", "dl1", "factor", "fr")},
+         |$lengthFactorCtes,
          |rk2 AS (
          |  SELECT per.doc_id,
-         |         CAST(row_number() OVER (ORDER BY per.score * CAST(fr.factor AS DOUBLE) DESC, per.doc_id ASC) AS BIGINT) AS r2
-         |  FROM per JOIN frfin fr ON per.doc_id = fr.doc_id
+         |         CAST(row_number() OVER (ORDER BY per.score * fv.factor DESC, per.doc_id ASC) AS BIGINT) AS r2
+         |  FROM per JOIN fvfin fv ON per.doc_id = fv.doc_id
          |),
          |fu AS (
          |  SELECT rk1.doc_id, r1, r2,
@@ -1872,10 +1894,14 @@ object TextQueries {
          |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
          |  FROM per
          |),
-         |cur AS (SELECT score AS c_score, doc_id AS c_doc FROM rr WHERE rank = 20)
+         |cr AS (
+         |  SELECT *, MAX(CASE WHEN rank = 20 THEN score END) OVER () AS c_score,
+         |            MAX(CASE WHEN rank = 20 THEN doc_id END) OVER () AS c_doc
+         |  FROM rr
+         |)
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS page_rank,
          |       doc_id, n_terms_hit, score
-         |FROM rr, cur
+         |FROM cr
          |WHERE score < c_score OR (score = c_score AND doc_id > c_doc)
          |QUALIFY page_rank <= 20""".stripMargin,
     "q82_highlight" ->
@@ -1884,7 +1910,7 @@ object TextQueries {
          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
          |  FROM per QUALIFY rank <= 20
          |),
-         |qarr AS (SELECT list(term ORDER BY term ASC) AS qterms FROM rvocab WHERE r BETWEEN 11 AND 15),
+         |qarr AS (SELECT list(term ORDER BY term ASC) AS qterms FROM rvocab WHERE r BETWEEN $QLo AND $QHi),
          |hl AS (
          |  SELECT hits.rank, d.doc_id, d.toks,
          |         list_filter(generate_series(1, len(toks)), i -> list_contains(qterms, toks[i]))[1] AS p
