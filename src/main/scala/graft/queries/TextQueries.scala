@@ -481,6 +481,38 @@ object TextQueries {
       s.table("st13_mem")
     }),
 
+    // terms_set alerting AT INGEST (the always-on form of q79): the tiny
+    // deterministic term set enters the doc stream as a LITERAL array (the
+    // centroids-as-driver-literals convention — 5 strings through the
+    // driver, no stream-static join needed), n_matched is a stateless
+    // array_intersect map, and docs at/above minimum_should_match emit as
+    // append-mode alerts. No state store; the full alert set is
+    // deterministic, so the oracle is q79's SQL without the top-20 window
+    // — a hash match proves streaming alerting equals the batch query.
+    "st15_terms_set_stream" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val terms = rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QHi)
+        .orderBy(col("term").asc).select(col("term")).collect().map(_.getString(0))
+      val spool = IngestQueries.scratchDir("graft_doc_spool_st15")
+      Tables(s, d, "documents").repartition(4).write.mode("overwrite").parquet(spool.toString)
+      val src = s.readStream
+        .schema(Tables(s, d, "documents").schema)
+        .parquet(spool.toString)
+        .withColumn("toks", text.tokens(col("text")))
+      val alerts = src
+        .withColumn("n_matched",
+          size(array_intersect(array_distinct(col("toks")), array(terms.map(lit): _*))).cast("long"))
+        .filter(col("n_matched") >= 3)
+        .select(col("doc_id"), col("source"), col("n_matched"))
+      val q = alerts.writeStream
+        .format("memory").queryName("st15_mem")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st15_mem")
+    }),
+
     "q42_token_count" -> ((s: SparkSession, d: String) => {
       docs(s, d)
         .withColumn("n_ws", size(split(trim(col("text")), "\\s+")))
@@ -1041,6 +1073,28 @@ object TextQueries {
         .agg(count(lit(1)).as("n_subwords"), countDistinct(col("sw")).as("n_distinct_subwords"))
     }),
 
+    // Tokenizer EVALUATION over the trained BPE model — the metrics a
+    // tokenizer ships with: per-source fertility (subwords per word; the
+    // Ács/XLM-R metric — lower is better for downstream token budgets) and
+    // compression (chars per subword). Reuses the train-once model and the
+    // q66 oracle's relearned merge table (shared CTE prefix); all counts
+    // are exact integers, the two ratios one deterministic division each.
+    "q66b_bpe_fertility" -> ((s: SparkSession, d: String) => {
+      import graft.functions.detsum
+      val model = graft.operators.Bpe.model(s, d, nMerges = 40)
+      val sub = graft.operators.Bpe.tokenize(docs(s, d), model)
+      docs(s, d).select(col("doc_id"), col("source"), col("toks"))
+        .join(sub, "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          sum(size(filter(col("toks"), t => length(t) > 0))).cast("long").as("n_words"),
+          sum(size(col("subwords"))).cast("long").as("n_subwords"),
+          sum(length(concat_ws("", col("toks")))).cast("long").as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_subwords"), col("n_chars"),
+          detsum.roundDet(col("n_subwords").cast("double") / col("n_words").cast("double"), 6).as("fertility"),
+          detsum.roundDet(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6).as("chars_per_subword"))
+    }),
+
     // ES `more_like_this`: rank documents by similarity to a "like" doc.
     // Query terms = the like-doc's 25 rarest terms by idf (ES
     // max_query_terms); candidates score by the idf sum of shared terms.
@@ -1366,9 +1420,9 @@ object TextQueries {
     * case fails that spec loudly instead of producing a silent oracle
     * mismatch. (Delimiter safety: the corpus vocabulary is [a-z0-9], no
     * word can contain chr(1)/chr(2).) */
-  private def bpeSql(nMerges: Int): String = {
+  private def bpeCtes(nMerges: Int): String = {
     val sb = new StringBuilder
-    sb ++= """WITH words AS MATERIALIZED (
+    sb ++= """words AS MATERIALIZED (
              |  SELECT word, count(*) AS freq
              |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
              |  WHERE length(word) > 0 GROUP BY word
@@ -1396,12 +1450,35 @@ object TextQueries {
     sb ++= s"""bpefinal AS MATERIALIZED (
               |  SELECT word, string_split(substr(seg, 2, length(seg)-2), chr(2)||chr(1)) AS syms FROM r$nMerges
               |),
-              |docw AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents)
-              |SELECT source, count(*) AS n_subwords, count(DISTINCT sw) AS n_distinct_subwords
-              |FROM (SELECT d.source, unnest(f.syms) AS sw FROM docw d JOIN bpefinal f ON d.word = f.word WHERE length(d.word) > 0)
-              |GROUP BY source""".stripMargin
+              |docw AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents)""".stripMargin
     sb.result()
   }
+
+  /** q66's oracle: the training replay + the per-source subword aggregate. */
+  private def bpeSql(nMerges: Int): String =
+    s"""WITH ${bpeCtes(nMerges)}
+       |SELECT source, count(*) AS n_subwords, count(DISTINCT sw) AS n_distinct_subwords
+       |FROM (SELECT d.source, unnest(f.syms) AS sw FROM docw d JOIN bpefinal f ON d.word = f.word WHERE length(d.word) > 0)
+       |GROUP BY source""".stripMargin
+
+  /** q66b's oracle: tokenizer-quality metrics over the SAME relearned merge
+    * table (shared CTE prefix — the bm25PerCtes discipline). */
+  private def bpeFertilitySql(nMerges: Int): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       |j AS (
+       |  SELECT d.source, d.word, f.syms FROM docw d
+       |  JOIN bpefinal f ON d.word = f.word WHERE length(d.word) > 0
+       |),
+       |agg AS (
+       |  SELECT source, COUNT(*) AS n_words,
+       |         CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
+       |         CAST(SUM(length(word)) AS BIGINT) AS n_chars
+       |  FROM j GROUP BY source
+       |)
+       |SELECT source, n_words, n_subwords, n_chars,
+       |       ${graft.functions.detsum.roundDetSql("CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)} AS fertility,
+       |       ${graft.functions.detsum.roundDetSql("CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE)", 6)} AS chars_per_subword
+       |FROM agg""".stripMargin
 
   /** Shared DuckDB CTE chain mirroring [[bm25PerDoc]] — ends with `per`
     * (per-doc n_terms_hit + detsum'd BM25 score); includes `docs` and
@@ -1461,6 +1538,17 @@ object TextQueries {
        |  FROM scored
        |)""".stripMargin
 
+  /** The terms_set matching core — q79's oracle minus its top-20 window,
+    * shared verbatim by st15 (the streaming alert set must equal the batch
+    * match set). */
+  private val termsSetSql =
+    s"""WITH $docsCte,
+       |$rankedVocabCte,
+       |t AS (SELECT doc_id, source, UNNEST(list_distinct(toks)) AS tok FROM docs)
+       |SELECT t.doc_id, t.source, COUNT(*) AS n_matched
+       |FROM t JOIN rvocab ON t.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
+
   /** q77's oracle — shared verbatim by st14 (streaming percolation must
     * equal the batch reverse search). */
   private val percolateSql =
@@ -1478,6 +1566,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q66_bpe_tokenize" -> bpeSql(40),
+    "q66b_bpe_fertility" -> bpeFertilitySql(40),
     "q77_percolate" -> percolateSql,
     "q77b_percolate_inverted" -> percolateSql,
     "st14_percolate_stream" -> percolateSql,
@@ -1826,14 +1915,10 @@ object TextQueries {
          |       CAST(n_phrase AS BIGINT) AS n_phrase, CAST(n_near AS BIGINT) AS n_near
          |FROM m WHERE n_near > 0
          |ORDER BY n_phrase DESC, n_near DESC, doc_id ASC LIMIT 15""".stripMargin,
-    "q79_terms_set" ->
-      s"""WITH $docsCte,
-         |$rankedVocabCte,
-         |t AS (SELECT doc_id, source, UNNEST(list_distinct(toks)) AS tok FROM docs)
-         |SELECT t.doc_id, t.source, COUNT(*) AS n_matched
-         |FROM t JOIN rvocab ON t.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
-         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-         |ORDER BY n_matched DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q79_terms_set" -> (termsSetSql + "\nORDER BY n_matched DESC, doc_id ASC LIMIT 20"),
+    // st15 = the SAME matching semantics with no result window: the
+    // append-mode alert stream emits every doc at/above the threshold
+    "st15_terms_set_stream" -> termsSetSql,
     "q80_boosting" ->
       s"""WITH $bm25PerCtes,
          |neg AS (

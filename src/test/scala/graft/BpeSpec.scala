@@ -129,6 +129,24 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("q66b fertility metrics are internally consistent with q66") {
+    val fert = SparkEntry.queries("q66b_bpe_fertility")(spark, sf).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words"),
+        "a word encodes to at least one subword")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Double]("chars_per_subword") >= 1.0)
+    }
+    // the per-source subword totals must agree with q66's own count
+    val q66 = SparkEntry.queries("q66_bpe_tokenize")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_subwords")).toMap
+    fert.foreach { r =>
+      assert(r.getAs[Long]("n_subwords") == q66(r.getAs[String]("source")),
+        s"source ${r.getAs[String]("source")}: q66b and q66 disagree on n_subwords")
+    }
+  }
+
   test("tokenization is lossless and the pipeline query aggregates it") {
     import spark.implicits._
     val docs = queries.Tables(spark, sf, "documents")

@@ -157,6 +157,17 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("st15: the streaming alert set contains q79's whole window with identical counts") {
+    val alerts = SparkEntry.queries("st15_terms_set_stream")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matched")).toMap
+    assert(alerts.nonEmpty)
+    val top = SparkEntry.queries("q79_terms_set")(spark, sf).collect()
+    assert(top.forall(r => alerts.get(r.getAs[Long]("doc_id"))
+      .contains(r.getAs[Long]("n_matched"))),
+      "a batch top-20 hit is missing (or mismatched) in the streaming alert set")
+    assert(alerts.valuesIterator.forall(_ >= 3))
+  }
+
   test("q63b bigram LM: backoff fires on held-out sources and only there") {
     val out = SparkEntry.queries("q63b_bigram_logprob")(spark, sf).collect()
     assert(out.nonEmpty)
