@@ -28,12 +28,41 @@ object SparkEntry {
         "mm04_phash_neardup" -> ((s, d) =>
           graft.operators.Multimodal.phashPairs(Tables(s, d, "documents"))),
         "mm05_audio_windows" -> ((s, d) =>
-          graft.operators.Multimodal.audioPipeline(Tables(s, d, "documents"))))
+          graft.operators.Multimodal.audioPipeline(Tables(s, d, "documents"))),
+        "mm06_media_info" -> ((s, d) =>
+          graft.operators.Multimodal.mediaInfo(Tables(s, d, "documents"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */
   def oracleSql: Map[String, String] =
     FlowQueries.oracleSql ++ EsAggQueries.oracleSql ++ RelationalQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
-      IngestQueries.oracleSql
+      IngestQueries.oracleSql ++
+      Map(
+        // mm06: the oracle recomputes the PLANTED payload properties
+        // arithmetically (geometry from (doc_id, n_chars), lossless raster
+        // sum from the cycled text bytes) — it never parses a container, so
+        // a hash match proves the Spark-side writers+parsers round-trip
+        // them. See graft.operators.Multimodal.mediaInfo.
+        "mm06_media_info" ->
+          """WITH m AS (
+            |  SELECT doc_id,
+            |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+            |         CAST(n_chars % 64 + 16 AS BIGINT) AS width,
+            |         CAST(doc_id % 48 + 16 AS BIGINT) AS height,
+            |         text, CAST(length(text) AS BIGINT) AS len
+            |  FROM documents
+            |),
+            |b AS (
+            |  SELECT *, width * height * 3 AS n_bytes,
+            |         CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS tot
+            |  FROM m
+            |)
+            |SELECT doc_id, format, width, height, width * height AS n_pixels,
+            |       CASE WHEN format = 'jpeg' THEN NULL
+            |            ELSE (n_bytes // len) * tot +
+            |                 CASE WHEN n_bytes % len = 0 THEN 0
+            |                      ELSE CAST(list_sum(list_transform(string_split(substr(text, 1, CAST(n_bytes % len AS INTEGER)), ''), c -> unicode(c))) AS BIGINT) END
+            |       END AS raster_sum
+            |FROM b""".stripMargin)
 }

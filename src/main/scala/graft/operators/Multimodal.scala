@@ -99,6 +99,45 @@ object Multimodal {
       }
   }
 
+  /** Container-header audit — the first ORACLE-BACKED multimodal query:
+    * per doc, the format sniffed from the payload magic, the
+    * decoder-parsed dimensions, and (for the lossless containers) the
+    * exact sum of the decoded raster bytes. Every output is
+    * reconstructible ARITHMETICALLY from the documents table — the
+    * planted geometry is (n_chars%64+16) × (doc_id%48+16), the format
+    * cycles on doc_id%3, and the lossless raster is the text's UTF-8
+    * bytes cycled to w·h·3 — so a DuckDB oracle recomputes the expected
+    * values without parsing a single byte of container, and a hash match
+    * proves the real writers and header/filter/inflate parsers round-trip
+    * geometry AND pixels exactly. JPEG raster sums are NULL by contract
+    * (entropy coding is lossy; its raster is pinned by the ImageIO
+    * cross-validation spec instead). Assumes ASCII text (the corpus
+    * contract: [a-z0-9 ]); a non-ASCII drop would hash-mismatch loudly
+    * rather than silently pass. */
+  def mediaInfo(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    attachPayload(docs)
+      .mapPartitions { it =>
+        it.map { r =>
+          val p = r.payload
+          val fmt =
+            if (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) "bmp"
+            else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte) "png"
+            else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+            else "unknown"
+          val (w, h, _, px) = decodeImage(r)
+          val sum: java.lang.Long =
+            if (fmt == "png" || fmt == "bmp") {
+              var s = 0L; var i = 0
+              while (i < px.length) { s += (px(i) & 0xff); i += 1 }
+              java.lang.Long.valueOf(s)
+            } else null
+          (r.doc_id, fmt, w.toLong, h.toLong, w.toLong * h, sum)
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "n_pixels", "raster_sum")
+  }
+
   /** Partition-batched decode → feature extraction. Features are simple
     * deterministic statistics over the decoded bytes (mean, max, fnv-ish
     * rolling hash) — the shape a real embedding/feature extractor has. */

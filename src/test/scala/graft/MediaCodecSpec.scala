@@ -388,6 +388,33 @@ class MediaCodecSpec extends AnyFunSuite {
     if (txt.nonEmpty) px.zipWithIndex.foreach { case (p, i) => assert(p == txt(i % txt.length)) }
   }
 
+  test("mm06 media info: formats cycle, dims parsed from containers, lossless sums exact") {
+    val docs = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.Multimodal.mediaInfo(docs).collect()
+    assert(out.nonEmpty)
+    val meta = docs.select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (text, nChars) = meta(id)
+      val expFmt = (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "jpeg" }
+      assert(r.getAs[String]("format") == expFmt, s"doc $id: wrong sniffed format")
+      assert(r.getAs[Long]("width") == nChars % 64 + 16, s"doc $id: width not from the container")
+      assert(r.getAs[Long]("height") == id % 48 + 16)
+      val sum = r.getAs[java.lang.Long]("raster_sum")
+      if (expFmt == "jpeg") assert(sum == null, "JPEG raster sum must be NULL (lossy)")
+      else {
+        val bytes = text.getBytes("UTF-8")
+        val n = (r.getAs[Long]("width") * r.getAs[Long]("height") * 3).toInt
+        var exp = 0L
+        var i = 0
+        while (i < n) { exp += (bytes(i % bytes.length) & 0xff); i += 1 }
+        assert(sum != null && sum.longValue == exp,
+          s"doc $id: decoded raster sum $sum != planted $exp — pixel round-trip broken")
+      }
+    }
+  }
+
   test("attachAudioPayload emits genuine WAVs; audio pipeline decodes via the RIFF parser") {
     val docs = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
     val rows = graft.operators.Multimodal.attachAudioPayload(docs).limit(20).collect()
