@@ -172,6 +172,81 @@ object TextQueries {
           .when(col("s_fr") > 0, "fr")
           .otherwise("und"))
 
+  /** Field-generic BM25 (the q86 multi_match machinery): score the 5-term
+    * query (body-ranked terms [[QLo]]..[[QHi]] — the query string is what
+    * it is) against an arbitrary token stream `t` = (doc_id, tok) using
+    * the FIELD's own statistics (dl, avgdl, df) — ES scores each field of
+    * a multi_match independently. df computes from the stream itself
+    * (distinct docs per term), which for the body stream equals
+    * rankedVocab's df exactly. Returns (doc_id, n_terms_hit, score). */
+  private def bm25ScoredOver(s: SparkSession, d: String, t: DataFrame): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qsel = rankedVocab(s, d)
+      .filter(col("r") >= QLo && col("r") <= QHi)
+      .select(col("term").as("tok"))
+    val qterms = t.select(col("doc_id"), col("tok")).distinct()
+      .join(broadcast(qsel), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("num", lit(2L) * col("n_docs") + lit(2L))
+      .withColumn("den", lit(2L) * col("df") + lit(1L))
+    val qIdf = graft.functions.detlog
+      .withLog2(graft.functions.detlog.withLog2(qterms, "num", "lgn"), "den", "lgd")
+      .select(col("tok"), (col("lgn") - col("lgd")).as("idf"), col("avgdl"))
+    t.join(broadcast(qIdf.select(col("tok"))), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(qIdf), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("score_t",
+        col("idf") * ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        graft.functions.detsum.sumDet(col("score_t"), 9).as("score"))
+  }
+
+  /** DuckDB mirror of [[bm25ScoredOver]] — tagged CTE chain (t$tag …
+    * per$tag) over a caller-supplied token-stream SQL body; assumes `docs`
+    * and `rvocab` CTEs in scope. Two instances compose in one q86 query. */
+  private def bm25CtesOver(tag: String, tSql: String): String =
+    s"""t$tag AS MATERIALIZED ($tSql),
+       |dl$tag AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM t$tag GROUP BY doc_id),
+       |stats$tag AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl$tag),
+       |qt1$tag AS MATERIALIZED (
+       |  SELECT qdf.tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+       |         CAST(2 * qdf.df + 1 AS BIGINT) AS den, avgdl
+       |  FROM (
+       |    SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM t$tag) dt
+       |    JOIN rvocab ON dt.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
+       |    GROUP BY tok
+       |  ) qdf, stats$tag
+       |),
+       |${graft.functions.detlog.log2SqlCtes(s"qt1$tag", "num", "lgn", s"qn$tag")},
+       |${graft.functions.detlog.log2SqlCtes(s"qn${tag}fin", "den", "lgd", s"qd$tag")},
+       |qidf$tag AS (SELECT tok, lgn - lgd AS idf, avgdl FROM qd${tag}fin),
+       |tf$tag AS (
+       |  SELECT t.doc_id, t.tok, COUNT(*) AS tf
+       |  FROM t$tag t JOIN qidf$tag q ON t.tok = q.tok GROUP BY 1, 2
+       |),
+       |sc$tag AS (
+       |  SELECT tf.doc_id,
+       |         q.idf * ((CAST(tf.tf AS DOUBLE) * 2.2e0) /
+       |           (CAST(tf.tf AS DOUBLE) +
+       |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / q.avgdl))) AS score_t
+       |  FROM tf$tag tf JOIN qidf$tag q ON tf.tok = q.tok JOIN dl$tag dl ON tf.doc_id = dl.doc_id
+       |),
+       |per$tag AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms_hit, ${graft.functions.detsum.sumDetSql("score_t", 9)} AS score
+       |  FROM sc$tag GROUP BY doc_id
+       |)""".stripMargin
+
   /** [[bm25PerDoc]] joined with the detlog length factor log2(1+doc_length)
     * — ONE definition shared by q76c (function_score) and q83 (the second
     * RRF ranking), so the ranking RRF fuses can never drift from the
@@ -918,6 +993,35 @@ object TextQueries {
         .filter(col("rank") <= 20)
         .select(col("rank"), col("doc_id"), (col("dl1") - 1).as("dl"),
           col("score"), col("factor"), col("final"))
+    }),
+
+    // ES `multi_match` (type best_fields ≡ `dis_max` over per-field
+    // queries): fields = [title^2, body], where title is the doc's first 8
+    // tokens (a DERIVED field, the geo-coordinate convention — the corpus
+    // carries one text column). Each field scores the 5-term query with
+    // its OWN statistics (df/dl/avgdl — the ES per-field scoring
+    // contract), the title score carries boost 2, and dis_max combines
+    // best + tie_breaker(0.5) × other. FULL OUTER over the per-field hit
+    // sets: a doc matching only one field still ranks.
+    "q86_multi_match" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val body = docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+      val title = docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), explode(slice(col("toks"), 1, 8)).as("tok"))
+      val perB = bm25ScoredOver(s, d, body).select(col("doc_id"), col("score").as("s_body0"))
+      val perT = bm25ScoredOver(s, d, title)
+        .select(col("doc_id"), (lit(2.0) * col("score")).as("s_title0"))
+      perB.join(perT, Seq("doc_id"), "full_outer")
+        .withColumn("s_body", coalesce(col("s_body0"), lit(0.0)))
+        .withColumn("s_title_boosted", coalesce(col("s_title0"), lit(0.0)))
+        .withColumn("final",
+          greatest(col("s_body"), col("s_title_boosted")) +
+            lit(0.5) * least(col("s_body"), col("s_title_boosted")))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("s_body"), col("s_title_boosted"), col("final"))
     }),
 
     // ES 8.x `rrf` retriever (Reciprocal Rank Fusion): two rankings of the
@@ -1953,6 +2057,25 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
          |       doc_id, CAST(dl1 - 1 AS BIGINT) AS dl, score, factor, final
          |FROM fin QUALIFY rank <= 20""".stripMargin,
+    "q86_multi_match" ->
+      s"""WITH $docsCte,
+         |$rankedVocabCte,
+         |${bm25CtesOver("_b", "SELECT doc_id, UNNEST(toks) AS tok FROM docs")},
+         |${bm25CtesOver("_t", "SELECT doc_id, UNNEST(toks[1:8]) AS tok FROM docs")},
+         |f AS (
+         |  SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+         |         COALESCE(b.score, 0.0e0) AS s_body,
+         |         COALESCE(2.0e0 * t.score, 0.0e0) AS s_title_boosted
+         |  FROM per_b b FULL OUTER JOIN per_t t ON b.doc_id = t.doc_id
+         |),
+         |g AS (
+         |  SELECT doc_id, s_body, s_title_boosted,
+         |         greatest(s_body, s_title_boosted) + 0.5e0 * least(s_body, s_title_boosted) AS final
+         |  FROM f
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, s_body, s_title_boosted, final
+         |FROM g QUALIFY rank <= 20""".stripMargin,
     "q83_rrf" ->
       s"""WITH $bm25PerCtes,
          |rk1 AS (

@@ -168,6 +168,23 @@ class TextSurfaceSpec extends AnyFunSuite {
     assert(alerts.valuesIterator.forall(_ >= 3))
   }
 
+  test("q86 multi_match: dis_max arithmetic exact and both fields decide somewhere") {
+    val out = SparkEntry.queries("q86_multi_match")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (b, t) = (r.getAs[Double]("s_body"), r.getAs[Double]("s_title_boosted"))
+      assert(r.getAs[Double]("final") == math.max(b, t) + 0.5 * math.min(b, t))
+      assert(b >= 0.0 && t >= 0.0)
+    }
+    assert(out.exists(r => r.getAs[Double]("s_title_boosted") > r.getAs[Double]("s_body")),
+      "the title field never wins — the boost/field split is vacuous")
+    // the boosted short title dominates the top-20 winners (higher idf ×2
+    // boost — expected), so pin the body's contribution, not a body win:
+    // every tie_breaker addition must include a nonzero body score somewhere
+    assert(out.exists(r => r.getAs[Double]("s_body") > 0.0),
+      "no top hit has any body match — the body field is dead weight")
+  }
+
   test("q63b bigram LM: backoff fires on held-out sources and only there") {
     val out = SparkEntry.queries("q63b_bigram_logprob")(spark, sf).collect()
     assert(out.nonEmpty)
