@@ -60,6 +60,9 @@ object SparkEntry {
             |)
             |SELECT doc_id, format, width, height, width * height AS n_pixels,
             |       CASE WHEN format = 'jpeg' THEN NULL
+            |            -- len = 0 mirrors cycleBytes' zeroed raster (sum 0)
+            |            -- rather than dividing by zero on an empty text
+            |            WHEN len = 0 THEN 0
             |            ELSE (n_bytes // len) * tot +
             |                 CASE WHEN n_bytes % len = 0 THEN 0
             |                      ELSE CAST(list_sum(list_transform(string_split(substr(text, 1, CAST(n_bytes % len AS INTEGER)), ''), c -> unicode(c))) AS BIGINT) END

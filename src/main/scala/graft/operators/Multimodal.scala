@@ -125,14 +125,30 @@ object Multimodal {
             else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte) "png"
             else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
             else "unknown"
-          val (w, h, _, px) = decodeImage(r)
-          val sum: java.lang.Long =
-            if (fmt == "png" || fmt == "bmp") {
-              var s = 0L; var i = 0
-              while (i < px.length) { s += (px(i) & 0xff); i += 1 }
-              java.lang.Long.valueOf(s)
-            } else null
-          (r.doc_id, fmt, w.toLong, h.toLong, w.toLong * h, sum)
+          // STRICT per-format decode — never decodeImage, whose stub
+          // fallback would echo the row's advisory metadata (the exact
+          // values the oracle recomputes) and turn a decoder regression
+          // into a silent pass. A parse failure emits -1 dims instead,
+          // which can never match the oracle's planted geometry.
+          val dec = fmt match {
+            case "bmp"  => MediaCodec.decodeBmp(p)
+            case "png"  => MediaCodec.decodePng(p)
+            case "jpeg" => MediaCodec.decodeJpeg(p)
+            case _      => None
+          }
+          dec match {
+            case Some(di) =>
+              val sum: java.lang.Long =
+                if (fmt == "png" || fmt == "bmp") {
+                  var s = 0L; var i = 0
+                  while (i < di.pixels.length) { s += (di.pixels(i) & 0xff); i += 1 }
+                  java.lang.Long.valueOf(s)
+                } else null
+              (r.doc_id, fmt, di.width.toLong, di.height.toLong,
+                di.width.toLong * di.height, sum)
+            case None =>
+              (r.doc_id, fmt, -1L, -1L, -1L, null: java.lang.Long)
+          }
         }
       }
       .toDF("doc_id", "format", "width", "height", "n_pixels", "raster_sum")

@@ -88,50 +88,18 @@ object TextQueries {
   private val QHi = 15
 
   /** Per-doc BM25 score for the deterministic 5-term query (vocab ranks
-    * [[QLo]]..[[QHi]]) — the first-pass retrieval shared by q76 (top-20
-    * search) and q76b (rescore window). Returns (doc_id, n_terms_hit,
-    * score); see q76's §2 entry for the detlog idf recipe. */
-  private def bm25PerDoc(s: SparkSession, d: String): DataFrame = {
-    val k1 = 1.2
-    val b = 0.75
+    * [[QLo]]..[[QHi]]) against the BODY field — the first-pass retrieval
+    * shared by q76/q76b/q76c/q80/q82/q83/q84. ONE scoring definition: this
+    * is [[bm25ScoredOver]] on the body token stream (stream-derived df
+    * equals rankedVocab's df exactly — distinct docs per term either way),
+    * exactly as [[bm25PerCtes]] is [[bm25CtesOver]] with the empty tag.
+    * Returns (doc_id, n_terms_hit, score). */
+  private def bm25PerDoc(s: SparkSession, d: String): DataFrame =
     // scan-spreading repartition before the token explode (the q72/
     // unigramXent discipline against single-split corpus files)
-    val t = docs(s, d).repartition(col("doc_id"))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // query = the terms ranked 11..15 by (df desc, term asc) — mid-head
-    // terms that hit many but not all docs; deterministic in both
-    // engines, and safely inside the 24-term length-≥4 vocabulary (a
-    // 21..25 window silently yielded a 4-term query)
-    val qterms = rankedVocab(s, d)
-      .filter(col("r") >= QLo && col("r") <= QHi)
-      .select(col("term").as("tok"), col("df"))
-      .crossJoin(broadcast(stats))
-      .withColumn("num", lit(2L) * col("n_docs") + lit(2L))
-      .withColumn("den", lit(2L) * col("df") + lit(1L))
-    val qIdf = graft.functions.detlog
-      .withLog2(graft.functions.detlog.withLog2(qterms, "num", "lgn"), "den", "lgd")
-      .select(col("tok"), (col("lgn") - col("lgd")).as("idf"), col("avgdl"))
-    val tf = t.join(broadcast(qIdf.select(col("tok"))), Seq("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    tf
-      .join(broadcast(qIdf), Seq("tok"))
-      .join(dl, Seq("doc_id"))
-      .withColumn("score_t",
-        // literals spelled as decimal literals on BOTH sides: Scala
-        // `k1 + 1` computes 2.1999...956, a DIFFERENT double than the
-        // parsed literal 2.2 — the oracle must see the identical bits
-        col("idf") * ((col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_terms_hit"),
-        graft.functions.detsum.sumDet(col("score_t"), 9).as("score"))
-  }
+    bm25ScoredOver(s, d,
+      docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), explode(col("toks")).as("tok")))
 
   /** Exact adjacent-pair count of (w1, w2) in a token array — ES
     * match_phrase tf at slop 0. A pure array HOF: positions never leave
@@ -172,13 +140,17 @@ object TextQueries {
           .when(col("s_fr") > 0, "fr")
           .otherwise("und"))
 
-  /** Field-generic BM25 (the q86 multi_match machinery): score the 5-term
-    * query (body-ranked terms [[QLo]]..[[QHi]] — the query string is what
-    * it is) against an arbitrary token stream `t` = (doc_id, tok) using
-    * the FIELD's own statistics (dl, avgdl, df) — ES scores each field of
-    * a multi_match independently. df computes from the stream itself
+  /** Field-generic BM25 — THE scoring definition (every BM25 consumer,
+    * q76-family and q86 alike, goes through here): score the 5-term query
+    * (body-ranked terms [[QLo]]..[[QHi]] — the query string is what it is)
+    * against an arbitrary token stream `t` = (doc_id, tok) using the
+    * FIELD's own statistics (dl, avgdl, df) — ES scores each field of a
+    * multi_match independently. df computes from the stream itself
     * (distinct docs per term), which for the body stream equals
-    * rankedVocab's df exactly. Returns (doc_id, n_terms_hit, score). */
+    * rankedVocab's df exactly. Literals are spelled as decimal literals on
+    * BOTH sides (Scala `k1 + 1` computes 2.1999…956, a DIFFERENT double
+    * than the parsed literal 2.2 — the oracle must see the identical
+    * bits). Returns (doc_id, n_terms_hit, score). */
   private def bm25ScoredOver(s: SparkSession, d: String, t: DataFrame): DataFrame = {
     val k1 = 1.2
     val b = 0.75
@@ -576,7 +548,8 @@ object TextQueries {
         .withColumn("toks", text.tokens(col("text")))
       val alerts = src
         .withColumn("n_matched",
-          size(array_intersect(array_distinct(col("toks")), array(terms.map(lit): _*))).cast("long"))
+          // array_intersect already dedups — no array_distinct pre-pass
+          size(array_intersect(col("toks"), array(terms.map(lit): _*))).cast("long"))
         .filter(col("n_matched") >= 3)
         .select(col("doc_id"), col("source"), col("n_matched"))
       val q = alerts.writeStream
@@ -1586,37 +1559,13 @@ object TextQueries {
 
   /** Shared DuckDB CTE chain mirroring [[bm25PerDoc]] — ends with `per`
     * (per-doc n_terms_hit + detsum'd BM25 score); includes `docs` and
-    * `rvocab`. Shared by the q76 and q76b oracles exactly like the Spark
-    * helper is shared by the two queries. */
+    * `rvocab`. ONE scoring definition: [[bm25CtesOver]] with the empty tag
+    * over the body token stream, so the q76-family oracles and q86's
+    * per-field instances can never drift apart on the formula. */
   private val bm25PerCtes =
     s"""$docsCte,
-       |t AS (SELECT doc_id, UNNEST(toks) AS tok FROM docs),
-       |dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
-       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
        |$rankedVocabCte,
-       |qt1 AS MATERIALIZED (
-       |  SELECT term AS tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
-       |         CAST(2 * df + 1 AS BIGINT) AS den, avgdl
-       |  FROM rvocab, stats WHERE r BETWEEN $QLo AND $QHi
-       |),
-       |${graft.functions.detlog.log2SqlCtes("qt1", "num", "lgn", "qn")},
-       |${graft.functions.detlog.log2SqlCtes("qnfin", "den", "lgd", "qd")},
-       |qidf AS (SELECT tok, lgn - lgd AS idf, avgdl FROM qdfin),
-       |tf AS (
-       |  SELECT t.doc_id, t.tok, COUNT(*) AS tf
-       |  FROM t JOIN qidf ON t.tok = qidf.tok GROUP BY 1, 2
-       |),
-       |sc AS (
-       |  SELECT tf.doc_id,
-       |         qidf.idf * ((CAST(tf.tf AS DOUBLE) * 2.2e0) /
-       |           (CAST(tf.tf AS DOUBLE) +
-       |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / qidf.avgdl))) AS score_t
-       |  FROM tf JOIN qidf ON tf.tok = qidf.tok JOIN dl ON tf.doc_id = dl.doc_id
-       |),
-       |per AS (
-       |  SELECT doc_id, COUNT(*) AS n_terms_hit, ${graft.functions.detsum.sumDetSql("score_t", 9)} AS score
-       |  FROM sc GROUP BY doc_id
-       |)""".stripMargin
+       |${bm25CtesOver("", "SELECT doc_id, UNNEST(toks) AS tok FROM docs")}""".stripMargin
 
   /** Shared DuckDB mirror of [[langPred]] — ends with `pred` (per-doc
     * lang/lang_pred/stopword counts); shared by the q40 and q40b oracles. */
