@@ -96,10 +96,13 @@ object TextQueries {
     * Returns (doc_id, n_terms_hit, score). */
   private def bm25PerDoc(s: SparkSession, d: String): DataFrame =
     // scan-spreading repartition before the token explode (the q72/
-    // unigramXent discipline against single-split corpus files)
+    // unigramXent discipline against single-split corpus files); df
+    // straight from the ranked vocab — no extra corpus scan
     bm25ScoredOver(s, d,
       docs(s, d).repartition(col("doc_id"))
-        .select(col("doc_id"), explode(col("toks")).as("tok")))
+        .select(col("doc_id"), explode(col("toks")).as("tok")),
+      rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QHi)
+        .select(col("term").as("tok"), col("df")))
 
   /** Exact adjacent-pair count of (w1, w2) in a token array — ES
     * match_phrase tf at slop 0. A pure array HOF: positions never leave
@@ -145,25 +148,23 @@ object TextQueries {
     * (body-ranked terms [[QLo]]..[[QHi]] — the query string is what it is)
     * against an arbitrary token stream `t` = (doc_id, tok) using the
     * FIELD's own statistics (dl, avgdl, df) — ES scores each field of a
-    * multi_match independently. df computes from the stream itself
-    * (distinct docs per term), which for the body stream equals
-    * rankedVocab's df exactly. Literals are spelled as decimal literals on
-    * BOTH sides (Scala `k1 + 1` computes 2.1999…956, a DIFFERENT double
-    * than the parsed literal 2.2 — the oracle must see the identical
-    * bits). Returns (doc_id, n_terms_hit, score). */
-  private def bm25ScoredOver(s: SparkSession, d: String, t: DataFrame): DataFrame = {
+    * multi_match independently. The query-term df table (tok, df) is
+    * INJECTED: the body field passes rankedVocab's df directly (no extra
+    * corpus scan — the pre-consolidation q76 plan), the title field passes
+    * a stream-derived df (distinct docs per term over the
+    * broadcast-filtered stream); both are "docs containing the term in
+    * this field". Literals are spelled as decimal literals on BOTH sides
+    * (Scala `k1 + 1` computes 2.1999…956, a DIFFERENT double than the
+    * parsed literal 2.2 — the oracle must see the identical bits).
+    * Returns (doc_id, n_terms_hit, score). */
+  private def bm25ScoredOver(s: SparkSession, d: String, t: DataFrame, qdf: DataFrame): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val qsel = rankedVocab(s, d)
-      .filter(col("r") >= QLo && col("r") <= QHi)
-      .select(col("term").as("tok"))
-    val qterms = t.select(col("doc_id"), col("tok")).distinct()
-      .join(broadcast(qsel), Seq("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qterms = qdf
       .crossJoin(broadcast(stats))
       .withColumn("num", lit(2L) * col("n_docs") + lit(2L))
       .withColumn("den", lit(2L) * col("df") + lit(1L))
@@ -185,20 +186,18 @@ object TextQueries {
   }
 
   /** DuckDB mirror of [[bm25ScoredOver]] — tagged CTE chain (t$tag …
-    * per$tag) over a caller-supplied token-stream SQL body; assumes `docs`
-    * and `rvocab` CTEs in scope. Two instances compose in one q86 query. */
-  private def bm25CtesOver(tag: String, tSql: String): String =
+    * per$tag) over caller-supplied token-stream and query-df SQL bodies
+    * (`qdfSql` yields (tok, df), mirroring the injected df table); assumes
+    * `docs` and `rvocab` CTEs in scope. Two instances compose in one q86
+    * query. */
+  private def bm25CtesOver(tag: String, tSql: String, qdfSql: String): String =
     s"""t$tag AS MATERIALIZED ($tSql),
        |dl$tag AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM t$tag GROUP BY doc_id),
        |stats$tag AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl$tag),
        |qt1$tag AS MATERIALIZED (
        |  SELECT qdf.tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
        |         CAST(2 * qdf.df + 1 AS BIGINT) AS den, avgdl
-       |  FROM (
-       |    SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM t$tag) dt
-       |    JOIN rvocab ON dt.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
-       |    GROUP BY tok
-       |  ) qdf, stats$tag
+       |  FROM ($qdfSql) qdf, stats$tag
        |),
        |${graft.functions.detlog.log2SqlCtes(s"qt1$tag", "num", "lgn", s"qn$tag")},
        |${graft.functions.detlog.log2SqlCtes(s"qn${tag}fin", "den", "lgd", s"qd$tag")},
@@ -978,12 +977,17 @@ object TextQueries {
     // sets: a doc matching only one field still ranks.
     "q86_multi_match" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val body = docs(s, d).repartition(col("doc_id"))
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
       val title = docs(s, d).repartition(col("doc_id"))
         .select(col("doc_id"), explode(slice(col("toks"), 1, 8)).as("tok"))
-      val perB = bm25ScoredOver(s, d, body).select(col("doc_id"), col("score").as("s_body0"))
-      val perT = bm25ScoredOver(s, d, title)
+      // title df derives from the title stream itself (broadcast-filter
+      // BEFORE the distinct, so the dedup is ≤ docs×5 rows)
+      val qsel = rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QHi)
+        .select(col("term").as("tok"))
+      val titleDf = title.join(broadcast(qsel), Seq("tok"))
+        .select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val perB = bm25PerDoc(s, d).select(col("doc_id"), col("score").as("s_body0"))
+      val perT = bm25ScoredOver(s, d, title, titleDf)
         .select(col("doc_id"), (lit(2.0) * col("score")).as("s_title0"))
       perB.join(perT, Seq("doc_id"), "full_outer")
         .withColumn("s_body", coalesce(col("s_body0"), lit(0.0)))
@@ -1565,7 +1569,8 @@ object TextQueries {
   private val bm25PerCtes =
     s"""$docsCte,
        |$rankedVocabCte,
-       |${bm25CtesOver("", "SELECT doc_id, UNNEST(toks) AS tok FROM docs")}""".stripMargin
+       |${bm25CtesOver("", "SELECT doc_id, UNNEST(toks) AS tok FROM docs",
+          s"SELECT term AS tok, df FROM rvocab WHERE r BETWEEN $QLo AND $QHi")}""".stripMargin
 
   /** Shared DuckDB mirror of [[langPred]] — ends with `pred` (per-doc
     * lang/lang_pred/stopword counts); shared by the q40 and q40b oracles. */
@@ -2009,8 +2014,13 @@ object TextQueries {
     "q86_multi_match" ->
       s"""WITH $docsCte,
          |$rankedVocabCte,
-         |${bm25CtesOver("_b", "SELECT doc_id, UNNEST(toks) AS tok FROM docs")},
-         |${bm25CtesOver("_t", "SELECT doc_id, UNNEST(toks[1:8]) AS tok FROM docs")},
+         |${bm25CtesOver("_b", "SELECT doc_id, UNNEST(toks) AS tok FROM docs",
+            s"SELECT term AS tok, df FROM rvocab WHERE r BETWEEN $QLo AND $QHi")},
+         |${bm25CtesOver("_t", "SELECT doc_id, UNNEST(toks[1:8]) AS tok FROM docs",
+            s"""SELECT tok, COUNT(*) AS df FROM (
+               |      SELECT DISTINCT dt.doc_id, dt.tok FROM t_t dt
+               |      JOIN rvocab ON dt.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
+               |    ) GROUP BY tok""".stripMargin)},
          |f AS (
          |  SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
          |         COALESCE(b.score, 0.0e0) AS s_body,
