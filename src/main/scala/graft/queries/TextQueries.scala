@@ -87,6 +87,10 @@ object TextQueries {
   private val QLo = 11
   private val QHi = 15
 
+  /** The body field's query-term df SQL — ONE copy feeding both
+    * bm25PerCtes and q86's body instance. */
+  private def bodyQdfSql = s"SELECT term AS tok, df FROM rvocab WHERE r BETWEEN $QLo AND $QHi"
+
   /** Per-doc BM25 score for the deterministic 5-term query (vocab ranks
     * [[QLo]]..[[QHi]]) against the BODY field — the first-pass retrieval
     * shared by q76/q76b/q76c/q80/q82/q83/q84. ONE scoring definition: this
@@ -153,7 +157,12 @@ object TextQueries {
     * corpus scan — the pre-consolidation q76 plan), the title field passes
     * a stream-derived df (distinct docs per term over the
     * broadcast-filtered stream); both are "docs containing the term in
-    * this field". Literals are spelled as decimal literals on BOTH sides
+    * this field". PAIRING IS THE CALLER'S CONTRACT: `qdf` must be the df
+    * of `t`'s own field — a mis-paired call (body df with a title stream)
+    * scores silently wrong (df can exceed the field's doc count, flipping
+    * idf negative), which is why the only call sites are the two adjacent
+    * constructors (bm25PerDoc, q86's title instance) and new fields must
+    * add theirs alongside. Literals are spelled as decimal literals on BOTH sides
     * (Scala `k1 + 1` computes 2.1999…956, a DIFFERENT double than the
     * parsed literal 2.2 — the oracle must see the identical bits).
     * Returns (doc_id, n_terms_hit, score). */
@@ -187,10 +196,12 @@ object TextQueries {
 
   /** DuckDB mirror of [[bm25ScoredOver]] — tagged CTE chain (t$tag …
     * per$tag) over caller-supplied token-stream and query-df SQL bodies
-    * (`qdfSql` yields (tok, df), mirroring the injected df table); assumes
-    * `docs` and `rvocab` CTEs in scope. Two instances compose in one q86
-    * query. */
-  private def bm25CtesOver(tag: String, tSql: String, qdfSql: String): String =
+    * (`qdfSql` yields (tok, df), mirroring the injected df table; the
+    * placeholder %T% in it resolves to this instance's own stream CTE, so
+    * the coupling to the tag is explicit); assumes `docs` and `rvocab`
+    * CTEs in scope. Two instances compose in one q86 query. */
+  private def bm25CtesOver(tag: String, tSql: String, qdfSql0: String): String = {
+    val qdfSql = qdfSql0.replace("%T%", s"t$tag")
     s"""t$tag AS MATERIALIZED ($tSql),
        |dl$tag AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM t$tag GROUP BY doc_id),
        |stats$tag AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl$tag),
@@ -217,6 +228,7 @@ object TextQueries {
        |  SELECT doc_id, COUNT(*) AS n_terms_hit, ${graft.functions.detsum.sumDetSql("score_t", 9)} AS score
        |  FROM sc$tag GROUP BY doc_id
        |)""".stripMargin
+  }
 
   /** [[bm25PerDoc]] joined with the detlog length factor log2(1+doc_length)
     * — ONE definition shared by q76c (function_score) and q83 (the second
@@ -1569,8 +1581,7 @@ object TextQueries {
   private val bm25PerCtes =
     s"""$docsCte,
        |$rankedVocabCte,
-       |${bm25CtesOver("", "SELECT doc_id, UNNEST(toks) AS tok FROM docs",
-          s"SELECT term AS tok, df FROM rvocab WHERE r BETWEEN $QLo AND $QHi")}""".stripMargin
+       |${bm25CtesOver("", "SELECT doc_id, UNNEST(toks) AS tok FROM docs", bodyQdfSql)}""".stripMargin
 
   /** Shared DuckDB mirror of [[langPred]] — ends with `pred` (per-doc
     * lang/lang_pred/stopword counts); shared by the q40 and q40b oracles. */
@@ -2014,11 +2025,10 @@ object TextQueries {
     "q86_multi_match" ->
       s"""WITH $docsCte,
          |$rankedVocabCte,
-         |${bm25CtesOver("_b", "SELECT doc_id, UNNEST(toks) AS tok FROM docs",
-            s"SELECT term AS tok, df FROM rvocab WHERE r BETWEEN $QLo AND $QHi")},
+         |${bm25CtesOver("_b", "SELECT doc_id, UNNEST(toks) AS tok FROM docs", bodyQdfSql)},
          |${bm25CtesOver("_t", "SELECT doc_id, UNNEST(toks[1:8]) AS tok FROM docs",
             s"""SELECT tok, COUNT(*) AS df FROM (
-               |      SELECT DISTINCT dt.doc_id, dt.tok FROM t_t dt
+               |      SELECT DISTINCT dt.doc_id, dt.tok FROM %T% dt
                |      JOIN rvocab ON dt.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
                |    ) GROUP BY tok""".stripMargin)},
          |f AS (
