@@ -428,6 +428,21 @@ class PlanSpec extends AnyFunSuite {
       "the 1-row negative-term pair must broadcast")
   }
 
+  test("q86: per-field scoring joins broadcast, never a cartesian") {
+    val p = plan("q86_multi_match")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "query-term and idf tables must broadcast")
+  }
+
+  test("st15: the streaming alert map is stateless — no state store in the plan") {
+    // the batch-side probe: the same alerts transform over a batch frame
+    // must plan without aggregation state; the streaming run itself is
+    // gated by its append-mode start succeeding (stateful ops would
+    // require watermarks here)
+    val p = plan("q79_terms_set")
+    assert(!p.contains("StateStore"), "terms_set matching must not be stateful")
+  }
+
   test("q30c: span dedup shuffles only hashes (exchanges: spread + one hash aggregation)") {
     val p = plan("q30c_dedup_span")
     // scan-spreading repartition, the span_hash partial/final aggregation,
