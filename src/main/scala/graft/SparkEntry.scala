@@ -30,7 +30,29 @@ object SparkEntry {
         "mm05_audio_windows" -> ((s, d) =>
           graft.operators.Multimodal.audioPipeline(Tables(s, d, "documents"))),
         "mm06_media_info" -> ((s, d) =>
-          graft.operators.Multimodal.mediaInfo(Tables(s, d, "documents"))))
+          graft.operators.Multimodal.mediaInfo(Tables(s, d, "documents"))),
+        // Multimodal decode AT INGEST — the streaming×multimodal cell:
+        // arriving docs get their payload synthesized + STRICTLY decoded
+        // mid-stream by mm06's exact map (stateless, no state store), and
+        // the audited rows land in append mode. Shares mm06's arithmetic
+        // oracle verbatim: a hash match proves streaming decode emits
+        // row-identical audits to the batch pipeline.
+        "st16_media_info_stream" -> ((s, d) => {
+          import org.apache.spark.sql.streaming.Trigger
+          val spool = IngestQueries.scratchDir("graft_doc_spool_st16")
+          Tables(s, d, "documents").repartition(4)
+            .write.mode("overwrite").parquet(spool.toString)
+          val src = s.readStream
+            .schema(Tables(s, d, "documents").schema)
+            .parquet(spool.toString)
+          val q = graft.operators.Multimodal.mediaInfo(src).writeStream
+            .format("memory").queryName("st16_mem")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table("st16_mem")
+        }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */
@@ -43,8 +65,12 @@ object SparkEntry {
         // arithmetically (geometry from (doc_id, n_chars), lossless raster
         // sum from the cycled text bytes) — it never parses a container, so
         // a hash match proves the Spark-side writers+parsers round-trip
-        // them. See graft.operators.Multimodal.mediaInfo.
-        "mm06_media_info" ->
+        // them. See graft.operators.Multimodal.mediaInfo. st16 shares it
+        // verbatim (streaming decode must be row-identical to batch).
+        "st16_media_info_stream" -> mm06OracleSql,
+        "mm06_media_info" -> mm06OracleSql)
+
+  private val mm06OracleSql =
           """WITH m AS (
             |  SELECT doc_id,
             |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
@@ -67,5 +93,5 @@ object SparkEntry {
             |                 CASE WHEN n_bytes % len = 0 THEN 0
             |                      ELSE CAST(list_sum(list_transform(string_split(substr(text, 1, CAST(n_bytes % len AS INTEGER)), ''), c -> unicode(c))) AS BIGINT) END
             |       END AS raster_sum
-            |FROM b""".stripMargin)
+            |FROM b""".stripMargin
 }

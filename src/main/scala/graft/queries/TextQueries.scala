@@ -979,6 +979,36 @@ object TextQueries {
           col("score"), col("factor"), col("final"))
     }),
 
+    // ES `fuzzy` query: RETRIEVAL by approximate term match (fuzziness=1)
+    // — distinct from q67's suggester, which ranks corrections; fuzzy
+    // expands the query term to every vocab term within edit distance 1
+    // and retrieves the docs containing any expansion (the Lucene
+    // FuzzyQuery rewrite). Queries are deterministic single-char-deletion
+    // typos of the 3 rarest length≥5 terms, so exact match alone finds
+    // nothing and the expansion does the work. The tiny typo×vocab
+    // product broadcasts; the doc token stream joins it once — docs never
+    // pay a per-doc edit-distance scan.
+    "q87_fuzzy" -> ((s: SparkSession, d: String) => {
+      val vocab = docs(s, d)
+        .select(explode(array_distinct(col("toks"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val fq = vocab.filter(length(col("term")) >= 5)
+        .orderBy(col("df").asc, col("term").asc).limit(3)
+        .select(concat(substring(col("term"), 1, 1), expr("substring(term, 3)")).as("q"))
+        .distinct()
+      val expansion = vocab.crossJoin(broadcast(fq))
+        .filter(levenshtein(col("q"), col("term")) <= 1)
+        .select(col("q"), col("term"))
+      docs(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+        .join(broadcast(expansion), Seq("term"))
+        .groupBy(col("q"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("n_term_docs"))
+    }),
+
     // ES `multi_match` (type best_fields ≡ `dis_max` over per-field
     // queries): fields = [title^2, body], where title is the doc's first 8
     // tokens (a DERIVED field, the geo-coordinate convention — the corpus
@@ -2022,6 +2052,27 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
          |       doc_id, CAST(dl1 - 1 AS BIGINT) AS dl, score, factor, final
          |FROM fin QUALIFY rank <= 20""".stripMargin,
+    "q87_fuzzy" ->
+      s"""WITH $docsCte,
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) GROUP BY term
+         |),
+         |fq AS (
+         |  SELECT DISTINCT substring(term, 1, 1) || substring(term, 3) AS q FROM (
+         |    SELECT term FROM vocab WHERE length(term) >= 5
+         |    ORDER BY df ASC, term ASC LIMIT 3
+         |  )
+         |),
+         |expansion AS (
+         |  SELECT fq.q, v.term FROM vocab v, fq WHERE levenshtein(fq.q, v.term) <= 1
+         |),
+         |t AS (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs)
+         |SELECT e.q, COUNT(DISTINCT t.doc_id) AS n_docs,
+         |       COUNT(DISTINCT t.term) AS n_terms, COUNT(*) AS n_term_docs
+         |FROM t JOIN expansion e ON t.term = e.term
+         |GROUP BY e.q""".stripMargin,
     "q86_multi_match" ->
       s"""WITH $docsCte,
          |$rankedVocabCte,

@@ -185,6 +185,30 @@ class TextSurfaceSpec extends AnyFunSuite {
       "no top hit has any body match — the body field is dead weight")
   }
 
+  test("q87 fuzzy: typo queries are non-vocab yet retrieve docs through the expansion") {
+    val vocab = queries.Tables(spark, sf, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val out = SparkEntry.queries("q87_fuzzy")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(!vocab.contains(r.getAs[String]("q")),
+        s"typo '${r.getAs[String]("q")}' is a real vocab term — exact match could explain the hits")
+      assert(r.getAs[Long]("n_docs") > 0, "fuzzy expansion retrieved nothing")
+      assert(r.getAs[Long]("n_terms") >= 1)
+      assert(r.getAs[Long]("n_term_docs") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("st16: streaming media audit is row-identical to batch mm06") {
+    val batch = SparkEntry.queries("mm06_media_info")(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val stream = SparkEntry.queries("st16_media_info_stream")(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty && stream == batch,
+      "streaming decode diverged from the batch audit")
+  }
+
   test("q63b bigram LM: backoff fires on held-out sources and only there") {
     val out = SparkEntry.queries("q63b_bigram_logprob")(spark, sf).collect()
     assert(out.nonEmpty)
