@@ -5,8 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
-  * Query implementations live in graft.queries.*; this object only
-  * aggregates the registries. */
+  * Query implementations live in graft.queries.*; this object aggregates
+  * the registries (the multimodal entries are thin compositions of
+  * graft.operators.Multimodal with the shared streaming scaffold). */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -37,22 +38,10 @@ object SparkEntry {
         // the audited rows land in append mode. Shares mm06's arithmetic
         // oracle verbatim: a hash match proves streaming decode emits
         // row-identical audits to the batch pipeline.
-        "st16_media_info_stream" -> ((s, d) => {
-          import org.apache.spark.sql.streaming.Trigger
-          val spool = IngestQueries.scratchDir("graft_doc_spool_st16")
-          Tables(s, d, "documents").repartition(4)
-            .write.mode("overwrite").parquet(spool.toString)
-          val src = s.readStream
-            .schema(Tables(s, d, "documents").schema)
-            .parquet(spool.toString)
-          val q = graft.operators.Multimodal.mediaInfo(src).writeStream
-            .format("memory").queryName("st16_mem")
-            .outputMode("append")
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          s.table("st16_mem")
-        }))
+        "st16_media_info_stream" -> ((s, d) =>
+          TextQueries.streamToMemory(
+            graft.operators.Multimodal.mediaInfo(TextQueries.docStream(s, d, "st16")),
+            "st16_mem", "append")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */

@@ -301,17 +301,50 @@ object TextQueries {
       .groupBy(col("rule_id"), col("term"), col("min_toks"))
       .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))
 
-  /** st14's streaming aggregate, exposed unstarted so PlanSpec can gate the
-    * physical join shape of the exact streaming DataFrame the query runs. */
-  private[graft] def st14StreamAgg(s: SparkSession, d: String): DataFrame = {
-    val spool = IngestQueries.scratchDir("graft_doc_spool_st14")
+  /** Spool the documents table and open it as a file stream with tokens
+    * attached — the ONE doc-stream scaffold behind st13/st14/st15/st16
+    * (the testdata table is a single parquet file; the file stream source
+    * wants a directory feed, and the multi-file spool gives several
+    * micro-batch splits). */
+  private[graft] def docStream(s: SparkSession, d: String, name: String): DataFrame = {
+    val spool = IngestQueries.scratchDir(s"graft_doc_spool_$name")
     Tables(s, d, "documents").repartition(4).write.mode("overwrite").parquet(spool.toString)
-    val src = s.readStream
+    s.readStream
       .schema(Tables(s, d, "documents").schema)
       .parquet(spool.toString)
       .withColumn("toks", text.tokens(col("text")))
-    percolateInvertedAgg(src, percolateRules(s, d))
   }
+
+  /** Run a streaming frame to completion into a memory sink and return the
+    * sink table — the shared AvailableNow harness tail. */
+  private[graft] def streamToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** st14's streaming aggregate, exposed unstarted so PlanSpec can gate the
+    * physical join shape of the exact streaming DataFrame the query runs. */
+  private[graft] def st14StreamAgg(s: SparkSession, d: String): DataFrame =
+    percolateInvertedAgg(docStream(s, d, "st14"), percolateRules(s, d))
+
+  /** st15's query-term set (the BM25 window terms, sorted) — driver
+    * literals by the centroids convention. */
+  private[graft] def termsSetQueryTerms(s: SparkSession, d: String): Seq[String] =
+    rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QHi)
+      .orderBy(col("term").asc).select(col("term")).collect().map(_.getString(0)).toSeq
+
+  /** st15's stateless alert map over a doc frame (batch OR streaming) —
+    * factored so PlanSpec gates the batch plan of the EXACT transform the
+    * stream runs (a pure projection: no aggregate, no exchange). */
+  private[graft] def termsSetAlerts(src: DataFrame, terms: Seq[String]): DataFrame =
+    src.withColumn("n_matched",
+        // array_intersect already dedups — no array_distinct pre-pass
+        size(array_intersect(col("toks"), array(terms.map(lit): _*))).cast("long"))
+      .filter(col("n_matched") >= 3)
+      .select(col("doc_id"), col("source"), col("n_matched"))
 
   /** The q41 quality-score map (stateless — reused verbatim by the st13
     * streaming form; input needs `doc_id`, `text`, `toks`). */
@@ -519,25 +552,8 @@ object TextQueries {
     // store), the shape a collector uses to tag arriving docs before they
     // land. Append mode; shares q41's oracle, so a hash match proves the
     // streaming map is row-identical to the batch operator.
-    "st13_stream_quality" -> ((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.streaming.Trigger
-      // the testdata table is a single parquet file; the file stream source
-      // wants a directory feed — spool it (multi-file, so several
-      // micro-batch splits exercise the map)
-      val spool = IngestQueries.scratchDir("graft_doc_spool_st13")
-      Tables(s, d, "documents").repartition(4).write.mode("overwrite").parquet(spool.toString)
-      val src = s.readStream
-        .schema(Tables(s, d, "documents").schema)
-        .parquet(spool.toString)
-        .withColumn("toks", text.tokens(col("text")))
-      val q = qualityScore(src).writeStream
-        .format("memory").queryName("st13_mem")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("st13_mem")
-    }),
+    "st13_stream_quality" -> ((s: SparkSession, d: String) =>
+      streamToMemory(qualityScore(docStream(s, d, "st13")), "st13_mem", "append")),
 
     // terms_set alerting AT INGEST (the always-on form of q79): the tiny
     // deterministic term set enters the doc stream as a LITERAL array (the
@@ -547,30 +563,10 @@ object TextQueries {
     // append-mode alerts. No state store; the full alert set is
     // deterministic, so the oracle is q79's SQL without the top-20 window
     // — a hash match proves streaming alerting equals the batch query.
-    "st15_terms_set_stream" -> ((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val terms = rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QHi)
-        .orderBy(col("term").asc).select(col("term")).collect().map(_.getString(0))
-      val spool = IngestQueries.scratchDir("graft_doc_spool_st15")
-      Tables(s, d, "documents").repartition(4).write.mode("overwrite").parquet(spool.toString)
-      val src = s.readStream
-        .schema(Tables(s, d, "documents").schema)
-        .parquet(spool.toString)
-        .withColumn("toks", text.tokens(col("text")))
-      val alerts = src
-        .withColumn("n_matched",
-          // array_intersect already dedups — no array_distinct pre-pass
-          size(array_intersect(col("toks"), array(terms.map(lit): _*))).cast("long"))
-        .filter(col("n_matched") >= 3)
-        .select(col("doc_id"), col("source"), col("n_matched"))
-      val q = alerts.writeStream
-        .format("memory").queryName("st15_mem")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("st15_mem")
-    }),
+    "st15_terms_set_stream" -> ((s: SparkSession, d: String) =>
+      streamToMemory(
+        termsSetAlerts(docStream(s, d, "st15"), termsSetQueryTerms(s, d)),
+        "st15_mem", "append")),
 
     "q42_token_count" -> ((s: SparkSession, d: String) => {
       docs(s, d)
@@ -984,18 +980,24 @@ object TextQueries {
     // expands the query term to every vocab term within edit distance 1
     // and retrieves the docs containing any expansion (the Lucene
     // FuzzyQuery rewrite). Queries are deterministic single-char-deletion
-    // typos of the 3 rarest length≥5 terms, so exact match alone finds
-    // nothing and the expansion does the work. The tiny typo×vocab
-    // product broadcasts; the doc token stream joins it once — docs never
-    // pay a per-doc edit-distance scan.
+    // typos of the 3 rarest length≥5 terms, anti-joined against the vocab
+    // so the non-vocab premise is STRUCTURAL (a deletion that collides
+    // with a real term is dropped, not silently matched exactly) — exact
+    // match alone finds nothing and the expansion does the work. The tiny
+    // typo×vocab product broadcasts; the doc token stream joins it once —
+    // docs never pay a per-doc edit-distance scan. The vocab table
+    // (vocab-sized) materializes once and feeds both the typo derivation
+    // and the expansion.
     "q87_fuzzy" -> ((s: SparkSession, d: String) => {
       val vocab = docs(s, d)
         .select(explode(array_distinct(col("toks"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .localCheckpoint(true)
       val fq = vocab.filter(length(col("term")) >= 5)
         .orderBy(col("df").asc, col("term").asc).limit(3)
         .select(concat(substring(col("term"), 1, 1), expr("substring(term, 3)")).as("q"))
         .distinct()
+        .join(vocab.select(col("term").as("q")), Seq("q"), "left_anti")
       val expansion = vocab.crossJoin(broadcast(fq))
         .filter(levenshtein(col("q"), col("term")) <= 1)
         .select(col("q"), col("term"))
@@ -2060,10 +2062,12 @@ object TextQueries {
          |  ) GROUP BY term
          |),
          |fq AS (
-         |  SELECT DISTINCT substring(term, 1, 1) || substring(term, 3) AS q FROM (
-         |    SELECT term FROM vocab WHERE length(term) >= 5
-         |    ORDER BY df ASC, term ASC LIMIT 3
-         |  )
+         |  SELECT DISTINCT q FROM (
+         |    SELECT substring(term, 1, 1) || substring(term, 3) AS q FROM (
+         |      SELECT term FROM vocab WHERE length(term) >= 5
+         |      ORDER BY df ASC, term ASC LIMIT 3
+         |    )
+         |  ) WHERE q NOT IN (SELECT term FROM vocab)
          |),
          |expansion AS (
          |  SELECT fq.q, v.term FROM vocab v, fq WHERE levenshtein(fq.q, v.term) <= 1

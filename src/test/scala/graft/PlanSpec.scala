@@ -434,13 +434,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "query-term and idf tables must broadcast")
   }
 
-  test("st15: the streaming alert map is stateless — no state store in the plan") {
-    // the batch-side probe: the same alerts transform over a batch frame
-    // must plan without aggregation state; the streaming run itself is
-    // gated by its append-mode start succeeding (stateful ops would
-    // require watermarks here)
-    val p = plan("q79_terms_set")
-    assert(!p.contains("StateStore"), "terms_set matching must not be stateful")
+  test("st15: the alert transform is a pure projection — no aggregate, no exchange") {
+    // the EXACT transform the stream runs (termsSetAlerts), planned over a
+    // batch frame: stateless-ness of the streaming query follows because
+    // an aggregate/exchange here would be a state-store op there
+    import org.apache.spark.sql.functions.col
+    val src = queries.Tables(spark, sf, "documents")
+      .withColumn("toks", graft.functions.text.tokens(col("text")))
+    val terms = queries.TextQueries.termsSetQueryTerms(spark, sf)
+    val p = queries.TextQueries.termsSetAlerts(src, terms)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange") && !p.contains("Aggregate"),
+      "the alert map must stay a stateless projection")
   }
 
   test("q30c: span dedup shuffles only hashes (exchanges: spread + one hash aggregation)") {
