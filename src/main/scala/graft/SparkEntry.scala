@@ -65,7 +65,11 @@ object SparkEntry {
             |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
             |         CAST(n_chars % 64 + 16 AS BIGINT) AS width,
             |         CAST(doc_id % 48 + 16 AS BIGINT) AS height,
-            |         text, CAST(length(text) AS BIGINT) AS len
+            |         -- COALESCE mirrors the Scala null guard (cycleBytes of
+            |         -- a NULL text is a zeroed raster, sum 0) so a NULL-text
+            |         -- corpus can't produce a spurious mismatch
+            |         COALESCE(text, '') AS text,
+            |         CAST(length(COALESCE(text, '')) AS BIGINT) AS len
             |  FROM documents
             |),
             |b AS (

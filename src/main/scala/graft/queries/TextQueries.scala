@@ -703,9 +703,14 @@ object TextQueries {
         .select(col("lgnv"), col("lg5nv"))
       docs(s, d).repartition(col("doc_id"))
         .select(col("doc_id"), col("source"),
-          explode(transform(sequence(lit(1), size(col("toks"))),
-            i => struct(element_at(col("toks"), i).as("tok"),
-              when(i > lit(1), element_at(col("toks"), i - 1)).as("prev")))).as("x"))
+          // size>=1 guard (the phraseTf/shingles discipline): sequence(1,0)
+          // counts DOWN and element_at(toks,0) would throw — don't depend
+          // on the tokenizer never emitting an empty array. `when` without
+          // otherwise yields null; explode(null) emits no rows.
+          explode(when(size(col("toks")) >= 1,
+            transform(sequence(lit(1), size(col("toks"))),
+              i => struct(element_at(col("toks"), i).as("tok"),
+                when(i > lit(1), element_at(col("toks"), i - 1)).as("prev"))))).as("x"))
         .select(col("doc_id"), col("source"), col("x.tok").as("tok"), col("x.prev").as("prev"))
         // concat propagates null: doc-start rows get g = null and miss the
         // bigram join by construction (mirrored by || in DuckDB)
@@ -980,7 +985,7 @@ object TextQueries {
     // expands the query term to every vocab term within edit distance 1
     // and retrieves the docs containing any expansion (the Lucene
     // FuzzyQuery rewrite). Queries are deterministic single-char-deletion
-    // typos of the 3 rarest length≥5 terms, anti-joined against the vocab
+    // typos of the rarest length≥5 terms, anti-joined against the vocab
     // so the non-vocab premise is STRUCTURAL (a deletion that collides
     // with a real term is dropped, not silently matched exactly) — exact
     // match alone finds nothing and the expansion does the work. The tiny
@@ -988,16 +993,27 @@ object TextQueries {
     // docs never pay a per-doc edit-distance scan. The vocab table
     // (vocab-sized) materializes once and feeds both the typo derivation
     // and the expansion.
+    // Typos derive from a POOL of the 10 rarest terms and the first 3
+    // surviving the vocab anti-join become the queries — on a corpus where
+    // some deletions collide with real terms the query set stays non-empty
+    // instead of going silently vacuous (round-10 ADVICE; the shipped
+    // corpus' 3 rarest all survive, so results are unchanged).
     "q87_fuzzy" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
       val vocab = docs(s, d)
         .select(explode(array_distinct(col("toks"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .localCheckpoint(true)
       val fq = vocab.filter(length(col("term")) >= 5)
-        .orderBy(col("df").asc, col("term").asc).limit(3)
-        .select(concat(substring(col("term"), 1, 1), expr("substring(term, 3)")).as("q"))
-        .distinct()
+        .orderBy(col("df").asc, col("term").asc).limit(10)
+        // pool rank BEFORE the typo projection: two pool terms can yield
+        // the same deletion — keep the earliest (tiny 10-row window)
+        .withColumn("rn", row_number().over(Window.orderBy(col("df").asc, col("term").asc)))
+        .select(concat(substring(col("term"), 1, 1), expr("substring(term, 3)")).as("q"), col("rn"))
+        .groupBy(col("q")).agg(min(col("rn")).as("rn"))
         .join(vocab.select(col("term").as("q")), Seq("q"), "left_anti")
+        .orderBy(col("rn").asc).limit(3)
+        .select(col("q"))
       val expansion = vocab.crossJoin(broadcast(fq))
         .filter(levenshtein(col("q"), col("term")) <= 1)
         .select(col("q"), col("term"))
@@ -1090,8 +1106,16 @@ object TextQueries {
       bm25PerDoc(s, d)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-        .withColumn("c_score", max(when(col("rank") === 20, col("score"))).over(all))
-        .withColumn("c_doc", max(when(col("rank") === 20, col("doc_id"))).over(all))
+        // EXPLICIT empty-page contract (round-10 ADVICE): with fewer than
+        // 20 scored docs there is no rank-20 cursor — the sentinel
+        // (-inf, MinValue) makes the keyset predicate false for every row
+        // by construction instead of by NULL-propagation
+        .withColumn("c_score", coalesce(
+          max(when(col("rank") === 20, col("score"))).over(all),
+          lit(Double.NegativeInfinity)))
+        .withColumn("c_doc", coalesce(
+          max(when(col("rank") === 20, col("doc_id"))).over(all),
+          lit(Long.MinValue)))
         .filter(col("score") < col("c_score") ||
           (col("score") === col("c_score") && col("doc_id") > col("c_doc")))
         .withColumn("page_rank",
@@ -2062,12 +2086,17 @@ object TextQueries {
          |  ) GROUP BY term
          |),
          |fq AS (
-         |  SELECT DISTINCT q FROM (
-         |    SELECT substring(term, 1, 1) || substring(term, 3) AS q FROM (
-         |      SELECT term FROM vocab WHERE length(term) >= 5
-         |      ORDER BY df ASC, term ASC LIMIT 3
-         |    )
+         |  -- pool of 10 rarest, first 3 deletion-typos surviving the
+         |  -- anti-join (mirrors the Spark-side robustness derivation)
+         |  SELECT q FROM (
+         |    SELECT q, MIN(rn) AS rn FROM (
+         |      SELECT substring(term, 1, 1) || substring(term, 3) AS q,
+         |             row_number() OVER (ORDER BY df ASC, term ASC) AS rn
+         |      FROM (SELECT term, df FROM vocab WHERE length(term) >= 5
+         |            ORDER BY df ASC, term ASC LIMIT 10)
+         |    ) GROUP BY q
          |  ) WHERE q NOT IN (SELECT term FROM vocab)
+         |  ORDER BY rn ASC LIMIT 3
          |),
          |expansion AS (
          |  SELECT fq.q, v.term FROM vocab v, fq WHERE levenshtein(fq.q, v.term) <= 1
@@ -2127,8 +2156,12 @@ object TextQueries {
          |  FROM per
          |),
          |cr AS (
-         |  SELECT *, MAX(CASE WHEN rank = 20 THEN score END) OVER () AS c_score,
-         |            MAX(CASE WHEN rank = 20 THEN doc_id END) OVER () AS c_doc
+         |  -- sentinel cursor = the Spark side's explicit empty-page
+         |  -- contract when fewer than 20 docs score
+         |  SELECT *, COALESCE(MAX(CASE WHEN rank = 20 THEN score END) OVER (),
+         |                     CAST('-infinity' AS DOUBLE)) AS c_score,
+         |            COALESCE(MAX(CASE WHEN rank = 20 THEN doc_id END) OVER (),
+         |                     -9223372036854775808) AS c_doc
          |  FROM rr
          |)
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS page_rank,
