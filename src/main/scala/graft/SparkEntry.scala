@@ -25,7 +25,7 @@ object SparkEntry {
         "mm02_frame_sample" -> ((s, d) =>
           graft.operators.Multimodal.framePipeline(Tables(s, d, "documents"))),
         "mm03_resize_grid" -> ((s, d) =>
-          graft.operators.Multimodal.resizePipeline(Tables(s, d, "documents"))),
+          graft.operators.Multimodal.resizeAudit(Tables(s, d, "documents"))),
         "mm04_phash_neardup" -> ((s, d) =>
           graft.operators.Multimodal.phashPairs(Tables(s, d, "documents"))),
         "mm05_audio_windows" -> ((s, d) =>
@@ -56,8 +56,16 @@ object SparkEntry {
         // a hash match proves the Spark-side writers+parsers round-trip
         // them. See graft.operators.Multimodal.mediaInfo. st16 shares it
         // verbatim (streaming decode must be row-identical to batch).
+        // mm03/mm04/mm05 (round 11) extend the same pattern to the resize
+        // grid, the aHash near-dup pipeline, and the audio windower —
+        // see graft.queries.MmOracle. Only mm01/mm02 (feature extraction
+        // over full codec output, incl. lossy JPEG rasters) remain
+        // rows-only, pinned by the committed-feature-hash spec instead.
         "st16_media_info_stream" -> mm06OracleSql,
-        "mm06_media_info" -> mm06OracleSql)
+        "mm06_media_info" -> mm06OracleSql,
+        "mm03_resize_grid" -> MmOracle.mm03Sql,
+        "mm04_phash_neardup" -> MmOracle.mm04Sql,
+        "mm05_audio_windows" -> MmOracle.mm05Sql)
 
   private val mm06OracleSql =
           """WITH m AS (

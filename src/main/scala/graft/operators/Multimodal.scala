@@ -259,6 +259,73 @@ object Multimodal {
   def resizePipeline(docs: DataFrame): DataFrame =
     resize(attachPayload(docs), outW = 16, outH = 16).toDF()
 
+  /** ORACLE-BACKED resize audit (the mm06 planted-geometry pattern applied
+    * to mm03): per doc, STRICT per-format decode (parse failure ⇒ -1s, the
+    * mediaInfo discipline — never the metadata-echoing stub), then the
+    * 16×16 nearest-neighbor grid over the decoded raster, reported as
+    * integer-exact features: the resized-byte sum and the two corner
+    * bytes. For the lossless containers the decoded raster IS the planted
+    * cycled-text bytes, so a DuckDB oracle recomputes every value from the
+    * documents table (`src = ((y·h/16)·w + x·w/16)·3 + ch`, byte =
+    * text[src mod len]) without parsing a container — a hash match proves
+    * the real writers+parsers round-trip pixels through the NN grid
+    * exactly. JPEG rows emit NULL pixel features by the same contract as
+    * mm06's raster_sum (entropy coding is lossy; its resize output is
+    * pinned by the ImageIO cross-validation spec instead); geometry
+    * columns verify for ALL rows. */
+  def resizeAudit(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val outW = 16
+    val outH = 16
+    attachPayload(docs)
+      .mapPartitions { it =>
+        it.map { r =>
+          val p = r.payload
+          val fmt =
+            if (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) "bmp"
+            else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte) "png"
+            else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+            else "unknown"
+          val dec = fmt match {
+            case "bmp"  => MediaCodec.decodeBmp(p)
+            case "png"  => MediaCodec.decodePng(p)
+            case "jpeg" => MediaCodec.decodeJpeg(p)
+            case _      => None
+          }
+          dec match {
+            case Some(di) if fmt == "png" || fmt == "bmp" =>
+              val (w, h, px) = (di.width, di.height, di.pixels)
+              var sum = 0L
+              var y = 0
+              while (y < outH) {
+                val sy = y * h / outH
+                var x = 0
+                while (x < outW) {
+                  val sx = x * w / outW
+                  var ch = 0
+                  while (ch < 3) { sum += px((sy * w + sx) * 3 + ch) & 0xff; ch += 1 }
+                  x += 1
+                }
+                y += 1
+              }
+              val tl = px(0) & 0xff
+              val br = px((((outH - 1) * h / outH) * w + (outW - 1) * w / outW) * 3 + 2) & 0xff
+              (r.doc_id, fmt, outW.toLong, outH.toLong, outW.toLong * outH * 3,
+                java.lang.Long.valueOf(sum), java.lang.Long.valueOf(tl.toLong),
+                java.lang.Long.valueOf(br.toLong))
+            case Some(_) => // jpeg: geometry verified, pixel features NULL by contract
+              (r.doc_id, fmt, outW.toLong, outH.toLong, outW.toLong * outH * 3,
+                null: java.lang.Long, null: java.lang.Long, null: java.lang.Long)
+            case None =>
+              (r.doc_id, fmt, -1L, -1L, -1L,
+                null: java.lang.Long, null: java.lang.Long, null: java.lang.Long)
+          }
+        }
+      }
+      .toDF("doc_id", "format", "out_w", "out_h", "n_bytes",
+        "resized_sum", "corner_tl", "corner_br")
+  }
+
   case class AudioWindow(doc_id: Long, win_idx: Int, rms: Double, zero_crossings: Int)
 
   /** Audio-style plumbing: the payload decoded to 16-bit PCM samples, framed
@@ -340,31 +407,36 @@ object Multimodal {
     * image mean → 64-bit hash. Visually-near images differ in few bits, so
     * image near-dup detection is Hamming distance on 8 bytes — the standard
     * image-dedup trick at corpus scale. Decode is [[decodeImage]] (real BMP
-    * parse, stub fallback); the hash math is the real aHash. */
+    * parse, stub fallback). The threshold is the INTEGER-EXACT form of the
+    * aHash rule: cell_gray > mean(gray) ⟺ 64·s_cell > Σ s (the channel
+    * divisor cancels) — identical bits to the floating form away from
+    * ties, no double rounding at the boundary, and arithmetic a SQL oracle
+    * replays exactly. */
   def perceptualHash(rows: Dataset[MediaRow]): Dataset[PHashRow] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
         val (w, h0, c, px) = decodeImage(r)
-        val g = new Array[Double](64)
+        val s = new Array[Long](64)
+        var tot = 0L
         var y = 0
         while (y < 8) {
           val sy = y * h0 / 8
           var x = 0
           while (x < 8) {
             val sx = x * w / 8
-            var s = 0
+            var cs = 0L
             var ch = 0
-            while (ch < c) { s += px((sy * w + sx) * c + ch) & 0xff; ch += 1 }
-            g(y * 8 + x) = s.toDouble / c
+            while (ch < c) { cs += px((sy * w + sx) * c + ch) & 0xff; ch += 1 }
+            s(y * 8 + x) = cs
+            tot += cs
             x += 1
           }
           y += 1
         }
-        val mean = g.sum / 64
         var h = 0L
         var i = 0
-        while (i < 64) { if (g(i) > mean) h |= (1L << i); i += 1 }
+        while (i < 64) { if (64L * s(i) > tot) h |= (1L << i); i += 1 }
         PHashRow(r.doc_id, h)
       }
     }
@@ -376,19 +448,26 @@ object Multimodal {
     * reports its candidate count and closest match by full Hamming. Same
     * bucketed shape as SimHash text dedup: only (chunk, key, id) crosses the
     * shuffle, never pixels. One row per doc — byte-identical images show
-    * best_hamming 0. */
+    * best_hamming 0. ORACLE-BACKED since round 11: the containers cycle
+    * over the LOSSLESS pair (PNG/BMP) only, so every decoded raster is the
+    * planted cycled-text bytes and a DuckDB oracle replays the whole
+    * pipeline — aHash bits, chunk buckets, candidate join, best-match
+    * argmin — from the documents table (JPEG aHash stays covered by the
+    * decoded-raster unit spec; an image DEDUP pass hashing lossy
+    * re-encodes would be measuring codec noise anyway). */
   def phashPairs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     // media dims AND container format derive from CONTENT (not doc_id) so
     // duplicate text makes byte-identical files — the property image dedup
-    // actually relies on; all three real parsers are exercised across the corpus
+    // actually relies on; both lossless parsers are exercised across the corpus
     val media = docs
       .repartition(col("doc_id")) // spread the CPU-bound per-row encode+hash
       .select(col("doc_id").cast("long"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
-        // selector = nChars: format choice derives from CONTENT here too
-        makeImageRow(id, selector = nChars, (nChars % 64 + 16).toInt, (nChars % 48 + 16).toInt, text)
+        // selector = nChars % 2: format choice derives from CONTENT, and the
+        // modulus keeps it inside {png, bmp} — the lossless containers
+        makeImageRow(id, selector = nChars % 2, (nChars % 64 + 16).toInt, (nChars % 48 + 16).toInt, text)
       }
     val hashes = perceptualHash(media).toDF()
     val chunked = hashes.select(
