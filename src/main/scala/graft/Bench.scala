@@ -2,8 +2,24 @@ package graft
 
 object Bench {
 
-  private def loadAvg: Double =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+  private val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  private def loadAvg: Double = os.getSystemLoadAverage
+
+  /** CPU fraction consumed by processes OTHER than this JVM since the last
+    * sample (both counters average over the inter-call interval). This is
+    * the contamination signal the load average can't give: the bench's own
+    * 32-thread work raises the load average, so a loadAvg threshold either
+    * flags clean runs or passes dirty ones (round 11's record spiked to
+    * load 7.0 mid-run — under the 0.25·nproc start threshold — and
+    * 2.9x-inflated untouched streaming queries). -1 when the platform
+    * can't say (the guard then falls back to the start-sample check). */
+  private def otherCpu: Double = {
+    val sys = os.getCpuLoad
+    val self = os.getProcessCpuLoad
+    if (sys < 0 || self < 0) -1.0 else math.max(0.0, sys - self)
+  }
 
   /** One concurrent coarse+PQ index build from scratch (the cluster shape:
     * two training pipelines sharing the scan cache, scheduled together).
@@ -32,7 +48,8 @@ object Bench {
     val nproc = Runtime.getRuntime.availableProcessors()
     val loadStart = loadAvg
     var loadMax = loadStart
-    val dirty = loadStart > 0.25 * nproc
+    otherCpu // prime the interval counters (first call has no baseline)
+    var otherMax = 0.0
     val spark = GraftSession.local()
     // One untimed warmup pass (JIT + codegen + parquet footer caching), then
     // time the steady-state run — per-query numbers are otherwise dominated
@@ -58,6 +75,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     loadMax = math.max(loadMax, loadAvg)
+    otherMax = math.max(otherMax, otherCpu)
     val indexBuild = ("vec_index_build", buildTimes.min)
     // min of two timed runs: GC pauses and thread scheduling add seconds of
     // one-sided noise on a shared 32-thread JVM; the min is the honest
@@ -70,6 +88,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       loadMax = math.max(loadMax, loadAvg)
+      otherMax = math.max(otherMax, otherCpu)
       // a failed query must not masquerade as a (fast) timing
       (name, if (failed) -1.0 else times.min)
     } :+ indexBuild
@@ -80,8 +99,17 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadAvg
     loadMax = math.max(loadMax, loadEnd) // the record's max covers every sample, loadEnd included
+    otherMax = math.max(otherMax, otherCpu)
+    // dirty gates on EVERY sample, not just the start one (the round-11
+    // hole: load was 2.7 at start, spiked to 7.0 mid-run, record passed).
+    // Primary signal: >10% of the machine's CPU went to other processes in
+    // some inter-query interval. Fallback when the JMX counters are
+    // unavailable: the original start-sample load check.
+    val dirty =
+      if (otherMax >= 0) otherMax > 0.10 || loadStart > 0.25 * nproc
+      else loadStart > 0.25 * nproc
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"nproc":$nproc,"dirty":$dirty}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"nproc":$nproc,"dirty":$dirty}"""
     println(record)
     // The driver captures only a 2000-char tail of stdout, which truncates
     // the 174-entry per-query map to its last third; persist the FULL

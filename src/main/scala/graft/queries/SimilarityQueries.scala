@@ -97,11 +97,12 @@ object SimilarityQueries {
       .select(col("list_id"), col("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
 
   /** IVF ANN: coarse quantizer = unsupervised k-means
-    * ([[graft.operators.KMeans]] — deterministic Lloyd's, 10 lists, 5
-    * rounds); every vector is assigned to its nearest centroid (inverted
-    * list); queries probe the 3 nearest lists only. At corpus scale each
-    * list is a partition-pruned slice — the classic IVF trade of recall for
-    * a ~nlists/nprobe scan reduction. The index (centroids + inverted
+    * ([[graft.operators.KMeans]] — deterministic Lloyd's, nlists from the
+    * √-corpus rule [[VecIndex.nlistsFor]], 5 rounds); every vector is
+    * assigned to its nearest centroid (inverted list); queries probe the 3
+    * nearest lists only. At corpus scale each list is a partition-pruned
+    * slice — the classic IVF trade of recall for a ~nprobe/nlists scan
+    * fraction, which the nlists rule keeps shrinking ≈1/√n. The index (centroids + inverted
     * lists) is built ONCE by [[VecIndex.coarse]] and shared with q37b —
     * the search plan sees only the literal centroid frame and the
     * materialized lists. Oracle-backed: VecOracle replays the whole index
@@ -122,12 +123,18 @@ object SimilarityQueries {
   private def q37(s: SparkSession, d: String): DataFrame = ivfSearch(s, d, nprobe = 3)
 
   /** The HIGH-RECALL IVF configuration (ES kNN parity is a recall claim:
-    * Lucene HNSW serves ~0.9+; the default 3-probe IVF measures 0.56).
+    * Lucene HNSW serves ~0.9+; the default 3-probe IVF measures 0.585).
     * nprobe comes from the committed ANN_RECALL.md sweep — the smallest
-    * probe depth whose measured recall@5 vs q35 brute force clears 0.9 at
-    * sf0.1 AND on the 10× derivation. Same train-once index, same search
-    * plan — recall is bought with scan fraction (nprobe/nlists of the
-    * corpus), the IVF contract. */
+    * probe depth whose measured recall@5 vs q35 brute force clears 0.9 on
+    * EVERY committed SF (0.960 / 1.000 / 0.915; sf0.1 binds — nprobe=7
+    * reads 0.855; SketchSpec gates the contract). Same train-once index,
+    * same search plan — recall is bought with scan fraction
+    * (nprobe/nlists of the corpus), the IVF contract; the
+    * [[VecIndex.nlistsFor]] √-corpus rule holds that fraction to ≤0.25
+    * beyond the smallest SFs instead of letting a fixed nlists degenerate
+    * the search toward brute force. What that fraction buys at scale
+    * depends on corpus clusterability — ANN_RECALL.md's decorrelated-10×
+    * measurement records the isotropic-corpus floor honestly. */
   private def q37c(s: SparkSession, d: String): DataFrame =
     ivfSearch(s, d, nprobe = HighRecallNprobe)
 
@@ -184,7 +191,7 @@ object SimilarityQueries {
   }
 
   /** IVF-PQ (the FAISS IVFADC shape): the IVF coarse quantizer prunes the
-    * scan to 3 of 10 lists, and within them distances are ASYMMETRIC —
+    * scan to the 3 probed lists, and within them distances are ASYMMETRIC —
     * computed against PQ-coded vectors (8 one-byte codes), never the raw
     * embeddings. Per query the classic ADC lookup table (queries × 8 subs ×
     * 16 codes of `dot(q_sub, centroid)`) broadcasts; the scan touches only

@@ -28,8 +28,9 @@ import graft.functions.{detsum, vectors}
   * it first. */
 object VecIndex {
 
-  /** Coarse half (IVF): `cent` = 10 cosine k-means centroids (literal rows,
-    * with norm), `lists` = the inverted lists — every corpus vector with its
+  /** Coarse half (IVF): `cent` = nlists cosine k-means centroids (literal
+    * rows, with norm; nlists from [[nlistsFor]] — ≈√(n/19), floor 10),
+    * `lists` = the inverted lists — every corpus vector with its
     * nearest-centroid list id, vectors stored in-list (the IVFFlat layout). */
   case class Coarse(cent: DataFrame, lists: DataFrame)
 
@@ -49,8 +50,31 @@ object VecIndex {
     * replay can never drift from what the trainer actually runs — tuning
     * either side alone would hash-mismatch every IVF/PQ oracle with no
     * compile-time signal. */
-  private[queries] val CoarseK = 10
   private[queries] val CoarseRounds = 5
+
+  /** nlists RULE — nlists tracks the corpus (≈√(n/19), floored at 10)
+    * instead of a constant: a fixed nlists degenerates the IVF recall-cost
+    * curve toward brute force as the corpus grows (at nlists=10 the
+    * q37c high-recall search scanned 8/10 of ANY corpus). Under this rule
+    * the test SFs keep nlists=10 (n ≤ 2000), the 10× derivation gets 32
+    * (nprobe 8 ⇒ scan fraction 0.25 — measured recall@5 0.994 there, see
+    * ANN_RECALL.md), and the fraction keeps shrinking ≈1/√n beyond.
+    * The divisor 19 pins the smallest scale where the rule leaves the
+    * floor to ~n=2300: just past the largest committed test SF, so every
+    * committed oracle artifact stays byte-stable while any larger corpus
+    * scales. ONE rule, two renderings: [[nlistsFor]] (trainer) and
+    * [[nlistsSql]] (the DuckDB replay) — each is three correctly-rounded
+    * IEEE ops (divide, sqrt, floor) on integer input, bit-identical across
+    * engines. */
+  private[queries] val NlistsFloor = 10
+  private[queries] val NlistsDivisor = 19.0
+
+  private[queries] def nlistsFor(n: Long): Int =
+    math.max(NlistsFloor, math.floor(math.sqrt(n / NlistsDivisor)).toInt)
+
+  /** The rule as a one-column (`kl`) SQL aggregate over `fromTable`. */
+  private[queries] def nlistsSql(fromTable: String): String =
+    s"SELECT GREATEST($NlistsFloor, CAST(FLOOR(SQRT(COUNT(*) / $NlistsDivisor)) AS INTEGER)) AS kl FROM $fromTable"
   private[queries] val PqK = 16
   private[queries] val PqRounds = 3
 
@@ -144,8 +168,11 @@ object VecIndex {
 
   def coarse(s: SparkSession, d: String): Coarse = live(coarseCache, d)(_.lists) {
     val c = corpus(s, d).localCheckpoint(true)
+    // nlists from the corpus size (the count is a metadata read off the
+    // materialized checkpoint — no extra scan)
+    val k = nlistsFor(c.count())
     val cent = graft.operators.KMeans
-      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = CoarseK, rounds = CoarseRounds)
+      .fit(c.select(col("vec_id").as("id"), col("emb"), col("nrm")), k = k, rounds = CoarseRounds)
       .withColumn("cnrm", vectors.norm(col("cemb")))
     val lists = assignToLists(c, cent).localCheckpoint(true)
     Tables.freeCheckpoint(c) // the raw scan checkpoint fed training + assignment only

@@ -44,25 +44,32 @@ object VecOracle {
   private def dotN(a: String, b: String) = vectors.dotSql(a, b, Dim)
   private def dotS(a: String, b: String) = vectors.dotSql(a, b, SubDim)
 
-  /** Mirrors KMeans.fit(k=CoarseK, rounds=CoarseRounds, cosine) +
+  /** Mirrors KMeans.fit(k=nlistsFor(n), rounds=CoarseRounds, cosine) +
     * VecIndex.assignToLists: CTEs `v` (corpus with norm), `cent` (final
     * centroids with cnrm) and `lists` (the inverted lists — every vector
-    * with its nearest list). */
+    * with its nearest list). k is DATA-DEPENDENT (the [[VecIndex.nlistsSql]]
+    * rule over the same corpus the trainer counts), so the one static SQL
+    * string replays the identical index at every scale — the round-12 nlists
+    * rule needs no per-dataset SQL generation because the per-round CTEs are
+    * table-shaped (k only enters the seeding cutoff). */
   val coarsePrefix: String = {
-    val k = VecIndex.CoarseK
     val rounds = VecIndex.CoarseRounds
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       |), v AS MATERIALIZED (
       |  SELECT id, emb, sqrt(${dotN("emb", "emb")}) AS nrm FROM e
+      |), kp AS (
+      |  -- VecIndex.nlistsFor: nlists = max(floor, floor(sqrt(n/divisor)))
+      |  ${VecIndex.nlistsSql("v")}
       |), c0 AS MATERIALIZED (
       |  -- seeding: the k smallest hash60(id), list_id by (h, id) order;
       |  -- cnrm hoisted here (k rows) instead of per (vector, centroid) pair
       |  SELECT list_id, cemb, sqrt(${dotN("cemb", "cemb")}) AS cnrm FROM (
-      |    SELECT CAST(row_number() OVER (ORDER BY h, id) AS INT) AS list_id, emb AS cemb
-      |    FROM (SELECT id, emb, ${vectors.hash60Sql("id")} AS h FROM v
-      |          ORDER BY h, id LIMIT $k)
+      |    SELECT CAST(rn AS INT) AS list_id, emb AS cemb FROM (
+      |      SELECT emb, row_number() OVER (ORDER BY h, id) AS rn
+      |      FROM (SELECT id, emb, ${vectors.hash60Sql("id")} AS h FROM v)
+      |    ) WHERE rn <= (SELECT kl FROM kp)
       |  )
       |)""".stripMargin
     for (r <- 1 to rounds) {

@@ -161,6 +161,23 @@ class SketchSpec extends AnyFunSuite {
     assert(pqRecall >= 0.25, s"recall $pqRecall collapsed — ADC ranking or refine join broken")
   }
 
+  test("q37c high-recall IVF clears the 0.9 recall@5 contract vs brute force") {
+    // THE q37c contract (ANN_RECALL.md): nprobe=8 is the smallest probe
+    // depth whose recall@5 clears 0.9 on every committed SF (0.960 here,
+    // 1.000 at sf0.01, 0.915 at sf0.1 — the binding one). The sweep tool
+    // (graft.tools.AnnRecall) reproduces the full ladder.
+    def pairs(q: String) =
+      queries.SimilarityQueries.queries(q)(spark, sf)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q35_ann_bruteforce")
+    val hr = pairs("q37c_ann_ivf_highrecall")
+    assert(hr.nonEmpty && hr.forall { case (q, n) => q != n })
+    val recall = hr.intersect(exact).size.toDouble / exact.size
+    info(s"q37c high-recall IVF recall@5 = $recall over ${exact.size} true pairs")
+    assert(recall >= 0.9, s"recall $recall broke the q37c >=0.9 contract (ANN_RECALL.md)")
+  }
+
   test("cluster-balanced sample: per-cluster cap arithmetic, full coverage, deterministic") {
     val out = SparkEntry.queries("q68_cluster_balanced_sample")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

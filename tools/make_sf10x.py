@@ -28,8 +28,19 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
 
-args = [a for a in sys.argv[1:] if a != "--salt-text"]
+args = [a for a in sys.argv[1:] if a not in ("--salt-text", "--perm-emb")]
 SALT = "--salt-text" in sys.argv[1:]
+# --perm-emb applies a per-replica deterministic dimension permutation +
+# sign flips to embeddings (replica 0 unchanged). The transform is
+# orthogonal, so each replica is a geometrically EXACT copy of the original
+# manifold (within-replica cosines identical), but cross-replica cosines
+# become ~random — without it every vector has (replicas-1) byte-identical
+# twins that fill each query's true top-5 and share its inverted list, so
+# any ANN recall measured on the derivation reads 1.0 trivially (the
+# embedding analog of the --salt-text dedup artifact). Use for the
+# ANN_RECALL.md scale measurement; leave off for the oracle hash-compare
+# pass (the oracle recomputes over the same files either way).
+PERM = "--perm-emb" in sys.argv[1:]
 SRC = "/root/testdata/sf0.1"
 OUT = args[0] if len(args) > 0 else "/tmp/sfx10"
 REPLICAS = int(args[1]) if len(args) > 1 else 10
@@ -85,6 +96,22 @@ for tbl, cols in SHIFT_COLS.items():
                 # preserve the original dtype (add may upcast)
                 shifted = pc.cast(shifted, src.schema.field(col).type)
                 t = t.set_column(idx, src.schema.field(col), shifted)
+            if PERM and tbl == "embeddings.parquet":
+                import numpy as np
+                ei = t.schema.get_field_index("embedding")
+                emb = t.column("embedding").combine_chunks()
+                n = len(emb)
+                dim = len(emb[0])
+                flat = np.asarray(emb.flatten(), dtype=np.float32).reshape(n, dim)
+                rng = np.random.RandomState(1000 + r)
+                permuted = (flat[:, rng.permutation(dim)] *
+                            rng.choice([-1.0, 1.0], dim).astype(np.float32))
+                arr = pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+                    pa.array(permuted.ravel()),
+                )
+                t = t.set_column(ei, src.schema.field("embedding"),
+                                 arr.cast(src.schema.field("embedding").type))
             if SALT and tbl == "documents.parquet":
                 ti = t.schema.get_field_index("text")
                 salted = pc.replace_substring_regex(
