@@ -60,7 +60,9 @@ object SparkEntry {
         // grid, the aHash near-dup pipeline, and the audio windower —
         // see graft.queries.MmOracle. Only mm01/mm02 (feature extraction
         // over full codec output, incl. lossy JPEG rasters) remain
-        // rows-only, pinned by the committed-feature-hash spec instead.
+        // rows-only, pinned by StreamingSpec's committed-feature-hash
+        // regression lock (canonical SHA-256 of the full sf0.001 output;
+        // regenerate via graft.tools.FeaturePin).
         "st16_media_info_stream" -> mm06OracleSql,
         "mm06_media_info" -> mm06OracleSql,
         "mm03_resize_grid" -> MmOracle.mm03Sql,

@@ -52,6 +52,31 @@ object Multimodal {
       case None => (r.width, r.height, r.channels, decodeStub(r.payload, r.width, r.height, r.channels))
     }
 
+  /** Magic-byte container sniff + STRICT per-format decode — ONE definition
+    * shared by the audits ([[mediaInfo]] — and through it the st16
+    * streaming decode — and [[resizeAudit]]) so the sniff and the
+    * no-fallback discipline cannot drift between them. Strict means the
+    * payload is parsed by the sniffed container's codec ONLY — never
+    * [[decodeImage]], whose stub fallback would echo the row's advisory
+    * metadata (the exact values the arithmetic oracles recompute) and turn
+    * a decoder regression into a silent pass. A parse failure returns
+    * (fmt, None); audits emit -1 dims for it, which can never match an
+    * oracle's planted geometry. */
+  private def sniffStrict(p: Array[Byte]): (String, Option[MediaCodec.DecodedImage]) = {
+    val fmt =
+      if (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) "bmp"
+      else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte) "png"
+      else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+      else "unknown"
+    val dec = fmt match {
+      case "bmp"  => MediaCodec.decodeBmp(p)
+      case "png"  => MediaCodec.decodePng(p)
+      case "jpeg" => MediaCodec.decodeJpeg(p)
+      case _      => None
+    }
+    (fmt, dec)
+  }
+
   private def cycleBytes(src: Array[Byte], n: Int): Array[Byte] = {
     val out = new Array[Byte](n)
     if (src.isEmpty) return out
@@ -119,23 +144,7 @@ object Multimodal {
     attachPayload(docs)
       .mapPartitions { it =>
         it.map { r =>
-          val p = r.payload
-          val fmt =
-            if (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) "bmp"
-            else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte) "png"
-            else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
-            else "unknown"
-          // STRICT per-format decode — never decodeImage, whose stub
-          // fallback would echo the row's advisory metadata (the exact
-          // values the oracle recomputes) and turn a decoder regression
-          // into a silent pass. A parse failure emits -1 dims instead,
-          // which can never match the oracle's planted geometry.
-          val dec = fmt match {
-            case "bmp"  => MediaCodec.decodeBmp(p)
-            case "png"  => MediaCodec.decodePng(p)
-            case "jpeg" => MediaCodec.decodeJpeg(p)
-            case _      => None
-          }
+          val (fmt, dec) = sniffStrict(r.payload)
           dec match {
             case Some(di) =>
               val sum: java.lang.Long =
@@ -280,18 +289,7 @@ object Multimodal {
     attachPayload(docs)
       .mapPartitions { it =>
         it.map { r =>
-          val p = r.payload
-          val fmt =
-            if (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) "bmp"
-            else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte) "png"
-            else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
-            else "unknown"
-          val dec = fmt match {
-            case "bmp"  => MediaCodec.decodeBmp(p)
-            case "png"  => MediaCodec.decodePng(p)
-            case "jpeg" => MediaCodec.decodeJpeg(p)
-            case _      => None
-          }
+          val (fmt, dec) = sniffStrict(r.payload)
           dec match {
             case Some(di) if fmt == "png" || fmt == "bmp" =>
               val (w, h, px) = (di.width, di.height, di.pixels)
@@ -452,9 +450,10 @@ object Multimodal {
     * over the LOSSLESS pair (PNG/BMP) only, so every decoded raster is the
     * planted cycled-text bytes and a DuckDB oracle replays the whole
     * pipeline — aHash bits, chunk buckets, candidate join, best-match
-    * argmin — from the documents table (JPEG aHash stays covered by the
-    * decoded-raster unit spec; an image DEDUP pass hashing lossy
-    * re-encodes would be measuring codec noise anyway). */
+    * argmin — from the documents table (the JPEG decode→aHash path stays
+    * covered by StreamingSpec's committed 64-bit pin over a real
+    * encodeJpeg container; an image DEDUP pass hashing lossy re-encodes
+    * would be measuring codec noise anyway). */
   def phashPairs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     // media dims AND container format derive from CONTENT (not doc_id) so

@@ -205,6 +205,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("mm01/mm02 feature outputs are pinned to committed hashes (the rows-only regression lock)") {
+    // The two rows-only multimodal queries (feature extraction over full
+    // codec output, incl. lossy JPEG rasters — no DuckDB counterpart) lock
+    // across rounds by a canonical order-free SHA-256 of their ENTIRE
+    // sf0.001 output, doubles rendered in hex so the pin is bit-exact.
+    // Regenerate after an INTENDED feature change:
+    //   sbt "Test/runMain graft.tools.FeaturePin"
+    val sf = "/root/testdata/sf0.001"
+    assert(graft.tools.FeaturePin.featureHash(
+      SparkEntry.queries("mm01_binary_pipeline")(spark, sf)) ==
+      "5d0c4e76e9dd50fe70e412208cc84c075519abfd5afa1f60ee56db4cba726699",
+      "mm01 feature output drifted from the committed pin")
+    assert(graft.tools.FeaturePin.featureHash(
+      SparkEntry.queries("mm02_frame_sample")(spark, sf)) ==
+      "bfa3043343e2712406b1b22e6ca0ac91f90e8db71556e40b0a9eb3633b59eed7",
+      "mm02 frame-feature output drifted from the committed pin")
+  }
+
+  test("JPEG container -> aHash path is pinned (mm04's corpus is lossless-only)") {
+    // mm04's oracle promotion restricted its corpus containers to the
+    // lossless pair, so the decodeJpeg->perceptualHash pipeline is pinned
+    // HERE: a real encodeJpeg payload through the full sniff+huffman+IDCT
+    // +aHash chain must reproduce the committed 64-bit hash exactly, and
+    // land within a few bits of the SAME raster's lossless-PNG hash (the
+    // aHash near-dup property the lossy codec must preserve).
+    val jh = graft.tools.FeaturePin.jpegAHash(spark)
+    val ph = graft.tools.FeaturePin.pngAHash(spark)
+    assert(jh == 6807224346497128286L, s"JPEG decode->aHash drifted: $jh")
+    assert(ph == 6807290317330061150L, s"PNG decode->aHash drifted: $ph")
+    assert(java.lang.Long.bitCount(jh ^ ph) <= 8,
+      s"lossy aHash moved ${java.lang.Long.bitCount(jh ^ ph)} bits off the lossless reference")
+  }
+
   test("resize maps the nearest-neighbor grid exactly (2x downscale fixture)") {
     import spark.implicits._
     import graft.operators.Multimodal
