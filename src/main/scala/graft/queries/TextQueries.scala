@@ -79,6 +79,31 @@ object TextQueries {
       .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
   }
 
+  /** The FULL document-frequency vocabulary (no length filter) — the term
+    * dictionary the multi-term-rewrite retrieval queries (q87 fuzzy, q88
+    * prefix, q89 wildcard, q90 match_phrase_prefix) expand against,
+    * materialized once per call (vocab-sized; it feeds both the query
+    * derivation and the expansion). The Lucene shape: a prefix/wildcard/
+    * fuzzy query rewrites to a term-set against the dictionary, so the
+    * doc stream only ever pays an equi-join on expanded terms — never a
+    * per-row pattern/edit-distance scan. */
+  private def dfVocab(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+
+  /** The top corpus bigram (count desc, gram asc) — ONE derivation shared
+    * by q78 (match_phrase/span_near) and q90 (match_phrase_prefix), like
+    * their oracles share the bg/top1 CTEs. Returns one (w1, w2) row. */
+  private def topBigram(s: SparkSession, d: String): DataFrame =
+    docs(s, d).repartition(col("doc_id"))
+      .select(explode(text.shingles(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g").asc).limit(1)
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+
   /** The deterministic BM25 query window: vocab ranks [QLo, QHi] by
     * (df desc, term asc). ONE definition feeding bm25PerDoc, q79's term
     * set, q82's highlight array AND their oracle SQL — a retune here
@@ -902,13 +927,7 @@ object TextQueries {
     // so the per-doc cost is O(len·slop) inside the scan stage and the
     // only shuffle is the final top-k.
     "q78_match_phrase" -> ((s: SparkSession, d: String) => {
-      val top = docs(s, d).repartition(col("doc_id"))
-        .select(explode(text.shingles(col("toks"), 2)).as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("g").asc).limit(1)
-        .select(split(col("g"), " ").getItem(0).as("w1"),
-          split(col("g"), " ").getItem(1).as("w2"))
-      docs(s, d).crossJoin(broadcast(top))
+      docs(s, d).crossJoin(broadcast(topBigram(s, d)))
         .select(col("doc_id"), col("source"),
           concat(col("w1"), lit(" "), col("w2")).as("phrase"),
           phraseTf(col("toks"), col("w1"), col("w2")).as("n_phrase"),
@@ -1000,10 +1019,7 @@ object TextQueries {
     // corpus' 3 rarest all survive, so results are unchanged).
     "q87_fuzzy" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val vocab = docs(s, d)
-        .select(explode(array_distinct(col("toks"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .localCheckpoint(true)
+      val vocab = dfVocab(s, d)
       val fq = vocab.filter(length(col("term")) >= 5)
         .orderBy(col("df").asc, col("term").asc).limit(10)
         // pool rank BEFORE the typo projection: two pool terms can yield
@@ -1025,6 +1041,95 @@ object TextQueries {
           countDistinct(col("doc_id")).as("n_docs"),
           countDistinct(col("term")).as("n_terms"),
           count(lit(1)).as("n_term_docs"))
+    }),
+
+    // ES `prefix` query (Lucene MultiTermQuery rewrite): RETRIEVAL by term
+    // prefix. The rewrite IS the scale story: the prefix expands against
+    // the broadcast vocab (dictionary-sized work) and the doc token stream
+    // joins the expanded term set ONCE — docs never pay a per-row
+    // startsWith scan, so a prefix query costs the same equi-join as a
+    // term query at 100 TB. Deterministic prefixes chosen STRUCTURALLY
+    // for multi-term expansion (the q87 non-vacuous lesson): the 3
+    // single-char starts covering the most vocab terms (count desc, char
+    // asc) — guaranteed to expand to the maximum number of terms this
+    // dictionary allows, so the expansion machinery (not just self-match)
+    // is what the oracle verifies. Output per prefix: the q87 summary
+    // shape.
+    "q88_prefix" -> ((s: SparkSession, d: String) => {
+      val vocab = dfVocab(s, d)
+      val pool = vocab
+        .groupBy(substring(col("term"), 1, 1).as("q"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("q").asc).limit(3)
+        .select(col("q"))
+      val expansion = vocab.crossJoin(broadcast(pool))
+        .filter(col("term").startsWith(col("q")))
+        .select(col("q"), col("term"))
+      docs(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+        .join(broadcast(expansion), Seq("term"))
+        .groupBy(col("q"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("n_term_docs"))
+    }),
+
+    // ES `wildcard` query — including the LEADING wildcard the ES docs
+    // warn against: under the vocab rewrite the warning does not apply,
+    // because the pattern scans the broadcast term DICTIONARY (never the
+    // doc stream), so '*r' costs exactly what 'r*' costs at any corpus
+    // size. Deterministic ES-style patterns ('*' + c) from the 3 suffix
+    // chars covering the most vocab terms (count desc, char asc — the
+    // q88 structural-expansion derivation mirrored to suffixes); the
+    // Lucene→SQL glob mapping (* → %, ? → _) applies only inside the
+    // dictionary match. Output per pattern: the q87 summary shape.
+    "q89_wildcard" -> ((s: SparkSession, d: String) => {
+      val vocab = dfVocab(s, d)
+      val pool = vocab
+        .groupBy(expr("right(term, 1)").as("sfx"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("sfx").asc).limit(3)
+        .select(concat(lit("*"), col("sfx")).as("pat"))
+      val expansion = vocab.crossJoin(broadcast(pool))
+        .filter(expr("term LIKE replace(replace(pat, '*', '%'), '?', '_')"))
+        .select(col("pat"), col("term"))
+      docs(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+        .join(broadcast(expansion), Seq("term"))
+        .groupBy(col("pat"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("n_term_docs"))
+    }),
+
+    // ES `match_phrase_prefix`: the phrase query whose LAST term is a
+    // prefix — "w1 p*" matches w1 immediately followed by ANY dictionary
+    // term starting with p. The Lucene rewrite: expand p against the
+    // vocab (term asc; max_expansions=50 — the cap never binds on this
+    // dictionary, so capped ≡ uncapped here), then each expansion pays
+    // q78's adjacent-pair HOF scan. Docs cross only the tiny broadcast
+    // expansion set; positions never leave the row (no posexplode, no
+    // self-join). Query = the q78 top corpus bigram with the second
+    // word's FIRST CHAR as the prefix — single-char so the expansion is
+    // multi-term by construction on this sparse dictionary.
+    "q90_match_phrase_prefix" -> ((s: SparkSession, d: String) => {
+      val expansion = dfVocab(s, d)
+        .crossJoin(broadcast(topBigram(s, d)))
+        .withColumn("pfx", substring(col("w2"), 1, 1))
+        .filter(col("term").startsWith(col("pfx")))
+        .orderBy(col("term").asc).limit(50)
+        .select(col("w1"), col("pfx"), col("term"))
+      docs(s, d).crossJoin(broadcast(expansion))
+        .select(col("doc_id"), col("source"),
+          concat(col("w1"), lit(" "), col("pfx"), lit("*")).as("phrase"),
+          phraseTf(col("toks"), col("w1"), col("term")).as("tf"))
+        .groupBy(col("doc_id"), col("source"), col("phrase"))
+        .agg(sum(col("tf")).as("n_phrase"))
+        .filter(col("n_phrase") > 0)
+        .orderBy(col("n_phrase").desc, col("doc_id").asc)
+        .limit(15)
     }),
 
     // ES `multi_match` (type best_fields ≡ `dis_max` over per-field
@@ -2106,6 +2211,83 @@ object TextQueries {
          |       COUNT(DISTINCT t.term) AS n_terms, COUNT(*) AS n_term_docs
          |FROM t JOIN expansion e ON t.term = e.term
          |GROUP BY e.q""".stripMargin,
+    "q88_prefix" ->
+      s"""WITH $docsCte,
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) GROUP BY term
+         |),
+         |pool AS (
+         |  -- the 3 single-char starts covering the most vocab terms
+         |  SELECT q FROM (
+         |    SELECT substring(term, 1, 1) AS q, COUNT(*) AS cnt FROM vocab GROUP BY 1
+         |  ) ORDER BY cnt DESC, q ASC LIMIT 3
+         |),
+         |expansion AS (
+         |  SELECT p.q, v.term FROM vocab v, pool p WHERE starts_with(v.term, p.q)
+         |),
+         |t AS (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs)
+         |SELECT e.q, COUNT(DISTINCT t.doc_id) AS n_docs,
+         |       COUNT(DISTINCT t.term) AS n_terms, COUNT(*) AS n_term_docs
+         |FROM t JOIN expansion e ON t.term = e.term
+         |GROUP BY e.q""".stripMargin,
+    "q89_wildcard" ->
+      s"""WITH $docsCte,
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) GROUP BY term
+         |),
+         |pool AS (
+         |  -- '*'+c for the 3 suffix chars covering the most vocab terms
+         |  SELECT '*' || sfx AS pat FROM (
+         |    SELECT right(term, 1) AS sfx, COUNT(*) AS cnt FROM vocab GROUP BY 1
+         |  ) ORDER BY cnt DESC, sfx ASC LIMIT 3
+         |),
+         |expansion AS (
+         |  -- Lucene->SQL glob mapping applies only inside the dictionary match
+         |  SELECT p.pat, v.term FROM vocab v, pool p
+         |  WHERE v.term LIKE replace(replace(p.pat, '*', '%'), '?', '_')
+         |),
+         |t AS (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs)
+         |SELECT e.pat, COUNT(DISTINCT t.doc_id) AS n_docs,
+         |       COUNT(DISTINCT t.term) AS n_terms, COUNT(*) AS n_term_docs
+         |FROM t JOIN expansion e ON t.term = e.term
+         |GROUP BY e.pat""".stripMargin,
+    "q90_match_phrase_prefix" ->
+      s"""WITH $docsCte,
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) GROUP BY term
+         |),
+         |bg AS (
+         |  SELECT toks[j] AS w1, toks[j+1] AS w2, COUNT(*) AS cnt
+         |  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(j)
+         |  GROUP BY 1, 2
+         |),
+         |top1 AS (SELECT w1, w2 FROM bg ORDER BY cnt DESC, (w1 || ' ' || w2) ASC LIMIT 1),
+         |expansion AS (
+         |  -- prefix = w2's first char, expanded against the dictionary
+         |  -- (term asc, the Lucene max_expansions=50 window — unbinding here)
+         |  SELECT w1, substring(w2, 1, 1) AS pfx, term FROM (
+         |    SELECT t.w1, t.w2, v.term FROM vocab v, top1 t
+         |    WHERE starts_with(v.term, substring(t.w2, 1, 1))
+         |    ORDER BY v.term ASC LIMIT 50
+         |  )
+         |),
+         |m AS (
+         |  SELECT doc_id, source, w1 || ' ' || pfx || '*' AS phrase,
+         |         ${phraseTfSql("w1", "term")} AS tf
+         |  FROM docs, expansion
+         |),
+         |g AS (
+         |  SELECT doc_id, source, phrase, SUM(tf) AS n_phrase FROM m GROUP BY 1, 2, 3
+         |)
+         |SELECT doc_id, source, phrase, CAST(n_phrase AS BIGINT) AS n_phrase
+         |FROM g WHERE n_phrase > 0
+         |ORDER BY n_phrase DESC, doc_id ASC LIMIT 15""".stripMargin,
     "q86_multi_match" ->
       s"""WITH $docsCte,
          |$rankedVocabCte,
