@@ -192,9 +192,19 @@ object TextQueries {
     * parsed literal 2.2 — the oracle must see the identical bits).
     * Returns (doc_id, n_terms_hit, score). */
   private def bm25ScoredOver(s: SparkSession, d: String, t: DataFrame, qdf: DataFrame): DataFrame = {
-    val k1 = 1.2
-    val b = 0.75
     val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val qIdf = bm25QIdf(dl, qdf)
+    // filter the stream against the broadcast query-term set BEFORE the
+    // per-(doc, term) aggregate — the tf shuffle carries 5 terms' rows only
+    val tfq = t.join(broadcast(qIdf.select(col("tok"))), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    bm25ScoreTf(tfq, dl, qIdf)
+  }
+
+  /** The idf half of the scoring definition: (field dl table, field query
+    * df) → (tok, idf, avgdl). Lucene's smoothed idf via the integer
+    * identity (2N+2)/(2df+1), detlog-computed. */
+  private def bm25QIdf(dl: DataFrame, qdf: DataFrame): DataFrame = {
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -202,11 +212,20 @@ object TextQueries {
       .crossJoin(broadcast(stats))
       .withColumn("num", lit(2L) * col("n_docs") + lit(2L))
       .withColumn("den", lit(2L) * col("df") + lit(1L))
-    val qIdf = graft.functions.detlog
+    graft.functions.detlog
       .withLog2(graft.functions.detlog.withLog2(qterms, "num", "lgn"), "den", "lgd")
       .select(col("tok"), (col("lgn") - col("lgd")).as("idf"), col("avgdl"))
-    t.join(broadcast(qIdf.select(col("tok"))), Seq("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** The tf-normalization half: score a per-(doc_id, tok, tf) frame
+    * already restricted to query terms against its field's dl/idf tables.
+    * Split from [[bm25ScoredOver]] so a caller that PRE-AGGREGATED tf
+    * (q86's one-scan per-(doc, term) frame) scores through the identical
+    * expression — the formula exists once. */
+  private def bm25ScoreTf(tfq: DataFrame, dl: DataFrame, qIdf: DataFrame): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    tfq
       .join(broadcast(qIdf), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .withColumn("score_t",
@@ -1140,19 +1159,47 @@ object TextQueries {
     // contract), the title score carries boost 2, and dis_max combines
     // best + tie_breaker(0.5) × other. FULL OUTER over the per-field hit
     // sets: a doc matching only one field still ranks.
+    // ONE corpus scan (round-11 ran two full per-field scan+score passes
+    // plus the vocab scan): tokenize once into the per-(doc, term) frame
+    // both fields share — tf_b counts all occurrences, tf_t the first-8
+    // ones — and materialize it; EVERY downstream frame (vocab ranks,
+    // per-field dl/df/tf, both scores) derives from that artifact. The
+    // aggregate completes map-side (the stream is doc_id-partitioned, a
+    // subset of the (doc, term) grouping key), so the plan's only corpus
+    // exchange is the scan-spreading repartition; PlanSpec gates zero
+    // parquet re-scans. Field values are INTEGER-identical to the
+    // two-pass form (dl = Σtf, df = frame rows per term), so the oracle
+    // is unchanged.
     "q86_multi_match" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val title = docs(s, d).repartition(col("doc_id"))
-        .select(col("doc_id"), explode(slice(col("toks"), 1, 8)).as("tok"))
-      // title df derives from the title stream itself (broadcast-filter
-      // BEFORE the distinct, so the dedup is ≤ docs×5 rows)
-      val qsel = rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QHi)
-        .select(col("term").as("tok"))
-      val titleDf = title.join(broadcast(qsel), Seq("tok"))
-        .select(col("doc_id"), col("tok")).distinct()
+      val g = docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf_b"), count(when(col("pos") < 8, 1)).as("tf_t"))
+        .localCheckpoint(true)
+      // rankedVocab's window, derived from the shared frame (df = distinct
+      // docs per length>=4 term = g rows per term — identical integers)
+      val qsel = g.filter(length(col("tok")) >= 4)
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val perB = bm25PerDoc(s, d).select(col("doc_id"), col("score").as("s_body0"))
-      val perT = bm25ScoredOver(s, d, title, titleDf)
+        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
+        .filter(col("r") >= QLo && col("r") <= QHi)
+        .select(col("tok"), col("df"))
+      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
+      val perB = bm25ScoreTf(
+        g.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf")),
+        dlB, bm25QIdf(dlB, qsel))
+        .select(col("doc_id"), col("score").as("s_body0"))
+      // title field: rows with a first-8 occurrence; df from the title
+      // frame itself (the ES per-field statistics contract)
+      val gT = g.filter(col("tf_t") > 0)
+      val dlT = gT.groupBy(col("doc_id")).agg(sum(col("tf_t")).as("dl"))
+      val titleDf = gT.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val perT = bm25ScoreTf(
+        gT.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_t").as("tf")),
+        dlT, bm25QIdf(dlT, titleDf))
         .select(col("doc_id"), (lit(2.0) * col("score")).as("s_title0"))
       perB.join(perT, Seq("doc_id"), "full_outer")
         .withColumn("s_body", coalesce(col("s_body0"), lit(0.0)))

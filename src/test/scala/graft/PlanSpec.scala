@@ -393,6 +393,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q86: both per-field scoring passes read ONE materialized corpus scan") {
+    val p = plan("q86_multi_match")
+    // the per-(doc, term) frame materializes once at construction (the
+    // only corpus scan); vocab ranks, both fields' dl/df/tf and both
+    // scores all read that artifact — round 11 ran two full per-field
+    // scan+score passes plus a vocab scan
+    assert(!p.contains("documents.parquet"),
+      "a per-field pass re-scanned the corpus parquet")
+    assert(p.contains("Scan ExistingRDD"), "the shared materialized scan artifact is missing")
+    assert(!p.contains("CartesianProduct"))
+    // the ONLY sort-merge is the final FULL OUTER of the two per-doc score
+    // tables (hit-sized; full outer has no broadcast form) — every other
+    // join must broadcast its tiny side
+    // formatted mode names each operator twice (tree + detail header), so
+    // exactly one SMJ node = one tree line naming the join type + one bare
+    // detail header
+    assert("SortMergeJoin FullOuter".r.findAllIn(p).size == 1 &&
+      "SortMergeJoin".r.findAllIn(p).size == 2,
+      "an extra sort-merge appeared — per-field statistics must broadcast")
+  }
+
   test("q78: positional counting is a projection — no posexplode fan-out, no self-join") {
     val p = plan("q78_match_phrase")
     // one row per doc through the whole phrase/near pass: the only join is
