@@ -22,6 +22,17 @@ object vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Fused nearest-centroid assignment (the k-means/IVF hot step):
+    * list id by (cosine desc, list_id asc) against the frozen centroid
+    * set `cents` = (list_id, cemb, cnrm), baked into the expression as a
+    * primitive matrix — one k×dim loop per row inside whole-stage
+    * codegen. Bit-identical to the struct-argmax form it replaced
+    * (NativeExprSpec pins parity incl. the zero-norm ANSI/legacy
+    * contract); the struct form fell off codegen past k≈30 and made the
+    * 100× (k=102) index build time out. */
+  def argmaxCos(vec: Column, nrm: Column, cents: Seq[(Int, Seq[Double], Double)]): Column =
+    call_function("vec_argmax_cos", vec, nrm, typedLit(cents))
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 

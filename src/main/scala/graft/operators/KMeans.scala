@@ -85,11 +85,12 @@ object KMeans {
       .select(col("list_id"), col("emb"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     for (_ <- 1 to rounds) {
-      val best = bestBy(cent.map { case (l, ce) =>
-        struct(
-          (vectors.dot(col("emb"), typedLit(ce)) / (col("nrm") * lit(math.sqrt(sqSum(ce))))).as("sc"),
-          lit(-l).as("neg"), lit(l).as("l"))
-      }).getField("l")
+      // fused native argmax (vec_argmax_cos): bit-identical to the former
+      // bestBy struct form (parity spec-pinned), but one k×dim primitive
+      // loop inside codegen — the struct tree fell off whole-stage codegen
+      // past k≈30 and timed out the 100× (k=102) build
+      val best = vectors.argmaxCos(col("emb"), col("nrm"),
+        cent.map { case (l, ce) => (l, ce, math.sqrt(sqSum(ce))) })
       val updated = round(vecs, Nil, best)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cent = cent.map { case (l, old) => (l, updated.getOrElse(l, old)) }

@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("vec_argmax_cos"),
+      info("vec_argmax_cos", "vec_argmax_cos(vec, nrm, cents) - nearest-centroid list id by (cosine desc, id asc) over a frozen centroid literal"),
+      (exprs: Seq[Expression]) => CosArgmax.fromLiteral(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
       FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(tokens) - 60-bit md5-based SimHash of a string array"),
       (exprs: Seq[Expression]) => SimHash60(exprs(0))))

@@ -116,6 +116,127 @@ case class GeohashEnc(left: Expression, right: Expression, chars: Int) extends B
     copy(left = newLeft, right = newRight)
 }
 
+/** vec_argmax_cos(vec, nrm, cents): nearest-centroid list id by
+  * (cosine desc, list_id asc) against a FROZEN centroid matrix — the
+  * k-means assignment step as ONE fused kernel call.
+  *
+  * Why it exists: the former formulation built the argmax as an
+  * `array_max` over k literal `struct(dot/…, -l, l)` entries — codegen'd
+  * and fast while k is ~10, but the expression tree grows as k·dim and at
+  * the nlists-rule scale (k=102 for a 200k-vector corpus) it falls off
+  * whole-stage codegen and the interpreted tree walks 102 boxed struct
+  * comparisons per row: the 100× index build went from minutes of honest
+  * work to a >10-minute timeout. Here the centroid matrix is baked into
+  * the expression ONCE at construction (primitive double[][] — the
+  * builder folds the literal third argument), and each row pays one
+  * k×dim primitive loop that stays inside whole-stage codegen.
+  *
+  * Semantics are bit-identical to the struct-argmax form (NativeExprSpec
+  * pins parity against [[graft.operators.KMeans.bestBy]]):
+  *  - per-entry score = vec_dot(vec, cemb) / (nrm · cnrm), the identical
+  *    left-to-right accumulation ([[NativeKernels.vecDot]]'s loop) and the
+  *    identical single division;
+  *  - ordering = Spark's double ordering (NaN greatest, -0.0 == 0.0),
+  *    ties to the smaller list_id — [[cmpD]] mirrors SQLOrderingUtil;
+  *  - the zero-norm contract (the VecOracle pin): a zero denominator
+  *    RAISES under ANSI ([DIVIDE_BY_ZERO], captured at construction from
+  *    the session conf) and under legacy mode ranks NULLS-LAST exactly
+  *    like the struct form and the DuckDB replay (entry skipped; all
+  *    skipped → smallest list_id). */
+case class CosArgmax(
+    left: Expression,
+    right: Expression,
+    listIds: Array[Int],
+    cents: Array[Array[Double]],
+    cnrms: Array[Double],
+    failOnZero: Boolean) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] && right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("vec_argmax_cos(array<double>, double, cents)")
+
+  /** Spark's double comparison (SQLOrderingUtil semantics): -0.0 == 0.0,
+    * NaN greater than everything, NaN == NaN. */
+  @inline private def cmpD(a: Double, b: Double): Int =
+    if (a == b) 0
+    else if (a < b) -1
+    else if (a > b) 1
+    else { // at least one NaN
+      val an = java.lang.Double.isNaN(a)
+      val bn = java.lang.Double.isNaN(b)
+      if (an && bn) 0 else if (an) 1 else -1
+    }
+
+  def kernel(vecA: ArrayData, nrm: Double): Int = {
+    val e = vecA.toDoubleArray()
+    var found = false
+    var bestSc = 0.0
+    var bestL = 0
+    var i = 0
+    while (i < listIds.length) {
+      val denom = nrm * cnrms(i)
+      if (denom == 0.0) {
+        if (failOnZero)
+          throw new ArithmeticException(
+            "[DIVIDE_BY_ZERO] zero-norm vector or centroid in vec_argmax_cos (ANSI mode)")
+        // legacy: NULL cosine sorts last — entry excluded (struct-argmax
+        // and the oracle's NULLS-LAST DESC window agree)
+      } else {
+        val c = cents(i)
+        val n = math.min(e.length, c.length)
+        var s = 0.0d
+        var j = 0
+        while (j < n) { s += e(j) * c(j); j += 1 } // vecDot's exact fold
+        val sc = s / denom
+        // entries iterate in ascending list_id order, so strictly-greater
+        // keeps the smaller id on exact ties — the (sc desc, -l) tiebreak
+        if (!found || cmpD(sc, bestSc) > 0) { found = true; bestSc = sc; bestL = listIds(i) }
+      }
+      i += 1
+    }
+    if (found) bestL else listIds(0)
+  }
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    java.lang.Integer.valueOf(kernel(v.asInstanceOf[ArrayData], n.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosArgmax", this, classOf[CosArgmax].getName)
+    nullSafeCodeGen(ctx, ev, (v, n) => s"${ev.value} = $ref.kernel($v, $n);")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosArgmax =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosArgmax {
+  /** Builder for the function registry: folds the foldable third argument
+    * (array<struct<list_id, cemb, cnrm>>) into primitive arrays at
+    * construction, and captures the session's ANSI flag for the zero-norm
+    * contract. */
+  def fromLiteral(vec: Expression, nrm: Expression, centsLit: Expression): CosArgmax = {
+    require(centsLit.foldable, "vec_argmax_cos centroids must be a literal")
+    val arr = centsLit.eval().asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    require(k > 0, "vec_argmax_cos needs at least one centroid")
+    val ls = new Array[Int](k)
+    val ce = new Array[Array[Double]](k)
+    val cn = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val row = arr.getStruct(i, 3)
+      ls(i) = row.getInt(0)
+      ce(i) = row.getArray(1).toDoubleArray()
+      cn(i) = row.getDouble(2)
+      i += 1
+    }
+    // ascending list_id, so the kernel's strictly-greater update is the
+    // exact (score desc, list_id asc) tiebreak
+    val order = ls.indices.sortBy(ls)
+    CosArgmax(vec, nrm,
+      order.map(ls).toArray, order.map(ce).toArray, order.map(cn).toArray,
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+  }
+}
+
 /** vec_dot(a, b): double dot product, accumulating left-to-right exactly
   * like the `aggregate(zip_with(...))` fold it replaces — results stay
   * bit-identical to the DuckDB oracle's left-associated term chain. */

@@ -120,12 +120,9 @@ object VecIndex {
   private def assignToLists(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val cs = cent.select(col("list_id"), col("cemb"), col("cnrm")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2))).toSeq.sortBy(_._1)
-    val best = graft.operators.KMeans.bestBy(cs.map { case (l, ce, cn) =>
-      struct(
-        (vectors.dot(col("emb"), typedLit(ce)) / (col("nrm") * lit(cn))).as("sc"),
-        lit(-l).as("neg"), lit(l).as("l"))
-    })
-    vecs.select(best.getField("l").as("list_id"), col("vec_id"), col("emb"), col("nrm"))
+    vecs.select(
+      vectors.argmaxCos(col("emb"), col("nrm"), cs).as("list_id"),
+      col("vec_id"), col("emb"), col("nrm"))
   }
 
   /** PQ-encode subvectors against FROZEN codebooks — shared by build and

@@ -21,6 +21,57 @@ class NativeExprSpec extends AnyFunSuite {
     assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native CosArgmax equals the bestBy struct-argmax form on real vectors") {
+    // the fused k-means assignment kernel vs the former array_max-over-
+    // structs form it replaced — bit-identical on the real corpus at a
+    // codegen-unfriendly k (40 centroids), including exact-tie ordering
+    val e = queries.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), vectors.toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("nrm", vectors.norm(col("emb")))
+    // centroids = 40 real corpus vectors (deterministic pick), with the
+    // query vectors among the assigned rows so exact cosine-1 ties occur
+    val cents = e.filter(col("vec_id") % 13 === 0).orderBy(col("vec_id")).limit(40)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        val ce = r.getSeq[Double](1)
+        (i + 1, ce, math.sqrt(ce.foldLeft(0.0)((a, x) => a + x * x)))
+      }.toSeq
+    val structForm = operators.KMeans.bestBy(cents.map { case (l, ce, cn) =>
+      org.apache.spark.sql.functions.struct(
+        (vectors.dot(col("emb"), org.apache.spark.sql.functions.typedLit(ce)) / (col("nrm") * lit(cn))).as("sc"),
+        lit(-l).as("neg"), lit(l).as("l"))
+    }).getField("l")
+    val cmp = e.select(
+      vectors.argmaxCos(col("emb"), col("nrm"), cents).as("native"),
+      structForm.as("structform"))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("native") =!= col("structform")).count() == 0,
+      "fused argmax diverged from the struct-argmax reference")
+  }
+
+  test("CosArgmax zero-norm contract: ANSI raises, legacy excludes like NULLS-LAST") {
+    import spark.implicits._
+    val cents = Seq((1, Seq(0.0, 0.0), 0.0), (2, Seq(1.0, 0.0), 1.0)) // list 1 is zero-norm
+    val df = Seq((10L, Seq(1.0, 0.5)), (11L, Seq(0.0, 1.0))).toDF("id", "emb")
+      .withColumn("nrm", vectors.norm(col("emb")))
+    val raised = intercept[Exception] {
+      df.select(vectors.argmaxCos(col("emb"), col("nrm"), cents)).collect()
+    }
+    assert(raised.getMessage.contains("DIVIDE_BY_ZERO"), s"expected ANSI raise, got $raised")
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      // zero-norm centroid excluded (NULL ranks last): every row lands on 2
+      val r = df.select(vectors.argmaxCos(col("emb"), col("nrm"), cents).as("l")).collect()
+      assert(r.forall(_.getInt(0) == 2), s"legacy mode must skip the zero-norm centroid: ${r.toSeq}")
+      // all-excluded fallback: zero-norm ROW against any centroid -> smallest list
+      val z = Seq((12L, Seq(0.0, 0.0))).toDF("id", "emb")
+        .withColumn("nrm", vectors.norm(col("emb")))
+        .select(vectors.argmaxCos(col("emb"), col("nrm"), cents).as("l")).collect()
+      assert(z.head.getInt(0) == 1, "all-NULL scores must fall back to the smallest list id")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
   test("native SimHash60 equals the 60-fold HOF form") {
     val d = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
       .withColumn("toks", text.tokens(col("text")))
