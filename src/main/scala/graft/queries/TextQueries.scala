@@ -104,6 +104,32 @@ object TextQueries {
       .select(split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"))
 
+  /** The ONE-corpus-scan per-(doc, term) frame q86 and q92 share:
+    * tokenize once, aggregate to (doc_id, tok, tf_b = all occurrences,
+    * tf_t = first-8 occurrences), materialize. The aggregate completes
+    * map-side (the stream is doc_id-partitioned, a subset of the grouping
+    * key), so the only corpus exchange is the scan-spreading repartition;
+    * every per-field statistic (dl = Σtf, df = frame rows per term) is
+    * integer-identical to a per-field token-stream pass. */
+  private def perDocTermTf(s: SparkSession, d: String): DataFrame =
+    docs(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf_b"), count(when(col("pos") < 8, 1)).as("tf_t"))
+      .localCheckpoint(true)
+
+  /** rankedVocab's [QLo, QHi] query window derived from the shared
+    * [[perDocTermTf]] frame (df = distinct docs per length≥4 term = frame
+    * rows per term — identical integers, no extra corpus scan). */
+  private def qselFromTf(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    g.filter(length(col("tok")) >= 4)
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
+      .filter(col("r") >= QLo && col("r") <= QHi)
+      .select(col("tok"), col("df"))
+  }
+
   /** The deterministic BM25 query window: vocab ranks [QLo, QHi] by
     * (df desc, term asc). ONE definition feeding bm25PerDoc, q79's term
     * set, q82's highlight array AND their oracle SQL — a retune here
@@ -1151,6 +1177,134 @@ object TextQueries {
         .limit(15)
     }),
 
+    // ES `regexp` query — the third MultiTermQuery rewrite: the regex
+    // runs against the broadcast term DICTIONARY only (RE2-safe subset:
+    // one char class + `.*` + a literal tail, anchored), never the doc
+    // stream. Pattern derives structurally and NON-VACUOUSLY: the char
+    // class is the 2 most-covering first chars, and the literal tail is
+    // the most-covering LAST char AMONG terms starting in that class —
+    // so at least one dictionary term matches by construction. The class
+    // chars are sorted alphabetically into the pattern so both engines
+    // build the identical string.
+    "q91_regexp" -> ((s: SparkSession, d: String) => {
+      val vocab = dfVocab(s, d)
+      val heads = vocab
+        .groupBy(substring(col("term"), 1, 1).as("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("c").asc).limit(2)
+        .select(col("c"))
+      val cls = heads.agg(array_join(array_sort(collect_list(col("c"))), "").as("cls"))
+      // length >= 2: the pattern consumes one head char AND one tail char,
+      // so a single-char term can neither match it nor anchor the tail —
+      // without this filter the most common 1-char term ('a') picked a
+      // tail no >=2-char class-headed term has, and the query went vacuous
+      val sfx = vocab.join(broadcast(heads), substring(col("term"), 1, 1) === col("c"))
+        .filter(length(col("term")) >= 2)
+        .groupBy(expr("right(term, 1)").as("sfx"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("sfx").asc).limit(1)
+        .select(col("sfx"))
+      val pat = cls.crossJoin(sfx)
+        .select(concat(lit("^["), col("cls"), lit("].*"), col("sfx"), lit("$")).as("pat"))
+      val expansion = vocab.crossJoin(broadcast(pat))
+        .filter(expr("term RLIKE pat"))
+        .select(col("pat"), col("term"))
+      docs(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+        .join(broadcast(expansion), Seq("term"))
+        .groupBy(col("pat"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("n_term_docs"))
+    }),
+
+    // ES `combined_fields` query (the principled multi-field alternative
+    // to best_fields): fields [body^1, title^2] are scored as ONE
+    // combined field — pseudo term frequency tf' = tf_body + 2·tf_title,
+    // combined length dl' = dl_body + 2·dl_title, df over the combined
+    // field (= body df: the derived title is a subset of body) — then a
+    // SINGLE BM25 pass over the combined statistics (the BM25F
+    // simplification ES documents; integer weights keep tf'/dl' exact).
+    // Reads the SAME one-scan per-(doc, term) frame as q86 — no second
+    // corpus pass — and scores through the shared formula.
+    "q92_combined_fields" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = perDocTermTf(s, d)
+      val qsel = qselFromTf(g)
+      val dlC = g.groupBy(col("doc_id"))
+        .agg((sum(col("tf_b")) + lit(2L) * sum(col("tf_t"))).as("dl"))
+      val tfq = g.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+        .select(col("doc_id"), col("tok"), (col("tf_b") + lit(2L) * col("tf_t")).as("tf"))
+      bm25ScoreTf(tfq, dlC, bm25QIdf(dlC, qsel))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("score"))
+    }),
+
+    // ES `rank_feature` query (saturation function): retrieval score =
+    // bm25 + boost · S/(S + pivot) over a per-doc numeric feature —
+    // the "static quality signal" production shape (pagerank, freshness;
+    // here the doc's n_chars with pivot 500, boost 1.5). Exact IEEE
+    // two-term arithmetic on both engines (one division, one multiply,
+    // one add — no detsum needed); the feature join is per-doc on the
+    // already hit-sized BM25 table.
+    "q93_rank_feature" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val feat = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").cast("double").as("feat"))
+      bm25PerDoc(s, d).join(feat, Seq("doc_id"))
+        .withColumn("sat", col("feat") / (col("feat") + lit(500.0)))
+        .withColumn("final", col("score") + lit(1.5) * col("sat"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("score"), col("sat"), col("final"))
+    }),
+
+    // ES `distance_feature` query: boost · pivot/(pivot + |value−origin|)
+    // — "closer to the origin scores higher" (recency/geo proximity; here
+    // the n_chars axis, origin 1000, pivot 200, boost 2). Same exact-IEEE
+    // two-term combine as q93; |Δ| is integer-exact before the one
+    // division.
+    "q94_distance_feature" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val feat = Tables(s, d, "documents")
+        .select(col("doc_id"), abs(col("n_chars") - lit(1000L)).cast("double").as("dist"))
+      bm25PerDoc(s, d).join(feat, Seq("doc_id"))
+        .withColumn("prox", lit(200.0) / (lit(200.0) + col("dist")))
+        .withColumn("final", col("score") + lit(2.0) * col("prox"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("score"), col("prox"), col("final"))
+    }),
+
+    // ES `span_first` query: the span family's positional boundary —
+    // match docs whose query term occurs within the FIRST `end`=10
+    // positions, reporting the first hit position and the in-window
+    // count. Pure array HOF over the token array (positions never leave
+    // the row — the q78 discipline); the size≥1 guard exists because
+    // Spark's sequence(1, 0) is a DESCENDING ramp, not empty. Query term
+    // = the top-ranked query-window term (rank QLo).
+    "q95_span_first" -> ((s: SparkSession, d: String) => {
+      val term = rankedVocab(s, d).filter(col("r") === QLo).select(col("term"))
+      docs(s, d).crossJoin(broadcast(term))
+        .withColumn("hits",
+          when(size(col("toks")) >= 1,
+            filter(sequence(lit(1), least(lit(10), size(col("toks")))),
+              i => element_at(col("toks"), i) === col("term")))
+            .otherwise(array().cast("array<int>")))
+        .withColumn("n_within", size(col("hits")).cast("long"))
+        .filter(col("n_within") > 0)
+        // ascending positions: the first element IS the first hit
+        .withColumn("first_pos", element_at(col("hits"), 1).cast("long"))
+        .orderBy(col("first_pos").asc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("term"), col("first_pos"), col("n_within"))
+    }),
+
     // ES `multi_match` (type best_fields ≡ `dis_max` over per-field
     // queries): fields = [title^2, body], where title is the doc's first 8
     // tokens (a DERIVED field, the geo-coordinate convention — the corpus
@@ -1172,18 +1326,8 @@ object TextQueries {
     // is unchanged.
     "q86_multi_match" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val g = docs(s, d).repartition(col("doc_id"))
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf_b"), count(when(col("pos") < 8, 1)).as("tf_t"))
-        .localCheckpoint(true)
-      // rankedVocab's window, derived from the shared frame (df = distinct
-      // docs per length>=4 term = g rows per term — identical integers)
-      val qsel = g.filter(length(col("tok")) >= 4)
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
-        .filter(col("r") >= QLo && col("r") <= QHi)
-        .select(col("tok"), col("df"))
+      val g = perDocTermTf(s, d)
+      val qsel = qselFromTf(g)
       val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
       val perB = bm25ScoreTf(
         g.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
@@ -2335,6 +2479,115 @@ object TextQueries {
          |SELECT doc_id, source, phrase, CAST(n_phrase AS BIGINT) AS n_phrase
          |FROM g WHERE n_phrase > 0
          |ORDER BY n_phrase DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "q91_regexp" ->
+      s"""WITH $docsCte,
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) GROUP BY term
+         |),
+         |heads AS (
+         |  SELECT c FROM (
+         |    SELECT substring(term, 1, 1) AS c, COUNT(*) AS cnt FROM vocab GROUP BY 1
+         |  ) ORDER BY cnt DESC, c ASC LIMIT 2
+         |),
+         |cls AS (SELECT string_agg(c, '' ORDER BY c ASC) AS cls FROM heads),
+         |sfx AS (
+         |  -- tail = most-covering LAST char among class-headed terms of
+         |  -- length >= 2 (the pattern consumes head + tail chars), so the
+         |  -- pattern is non-vacuous by construction
+         |  SELECT sfx FROM (
+         |    SELECT right(v.term, 1) AS sfx, COUNT(*) AS cnt
+         |    FROM vocab v JOIN heads h ON substring(v.term, 1, 1) = h.c
+         |    WHERE length(v.term) >= 2 GROUP BY 1
+         |  ) ORDER BY cnt DESC, sfx ASC LIMIT 1
+         |),
+         |pat AS (SELECT '^[' || cls || '].*' || sfx || '$$' AS pat FROM cls, sfx),
+         |expansion AS (
+         |  SELECT p.pat, v.term FROM vocab v, pat p WHERE regexp_matches(v.term, p.pat)
+         |),
+         |t AS (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs)
+         |SELECT e.pat, COUNT(DISTINCT t.doc_id) AS n_docs,
+         |       COUNT(DISTINCT t.term) AS n_terms, COUNT(*) AS n_term_docs
+         |FROM t JOIN expansion e ON t.term = e.term
+         |GROUP BY e.pat""".stripMargin,
+    "q92_combined_fields" ->
+      s"""WITH $docsCte,
+         |g AS MATERIALIZED (
+         |  -- the one-scan per-(doc, term) frame: tf_b = all occurrences,
+         |  -- tf_t = first-8 occurrences (1-based j <= 8 == Spark pos < 8)
+         |  SELECT doc_id, tok, COUNT(*) AS tf_b,
+         |         COUNT(CASE WHEN pos <= 8 THEN 1 END) AS tf_t
+         |  FROM (SELECT doc_id, toks[j] AS tok, j AS pos
+         |        FROM docs, unnest(generate_series(1, len(toks))) AS u(j))
+         |  GROUP BY 1, 2
+         |),
+         |qv AS (
+         |  SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS r
+         |  FROM (SELECT tok, COUNT(*) AS df FROM g WHERE length(tok) >= 4 GROUP BY tok)
+         |),
+         |qselc AS (SELECT tok, df FROM qv WHERE r BETWEEN $QLo AND $QHi),
+         |dlc AS MATERIALIZED (
+         |  SELECT doc_id, SUM(tf_b) + 2 * SUM(tf_t) AS dl FROM g GROUP BY doc_id
+         |),
+         |statsc AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlc),
+         |qt1c AS MATERIALIZED (
+         |  SELECT qselc.tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+         |         CAST(2 * qselc.df + 1 AS BIGINT) AS den, avgdl
+         |  FROM qselc, statsc
+         |),
+         |${graft.functions.detlog.log2SqlCtes("qt1c", "num", "lgn", "qnc")},
+         |${graft.functions.detlog.log2SqlCtes("qncfin", "den", "lgd", "qdc")},
+         |qidfc AS (SELECT tok, lgn - lgd AS idf, avgdl FROM qdcfin),
+         |tfqc AS (SELECT g.doc_id, g.tok, g.tf_b + 2 * g.tf_t AS tf FROM g JOIN qidfc q ON g.tok = q.tok),
+         |scc AS (
+         |  SELECT tfqc.doc_id,
+         |         q.idf * ((CAST(tfqc.tf AS DOUBLE) * 2.2e0) /
+         |           (CAST(tfqc.tf AS DOUBLE) +
+         |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / q.avgdl))) AS score_t
+         |  FROM tfqc JOIN qidfc q ON tfqc.tok = q.tok JOIN dlc dl ON tfqc.doc_id = dl.doc_id
+         |),
+         |perc AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms_hit, ${graft.functions.detsum.sumDetSql("score_t", 9)} AS score
+         |  FROM scc GROUP BY doc_id
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, n_terms_hit, score
+         |FROM perc QUALIFY rank <= 20""".stripMargin,
+    "q93_rank_feature" ->
+      s"""WITH $bm25PerCtes,
+         |f AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS feat FROM documents),
+         |fin AS (
+         |  SELECT per.doc_id, per.score, f.feat / (f.feat + 500.0e0) AS sat,
+         |         per.score + 1.5e0 * (f.feat / (f.feat + 500.0e0)) AS final
+         |  FROM per JOIN f ON per.doc_id = f.doc_id
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, score, sat, final
+         |FROM fin QUALIFY rank <= 20""".stripMargin,
+    "q94_distance_feature" ->
+      s"""WITH $bm25PerCtes,
+         |f AS (SELECT doc_id, CAST(abs(n_chars - 1000) AS DOUBLE) AS dist FROM documents),
+         |fin AS (
+         |  SELECT per.doc_id, per.score, 200.0e0 / (200.0e0 + f.dist) AS prox,
+         |         per.score + 2.0e0 * (200.0e0 / (200.0e0 + f.dist)) AS final
+         |  FROM per JOIN f ON per.doc_id = f.doc_id
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, score, prox, final
+         |FROM fin QUALIFY rank <= 20""".stripMargin,
+    "q95_span_first" ->
+      s"""WITH $docsCte,
+         |$rankedVocabCte,
+         |t1 AS (SELECT term FROM rvocab WHERE r = $QLo),
+         |m AS (
+         |  SELECT doc_id, term,
+         |         list_filter(generate_series(1, LEAST(10, len(toks))), i -> toks[i] = term) AS hits
+         |  FROM docs, t1
+         |)
+         |SELECT doc_id, term, CAST(hits[1] AS BIGINT) AS first_pos, CAST(len(hits) AS BIGINT) AS n_within
+         |FROM m WHERE len(hits) > 0
+         |ORDER BY first_pos ASC, doc_id ASC LIMIT 20""".stripMargin,
     "q86_multi_match" ->
       s"""WITH $docsCte,
          |$rankedVocabCte,

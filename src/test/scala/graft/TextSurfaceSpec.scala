@@ -250,6 +250,67 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q91 regexp: the derived pattern is a real regex and retrieves through the rewrite") {
+    val out = SparkEntry.queries("q91_regexp")(spark, sf).collect()
+    assert(out.nonEmpty, "the length>=2 tail derivation guarantees a match — vacuous result")
+    out.foreach { r =>
+      val pat = r.getAs[String]("pat")
+      assert(pat.startsWith("^[") && pat.contains("].*") && pat.endsWith("$"),
+        s"pattern '$pat' lost the class+wildcard structure")
+      assert(r.getAs[Long]("n_docs") > 0 && r.getAs[Long]("n_terms") >= 1)
+      assert(r.getAs[Long]("n_term_docs") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q92 combined_fields: single-pass combined statistics, sane ranking") {
+    val out = SparkEntry.queries("q92_combined_fields")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("rank")).sorted.sameElements(1L to out.length), "ranks not contiguous")
+    val scores = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "score not rank-monotone")
+    assert(out.forall(r => r.getAs[Long]("n_terms_hit") >= 1 && r.getAs[Long]("n_terms_hit") <= 5))
+    assert(out.forall(_.getAs[Double]("score") > 0.0))
+  }
+
+  test("q93/q94: feature terms are the exact saturation/proximity formulas") {
+    val rf = SparkEntry.queries("q93_rank_feature")(spark, sf).collect()
+    assert(rf.nonEmpty)
+    rf.foreach { r =>
+      val (s, sat, fin) = (r.getAs[Double]("score"), r.getAs[Double]("sat"), r.getAs[Double]("final"))
+      assert(sat > 0.0 && sat < 1.0, s"saturation $sat outside (0,1)")
+      assert(fin == s + 1.5 * sat, "final != score + 1.5*sat (bit-exact)")
+    }
+    val df = SparkEntry.queries("q94_distance_feature")(spark, sf).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val (s, px, fin) = (r.getAs[Double]("score"), r.getAs[Double]("prox"), r.getAs[Double]("final"))
+      assert(px > 0.0 && px <= 1.0, s"proximity $px outside (0,1]")
+      assert(fin == s + 2.0 * px, "final != score + 2*prox (bit-exact)")
+    }
+  }
+
+  test("q95 span_first: every hit is inside the first-10 window, recomputed from raw text") {
+    val out = SparkEntry.queries("q95_span_first")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val term = out.head.getAs[String]("term")
+    out.foreach { r =>
+      assert(r.getAs[Long]("first_pos") >= 1 && r.getAs[Long]("first_pos") <= 10)
+      assert(r.getAs[Long]("n_within") >= 1)
+    }
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("first_pos"), r.getAs[Long]("n_within"))).toMap
+    val checked = queries.Tables(spark, sf, "documents")
+      .filter(col("doc_id").isin(byDoc.keys.toSeq: _*))
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .collect()
+    assert(checked.length == byDoc.size)
+    checked.foreach { r =>
+      val toks = r.getSeq[String](1).take(10)
+      val hits = toks.zipWithIndex.collect { case (t, i) if t == term => i + 1L }
+      assert(hits.headOption.contains(byDoc(r.getLong(0))._1), s"doc ${r.getLong(0)}: first_pos mismatch")
+      assert(hits.length.toLong == byDoc(r.getLong(0))._2, s"doc ${r.getLong(0)}: n_within mismatch")
+    }
+  }
+
   test("st16: streaming media audit is row-identical to batch mm06") {
     val batch = SparkEntry.queries("mm06_media_info")(spark, sf).collect()
       .map(_.toString).sorted.toSeq
