@@ -49,7 +49,11 @@ object Bench {
     val loadStart = loadAvg
     var loadMax = loadStart
     otherCpu // prime the interval counters (first call has no baseline)
-    var otherMax = 0.0
+    // otherMax stays -1 until a VALID sample arrives — clamping the -1
+    // sentinel to 0.0 would report other_cpu_max:0.0 ("perfectly clean")
+    // on a platform that never measured anything and dead-code the
+    // load-average fallback below
+    var otherMax = -1.0
     val spark = GraftSession.local()
     // One untimed warmup pass (JIT + codegen + parquet footer caching), then
     // time the steady-state run — per-query numbers are otherwise dominated

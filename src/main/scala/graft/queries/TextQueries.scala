@@ -79,19 +79,38 @@ object TextQueries {
       .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
   }
 
+  /** Generation-swap bookkeeping for the per-call checkpointed frames
+    * below: building a fresh artifact frees the PREVIOUS generation's
+    * blocks for the same key (the [[VecIndex.replace]] discipline), so
+    * repeated invocations — the bench runs every query 3× — hold at most
+    * one live frame per (helper, dataset, driver thread) instead of
+    * stacking blocks until GC. Per-call semantics are unchanged: every
+    * call still builds (and pays for) its own fresh frame. The key is
+    * thread-scoped: a sequential driver (Bench/Verify — the case the
+    * bound exists for) swaps its own generations, while parallel test
+    * suites sharing the session can never free a frame another thread's
+    * plan is still executing. */
+  private val ckptPool = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def swapCheckpoint(key: String, fresh: DataFrame): DataFrame = {
+    ckptPool.put(s"$key:${Thread.currentThread().getId}", fresh).foreach { old =>
+      if (!old.sparkSession.sparkContext.isStopped) Tables.freeCheckpoint(old)
+    }
+    fresh
+  }
+
   /** The FULL document-frequency vocabulary (no length filter) — the term
     * dictionary the multi-term-rewrite retrieval queries (q87 fuzzy, q88
-    * prefix, q89 wildcard, q90 match_phrase_prefix) expand against,
-    * materialized once per call (vocab-sized; it feeds both the query
-    * derivation and the expansion). The Lucene shape: a prefix/wildcard/
-    * fuzzy query rewrites to a term-set against the dictionary, so the
-    * doc stream only ever pays an equi-join on expanded terms — never a
-    * per-row pattern/edit-distance scan. */
+    * prefix, q89 wildcard, q90 match_phrase_prefix, q91 regexp) expand
+    * against, materialized once per call (vocab-sized; it feeds both the
+    * query derivation and the expansion). The Lucene shape: a prefix/
+    * wildcard/fuzzy query rewrites to a term-set against the dictionary,
+    * so the doc stream only ever pays an equi-join on expanded terms —
+    * never a per-row pattern/edit-distance scan. */
   private def dfVocab(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    swapCheckpoint(s"vocab:$d", docs(s, d)
       .select(explode(array_distinct(col("toks"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
 
   /** The top corpus bigram (count desc, gram asc) — ONE derivation shared
     * by q78 (match_phrase/span_near) and q90 (match_phrase_prefix), like
@@ -112,11 +131,11 @@ object TextQueries {
     * every per-field statistic (dl = Σtf, df = frame rows per term) is
     * integer-identical to a per-field token-stream pass. */
   private def perDocTermTf(s: SparkSession, d: String): DataFrame =
-    docs(s, d).repartition(col("doc_id"))
+    swapCheckpoint(s"tf:$d", docs(s, d).repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf_b"), count(when(col("pos") < 8, 1)).as("tf_t"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
 
   /** rankedVocab's [QLo, QHi] query window derived from the shared
     * [[perDocTermTf]] frame (df = distinct docs per length≥4 term = frame
@@ -1131,9 +1150,14 @@ object TextQueries {
     // dictionary match. Output per pattern: the q87 summary shape.
     "q89_wildcard" -> ((s: SparkSession, d: String) => {
       val vocab = dfVocab(s, d)
+      // pattern-language safety: only literal [a-z0-9] chars may enter the
+      // glob (the corpus contract already guarantees it; the filter makes
+      // '%'/'_'/'\' injection structurally impossible rather than
+      // data-observed)
       val pool = vocab
         .groupBy(expr("right(term, 1)").as("sfx"))
         .agg(count(lit(1)).as("cnt"))
+        .filter(col("sfx").rlike("^[a-z0-9]$"))
         .orderBy(col("cnt").desc, col("sfx").asc).limit(3)
         .select(concat(lit("*"), col("sfx")).as("pat"))
       val expansion = vocab.crossJoin(broadcast(pool))
@@ -1188,9 +1212,14 @@ object TextQueries {
     // build the identical string.
     "q91_regexp" -> ((s: SparkSession, d: String) => {
       val vocab = dfVocab(s, d)
+      // regex-metachar safety: only literal [a-z0-9] chars may enter the
+      // class/tail (corpus-guaranteed; the filter makes ']'/'\\'-injection
+      // structurally impossible and keeps the Java-regex/RE2 dialects
+      // trivially aligned)
       val heads = vocab
         .groupBy(substring(col("term"), 1, 1).as("c"))
         .agg(count(lit(1)).as("cnt"))
+        .filter(col("c").rlike("^[a-z0-9]$"))
         .orderBy(col("cnt").desc, col("c").asc).limit(2)
         .select(col("c"))
       val cls = heads.agg(array_join(array_sort(collect_list(col("c"))), "").as("cls"))
@@ -1202,6 +1231,7 @@ object TextQueries {
         .filter(length(col("term")) >= 2)
         .groupBy(expr("right(term, 1)").as("sfx"))
         .agg(count(lit(1)).as("cnt"))
+        .filter(col("sfx").rlike("^[a-z0-9]$"))
         .orderBy(col("cnt").desc, col("sfx").asc).limit(1)
         .select(col("sfx"))
       val pat = cls.crossJoin(sfx)
@@ -2431,10 +2461,13 @@ object TextQueries {
          |  ) GROUP BY term
          |),
          |pool AS (
-         |  -- '*'+c for the 3 suffix chars covering the most vocab terms
+         |  -- '*'+c for the 3 suffix chars covering the most vocab terms;
+         |  -- only literal [a-z0-9] chars may enter the glob (injection
+         |  -- structurally impossible, mirroring the Spark-side filter)
          |  SELECT '*' || sfx AS pat FROM (
          |    SELECT right(term, 1) AS sfx, COUNT(*) AS cnt FROM vocab GROUP BY 1
-         |  ) ORDER BY cnt DESC, sfx ASC LIMIT 3
+         |  ) WHERE regexp_matches(sfx, '^[a-z0-9]$$')
+         |  ORDER BY cnt DESC, sfx ASC LIMIT 3
          |),
          |expansion AS (
          |  -- Lucene->SQL glob mapping applies only inside the dictionary match
@@ -2487,9 +2520,12 @@ object TextQueries {
          |  ) GROUP BY term
          |),
          |heads AS (
+         |  -- only literal [a-z0-9] chars may enter the class (mirrors the
+         |  -- Spark-side metachar filter)
          |  SELECT c FROM (
          |    SELECT substring(term, 1, 1) AS c, COUNT(*) AS cnt FROM vocab GROUP BY 1
-         |  ) ORDER BY cnt DESC, c ASC LIMIT 2
+         |  ) WHERE regexp_matches(c, '^[a-z0-9]$$')
+         |  ORDER BY cnt DESC, c ASC LIMIT 2
          |),
          |cls AS (SELECT string_agg(c, '' ORDER BY c ASC) AS cls FROM heads),
          |sfx AS (
@@ -2500,7 +2536,8 @@ object TextQueries {
          |    SELECT right(v.term, 1) AS sfx, COUNT(*) AS cnt
          |    FROM vocab v JOIN heads h ON substring(v.term, 1, 1) = h.c
          |    WHERE length(v.term) >= 2 GROUP BY 1
-         |  ) ORDER BY cnt DESC, sfx ASC LIMIT 1
+         |  ) WHERE regexp_matches(sfx, '^[a-z0-9]$$')
+         |  ORDER BY cnt DESC, sfx ASC LIMIT 1
          |),
          |pat AS (SELECT '^[' || cls || '].*' || sfx || '$$' AS pat FROM cls, sfx),
          |expansion AS (

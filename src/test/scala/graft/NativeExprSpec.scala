@@ -49,6 +49,34 @@ class NativeExprSpec extends AnyFunSuite {
       "fused argmax diverged from the struct-argmax reference")
   }
 
+  test("CosArgmax exact-tie contract: power-of-2-scaled duplicate centroids tie to the smaller id") {
+    import spark.implicits._
+    // centroid 5 = centroid 2 scaled by 4 (a power of two): dot and cnrm
+    // both scale exactly, so the cosine is BIT-identical — a guaranteed
+    // exact tie that must resolve to the smaller list id in both forms.
+    // The centroid seq is deliberately unsorted to exercise the builder's
+    // ascending-id reorder (the kernel's tiebreak depends on it).
+    val base = Seq(0.3, -0.7, 0.2)
+    def nrmOf(v: Seq[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    val cents = Seq(
+      (5, base.map(_ * 4.0), nrmOf(base.map(_ * 4.0))),
+      (2, base, nrmOf(base)),
+      (9, Seq(1.0, 0.0, 0.0), 1.0))
+    val df = Seq((1L, Seq(0.3, -0.7, 0.2)), (2L, Seq(-0.3, 0.7, -0.2)), (3L, Seq(0.9, 0.1, 0.1)))
+      .toDF("id", "emb").withColumn("nrm", vectors.norm(col("emb")))
+    val structForm = operators.KMeans.bestBy(cents.sortBy(_._1).map { case (l, ce, cn) =>
+      org.apache.spark.sql.functions.struct(
+        (vectors.dot(col("emb"), org.apache.spark.sql.functions.typedLit(ce)) / (col("nrm") * lit(cn))).as("sc"),
+        lit(-l).as("neg"), lit(l).as("l"))
+    }).getField("l")
+    val rows = df.select(col("id"),
+      vectors.argmaxCos(col("emb"), col("nrm"), cents).as("native"),
+      structForm.as("structform")).collect()
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2), s"id ${r.getLong(0)}: kernel != struct form"))
+    // row 1 is exactly centroid 2's direction == centroid 5's: tie -> 2
+    assert(rows.find(_.getLong(0) == 1L).get.getInt(1) == 2, "exact tie must go to the smaller list id")
+  }
+
   test("CosArgmax zero-norm contract: ANSI raises, legacy excludes like NULLS-LAST") {
     import spark.implicits._
     val cents = Seq((1, Seq(0.0, 0.0), 0.0), (2, Seq(1.0, 0.0), 1.0)) // list 1 is zero-norm

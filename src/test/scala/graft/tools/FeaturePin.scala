@@ -13,7 +13,7 @@ object FeaturePin {
 
   /** Canonical SHA-256 of a DataFrame's full output: every cell rendered
     * exactly (doubles/floats in hex — the pin is bit-exact), cells joined
-    * by , rows sorted, NUL-separated into the digest. Order-free, so
+    * by the \\u0001 separator, rows sorted, NUL-separated into the digest. Order-free, so
     * partitioning/AQE cannot move the pin. */
   def featureHash(df: DataFrame): String = {
     val rows = df.collect().map(_.toSeq.map {
@@ -21,7 +21,7 @@ object FeaturePin {
       case f: Float       => java.lang.Float.toHexString(f)
       case b: Array[Byte] => b.map("%02x".format(_)).mkString
       case x              => String.valueOf(x)
-    }.mkString("")).sorted
+    }.mkString("\u0001")).sorted
     val md = java.security.MessageDigest.getInstance("SHA-256")
     rows.foreach { r => md.update(r.getBytes("UTF-8")); md.update(0.toByte) }
     md.digest().map("%02x".format(_)).mkString

@@ -7,6 +7,8 @@ json_out = None
 argv = sys.argv[1:]
 if "--json" in argv:
     i = argv.index("--json")
+    if i + 1 >= len(argv):
+        sys.exit("usage: check_oracle.py [sf] [out_dir] [datadir] [--json PATH]")
     json_out = argv[i + 1]
     argv = argv[:i] + argv[i + 2:]
 

@@ -9,6 +9,14 @@ contract itself: every reported count must be within the Space-Saving
 guarantee |cnt - true_cnt| <= N_group / capacity (eps*N), recomputing
 ground truth from the same derived events table.
 
+The bound is deliberately TWO-SIDED: a single-node Space-Saving sketch
+only overestimates, but the engine's distributed form merges
+per-partition sketches, and a key evicted from some partition's sketch
+loses that partition's contribution — so the merged count can UNDERcount
+by up to the per-partition error sum, still bounded by eps*N over the
+group. A one-sided (overestimate-only) check would flag the merge's
+legitimate undercounts as contract violations.
+
 Usage: python3 tools/check_spacesaving.py <verify_out_dir> <datadir> <out.json>
 """
 import duckdb, json, sys
@@ -23,7 +31,9 @@ truth = con.sql(f"""
 n = con.sql(f"""
   SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS live_keys
   FROM '{datadir}/events.parquet' GROUP BY 1""").df()
-report = {"capacity": cap, "bound": "abs(cnt - true_cnt) <= N_group/capacity", "queries": {}}
+report = {"capacity": cap,
+          "bound": "abs(cnt - true_cnt) <= N_group/capacity (two-sided: the distributed merge can undercount evicted keys, single-node Space-Saving only overcounts)",
+          "queries": {}}
 all_ok = True
 for q in ["q11c_terms_sketch", "st09_stream_topk"]:
     got = pd.read_parquet(f"{out}/{q}")
