@@ -1234,7 +1234,7 @@ object TextQueries {
         .filter(col("sfx").rlike("^[a-z0-9]$"))
         .orderBy(col("cnt").desc, col("sfx").asc).limit(1)
         .select(col("sfx"))
-      val pat = cls.crossJoin(sfx)
+      val pat = cls.crossJoin(broadcast(sfx))
         .select(concat(lit("^["), col("cls"), lit("].*"), col("sfx"), lit("$")).as("pat"))
       val expansion = vocab.crossJoin(broadcast(pat))
         .filter(expr("term RLIKE pat"))
