@@ -21,6 +21,30 @@ object Bench {
     if (sys < 0 || self < 0) -1.0 else math.max(0.0, sys - self)
   }
 
+  /** Cumulative (steal, total) jiffies from /proc/stat — hypervisor steal
+    * is the host-contention signal NEITHER the load average nor the JMX
+    * system-vs-process split can see (round 12 observed 15-25% uniform
+    * inflation across untouched queries with other_cpu_max clean). (-1,-1)
+    * when unreadable (non-Linux). */
+  private def stealJiffies: (Long, Long) =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")
+      val vals = parts.drop(1).map(_.toLong)
+      (if (vals.length > 7) vals(7) else -1L, vals.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Machine-speed canary: a fixed 300M-step integer LCG, single-thread —
+    * the same work every run, so run-over-run canary drift measures the
+    * MACHINE (frequency/steal/thermal), not the engine. Returns seconds. */
+  private def canary(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x2545F4914F6CDD1DL
+    var i = 0
+    while (i < 300000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+    if (x == 42L) print("") // keep the loop observable
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** One concurrent coarse+PQ index build from scratch (the cluster shape:
     * two training pipelines sharing the scan cache, scheduled together).
     * ONE definition — [[graft.tools.BenchIndex]] times this same build, so
@@ -54,6 +78,8 @@ object Bench {
     // on a platform that never measured anything and dead-code the
     // load-average fallback below
     var otherMax = -1.0
+    val canaryStart = canary()
+    val stealStart = stealJiffies
     val spark = GraftSession.local()
     // One untimed warmup pass (JIT + codegen + parquet footer caching), then
     // time the steady-state run — per-query numbers are otherwise dominated
@@ -112,8 +138,18 @@ object Bench {
     val dirty =
       if (otherMax >= 0) otherMax > 0.10 || loadStart > 0.25 * nproc
       else loadStart > 0.25 * nproc
+    // host-contention telemetry (recorded, not yet gated): whole-run
+    // hypervisor steal fraction + the fixed-work canary before/after —
+    // cross-run canary drift quantifies machine slowdown that no in-guest
+    // process accounting attributes
+    val canaryEnd = canary()
+    val stealEnd = stealJiffies
+    val stealFrac =
+      if (stealStart._1 >= 0 && stealEnd._1 >= 0 && stealEnd._2 > stealStart._2)
+        (stealEnd._1 - stealStart._1).toDouble / (stealEnd._2 - stealStart._2)
+      else -1.0
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"nproc":$nproc,"dirty":$dirty}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"nproc":$nproc,"dirty":$dirty}"""
     println(record)
     // The driver captures only a 2000-char tail of stdout, which truncates
     // the 174-entry per-query map to its last third; persist the FULL
