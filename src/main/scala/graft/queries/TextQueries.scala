@@ -352,6 +352,21 @@ object TextQueries {
        |                                   i -> toks[i] = $w1 AND list_contains(toks[i+1:i+${slop + 1}], $w2)))
        |              ELSE 0 END""".stripMargin
 
+  /** DuckDB mirror of [[spanFirstHits]] over the corpus — shared by the
+    * q95 (windowed) and st17 (every-hit alert stream) oracles, exactly as
+    * the Spark side shares the matcher. */
+  private lazy val spanFirstSql: String =
+    s"""WITH $docsCte,
+       |$rankedVocabCte,
+       |t1 AS (SELECT term FROM rvocab WHERE r = $QLo),
+       |m AS (
+       |  SELECT doc_id, term,
+       |         list_filter(generate_series(1, LEAST(10, len(toks))), i -> toks[i] = term) AS hits
+       |  FROM docs, t1
+       |)
+       |SELECT doc_id, term, CAST(hits[1] AS BIGINT) AS first_pos, CAST(len(hits) AS BIGINT) AS n_within
+       |FROM m WHERE len(hits) > 0""".stripMargin
+
   /** The shared DuckDB mirror of [[rankedVocab]] — a CTE named `rvocab`. */
   private val rankedVocabCte =
     """rvocab AS (
@@ -418,6 +433,32 @@ object TextQueries {
     * physical join shape of the exact streaming DataFrame the query runs. */
   private[graft] def st14StreamAgg(s: SparkSession, d: String): DataFrame =
     percolateInvertedAgg(docStream(s, d, "st14"), percolateRules(s, d))
+
+  /** q95's query term (the top query-window term, rank QLo) — a driver
+    * literal by the st15/centroids convention, so the streaming form needs
+    * no stream-static join. */
+  private[graft] def spanFirstTerm(s: SparkSession, d: String): String =
+    rankedVocab(s, d).filter(col("r") === QLo)
+      .select(col("term")).collect().head.getString(0)
+
+  /** q95's positional matcher (stateless; shared VERBATIM by the st17
+    * streaming form — a hash match proves streaming emission is
+    * row-identical to batch): docs whose `term` occurs within the first
+    * 10 positions, with the first hit position and in-window count. Pure
+    * array HOF — positions never leave the row; the size≥1 guard exists
+    * because Spark's sequence(1, 0) is a descending ramp, not empty. */
+  private[graft] def spanFirstHits(in: DataFrame, term: String): DataFrame =
+    in.withColumn("term", lit(term))
+      .withColumn("hits",
+        when(size(col("toks")) >= 1,
+          filter(sequence(lit(1), least(lit(10), size(col("toks")))),
+            i => element_at(col("toks"), i) === col("term")))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("n_within", size(col("hits")).cast("long"))
+      .filter(col("n_within") > 0)
+      // ascending positions: the first element IS the first hit
+      .withColumn("first_pos", element_at(col("hits"), 1).cast("long"))
+      .select(col("doc_id"), col("term"), col("first_pos"), col("n_within"))
 
   /** st15's query-term set (the BM25 window terms, sorted) — driver
     * literals by the centroids convention. */
@@ -1318,22 +1359,19 @@ object TextQueries {
     // the row — the q78 discipline); the size≥1 guard exists because
     // Spark's sequence(1, 0) is a DESCENDING ramp, not empty. Query term
     // = the top-ranked query-window term (rank QLo).
-    "q95_span_first" -> ((s: SparkSession, d: String) => {
-      val term = rankedVocab(s, d).filter(col("r") === QLo).select(col("term"))
-      docs(s, d).crossJoin(broadcast(term))
-        .withColumn("hits",
-          when(size(col("toks")) >= 1,
-            filter(sequence(lit(1), least(lit(10), size(col("toks")))),
-              i => element_at(col("toks"), i) === col("term")))
-            .otherwise(array().cast("array<int>")))
-        .withColumn("n_within", size(col("hits")).cast("long"))
-        .filter(col("n_within") > 0)
-        // ascending positions: the first element IS the first hit
-        .withColumn("first_pos", element_at(col("hits"), 1).cast("long"))
+    "q95_span_first" -> ((s: SparkSession, d: String) =>
+      spanFirstHits(docs(s, d), spanFirstTerm(s, d))
         .orderBy(col("first_pos").asc, col("doc_id").asc)
-        .limit(20)
-        .select(col("doc_id"), col("term"), col("first_pos"), col("n_within"))
-    }),
+        .limit(20)),
+
+    // st17 = q95's matcher with NO result window: the append-mode alert
+    // stream emits EVERY doc whose query term lands in the first-10
+    // window as it arrives (stateless per-row match — no state store),
+    // exactly the st15 alerting shape for the span family.
+    "st17_span_first_stream" -> ((s: SparkSession, d: String) =>
+      streamToMemory(
+        spanFirstHits(docStream(s, d, "st17"), spanFirstTerm(s, d)),
+        "st17_mem", "append")),
 
     // ES `multi_match` (type best_fields ≡ `dis_max` over per-field
     // queries): fields = [title^2, body], where title is the doc's first 8
@@ -2613,18 +2651,11 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
          |       doc_id, score, prox, final
          |FROM fin QUALIFY rank <= 20""".stripMargin,
+    // the termsSetSql precedent: ONE matcher SQL, q95 adds the result
+    // window, st17 (the alert stream) takes every hit
     "q95_span_first" ->
-      s"""WITH $docsCte,
-         |$rankedVocabCte,
-         |t1 AS (SELECT term FROM rvocab WHERE r = $QLo),
-         |m AS (
-         |  SELECT doc_id, term,
-         |         list_filter(generate_series(1, LEAST(10, len(toks))), i -> toks[i] = term) AS hits
-         |  FROM docs, t1
-         |)
-         |SELECT doc_id, term, CAST(hits[1] AS BIGINT) AS first_pos, CAST(len(hits) AS BIGINT) AS n_within
-         |FROM m WHERE len(hits) > 0
-         |ORDER BY first_pos ASC, doc_id ASC LIMIT 20""".stripMargin,
+      (spanFirstSql + "\nORDER BY first_pos ASC, doc_id ASC LIMIT 20"),
+    "st17_span_first_stream" -> spanFirstSql,
     "q86_multi_match" ->
       s"""WITH $docsCte,
          |$rankedVocabCte,

@@ -311,6 +311,21 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("st17: the streaming span_first alert set equals the batch matcher exactly") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("term"), r.getAs[Long]("first_pos"), r.getAs[Long]("n_within"))
+    val streamed = SparkEntry.queries("st17_span_first_stream")(spark, sf).collect().map(key).toSet
+    val batch = queries.TextQueries.spanFirstHits(
+      queries.Tables(spark, sf, "documents")
+        .withColumn("toks", split(trim(lower(col("text"))), "\\s+")),
+      queries.TextQueries.spanFirstTerm(spark, sf)).collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming alert set != batch matcher (${streamed.size} vs ${batch.size})")
+    // q95 is exactly the top-20 window of this set
+    val q95 = SparkEntry.queries("q95_span_first")(spark, sf).collect().map(key).toSet
+    assert(q95.subsetOf(streamed) && q95.size == math.min(20, streamed.size))
+  }
+
   test("st16: streaming media audit is row-identical to batch mm06") {
     val batch = SparkEntry.queries("mm06_media_info")(spark, sf).collect()
       .map(_.toString).sorted.toSeq
