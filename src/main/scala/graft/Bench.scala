@@ -28,22 +28,37 @@ object Bench {
     * when unreadable (non-Linux). */
   private def stealJiffies: (Long, Long) =
     try {
-      val parts = scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")
-      val vals = parts.drop(1).map(_.toLong)
-      (if (vals.length > 7) vals(7) else -1L, vals.sum)
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val parts = src.getLines().next().split("\\s+")
+        // denominator = first 8 fields only (user..steal): guest/guest_nice
+        // are already accounted inside user/nice, so summing them
+        // double-counts and underestimates steal_frac
+        val vals = parts.drop(1).take(8).map(_.toLong)
+        (if (vals.length > 7) vals(7) else -1L, vals.sum)
+      } finally src.close()
     } catch { case _: Throwable => (-1L, -1L) }
 
   /** Machine-speed canary: a fixed 300M-step integer LCG, single-thread —
     * the same work every run, so run-over-run canary drift measures the
     * MACHINE (frequency/steal/thermal), not the engine. Returns seconds. */
-  private def canary(): Double = {
+  private def canary(steps: Int = 300000000): Double = {
     val t0 = System.nanoTime()
     var x = 0x2545F4914F6CDD1DL
     var i = 0
-    while (i < 300000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+    while (i < steps) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
     if (x == 42L) print("") // keep the loop observable
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Per-query machine-speed probe: a short (30M-step, ~10-40ms) canary run
+    * right after each query's timing pair, min-of-2 so a GC pause in the
+    * probe itself doesn't masquerade as machine slowdown. Round 12's driver
+    * record showed 6-21x spikes on untouched sub-second queries with every
+    * whole-run flag green — the bracketing canary couldn't localize the
+    * stall to a query. This one can: a reader rejects q26@4.8s as
+    * machine-state when canary_q["q26_rollup"] is 2x the run's median. */
+  private def canaryQ(): Double = math.min(canary(30000000), canary(30000000))
 
   /** One concurrent coarse+PQ index build from scratch (the cluster shape:
     * two training pipelines sharing the scan cache, scheduled together).
@@ -87,7 +102,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // the ANN/PQ queries share a train-once index (VecIndex); rebuild it
     // from scratch HERE, timed, so the one-time training cost is visible in
@@ -110,18 +125,34 @@ object Bench {
     // min of two timed runs: GC pauses and thread scheduling add seconds of
     // one-sided noise on a shared 32-thread JVM; the min is the honest
     // steady-state cost of the plan itself
-    val results = ordered.map { case (name, fn) =>
+    val canaryBuild = canaryQ()
+    val timed = ordered.map { case (name, fn) =>
       var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
-        (System.nanoTime() - t0) / 1e9
+        // NonFatal only: an OOM/heap death must fail the bench loudly, not
+        // masquerade as a -1 timing among 200 green ones
+        try { fn(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(_) => failed = true }
+        val t = (System.nanoTime() - t0) / 1e9
+        // sample the contamination signal PER TIMED RUN, not once per pair:
+        // a short burst averaged over both runs plus the canary can stay
+        // under the 0.10 gate while still inflating one timing
+        otherMax = math.max(otherMax, otherCpu)
+        t
       }
       loadMax = math.max(loadMax, loadAvg)
-      otherMax = math.max(otherMax, otherCpu)
       // a failed query must not masquerade as a (fast) timing
-      (name, if (failed) -1.0 else times.min)
-    } :+ indexBuild
+      (name, if (failed) -1.0 else times.min, canaryQ())
+    }
+    val results = timed.map { case (n, t, _) => (n, t) } :+ indexBuild
+    val canaries = timed.map { case (n, _, c) => (n, c) } :+ ("vec_index_build", canaryBuild)
+    // intra-run machine-speed spread: max/min of the per-query canaries.
+    // >1.15 means the machine's single-thread speed moved >15% WITHIN the
+    // run — per-query deltas against another record are then unattributable
+    // and the record self-flags dirty (the round-12 blind spot).
+    val canaryVals = canaries.map(_._2)
+    val canarySpread = canaryVals.max / canaryVals.min
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -135,21 +166,25 @@ object Bench {
     // Primary signal: >10% of the machine's CPU went to other processes in
     // some inter-query interval. Fallback when the JMX counters are
     // unavailable: the original start-sample load check.
+    // the canary-spread gate catches what process accounting can't: host
+    // slowdown (steal/frequency/thermal) localized inside the run
     val dirty =
-      if (otherMax >= 0) otherMax > 0.10 || loadStart > 0.25 * nproc
-      else loadStart > 0.25 * nproc
-    // host-contention telemetry (recorded, not yet gated): whole-run
-    // hypervisor steal fraction + the fixed-work canary before/after —
-    // cross-run canary drift quantifies machine slowdown that no in-guest
-    // process accounting attributes
+      (if (otherMax >= 0) otherMax > 0.10 || loadStart > 0.25 * nproc
+       else loadStart > 0.25 * nproc) || canarySpread > 1.15
+    // host-contention telemetry: whole-run hypervisor steal fraction + the
+    // fixed-work canary before/after — cross-run canary drift quantifies
+    // machine slowdown that no in-guest process accounting attributes. The
+    // per-query canaries above are the gated signal (canarySpread).
     val canaryEnd = canary()
     val stealEnd = stealJiffies
     val stealFrac =
       if (stealStart._1 >= 0 && stealEnd._1 >= 0 && stealEnd._2 > stealStart._2)
         (stealEnd._1 - stealStart._1).toDouble / (stealEnd._2 - stealStart._2)
       else -1.0
+    val cq = canaries.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"nproc":$nproc,"dirty":$dirty}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_q":$cq,"canary_spread":$canarySpread,"nproc":$nproc,"dirty":$dirty}"""
     println(record)
     // The driver captures only a 2000-char tail of stdout, which truncates
     // the 174-entry per-query map to its last third; persist the FULL

@@ -24,7 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("vec_argmax_cos"),
       info("vec_argmax_cos", "vec_argmax_cos(vec, nrm, cents) - nearest-centroid list id by (cosine desc, id asc) over a frozen centroid literal"),
-      (exprs: Seq[Expression]) => CosArgmax.fromLiteral(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => {
+        // arity-check HERE: the registry builder indexes exprs(2), so a
+        // 2-arg SQL call would otherwise die with an opaque
+        // IndexOutOfBounds instead of a function-usage error
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"vec_argmax_cos requires 3 arguments (vec, nrm, cents), got ${exprs.length}")
+        CosArgmax.fromLiteral(exprs(0), exprs(1), exprs(2))
+      }))
     e.injectFunction((
       FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(tokens) - 60-bit md5-based SimHash of a string array"),

@@ -151,9 +151,16 @@ case class CosArgmax(
     cnrms: Array[Double],
     failOnZero: Boolean) extends BinaryExpression {
   override def dataType: DataType = IntegerType
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType.isInstanceOf[ArrayType] && right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure("vec_argmax_cos(array<double>, double, cents)")
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    // element type must be DOUBLE exactly: the kernel's toDoubleArray()
+    // would throw (or silently mis-read) on array<float>/array<string>
+    // at runtime, far from the query text — fail at analysis instead
+    case ArrayType(DoubleType, _) if right.dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"vec_argmax_cos(array<double>, double, cents): got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   /** Spark's double comparison (SQLOrderingUtil semantics): -0.0 == 0.0,
     * NaN greater than everything, NaN == NaN. */

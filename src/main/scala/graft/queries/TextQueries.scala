@@ -90,9 +90,16 @@ object TextQueries {
     * bound exists for) swaps its own generations, while parallel test
     * suites sharing the session can never free a frame another thread's
     * plan is still executing. */
-  private val ckptPool = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val ckptPool = scala.collection.concurrent.TrieMap.empty[String, List[DataFrame]]
   private def swapCheckpoint(key: String, fresh: DataFrame): DataFrame = {
-    ckptPool.put(s"$key:${Thread.currentThread().getId}", fresh).foreach { old =>
+    // keep the LAST TWO generations per key and free only generation n-2:
+    // a same-thread caller that constructs two frames sharing a key before
+    // executing the first (construct-construct-execute) still finds its
+    // blocks live, whereas freeing n-1 immediately would lineage-truncate
+    // a frame another not-yet-executed plan object still references
+    val k = s"$key:${Thread.currentThread().getId}"
+    val prior = ckptPool.put(k, (fresh :: ckptPool.getOrElse(k, Nil)).take(2))
+    prior.getOrElse(Nil).drop(1).foreach { old =>
       if (!old.sparkSession.sparkContext.isStopped) Tables.freeCheckpoint(old)
     }
     fresh
