@@ -290,6 +290,72 @@ object TextQueries {
         graft.functions.detsum.sumDet(col("score_t"), 9).as("score"))
   }
 
+  /** The multi_match per-field score frame q86 (best_fields/dis_max) and
+    * q86b (most_fields/sum) share — ONLY the combine differs between the
+    * two ES types, so the field scoring exists once. Fields [title^2,
+    * body] from the ONE-scan [[perDocTermTf]] frame; each field scores the
+    * 5-term query with its OWN statistics (df/dl/avgdl — the ES per-field
+    * scoring contract); FULL OUTER over the per-field hit sets (a doc
+    * matching only one field still ranks). Returns (doc_id, s_body,
+    * s_title_boosted) with absent-field scores coalesced to 0. */
+  private def multiMatchPerField(s: SparkSession, d: String): DataFrame = {
+    val g = perDocTermTf(s, d)
+    val qsel = qselFromTf(g)
+    val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
+    val perB = bm25ScoreTf(
+      g.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+        .select(col("doc_id"), col("tok"), col("tf_b").as("tf")),
+      dlB, bm25QIdf(dlB, qsel))
+      .select(col("doc_id"), col("score").as("s_body0"))
+    // title field: rows with a first-8 occurrence; df from the title
+    // frame itself (the ES per-field statistics contract)
+    val gT = g.filter(col("tf_t") > 0)
+    val dlT = gT.groupBy(col("doc_id")).agg(sum(col("tf_t")).as("dl"))
+    val titleDf = gT.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val perT = bm25ScoreTf(
+      gT.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+        .select(col("doc_id"), col("tok"), col("tf_t").as("tf")),
+      dlT, bm25QIdf(dlT, titleDf))
+      .select(col("doc_id"), (lit(2.0) * col("score")).as("s_title0"))
+    perB.join(perT, Seq("doc_id"), "full_outer")
+      .withColumn("s_body", coalesce(col("s_body0"), lit(0.0)))
+      .withColumn("s_title_boosted", coalesce(col("s_title0"), lit(0.0)))
+      .select(col("doc_id"), col("s_body"), col("s_title_boosted"))
+  }
+
+  /** One field of q86c's multi_match `phrase` type: Lucene phrase scoring
+    * against a single field. `base` is docs with the query bigram (w1, w2)
+    * attached (1-row broadcast crossJoin); `fieldToks` is the field's token
+    * array (body = toks, title = slice(toks, 1, 8)). The phrase is a
+    * single PSEUDO-TERM: tf = exact adjacent-pair count ([[phraseTf]]),
+    * idf = Σ idf(w) over the phrase terms with the field's own df
+    * ([[bm25QIdf]] — "docs containing w in this field"), and the
+    * tf-normalization is THE shared formula ([[bm25ScoreTf]] on the
+    * one-row pseudo query). Returns (doc_id, n_terms_hit, score), hit
+    * docs only. The 2-row Σ idf is a commutative IEEE add — order-free. */
+  private def phraseFieldScore(base: DataFrame, fieldToks: Column): DataFrame = {
+    val pd = base.select(
+      col("doc_id"), col("w1"), col("w2"),
+      size(fieldToks).cast("long").as("dl"),
+      phraseTf(fieldToks, col("w1"), col("w2")).as("tf"),
+      array_contains(fieldToks, col("w1")).as("h1"),
+      array_contains(fieldToks, col("w2")).as("h2"))
+    val dl = pd.select(col("doc_id"), col("dl"))
+    val qdf = pd.groupBy(col("w1"), col("w2"))
+      .agg(count(when(col("h1"), 1)).as("df1"), count(when(col("h2"), 1)).as("df2"))
+      .select(explode(array(
+        struct(col("w1").as("tok"), col("df1").as("df")),
+        struct(col("w2").as("tok"), col("df2").as("df")))).as("kv"))
+      .select(col("kv.tok").as("tok"), col("kv.df").as("df"))
+    val pseudo = bm25QIdf(dl, qdf)
+      .agg(sum(col("idf")).as("idf"), max(col("avgdl")).as("avgdl"))
+      .withColumn("tok", lit("phrase"))
+    val tfq = pd.filter(col("tf") > 0)
+      .select(col("doc_id"), lit("phrase").as("tok"), col("tf"))
+    bm25ScoreTf(tfq, dl, pseudo)
+  }
+
   /** DuckDB mirror of [[bm25ScoredOver]] — tagged CTE chain (t$tag …
     * per$tag) over caller-supplied token-stream and query-df SQL bodies
     * (`qdfSql` yields (tok, df), mirroring the injected df table; the
@@ -346,11 +412,80 @@ object TextQueries {
   /** DuckDB mirror of [[phraseTf]] — generated once (the bm25PerCtes
     * precedent) so the q76b and q78 oracles can never drift apart on the
     * guard or the index window. `w1`/`w2` are SQL expressions in scope. */
-  private def phraseTfSql(w1: String, w2: String): String =
-    s"""CASE WHEN len(toks) >= 2
-       |              THEN len(list_filter(generate_series(1, len(toks) - 1),
-       |                                   i -> toks[i] = $w1 AND toks[i+1] = $w2))
+  private def phraseTfSql(w1: String, w2: String, arr: String = "toks"): String =
+    s"""CASE WHEN len($arr) >= 2
+       |              THEN len(list_filter(generate_series(1, len($arr) - 1),
+       |                                   i -> ($arr)[i] = $w1 AND ($arr)[i+1] = $w2))
        |              ELSE 0 END""".stripMargin
+
+  /** The shared q86/q86b oracle prefix: both multi_match types score the
+    * identical per-field stack (body + title BM25 instances via
+    * [[bm25CtesOver]]) and differ ONLY in the combine applied to `f` —
+    * exactly as the Spark side shares [[multiMatchPerField]]. */
+  private lazy val multiMatchFieldsCtes: String =
+    s"""$docsCte,
+       |$rankedVocabCte,
+       |${bm25CtesOver("_b", "SELECT doc_id, UNNEST(toks) AS tok FROM docs", bodyQdfSql)},
+       |${bm25CtesOver("_t", "SELECT doc_id, UNNEST(toks[1:8]) AS tok FROM docs",
+          s"""SELECT tok, COUNT(*) AS df FROM (
+             |      SELECT DISTINCT dt.doc_id, dt.tok FROM %T% dt
+             |      JOIN rvocab ON dt.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
+             |    ) GROUP BY tok""".stripMargin)},
+       |f AS (
+       |  SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+       |         COALESCE(b.score, 0.0e0) AS s_body,
+       |         COALESCE(2.0e0 * t.score, 0.0e0) AS s_title_boosted
+       |  FROM per_b b FULL OUTER JOIN per_t t ON b.doc_id = t.doc_id
+       |)""".stripMargin
+
+  /** DuckDB mirror of [[topBigram]] — the bg/top1 CTE pair, ONE copy
+    * shared by the q78, q90 and q86c oracles (assumes `docs` in scope). */
+  private val topBigramCtes =
+    """bg AS (
+      |  SELECT toks[j] AS w1, toks[j+1] AS w2, COUNT(*) AS cnt
+      |  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(j)
+      |  GROUP BY 1, 2
+      |),
+      |top1 AS (SELECT w1, w2 FROM bg ORDER BY cnt DESC, (w1 || ' ' || w2) ASC LIMIT 1)""".stripMargin
+
+  /** DuckDB mirror of [[phraseFieldScore]] — one field of q86c's phrase
+    * scoring as a tagged CTE chain ending in `pper$tag` (doc_id,
+    * n_terms_hit, score). `arr` is the field's token-array SQL expression;
+    * assumes `docsb` (docs × top1 bigram) in scope. Same shape as
+    * [[bm25CtesOver]]: the sc/pper pair is TEXTUALLY the shared formula. */
+  private def phraseFieldCtes(tag: String, arr: String): String =
+    s"""pd$tag AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len($arr) AS BIGINT) AS dl,
+       |         ${phraseTfSql("w1", "w2", arr)} AS tf,
+       |         CASE WHEN list_contains($arr, w1) THEN 1 ELSE 0 END AS h1,
+       |         CASE WHEN list_contains($arr, w2) THEN 1 ELSE 0 END AS h2
+       |  FROM docsb
+       |),
+       |stats$tag AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM pd$tag),
+       |qdf$tag AS (
+       |  SELECT 1 AS ord, SUM(h1) AS df FROM pd$tag
+       |  UNION ALL
+       |  SELECT 2 AS ord, SUM(h2) AS df FROM pd$tag
+       |),
+       |qt$tag AS MATERIALIZED (
+       |  SELECT ord, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+       |         CAST(2 * df + 1 AS BIGINT) AS den, avgdl
+       |  FROM qdf$tag, stats$tag
+       |),
+       |${graft.functions.detlog.log2SqlCtes(s"qt$tag", "num", "lgn", s"pn$tag")},
+       |${graft.functions.detlog.log2SqlCtes(s"pn${tag}fin", "den", "lgd", s"pq$tag")},
+       |qidf$tag AS (SELECT SUM(lgn - lgd) AS idf, MAX(avgdl) AS avgdl FROM pq${tag}fin),
+       |sc$tag AS (
+       |  SELECT pd.doc_id,
+       |         q.idf * ((CAST(pd.tf AS DOUBLE) * 2.2e0) /
+       |           (CAST(pd.tf AS DOUBLE) +
+       |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(pd.dl AS DOUBLE) / q.avgdl))) AS score_t
+       |  FROM pd$tag pd, qidf$tag q WHERE pd.tf > 0
+       |),
+       |pper$tag AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms_hit, ${graft.functions.detsum.sumDetSql("score_t", 9)} AS score
+       |  FROM sc$tag GROUP BY doc_id
+       |)""".stripMargin
 
   /** DuckDB mirror of [[spanNearTf]] — same single-definition rule. */
   private def spanNearTfSql(w1: String, w2: String, slop: Int): String =
@@ -1401,31 +1536,54 @@ object TextQueries {
     // is unchanged.
     "q86_multi_match" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val g = perDocTermTf(s, d)
-      val qsel = qselFromTf(g)
-      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
-      val perB = bm25ScoreTf(
-        g.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
-          .select(col("doc_id"), col("tok"), col("tf_b").as("tf")),
-        dlB, bm25QIdf(dlB, qsel))
-        .select(col("doc_id"), col("score").as("s_body0"))
-      // title field: rows with a first-8 occurrence; df from the title
-      // frame itself (the ES per-field statistics contract)
-      val gT = g.filter(col("tf_t") > 0)
-      val dlT = gT.groupBy(col("doc_id")).agg(sum(col("tf_t")).as("dl"))
-      val titleDf = gT.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val perT = bm25ScoreTf(
-        gT.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
-          .select(col("doc_id"), col("tok"), col("tf_t").as("tf")),
-        dlT, bm25QIdf(dlT, titleDf))
-        .select(col("doc_id"), (lit(2.0) * col("score")).as("s_title0"))
-      perB.join(perT, Seq("doc_id"), "full_outer")
-        .withColumn("s_body", coalesce(col("s_body0"), lit(0.0)))
-        .withColumn("s_title_boosted", coalesce(col("s_title0"), lit(0.0)))
+      multiMatchPerField(s, d)
         .withColumn("final",
           greatest(col("s_body"), col("s_title_boosted")) +
             lit(0.5) * least(col("s_body"), col("s_title_boosted")))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("s_body"), col("s_title_boosted"), col("final"))
+    }),
+
+    // ES `multi_match` type `most_fields`: the SAME per-field BM25 scores
+    // as q86 (same fields [title^2, body], same per-field statistics, same
+    // one-scan frame) but combined by SUM instead of dis_max — the type
+    // for "same text analyzed different ways", where every matching field
+    // adds evidence. q86/q86b/q92 now cover three of ES's four multi_match
+    // types over ONE shared scoring stack; only the combine differs.
+    "q86b_multi_match_most_fields" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      multiMatchPerField(s, d)
+        // two-term IEEE sum — textually fixed order, engine-exact
+        .withColumn("final", col("s_body") + col("s_title_boosted"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("s_body"), col("s_title_boosted"), col("final"))
+    }),
+
+    // ES `multi_match` type `phrase`: runs a match_phrase of the query
+    // phrase (the top corpus bigram — q78's derivation) on EACH field
+    // [title^2, body] and keeps the best field's score (dis_max,
+    // tie_breaker 0.0 — the type's default). Per-field score is Lucene's
+    // phrase scoring: tf = exact adjacent-pair count ([[phraseTf]] — the
+    // positions-never-leave-the-row HOF), idf = Σ idf(term) over the
+    // phrase terms with the FIELD's own df, tf-normalized through THE
+    // shared BM25 formula ([[bm25ScoreTf]] on a single pseudo-term row).
+    // The title field is the first-8-token prefix, so its phrase tf is
+    // [[phraseTf]] over the sliced array.
+    "q86c_multi_match_phrase" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).crossJoin(broadcast(topBigram(s, d)))
+      val sB = phraseFieldScore(base, col("toks"))
+        .select(col("doc_id"), col("score").as("s_body0"))
+      val sT = phraseFieldScore(base, slice(col("toks"), 1, 8))
+        .select(col("doc_id"), (lit(2.0) * col("score")).as("s_title0"))
+      sB.join(sT, Seq("doc_id"), "full_outer")
+        .withColumn("s_body", coalesce(col("s_body0"), lit(0.0)))
+        .withColumn("s_title_boosted", coalesce(col("s_title0"), lit(0.0)))
+        .withColumn("final", greatest(col("s_body"), col("s_title_boosted")))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)
@@ -2395,12 +2553,7 @@ object TextQueries {
          |FROM re QUALIFY rank <= 10""".stripMargin,
     "q78_match_phrase" ->
       s"""WITH $docsCte,
-         |bg AS (
-         |  SELECT toks[j] AS w1, toks[j+1] AS w2, COUNT(*) AS cnt
-         |  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(j)
-         |  GROUP BY 1, 2
-         |),
-         |top1 AS (SELECT w1, w2 FROM bg ORDER BY cnt DESC, (w1 || ' ' || w2) ASC LIMIT 1),
+         |$topBigramCtes,
          |m AS (
          |  SELECT doc_id, source, w1 || ' ' || w2 AS phrase,
          |         ${phraseTfSql("w1", "w2")} AS n_phrase,
@@ -2531,12 +2684,7 @@ object TextQueries {
          |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
          |  ) GROUP BY term
          |),
-         |bg AS (
-         |  SELECT toks[j] AS w1, toks[j+1] AS w2, COUNT(*) AS cnt
-         |  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(j)
-         |  GROUP BY 1, 2
-         |),
-         |top1 AS (SELECT w1, w2 FROM bg ORDER BY cnt DESC, (w1 || ' ' || w2) ASC LIMIT 1),
+         |$topBigramCtes,
          |expansion AS (
          |  -- prefix = w2's first char, expanded against the dictionary
          |  -- (term asc, the Lucene max_expansions=50 window — unbinding here)
@@ -2664,23 +2812,43 @@ object TextQueries {
       (spanFirstSql + "\nORDER BY first_pos ASC, doc_id ASC LIMIT 20"),
     "st17_span_first_stream" -> spanFirstSql,
     "q86_multi_match" ->
+      s"""WITH $multiMatchFieldsCtes,
+         |g AS (
+         |  SELECT doc_id, s_body, s_title_boosted,
+         |         greatest(s_body, s_title_boosted) + 0.5e0 * least(s_body, s_title_boosted) AS final
+         |  FROM f
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, s_body, s_title_boosted, final
+         |FROM g QUALIFY rank <= 20""".stripMargin,
+    // most_fields = the SAME per-field CTE stack, SUM combine
+    "q86b_multi_match_most_fields" ->
+      s"""WITH $multiMatchFieldsCtes,
+         |g AS (
+         |  SELECT doc_id, s_body, s_title_boosted,
+         |         s_body + s_title_boosted AS final
+         |  FROM f
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, s_body, s_title_boosted, final
+         |FROM g QUALIFY rank <= 20""".stripMargin,
+    // phrase type: per-field Lucene phrase scoring (phraseFieldCtes),
+    // dis_max with the type's default tie_breaker 0.0
+    "q86c_multi_match_phrase" ->
       s"""WITH $docsCte,
-         |$rankedVocabCte,
-         |${bm25CtesOver("_b", "SELECT doc_id, UNNEST(toks) AS tok FROM docs", bodyQdfSql)},
-         |${bm25CtesOver("_t", "SELECT doc_id, UNNEST(toks[1:8]) AS tok FROM docs",
-            s"""SELECT tok, COUNT(*) AS df FROM (
-               |      SELECT DISTINCT dt.doc_id, dt.tok FROM %T% dt
-               |      JOIN rvocab ON dt.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
-               |    ) GROUP BY tok""".stripMargin)},
+         |$topBigramCtes,
+         |docsb AS (SELECT d.*, top1.w1, top1.w2 FROM docs d, top1),
+         |${phraseFieldCtes("_pb", "toks")},
+         |${phraseFieldCtes("_pt", "toks[1:8]")},
          |f AS (
          |  SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
          |         COALESCE(b.score, 0.0e0) AS s_body,
          |         COALESCE(2.0e0 * t.score, 0.0e0) AS s_title_boosted
-         |  FROM per_b b FULL OUTER JOIN per_t t ON b.doc_id = t.doc_id
+         |  FROM pper_pb b FULL OUTER JOIN pper_pt t ON b.doc_id = t.doc_id
          |),
          |g AS (
          |  SELECT doc_id, s_body, s_title_boosted,
-         |         greatest(s_body, s_title_boosted) + 0.5e0 * least(s_body, s_title_boosted) AS final
+         |         greatest(s_body, s_title_boosted) AS final
          |  FROM f
          |)
          |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,

@@ -393,25 +393,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q86: both per-field scoring passes read ONE materialized corpus scan") {
-    val p = plan("q86_multi_match")
-    // the per-(doc, term) frame materializes once at construction (the
-    // only corpus scan); vocab ranks, both fields' dl/df/tf and both
-    // scores all read that artifact — round 11 ran two full per-field
-    // scan+score passes plus a vocab scan
-    assert(!p.contains("documents.parquet"),
-      "a per-field pass re-scanned the corpus parquet")
-    assert(p.contains("Scan ExistingRDD"), "the shared materialized scan artifact is missing")
+  test("q86/q86b: both per-field scoring passes read ONE materialized corpus scan") {
+    // q86b (most_fields) shares multiMatchPerField with q86 (best_fields)
+    // — the gate covers both combines over the same scoring stack
+    for (q <- Seq("q86_multi_match", "q86b_multi_match_most_fields")) {
+      val p = plan(q)
+      // the per-(doc, term) frame materializes once at construction (the
+      // only corpus scan); vocab ranks, both fields' dl/df/tf and both
+      // scores all read that artifact — round 11 ran two full per-field
+      // scan+score passes plus a vocab scan
+      assert(!p.contains("documents.parquet"),
+        s"$q: a per-field pass re-scanned the corpus parquet")
+      assert(p.contains("Scan ExistingRDD"), s"$q: the shared materialized scan artifact is missing")
+      assert(!p.contains("CartesianProduct"), q)
+      // the ONLY sort-merge is the final FULL OUTER of the two per-doc score
+      // tables (hit-sized; full outer has no broadcast form) — every other
+      // join must broadcast its tiny side
+      // formatted mode names each operator twice (tree + detail header), so
+      // exactly one SMJ node = one tree line naming the join type + one bare
+      // detail header
+      assert("SortMergeJoin FullOuter".r.findAllIn(p).size == 1 &&
+        "SortMergeJoin".r.findAllIn(p).size == 2,
+        s"$q: an extra sort-merge appeared — per-field statistics must broadcast")
+    }
+  }
+
+  test("q86c: phrase counting stays in the row; only the FULL OUTER of the two hit tables sort-merges") {
+    val p = plan("q86c_multi_match_phrase")
+    // the bigram (1 row) and each field's pseudo-term idf (1 row) must
+    // broadcast; phraseTf is an array HOF so positions never leave the row
     assert(!p.contains("CartesianProduct"))
-    // the ONLY sort-merge is the final FULL OUTER of the two per-doc score
-    // tables (hit-sized; full outer has no broadcast form) — every other
-    // join must broadcast its tiny side
-    // formatted mode names each operator twice (tree + detail header), so
-    // exactly one SMJ node = one tree line naming the join type + one bare
-    // detail header
     assert("SortMergeJoin FullOuter".r.findAllIn(p).size == 1 &&
       "SortMergeJoin".r.findAllIn(p).size == 2,
-      "an extra sort-merge appeared — per-field statistics must broadcast")
+      "only the per-field hit-table FULL OUTER may sort-merge")
   }
 
   test("q78: positional counting is a projection — no posexplode fan-out, no self-join") {
