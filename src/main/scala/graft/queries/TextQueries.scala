@@ -589,6 +589,16 @@ object TextQueries {
     * 10 positions, with the first hit position and in-window count. Pure
     * array HOF — positions never leave the row; the size≥1 guard exists
     * because Spark's sequence(1, 0) is a descending ramp, not empty. */
+  /** 1-based positions of `term` in a token array — the position-array
+    * primitive the q96/q98 positional queries build on. The size≥1 guard
+    * exists because Spark's sequence(1, 0) is a descending ramp, not
+    * empty (DuckDB's generate_series(1, 0) IS empty, so the oracle side
+    * needs no guard). */
+  private def termPositions(toks: Column, term: Column): Column =
+    when(size(toks) >= 1,
+      filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === term))
+      .otherwise(array().cast("array<int>"))
+
   private[graft] def spanFirstHits(in: DataFrame, term: String): DataFrame =
     in.withColumn("term", lit(term))
       .withColumn("hits",
@@ -1514,6 +1524,97 @@ object TextQueries {
       streamToMemory(
         spanFirstHits(docStream(s, d, "st17"), spanFirstTerm(s, d)),
         "st17_mem", "append")),
+
+    // ES `intervals` query, `all_of: {ordered: true, max_gaps: 10}` over
+    // three terms — the modern positional DSL that succeeds the span
+    // family (q78/q95). Operator contract (deterministic in both
+    // engines): a match is a t1-anchored GREEDY chain — for each t1
+    // position i, j = the first t2 after i, k = the first t3 after j;
+    // the chain matches when the total gap k−i−2 ≤ max_gaps. Terms are
+    // the top-3 df vocab terms (maximally co-occurring, structurally
+    // non-vacuous: 38/43/409 matching docs at the three SFs). Pure array
+    // HOFs over per-term position arrays — positions never leave the
+    // row, no posexplode, no self-join (the q78 discipline).
+    "q96_intervals" -> ((s: SparkSession, d: String) => {
+      val ts = rankedVocab(s, d).filter(col("r") <= 3).orderBy(col("r"))
+        .select(col("term")).collect().map(_.getString(0))
+      val (t1, t2, t3) = (ts(0), ts(1), ts(2))
+      val maxGaps = 10
+      def chainOk(i: Column): Column = {
+        val j = array_min(filter(col("p2"), y => y > i))
+        val k = array_min(filter(col("p3"), x => x > array_min(filter(col("p2"), y => y > i))))
+        k.isNotNull && (k - i - lit(2) <= lit(maxGaps))
+      }
+      docs(s, d)
+        .withColumn("p1", termPositions(col("toks"), lit(t1)))
+        .withColumn("p2", termPositions(col("toks"), lit(t2)))
+        .withColumn("p3", termPositions(col("toks"), lit(t3)))
+        .withColumn("chains", filter(col("p1"), chainOk _))
+        .withColumn("n_intervals", size(col("chains")).cast("long"))
+        .filter(col("n_intervals") > 0)
+        .select(col("doc_id"), col("n_intervals"),
+          element_at(col("chains"), 1).cast("long").as("first_start"))
+        .orderBy(col("n_intervals").desc, col("first_start").asc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // ES `span_or` composed into `span_first` (span_or alone is a term
+    // union): docs where EITHER of two query-window terms (ranks QLo,
+    // QLo+1 — q95's derivation widened to a 2-term disjunction) occurs
+    // within the first 10 positions, with the first hit, the in-window
+    // hit count, and how many of the two terms matched.
+    "q97_span_or" -> ((s: SparkSession, d: String) => {
+      val ts = rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QLo + 1)
+        .orderBy(col("r")).select(col("term")).collect().map(_.getString(0))
+      val (ta, tb) = (ts(0), ts(1))
+      val ws = slice(col("toks"), 1, 10)
+      docs(s, d)
+        .withColumn("hits",
+          when(size(col("toks")) >= 1,
+            filter(sequence(lit(1), least(lit(10), size(col("toks")))),
+              i => element_at(col("toks"), i) === lit(ta) ||
+                element_at(col("toks"), i) === lit(tb)))
+            .otherwise(array().cast("array<int>")))
+        .withColumn("n_within", size(col("hits")).cast("long"))
+        .filter(col("n_within") > 0)
+        .select(col("doc_id"),
+          element_at(col("hits"), 1).cast("long").as("first_pos"),
+          col("n_within"),
+          (array_contains(ws, lit(ta)).cast("int") +
+            array_contains(ws, lit(tb)).cast("int")).cast("long").as("n_terms_matched"))
+        .orderBy(col("first_pos").asc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // ES `span_not`: include spans = occurrences of w1 (the top bigram's
+    // first word), exclude spans = occurrences of the phrase "w1 w2" —
+    // keep w1 positions whose [j,j] span does not OVERLAP any [i,i+1]
+    // phrase span (j=i: w1 starts the phrase; j=i+1: only possible when
+    // w1=w2 — both clauses spelled out so the degenerate repeated-word
+    // bigram stays exact). The classic "term not in this phrase" filter.
+    // ANSI-safe: neighbor accesses are guarded by when() bounds.
+    "q98_span_not" -> ((s: SparkSession, d: String) => {
+      val sz = size(col("toks"))
+      def keptAt(j: Column): Column =
+        element_at(col("toks"), j) === col("w1") &&
+          !coalesce(when(j < sz, element_at(col("toks"), j + 1) === col("w2")), lit(false)) &&
+          !coalesce(when(j >= 2,
+            element_at(col("toks"), j - 1) === col("w1") &&
+              element_at(col("toks"), j) === col("w2")), lit(false))
+      docs(s, d).crossJoin(broadcast(topBigram(s, d)))
+        .withColumn("n_incl", size(termPositions(col("toks"), col("w1"))).cast("long"))
+        .withColumn("kept",
+          when(sz >= 1, filter(sequence(lit(1), sz), keptAt _))
+            .otherwise(array().cast("array<int>")))
+        .withColumn("n_kept", size(col("kept")).cast("long"))
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"),
+          element_at(col("kept"), 1).cast("long").as("first_pos"),
+          col("n_kept"),
+          (col("n_incl") - col("n_kept")).as("n_excluded"))
+        .orderBy(col("n_excluded").desc, col("n_kept").desc, col("doc_id").asc)
+        .limit(20)
+    }),
 
     // ES `multi_match` (type best_fields ≡ `dis_max` over per-field
     // queries): fields = [title^2, body], where title is the doc's first 8
@@ -2811,6 +2912,70 @@ object TextQueries {
     "q95_span_first" ->
       (spanFirstSql + "\nORDER BY first_pos ASC, doc_id ASC LIMIT 20"),
     "st17_span_first_stream" -> spanFirstSql,
+    "q96_intervals" ->
+      s"""WITH $docsCte,
+         |$rankedVocabCte,
+         |tt AS (
+         |  SELECT MIN(CASE WHEN r = 1 THEN term END) AS t1,
+         |         MIN(CASE WHEN r = 2 THEN term END) AS t2,
+         |         MIN(CASE WHEN r = 3 THEN term END) AS t3
+         |  FROM rvocab WHERE r <= 3
+         |),
+         |m AS (
+         |  SELECT doc_id,
+         |         list_filter(generate_series(1, len(toks)), i -> toks[i] = t1) AS p1,
+         |         list_filter(generate_series(1, len(toks)), i -> toks[i] = t2) AS p2,
+         |         list_filter(generate_series(1, len(toks)), i -> toks[i] = t3) AS p3
+         |  FROM docs, tt
+         |),
+         |c AS (
+         |  SELECT doc_id,
+         |         list_filter(p1, i ->
+         |           list_min(list_filter(p3, x -> x > list_min(list_filter(p2, y -> y > i)))) IS NOT NULL
+         |           AND list_min(list_filter(p3, x -> x > list_min(list_filter(p2, y -> y > i)))) - i - 2 <= 10
+         |         ) AS chains
+         |  FROM m
+         |)
+         |SELECT doc_id, CAST(len(chains) AS BIGINT) AS n_intervals,
+         |       CAST(chains[1] AS BIGINT) AS first_start
+         |FROM c WHERE len(chains) > 0
+         |ORDER BY n_intervals DESC, first_start ASC, doc_id ASC LIMIT 20""".stripMargin,
+    "q97_span_or" ->
+      s"""WITH $docsCte,
+         |$rankedVocabCte,
+         |tt AS (
+         |  SELECT MIN(CASE WHEN r = $QLo THEN term END) AS ta,
+         |         MIN(CASE WHEN r = ${QLo + 1} THEN term END) AS tb
+         |  FROM rvocab WHERE r IN ($QLo, ${QLo + 1})
+         |),
+         |m AS (
+         |  SELECT doc_id,
+         |         list_filter(generate_series(1, LEAST(10, len(toks))),
+         |                     i -> toks[i] = ta OR toks[i] = tb) AS hits,
+         |         CAST(list_contains(toks[1:10], ta) AS INT) +
+         |         CAST(list_contains(toks[1:10], tb) AS INT) AS ntm
+         |  FROM docs, tt
+         |)
+         |SELECT doc_id, CAST(hits[1] AS BIGINT) AS first_pos,
+         |       CAST(len(hits) AS BIGINT) AS n_within, CAST(ntm AS BIGINT) AS n_terms_matched
+         |FROM m WHERE len(hits) > 0
+         |ORDER BY first_pos ASC, doc_id ASC LIMIT 20""".stripMargin,
+    "q98_span_not" ->
+      s"""WITH $docsCte,
+         |$topBigramCtes,
+         |m AS (
+         |  SELECT doc_id,
+         |         len(list_filter(generate_series(1, len(toks)), j -> toks[j] = w1)) AS n_incl,
+         |         list_filter(generate_series(1, len(toks)), j -> toks[j] = w1
+         |             AND NOT (j + 1 <= len(toks) AND toks[j+1] = w2)
+         |             AND NOT (j >= 2 AND toks[j-1] = w1 AND toks[j] = w2)) AS kept
+         |  FROM docs, top1
+         |)
+         |SELECT doc_id, CAST(kept[1] AS BIGINT) AS first_pos,
+         |       CAST(len(kept) AS BIGINT) AS n_kept,
+         |       CAST(n_incl - len(kept) AS BIGINT) AS n_excluded
+         |FROM m WHERE len(kept) > 0
+         |ORDER BY n_excluded DESC, n_kept DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q86_multi_match" ->
       s"""WITH $multiMatchFieldsCtes,
          |g AS (

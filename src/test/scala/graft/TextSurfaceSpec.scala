@@ -311,6 +311,65 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q96 intervals: greedy all_of chains recomputed from raw text with plain collections") {
+    val out = SparkEntry.queries("q96_intervals")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // fully independent recomputation: tokenize raw text in Scala, derive
+    // the top-3 df terms and the t1-anchored greedy chains with plain
+    // collections code — no Spark expressions shared with the query
+    val docsRaw = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq).toMap
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    docsRaw.values.foreach(_.distinct.filter(_.length >= 4).foreach(w => df(w) = df.getOrElse(w, 0) + 1))
+    val Seq(t1, t2, t3) = df.toSeq.sortBy { case (w, c) => (-c, w) }.take(3).map(_._1)
+    def chains(toks: Seq[String]): Seq[Int] = {
+      def pos(t: String) = toks.zipWithIndex.collect { case (w, i) if w == t => i + 1 }
+      val (p2, p3) = (pos(t2), pos(t3))
+      pos(t1).filter { i =>
+        (for { j <- p2.find(_ > i); k <- p3.find(_ > j) } yield k - i - 2 <= 10).getOrElse(false)
+      }
+    }
+    out.foreach { r =>
+      val cs = chains(docsRaw(r.getAs[Long]("doc_id")))
+      assert(cs.length.toLong == r.getAs[Long]("n_intervals"),
+        s"doc ${r.getAs[Long]("doc_id")}: n_intervals mismatch")
+      assert(cs.headOption.map(_.toLong).contains(r.getAs[Long]("first_start")),
+        s"doc ${r.getAs[Long]("doc_id")}: first_start mismatch")
+    }
+  }
+
+  test("q98 span_not: kept/excluded spans recomputed from raw text; exclusions actually occur") {
+    val out = SparkEntry.queries("q98_span_not")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the result window must surface real exclusions (the derivation's
+    // structural non-vacuousness: the top bigram exists by construction)
+    assert(out.exists(_.getAs[Long]("n_excluded") > 0), "no span was ever excluded")
+    val docsRaw = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toVector).toMap
+    // recompute the top bigram independently
+    val bg = scala.collection.mutable.Map.empty[(String, String), Int]
+    docsRaw.values.foreach(_.sliding(2).foreach {
+      case Seq(a, b) => bg((a, b)) = bg.getOrElse((a, b), 0) + 1
+      case _ => ()
+    })
+    val (w1, w2) = bg.toSeq.sortBy { case ((a, b), c) => (-c, s"$a $b") }.head._1
+    out.foreach { r =>
+      val toks = docsRaw(r.getAs[Long]("doc_id"))
+      val incl = toks.zipWithIndex.collect { case (w, i) if w == w1 => i + 1 }
+      val kept = incl.filterNot { j =>
+        (j < toks.length && toks(j) == w2) ||
+          (j >= 2 && toks(j - 2) == w1 && toks(j - 1) == w2)
+      }
+      assert(kept.length.toLong == r.getAs[Long]("n_kept"), s"doc ${r.getAs[Long]("doc_id")}: n_kept")
+      assert((incl.length - kept.length).toLong == r.getAs[Long]("n_excluded"),
+        s"doc ${r.getAs[Long]("doc_id")}: n_excluded")
+      assert(kept.headOption.map(_.toLong).contains(r.getAs[Long]("first_pos")),
+        s"doc ${r.getAs[Long]("doc_id")}: first_pos")
+    }
+  }
+
   test("st17: the streaming span_first alert set equals the batch matcher exactly") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("doc_id"), r.getAs[String]("term"), r.getAs[Long]("first_pos"), r.getAs[Long]("n_within"))
