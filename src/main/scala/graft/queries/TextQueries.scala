@@ -64,6 +64,80 @@ object TextQueries {
     (result, counts0)
   }
 
+  /** The hashed-ngram linear quality classifier shared by q99 (per-doc
+    * scores) and q99b (held-out confusion matrix) — the LEARNED half of a
+    * curation stack next to q41's rule batteries and q70's DSIR importance
+    * weights (CCNet/fineweb run exactly this pair: a fasttext-shaped
+    * linear model over hashed ngrams, weakly supervised by a curated
+    * source). Everything is closed-form and cross-engine deterministic:
+    *
+    *  - features: unigrams + bigram shingles hashed to 256 buckets by the
+    *    first 2 hex chars of md5 — q70's convention verbatim;
+    *  - training split: docs with doc_id % 5 != 0 (80%); positive class =
+    *    source 'src0' (the curated target distribution, q70's convention);
+    *  - weights: multinomial Naive Bayes log-count ratios (the NBSVM
+    *    linear model) w(b) = [log2(c⁺+1) − log2(N⁺+256)] − [log2(c⁻+1) −
+    *    log2(N⁻+256)], detlog over exact integers — closed-form training,
+    *    no iterative optimizer to replay;
+    *  - prior: log2(docs⁺+1) − log2(docs⁻+1) over the training split;
+    *  - score: prior + Σ_gram w(bucket) — detsum over the gram stream,
+    *    prior added as one textually-fixed IEEE add; pred = score > 0.
+    *
+    * Scale shape: the weight table is ≤256 rows BROADCAST into the scoring
+    * scan; the 256-row count table is checkpointed once so the corpus
+    * gram stream is scanned exactly twice (count pass, score pass). Grams
+    * hashing to a bucket absent from the training split contribute
+    * nothing (inner join against the weight table — mirrored exactly by
+    * the oracle). Returns (doc_id, label, n_feat, score) per doc. */
+  private[graft] def qualityScored(s: SparkSession, d: String): DataFrame =
+    qualityScoredFrom(Tables(s, d, "documents"), s"qcls:$d")
+
+  /** [[qualityScored]] over an arbitrary (doc_id, source, text) frame —
+    * split out so the spec can train on a PLANTED-signal corpus and prove
+    * the learner separates classes when the data carries signal (on the
+    * shipped synthetic corpus the text is source-unconditional — identical
+    * stopword/gram profile across labels, measured — so the honest eval
+    * is majority-class; see q99b's comment). */
+  private[graft] def qualityScoredFrom(raw: DataFrame, ckptKey: String): DataFrame = {
+    import graft.functions.{detlog, detsum}
+    val based = raw.withColumn("toks", text.tokens(col("text")))
+    val grams = based
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("toks"), text.shingles(col("toks"), 2))).as("g"))
+      .withColumn("b", substring(md5(col("g").cast("binary")), 1, 2))
+    val counts = swapCheckpoint(ckptKey,
+      grams.filter(col("doc_id") % 5 =!= 0)
+        .groupBy(col("b")).agg(
+          count(when(col("source") === "src0", 1)).as("cp"),
+          count(when(col("source") =!= "src0", 1)).as("cn"))
+        .localCheckpoint(true))
+    val bucketLg = detlog.withLog2(detlog.withLog2(
+      counts.withColumn("cpp", col("cp") + lit(1L)).withColumn("cnp", col("cn") + lit(1L)),
+      "cpp", "lgp"), "cnp", "lgn")
+    val tot = counts.agg(
+      (sum(col("cp")) + lit(256L)).as("np"),
+      (sum(col("cn")) + lit(256L)).as("nn"))
+    val totLg = detlog.withLog2(detlog.withLog2(tot, "np", "lgnp"), "nn", "lgnn")
+    val w = bucketLg
+      .crossJoin(broadcast(totLg.select(col("lgnp"), col("lgnn"))))
+      .select(col("b"), ((col("lgp") - col("lgnp")) - (col("lgn") - col("lgnn"))).as("w"))
+    val dcls = raw
+      .select(col("doc_id"), (col("source") === "src0").as("label"))
+    val prior = detlog.withLog2(detlog.withLog2(
+      dcls.filter(col("doc_id") % 5 =!= 0).agg(
+        (count(when(col("label"), 1)) + lit(1L)).as("dp"),
+        (count(when(!col("label"), 1)) + lit(1L)).as("dn")),
+      "dp", "lgdp"), "dn", "lgdn")
+      .select((col("lgdp") - col("lgdn")).as("p0"))
+    grams.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), detsum.sumDet(col("w"), 9).as("sw"))
+      .crossJoin(broadcast(prior))
+      .withColumn("score", col("p0") + col("sw"))
+      .join(dcls, Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("n_feat"), col("score"))
+  }
+
   /** The length-≥4 document-frequency vocabulary with its (df desc, term
     * asc) rank — the ONE base every rank-windowed consumer (percolator
     * rules, completion prefixes, BM25 query terms) derives from. NOTE: the
@@ -417,6 +491,52 @@ object TextQueries {
        |              THEN len(list_filter(generate_series(1, len($arr) - 1),
        |                                   i -> ($arr)[i] = $w1 AND ($arr)[i+1] = $w2))
        |              ELSE 0 END""".stripMargin
+
+  /** DuckDB replay of [[qualityScored]]'s closed-form training + scoring —
+    * the shared q99/q99b oracle prefix, ending in `sc` (doc_id, label,
+    * n_feat, score). The oracle RETRAINS the classifier: same hashed-gram
+    * stream (q70's CTE), same 80% split, same detlog log-count-ratio
+    * weights, same prior, same detsum scoring. */
+  private lazy val qualityClsCtes: String =
+    s"""$docsCte,
+       |g AS (
+       |  SELECT doc_id, source,
+       |         substring(md5(UNNEST(list_concat(toks,
+       |           list_transform(generate_series(1, len(toks) - 1),
+       |                          i -> array_to_string(list_slice(toks, i, i + 1), ' '))))), 1, 2) AS b
+       |  FROM docs
+       |),
+       |counts0 AS MATERIALIZED (
+       |  SELECT b, COUNT(*) FILTER (WHERE source = 'src0') AS cp,
+       |         COUNT(*) FILTER (WHERE source <> 'src0') AS cn
+       |  FROM g WHERE doc_id % 5 <> 0 GROUP BY b
+       |),
+       |counts1 AS MATERIALIZED (SELECT b, cp + 1 AS cpp, cn + 1 AS cnp FROM counts0),
+       |${graft.functions.detlog.log2SqlCtes("counts1", "cpp", "lgp", "qp")},
+       |${graft.functions.detlog.log2SqlCtes("qpfin", "cnp", "lgn", "qn2")},
+       |tot AS (SELECT CAST(SUM(cp) + 256 AS BIGINT) AS np, CAST(SUM(cn) + 256 AS BIGINT) AS nn FROM counts0),
+       |${graft.functions.detlog.log2SqlCtes("tot", "np", "lgnp", "qtp")},
+       |${graft.functions.detlog.log2SqlCtes("qtpfin", "nn", "lgnn", "qtn")},
+       |w AS MATERIALIZED (
+       |  SELECT b, ((lgp - lgnp) - (lgn - lgnn)) AS w FROM qn2fin, qtnfin
+       |),
+       |dcls AS (SELECT doc_id, source = 'src0' AS label FROM documents),
+       |pr0 AS (
+       |  SELECT CAST(COUNT(*) FILTER (WHERE label) + 1 AS BIGINT) AS dp,
+       |         CAST(COUNT(*) FILTER (WHERE NOT label) + 1 AS BIGINT) AS dn
+       |  FROM dcls WHERE doc_id % 5 <> 0
+       |),
+       |${graft.functions.detlog.log2SqlCtes("pr0", "dp", "lgdp", "qdp")},
+       |${graft.functions.detlog.log2SqlCtes("qdpfin", "dn", "lgdn", "qdn")},
+       |prior AS (SELECT lgdp - lgdn AS p0 FROM qdnfin),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_feat, ${graft.functions.detsum.sumDetSql("w", 9)} AS sw
+       |  FROM g JOIN w USING (b) GROUP BY doc_id
+       |),
+       |sc AS (
+       |  SELECT per.doc_id, dcls.label, per.n_feat, p0 + sw AS score
+       |  FROM per JOIN dcls ON per.doc_id = dcls.doc_id, prior
+       |)""".stripMargin
 
   /** The shared q86/q86b oracle prefix: both multi_match types score the
     * identical per-field stack (body + title BM25 instances via
@@ -887,6 +1007,39 @@ object TextQueries {
       // top-20 rows — coordinator-sized; free the 256-row bucket-count blocks
       Tables.materializeAndFree(result, counts0)
     }),
+
+    // the learned quality classifier (see [[qualityScored]]): per-doc NB
+    // log-odds scores, top-20 by (rounded score desc, doc_id) with the
+    // binary prediction and the weak label
+    "q99_quality_classifier" -> ((s: SparkSession, d: String) =>
+      qualityScored(s, d)
+        .withColumn("score_r", graft.functions.detsum.roundDet(col("score"), 6))
+        .select(col("doc_id"), col("label").cast("long").as("label"),
+          (col("score") > 0).cast("long").as("pred"),
+          col("n_feat"), col("score_r").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)),
+
+    // held-out evaluation of the SAME model: confusion counts on the 20%
+    // docs the training split never saw (doc_id % 5 == 0). HONEST
+    // DISCLOSURE: on the shipped synthetic corpus this reads
+    // majority-class (tp=fp=0) because the text is source-UNconditional
+    // (measured: identical stopword/gram profiles across every source and
+    // lang value) — no classifier can separate what the generator never
+    // conditioned. The learner itself is proven on a planted-signal
+    // corpus in TextSurfaceSpec (accuracy ≥0.95 held-out); this query's
+    // value on the shipped data is the deterministic train+score+eval
+    // PIPELINE, oracle-replayed end to end.
+    "q99b_quality_classifier_eval" -> ((s: SparkSession, d: String) =>
+      qualityScored(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .withColumn("pred", col("score") > 0)
+        .agg(
+          count(when(col("label") && col("pred"), 1)).as("tp"),
+          count(when(!col("label") && col("pred"), 1)).as("fp"),
+          count(when(col("label") && !col("pred"), 1)).as("fn"),
+          count(when(!col("label") && !col("pred"), 1)).as("tn"),
+          count(lit(1)).as("n_eval"))),
 
     "q45_length_histogram" -> ((s: SparkSession, d: String) =>
       docs(s, d)
@@ -2535,6 +2688,21 @@ object TextQueries {
          |)
          |SELECT doc_id, source, n_feat, round(sw, 6) AS logratio
          |FROM per ORDER BY logratio DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q99_quality_classifier" ->
+      s"""WITH $qualityClsCtes
+         |SELECT doc_id, CAST(label AS BIGINT) AS label,
+         |       CAST(score > 0e0 AS BIGINT) AS pred, n_feat,
+         |       ${graft.functions.detsum.roundDetSql("score", 6)} AS score
+         |FROM sc
+         |ORDER BY ${graft.functions.detsum.roundDetSql("score", 6)} DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q99b_quality_classifier_eval" ->
+      s"""WITH $qualityClsCtes
+         |SELECT COUNT(*) FILTER (WHERE label AND score > 0e0) AS tp,
+         |       COUNT(*) FILTER (WHERE NOT label AND score > 0e0) AS fp,
+         |       COUNT(*) FILTER (WHERE label AND NOT score > 0e0) AS fn,
+         |       COUNT(*) FILTER (WHERE NOT label AND NOT score > 0e0) AS tn,
+         |       COUNT(*) AS n_eval
+         |FROM sc WHERE doc_id % 5 = 0""".stripMargin,
     "q45_length_histogram" ->
       s"""WITH $docsCte
          |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,

@@ -370,6 +370,35 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q99 classifier: learns a planted signal (held-out accuracy >= 0.95) and stays honest on the shipped corpus") {
+    import spark.implicits._
+    // planted-signal corpus: src0 docs speak "alpha beta", the rest speak
+    // "gamma delta", with shared filler both classes emit — a classifier
+    // that learns must separate these; one that merely memorizes the
+    // prior cannot (the shipped corpus, measured source-unconditional,
+    // yields exactly the prior — asserted below)
+    val planted = (0L until 200L).map { i =>
+      val pos = i % 4 == 0 // 25% positive, like the shipped source skew
+      val signal = if (pos) "alpha beta alpha beta alpha" else "gamma delta gamma delta gamma"
+      (i, if (pos) "src0" else s"src${1 + i % 3}", s"$signal common filler words here $signal")
+    }.toDF("doc_id", "source", "text")
+    val scored = queries.TextQueries.qualityScoredFrom(planted, "qcls:spec-planted")
+      .collect()
+    val held = scored.filter(_.getAs[Long]("doc_id") % 5 == 0)
+    assert(held.length == 40)
+    val correct = held.count { r =>
+      (r.getAs[Double]("score") > 0) == r.getAs[Boolean]("label")
+    }
+    assert(correct >= 38, s"held-out accuracy ${correct}/40 — the learner failed a separable corpus")
+    // and on the shipped corpus the honest result is majority-class: the
+    // eval row must show zero positive predictions (tp = fp = 0), not a
+    // fabricated separation
+    val eval = SparkEntry.queries("q99b_quality_classifier_eval")(spark, sf).collect().head
+    assert(eval.getAs[Long]("tp") == 0L && eval.getAs[Long]("fp") == 0L,
+      "the shipped corpus is source-unconditional; any positive prediction here is suspect")
+    assert(eval.getAs[Long]("n_eval") > 0)
+  }
+
   test("st17: the streaming span_first alert set equals the batch matcher exactly") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("doc_id"), r.getAs[String]("term"), r.getAs[Long]("first_pos"), r.getAs[Long]("n_within"))
