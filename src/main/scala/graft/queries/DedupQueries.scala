@@ -59,18 +59,58 @@ object DedupQueries {
     * 100 TB the only shuffle key is the 16-byte span hash (the q30b
     * discipline); the len/stride window fan-out happens inside the scan
     * stage, after the scan-spreading repartition. */
-  private def q30c(s: SparkSession, d: String): DataFrame = {
-    val W = 20 // window tokens
-    val S = 5  // stride
+  private def q30c(s: SparkSession, d: String): DataFrame =
+    spanAgg(strideSpans(tokenized(s, d)))
+
+  /** The (doc_id, toks) frame both span-dedup variants window over. */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
       .repartition(col("doc_id")) // single-file scan -> spread the window work
       .select(col("doc_id"), text.tokens(col("text")).as("toks"))
+
+  /** q30c's windows: every 20-token span at FIXED stride 5. Alignment-free
+    * only up to the stride — two docs sharing a span at offsets that
+    * differ by a non-multiple of 5 sample disjoint window phases and the
+    * duplicate is invisible (DedupSpec constructs exactly this miss). */
+  private[graft] def strideSpans(docsF: DataFrame): DataFrame =
+    docsF
       .filter(size(col("toks")) >= W)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("toks")) - lit(W - 1), lit(S))).as("j"),
         col("toks"))
       .select(col("doc_id"),
         md5(array_join(slice(col("toks"), col("j"), lit(W)), " ").cast("binary")).as("span_hash"))
+
+  /** q30d's windows: CONTENT-DEFINED anchors (the minimizer/winnowing fix
+    * for the stride's phase blindness — Lee et al.'s suffix-array method
+    * at full fidelity catches arbitrary offsets; this is its
+    * shuffle-bounded approximation). A position j anchors iff
+    * hash60(5-gram at j) ≡ 0 (mod 5) — a function of CONTENT only, so two
+    * docs sharing a span select the same anchors inside it at ANY
+    * alignment (every anchor whose 20-token window fits in the shared
+    * region yields the identical span hash in both docs; a shared span of
+    * L tokens carries ~(L−19)/5 expected anchors). Same expected 1/5
+    * window density as the stride — the upgrade costs no extra fan-out,
+    * and the shuffle key stays the 16-byte span hash. */
+  private[graft] def anchorSpans(docsF: DataFrame): DataFrame =
+    docsF
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        explode(filter(sequence(lit(1), size(col("toks")) - lit(W - 1)),
+          j => graft.functions.vectors.hash60(
+            array_join(slice(col("toks"), j, lit(K)), " ")) % lit(S.toLong) === 0)).as("j"),
+        col("toks"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("j"), lit(W)), " ").cast("binary")).as("span_hash"))
+
+  private val W = 20 // window tokens
+  private val S = 5  // stride / anchor density
+  private val K = 5  // anchor-gram tokens
+
+  /** The shared tail: recurring-span surfacing over a (doc_id, span_hash)
+    * stream — the only shuffle key is the 16-byte hash. */
+  private[graft] def spanAgg(spans: DataFrame): DataFrame =
+    spans
       .groupBy(col("span_hash"))
       .agg(
         count(lit(1)).as("n_occ"),
@@ -79,7 +119,9 @@ object DedupQueries {
       .filter(col("n_docs") > 1)
       .orderBy(col("n_occ").desc, col("n_docs").desc, col("span_hash").asc)
       .limit(20)
-  }
+
+  private def q30d(s: SparkSession, d: String): DataFrame =
+    spanAgg(anchorSpans(tokenized(s, d)))
 
   /** Word-3-gram Jaccard pairs via capped posting lists
     * ([[graft.operators.NgramJaccard]]): only pairs sharing ≥1 sub-boilerplate
@@ -293,6 +335,7 @@ object DedupQueries {
     "q30_dedup_exact" -> (q30 _),
     "q30b_dedup_passage" -> (q30b _),
     "q30c_dedup_span" -> (q30c _),
+    "q30d_dedup_anchor" -> (q30d _),
     "q31_dedup_ngram_jaccard" -> (q31 _),
     "q32_dedup_minhash_lsh" -> (q32 _),
     "q33_dedup_simhash" -> (q33 _),
@@ -440,6 +483,28 @@ object DedupQueries {
         |       MIN(doc_id) AS first_doc
         |FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY n_occ DESC, n_docs DESC, span_hash ASC LIMIT 20""".stripMargin,
+    "q30d_dedup_anchor" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents
+         |),
+         |w AS (
+         |  -- content-defined anchors: hash60(5-gram at j) % 5 == 0 (the
+         |  -- exact hash60 convention: value of the digest's first 15 hex
+         |  -- chars), so anchor choice is alignment-invariant
+         |  SELECT doc_id, md5(array_to_string(toks[j:j+19], ' ')) AS span_hash
+         |  FROM (
+         |    SELECT doc_id,
+         |           UNNEST(list_filter(generate_series(1, len(toks) - 19),
+         |             j -> ${graft.functions.vectors.hash60Sql("array_to_string(toks[j:j+4], ' ')")} % 5 = 0)) AS j,
+         |           toks
+         |    FROM d WHERE len(toks) >= 20
+         |  )
+         |)
+         |SELECT span_hash, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+         |       MIN(doc_id) AS first_doc
+         |FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+         |ORDER BY n_occ DESC, n_docs DESC, span_hash ASC LIMIT 20""".stripMargin,
     "q31_dedup_ngram_jaccard" ->
       s"""WITH $shingleDocsCte,
          |d2 AS (SELECT doc_id, sh, len(sh) AS n FROM docs),

@@ -49,6 +49,35 @@ class DedupSpec extends AnyFunSuite {
     assert(collided.forall(_.getAs[Long]("d0") == 1L))
   }
 
+  test("q30d anchors catch the offset-shifted span that q30c's stride misses") {
+    import spark.implicits._
+    // the documented stride miss, constructed: two docs share a 40-token
+    // run planted at offsets 8 and 10 (differ by 2, not a multiple of the
+    // stride 5) inside different junk. Stride windows sample the run at
+    // rel-phases {4 mod 5} in doc1 and {2 mod 5} in doc2 — disjoint, so
+    // NO window hash is shared. Content-defined anchors pick the same
+    // in-run positions in both docs, so every anchor whose 20-token
+    // window fits inside the run collides.
+    val run = (1 to 40).map(i => s"shared$i").mkString(" ")
+    val fixture = Seq(
+      (1L, (1 to 7).map(i => s"a$i").mkString(" ") + " " + run + " " + (1 to 6).map(i => s"p$i").mkString(" ")),
+      (2L, (1 to 9).map(i => s"b$i").mkString(" ") + " " + run + " " + (1 to 4).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), text.tokens(col("text")).as("toks"))
+    val strideHits = queries.DedupQueries.spanAgg(
+      queries.DedupQueries.strideSpans(fixture)).collect()
+    assert(strideHits.isEmpty,
+      s"stride-5 was expected to MISS the offset-2 shared run, found ${strideHits.length}")
+    val anchorHits = queries.DedupQueries.spanAgg(
+      queries.DedupQueries.anchorSpans(fixture)).collect()
+    assert(anchorHits.nonEmpty, "anchors missed the shared run entirely")
+    assert(anchorHits.forall(_.getAs[Long]("n_docs") == 2L))
+    // and on the real corpus the anchor variant surfaces duplicates too
+    val out = SparkEntry.queries("q30d_dedup_anchor")(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))
+  }
+
   test("minhash signature agreement approximates Jaccard similarity") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
