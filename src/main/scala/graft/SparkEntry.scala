@@ -72,7 +72,7 @@ object SparkEntry {
   private val mm06OracleSql =
           """WITH m AS (
             |  SELECT doc_id,
-            |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+            |         CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'jpeg' ELSE 'gif' END AS format,
             |         CAST(n_chars % 64 + 16 AS BIGINT) AS width,
             |         CAST(doc_id % 48 + 16 AS BIGINT) AS height,
             |         -- COALESCE mirrors the Scala null guard (cycleBytes of
@@ -83,7 +83,11 @@ object SparkEntry {
             |  FROM documents
             |),
             |b AS (
-            |  SELECT *, width * height * 3 AS n_bytes,
+            |  -- GIF plants the text bytes as w*h palette INDICES (each
+            |  -- decoding to a gray triplet), the other lossless containers
+            |  -- as w*h*3 RGB bytes — n_cyc is the planted cycle length and
+            |  -- the GIF raster sum is 3x its cycled-byte sum
+            |  SELECT *, CASE WHEN format = 'gif' THEN width * height ELSE width * height * 3 END AS n_cyc,
             |         CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS tot
             |  FROM m
             |)
@@ -92,9 +96,10 @@ object SparkEntry {
             |            -- len = 0 mirrors cycleBytes' zeroed raster (sum 0)
             |            -- rather than dividing by zero on an empty text
             |            WHEN len = 0 THEN 0
-            |            ELSE (n_bytes // len) * tot +
-            |                 CASE WHEN n_bytes % len = 0 THEN 0
-            |                      ELSE CAST(list_sum(list_transform(string_split(substr(text, 1, CAST(n_bytes % len AS INTEGER)), ''), c -> unicode(c))) AS BIGINT) END
+            |            ELSE (CASE WHEN format = 'gif' THEN 3 ELSE 1 END) *
+            |                 ((n_cyc // len) * tot +
+            |                 CASE WHEN n_cyc % len = 0 THEN 0
+            |                      ELSE CAST(list_sum(list_transform(string_split(substr(text, 1, CAST(n_cyc % len AS INTEGER)), ''), c -> unicode(c))) AS BIGINT) END)
             |       END AS raster_sum
             |FROM b""".stripMargin
 }

@@ -294,7 +294,261 @@ object MediaCodec {
     Some(DecodedImage(width, height, out))
   }
 
-  // ---------------------------------------------------------------- WAV ----
+  // ---------------------------------------------------------------- GIF ----
+
+  /** Encode an 8-bit index raster as a GIF89a with a 256-entry GRAYSCALE
+    * global color table (palette i → (i, i, i)) and real LZW compression —
+    * the fourth pure-JVM container (after BMP/PNG/baseline-JPEG), per the
+    * published GIF89a spec. Lossless: [[decodeGif]] (and any external
+    * viewer) recovers index i at every pixel as gray (i, i, i). */
+  def encodeGifGray(width: Int, height: Int, indices: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height, "index raster must be width*height")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('G'); out.write('I'); out.write('F'); out.write('8'); out.write('9'); out.write('a')
+    // logical screen descriptor: GCT present, color resolution 8, GCT size 256
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0xf7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    // image descriptor: full frame, no local table, not interlaced
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0)
+    out.write(8) // LZW minimum code size
+    val lzw = lzwEncode(indices, 8)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF LZW compressor — the compress(1)-derived structure the spec's
+    * appendix describes: variable code width starting at minCodeSize+1,
+    * LSB-first bit packing, the width bump evaluated AT OUTPUT TIME with
+    * the pre-insert table size (free_ent > maxcode — this is the exact
+    * point where a conforming decoder's table fills to 1<<codeSize one
+    * code later), clear-and-reset when the table reaches 4096. */
+  private def lzwEncode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clearCode = 1 << minCodeSize
+    val eoi = clearCode + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L
+    var nbits = 0
+    var codeSize = minCodeSize + 1
+    var maxCode = (1 << codeSize) - 1
+    var next = eoi + 1
+    val dict = new java.util.HashMap[Integer, Integer]()
+    def write(code: Int): Unit = {
+      cur |= code.toLong << nbits
+      nbits += codeSize
+      while (nbits >= 8) { out.write((cur & 0xff).toInt); cur >>= 8; nbits -= 8 }
+      if (next > maxCode && codeSize < 12) { codeSize += 1; maxCode = (1 << codeSize) - 1 }
+    }
+    write(clearCode)
+    if (data.isEmpty) {
+      write(eoi)
+    } else {
+      var prefix = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val b = data(i) & 0xff
+        val key = Integer.valueOf((prefix << 8) | b)
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue
+        else {
+          write(prefix)
+          if (next < 4096) { dict.put(key, Integer.valueOf(next)); next += 1 }
+          else {
+            write(clearCode)
+            dict.clear()
+            next = eoi + 1
+            codeSize = minCodeSize + 1
+            maxCode = (1 << codeSize) - 1
+          }
+          prefix = b
+        }
+        i += 1
+      }
+      write(prefix)
+      write(eoi)
+    }
+    if (nbits > 0) out.write((cur & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Decode a GIF87a/89a first frame: logical screen + global color table,
+    * extension blocks skipped, the first image descriptor's LZW stream
+    * expanded (prefix/suffix table, the KwKwK special case, mid-stream
+    * clear, width bump when the table fills to 1<<codeSize), palette-mapped
+    * to top-down RGB. Interlaced frames (ImageIO writes these by default)
+    * are de-interlaced via the spec's 4-pass row order; a local color
+    * table overrides the global one. */
+  def decodeGif(bytes: Array[Byte]): Option[DecodedImage] =
+    try decodeGifImpl(bytes) catch { case _: Exception => None }
+
+  private def decodeGifImpl(b: Array[Byte]): Option[DecodedImage] = {
+    if (b.length < 13) return None
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8') return None
+    if (!((b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    val packed = b(10) & 0xff
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      gct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    while (pos < b.length) {
+      (b(pos) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          while (pos < b.length && b(pos) != 0) pos += 1 + (b(pos) & 0xff)
+          pos += 1
+        case 0x2c =>
+          val w = le16(b, pos + 5)
+          val h = le16(b, pos + 7)
+          val ipacked = b(pos + 9) & 0xff
+          pos += 10
+          var pal = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            pal = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          if (pal == null || w <= 0 || h <= 0) return None
+          val minCode = b(pos) & 0xff
+          pos += 1
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < b.length && b(pos) != 0) {
+            val n = b(pos) & 0xff
+            data.write(b, pos + 1, n)
+            pos += 1 + n
+          }
+          val idx0 = lzwDecode(data.toByteArray, minCode, w * h).getOrElse(return None)
+          // interlaced frames (ImageIO writes these by default) store rows
+          // in the spec's 4-pass order — remap to display order
+          val idx =
+            if ((ipacked & 0x40) == 0) idx0
+            else {
+              val out = new Array[Byte](w * h)
+              var r = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var y = start
+                while (y < h) {
+                  System.arraycopy(idx0, r * w, out, y * w, w)
+                  r += 1
+                  y += step
+                }
+              }
+              out
+            }
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val ci = (idx(i) & 0xff) * 3
+            if (ci + 2 >= pal.length) return None
+            px(3 * i) = pal(ci); px(3 * i + 1) = pal(ci + 1); px(3 * i + 2) = pal(ci + 2)
+            i += 1
+          }
+          return Some(DecodedImage(w, h, px))
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF LZW expander — the [[lzwEncode]] mirror: after each processed
+    * code one (prefix, suffix) entry is added, and the width bumps when
+    * the table size reaches 1<<codeSize (exactly one code after the
+    * encoder's pre-insert check fired). */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int, expected: Int): Option[Array[Byte]] = {
+    val clearCode = 1 << minCodeSize
+    val eoi = clearCode + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    var codeSize = minCodeSize + 1
+    var avail = eoi + 1
+    var prev = -1
+    var cur = 0L
+    var nbits = 0
+    var pos = 0
+    val stack = new Array[Byte](4097)
+    def firstByte(code0: Int): Byte = {
+      var c = code0
+      while (c >= clearCode) c = prefix(c)
+      c.toByte
+    }
+    def emit(code0: Int): Boolean = {
+      var sp = 0
+      var c = code0
+      while (c >= clearCode) { stack(sp) = suffix(c); sp += 1; c = prefix(c); if (sp > 4096) return false }
+      stack(sp) = c.toByte
+      sp += 1
+      while (sp > 0) {
+        sp -= 1
+        if (outLen >= expected) return false
+        out(outLen) = stack(sp)
+        outLen += 1
+      }
+      true
+    }
+    while (true) {
+      while (nbits < codeSize) {
+        if (pos >= data.length) return if (outLen == expected) Some(out) else None
+        cur |= (data(pos) & 0xffL) << nbits
+        nbits += 8
+        pos += 1
+      }
+      val code = (cur & ((1L << codeSize) - 1)).toInt
+      cur >>= codeSize
+      nbits -= codeSize
+      if (code == clearCode) {
+        codeSize = minCodeSize + 1
+        avail = eoi + 1
+        prev = -1
+      } else if (code == eoi) {
+        return if (outLen == expected) Some(out) else None
+      } else {
+        if (prev < 0) {
+          if (code >= clearCode) return None
+          if (!emit(code)) return None
+          prev = code
+        } else {
+          if (code > avail) return None
+          if (code == avail) {
+            // KwKwK: the referenced entry is the one being defined —
+            // string(prev) + first(string(prev)); add it, then emit it
+            if (avail >= 4096) return None
+            prefix(avail) = prev
+            suffix(avail) = firstByte(prev)
+            avail += 1
+          } else if (avail < 4096) {
+            prefix(avail) = prev
+            suffix(avail) = firstByte(code)
+            avail += 1
+          }
+          if (!emit(code)) return None
+          if (avail == (1 << codeSize) && codeSize < 12) codeSize += 1
+          prev = code
+          if (outLen == expected) return Some(out)
+        }
+      }
+    }
+    None
+  }
 
   /** Encode mono PCM16 samples as a standard RIFF/WAVE file
     * (fmt chunk: PCM, 1 channel, 16-bit little-endian). */

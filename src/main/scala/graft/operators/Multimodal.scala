@@ -47,7 +47,8 @@ object Multimodal {
   def decodeImage(r: MediaRow): (Int, Int, Int, Array[Byte]) =
     MediaCodec.decodeBmp(r.payload)
       .orElse(MediaCodec.decodePng(r.payload))
-      .orElse(MediaCodec.decodeJpeg(r.payload)) match {
+      .orElse(MediaCodec.decodeJpeg(r.payload))
+      .orElse(MediaCodec.decodeGif(r.payload)) match {
       case Some(d) => (d.width, d.height, 3, d.pixels)
       case None => (r.width, r.height, r.channels, decodeStub(r.payload, r.width, r.height, r.channels))
     }
@@ -67,11 +68,13 @@ object Multimodal {
       if (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) "bmp"
       else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte) "png"
       else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+      else if (p.length >= 4 && p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == '8'.toByte) "gif"
       else "unknown"
     val dec = fmt match {
       case "bmp"  => MediaCodec.decodeBmp(p)
       case "png"  => MediaCodec.decodePng(p)
       case "jpeg" => MediaCodec.decodeJpeg(p)
+      case "gif"  => MediaCodec.decodeGif(p)
       case _      => None
     }
     (fmt, dec)
@@ -86,20 +89,24 @@ object Multimodal {
   }
 
   /** The ONE synthesized-payload construction shared by [[attachPayload]]
-    * and [[phashPairs]]: text bytes cycled to a w×h RGB raster, wrapped in
-    * a real container — PNG / BMP / baseline JPEG cycling on `selector` —
-    * so every pipeline run exercises all three image parsers (including the
-    * full huffman+IDCT path). The lossless containers decode to the
-    * identical raster; JPEG decodes to its own deterministic lossy raster
-    * (same bytes in ⇒ same features out, which is all the pipeline
-    * contracts require). */
+    * and [[phashPairs]]: text bytes cycled into a real container — PNG /
+    * BMP / baseline JPEG / GIF cycling on `selector` — so every pipeline
+    * run exercises all FOUR image parsers (including the full
+    * huffman+IDCT path and the LZW expander). PNG/BMP carry the text
+    * bytes cycled to a w×h×3 RGB raster and decode to it exactly; GIF is
+    * palette-indexed (256-entry grayscale table), so its planted raster
+    * is the text bytes cycled to w×h INDICES, decoding to gray triplets
+    * (i, i, i) — lossless, just a different arithmetic (the mm03/mm06
+    * oracles recompute both forms); JPEG decodes to its own deterministic
+    * lossy raster (same bytes in ⇒ same features out, which is all the
+    * pipeline contracts require). */
   private def makeImageRow(id: Long, selector: Long, w: Int, h: Int, text: String): MediaRow = {
     val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
-    val rgb = cycleBytes(bytes, w * h * 3)
-    val payload = (selector % 3) match {
-      case 0 => MediaCodec.encodePng(w, h, rgb)
-      case 1 => MediaCodec.encodeBmp(w, h, rgb)
-      case _ => MediaCodec.encodeJpeg(w, h, rgb)
+    val payload = (selector % 4) match {
+      case 0 => MediaCodec.encodePng(w, h, cycleBytes(bytes, w * h * 3))
+      case 1 => MediaCodec.encodeBmp(w, h, cycleBytes(bytes, w * h * 3))
+      case 2 => MediaCodec.encodeJpeg(w, h, cycleBytes(bytes, w * h * 3))
+      case _ => MediaCodec.encodeGifGray(w, h, cycleBytes(bytes, w * h))
     }
     MediaRow(id, payload, w, h, 3)
   }
@@ -108,9 +115,9 @@ object Multimodal {
     * The testdata carries no real media, so each doc's image is synthesized
     * deterministically — pixels are the utf8 text bytes cycled — but the
     * payload is a real, well-formed image file (cycling 8-bit truecolor
-    * PNG, 24bpp BMP, and baseline JPEG by doc id, so every pipeline run
-    * exercises all THREE real parsers; any external viewer opens any of
-    * them). */
+    * PNG, 24bpp BMP, baseline JPEG, and indexed GIF89a by doc id, so every
+    * pipeline run exercises all FOUR real parsers; any external viewer
+    * opens any of them). */
   def attachPayload(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     // scan-spreading repartition: the per-row encode/decode is CPU-bound,
@@ -130,8 +137,10 @@ object Multimodal {
     * exact sum of the decoded raster bytes. Every output is
     * reconstructible ARITHMETICALLY from the documents table — the
     * planted geometry is (n_chars%64+16) × (doc_id%48+16), the format
-    * cycles on doc_id%3, and the lossless raster is the text's UTF-8
-    * bytes cycled to w·h·3 — so a DuckDB oracle recomputes the expected
+    * cycles on doc_id%4 (png/bmp/jpeg/gif), and the lossless raster is the
+    * text's UTF-8 bytes cycled to w·h·3 (or, for the palette-indexed GIF,
+    * to w·h gray indices — sum 3× the cycled bytes) — so a DuckDB oracle
+    * recomputes the expected
     * values without parsing a single byte of container, and a hash match
     * proves the real writers and header/filter/inflate parsers round-trip
     * geometry AND pixels exactly. JPEG raster sums are NULL by contract
@@ -148,7 +157,7 @@ object Multimodal {
           dec match {
             case Some(di) =>
               val sum: java.lang.Long =
-                if (fmt == "png" || fmt == "bmp") {
+                if (fmt == "png" || fmt == "bmp" || fmt == "gif") {
                   var s = 0L; var i = 0
                   while (i < di.pixels.length) { s += (di.pixels(i) & 0xff); i += 1 }
                   java.lang.Long.valueOf(s)
@@ -291,7 +300,7 @@ object Multimodal {
         it.map { r =>
           val (fmt, dec) = sniffStrict(r.payload)
           dec match {
-            case Some(di) if fmt == "png" || fmt == "bmp" =>
+            case Some(di) if fmt == "png" || fmt == "bmp" || fmt == "gif" =>
               val (w, h, px) = (di.width, di.height, di.pixels)
               var sum = 0L
               var y = 0

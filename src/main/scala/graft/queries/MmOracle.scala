@@ -8,7 +8,8 @@ package graft.queries
   * documents table, never parsing a container byte: the payloads are
   * synthesized deterministically (Multimodal.makeImageRow /
   * attachAudioPayload — text bytes cycled into a w×h RGB raster inside a
-  * real PNG/BMP container, or big-endian PCM16 pairs inside a real WAV),
+  * real PNG/BMP container, into w×h gray palette indices inside a real
+  * GIF89a, or big-endian PCM16 pairs inside a real WAV),
   * and the lossless decoders round-trip those bytes exactly. A hash match
   * therefore proves the real writers AND parsers both work — a codec
   * regression surfaces as a loud mismatch, not a silent pass.
@@ -28,7 +29,7 @@ object MmOracle {
   val mm03Sql: String =
     """WITH m AS (
       |  SELECT doc_id,
-      |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+      |         CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'jpeg' ELSE 'gif' END AS format,
       |         CAST(n_chars % 64 + 16 AS BIGINT) AS w,
       |         CAST(doc_id % 48 + 16 AS BIGINT) AS h,
       |         COALESCE(text, '') AS text,
@@ -40,12 +41,17 @@ object MmOracle {
       |       CAST(768 AS BIGINT) AS n_bytes,
       |       CASE WHEN format = 'jpeg' THEN NULL
       |            WHEN len = 0 THEN 0
+      |            -- gif plants w*h palette INDICES (gray triplets), so the
+      |            -- source byte ignores the channel: idx = (sy*w + sx) mod len
+      |            WHEN format = 'gif' THEN CAST(list_sum(list_transform(range(768),
+      |                   k -> unicode(text[CAST(((((k // 48) * h // 16) * w + (((k % 48) // 3) * w // 16))) % len AS INTEGER) + 1]))) AS BIGINT)
       |            ELSE CAST(list_sum(list_transform(range(768),
       |                   k -> unicode(text[CAST(((((k // 48) * h // 16) * w + (((k % 48) // 3) * w // 16)) * 3 + k % 3) % len AS INTEGER) + 1]))) AS BIGINT)
       |       END AS resized_sum,
       |       CASE WHEN format = 'jpeg' THEN NULL WHEN len = 0 THEN 0
       |            ELSE CAST(unicode(text[1]) AS BIGINT) END AS corner_tl,
       |       CASE WHEN format = 'jpeg' THEN NULL WHEN len = 0 THEN 0
+      |            WHEN format = 'gif' THEN CAST(unicode(text[CAST(((15 * h // 16) * w + (15 * w // 16)) % len AS INTEGER) + 1]) AS BIGINT)
       |            ELSE CAST(unicode(text[CAST((((15 * h // 16) * w + (15 * w // 16)) * 3 + 2) % len AS INTEGER) + 1]) AS BIGINT)
       |       END AS corner_br
       |FROM m""".stripMargin

@@ -219,6 +219,64 @@ class MediaCodecSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- WAV ----
 
+  test("gif: encode/decode roundtrip recovers the index raster exactly (LZW, width bumps, clears)") {
+    // sizes chosen so the LZW table crosses the 9->10 bit width bump on
+    // the noisy raster, and the repetitive raster exercises long matches
+    for ((w, h) <- Seq((5, 3), (16, 16), (1, 1), (63, 33), (79, 63))) {
+      val idx = Array.tabulate[Byte](w * h)(i => ((i * 31 + 7) % 256).toByte)
+      val gif = MediaCodec.encodeGifGray(w, h, idx)
+      assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+      val d = MediaCodec.decodeGif(gif).get
+      assert(d.width == w && d.height == h)
+      for (i <- 0 until w * h; c <- 0 until 3)
+        assert((d.pixels(3 * i + c) & 0xff) == (idx(i) & 0xff), s"pixel $i ch $c at ${w}x$h")
+      val rep = Array.tabulate[Byte](w * h)(i => (i % 7).toByte) // long runs
+      val d2 = MediaCodec.decodeGif(MediaCodec.encodeGifGray(w, h, rep)).get
+      for (i <- 0 until w * h)
+        assert((d2.pixels(3 * i) & 0xff) == (rep(i) & 0xff))
+    }
+  }
+
+  test("gif: cross-validated against the JDK's independent ImageIO codec, both directions") {
+    val w = 37; val h = 29
+    val idx = Array.tabulate[Byte](w * h)(i => ((i * 97 + 13) % 256).toByte)
+    // our encoder → ImageIO's decoder (its own spec-conforming LZW)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MediaCodec.encodeGifGray(w, h, idx)))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val v = idx(y * w + x) & 0xff
+      assert(((p >> 16) & 0xff) == v && ((p >> 8) & 0xff) == v && (p & 0xff) == v,
+        s"ImageIO disagrees at ($x,$y)")
+    }
+    // ImageIO's GIF writer (indexed gray image) → our LZW expander
+    val gray = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, idx(y * w + x) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "gif", bos))
+    val d = MediaCodec.decodeGif(bos.toByteArray).get
+    assert(d.width == w && d.height == h)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert((d.pixels(3 * i + c) & 0xff) == (idx(i) & 0xff),
+        s"ImageIO-encoded GIF must reconstruct exactly (pixel $i ch $c)")
+  }
+
+  test("gif: malformed and unsupported containers are rejected, not mis-parsed") {
+    assert(MediaCodec.decodeGif(Array[Byte]('G', 'I', 'F')).isEmpty)
+    assert(MediaCodec.decodeGif("GIF10a junk".getBytes("US-ASCII")).isEmpty)
+    val good = MediaCodec.encodeGifGray(4, 4, Array.fill[Byte](16)(42))
+    assert(MediaCodec.decodeGif(good).nonEmpty)
+    // truncate inside the LZW stream: reject, never a partial raster
+    assert(MediaCodec.decodeGif(good.take(good.length - 6)).isEmpty)
+    // corrupt the LZW stream (an out-of-range code): reject, not garbage
+    val corrupt = good.clone()
+    corrupt(13 + 768 + 10 + 2) = 0xff.toByte
+    assert(MediaCodec.decodeGif(corrupt).isEmpty ||
+      MediaCodec.decodeGif(corrupt).get.pixels.length == 4 * 4 * 3) // either reject or decode a full raster, never partial
+  }
+
   test("wav: decode a hand-assembled RIFF file with an unknown odd-sized chunk before data") {
     def b(v: Int): Byte = v.toByte
     // samples: 1000, -2, little-endian PCM16

@@ -212,14 +212,16 @@ class StreamingSpec extends AnyFunSuite {
     // sf0.001 output, doubles rendered in hex so the pin is bit-exact.
     // Regenerate after an INTENDED feature change:
     //   sbt "Test/runMain graft.tools.FeaturePin"
+    // (last regenerated: round 13, when GIF89a joined the container cycle
+    // — every 4th payload is now LZW-compressed indexed gray)
     val sf = "/root/testdata/sf0.001"
     assert(graft.tools.FeaturePin.featureHash(
       SparkEntry.queries("mm01_binary_pipeline")(spark, sf)) ==
-      "5d0c4e76e9dd50fe70e412208cc84c075519abfd5afa1f60ee56db4cba726699",
+      "60ae66521b480682f0cd83d120ea9002ca4157c27bceb700a4982af5e8bf8213",
       "mm01 feature output drifted from the committed pin")
     assert(graft.tools.FeaturePin.featureHash(
       SparkEntry.queries("mm02_frame_sample")(spark, sf)) ==
-      "bfa3043343e2712406b1b22e6ca0ac91f90e8db71556e40b0a9eb3633b59eed7",
+      "8cdfcdc54d76cadb176941c5049f9e507eb8111cab6a74e44a34d65ce91ea2cf",
       "mm02 frame-feature output drifted from the committed pin")
   }
 
