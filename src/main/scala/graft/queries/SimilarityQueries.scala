@@ -124,19 +124,22 @@ object SimilarityQueries {
 
   /** The HIGH-RECALL IVF configuration (ES kNN parity is a recall claim:
     * Lucene HNSW serves ~0.9+; the default 3-probe IVF measures 0.585).
-    * nprobe comes from the committed ANN_RECALL.md sweep — the smallest
-    * probe depth whose measured recall@5 vs q35 brute force clears 0.9 on
-    * EVERY committed SF (0.960 / 1.000 / 0.915; sf0.1 binds — nprobe=7
-    * reads 0.855; SketchSpec gates the contract). Same train-once index,
-    * same search plan — recall is bought with scan fraction
-    * (nprobe/nlists of the corpus), the IVF contract; the
-    * [[VecIndex.nlistsFor]] √-corpus rule holds that fraction to ≤0.25
-    * beyond the smallest SFs instead of letting a fixed nlists degenerate
-    * the search toward brute force. What that fraction buys at scale
-    * depends on corpus clusterability — ANN_RECALL.md's decorrelated-10×
-    * measurement records the isotropic-corpus floor honestly. */
+    * nprobe comes from [[highRecallNprobeFor]]: the committed-sweep floor
+    * of 8 (smallest depth clearing 0.9 recall@5 on EVERY committed SF —
+    * 0.960 / 1.000 / 0.915, sf0.1 binds; SketchSpec gates it) joined to a
+    * FIXED ≥0.25 scan fraction as nlists grows under the
+    * [[VecIndex.nlistsFor]] √-corpus rule. What that fraction buys
+    * depends on corpus clusterability: ANN_RECALL.md measures both the
+    * isotropic floor (decorrelated derivation — recall ~fraction, the
+    * information-theoretic limit of structureless vectors) and the
+    * clustered regime IVF exists for (mixture-of-Gaussians derivation —
+    * recall ≥0.9 at fraction 0.25, gated in SketchSpec on an in-spec
+    * clustered corpus). */
   private def q37c(s: SparkSession, d: String): DataFrame =
-    ivfSearch(s, d, nprobe = HighRecallNprobe)
+    // nprobe from the trained index's own nlists (train-once cached; the
+    // centroid count is k rows) — the fixed-scan-fraction rule
+    ivfSearch(s, d,
+      nprobe = highRecallNprobeFor(VecIndex.coarse(s, d).cent.count().toInt))
 
   /** ES 8 filtered kNN (`knn` with `filter`): the IVF 3-probe search with a
     * per-query SAME-label predicate on the candidates — the "nearest
@@ -342,8 +345,26 @@ object SimilarityQueries {
         col("dup_of").isNull.as("keep"), col("dup_of"), col("max_sim"))
   }
 
-  /** q37c's probe depth — set from the committed ANN_RECALL.md sweep. */
-  private[graft] val HighRecallNprobe = 8
+  /** q37c's probe-depth rule: nprobe = max(8, ⌈nlists/4⌉) — the committed
+    * floor (ANN_RECALL.md's sweep: 8 is the smallest depth clearing 0.9 on
+    * every committed SF, where nlists sits at its own floor of 10) joined
+    * to a FIXED ≥0.25 scan fraction as nlists grows under the √n rule.
+    * Round 12 kept nprobe pinned at 8, so q37c's scan fraction shrank
+    * ≈1/√n beyond the 10× derivation and the ≥0.9 recall contract was
+    * unverified at larger scales; the ceil-div keeps the fraction
+    * constant (10→8/10, 32→8/32=0.25, 102→26/102≈0.255) — and recall at
+    * fixed fraction on clustered data is what the committed clustered
+    * sweep + SketchSpec gate measure. Integer arithmetic ((k+3)/4), so
+    * the DuckDB rendering below is bit-identical. At every committed SF
+    * nlists = 10 ⇒ nprobe = 8: all committed oracle artifacts unchanged. */
+  private[graft] def highRecallNprobeFor(nlists: Int): Int =
+    math.max(8, (nlists + 3) / 4)
+
+  /** The rule's DuckDB rendering — a scalar subquery over the replayed
+    * `cent` table, so the oracle derives nprobe from the SAME trained
+    * index it replays. */
+  private[graft] val highRecallNprobeSql: String =
+    "(SELECT GREATEST(8, (COUNT(*) + 3) // 4) FROM cent)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37c_ann_ivf_highrecall" -> (q37c _),
@@ -368,7 +389,7 @@ object SimilarityQueries {
     * the q37 and q85 oracles, exactly like the Spark side shares
     * queryProbes (q37b keeps its own probes: its q CTE carries raw emb/nrm
     * for the ADC refine instead). */
-  private def probesCteSql(extras: Seq[String], nprobe: Int = 3): String = {
+  private def probesCteSql(extras: Seq[String], nprobeSql: String = "3"): String = {
     val outer = extras.map(c => s", $c").mkString
     val inner = extras.map(c => s", q.$c").mkString
     s"""probes AS (
@@ -377,16 +398,18 @@ object SimilarityQueries {
        |    FROM (SELECT c.list_id, q.query_id, q.qe, q.qn$inner,
        |                 (${vectors.dotSql("q.qe", "c.cemb", 64)}) / (q.qn * c.cnrm) AS ccos
        |          FROM q CROSS JOIN cent c)
-       |  ) WHERE crank <= $nprobe
+       |  ) WHERE crank <= $nprobeSql
        |)""".stripMargin
   }
 
   /** DuckDB mirror of [[ivfSearch]] — ONE generator for the q37 and q37c
-    * oracles (the Spark side shares ivfSearch the same way). */
-  private def ivfOracleSql(nprobe: Int): String =
+    * oracles (the Spark side shares ivfSearch the same way). `nprobeSql`
+    * is a SQL expression so q37c can derive its depth from the replayed
+    * index's own nlists, exactly as the Spark side does. */
+  private def ivfOracleSql(nprobeSql: String): String =
     s"""${VecOracle.coarsePrefix},
        |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM lists WHERE vec_id % 50 = 0),
-       |${probesCteSql(Nil, nprobe)}
+       |${probesCteSql(Nil, nprobeSql)}
        |SELECT query_id, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
        |  FROM (SELECT p.query_id, l.vec_id,
@@ -397,8 +420,8 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     // ---- the IVF/PQ family: VecOracle replays index TRAINING in SQL ----
-    "q37_ann_ivf" -> ivfOracleSql(3),
-    "q37c_ann_ivf_highrecall" -> ivfOracleSql(HighRecallNprobe),
+    "q37_ann_ivf" -> ivfOracleSql("3"),
+    "q37c_ann_ivf_highrecall" -> ivfOracleSql(highRecallNprobeSql),
     "q85_knn_filtered" -> s"""${VecOracle.coarsePrefix},
       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
       |q AS (

@@ -69,7 +69,7 @@ object VecIndex {
   private[queries] val NlistsFloor = 10
   private[queries] val NlistsDivisor = 19.0
 
-  private[queries] def nlistsFor(n: Long): Int =
+  private[graft] def nlistsFor(n: Long): Int =
     math.max(NlistsFloor, math.floor(math.sqrt(n / NlistsDivisor)).toInt)
 
   /** The rule as a one-column (`kl`) SQL aggregate over `fromTable`. */

@@ -178,6 +178,72 @@ class SketchSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall broke the q37c >=0.9 contract (ANN_RECALL.md)")
   }
 
+  test("clustered regime: IVF at scan fraction 0.25 clears recall@5 >= 0.9 (the nprobe rule's contract)") {
+    // The committed SFs keep nlists at its floor (10), where the nprobe
+    // floor of 8 scans 80% — so the FIXED-FRACTION half of the
+    // highRecallNprobeFor rule (nprobe = ceil(nlists/4) beyond the floor)
+    // was previously unverified in-suite. This gate builds a corpus at
+    // the scale where the rule leaves both floors (n = 20000 ->
+    // nlists = 32, nprobe = 8, fraction exactly 0.25) with the CLUSTERED
+    // geometry IVF exists for (mixture of 64 Gaussians, sigma = 0.7 —
+    // within-cluster cosine ~0.67, the regime of real document/image
+    // embeddings; ANN_RECALL.md's ladder measures the same contract on
+    // the 10x derivations, including the isotropic floor where no
+    // partition-pruned index can hold it). Deterministic: a seeded LCG
+    // via java.util.Random, so the gate can never flake.
+    import spark.implicits._
+    val n = 20000
+    val dim = 16
+    val kLat = 64
+    val rng = new java.util.Random(20260815L)
+    val centers = Array.fill(kLat, dim)(rng.nextGaussian())
+    val data = (0 until n).map { i =>
+      val c = centers(rng.nextInt(kLat))
+      val v = Array.tabulate(dim)(j => c(j) + 0.7 * rng.nextGaussian())
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      (i.toLong, v.toSeq, nrm)
+    }
+    val vecs = data.toDF("id", "emb", "nrm").repartition(8).cache()
+    val nlists = queries.VecIndex.nlistsFor(n)
+    assert(nlists == 32, s"the gate is sized for nlists=32, rule gave $nlists")
+    val nprobe = queries.SimilarityQueries.highRecallNprobeFor(nlists)
+    assert(nprobe == 8 && nprobe.toDouble / nlists == 0.25)
+    val cent = graft.operators.KMeans.fit(vecs, nlists, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .map { case (l, ce) => (l, ce, math.sqrt(ce.foldLeft(0.0)((a, x) => a + x * x))) }
+    // assignment with the engine's own kernel
+    val lists = vecs.withColumn("list_id",
+      graft.functions.vectors.argmaxCos(col("emb"), col("nrm"), cent))
+    val q = vecs.filter(col("id") % 50 === 0)
+      .select(col("id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    // exact top-5 (excluding self)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
+    val truePairs = vecs.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    // crank of each true neighbor's list in its query's centroid order
+    val centDf = cent.toSeq.toDF("list_id", "cemb", "cnrm")
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ccos").desc, col("list_id").asc)
+    val cranks = q.crossJoin(broadcast(centDf))
+      .withColumn("ccos", graft.functions.vectors.dot(col("qe"), col("cemb")) / (col("qn") * col("cnrm")))
+      .withColumn("crank", row_number().over(cw))
+      .select(col("query_id"), col("list_id"), col("crank"))
+    val recalled = truePairs
+      .join(lists.select(col("id").as("neighbor_id"), col("list_id")), Seq("neighbor_id"))
+      .join(cranks, Seq("query_id", "list_id"))
+      .select(col("crank")).collect().map(_.getInt(0))
+    vecs.unpersist()
+    val recall = recalled.count(_ <= nprobe).toDouble / (q.count() * 5)
+    info(f"clustered-regime recall@5 at scan fraction 0.25: $recall%.4f over ${q.count() * 5} true pairs")
+    assert(recall >= 0.9,
+      f"recall $recall%.4f at fraction 0.25 broke the clustered-regime contract (ANN_RECALL.md)")
+  }
+
   test("cluster-balanced sample: per-cluster cap arithmetic, full coverage, deterministic") {
     val out = SparkEntry.queries("q68_cluster_balanced_sample")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -28,8 +28,24 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
 
-args = [a for a in sys.argv[1:] if a not in ("--salt-text", "--perm-emb")]
+args = [a for a in sys.argv[1:] if a not in ("--salt-text", "--perm-emb")
+        and not a.startswith("--clustered")]
 SALT = "--salt-text" in sys.argv[1:]
+# --clustered[=SIGMA] REPLACES the embedding column of the whole derived
+# table with a deterministic mixture of Gaussians: 64 latent centers (unit
+# Gaussians over the original dim), each vector = its center + SIGMA*noise
+# (default 0.35 -> within-cluster cosine ~1/(1+sigma^2) ~ 0.89, the
+# clustered geometry real document/image embeddings have and IVF is
+# designed for; cross-cluster cosine ~0). Use for the ANN recall
+# measurement's clustered regime (the --perm-emb decorrelated derivation is
+# its isotropic opposite); NOT for the oracle hash-compare pass. Seeded, so
+# the derivation is reproducible byte-for-byte.
+CLUSTER_SIGMA = None
+for a in sys.argv[1:]:
+    if a == "--clustered":
+        CLUSTER_SIGMA = 0.35
+    elif a.startswith("--clustered="):
+        CLUSTER_SIGMA = float(a.split("=", 1)[1])
 # --perm-emb applies a per-replica deterministic dimension permutation +
 # sign flips to embeddings (replica 0 unchanged). The transform is
 # orthogonal, so each replica is a geometrically EXACT copy of the original
@@ -123,5 +139,23 @@ for tbl, cols in SHIFT_COLS.items():
                                  pc.cast(pc.utf8_length(t.column("text")), pa.int64()))
         parts.append(t)
     out = pa.concat_tables(parts)
+    if CLUSTER_SIGMA is not None and tbl == "embeddings.parquet":
+        import numpy as np
+        ei = out.schema.get_field_index("embedding")
+        n = out.num_rows
+        dim = len(out.column("embedding")[0])
+        k_lat = 64
+        rng = np.random.RandomState(7)
+        centers = rng.standard_normal((k_lat, dim)).astype(np.float32)
+        assign = rng.randint(0, k_lat, size=n)
+        vecs = (centers[assign] +
+                CLUSTER_SIGMA * rng.standard_normal((n, dim)).astype(np.float32))
+        arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+            pa.array(vecs.ravel().astype(np.float32)),
+        )
+        out = out.set_column(ei, src.schema.field("embedding"),
+                             arr.cast(src.schema.field("embedding").type))
+        print(f"embeddings: clustered mixture k={k_lat} sigma={CLUSTER_SIGMA}")
     pq.write_table(out, os.path.join(OUT, tbl))
     print(tbl, f"{src.num_rows} -> {out.num_rows}")
