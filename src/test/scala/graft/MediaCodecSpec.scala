@@ -416,34 +416,53 @@ class MediaCodecSpec extends AnyFunSuite {
 
   lazy val spark = GraftSession.builder("4").getOrCreate()
 
-  test("attachPayload emits genuine BMPs, PNGs, AND JPEGs that the real parsers decode") {
+  test("attachPayload emits genuine BMPs, PNGs, JPEGs, AND GIFs that the real parsers decode") {
     val docs = queries.Tables(spark, "/root/testdata/sf0.001", "documents")
     val rows = graft.operators.Multimodal.attachPayload(docs).collect()
     assert(rows.nonEmpty)
-    // all three container formats are present across the corpus...
+    // all four container formats are present across the corpus...
     assert(rows.exists(_.payload(0) == 'B'), "no BMP payloads")
     assert(rows.exists(_.payload(1) == 'P'), "no PNG payloads")
     assert(rows.exists(r => (r.payload(0) & 0xff) == 0xff && (r.payload(1) & 0xff) == 0xd8),
       "no JPEG payloads")
+    assert(rows.exists(r => r.payload(0) == 'G' && r.payload(1) == 'I'), "no GIF payloads")
     rows.foreach { r =>
       // ...and each decodes through its REAL parser (never the stub), with
       // container dims matching the row metadata
       val d = MediaCodec.decodeBmp(r.payload)
         .orElse(MediaCodec.decodePng(r.payload))
-        .orElse(MediaCodec.decodeJpeg(r.payload)).get
+        .orElse(MediaCodec.decodeJpeg(r.payload))
+        .orElse(MediaCodec.decodeGif(r.payload)).get
       assert(d.width == r.width && d.height == r.height)
     }
     // pixels are the utf8 text bytes cycled — check one doc end to end.
-    // Must be a doc that got a LOSSLESS container (selector = doc_id,
-    // doc_id % 3 == 2 → JPEG, where the premise cannot hold): pick the
-    // lowest doc_id with a non-JPEG selector explicitly instead of relying
+    // Must be a doc that got a lossless TRUECOLOR container (selector =
+    // doc_id; %4==2 → JPEG is lossy, %4==3 → GIF is palette-indexed): pick
+    // the lowest doc_id mapping to PNG/BMP explicitly instead of relying
     // on doc 0 happening to map to PNG.
     val doc = docs.select("doc_id", "text").orderBy("doc_id")
-      .collect().find(_.getLong(0) % 3 != 2).get
+      .collect().find(_.getLong(0) % 4 < 2).get
     val row = rows.find(_.doc_id == doc.getLong(0)).get
     val txt = doc.getString(1).getBytes("UTF-8")
     val px = MediaCodec.decodeBmp(row.payload).orElse(MediaCodec.decodePng(row.payload)).get.pixels
     if (txt.nonEmpty) px.zipWithIndex.foreach { case (p, i) => assert(p == txt(i % txt.length)) }
+    // ...and the GIF planting arithmetic end to end on the lowest GIF doc:
+    // indices are the text bytes cycled to w·h, decoding to gray triplets
+    // (i, i, i) through the real LZW expander.
+    val gdoc = docs.select("doc_id", "text").orderBy("doc_id")
+      .collect().find(_.getLong(0) % 4 == 3).get
+    val grow = rows.find(_.doc_id == gdoc.getLong(0)).get
+    val gtxt = gdoc.getString(1).getBytes("UTF-8")
+    val gpx = MediaCodec.decodeGif(grow.payload).get.pixels
+    if (gtxt.nonEmpty) {
+      assert(gpx.length == grow.width * grow.height * 3)
+      var k = 0
+      while (k < gpx.length) {
+        val exp = gtxt((k / 3) % gtxt.length)
+        assert(gpx(k) == exp, s"gif pixel $k: ${gpx(k)} != planted gray $exp")
+        k += 1
+      }
+    }
   }
 
   test("mm06 media info: formats cycle, dims parsed from containers, lossless sums exact") {
@@ -455,18 +474,28 @@ class MediaCodecSpec extends AnyFunSuite {
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       val (text, nChars) = meta(id)
-      val expFmt = (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "jpeg" }
+      val expFmt = (id % 4) match {
+        case 0 => "png"; case 1 => "bmp"; case 2 => "jpeg"; case _ => "gif"
+      }
       assert(r.getAs[String]("format") == expFmt, s"doc $id: wrong sniffed format")
       assert(r.getAs[Long]("width") == nChars % 64 + 16, s"doc $id: width not from the container")
       assert(r.getAs[Long]("height") == id % 48 + 16)
       val sum = r.getAs[java.lang.Long]("raster_sum")
       if (expFmt == "jpeg") assert(sum == null, "JPEG raster sum must be NULL (lossy)")
       else {
+        // PNG/BMP plant the text bytes cycled to w·h·3 RGB; GIF plants them
+        // cycled to w·h palette INDICES decoding to gray triplets — its
+        // raster sum is 3× the w·h cycled-byte sum
         val bytes = text.getBytes("UTF-8")
-        val n = (r.getAs[Long]("width") * r.getAs[Long]("height") * 3).toInt
+        val wh = (r.getAs[Long]("width") * r.getAs[Long]("height")).toInt
         var exp = 0L
-        var i = 0
-        while (i < n) { exp += (bytes(i % bytes.length) & 0xff); i += 1 }
+        if (expFmt == "gif") {
+          var i = 0
+          while (i < wh) { exp += 3L * (bytes(i % bytes.length) & 0xff); i += 1 }
+        } else {
+          var i = 0
+          while (i < wh * 3) { exp += (bytes(i % bytes.length) & 0xff); i += 1 }
+        }
         assert(sum != null && sum.longValue == exp,
           s"doc $id: decoded raster sum $sum != planted $exp — pixel round-trip broken")
       }
