@@ -348,7 +348,19 @@ object TextQueries {
     * Split from [[bm25ScoredOver]] so a caller that PRE-AGGREGATED tf
     * (q86's one-scan per-(doc, term) frame) scores through the identical
     * expression — the formula exists once. */
-  private def bm25ScoreTf(tfq: DataFrame, dl: DataFrame, qIdf: DataFrame): DataFrame = {
+  private def bm25ScoreTf(tfq: DataFrame, dl: DataFrame, qIdf: DataFrame): DataFrame =
+    bm25TermScores(tfq, dl, qIdf)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        graft.functions.detsum.sumDet(col("score_t"), 9).as("score"))
+
+  /** The per-(doc, term) half of [[bm25ScoreTf]] — the ONE tf-normalization
+    * formula, split out so q86d's term-centric cross_fields combine (which
+    * needs per-term scores from BOTH fields before any per-doc grouping)
+    * scores through the identical expression. Returns the input rows with
+    * `score_t` (and idf/avgdl/dl in scope). */
+  private def bm25TermScores(tfq: DataFrame, dl: DataFrame, qIdf: DataFrame): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     tfq
@@ -358,10 +370,6 @@ object TextQueries {
         col("idf") * ((col("tf").cast("double") * lit(2.2)) /
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_terms_hit"),
-        graft.functions.detsum.sumDet(col("score_t"), 9).as("score"))
   }
 
   /** The multi_match per-field score frame q86 (best_fields/dis_max) and
@@ -556,6 +564,86 @@ object TextQueries {
        |         COALESCE(b.score, 0.0e0) AS s_body,
        |         COALESCE(2.0e0 * t.score, 0.0e0) AS s_title_boosted
        |  FROM per_b b FULL OUTER JOIN per_t t ON b.doc_id = t.doc_id
+       |)""".stripMargin
+
+  /** The q86d cross_fields oracle chain — term-centric blending over the
+    * DISJOINT head (toks[1:8], boost 2×) / tail (toks[9:]) fields: ONE idf
+    * table (blended df = max across fields, n_docs from the corpus union
+    * frame), per-field tf-normalization (each sc instance uses its field's
+    * own dl/avgdl — the sc bodies are TEXTUALLY [[bm25CtesOver]]'s shared
+    * formula), per-term dis_max across fields, detsum over terms. Ends
+    * with `xper` (doc_id, n_terms_hit, final). */
+  private lazy val crossFieldsCtes: String =
+    s"""$docsCte,
+       |$rankedVocabCte,
+       |txh AS MATERIALIZED (SELECT doc_id, UNNEST(toks[1:8]) AS tok FROM docs),
+       |txl AS MATERIALIZED (SELECT doc_id, UNNEST(toks[9:]) AS tok FROM docs),
+       |xdlb AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM (
+       |    SELECT doc_id, UNNEST(toks) AS tok FROM docs
+       |  ) GROUP BY doc_id
+       |),
+       |xdlh AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM txh GROUP BY doc_id),
+       |xdll AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM txl GROUP BY doc_id),
+       |xstatsb AS (SELECT COUNT(*) AS n_docs FROM xdlb),
+       |xstatsh AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM xdlh),
+       |xstatsl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM xdll),
+       |xqdfh AS (
+       |  SELECT tok, COUNT(*) AS df FROM (
+       |    SELECT DISTINCT dt.doc_id, dt.tok FROM txh dt
+       |    JOIN rvocab ON dt.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
+       |  ) GROUP BY tok
+       |),
+       |xqdfl AS (
+       |  SELECT tok, COUNT(*) AS df FROM (
+       |    SELECT DISTINCT dt.doc_id, dt.tok FROM txl dt
+       |    JOIN rvocab ON dt.tok = rvocab.term AND rvocab.r BETWEEN $QLo AND $QHi
+       |  ) GROUP BY tok
+       |),
+       |xqblend AS (
+       |  SELECT b.tok, GREATEST(COALESCE(h.df, 0), COALESCE(l.df, 0)) AS df
+       |  FROM ($bodyQdfSql) b
+       |  LEFT JOIN xqdfh h USING (tok)
+       |  LEFT JOIN xqdfl l USING (tok)
+       |),
+       |xqt1 AS MATERIALIZED (
+       |  SELECT q.tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+       |         CAST(2 * q.df + 1 AS BIGINT) AS den
+       |  FROM xqblend q, xstatsb
+       |),
+       |${graft.functions.detlog.log2SqlCtes("xqt1", "num", "lgn", "xqn")},
+       |${graft.functions.detlog.log2SqlCtes("xqnfin", "den", "lgd", "xqd")},
+       |xqidf AS (SELECT tok, lgn - lgd AS idf FROM xqdfin),
+       |xtfh AS (
+       |  SELECT t.doc_id, t.tok, COUNT(*) AS tf
+       |  FROM txh t JOIN xqidf q ON t.tok = q.tok GROUP BY 1, 2
+       |),
+       |xtfl AS (
+       |  SELECT t.doc_id, t.tok, COUNT(*) AS tf
+       |  FROM txl t JOIN xqidf q ON t.tok = q.tok GROUP BY 1, 2
+       |),
+       |xsch AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |         2.0e0 * (q.idf * ((CAST(tf.tf AS DOUBLE) * 2.2e0) /
+       |           (CAST(tf.tf AS DOUBLE) +
+       |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / st.avgdl)))) AS score_t
+       |  FROM xtfh tf JOIN xqidf q ON tf.tok = q.tok JOIN xdlh dl ON tf.doc_id = dl.doc_id, xstatsh st
+       |),
+       |xscl AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |         q.idf * ((CAST(tf.tf AS DOUBLE) * 2.2e0) /
+       |           (CAST(tf.tf AS DOUBLE) +
+       |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / st.avgdl))) AS score_t
+       |  FROM xtfl tf JOIN xqidf q ON tf.tok = q.tok JOIN xdll dl ON tf.doc_id = dl.doc_id, xstatsl st
+       |),
+       |xpt AS (
+       |  SELECT COALESCE(h.doc_id, l.doc_id) AS doc_id,
+       |         GREATEST(COALESCE(h.score_t, 0.0e0), COALESCE(l.score_t, 0.0e0)) AS best
+       |  FROM xsch h FULL OUTER JOIN xscl l ON h.doc_id = l.doc_id AND h.tok = l.tok
+       |),
+       |xper AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms_hit, ${graft.functions.detsum.sumDetSql("best", 9)} AS final
+       |  FROM xpt GROUP BY doc_id
        |)""".stripMargin
 
   /** DuckDB mirror of [[topBigram]] — the bg/top1 CTE pair, ONE copy
@@ -1842,6 +1930,83 @@ object TextQueries {
           row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)
         .select(col("rank"), col("doc_id"), col("s_body"), col("s_title_boosted"), col("final"))
+    }),
+
+    // ES `multi_match` type `cross_fields` — the FOURTH and last type,
+    // completing the matrix next to q86 (best_fields), q86b (most_fields)
+    // and q86c (phrase). cross_fields is TERM-centric (Lucene
+    // BlendedTermQuery): fields holding PARTS of one logical value
+    // ("first_name"/"last_name") are treated as one big field for TERM
+    // STATISTICS — per query term the document frequency is BLENDED to
+    // the max across fields and the idf is computed once against the
+    // corpus n_docs — while tf-NORMALIZATION stays per-field (the field's
+    // own tf/dl/avgdl, the saturation half of BM25). Per term the
+    // per-field scores combine by dis_max (ES default tie_breaker 0.0)
+    // and the per-doc score is the detsum over terms: a doc carrying the
+    // term in EITHER field gets the same idf credit — the property
+    // best_fields lacks (a value split across fields is double-penalized
+    // by per-field idf).
+    //
+    // Fields here are the head/tail SPLIT of the document — head = first
+    // 8 tokens (^2, q86's title), tail = tokens 9+ — i.e. genuinely
+    // DISJOINT parts of one value, the shape cross_fields exists for
+    // (q86's title is a PREFIX of body, where max-blending would be
+    // vacuous: df_title ≤ df_body always). Both fields' tf/dl fall out of
+    // the ONE-scan perDocTermTf frame (tail tf = tf_b − tf_t); the only
+    // new exchanges are over hit-sized score tables.
+    "q86d_multi_match_cross_fields" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = perDocTermTf(s, d)
+      val qsel = qselFromTf(g)
+      val gH = g.filter(col("tf_t") > 0)
+      val gL = g.filter(col("tf_b") > col("tf_t"))
+        .withColumn("tf_l", col("tf_b") - col("tf_t"))
+      val dlH = gH.groupBy(col("doc_id")).agg(sum(col("tf_t")).as("dl"))
+      val dlL = gL.groupBy(col("doc_id")).agg(sum(col("tf_l")).as("dl"))
+      // blended per-term df = max across the two fields (distinct docs
+      // with a head/tail occurrence respectively)
+      val dfH = gH.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df_h"))
+      val dfL = gL.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df_l"))
+      val blended = qsel.select(col("tok"))
+        .join(dfH, Seq("tok"), "left_outer")
+        .join(dfL, Seq("tok"), "left_outer")
+        .select(col("tok"),
+          greatest(coalesce(col("df_h"), lit(0L)),
+            coalesce(col("df_l"), lit(0L))).as("df"))
+      // ONE idf table: blended df against the CORPUS n_docs (the union
+      // frame — a superset of each field's doc set, so blended df can
+      // never exceed it); each field instance swaps in its OWN avgdl for
+      // tf-normalization (bm25QIdf's body avgdl is dropped unused)
+      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
+      val qIdf = bm25QIdf(dlB, blended)
+      def withAvgdl(fieldDl: DataFrame): DataFrame = {
+        val st = fieldDl.agg(
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl_f"))
+        qIdf.drop("avgdl").crossJoin(broadcast(st))
+          .withColumnRenamed("avgdl_f", "avgdl")
+      }
+      val scH = bm25TermScores(
+        gH.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_t").as("tf")),
+        dlH, withAvgdl(dlH))
+        .select(col("doc_id"), col("tok"), (lit(2.0) * col("score_t")).as("sh"))
+      val scL = bm25TermScores(
+        gL.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_l").as("tf")),
+        dlL, withAvgdl(dlL))
+        .select(col("doc_id"), col("tok"), col("score_t").as("sl"))
+      scH.join(scL, Seq("doc_id", "tok"), "full_outer")
+        .withColumn("best",
+          greatest(coalesce(col("sh"), lit(0.0)), coalesce(col("sl"), lit(0.0))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"),
+          graft.functions.detsum.sumDet(col("best"), 9).as("final"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("final"))
     }),
 
     // ES 8.x `rrf` retriever (Reciprocal Rank Fusion): two rankings of the
@@ -3187,6 +3352,13 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
          |       doc_id, s_body, s_title_boosted, final
          |FROM g QUALIFY rank <= 20""".stripMargin,
+    // cross_fields: term-centric blended statistics — the dedicated CTE
+    // chain (crossFieldsCtes) shares the formula bodies with bm25CtesOver
+    "q86d_multi_match_cross_fields" ->
+      s"""WITH $crossFieldsCtes
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, n_terms_hit, final
+         |FROM xper QUALIFY rank <= 20""".stripMargin,
     "q83_rrf" ->
       s"""WITH $bm25PerCtes,
          |rk1 AS (

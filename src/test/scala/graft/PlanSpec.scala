@@ -418,6 +418,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q86d: cross_fields reads the ONE materialized scan; the per-term FULL OUTER is the only sort-merge") {
+    val p = plan("q86d_multi_match_cross_fields")
+    // same one-scan contract as q86/q86b: vocab ranks, blended df, both
+    // fields' dl/tf and both per-term score tables all derive from the
+    // checkpointed perDocTermTf artifact
+    assert(!p.contains("documents.parquet"),
+      "a cross_fields pass re-scanned the corpus parquet")
+    assert(p.contains("Scan ExistingRDD"), "the shared materialized scan artifact is missing")
+    assert(!p.contains("CartesianProduct"))
+    // the term-centric combine joins the two per-(doc, term) score tables
+    // (hit-sized — ≤5 terms × hit docs) FULL OUTER; statistics tables
+    // (blended idf, title avgdl) broadcast
+    assert("SortMergeJoin FullOuter".r.findAllIn(p).size == 1 &&
+      "SortMergeJoin".r.findAllIn(p).size == 2,
+      "an extra sort-merge appeared — blended statistics must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "query-term and idf tables must broadcast")
+  }
+
   test("q86c: phrase counting stays in the row; only the FULL OUTER of the two hit tables sort-merges") {
     val p = plan("q86c_multi_match_phrase")
     // the bigram (1 row) and each field's pseudo-term idf (1 row) must

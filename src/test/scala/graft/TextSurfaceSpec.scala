@@ -185,6 +185,66 @@ class TextSurfaceSpec extends AnyFunSuite {
       "no top hit has any body match — the body field is dead weight")
   }
 
+  test("q86d cross_fields: blending is non-vacuous and the scores recompute from raw text") {
+    // independent driver-side recomputation of the whole term-centric
+    // pipeline from raw text with plain collections (the q96/q98
+    // discipline): head = first 8 tokens (boost 2), tail = tokens 9+,
+    // blended df = max(df_head, df_tail), idf against corpus n_docs,
+    // per-field tf-normalization, per-term dis_max, sum over terms
+    val raw = queries.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+      .filter(_._2.exists(_.nonEmpty)).toMap
+    val dfAll = raw.values.flatMap(_.distinct.filter(_.length >= 4))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val qterms = dfAll.toSeq.sortBy { case (t, df) => (-df, t) }.slice(10, 15).map(_._1)
+    assert(qterms.size == 5)
+    val heads = raw.view.mapValues(_.take(8)).toMap
+    val tails = raw.view.mapValues(_.drop(8)).toMap
+    def dfOf(m: Map[Long, Seq[String]], t: String) = m.count(_._2.contains(t))
+    // the blend must BITE: at least one query term's head/tail dfs differ
+    assert(qterms.exists(t => dfOf(heads, t) != dfOf(tails, t) &&
+      math.max(dfOf(heads, t), dfOf(tails, t)) > 0),
+      "head/tail dfs identical for every query term — blending is vacuous here")
+    val nDocs = raw.size
+    val idf = qterms.map { t =>
+      val df = math.max(dfOf(heads, t), dfOf(tails, t))
+      t -> (math.log((2.0 * nDocs + 2) / (2.0 * df + 1)) / math.log(2.0))
+    }.toMap
+    def fieldScores(m: Map[Long, Seq[String]], boost: Double): Map[(Long, String), Double] = {
+      val dl = m.view.mapValues(_.size).toMap.filter(_._2 > 0)
+      val avgdl = dl.values.sum.toDouble / dl.size
+      (for {
+        (id, toks) <- m.toSeq; t <- qterms
+        tf = toks.count(_ == t) if tf > 0
+      } yield (id, t) -> boost * (idf(t) * ((tf * 2.2) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl(id) / avgdl))))).toMap
+    }
+    val sH = fieldScores(heads.filter(_._2.nonEmpty), 2.0)
+    val sL = fieldScores(tails.filter(_._2.nonEmpty), 1.0)
+    // the dis_max must decide BOTH ways somewhere (each field wins a term)
+    val keys = sH.keySet ++ sL.keySet
+    assert(keys.exists(k => sH.getOrElse(k, 0.0) > sL.getOrElse(k, 0.0)), "head never wins")
+    assert(keys.exists(k => sL.getOrElse(k, 0.0) > sH.getOrElse(k, 0.0)), "tail never wins")
+    // a doc matching a term in ONLY ONE field still gets full idf credit
+    assert(keys.exists(k => !sH.contains(k) || !sL.contains(k)),
+      "every hit appears in both fields — the full-outer combine is untested")
+    val expected = keys.groupBy(_._1).view.mapValues(ks =>
+      ks.toSeq.map(k => math.max(sH.getOrElse(k, 0.0), sL.getOrElse(k, 0.0))).sum).toMap
+    val out = SparkEntry.queries("q86d_multi_match_cross_fields")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val exp = expected(id)
+      assert(math.abs(r.getAs[Double]("final") - exp) < 1e-6,
+        s"doc $id: engine ${r.getAs[Double]("final")} != recomputed $exp")
+    }
+    // and the returned ranking is the recomputed top-20
+    val top = expected.toSeq.sortBy { case (id, s) => (-s, id) }.take(20).map(_._1)
+    assert(out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id")).toSeq == top)
+  }
+
   test("q87 fuzzy: typo queries are non-vocab yet retrieve docs through the expansion") {
     val vocab = queries.Tables(spark, sf, "documents")
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
