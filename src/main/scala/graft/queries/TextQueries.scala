@@ -646,6 +646,35 @@ object TextQueries {
        |  FROM xpt GROUP BY doc_id
        |)""".stripMargin
 
+  /** DuckDB mirror of [[spanPairFrame]] — the shared q100/q101 oracle
+    * prefix ending in `b` (doc_id, p2, p3, bigs): top-3 term positions
+    * and the greedy (t1, t2) big-span starts at slop [[SpanPairSlop]].
+    * The big-span definition exists once on each side, like the Spark
+    * helper. */
+  private lazy val spanPairCtes: String =
+    s"""$docsCte,
+       |$rankedVocabCte,
+       |tt AS (
+       |  SELECT MIN(CASE WHEN r = 1 THEN term END) AS t1,
+       |         MIN(CASE WHEN r = 2 THEN term END) AS t2,
+       |         MIN(CASE WHEN r = 3 THEN term END) AS t3
+       |  FROM rvocab WHERE r <= 3
+       |),
+       |m AS (
+       |  SELECT doc_id,
+       |         list_filter(generate_series(1, len(toks)), i -> toks[i] = t1) AS p1,
+       |         list_filter(generate_series(1, len(toks)), i -> toks[i] = t2) AS p2,
+       |         list_filter(generate_series(1, len(toks)), i -> toks[i] = t3) AS p3
+       |  FROM docs, tt
+       |),
+       |b AS (
+       |  SELECT doc_id, p2, p3,
+       |         list_filter(p1, i ->
+       |           list_min(list_filter(p2, y -> y > i)) IS NOT NULL
+       |           AND list_min(list_filter(p2, y -> y > i)) - i - 1 <= $SpanPairSlop) AS bigs
+       |  FROM m
+       |)""".stripMargin
+
   /** DuckDB mirror of [[topBigram]] — the bg/top1 CTE pair, ONE copy
     * shared by the q78, q90 and q86c oracles (assumes `docs` in scope). */
   private val topBigramCtes =
@@ -806,6 +835,34 @@ object TextQueries {
     when(size(toks) >= 1,
       filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === term))
       .otherwise(array().cast("array<int>"))
+
+  /** q100/q101's shared BIG-span slop bound. */
+  private val SpanPairSlop = 5
+
+  /** The greedy-pair end position for a big-span start `i`: the FIRST t2
+    * position after i (expects `p2` in scope) — q96's greedy-anchor
+    * contract applied to a 2-term span_near. ONE definition read by both
+    * containment directions. */
+  private def spanPairJ(i: Column): Column =
+    array_min(filter(col("p2"), y => y > i))
+
+  /** The shared q100/q101 frame: per doc, position arrays of the top-3 df
+    * vocab terms (q96's derivation) and `bigs` — the starts of the valid
+    * greedy ordered (t1, t2) pair spans (slop [[SpanPairSlop]]: the span
+    * [i, j] with j = [[spanPairJ]](i) is valid when j−i−1 ≤ slop). The
+    * big-span definition exists ONCE; span_containing and span_within are
+    * two containment directions over it. */
+  private def spanPairFrame(s: SparkSession, d: String): DataFrame = {
+    val ts = rankedVocab(s, d).filter(col("r") <= 3).orderBy(col("r"))
+      .select(col("term")).collect().map(_.getString(0))
+    val (t1, t2, t3) = (ts(0), ts(1), ts(2))
+    docs(s, d)
+      .withColumn("p1", termPositions(col("toks"), lit(t1)))
+      .withColumn("p2", termPositions(col("toks"), lit(t2)))
+      .withColumn("p3", termPositions(col("toks"), lit(t3)))
+      .withColumn("bigs", filter(col("p1"), i =>
+        spanPairJ(i).isNotNull && (spanPairJ(i) - i - lit(1) <= lit(SpanPairSlop))))
+  }
 
   private[graft] def spanFirstHits(in: DataFrame, term: String): DataFrame =
     in.withColumn("term", lit(term))
@@ -1856,6 +1913,48 @@ object TextQueries {
         .orderBy(col("n_excluded").desc, col("n_kept").desc, col("doc_id").asc)
         .limit(20)
     }),
+
+    // ES `span_containing`: {big, little} — report matches of the BIG
+    // span that contain a match of the LITTLE span. big = the greedy
+    // ordered (t1, t2) pair span with slop 5 (for each t1 position i, the
+    // FIRST t2 after it — the q96 greedy-anchor contract; the span is
+    // [i, j], valid when j−i−1 ≤ slop); little = occurrences of t3 (a
+    // single-position span). A big span [i, j] contains little at p iff
+    // i ≤ p ≤ j. Terms are the top-3 df vocab terms (q96's derivation —
+    // maximal co-occurrence keeps the operator structurally non-vacuous).
+    // Pure array HOFs over per-term position arrays; positions never
+    // leave the row ([[spanPairFrame]] is shared with q101 — the two
+    // containment directions read ONE big-span definition).
+    "q100_span_containing" -> ((s: SparkSession, d: String) =>
+      spanPairFrame(s, d)
+        .withColumn("cont", filter(col("bigs"), i =>
+          exists(col("p3"), p => p >= i && p <= spanPairJ(i))))
+        .withColumn("n_big", size(col("bigs")).cast("long"))
+        .withColumn("n_containing", size(col("cont")).cast("long"))
+        .filter(col("n_containing") > 0)
+        .select(col("doc_id"),
+          element_at(col("cont"), 1).cast("long").as("first_start"),
+          col("n_big"), col("n_containing"))
+        .orderBy(col("n_containing").desc, col("first_start").asc, col("doc_id").asc)
+        .limit(20)),
+
+    // ES `span_within`: the inverse containment direction — report
+    // matches of the LITTLE span (t3 occurrences) that fall WITHIN some
+    // valid big span. Same big-span definition ([[spanPairFrame]]), same
+    // i ≤ p ≤ j containment; together with q100 this completes the span
+    // family (q95 first / q97 or / q98 not / q78 near).
+    "q101_span_within" -> ((s: SparkSession, d: String) =>
+      spanPairFrame(s, d)
+        .withColumn("within", filter(col("p3"), p =>
+          exists(col("bigs"), i => p >= i && p <= spanPairJ(i))))
+        .withColumn("n_little", size(col("p3")).cast("long"))
+        .withColumn("n_within", size(col("within")).cast("long"))
+        .filter(col("n_within") > 0)
+        .select(col("doc_id"),
+          element_at(col("within"), 1).cast("long").as("first_pos"),
+          col("n_little"), col("n_within"))
+        .orderBy(col("n_within").desc, col("first_pos").asc, col("doc_id").asc)
+        .limit(20)),
 
     // ES `multi_match` (type best_fields ≡ `dis_max` over per-field
     // queries): fields = [title^2, body], where title is the doc's first 8
@@ -3309,6 +3408,32 @@ object TextQueries {
          |       CAST(n_incl - len(kept) AS BIGINT) AS n_excluded
          |FROM m WHERE len(kept) > 0
          |ORDER BY n_excluded DESC, n_kept DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q100_span_containing" ->
+      s"""WITH $spanPairCtes,
+         |c AS (
+         |  SELECT doc_id, bigs,
+         |         list_filter(bigs, i -> len(list_filter(p3, p ->
+         |           p >= i AND p <= list_min(list_filter(p2, y -> y > i)))) > 0) AS cont
+         |  FROM b
+         |)
+         |SELECT doc_id, CAST(cont[1] AS BIGINT) AS first_start,
+         |       CAST(len(bigs) AS BIGINT) AS n_big,
+         |       CAST(len(cont) AS BIGINT) AS n_containing
+         |FROM c WHERE len(cont) > 0
+         |ORDER BY n_containing DESC, first_start ASC, doc_id ASC LIMIT 20""".stripMargin,
+    "q101_span_within" ->
+      s"""WITH $spanPairCtes,
+         |c AS (
+         |  SELECT doc_id, p3,
+         |         list_filter(p3, p -> len(list_filter(bigs, i ->
+         |           p >= i AND p <= list_min(list_filter(p2, y -> y > i)))) > 0) AS withins
+         |  FROM b
+         |)
+         |SELECT doc_id, CAST(withins[1] AS BIGINT) AS first_pos,
+         |       CAST(len(p3) AS BIGINT) AS n_little,
+         |       CAST(len(withins) AS BIGINT) AS n_within
+         |FROM c WHERE len(withins) > 0
+         |ORDER BY n_within DESC, first_pos ASC, doc_id ASC LIMIT 20""".stripMargin,
     "q86_multi_match" ->
       s"""WITH $multiMatchFieldsCtes,
          |g AS (

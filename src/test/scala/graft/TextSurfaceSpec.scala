@@ -430,6 +430,50 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q100/q101 span containment: both directions recomputed from raw text; the filters bite") {
+    val docsRaw = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toVector).toMap
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    docsRaw.values.foreach(_.distinct.filter(_.length >= 4).foreach(w => df(w) = df.getOrElse(w, 0) + 1))
+    val Seq(t1, t2, t3) = df.toSeq.sortBy { case (w, c) => (-c, w) }.take(3).map(_._1)
+    def model(toks: Vector[String]): (Seq[(Int, Int)], Seq[Int]) = {
+      def pos(t: String) = toks.zipWithIndex.collect { case (w, i) if w == t => i + 1 }
+      val p2 = pos(t2)
+      val bigs = pos(t1).flatMap(i => p2.find(_ > i).filter(_ - i - 1 <= 5).map(j => (i, j)))
+      (bigs, pos(t3))
+    }
+    val out100 = SparkEntry.queries("q100_span_containing")(spark, sf).collect()
+    assert(out100.nonEmpty)
+    out100.foreach { r =>
+      val (bigs, p3) = model(docsRaw(r.getAs[Long]("doc_id")))
+      val cont = bigs.filter { case (i, j) => p3.exists(p => p >= i && p <= j) }
+      assert(bigs.length.toLong == r.getAs[Long]("n_big"), s"doc ${r.getAs[Long]("doc_id")}: n_big")
+      assert(cont.length.toLong == r.getAs[Long]("n_containing"),
+        s"doc ${r.getAs[Long]("doc_id")}: n_containing")
+      assert(cont.headOption.map(_._1.toLong).contains(r.getAs[Long]("first_start")),
+        s"doc ${r.getAs[Long]("doc_id")}: first_start")
+    }
+    // the containment filter must BITE somewhere in the window (a big
+    // span that contains nothing) — otherwise q100 degenerates to "has a
+    // big span"
+    assert(out100.exists(r => r.getAs[Long]("n_big") > r.getAs[Long]("n_containing")),
+      "every big span contains a little span — the containment test is vacuous")
+    val out101 = SparkEntry.queries("q101_span_within")(spark, sf).collect()
+    assert(out101.nonEmpty)
+    out101.foreach { r =>
+      val (bigs, p3) = model(docsRaw(r.getAs[Long]("doc_id")))
+      val within = p3.filter(p => bigs.exists { case (i, j) => p >= i && p <= j })
+      assert(p3.length.toLong == r.getAs[Long]("n_little"), s"doc ${r.getAs[Long]("doc_id")}: n_little")
+      assert(within.length.toLong == r.getAs[Long]("n_within"),
+        s"doc ${r.getAs[Long]("doc_id")}: n_within")
+      assert(within.headOption.map(_.toLong).contains(r.getAs[Long]("first_pos")),
+        s"doc ${r.getAs[Long]("doc_id")}: first_pos")
+    }
+    assert(out101.exists(r => r.getAs[Long]("n_little") > r.getAs[Long]("n_within")),
+      "every little span lies inside a big span — the within test is vacuous")
+  }
+
   test("q99 classifier: learns a planted signal (held-out accuracy >= 0.95) and stays honest on the shipped corpus") {
     import spark.implicits._
     // planted-signal corpus: src0 docs speak "alpha beta", the rest speak
