@@ -99,12 +99,35 @@ object TextQueries {
     * stopword/gram profile across labels, measured — so the honest eval
     * is majority-class; see q99b's comment). */
   private[graft] def qualityScoredFrom(raw: DataFrame, ckptKey: String): DataFrame = {
-    import graft.functions.{detlog, detsum}
-    val based = raw.withColumn("toks", text.tokens(col("text")))
-    val grams = based
+    import graft.functions.detsum
+    val (w, prior) = qualityModelFrom(raw, ckptKey)
+    val dcls = raw
+      .select(col("doc_id"), (col("source") === "src0").as("label"))
+    qualityGrams(raw).join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), detsum.sumDet(col("w"), 9).as("sw"))
+      .crossJoin(broadcast(prior))
+      .withColumn("score", col("p0") + col("sw"))
+      .join(dcls, Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("n_feat"), col("score"))
+  }
+
+  /** The classifier's hashed gram stream (doc_id, source, g, b) — ONE
+    * feature definition shared by the batch scorer and the trainer. */
+  private def qualityGrams(raw: DataFrame): DataFrame =
+    raw.withColumn("toks", text.tokens(col("text")))
       .select(col("doc_id"), col("source"),
         explode(concat(col("toks"), text.shingles(col("toks"), 2))).as("g"))
       .withColumn("b", substring(md5(col("g").cast("binary")), 1, 2))
+
+  /** The TRAINED model of [[qualityScoredFrom]] — the (≤256-row weight
+    * table `(b, w)`, 1-row prior `(p0)`) pair, split out so st18's
+    * streaming scorer can collect the same weights the batch query
+    * broadcasts (train offline / score online — one training
+    * definition). */
+  private[graft] def qualityModelFrom(raw: DataFrame, ckptKey: String): (DataFrame, DataFrame) = {
+    import graft.functions.detlog
+    val grams = qualityGrams(raw)
     val counts = swapCheckpoint(ckptKey,
       grams.filter(col("doc_id") % 5 =!= 0)
         .groupBy(col("b")).agg(
@@ -121,21 +144,45 @@ object TextQueries {
     val w = bucketLg
       .crossJoin(broadcast(totLg.select(col("lgnp"), col("lgnn"))))
       .select(col("b"), ((col("lgp") - col("lgnp")) - (col("lgn") - col("lgnn"))).as("w"))
-    val dcls = raw
-      .select(col("doc_id"), (col("source") === "src0").as("label"))
     val prior = detlog.withLog2(detlog.withLog2(
-      dcls.filter(col("doc_id") % 5 =!= 0).agg(
-        (count(when(col("label"), 1)) + lit(1L)).as("dp"),
-        (count(when(!col("label"), 1)) + lit(1L)).as("dn")),
+      raw.select(col("doc_id"), (col("source") === "src0").as("label"))
+        .filter(col("doc_id") % 5 =!= 0).agg(
+          (count(when(col("label"), 1)) + lit(1L)).as("dp"),
+          (count(when(!col("label"), 1)) + lit(1L)).as("dn")),
       "dp", "lgdp"), "dn", "lgdn")
       .select((col("lgdp") - col("lgdn")).as("p0"))
-    grams.join(broadcast(w), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feat"), detsum.sumDet(col("w"), 9).as("sw"))
-      .crossJoin(broadcast(prior))
-      .withColumn("score", col("p0") + col("sw"))
-      .join(dcls, Seq("doc_id"))
-      .select(col("doc_id"), col("label"), col("n_feat"), col("score"))
+    (w, prior)
+  }
+
+  /** st18's stateless streaming scorer: the batch-trained weight table
+    * (collected, detsum-scaled to exact longs) and prior ride the plan as
+    * literals, and each streamed doc scores INSIDE its row — gram→bucket
+    * transform, a map lookup filter (the batch inner join's row-local
+    * mirror: grams hashing to an untrained bucket contribute nothing, a
+    * doc with no trained gram emits nothing), and a long-accumulator
+    * aggregate that replays detsum's scaled arithmetic for the single-row
+    * case (Σ round(w·10⁹) exact in a long, one cast, one division — the
+    * identical integers the batch int128 path sums). No state store, no
+    * stream-static join: the production curation shape (train offline,
+    * score the stream) as a pure projection. */
+  private[graft] def qualityAlerts(in: DataFrame, wScaled: Map[String, Long], prior: Double): DataFrame = {
+    val wmap = map(wScaled.toSeq.sortBy(_._1)
+      .flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+    in.withColumn("gbs",
+        transform(concat(col("toks"), text.shingles(col("toks"), 2)),
+          g => substring(md5(g.cast("binary")), 1, 2)))
+      .withColumn("hits", filter(col("gbs"), b => element_at(wmap, b).isNotNull))
+      .withColumn("n_feat", size(col("hits")).cast("long"))
+      .filter(col("n_feat") > 0)
+      .withColumn("sw",
+        aggregate(col("hits"), lit(0L), (acc, b) => acc + element_at(wmap, b))
+          .cast("double") / lit(1e9))
+      .withColumn("score", lit(prior) + col("sw"))
+      .select(col("doc_id"),
+        (col("source") === "src0").cast("long").as("label"),
+        (col("score") > 0).cast("long").as("pred"),
+        col("n_feat"),
+        graft.functions.detsum.roundDet(col("score"), 6).as("score"))
   }
 
   /** The length-≥4 document-frequency vocabulary with its (df desc, term
@@ -1185,6 +1232,23 @@ object TextQueries {
           count(when(col("label") && !col("pred"), 1)).as("fn"),
           count(when(!col("label") && !col("pred"), 1)).as("tn"),
           count(lit(1)).as("n_eval"))),
+
+    // st18 = q99's classifier deployed the way production curation runs
+    // it: train OFFLINE (the same qualityModelFrom pass q99 broadcasts),
+    // collect the ≤256-row weight table + prior as plan literals, score
+    // the document STREAM statelessly — every doc scores inside its own
+    // row (see [[qualityAlerts]]), no state store, no stream-static join.
+    // Emits every scored doc (append, no result window — the st17
+    // convention); the oracle is q99's sc table unwindowed, so a hash
+    // match proves the row-local scaled-long rescoring is bit-identical
+    // to the batch detsum aggregation.
+    "st18_quality_stream" -> ((s: SparkSession, d: String) => {
+      val (w, prior) = qualityModelFrom(Tables(s, d, "documents"), s"qclsS:$d")
+      val ws = w.collect().map(r => r.getString(0) ->
+        graft.functions.detsum.roundHalfUpLong(r.getDouble(1) * 1e9)).toMap
+      val p0 = prior.collect()(0).getDouble(0)
+      streamToMemory(qualityAlerts(docStream(s, d, "st18"), ws, p0), "st18_mem", "append")
+    }),
 
     "q45_length_histogram" -> ((s: SparkSession, d: String) =>
       docs(s, d)
@@ -2967,6 +3031,14 @@ object TextQueries {
          |       COUNT(*) FILTER (WHERE NOT label AND NOT score > 0e0) AS tn,
          |       COUNT(*) AS n_eval
          |FROM sc WHERE doc_id % 5 = 0""".stripMargin,
+    // st18 shares the whole classifier chain; the streamed alert set is
+    // q99's sc table UNWINDOWED (every scored doc)
+    "st18_quality_stream" ->
+      s"""WITH $qualityClsCtes
+         |SELECT doc_id, CAST(label AS BIGINT) AS label,
+         |       CAST(score > 0e0 AS BIGINT) AS pred, n_feat,
+         |       ${graft.functions.detsum.roundDetSql("score", 6)} AS score
+         |FROM sc""".stripMargin,
     "q45_length_histogram" ->
       s"""WITH $docsCte
          |SELECT CAST(floor(len(toks) / 10) AS BIGINT) * 10 AS len_bucket,

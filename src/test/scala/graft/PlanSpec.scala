@@ -501,6 +501,26 @@ class PlanSpec extends AnyFunSuite {
       "the alert map must stay a stateless projection")
   }
 
+  test("st18: the classifier scoring transform is a pure projection — no aggregate, no exchange, no join") {
+    // the EXACT transform st18 streams (qualityAlerts with the collected
+    // weight literals), planned over a batch frame: the batch classifier's
+    // 256-row broadcast join + int128 aggregation collapse to a row-local
+    // map lookup + long fold, so the streaming query needs no state store
+    // and no stream-static join
+    import org.apache.spark.sql.functions.col
+    val src = queries.Tables(spark, sf, "documents")
+      .withColumn("toks", graft.functions.text.tokens(col("text")))
+    val (w, prior) = queries.TextQueries.qualityModelFrom(
+      queries.Tables(spark, sf, "documents"), "qclsPlan")
+    val ws = w.collect().map(r => r.getString(0) ->
+      graft.functions.detsum.roundHalfUpLong(r.getDouble(1) * 1e9)).toMap
+    val p0 = prior.collect()(0).getDouble(0)
+    val p = queries.TextQueries.qualityAlerts(src, ws, p0)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange") && !p.contains("Aggregate") && !p.contains("Join"),
+      "the scoring map must stay a stateless projection")
+  }
+
   test("q30c: span dedup shuffles only hashes (exchanges: spread + one hash aggregation)") {
     val p = plan("q30c_dedup_span")
     // scan-spreading repartition, the span_hash partial/final aggregation,
