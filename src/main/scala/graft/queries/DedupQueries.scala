@@ -167,19 +167,7 @@ object DedupQueries {
       .persist()
     // band buckets carry only (band, bucket, doc_id) through the shuffle —
     // the shingle arrays rejoin AFTER candidate pairs are deduplicated
-    val banded = docs.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { bnd =>
-        val sigRows = (1 to rowsPerBand).map(r => element_at(col("sig"), bnd * rowsPerBand + r))
-        // fixed-width cross-engine bucket key: md5 prefix of
-        // "band,c1,c2,c3,c4" (concat_ws casts the longs identically in
-        // both engines) — 16 hex chars keep the shuffle key narrow at scale
-        struct(
-          lit(bnd).as("band"),
-          substring(md5(concat_ws(",", lit(bnd) +: sigRows: _*).cast("binary")), 1, 16)
-            .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val banded = bandBuckets(docs, bands, rowsPerBand)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
@@ -329,7 +317,88 @@ object DedupQueries {
       .orderBy(col("cluster_rep").asc, col("doc_id").asc)
   }
 
+  /** The LSH banding fan-out — ONE definition shared by q32 (within-corpus
+    * near-dup) and q54b (cross-corpus decontamination): per band, the
+    * bucket key is the md5-prefix of "band,c1,..,cR" (concat_ws casts the
+    * longs identically in both engines) — 16 hex chars keep the shuffle
+    * key narrow at scale. Expects a (doc_id, sig) frame. */
+  private def bandBuckets(sigDocs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigDocs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { bnd =>
+        val sigRows = (1 to rowsPerBand).map(r => element_at(col("sig"), bnd * rowsPerBand + r))
+        struct(
+          lit(bnd).as("band"),
+          substring(md5(concat_ws(",", lit(bnd) +: sigRows: _*).cast("binary")), 1, 16)
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+  /** FUZZY decontamination — q54's exact 3-gram membership test upgraded
+    * to the near-duplicate similarity test real curation stacks run
+    * against benchmark suites (the Lee et al./fineweb shape: exact overlap
+    * misses a contaminated doc that paraphrases or truncates the
+    * benchmark item): the benchmark set (doc_id % 29 == 0 — q54's
+    * derivation at a denser rate: the %97 set has no near-dup partner in
+    * the sf0.01 training corpus at all, which would make the whole fuzzy
+    * stage vacuous there) is MinHash-LSH-banded against the TRAINING set (the
+    * rest) with q32's signature/banding stack, candidates verified by
+    * exact shingle Jaccard, and every training doc above the floor
+    * reports its closest benchmark item (ties to the smaller bench id)
+    * plus how many benchmark items it collided with.
+    *
+    * Scale shape: candidates form only ACROSS the corpus split — the
+    * benchmark side of the band join is benchmark-sized (a few hundred
+    * rows per million docs at the %29 rate; real benchmark suites are
+    * fixed-size), so it BROADCASTS and the training corpus never
+    * shuffles for the join at all — strictly cheaper than q32's
+    * within-corpus band self-join. */
+  private def q54b(s: SparkSession, d: String): DataFrame =
+    fuzzyDecontam(Tables(s, d, "documents"))
+
+  /** [[q54b]]'s pipeline over an arbitrary (doc_id, text) frame — split out
+    * so DedupSpec can plant a contaminated/clean pair and prove the fuzzy
+    * stage separates them. */
+  private[graft] def fuzzyDecontam(raw: DataFrame): DataFrame = {
+    val numHashes = 32
+    val bands = 8
+    val rowsPerBand = numHashes / bands
+    val docs = raw
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), array_distinct(text.shingles(text.tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", text.minhashSignature(col("sh"), numHashes))
+      .persist()
+    val banded = bandBuckets(docs, bands, rowsPerBand)
+    val bench = banded.filter(col("doc_id") % 29 === 0)
+      .select(col("band"), col("bucket"), col("doc_id").as("bench_id"))
+    val cand = banded.filter(col("doc_id") % 29 =!= 0)
+      .join(broadcast(bench), Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    val ver = cand
+      .join(docs.select(col("doc_id"), col("sh").as("sh_t")), Seq("doc_id"))
+      .join(broadcast(docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))), Seq("bench_id"))
+      .withColumn("jacc",
+        size(array_intersect(col("sh_t"), col("sh_b"))) /
+          size(array_union(col("sh_t"), col("sh_b"))).cast("double"))
+      .filter(col("jacc") >= 0.02)
+    val w = Window.partitionBy(col("doc_id"))
+    val result = ver
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("jacc").desc, col("bench_id").asc)))
+      .withColumn("n_bench_hits", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id").as("best_bench"),
+        round(col("jacc"), 6).as("best_jacc"), col("n_bench_hits"))
+      .orderBy(col("best_jacc").desc, col("doc_id").asc)
+      .limit(100)
+    Tables.materializeAndFree(result, docs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54b_decontaminate_fuzzy" -> (q54b _),
     "q38_dedup_clusters" -> (q38 _),
     "q38b_dedup_clusters_exact" -> (q38b _),
     "q30_dedup_exact" -> (q30 _),
@@ -360,7 +429,11 @@ object DedupQueries {
     * family constants inlined from the kernel's own methods, so there is
     * one source of truth. Ends with `ver` (candidate pairs + intersection
     * counts). */
-  private def minhashVerCtes: String = {
+  /** The signature/banding prefix (docs → d2 → sig → banded) — ONE copy
+    * shared by [[minhashVerCtes]] (q32/q38's within-corpus pairs) and the
+    * q54b cross-corpus decontamination oracle, mirroring the Spark side's
+    * shared [[bandBuckets]]. */
+  private def minhashSigCtes: String = {
     val p = graft.plans.NativeKernels.MinHashP
     val params = (1 to 32)
       .map(j => s"($j, ${graft.plans.NativeKernels.minhashA(j)}, ${graft.plans.NativeKernels.minhashB(j)})")
@@ -383,7 +456,11 @@ object DedupQueries {
        |         substring(md5(CAST(bnd AS VARCHAR) || ',' ||
        |                       array_to_string(sig[bnd*4+1:bnd*4+4], ',')), 1, 16) AS bucket
        |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS bnd)
-       |),
+       |)""".stripMargin
+  }
+
+  private def minhashVerCtes: String =
+    s"""$minhashSigCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
@@ -394,9 +471,34 @@ object DedupQueries {
        |         len(list_intersect(x.sh, y.sh)) AS inter, x.n AS na, y.n AS nb
        |  FROM cand c JOIN d2 x ON c.doc_a = x.doc_id JOIN d2 y ON c.doc_b = y.doc_id
        |)""".stripMargin
-  }
 
   val oracleSql: Map[String, String] = Map(
+    "q54b_decontaminate_fuzzy" ->
+      s"""WITH $minhashSigCtes,
+         |candx AS (
+         |  SELECT DISTINCT t.doc_id, b.doc_id AS bench_id
+         |  FROM banded t JOIN banded b ON t.bnd = b.bnd AND t.bucket = b.bucket
+         |  WHERE t.doc_id % 29 <> 0 AND b.doc_id % 29 = 0
+         |),
+         |verx AS (
+         |  SELECT c.doc_id, c.bench_id,
+         |         len(list_intersect(x.sh, y.sh)) AS inter, x.n AS na, y.n AS nb
+         |  FROM candx c JOIN d2 x ON c.doc_id = x.doc_id JOIN d2 y ON c.bench_id = y.doc_id
+         |),
+         |jx AS (
+         |  SELECT doc_id, bench_id, CAST(inter AS DOUBLE) / (na + nb - inter) AS jacc
+         |  FROM verx WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.02
+         |),
+         |rx AS (
+         |  SELECT doc_id, bench_id, jacc,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY jacc DESC, bench_id ASC) AS rn,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS nh
+         |  FROM jx
+         |)
+         |SELECT doc_id, bench_id AS best_bench, round(jacc, 6) AS best_jacc,
+         |       CAST(nh AS BIGINT) AS n_bench_hits
+         |FROM rx WHERE rn = 1
+         |ORDER BY best_jacc DESC, doc_id ASC LIMIT 100""".stripMargin,
     "q32_dedup_minhash_lsh" ->
       s"""WITH $minhashVerCtes
          |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jacc

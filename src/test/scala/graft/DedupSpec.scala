@@ -78,6 +78,36 @@ class DedupSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))
   }
 
+  test("q54b fuzzy decontamination: catches the paraphrased copy, ignores the clean doc") {
+    import spark.implicits._
+    // planted corpus: doc 29 is the "benchmark item" (id % 29 == 0);
+    // doc 1 is a PARAPHRASED copy (a word substituted every 12 tokens —
+    // high but not perfect Jaccard, the case exact-overlap decontam can
+    // only see as a handful of shared 3-grams); doc 2 is unrelated junk.
+    val benchToks = (1 to 60).map(i => s"bench$i")
+    val paraToks = benchToks.zipWithIndex.map { case (w, i) => if (i % 12 == 5) s"sub$i" else w }
+    val fixture = Seq(
+      (29L, benchToks.mkString(" ")),
+      (1L, paraToks.mkString(" ")),
+      (2L, (1 to 60).map(i => s"junk$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = queries.DedupQueries.fuzzyDecontam(fixture).collect()
+    assert(out.length == 1, s"expected exactly the paraphrased doc, got ${out.length} rows")
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    assert(out.head.getAs[Long]("best_bench") == 29L)
+    val j = out.head.getAs[Double]("best_jacc")
+    assert(j > 0.5 && j < 1.0, s"paraphrase Jaccard $j should be high but imperfect")
+    // and on the real corpus the query is non-vacuous with sane bounds
+    val real = SparkEntry.queries("q54b_decontaminate_fuzzy")(spark, "/root/testdata/sf0.001").collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 29 != 0, "a benchmark doc leaked into the training side")
+      assert(r.getAs[Long]("best_bench") % 29 == 0)
+      assert(r.getAs[Double]("best_jacc") >= 0.02)
+      assert(r.getAs[Long]("n_bench_hits") >= 1)
+    }
+  }
+
   test("minhash signature agreement approximates Jaccard similarity") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
