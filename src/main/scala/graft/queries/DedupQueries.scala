@@ -317,6 +317,35 @@ object DedupQueries {
       .orderBy(col("cluster_rep").asc, col("doc_id").asc)
   }
 
+  /** Canonical-document selection — the half of dedup that DECIDES which
+    * copy survives (fineweb/dolma keep the best-scoring duplicate, not an
+    * arbitrary one): q38b's exact near-dup clusters joined with q41's
+    * quality rules, keeping the highest-quality member per cluster (ties
+    * to the smaller doc_id) and reporting what was dropped. ONE quality
+    * formula per side (TextQueries.qualityScore / q41Sql embedded as a
+    * scoped subquery).
+    *
+    * Scale shape: the cluster table is dup-sized (≪ corpus) and the
+    * quality frame is a per-doc projection — the join and the per-cluster
+    * window both key on ids; nothing quadratic, no corpus re-shuffle
+    * beyond q38b's own edge building. */
+  private def q38c(s: SparkSession, d: String): DataFrame = {
+    val qual = TextQueries.qualityScore(
+      Tables(s, d, "documents")
+        .withColumn("toks", text.tokens(col("text"))))
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_rep"))
+    q38b(s, d).join(qual, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("quality").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("n_members"),
+        col("doc_id").as("keep_doc"), col("quality").as("keep_quality"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy(col("cluster_rep").asc)
+  }
+
   /** The LSH banding fan-out — ONE definition shared by q32 (within-corpus
     * near-dup) and q54b (cross-corpus decontamination): per band, the
     * bucket key is the md5-prefix of "band,c1,..,cR" (concat_ws casts the
@@ -399,6 +428,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54b_decontaminate_fuzzy" -> (q54b _),
+    "q38c_dedup_keep_best" -> (q38c _),
     "q38_dedup_clusters" -> (q38 _),
     "q38b_dedup_clusters_exact" -> (q38b _),
     "q30_dedup_exact" -> (q30 _),
@@ -470,6 +500,35 @@ object DedupQueries {
        |  SELECT c.doc_a, c.doc_b,
        |         len(list_intersect(x.sh, y.sh)) AS inter, x.n AS na, y.n AS nb
        |  FROM cand c JOIN d2 x ON c.doc_a = x.doc_id JOIN d2 y ON c.doc_b = y.doc_id
+       |)""".stripMargin
+
+  /** q38b's exact-clustering oracle chain (df-capped n-gram Jaccard edges
+    * → recursive transitive closure), ending in `reach(id, r)` — shared
+    * verbatim by the q38b and q38c oracles. Callers prepend RECURSIVE. */
+  private def exactClusterCtes: String =
+    s"""${shingleDocsCteWhere("")},
+       |d2 AS (SELECT doc_id, sh, len(sh) AS n FROM docs),
+       |ex AS (SELECT doc_id, n, UNNEST(sh) AS s FROM d2),
+       |keepsh AS (
+       |  SELECT s FROM ex GROUP BY s
+       |  HAVING COUNT(*) <= ${graft.operators.NgramJaccard.DefaultDfCap}
+       |),
+       |exf AS (SELECT ex.* FROM ex JOIN keepsh USING (s)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+       |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.5
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
        |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -623,32 +682,32 @@ object DedupQueries {
          |GROUP BY a.doc_id, b.doc_id, a.n, b.n
          |ORDER BY jacc DESC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin,
     "q38b_dedup_clusters_exact" ->
-      s"""WITH RECURSIVE ${shingleDocsCteWhere("")},
-         |d2 AS (SELECT doc_id, sh, len(sh) AS n FROM docs),
-         |ex AS (SELECT doc_id, n, UNNEST(sh) AS s FROM d2),
-         |keepsh AS (
-         |  SELECT s FROM ex GROUP BY s
-         |  HAVING COUNT(*) <= ${graft.operators.NgramJaccard.DefaultDfCap}
-         |),
-         |exf AS (SELECT ex.* FROM ex JOIN keepsh USING (s)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
-         |  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.5
-         |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-         |),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
-         |)
+      s"""WITH RECURSIVE $exactClusterCtes
          |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
          |FROM reach GROUP BY id""".stripMargin,
+    // keep-best: q38b's cluster chain + q41's quality formula (embedded as
+    // a scoped subquery — the inner WITH shadows this chain's `docs`),
+    // argmax per cluster by (quality desc, doc_id asc)
+    "q38c_dedup_keep_best" ->
+      s"""WITH RECURSIVE $exactClusterCtes,
+         |clusters AS (
+         |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+         |  FROM reach GROUP BY id
+         |),
+         |qsub AS (SELECT doc_id, quality FROM (${TextQueries.q41Sql})),
+         |jx AS (
+         |  SELECT c.cluster_rep, c.doc_id, q.quality
+         |  FROM clusters c JOIN qsub q USING (doc_id)
+         |),
+         |rx AS (
+         |  SELECT cluster_rep, doc_id, quality,
+         |         row_number() OVER (PARTITION BY cluster_rep ORDER BY quality DESC, doc_id ASC) AS rn,
+         |         COUNT(*) OVER (PARTITION BY cluster_rep) AS nm
+         |  FROM jx
+         |)
+         |SELECT cluster_rep, CAST(nm AS BIGINT) AS n_members, doc_id AS keep_doc,
+         |       quality AS keep_quality, CAST(nm - 1 AS BIGINT) AS n_dropped
+         |FROM rx WHERE rn = 1 ORDER BY cluster_rep ASC""".stripMargin,
     "q34_dedup_embedding" -> {
       val cos = s"(${vectors.dotSql("a.emb", "b.emb", 64)}) / (a.nrm * b.nrm)"
       s"""WITH e AS (

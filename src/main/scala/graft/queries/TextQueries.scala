@@ -941,8 +941,9 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("n_matched"))
 
   /** The q41 quality-score map (stateless — reused verbatim by the st13
-    * streaming form; input needs `doc_id`, `text`, `toks`). */
-  private def qualityScore(in: DataFrame): DataFrame =
+    * streaming form and joined by q38c's keep-best selection; input needs
+    * `doc_id`, `text`, `toks`). */
+  private[graft] def qualityScore(in: DataFrame): DataFrame =
     in.withColumn("n_tok", size(col("toks")))
       .withColumn("txt_len", length(col("text")))
       .withColumn("punct_cnt", length(regexp_replace(col("text"), "[^.!?,;:]", "")))
@@ -2629,7 +2630,9 @@ object TextQueries {
 
   /** q41's oracle — shared verbatim by st13 (the streaming map must be
     * row-identical to the batch operator). */
-  private val q41Sql =
+  /** q41's full oracle SELECT — private[graft] so q38c's keep-best oracle
+    * can embed it as a scoped subquery (one quality formula per side). */
+  private[graft] val q41Sql =
     s"""WITH $docsCte,
        |m AS (
        |  SELECT doc_id, len(toks) AS n_tok, length(text) AS txt_len,

@@ -108,6 +108,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q38c keep-best: the survivor has max quality in its cluster and quality (not id) decides") {
+    val sf = "/root/testdata/sf0.001"
+    val clusters = SparkEntry.queries("q38b_dedup_clusters_exact")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep"))
+    val qual = SparkEntry.queries("q41_quality_score")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val out = SparkEntry.queries("q38c_dedup_keep_best")(spark, sf).collect()
+    assert(out.nonEmpty && out.length == byCluster.size)
+    out.foreach { r =>
+      val members = byCluster(r.getAs[Long]("cluster_rep"))
+      val keep = r.getAs[Long]("keep_doc")
+      assert(members.contains(keep))
+      assert(r.getAs[Long]("n_members") == members.length.toLong)
+      assert(r.getAs[Long]("n_dropped") == members.length - 1L)
+      assert(members.forall(m => qual(m) < qual(keep) ||
+        (qual(m) == qual(keep) && m >= keep)),
+        s"cluster ${r.getAs[Long]("cluster_rep")}: $keep is not the (quality desc, id asc) argmax")
+      assert(r.getAs[Double]("keep_quality") == qual(keep))
+    }
+    // quality must DECIDE somewhere: at least one survivor is not the
+    // cluster's smallest id (otherwise the query degenerates to min-id
+    // canonicalization and the quality join is dead weight)
+    assert(out.exists(r =>
+      r.getAs[Long]("keep_doc") != byCluster(r.getAs[Long]("cluster_rep")).min),
+      "every survivor is the min id — quality never decided a cluster")
+  }
+
   test("minhash signature agreement approximates Jaccard similarity") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
