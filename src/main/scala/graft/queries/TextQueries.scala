@@ -1757,6 +1757,50 @@ object TextQueries {
         .limit(15)
     }),
 
+    // ES `match_bool_prefix` — the last match-family member next to q78
+    // (match_phrase), q86 (multi_match) and q90 (match_phrase_prefix):
+    // every analyzed query term becomes a bool SHOULD term clause except
+    // the LAST, which becomes a prefix query. Terms = the 5-term BM25
+    // window; "last" = the alphabetically-last window term (the derived
+    // query is a set, so the real query string's position-last maps to a
+    // deterministic pick). The 4 term clauses score through THE shared
+    // BM25 stack (bm25ScoredOver — one formula); the prefix clause
+    // rewrites against the term dictionary (q88's discipline: single-char
+    // prefix, ≤50 expansions as a literal term set — the doc stream pays
+    // an array-overlap membership test, never a per-token pattern scan)
+    // and contributes Lucene's CONSTANT_SCORE rewrite value 1.0 when any
+    // expansion matches. FULL OUTER combine: a doc matching only the
+    // prefix still ranks.
+    "q102_match_bool_prefix" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QHi)
+        .select(col("term"), col("df")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val last = terms.map(_._1).max
+      val pfx = last.substring(0, 1)
+      val expTerms = dfVocab(s, d).filter(col("term").startsWith(lit(pfx)))
+        .orderBy(col("term").asc).limit(50)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      import s.implicits._
+      val qdf = terms.filter(_._1 != last).toSeq.toDF("tok", "df")
+      val sc = bm25ScoredOver(s, d,
+        docs(s, d).repartition(col("doc_id"))
+          .select(col("doc_id"), explode(col("toks")).as("tok")),
+        qdf)
+      val ph = docs(s, d)
+        .select(col("doc_id"), arrays_overlap(col("toks"), typedLit(expTerms)).as("hp"))
+        .filter(col("hp"))
+      sc.join(ph, Seq("doc_id"), "full_outer")
+        .withColumn("n_exact_hit", coalesce(col("n_terms_hit"), lit(0L)))
+        .withColumn("prefix_hit", coalesce(col("hp"), lit(false)).cast("long"))
+        .withColumn("final",
+          coalesce(col("score"), lit(0.0)) + col("prefix_hit").cast("double"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("n_exact_hit"), col("prefix_hit"), col("final"))
+    }),
+
     // ES `regexp` query — the third MultiTermQuery rewrite: the regex
     // runs against the broadcast term DICTIONARY only (RE2-safe subset:
     // one char class + `.*` + a literal tail, anchored), never the doc
@@ -3313,6 +3357,43 @@ object TextQueries {
          |SELECT doc_id, source, phrase, CAST(n_phrase AS BIGINT) AS n_phrase
          |FROM g WHERE n_phrase > 0
          |ORDER BY n_phrase DESC, doc_id ASC LIMIT 15""".stripMargin,
+    // match_bool_prefix: 4 SHOULD term clauses through the shared BM25
+    // chain (bm25CtesOver with the last window term removed) + the prefix
+    // clause as a constant_score 1.0 dictionary rewrite
+    "q102_match_bool_prefix" ->
+      s"""WITH $docsCte,
+         |$rankedVocabCte,
+         |qw AS (SELECT term AS tok, df FROM rvocab WHERE r BETWEEN $QLo AND $QHi),
+         |lastt AS (SELECT MAX(tok) AS lt FROM qw),
+         |${bm25CtesOver("_mb", "SELECT doc_id, UNNEST(toks) AS tok FROM docs",
+            "SELECT tok, df FROM qw, lastt WHERE tok <> lt")},
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) GROUP BY term
+         |),
+         |expn AS (
+         |  SELECT term FROM vocab, lastt
+         |  WHERE starts_with(term, substring(lt, 1, 1))
+         |  ORDER BY term ASC LIMIT 50
+         |),
+         |ph AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs) t
+         |  JOIN expn e ON t.term = e.term
+         |),
+         |f AS (
+         |  SELECT COALESCE(s.doc_id, p.doc_id) AS doc_id,
+         |         COALESCE(s.n_terms_hit, 0) AS n_exact_hit,
+         |         CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS prefix_hit,
+         |         COALESCE(s.score, 0.0e0) +
+         |           CASE WHEN p.doc_id IS NOT NULL THEN 1.0e0 ELSE 0.0e0 END AS final
+         |  FROM per_mb s FULL OUTER JOIN ph p ON s.doc_id = p.doc_id
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, CAST(n_exact_hit AS BIGINT) AS n_exact_hit,
+         |       CAST(prefix_hit AS BIGINT) AS prefix_hit, final
+         |FROM f QUALIFY rank <= 20""".stripMargin,
     "q91_regexp" ->
       s"""WITH $docsCte,
          |vocab AS (

@@ -281,6 +281,26 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 match_bool_prefix: both clause types decide and the prefix expansion is non-trivial") {
+    val out = SparkEntry.queries("q102_match_bool_prefix")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val ph = r.getAs[Long]("prefix_hit")
+      assert(ph == 0L || ph == 1L)
+      assert(r.getAs[Long]("n_exact_hit") >= 0L && r.getAs[Long]("n_exact_hit") <= 4L,
+        "exact clauses are the 4 non-last window terms")
+      assert(r.getAs[Double]("final") > 0.0)
+    }
+    // both clause types must decide somewhere in the window
+    assert(out.exists(_.getAs[Long]("prefix_hit") == 1L), "the prefix clause never matched")
+    assert(out.exists(_.getAs[Long]("n_exact_hit") > 0L), "the term clauses never matched")
+    // the constant-score contribution is visible: two docs with the same
+    // exact-term profile but different prefix_hit differ by exactly 1.0
+    // is data-dependent; instead pin the arithmetic bound: a doc's final
+    // is at least its prefix contribution
+    out.foreach(r => assert(r.getAs[Double]("final") >= r.getAs[Long]("prefix_hit").toDouble))
+  }
+
   test("q90 match_phrase_prefix: hits require adjacency and the prefix genuinely expands") {
     val out = SparkEntry.queries("q90_match_phrase_prefix")(spark, sf).collect()
     assert(out.nonEmpty)
