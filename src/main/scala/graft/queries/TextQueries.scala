@@ -2023,6 +2023,46 @@ object TextQueries {
         .limit(20)
     }),
 
+    // ES `simple_query_string` — the user-facing query-syntax layer over
+    // the retrieval stack: the grammar's three core operators composed in
+    // one derived query  `"<w1> <w2>" | (<tA> + <tB>) -<tX>`  (phrase
+    // quotes, `+` AND, `|` OR, `-` NOT — ES default_operator OR at the
+    // top level). w1/w2 = the top corpus bigram (q78's derivation),
+    // tA/tB = window terms ranks QLo/QLo+1, tX = the rank-QHi term.
+    // Clause scoring is ENTIRELY shared machinery: the phrase clause is
+    // q86c's Lucene phrase scorer ([[phraseFieldScore]] on the body), the
+    // AND clause is THE BM25 chain over the 2-term df table gated on
+    // n_terms_hit = 2 (bool MUST), the NOT clause is a broadcast
+    // anti-join on tX membership, and the OR combine is the fixed
+    // two-term IEEE sum of matching clause scores (non-matching clause
+    // contributes 0). A doc matching either clause ranks unless excluded.
+    "q103_simple_query_string" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val tX = rankedVocab(s, d).filter(col("r") === QHi)
+        .select(col("term")).collect().head.getString(0)
+      val base = docs(s, d).crossJoin(broadcast(topBigram(s, d)))
+      val phr = phraseFieldScore(base, col("toks"))
+        .select(col("doc_id"), col("score").as("p0"))
+      val qdf2 = rankedVocab(s, d).filter(col("r") === QLo || col("r") === QLo + 1)
+        .select(col("term").as("tok"), col("df"))
+      val sAnd = bm25ScoredOver(s, d,
+        docs(s, d).repartition(col("doc_id"))
+          .select(col("doc_id"), explode(col("toks")).as("tok")),
+        qdf2)
+        .filter(col("n_terms_hit") === 2)
+        .select(col("doc_id"), col("score").as("a0"))
+      phr.join(sAnd, Seq("doc_id"), "full_outer")
+        .join(docs(s, d).filter(array_contains(col("toks"), lit(tX)))
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("s_phrase", coalesce(col("p0"), lit(0.0)))
+        .withColumn("s_and", coalesce(col("a0"), lit(0.0)))
+        .withColumn("final", col("s_phrase") + col("s_and"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("s_phrase"), col("s_and"), col("final"))
+    }),
+
     // ES `span_containing`: {big, little} — report matches of the BIG
     // span that contain a match of the LITTLE span. big = the greedy
     // ordered (t1, t2) pair span with slop 5 (for each t1 position i, the
@@ -3564,6 +3604,33 @@ object TextQueries {
          |       CAST(n_incl - len(kept) AS BIGINT) AS n_excluded
          |FROM m WHERE len(kept) > 0
          |ORDER BY n_excluded DESC, n_kept DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // simple_query_string: phrase clause = phraseFieldCtes (q86c's scorer),
+    // AND clause = the shared BM25 chain gated n_terms_hit = 2, NOT clause
+    // = a membership anti-filter, OR = fixed two-term sum
+    "q103_simple_query_string" ->
+      s"""WITH $docsCte,
+         |$rankedVocabCte,
+         |$topBigramCtes,
+         |docsb AS (SELECT d.*, top1.w1, top1.w2 FROM docs d, top1),
+         |${phraseFieldCtes("_sq", "toks")},
+         |${bm25CtesOver("_s2", "SELECT doc_id, UNNEST(toks) AS tok FROM docs",
+            s"SELECT term AS tok, df FROM rvocab WHERE r IN ($QLo, ${QLo + 1})")},
+         |a2 AS (SELECT doc_id, score FROM per_s2 WHERE n_terms_hit = 2),
+         |txq AS (SELECT term AS xt FROM rvocab WHERE r = $QHi),
+         |exq AS (SELECT doc_id FROM docs, txq WHERE list_contains(toks, xt)),
+         |fq AS (
+         |  SELECT COALESCE(p.doc_id, a.doc_id) AS doc_id,
+         |         COALESCE(p.score, 0.0e0) AS s_phrase,
+         |         COALESCE(a.score, 0.0e0) AS s_and
+         |  FROM pper_sq p FULL OUTER JOIN a2 a ON p.doc_id = a.doc_id
+         |),
+         |gq AS (
+         |  SELECT doc_id, s_phrase, s_and, s_phrase + s_and AS final
+         |  FROM fq WHERE doc_id NOT IN (SELECT doc_id FROM exq)
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, s_phrase, s_and, final
+         |FROM gq QUALIFY rank <= 20""".stripMargin,
     "q100_span_containing" ->
       s"""WITH $spanPairCtes,
          |c AS (

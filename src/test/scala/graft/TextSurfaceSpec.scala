@@ -391,6 +391,32 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q103 simple_query_string: all three grammar operators decide (phrase | AND, -NOT)") {
+    val docsRaw = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toVector).toMap
+    // the NOT term: rank-QHi of the length>=4 df vocab (the query's derivation)
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    docsRaw.values.foreach(_.distinct.filter(_.length >= 4).foreach(w => df(w) = df.getOrElse(w, 0) + 1))
+    val tX = df.toSeq.sortBy { case (w, c) => (-c, w) }.apply(14)._1 // rank 15 = QHi
+    val out = SparkEntry.queries("q103_simple_query_string")(spark, sf).collect()
+    assert(out.length == 20)
+    // the OR combine: every returned doc matched at least one clause
+    out.foreach { r =>
+      assert(r.getAs[Double]("s_phrase") > 0.0 || r.getAs[Double]("s_and") > 0.0)
+      assert(r.getAs[Double]("final") ==
+        r.getAs[Double]("s_phrase") + r.getAs[Double]("s_and"))
+    }
+    // both positive clause types decide somewhere in the window
+    assert(out.exists(_.getAs[Double]("s_phrase") > 0.0), "the phrase clause never matched")
+    assert(out.exists(_.getAs[Double]("s_and") > 0.0), "the AND clause never matched")
+    // the NOT clause bites: no returned doc contains tX, and the
+    // exclusion is non-vacuous (some doc in the corpus does)
+    out.foreach(r => assert(!docsRaw(r.getAs[Long]("doc_id")).contains(tX),
+      s"doc ${r.getAs[Long]("doc_id")} contains the negated term '$tX'"))
+    assert(docsRaw.values.exists(_.contains(tX)), "the negated term occurs nowhere — NOT is vacuous")
+  }
+
   test("q96 intervals: greedy all_of chains recomputed from raw text with plain collections") {
     val out = SparkEntry.queries("q96_intervals")(spark, sf).collect()
     assert(out.nonEmpty)
