@@ -2023,6 +2023,33 @@ object TextQueries {
         .limit(20)
     }),
 
+    // ES `pinned` query: editorially promoted documents rank FIRST in the
+    // order given, the organic ranking (q76's BM25) follows with the
+    // pinned docs deduplicated out of it — the "sponsored results" shape.
+    // Promoted ids derive deterministically as the 3 longest documents
+    // (n_chars desc, id asc — an editorial signal the corpus carries);
+    // the pin table is 3 rows and broadcasts; organic scores ride along
+    // for display exactly like ES returns the organic _score.
+    "q104_pinned" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val pins = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("pin_rank",
+          row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("pin_rank") <= 3)
+        .select(col("doc_id"), col("pin_rank"))
+      bm25PerDoc(s, d).select(col("doc_id"), col("score"))
+        .join(broadcast(pins), Seq("doc_id"), "full_outer")
+        .withColumn("is_pinned", col("pin_rank").isNotNull.cast("long"))
+        .withColumn("organic_score", coalesce(col("score"), lit(0.0)))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(
+            col("is_pinned").desc, col("pin_rank").asc_nulls_last,
+            col("organic_score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("is_pinned"), col("organic_score"))
+    }),
+
     // ES `simple_query_string` — the user-facing query-syntax layer over
     // the retrieval stack: the grammar's three core operators composed in
     // one derived query  `"<w1> <w2>" | (<tA> + <tB>) -<tX>`  (phrase
@@ -3604,6 +3631,26 @@ object TextQueries {
          |       CAST(n_incl - len(kept) AS BIGINT) AS n_excluded
          |FROM m WHERE len(kept) > 0
          |ORDER BY n_excluded DESC, n_kept DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // pinned: promoted ids first in pin order, organic BM25 follows
+    "q104_pinned" ->
+      s"""WITH $bm25PerCtes,
+         |pins AS (
+         |  SELECT doc_id, pin_rank FROM (
+         |    SELECT doc_id,
+         |           row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS pin_rank
+         |    FROM documents
+         |  ) WHERE pin_rank <= 3
+         |),
+         |fp AS (
+         |  SELECT COALESCE(o.doc_id, p.doc_id) AS doc_id, p.pin_rank,
+         |         CASE WHEN p.pin_rank IS NOT NULL THEN 1 ELSE 0 END AS is_pinned,
+         |         COALESCE(o.score, 0.0e0) AS organic_score
+         |  FROM per o FULL OUTER JOIN pins p ON o.doc_id = p.doc_id
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY is_pinned DESC, pin_rank ASC NULLS LAST,
+         |                               organic_score DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, CAST(is_pinned AS BIGINT) AS is_pinned, organic_score
+         |FROM fp QUALIFY rank <= 20""".stripMargin,
     // simple_query_string: phrase clause = phraseFieldCtes (q86c's scorer),
     // AND clause = the shared BM25 chain gated n_terms_hit = 2, NOT clause
     // = a membership anti-filter, OR = fixed two-term sum

@@ -391,6 +391,27 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q104 pinned: promoted docs head the ranking in pin order, organic follows deduplicated") {
+    val out = SparkEntry.queries("q104_pinned")(spark, sf).collect().sortBy(_.getAs[Long]("rank"))
+    assert(out.length == 20)
+    // the 3 longest docs, in (n_chars desc, id asc) order — recomputed
+    val pins = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }.take(3).map(_._1)
+    assert(out.take(3).map(_.getAs[Long]("doc_id")).toSeq == pins.toSeq,
+      "ranks 1-3 must be the pinned ids in pin order")
+    assert(out.take(3).forall(_.getAs[Long]("is_pinned") == 1L))
+    // organic section: unpinned, strictly ordered by (score desc, id asc),
+    // and no pinned id reappears
+    val organic = out.drop(3)
+    assert(organic.forall(_.getAs[Long]("is_pinned") == 0L))
+    assert(!organic.exists(r => pins.contains(r.getAs[Long]("doc_id"))))
+    val keys = organic.map(r => (-r.getAs[Double]("organic_score"), r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted), "organic section not ordered by (score desc, id asc)")
+    assert(organic.exists(_.getAs[Double]("organic_score") > 0.0))
+  }
+
   test("q103 simple_query_string: all three grammar operators decide (phrase | AND, -NOT)") {
     val docsRaw = queries.Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
