@@ -1039,7 +1039,58 @@ object EsAggQueries {
         .select(col("user_id"), col("top.event_id").as("event_id"),
           col("top.event_type").as("event_type"), col("top.value").as("value"), col("group_size"))
         .orderBy(col("value").desc, col("user_id").asc)
-        .limit(10)))
+        .limit(10)),
+
+    // ES `has_child` QUERY (the query form next to q73's children AGG):
+    // return PARENT docs (orders) whose CHILDREN (lineitems) match the
+    // inner query — a range filter l_quantity >= 45 under field_value_factor
+    // scoring (child _score = l_quantity, the ES idiom for scoring by a
+    // numeric field) — exercising the query's structural knobs:
+    // min_children=2 (parents with fewer matching children drop) and
+    // score_mode=max (parent _score = best matching child; the `sum` mode
+    // rides along as sum_score). Top-20 parents by (score desc, key asc).
+    // Scale shape: the child filter prunes BEFORE the orderkey shuffle, the
+    // per-parent reduction pre-combines map-side, and the parent join is
+    // fact-fact keyed on the orderkey only — no broadcast of a fact side,
+    // no row ever carries more than the 3 aggregate fields.
+    "q107_has_child" -> ((s: SparkSession, d: String) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      val ch = Tables(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45.0)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_children"),
+          max(col("l_quantity")).as("score"),
+          sumDet(col("l_quantity")).as("sum_score"))
+        .filter(col("n_children") >= 2)
+      o.join(ch, col("o_orderkey") === col("l_orderkey"))
+        .orderBy(col("score").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("n_children"), col("score"), col("sum_score"))
+    }),
+
+    // ES `has_parent` QUERY (inverse join-field direction, next to q73b's
+    // parent AGG): return CHILD docs (lineitems) whose PARENT (order)
+    // matches the parent query — o_orderpriority = '1-URGENT' AND
+    // o_totalprice >= 200000 — with score=true: every matching child
+    // INHERITS its parent's _score (field_value_factor on o_totalprice),
+    // ES's score-propagation contract for this query. Top-20 children by
+    // (parent_score desc, child key asc). Scale shape: the parent filter
+    // prunes orders before the shuffle; the join keys on the orderkey only
+    // (fact-fact, no broadcast — the matched-parent set grows with the
+    // corpus), and no per-child state beyond the inherited score exists.
+    "q108_has_parent" -> ((s: SparkSession, d: String) => {
+      val par = Tables(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 200000.0)
+        .select(col("o_orderkey"), col("o_totalprice").as("parent_score"))
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .join(par, col("l_orderkey") === col("o_orderkey"))
+        .orderBy(col("parent_score").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("parent_score"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q10_date_histogram" ->
@@ -1621,6 +1672,21 @@ object EsAggQueries {
          |       CAST(SUM(c) AS BIGINT) AS child_doc_count,
          |       ${sumDetSql("p", 6)} AS sum_parent_price
          |FROM pp GROUP BY l_returnflag""".stripMargin,
+    "q107_has_child" ->
+      s"""WITH ch AS (
+         |  SELECT l_orderkey, COUNT(*) AS n_children, MAX(l_quantity) AS score,
+         |         ${sumDetSql("l_quantity")} AS sum_score
+         |  FROM lineitem WHERE l_quantity >= 45.0
+         |  GROUP BY l_orderkey HAVING COUNT(*) >= 2
+         |)
+         |SELECT o_orderkey, o_orderpriority, n_children, score, sum_score
+         |FROM orders JOIN ch ON o_orderkey = l_orderkey
+         |ORDER BY score DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "q108_has_parent" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice AS parent_score
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 200000.0
+        |ORDER BY parent_score DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20""".stripMargin,
     "q17l_bucket_count_ks_test" ->
       s"""WITH b AS (
          |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,

@@ -1695,6 +1695,46 @@ object TextQueries {
           count(lit(1)).as("n_term_docs"))
     }),
 
+    // ES `_terms_enum` API — the autocomplete endpoint over the term
+    // dictionary: sorted terms matching a prefix, `size`-bounded, resumed
+    // by `search_after` (the cursor contract the endpoint shares with
+    // q84/q17g). Prefix = the single-char start covering the most vocab
+    // terms (q88's structural derivation, rank 1 — guaranteed maximal
+    // expansion). Page 1 = first `size`=4 matching terms (term asc);
+    // page 2 resumes with the keyset predicate term > search_after,
+    // exactly how a client walks the full dictionary (size 4 keeps BOTH
+    // pages non-vacuous on this corpus's 31-term vocabulary — the top
+    // prefix covers 6 terms at every SF, so the cursor provably prunes
+    // page 1's terms and page 2 is never empty). Scale shape: everything
+    // here is dictionary-sized — the corpus is touched ONCE by the shared
+    // [[dfVocab]] artifact, and both pages are limit-pushed sorts of the
+    // broadcast-filtered vocab (the doc stream never pays anything).
+    "q109_terms_enum" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = dfVocab(s, d)
+      val pfx = vocab
+        .groupBy(substring(col("term"), 1, 1).as("q"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("q").asc).limit(1)
+        .select(col("q"))
+      val matches = vocab.crossJoin(broadcast(pfx))
+        .filter(col("term").startsWith(col("q")))
+        .select(col("term"))
+      val p1 = matches.orderBy(col("term").asc).limit(4)
+        .select(lit(1L).as("page"), col("term"))
+      val after = matches.orderBy(col("term").asc).limit(4)
+        .agg(max(col("term")).as("after"))
+      val p2 = matches.crossJoin(broadcast(after))
+        .filter(col("term") > col("after"))
+        .orderBy(col("term").asc).limit(4)
+        .select(lit(2L).as("page"), col("term"))
+      p1.union(p2)
+        .withColumn("pos",
+          row_number().over(
+            Window.partitionBy(col("page")).orderBy(col("term").asc)).cast("long"))
+        .select(col("page"), col("pos"), col("term"))
+    }),
+
     // ES `wildcard` query — including the LEADING wildcard the ES docs
     // warn against: under the vocab rewrite the warning does not apply,
     // because the pattern scans the broadcast term DICTIONARY (never the
@@ -1871,6 +1911,73 @@ object TextQueries {
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)
         .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("score"))
+    }),
+
+    // ES `_rank_eval` API — the ranking-EVALUATION endpoint next to the
+    // ranking itself: each of the 5 window terms ([[QLo]]..[[QHi]]) is one
+    // rated request (a single-term match on the body), rated docs derive
+    // deterministically from the SAME one-scan frame (rating 2 = the term
+    // appears in the title/first-8, rating 1 = body tf ≥ 2, else 0 — the
+    // graded-relevance shape the endpoint exists for), and the ranking
+    // under evaluation is THE shared BM25 formula ([[bm25TermScores]] —
+    // per-term scores ARE single-term BM25). Emits the endpoint's metric
+    // set per request at k=10: precision@10 (rating>0 = relevant),
+    // reciprocal rank, DCG@10 (gain (2^r−1)/log2(rank+1) — integer gains,
+    // detlog ranks, detsum reduction) and NDCG@10 (ideal ordering = rated
+    // docs by rating desc). Scale shape: per-request ranking is a
+    // WindowGroupLimit top-10 per term (5 partitions, map-side limited);
+    // the rated frame never leaves the (doc, term) grain; every metric
+    // reduces per term to a 5-row result.
+    "q105_rank_eval" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = perDocTermTf(s, d)
+      val qsel = qselFromTf(g)
+      val dl = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
+      val per = bm25TermScores(
+        g.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"), col("tf_t")),
+        dl, bm25QIdf(dl, qsel))
+        .withColumn("rating",
+          when(col("tf_t") > 0, lit(2L)).when(col("tf") >= 2, lit(1L)).otherwise(lit(0L)))
+        .select(col("doc_id"), col("tok"), col("rating"), col("score_t"))
+      val gainCol = when(col("rating") === 2L, lit(3.0))
+        .when(col("rating") === 1L, lit(1.0)).otherwise(lit(0.0))
+      val top = graft.functions.detlog.withLog2(
+        per.withColumn("rank",
+          row_number().over(
+            Window.partitionBy(col("tok"))
+              .orderBy(col("score_t").desc, col("doc_id").asc)).cast("long"))
+          .filter(col("rank") <= 10)
+          .withColumn("rank1", col("rank") + lit(1L)),
+        "rank1", "lg")
+        .withColumn("dg", gainCol / col("lg"))
+      val perQ = top.groupBy(col("tok"))
+        .agg(
+          count(when(col("rating") > 0, 1)).as("rel_in_10"),
+          count(lit(1)).as("n_ret_10"),
+          min(when(col("rating") > 0, col("rank"))).as("first_rel"),
+          graft.functions.detsum.sumDet(col("dg"), 9).as("dcg_10"))
+      val ideal = graft.functions.detlog.withLog2(
+        per.filter(col("rating") > 0)
+          .withColumn("irank",
+            row_number().over(
+              Window.partitionBy(col("tok"))
+                .orderBy(col("rating").desc, col("doc_id").asc)).cast("long"))
+          .filter(col("irank") <= 10)
+          .withColumn("rank1", col("irank") + lit(1L)),
+        "rank1", "lg")
+        .withColumn("dg", gainCol / col("lg"))
+        .groupBy(col("tok"))
+        .agg(graft.functions.detsum.sumDet(col("dg"), 9).as("idcg_10"))
+      perQ.join(ideal, Seq("tok"))
+        .select(
+          col("tok").as("query_term"),
+          col("rel_in_10"),
+          (col("rel_in_10").cast("double") /
+            least(lit(10L), col("n_ret_10")).cast("double")).as("precision_at_10"),
+          coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("recip_rank"),
+          col("dcg_10"),
+          (col("dcg_10") / col("idcg_10")).as("ndcg_10"))
     }),
 
     // ES `rank_feature` query (saturation function): retrieval score =
@@ -3370,6 +3477,28 @@ object TextQueries {
          |       COUNT(DISTINCT t.term) AS n_terms, COUNT(*) AS n_term_docs
          |FROM t JOIN expansion e ON t.term = e.term
          |GROUP BY e.q""".stripMargin,
+    "q109_terms_enum" ->
+      s"""WITH $docsCte,
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) GROUP BY term
+         |),
+         |pfx AS (
+         |  SELECT q FROM (
+         |    SELECT substring(term, 1, 1) AS q, COUNT(*) AS cnt FROM vocab GROUP BY 1
+         |  ) ORDER BY cnt DESC, q ASC LIMIT 1
+         |),
+         |m AS (SELECT v.term FROM vocab v, pfx p WHERE starts_with(v.term, p.q)),
+         |p1 AS (SELECT CAST(1 AS BIGINT) AS page, term FROM m ORDER BY term ASC LIMIT 4),
+         |aft AS (SELECT MAX(term) AS after FROM p1),
+         |p2 AS (
+         |  SELECT CAST(2 AS BIGINT) AS page, m.term FROM m, aft
+         |  WHERE m.term > aft.after ORDER BY m.term ASC LIMIT 4
+         |)
+         |SELECT page, CAST(row_number() OVER (PARTITION BY page ORDER BY term ASC) AS BIGINT) AS pos,
+         |       term
+         |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)""".stripMargin,
     "q89_wildcard" ->
       s"""WITH $docsCte,
          |vocab AS (
@@ -3540,6 +3669,77 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
          |       doc_id, n_terms_hit, score
          |FROM perc QUALIFY rank <= 20""".stripMargin,
+    "q105_rank_eval" ->
+      s"""WITH $docsCte,
+         |g AS MATERIALIZED (
+         |  SELECT doc_id, tok, COUNT(*) AS tf_b,
+         |         COUNT(CASE WHEN pos <= 8 THEN 1 END) AS tf_t
+         |  FROM (SELECT doc_id, toks[j] AS tok, j AS pos
+         |        FROM docs, unnest(generate_series(1, len(toks))) AS u(j))
+         |  GROUP BY 1, 2
+         |),
+         |qv AS (
+         |  SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS r
+         |  FROM (SELECT tok, COUNT(*) AS df FROM g WHERE length(tok) >= 4 GROUP BY tok)
+         |),
+         |qselx AS (SELECT tok, df FROM qv WHERE r BETWEEN $QLo AND $QHi),
+         |dlx AS MATERIALIZED (SELECT doc_id, SUM(tf_b) AS dl FROM g GROUP BY doc_id),
+         |statsx AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlx),
+         |qt1x AS MATERIALIZED (
+         |  SELECT qselx.tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+         |         CAST(2 * qselx.df + 1 AS BIGINT) AS den, avgdl
+         |  FROM qselx, statsx
+         |),
+         |${graft.functions.detlog.log2SqlCtes("qt1x", "num", "lgn", "qnx")},
+         |${graft.functions.detlog.log2SqlCtes("qnxfin", "den", "lgd", "qdx")},
+         |qidfx AS (SELECT tok, lgn - lgd AS idf, avgdl FROM qdxfin),
+         |scx AS (
+         |  SELECT g.doc_id, g.tok,
+         |         CASE WHEN g.tf_t > 0 THEN 2 WHEN g.tf_b >= 2 THEN 1 ELSE 0 END AS rating,
+         |         q.idf * ((CAST(g.tf_b AS DOUBLE) * 2.2e0) /
+         |           (CAST(g.tf_b AS DOUBLE) +
+         |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / q.avgdl))) AS score_t
+         |  FROM g JOIN qidfx q ON g.tok = q.tok JOIN dlx dl ON g.doc_id = dl.doc_id
+         |),
+         |top0 AS (
+         |  SELECT tok, doc_id, rating, rank, CAST(rank + 1 AS BIGINT) AS rank1
+         |  FROM (SELECT *, CAST(row_number() OVER (
+         |          PARTITION BY tok ORDER BY score_t DESC, doc_id ASC) AS BIGINT) AS rank
+         |        FROM scx)
+         |  WHERE rank <= 10
+         |),
+         |${graft.functions.detlog.log2SqlCtes("top0", "rank1", "lg", "tlx")},
+         |topg AS (
+         |  SELECT tok, rating, rank,
+         |         (CASE WHEN rating = 2 THEN 3.0e0 WHEN rating = 1 THEN 1.0e0 ELSE 0.0e0 END) / lg AS dg
+         |  FROM tlxfin
+         |),
+         |perq AS (
+         |  SELECT tok,
+         |         COUNT(CASE WHEN rating > 0 THEN 1 END) AS rel_in_10,
+         |         COUNT(*) AS n_ret_10,
+         |         MIN(CASE WHEN rating > 0 THEN rank END) AS first_rel,
+         |         ${graft.functions.detsum.sumDetSql("dg", 9)} AS dcg_10
+         |  FROM topg GROUP BY tok
+         |),
+         |ideal0 AS (
+         |  SELECT tok, rating, CAST(irank + 1 AS BIGINT) AS rank1
+         |  FROM (SELECT tok, rating, CAST(row_number() OVER (
+         |          PARTITION BY tok ORDER BY rating DESC, doc_id ASC) AS BIGINT) AS irank
+         |        FROM scx WHERE rating > 0)
+         |  WHERE irank <= 10
+         |),
+         |${graft.functions.detlog.log2SqlCtes("ideal0", "rank1", "lg", "ilx")},
+         |idcg AS (
+         |  SELECT tok, ${graft.functions.detsum.sumDetSql(
+              "(CASE WHEN rating = 2 THEN 3.0e0 ELSE 1.0e0 END) / lg", 9)} AS idcg_10
+         |  FROM ilxfin GROUP BY tok
+         |)
+         |SELECT p.tok AS query_term, rel_in_10,
+         |       CAST(rel_in_10 AS DOUBLE) / CAST(LEAST(10, n_ret_10) AS DOUBLE) AS precision_at_10,
+         |       COALESCE(1.0e0 / first_rel, 0.0e0) AS recip_rank,
+         |       dcg_10, dcg_10 / idcg_10 AS ndcg_10
+         |FROM perq p JOIN idcg i ON p.tok = i.tok""".stripMargin,
     "q93_rank_feature" ->
       s"""WITH $bm25PerCtes,
          |f AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS feat FROM documents),

@@ -383,6 +383,23 @@ class PlanSpec extends AnyFunSuite {
       "map-side partials before the first exchange")
   }
 
+  test("q107: the has_child inner query prunes children before the orderkey shuffle") {
+    val p = plan("q107_has_child")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"),
+      s"the inner range query must reach the lineitem parquet scan:\n$p")
+    assert(p.contains("partial_count"), "per-parent child reduction pre-combines map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q108: the has_parent query filter reaches the orders scan") {
+    val p = plan("q108_has_parent")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"the parent term filter must reach the orders parquet scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_totalprice,200000.0)"),
+      "the parent range filter must reach the orders parquet scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q76b: the rescore window broadcasts so the phrase pass reads 50 docs, not the corpus") {
     val p = plan("q76b_rescore")
     // the window-id set and the 1-row phrase pair must both enter the docs

@@ -412,6 +412,68 @@ class TextSurfaceSpec extends AnyFunSuite {
     assert(organic.exists(_.getAs[Double]("organic_score") > 0.0))
   }
 
+  test("q105 rank_eval: metrics bounded, NDCG replayed from raw-text ratings, evaluation non-vacuous") {
+    val out = SparkEntry.queries("q105_rank_eval")(spark, sf).collect()
+    assert(out.length == 5, "one rated request per window term")
+    out.foreach { r =>
+      val (p, rr, nd) = (r.getAs[Double]("precision_at_10"),
+        r.getAs[Double]("recip_rank"), r.getAs[Double]("ndcg_10"))
+      assert(p >= 0.0 && p <= 1.0)
+      assert(rr == 0.0 || (rr >= 0.1 && rr <= 1.0), "reciprocal rank is 1/rank within top 10 or 0")
+      assert(nd > 0.0 && nd <= 1.0 + 1e-12, "DCG can never exceed the ideal ordering's")
+    }
+    // independent replay: ratings recomputed from raw text with plain
+    // collections (rating 2 = term in first 8 tokens, 1 = body tf >= 2),
+    // ideal DCG re-accumulated with the engine's own detlog rank table
+    val lgMap = graft.functions.detlog.withLog2(
+      spark.range(2, 12).toDF("v"), "v", "lg").collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Double]("lg")).toMap
+    val toksByDoc = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toVector)
+    def gain(rt: Long): Double = if (rt == 2L) 3.0 else if (rt == 1L) 1.0 else 0.0
+    val allRatings = out.map { r =>
+      val term = r.getAs[String]("query_term")
+      val ratings = toksByDoc.flatMap { case (_, toks) =>
+        val tf = toks.count(_ == term)
+        if (tf == 0) None
+        else Some(if (toks.take(8).contains(term)) 2L else if (tf >= 2) 1L else 0L)
+      }
+      val idcgPlain = ratings.filter(_ > 0).sortBy(-_).take(10).zipWithIndex
+        .map { case (rt, i) => gain(rt) / lgMap(i + 2L) }.sum
+      val idcgQuery = r.getAs[Double]("dcg_10") / r.getAs[Double]("ndcg_10")
+      assert(math.abs(idcgQuery - idcgPlain) <= 1e-6 * math.max(1.0, idcgPlain),
+        s"$term: ideal DCG ${idcgQuery} != replayed $idcgPlain")
+      assert(r.getAs[Long]("rel_in_10") <= math.min(10, ratings.count(_ > 0)),
+        s"$term: more relevant-in-top-10 than rated-relevant docs exist")
+      ratings
+    }
+    assert(allRatings.flatten.exists(_ == 2L) && allRatings.flatten.exists(_ == 1L) &&
+      allRatings.flatten.exists(_ == 0L), "the graded-relevance derivation must exercise all 3 grades")
+    assert(out.exists(_.getAs[Double]("ndcg_10") < 1.0),
+      "every request's BM25 ranking equals the ideal ordering — the evaluation is vacuous")
+  }
+
+  test("q109 terms_enum: both pages non-empty, cursor prunes exactly, union replays the dictionary") {
+    val out = SparkEntry.queries("q109_terms_enum")(spark, sf).collect()
+    val p1 = out.filter(_.getAs[Long]("page") == 1L).sortBy(_.getAs[Long]("pos")).map(_.getAs[String]("term"))
+    val p2 = out.filter(_.getAs[Long]("page") == 2L).sortBy(_.getAs[Long]("pos")).map(_.getAs[String]("term"))
+    assert(p1.length == 4, "page 1 must fill the requested size")
+    assert(p2.nonEmpty, "the search_after resume must return the remainder non-vacuously")
+    assert((p1 ++ p2).sameElements((p1 ++ p2).sorted), "terms_enum output is term-sorted")
+    assert(p1.last < p2.head, "page 2 must start strictly after the cursor")
+    // replay the dictionary walk from raw text with plain collections
+    val vocab = queries.Tables(spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.replaceAll("\\s+", " ").split(" ").distinct)
+      .distinct.sorted
+    val pfx = vocab.groupBy(_.take(1)).toSeq
+      .sortBy { case (c, ts) => (-ts.length, c) }.head._1
+    val expect = vocab.filter(_.startsWith(pfx))
+    assert((p1 ++ p2).sameElements(expect.take(4 + 4)),
+      s"pages must walk the sorted '$pfx'-prefixed dictionary exactly")
+  }
+
   test("q103 simple_query_string: all three grammar operators decide (phrase | AND, -NOT)") {
     val docsRaw = queries.Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
