@@ -49,6 +49,48 @@ object DedupQueries {
       .filter(col("n_docs") > 1)
   }
 
+  /** CCNet/RefinedWeb-style DOCUMENT filter by duplicated-passage
+    * fraction — the decision half of passage dedup (q30b finds the
+    * duplicated cells; real curation pipelines then DROP documents that
+    * are mostly boilerplate): per document, dup_frac = (passages whose
+    * 20-word cell hash occurs in more than one distinct document) /
+    * n_passages, and the operator reports the drop list (dup_frac ≥ 0.5,
+    * top-100 by severity). Scale shape: the per-(doc, hash) frame
+    * aggregates map-side (the stream is doc_id-partitioned) and is
+    * materialized ONCE for both passes over it (the corpus is scanned
+    * once); the duplicated-hash table and the rejoin key on the 16-byte
+    * hash only; the final per-doc reduction keys on doc_id. Exact small
+    * integer ratios — no floating-point hazards. */
+  private def q30e(s: SparkSession, d: String): DataFrame = {
+    val P = 20
+    val ph = Tables(s, d, "documents")
+      .repartition(col("doc_id")) // single-file scan -> spread the split work
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("passages",
+        transform(
+          sequence(lit(0), ceil(size(col("ws")) / lit(P.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("ws"), i * P + 1, lit(P)), " ")))
+      .select(col("doc_id"), explode(col("passages")).as("passage"))
+      .groupBy(col("doc_id"), md5(col("passage").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // a hash is duplicated iff it appears under >1 distinct doc — rows in
+    // ph are already per-(doc, hash), so COUNT(*) per hash IS n_docs
+    val dup = ph.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"), lit(1L).as("dup"))
+    val result = ph.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_passages"),
+        coalesce(sum(when(col("dup").isNotNull, col("c"))), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_passages").cast("double"))
+      .filter(col("dup_frac") >= 0.5)
+      .orderBy(col("dup_frac").desc, col("n_passages").desc, col("doc_id").asc)
+      .limit(100)
+    Tables.materializeAndFree(result, ph)
+  }
+
   /** ROLLING-window span dedup — the exact-substring-dedup approximation
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better"): every 20-token window at stride 5 over the normalized token
@@ -434,6 +476,7 @@ object DedupQueries {
     "q30_dedup_exact" -> (q30 _),
     "q30b_dedup_passage" -> (q30b _),
     "q30c_dedup_span" -> (q30c _),
+    "q30e_dedup_doc_filter" -> (q30e _),
     "q30d_dedup_anchor" -> (q30d _),
     "q31_dedup_ngram_jaccard" -> (q31 _),
     "q32_dedup_minhash_lsh" -> (q32 _),
@@ -630,6 +673,26 @@ object DedupQueries {
         |SELECT md5(passage) AS passage_hash, COUNT(*) AS n_occurrences,
         |       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS canonical_doc
         |FROM p GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin,
+    "q30e_dedup_doc_filter" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, ws,
+        |         UNNEST(generate_series(0, CAST(ceil(len(ws) / 20.0) AS BIGINT) - 1)) AS i
+        |  FROM d
+        |),
+        |p AS (SELECT doc_id, md5(array_to_string(ws[i*20+1:(i+1)*20], ' ')) AS h FROM p0),
+        |ph AS (SELECT doc_id, h, COUNT(*) AS c FROM p GROUP BY 1, 2),
+        |dup AS (SELECT h FROM ph GROUP BY h HAVING COUNT(*) > 1),
+        |agg AS (
+        |  SELECT ph.doc_id, CAST(SUM(c) AS BIGINT) AS n_passages,
+        |         CAST(COALESCE(SUM(CASE WHEN dup.h IS NOT NULL THEN c END), 0) AS BIGINT) AS n_dup
+        |  FROM ph LEFT JOIN dup ON ph.h = dup.h GROUP BY ph.doc_id
+        |)
+        |SELECT doc_id, n_passages, n_dup,
+        |       CAST(n_dup AS DOUBLE) / CAST(n_passages AS DOUBLE) AS dup_frac
+        |FROM agg
+        |WHERE CAST(n_dup AS DOUBLE) / CAST(n_passages AS DOUBLE) >= 0.5
+        |ORDER BY dup_frac DESC, n_passages DESC, doc_id ASC LIMIT 100""".stripMargin,
     "q30c_dedup_span" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks

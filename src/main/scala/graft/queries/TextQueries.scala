@@ -894,11 +894,20 @@ object TextQueries {
     array_min(filter(col("p2"), y => y > i))
 
   /** The shared q100/q101 frame: per doc, position arrays of the top-3 df
-    * vocab terms (q96's derivation) and `bigs` — the starts of the valid
-    * greedy ordered (t1, t2) pair spans (slop [[SpanPairSlop]]: the span
-    * [i, j] with j = [[spanPairJ]](i) is valid when j−i−1 ≤ slop). The
-    * big-span definition exists ONCE; span_containing and span_within are
-    * two containment directions over it. */
+    * vocab terms (q96's derivation) and `bigs` — the valid greedy ordered
+    * (t1, t2) pair spans as (i, j) STRUCTS (slop [[SpanPairSlop]]: the
+    * span [i, j] with j = [[spanPairJ]](i) is valid when j−i−1 ≤ slop).
+    * The big-span definition exists ONCE; span_containing and span_within
+    * are two containment directions over it.
+    *
+    * The greedy end j is hoisted into an ALIGNED `ends` array computed
+    * once per start — the first shipped form re-evaluated spanPairJ (an
+    * array_min(filter(p2, ...)) scan) inside the per-element lambdas of
+    * the downstream p3 filters, making the containment checks
+    * O(|p1|·|p2|·|p3|) PER DOCUMENT on the three most frequent corpus
+    * terms (measured: q101 50.5s / q100 20.3s at sf0.1); with j carried
+    * in the span struct the checks are O(|bigs|·|p3|) and both queries
+    * drop to sub-second. Same greedy semantics, same oracle. */
   private def spanPairFrame(s: SparkSession, d: String): DataFrame = {
     val ts = rankedVocab(s, d).filter(col("r") <= 3).orderBy(col("r"))
       .select(col("term")).collect().map(_.getString(0))
@@ -907,8 +916,12 @@ object TextQueries {
       .withColumn("p1", termPositions(col("toks"), lit(t1)))
       .withColumn("p2", termPositions(col("toks"), lit(t2)))
       .withColumn("p3", termPositions(col("toks"), lit(t3)))
-      .withColumn("bigs", filter(col("p1"), i =>
-        spanPairJ(i).isNotNull && (spanPairJ(i) - i - lit(1) <= lit(SpanPairSlop))))
+      .withColumn("ends", transform(col("p1"), i => spanPairJ(i)))
+      .withColumn("bigs",
+        filter(
+          zip_with(col("p1"), col("ends"), (i, j) => struct(i.as("i"), j.as("j"))),
+          sp => sp.getField("j").isNotNull &&
+            (sp.getField("j") - sp.getField("i") - lit(1) <= lit(SpanPairSlop))))
   }
 
   private[graft] def spanFirstHits(in: DataFrame, term: String): DataFrame =
@@ -1735,6 +1748,32 @@ object TextQueries {
         .select(col("page"), col("pos"), col("term"))
     }),
 
+    // ES `_termvectors` API (term_statistics=true): for each requested doc
+    // — the 3 longest (q104's deterministic pin derivation) — every term's
+    // in-doc statistics (tf, first position) joined with its corpus-wide
+    // statistics (df = docs containing, ttf = total occurrences), exactly
+    // the endpoint's per-term payload. Scale shape: the 3-row target set
+    // broadcasts into the corpus scan (per-doc work touches 3 docs
+    // regardless of corpus size — the endpoint's own cost model), and the
+    // corpus-wide stats table is vocab-sized, built from one token-stream
+    // pass and broadcast into the final join.
+    "q110_termvectors" -> ((s: SparkSession, d: String) => {
+      val targets = Tables(s, d, "documents")
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(3)
+        .select(col("doc_id"))
+      val tf = docs(s, d)
+        .join(broadcast(targets), Seq("doc_id"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "term")))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), (min(col("p")) + lit(1L)).as("first_pos"))
+      val stats = docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("ttf"))
+      tf.join(broadcast(stats), Seq("term"))
+        .select(col("doc_id"), col("term"), col("tf"), col("first_pos"), col("df"), col("ttf"))
+    }),
+
     // ES `wildcard` query — including the LEADING wildcard the ES docs
     // warn against: under the vocab rewrite the warning does not apply,
     // because the pattern scans the broadcast term DICTIONARY (never the
@@ -2054,22 +2093,39 @@ object TextQueries {
         .select(col("term")).collect().map(_.getString(0))
       val (t1, t2, t3) = (ts(0), ts(1), ts(2))
       val maxGaps = 10
-      def chainOk(i: Column): Column = {
-        val j = array_min(filter(col("p2"), y => y > i))
-        val k = array_min(filter(col("p3"), x => x > array_min(filter(col("p2"), y => y > i))))
-        k.isNotNull && (k - i - lit(2) <= lit(maxGaps))
-      }
+      // the greedy chain hoisted into ALIGNED arrays (one array_min scan
+      // per start, not one per downstream lambda element — the first
+      // shipped form re-evaluated the inner filter(p2) inside the p3
+      // lambda, O(|p1|·|p2|·|p3|) per doc on the 3 most frequent terms,
+      // 45.6s at sf0.1): js[x] = first t2 after p1[x], ks[x] = first t3
+      // after js[x], chain valid when total gap ks[x]−p1[x]−2 ≤ max_gaps.
+      // Same greedy semantics, same oracle.
       docs(s, d)
         .withColumn("p1", termPositions(col("toks"), lit(t1)))
         .withColumn("p2", termPositions(col("toks"), lit(t2)))
         .withColumn("p3", termPositions(col("toks"), lit(t3)))
-        .withColumn("chains", filter(col("p1"), chainOk _))
+        .withColumn("js", transform(col("p1"), i => array_min(filter(col("p2"), y => y > i))))
+        .withColumn("ks", transform(col("js"), j => array_min(filter(col("p3"), x => x > j))))
+        .withColumn("chains",
+          filter(
+            zip_with(col("p1"), col("ks"), (i, k) =>
+              when(k.isNotNull && (k - i - lit(2) <= lit(maxGaps)), i)),
+            x => x.isNotNull))
         .withColumn("n_intervals", size(col("chains")).cast("long"))
-        .filter(col("n_intervals") > 0)
         .select(col("doc_id"), col("n_intervals"),
-          element_at(col("chains"), 1).cast("long").as("first_start"))
+          when(size(col("chains")) > 0, element_at(col("chains"), 1))
+            .cast("long").as("first_start"))
+        // the sparse-row filter sits ABOVE the top-k, not below it: a
+        // pre-sort filter(n > 0) gets pushed into the scan with every
+        // HOF alias SUBSTITUTED into the predicate (CollapseProject
+        // refuses to duplicate expensive multi-ref aliases, but filter
+        // pushdown has no such cost guard), re-tokenizing the doc per
+        // sequence element — measured 45.6s at sf0.1 for this query.
+        // Zero rows sort last on the leading n DESC key, so top-k-then-
+        // filter returns the identical row set at ~0.3s.
         .orderBy(col("n_intervals").desc, col("first_start").asc, col("doc_id").asc)
         .limit(20)
+        .filter(col("n_intervals") > 0)
     }),
 
     // ES `span_or` composed into `span_first` (span_or alone is a term
@@ -2210,16 +2266,19 @@ object TextQueries {
     // containment directions read ONE big-span definition).
     "q100_span_containing" -> ((s: SparkSession, d: String) =>
       spanPairFrame(s, d)
-        .withColumn("cont", filter(col("bigs"), i =>
-          exists(col("p3"), p => p >= i && p <= spanPairJ(i))))
+        .withColumn("cont", filter(col("bigs"), sp =>
+          exists(col("p3"), p => p >= sp.getField("i") && p <= sp.getField("j"))))
         .withColumn("n_big", size(col("bigs")).cast("long"))
         .withColumn("n_containing", size(col("cont")).cast("long"))
-        .filter(col("n_containing") > 0)
         .select(col("doc_id"),
-          element_at(col("cont"), 1).cast("long").as("first_start"),
+          when(size(col("cont")) > 0, element_at(col("cont"), 1).getField("i"))
+            .cast("long").as("first_start"),
           col("n_big"), col("n_containing"))
+        // filter above the top-k (the q96 pushdown-substitution lesson);
+        // zero rows sort last on n_containing DESC — identical row set
         .orderBy(col("n_containing").desc, col("first_start").asc, col("doc_id").asc)
-        .limit(20)),
+        .limit(20)
+        .filter(col("n_containing") > 0)),
 
     // ES `span_within`: the inverse containment direction — report
     // matches of the LITTLE span (t3 occurrences) that fall WITHIN some
@@ -2229,15 +2288,18 @@ object TextQueries {
     "q101_span_within" -> ((s: SparkSession, d: String) =>
       spanPairFrame(s, d)
         .withColumn("within", filter(col("p3"), p =>
-          exists(col("bigs"), i => p >= i && p <= spanPairJ(i))))
+          exists(col("bigs"), sp => p >= sp.getField("i") && p <= sp.getField("j"))))
         .withColumn("n_little", size(col("p3")).cast("long"))
         .withColumn("n_within", size(col("within")).cast("long"))
-        .filter(col("n_within") > 0)
         .select(col("doc_id"),
-          element_at(col("within"), 1).cast("long").as("first_pos"),
+          when(size(col("within")) > 0, element_at(col("within"), 1))
+            .cast("long").as("first_pos"),
           col("n_little"), col("n_within"))
+        // filter above the top-k (the q96 pushdown-substitution lesson);
+        // zero rows sort last on n_within DESC — identical row set
         .orderBy(col("n_within").desc, col("first_pos").asc, col("doc_id").asc)
-        .limit(20)),
+        .limit(20)
+        .filter(col("n_within") > 0)),
 
     // ES `multi_match` (type best_fields ≡ `dis_max` over per-field
     // queries): fields = [title^2, body], where title is the doc's first 8
@@ -3499,6 +3561,24 @@ object TextQueries {
          |SELECT page, CAST(row_number() OVER (PARTITION BY page ORDER BY term ASC) AS BIGINT) AS pos,
          |       term
          |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)""".stripMargin,
+    "q110_termvectors" ->
+      s"""WITH $docsCte,
+         |tgt AS (SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 3),
+         |tfp AS (
+         |  SELECT docs.doc_id, toks[j] AS term, j
+         |  FROM docs JOIN tgt ON docs.doc_id = tgt.doc_id,
+         |       UNNEST(generate_series(1, len(toks))) AS u(j)
+         |),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf, CAST(MIN(j) AS BIGINT) AS first_pos
+         |  FROM tfp GROUP BY 1, 2
+         |),
+         |stats AS (
+         |  SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS ttf
+         |  FROM (SELECT doc_id, UNNEST(toks) AS term FROM docs) GROUP BY term
+         |)
+         |SELECT tf.doc_id, tf.term, tf.tf, tf.first_pos, s.df, s.ttf
+         |FROM tf JOIN stats s ON tf.term = s.term""".stripMargin,
     "q89_wildcard" ->
       s"""WITH $docsCte,
          |vocab AS (

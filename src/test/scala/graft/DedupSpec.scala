@@ -78,6 +78,35 @@ class DedupSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))
   }
 
+  test("q30e doc filter: drop list replayed from raw text and the threshold genuinely divides") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q30e_dedup_doc_filter")(spark, sf).collect()
+    assert(out.nonEmpty, "no document crossed the dup_frac threshold — the filter is vacuous")
+    // plain-collections replay of the whole operator (q30b's 20-word cells,
+    // duplicated = cell string under >1 distinct doc, frac >= 0.5, top-100)
+    val cells = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        r.getLong(0) -> (0 until math.ceil(ws.length / 20.0).toInt)
+          .map(i => ws.slice(i * 20, i * 20 + 20).mkString(" "))
+      }
+    val nDocsByCell = cells.flatMap { case (id, ps) => ps.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.length }
+    val stats = cells.map { case (id, ps) =>
+      val nDup = ps.count(p => nDocsByCell(p) > 1)
+      (id, ps.length.toLong, nDup.toLong, nDup.toDouble / ps.length.toDouble)
+    }
+    val expect = stats.filter(_._4 >= 0.5)
+      .sortBy { case (id, np, _, f) => (-f, -np, id) }.take(100)
+    val got = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_passages"),
+      r.getAs[Long]("n_dup"), r.getAs[Double]("dup_frac")))
+    assert(got.sorted.sameElements(expect.sorted),
+      s"drop list mismatch: got ${got.length}, expected ${expect.length}")
+    assert(stats.exists { case (_, _, nd, f) => nd > 0 && f < 0.5 },
+      "no partially-duplicated KEPT doc exists — the threshold decides nothing")
+  }
+
   test("q54b fuzzy decontamination: catches the paraphrased copy, ignores the clean doc") {
     import spark.implicits._
     // planted corpus: doc 29 is the "benchmark item" (id % 29 == 0);

@@ -474,6 +474,27 @@ class TextSurfaceSpec extends AnyFunSuite {
       s"pages must walk the sorted '$pfx'-prefixed dictionary exactly")
   }
 
+  test("q110 termvectors: the full per-term payload replays from raw text for all 3 requested docs") {
+    val out = SparkEntry.queries("q110_termvectors")(spark, sf).collect()
+    val docsRaw = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toVector, r.getLong(2)))
+    val targets = docsRaw.sortBy { case (id, _, n) => (-n, id) }.take(3).map(_._1).toSet
+    val df = docsRaw.flatMap { case (id, toks, _) => toks.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val ttf = docsRaw.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val expect = docsRaw.filter(d => targets.contains(d._1)).flatMap { case (id, toks, _) =>
+      toks.distinct.map { t =>
+        (id, t, toks.count(_ == t).toLong, (toks.indexOf(t) + 1).toLong, df(t), ttf(t))
+      }
+    }
+    val got = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+      r.getAs[Long]("tf"), r.getAs[Long]("first_pos"), r.getAs[Long]("df"), r.getAs[Long]("ttf")))
+    assert(got.sorted.sameElements(expect.sorted),
+      s"termvectors payload mismatch: got ${got.length} rows, expected ${expect.length}")
+    assert(expect.exists(_._3 > 1), "every tf is 1 — term statistics are vacuous on these docs")
+  }
+
   test("q103 simple_query_string: all three grammar operators decide (phrase | AND, -NOT)") {
     val docsRaw = queries.Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
