@@ -2253,6 +2253,58 @@ object TextQueries {
         .select(col("rank"), col("doc_id"), col("s_phrase"), col("s_and"), col("final"))
     }),
 
+    // ES `query_string` — the FULL Lucene syntax layer next to q103's
+    // forgiving simple_query_string: the strict grammar's remaining
+    // features composed in one derived query
+    //   `title:<tT> AND (<tA> OR <tB>^2) AND NOT <tX>`
+    // — FIELD SCOPING (title:tT scores against the title field's OWN
+    // statistics, the q86 per-field contract; tT = the title field's
+    // highest-df length≥4 term), an INLINE BOOST (tB^2 — the weight
+    // multiplies the term score BEFORE the detsum reduce, Lucene's boost
+    // composition), explicit boolean PRECEDENCE (the parenthesized OR
+    // group sums its matching SHOULD clauses; the top-level ANDs are
+    // MUST = inner joins of clause hit sets; NOT = an anti-join on tX
+    // membership). Every clause reads the ONE-scan per-(doc, term) frame
+    // — the plan's only corpus exchange is its scan-spreading
+    // repartition — and all scoring flows through THE shared BM25
+    // formula ([[bm25ScoreTf]]/[[bm25TermScores]]).
+    "q106_query_string" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = perDocTermTf(s, d)
+      val gT = g.filter(col("tf_t") > 0)
+      val tT = gT.filter(length(col("tok")) >= 4)
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc).limit(1)
+      val dlT = gT.groupBy(col("doc_id")).agg(sum(col("tf_t")).as("dl"))
+      val sT = bm25ScoreTf(
+        gT.join(broadcast(tT.select(col("tok"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_t").as("tf")),
+        dlT, bm25QIdf(dlT, tT))
+        .select(col("doc_id"), col("score").as("s_title"))
+      val qv = g.filter(length(col("tok")) >= 4)
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
+      val qg = qv.filter(col("r") === QLo || col("r") === QLo + 1)
+      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
+      val sG = bm25TermScores(
+        g.join(broadcast(qg.select(col("tok"), col("r"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"), col("r")),
+        dlB, bm25QIdf(dlB, qg.select(col("tok"), col("df"))))
+        .withColumn("ws",
+          when(col("r") === QLo + 1, lit(2.0)).otherwise(lit(1.0)) * col("score_t"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.detsum.sumDet(col("ws"), 9).as("s_group"))
+      val excl = g.join(broadcast(qv.filter(col("r") === QHi).select(col("tok"))), Seq("tok"))
+        .select(col("doc_id"))
+      sT.join(sG, Seq("doc_id"))
+        .join(excl, Seq("doc_id"), "left_anti")
+        .withColumn("final", col("s_title") + col("s_group"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("s_title"), col("s_group"), col("final"))
+    }),
+
     // ES `span_containing`: {big, little} — report matches of the BIG
     // span that contain a match of the LITTLE span. big = the greedy
     // ordered (t1, t2) pair span with slop 5 (for each t1 position i, the
@@ -3958,6 +4010,78 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
          |       doc_id, s_phrase, s_and, final
          |FROM gq QUALIFY rank <= 20""".stripMargin,
+    "q106_query_string" ->
+      s"""WITH $docsCte,
+         |g AS MATERIALIZED (
+         |  SELECT doc_id, tok, COUNT(*) AS tf_b,
+         |         COUNT(CASE WHEN pos <= 8 THEN 1 END) AS tf_t
+         |  FROM (SELECT doc_id, toks[j] AS tok, j AS pos
+         |        FROM docs, unnest(generate_series(1, len(toks))) AS u(j))
+         |  GROUP BY 1, 2
+         |),
+         |gt AS MATERIALIZED (SELECT doc_id, tok, tf_t FROM g WHERE tf_t > 0),
+         |ttq AS (
+         |  SELECT tok, df FROM (
+         |    SELECT tok, COUNT(*) AS df FROM gt WHERE length(tok) >= 4 GROUP BY tok
+         |  ) ORDER BY df DESC, tok ASC LIMIT 1
+         |),
+         |dlt AS MATERIALIZED (SELECT doc_id, SUM(tf_t) AS dl FROM gt GROUP BY doc_id),
+         |statst AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlt),
+         |qt1t AS (
+         |  SELECT ttq.tok, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+         |         CAST(2 * ttq.df + 1 AS BIGINT) AS den, avgdl
+         |  FROM ttq, statst
+         |),
+         |${graft.functions.detlog.log2SqlCtes("qt1t", "num", "lgn", "qnt")},
+         |${graft.functions.detlog.log2SqlCtes("qntfin", "den", "lgd", "qdt")},
+         |qidft AS (SELECT tok, lgn - lgd AS idf, avgdl FROM qdtfin),
+         |sct AS (
+         |  SELECT gt.doc_id,
+         |         q.idf * ((CAST(gt.tf_t AS DOUBLE) * 2.2e0) /
+         |           (CAST(gt.tf_t AS DOUBLE) +
+         |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / q.avgdl))) AS score_t
+         |  FROM gt JOIN qidft q ON gt.tok = q.tok JOIN dlt dl ON gt.doc_id = dl.doc_id
+         |),
+         |pert AS (
+         |  SELECT doc_id, ${graft.functions.detsum.sumDetSql("score_t", 9)} AS s_title
+         |  FROM sct GROUP BY doc_id
+         |),
+         |qv AS (
+         |  SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS r
+         |  FROM (SELECT tok, COUNT(*) AS df FROM g WHERE length(tok) >= 4 GROUP BY tok)
+         |),
+         |qg AS (SELECT tok, df, r FROM qv WHERE r IN ($QLo, ${QLo + 1})),
+         |dlb AS MATERIALIZED (SELECT doc_id, SUM(tf_b) AS dl FROM g GROUP BY doc_id),
+         |statsb AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlb),
+         |qt1b AS (
+         |  SELECT qg.tok, qg.r, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+         |         CAST(2 * qg.df + 1 AS BIGINT) AS den, avgdl
+         |  FROM qg, statsb
+         |),
+         |${graft.functions.detlog.log2SqlCtes("qt1b", "num", "lgn", "qnb")},
+         |${graft.functions.detlog.log2SqlCtes("qnbfin", "den", "lgd", "qdb")},
+         |qidfb AS (SELECT tok, r, lgn - lgd AS idf, avgdl FROM qdbfin),
+         |scb AS (
+         |  SELECT g.doc_id,
+         |         (CASE WHEN q.r = ${QLo + 1} THEN 2.0e0 ELSE 1.0e0 END) *
+         |         (q.idf * ((CAST(g.tf_b AS DOUBLE) * 2.2e0) /
+         |           (CAST(g.tf_b AS DOUBLE) +
+         |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / q.avgdl)))) AS ws
+         |  FROM g JOIN qidfb q ON g.tok = q.tok JOIN dlb dl ON g.doc_id = dl.doc_id
+         |),
+         |perg AS (
+         |  SELECT doc_id, ${graft.functions.detsum.sumDetSql("ws", 9)} AS s_group
+         |  FROM scb GROUP BY doc_id
+         |),
+         |exq AS (SELECT g.doc_id FROM g JOIN qv ON g.tok = qv.tok AND qv.r = $QHi),
+         |fin AS (
+         |  SELECT t.doc_id, t.s_title, b.s_group, t.s_title + b.s_group AS final
+         |  FROM pert t JOIN perg b ON t.doc_id = b.doc_id
+         |  WHERE t.doc_id NOT IN (SELECT doc_id FROM exq)
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, s_title, s_group, final
+         |FROM fin QUALIFY rank <= 20""".stripMargin,
     "q100_span_containing" ->
       s"""WITH $spanPairCtes,
          |c AS (

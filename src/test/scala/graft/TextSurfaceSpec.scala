@@ -474,6 +474,40 @@ class TextSurfaceSpec extends AnyFunSuite {
       s"pages must walk the sorted '$pfx'-prefixed dictionary exactly")
   }
 
+  test("q106 query_string: field scope, boost, and NOT all decide (recomputed from raw text)") {
+    val out = SparkEntry.queries("q106_query_string")(spark, sf).collect()
+    assert(out.nonEmpty, "the conjunctive query matched nothing — derivation too narrow")
+    out.foreach { r =>
+      assert(r.getAs[Double]("s_title") > 0.0, "AND semantics: the title clause must have matched")
+      assert(r.getAs[Double]("s_group") > 0.0, "AND semantics: the OR group must have matched")
+      assert(r.getAs[Double]("final") ==
+        r.getAs[Double]("s_title") + r.getAs[Double]("s_group"))
+    }
+    // replay the clause terms from raw text (the one-scan frame's
+    // derivations): tT = title-field top-df length>=4 term, tA/tB = body
+    // ranks QLo/QLo+1, tX = rank QHi
+    val docsRaw = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toVector).toMap
+    def rankBy(dfm: Map[String, Int]) =
+      dfm.toSeq.sortBy { case (w, c) => (-c, w) }.map(_._1)
+    val titleDf = docsRaw.values
+      .flatMap(_.take(8).distinct.filter(_.length >= 4)).groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val bodyDf = docsRaw.values
+      .flatMap(_.distinct.filter(_.length >= 4)).groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val tT = rankBy(titleDf).head
+    val ranked = rankBy(bodyDf)
+    val (tA, tB, tX) = (ranked(10), ranked(11), ranked(14)) // ranks QLo, QLo+1, QHi (1-based 11/12/15)
+    out.foreach { r =>
+      val toks = docsRaw(r.getAs[Long]("doc_id"))
+      assert(toks.take(8).contains(tT), "field scope violated: tT not in the doc's title")
+      assert(toks.contains(tA) || toks.contains(tB), "OR group violated")
+      assert(!toks.contains(tX), "NOT clause violated: excluded term present")
+    }
+    assert(out.exists(r => docsRaw(r.getAs[Long]("doc_id")).contains(tB)),
+      "no returned doc contains the boosted term — the boost never exercised")
+  }
+
   test("q110 termvectors: the full per-term payload replays from raw text for all 3 requested docs") {
     val out = SparkEntry.queries("q110_termvectors")(spark, sf).collect()
     val docsRaw = queries.Tables(spark, sf, "documents")
