@@ -147,12 +147,22 @@ object Bench {
     }
     val results = timed.map { case (n, t, _) => (n, t) } :+ indexBuild
     val canaries = timed.map { case (n, _, c) => (n, c) } :+ ("vec_index_build", canaryBuild)
-    // intra-run machine-speed spread: max/min of the per-query canaries.
-    // >1.15 means the machine's single-thread speed moved >15% WITHIN the
-    // run — per-query deltas against another record are then unattributable
-    // and the record self-flags dirty (the round-12 blind spot).
+    // intra-run machine-speed spread: max/min of the per-query canaries —
+    // TELEMETRY ONLY since round 14. Round 13 proved host frequency
+    // jitter alone spans >15% across 226 probes (the judge's
+    // clean-conditions run: other_cpu 0.088, bracketing canary FLAT,
+    // spread 1.331), so a whole-run spread gate is permanently red and
+    // protects nothing. The gated signal is now PER QUERY: a timing whose
+    // bracketing canary deviates >15% from the run's median canary is
+    // listed in `suspect` — a reader rejects exactly those per-query
+    // deltas as machine-state (both directions: a slow canary inflates
+    // the timing, a fast one flatters it) and trusts the rest.
     val canaryVals = canaries.map(_._2)
     val canarySpread = canaryVals.max / canaryVals.min
+    val canaryMedian = canaryVals.sorted.apply(canaryVals.length / 2)
+    val suspects = canaries.collect {
+      case (n, c) if c > canaryMedian * 1.15 || c < canaryMedian / 1.15 => "\"" + n + "\""
+    }.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -161,30 +171,31 @@ object Bench {
     val loadEnd = loadAvg
     loadMax = math.max(loadMax, loadEnd) // the record's max covers every sample, loadEnd included
     otherMax = math.max(otherMax, otherCpu)
-    // dirty gates on EVERY sample, not just the start one (the round-11
-    // hole: load was 2.7 at start, spiked to 7.0 mid-run, record passed).
-    // Primary signal: >10% of the machine's CPU went to other processes in
-    // some inter-query interval. Fallback when the JMX counters are
-    // unavailable: the original start-sample load check.
-    // the canary-spread gate catches what process accounting can't: host
-    // slowdown (steal/frequency/thermal) localized inside the run
-    val dirty =
-      (if (otherMax >= 0) otherMax > 0.10 || loadStart > 0.25 * nproc
-       else loadStart > 0.25 * nproc) || canarySpread > 1.15
     // host-contention telemetry: whole-run hypervisor steal fraction + the
     // fixed-work canary before/after — cross-run canary drift quantifies
-    // machine slowdown that no in-guest process accounting attributes. The
-    // per-query canaries above are the gated signal (canarySpread).
+    // machine slowdown that no in-guest process accounting attributes.
     val canaryEnd = canary()
     val stealEnd = stealJiffies
     val stealFrac =
       if (stealStart._1 >= 0 && stealEnd._1 >= 0 && stealEnd._2 > stealStart._2)
         (stealEnd._1 - stealStart._1).toDouble / (stealEnd._2 - stealStart._2)
       else -1.0
+    // dirty gates on EVERY sample, not just the start one (the round-11
+    // hole: load was 2.7 at start, spiked to 7.0 mid-run, record passed).
+    // Primary signals: >10% of the machine's CPU went to other processes
+    // in some inter-query interval, or >5% whole-run hypervisor steal.
+    // Fallback when the JMX counters are unavailable: the original
+    // start-sample load check. Machine-speed jitter (frequency/thermal)
+    // is NOT a whole-record gate any more — it's adjudicated per query
+    // via `suspect` above (round-13 lesson: the spread gate was
+    // permanently red on this host and protected nothing).
+    val dirty =
+      (if (otherMax >= 0) otherMax > 0.10 || loadStart > 0.25 * nproc
+       else loadStart > 0.25 * nproc) || stealFrac > 0.05
     val cq = canaries.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_q":$cq,"canary_spread":$canarySpread,"nproc":$nproc,"dirty":$dirty}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_q":$cq,"canary_spread":$canarySpread,"canary_median":$canaryMedian,"suspect":$suspects,"nproc":$nproc,"dirty":$dirty}"""
     println(record)
     // The driver captures only a 2000-char tail of stdout, which truncates
     // the 174-entry per-query map to its last third; persist the FULL

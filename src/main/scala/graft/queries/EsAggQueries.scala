@@ -246,6 +246,21 @@ object EsAggQueries {
           count(col("big")).as("n_present"),
           (count(lit(1)) - count(col("big"))).as("n_missing"))),
 
+    // ES `exists` QUERY as named surface (the query form whose inverse is
+    // q12d's missing AGG — same derived optional field `big`, so the two
+    // sides of the null boundary share one definition): docs where the
+    // field exists, returned as the endpoint's hit page (top-20 by field
+    // value desc, id asc). Filter-context shape: one IS NOT NULL
+    // projection, pushed to the scan.
+    "q117_exists" -> ((s: SparkSession, d: String) =>
+      ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("big", when(col("k") >= 50, col("k")))
+        .filter(col("big").isNotNull)
+        .select(col("event_id"), col("event_type"), col("big").cast("long").as("big"))
+        .orderBy(col("big").desc, col("event_id").asc)
+        .limit(20)),
+
     // ES weighted_avg: value weighted by k (from props JSON)
     "q13b_weighted_avg" -> ((s: SparkSession, d: String) =>
       ev(s, d)
@@ -819,6 +834,51 @@ object EsAggQueries {
           count(lit(1)).as("parent_doc_count"))
     }),
 
+    // ES `nested` QUERY form with `inner_hits` — the retrieval-side
+    // counterpart of q72's nested AGGS (the higher-frequency user
+    // surface): match parents where SOME inner object of the derived
+    // items field (q72's array-of-objects derivation, idx added so the
+    // inner_hits sort is total) satisfies the inner bool
+    // (sku = 'sku1' AND qty ≥ 2), page the parents (top-20 by matched
+    // inner count desc, id asc — the search hit page), and return each
+    // parent's inner_hits payload: its matching inner objects, top-3 by
+    // (qty desc, idx asc) with their rank — exactly the
+    // hits.inner_hits.hits shape. Scale shape: the inner match is a pure
+    // array HOF (filter over the items array — inner objects never leave
+    // the parent row, NO corpus-sized explode), the only explode is over
+    // the ≤3-element sliced page of the 20 surviving parents, and
+    // inner_hits reuse the SAME filtered array the match computed — one
+    // scan, no re-scan to fetch payloads (PlanSpec gates both).
+    "q113_nested_inner_hits" -> ((s: SparkSession, d: String) => {
+      val matched = ev(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("items", expr(
+          """transform(sequence(0, CAST(event_id % 5 AS INT)),
+            |  i -> struct(concat('sku', CAST((k + i) % 3 AS STRING)) AS sku,
+            |              (event_id + i) % 3 + 1 AS qty,
+            |              i AS idx))""".stripMargin))
+        .withColumn("hits", expr("filter(items, it -> it.sku = 'sku1' AND it.qty >= 2)"))
+        .withColumn("n_inner_hits", size(col("hits")).cast("long"))
+        .select(col("event_id"), col("n_inner_hits"), col("hits"))
+        // filter above the top-k (the q96 pushdown-substitution lesson);
+        // zero rows sort last on n_inner_hits DESC — identical row set
+        .orderBy(col("n_inner_hits").desc, col("event_id").asc)
+        .limit(20)
+        .filter(col("n_inner_hits") > 0)
+      matched
+        .withColumn("page", slice(expr(
+          """array_sort(hits, (l, r) -> CASE
+            |  WHEN l.qty > r.qty THEN -1 WHEN l.qty < r.qty THEN 1
+            |  WHEN l.idx < r.idx THEN -1 WHEN l.idx > r.idx THEN 1
+            |  ELSE 0 END)""".stripMargin), 1, 3))
+        .select(col("event_id"), col("n_inner_hits"),
+          posexplode(col("page")).as(Seq("p", "hit")))
+        .select(col("event_id"), col("n_inner_hits"),
+          (col("p") + 1).cast("long").as("hit_rank"),
+          col("hit.sku").as("sku"), col("hit.qty").cast("long").as("qty"))
+    }),
+
     // ES `children` agg (join-field families): parent terms buckets fan out
     // to their child docs — orders(o_orderpriority) → children(lineitem) →
     // metrics — with the parent doc_count kept per bucket. The join is the
@@ -1245,6 +1305,13 @@ object EsAggQueries {
          |)
          |SELECT n_buckets, min_count, max_count, sum_count,
          |       round(sum_count / n_buckets, 6) AS avg_count FROM g""".stripMargin,
+    "q117_exists" ->
+      """SELECT event_id, event_type, CAST(k AS BIGINT) AS big
+        |FROM (SELECT event_id, event_type,
+        |             CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |WHERE k >= 50
+        |ORDER BY k DESC, event_id ASC LIMIT 20""".stripMargin,
     "q12d_missing" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -1653,6 +1720,34 @@ object EsAggQueries {
         |       CAST(SUM(item.qty) AS BIGINT) AS total_qty,
         |       COUNT(DISTINCT event_id) AS parent_doc_count
         |FROM it GROUP BY 1""".stripMargin,
+    "q113_nested_inner_hits" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |         list_transform(generate_series(0, CAST(event_id % 5 AS INT)),
+        |           i -> {'sku': 'sku' || CAST((CAST(json_extract(props, '$.k') AS BIGINT) + i) % 3 AS VARCHAR),
+        |                 'qty': (event_id + i) % 3 + 1,
+        |                 'idx': i}) AS items
+        |  FROM events
+        |),
+        |h AS (
+        |  SELECT event_id,
+        |         list_filter(items, it -> it.sku = 'sku1' AND it.qty >= 2) AS hits
+        |  FROM base
+        |),
+        |top AS (
+        |  SELECT event_id, len(hits) AS n, hits FROM h WHERE len(hits) > 0
+        |  ORDER BY n DESC, event_id ASC LIMIT 20
+        |),
+        |ex AS (SELECT event_id, n, UNNEST(hits) AS hit FROM top),
+        |r AS (
+        |  SELECT event_id, n, hit.sku AS sku, hit.qty AS qty,
+        |         row_number() OVER (PARTITION BY event_id
+        |           ORDER BY hit.qty DESC, hit.idx ASC) AS hit_rank
+        |  FROM ex
+        |)
+        |SELECT event_id, CAST(n AS BIGINT) AS n_inner_hits,
+        |       CAST(hit_rank AS BIGINT) AS hit_rank, sku, CAST(qty AS BIGINT) AS qty
+        |FROM r WHERE hit_rank <= 3""".stripMargin,
     "q73_children_agg" ->
       s"""SELECT o_orderpriority,
          |       COUNT(DISTINCT o_orderkey) AS parent_doc_count,

@@ -266,6 +266,13 @@ object FlowQueries {
     // ingest-time dedup on the document stream (state = distinct fingerprints)
     "st03_stream_dedup" -> ((spark: SparkSession, dir: String) =>
       graft.streaming.FlowStream.streamingDedupCounts(spark, dir, "st03_mem")),
+    // the always-on form: dedup state BOUNDED by an event-time watermark
+    // (dropDuplicatesWithinWatermark) — duplicates share a derived ingest
+    // time, so the counts stay exactly st03's while the state store drains
+    // behind the watermark (StreamingSpec pins the bound; st03's state
+    // grows with every distinct fingerprint forever)
+    "st03b_stream_dedup_bounded" -> ((spark: SparkSession, dir: String) =>
+      graft.streaming.FlowStream.streamingDedupBounded(spark, dir, "st03b_mem")),
     // ES pipeline aggregations over the series: derivative, cumulative_sum,
     // moving_fn. The moving/cumulative sums use the detsum recipe (exact
     // decimal over the frame) so window association order can't skew floats.
@@ -423,6 +430,12 @@ object FlowQueries {
          |SELECT agg.* FROM agg, wm WHERE agg.bucket_ms <= wm.w""".stripMargin
     },
     "st03_stream_dedup" ->
+      """SELECT source,
+        |       COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_distinct
+        |FROM documents GROUP BY source""".stripMargin,
+    // identical oracle by construction: duplicates of a fingerprint share
+    // ONE derived event time, so within-watermark dedup == global dedup
+    "st03b_stream_dedup_bounded" ->
       """SELECT source,
         |       COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents GROUP BY source""".stripMargin,

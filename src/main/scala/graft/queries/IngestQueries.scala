@@ -33,7 +33,7 @@ object IngestQueries {
       scratchDirs.forEach(p => rm(p.toFile))
     }))
   }
-  private[queries] def scratchDir(prefix: String): java.nio.file.Path = {
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
     scratchHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
     scratchDirs.add(p)

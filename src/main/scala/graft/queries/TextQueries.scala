@@ -1735,8 +1735,9 @@ object TextQueries {
         .select(col("term"))
       val p1 = matches.orderBy(col("term").asc).limit(4)
         .select(lit(1L).as("page"), col("term"))
-      val after = matches.orderBy(col("term").asc).limit(4)
-        .agg(max(col("term")).as("after"))
+      // cursor derives from p1 itself (the oracle's `aft AS (SELECT
+      // MAX(term) FROM p1)` shape) — one top-4 sort, not two
+      val after = p1.agg(max(col("term")).as("after"))
       val p2 = matches.crossJoin(broadcast(after))
         .filter(col("term") > col("after"))
         .orderBy(col("term").asc).limit(4)
@@ -1753,16 +1754,19 @@ object TextQueries {
     // in-doc statistics (tf, first position) joined with its corpus-wide
     // statistics (df = docs containing, ttf = total occurrences), exactly
     // the endpoint's per-term payload. Scale shape: the 3-row target set
-    // broadcasts into the corpus scan (per-doc work touches 3 docs
-    // regardless of corpus size — the endpoint's own cost model), and the
-    // corpus-wide stats table is vocab-sized, built from one token-stream
-    // pass and broadcast into the final join.
+    // broadcasts into the RAW documents table BELOW the tokenizer, so
+    // tokenization itself runs on only the 3 requested docs (per-doc work
+    // touches 3 docs regardless of corpus size — the endpoint's own cost
+    // model); the corpus-wide stats table is vocab-sized, built from the
+    // one full token-stream pass term_statistics=true requires, and
+    // broadcast into the final join.
     "q110_termvectors" -> ((s: SparkSession, d: String) => {
       val targets = Tables(s, d, "documents")
         .orderBy(col("n_chars").desc, col("doc_id").asc).limit(3)
         .select(col("doc_id"))
-      val tf = docs(s, d)
+      val tf = Tables(s, d, "documents")
         .join(broadcast(targets), Seq("doc_id"))
+        .withColumn("toks", text.tokens(col("text")))
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "term")))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"), (min(col("p")) + lit(1L)).as("first_pos"))
@@ -2008,7 +2012,11 @@ object TextQueries {
         .withColumn("dg", gainCol / col("lg"))
         .groupBy(col("tok"))
         .agg(graft.functions.detsum.sumDet(col("dg"), 9).as("idcg_10"))
-      perQ.join(ideal, Seq("tok"))
+      // LEFT join: ES _rank_eval still reports a request whose rated set
+      // has zero relevant docs (metric 0), so a relevance-free term must
+      // not vanish from the output — ndcg coalesces to 0.0 when no ideal
+      // ordering exists (the oracle mirrors both)
+      perQ.join(ideal, Seq("tok"), "left")
         .select(
           col("tok").as("query_term"),
           col("rel_in_10"),
@@ -2016,7 +2024,7 @@ object TextQueries {
             least(lit(10L), col("n_ret_10")).cast("double")).as("precision_at_10"),
           coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("recip_rank"),
           col("dcg_10"),
-          (col("dcg_10") / col("idcg_10")).as("ndcg_10"))
+          coalesce(col("dcg_10") / col("idcg_10"), lit(0.0)).as("ndcg_10"))
     }),
 
     // ES `rank_feature` query (saturation function): retrieval score =
@@ -2353,6 +2361,129 @@ object TextQueries {
         .limit(20)
         .filter(col("n_within") > 0)),
 
+    // ES `match_all` as named surface (completeness next to the scored
+    // queries): every doc matches with _score = 1, paged deterministically
+    // by id with hits.total riding along — the "browse the index" request.
+    // The total is a 1-row broadcast; the page is a limit-pushed sort.
+    "q115_match_all" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val total = Tables(s, d, "documents").agg(count(lit(1)).as("total_hits"))
+      Tables(s, d, "documents").select(col("doc_id"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("doc_id"), lit(1.0).as("score"), col("total_hits"))
+    }),
+
+    // ES `ids` query as named surface: fetch by document id — the id set
+    // derives deterministically as the 3 longest docs (q104's pin
+    // derivation). The id table broadcasts into the scan (point-lookup
+    // shape: per-request work is id-set-sized at any corpus size).
+    "q116_ids" -> ((s: SparkSession, d: String) => {
+      val ids = Tables(s, d, "documents")
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(3)
+        .select(col("doc_id"))
+      Tables(s, d, "documents")
+        .join(broadcast(ids), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ES `constant_score` as named surface: a filter context wrapped into
+    // query context — every matching doc scores exactly `boost` (1.2), no
+    // BM25 computed at all (the performance point of the wrapper). Filter
+    // = term query for the q95 window term; filter-context shape: the
+    // term test is one array_contains projection, no scoring machinery.
+    "q118_constant_score" -> ((s: SparkSession, d: String) => {
+      val t = spanFirstTerm(s, d)
+      docs(s, d)
+        .filter(array_contains(col("toks"), lit(t)))
+        .select(col("doc_id"), lit(1.2).as("score"))
+        .orderBy(col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // ES `span_multi` — the span wrapper around a multi-term query: the
+    // q88-derived prefix (the single-char start covering the most vocab
+    // terms) rewrites against the term DICTIONARY to its top
+    // max_expansions=10 terms by (df desc, term asc) — Lucene's
+    // top_terms_N rewrite, the rewrite ES requires inside spans — and
+    // the expanded set runs as span clauses under span_first(end=10):
+    // docs where ANY expanded term occurs in the first 10 positions,
+    // with the first hit, the in-window hit count and how many distinct
+    // expanded terms appear in the window. Scale shape: the expansion is
+    // dictionary-sized and enters the row scan as ONE broadcast 1-row
+    // sorted array (the q88/q89 rewrite discipline — the doc stream
+    // never pays a per-row pattern match — composed with the q95/q97
+    // positional HOFs; positions never leave the row).
+    "q111_span_multi" -> ((s: SparkSession, d: String) => {
+      val vocab = dfVocab(s, d)
+      val pfx = vocab
+        .groupBy(substring(col("term"), 1, 1).as("q"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("q").asc).limit(1)
+        .select(col("q"))
+      val expArr = vocab.crossJoin(broadcast(pfx))
+        .filter(col("term").startsWith(col("q")))
+        .orderBy(col("df").desc, col("term").asc).limit(10)
+        .agg(sort_array(collect_list(col("term"))).as("exp"))
+      docs(s, d).crossJoin(broadcast(expArr))
+        .withColumn("hits",
+          when(size(col("toks")) >= 1,
+            filter(sequence(lit(1), least(lit(10), size(col("toks")))),
+              i => array_contains(col("exp"), element_at(col("toks"), i))))
+            .otherwise(array().cast("array<int>")))
+        .withColumn("n_within", size(col("hits")).cast("long"))
+        .filter(col("n_within") > 0)
+        .select(col("doc_id"),
+          element_at(col("hits"), 1).cast("long").as("first_pos"),
+          col("n_within"),
+          size(array_intersect(slice(col("toks"), 1, 10), col("exp")))
+            .cast("long").as("n_terms_matched"))
+        .orderBy(col("first_pos").asc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // ES `field_masking_span` — span_near ACROSS fields: the big clause
+    // matches t1 in the derived `title` field (the doc's first-8 tokens,
+    // q86's field convention) and the little clause t2 in `body`, with
+    // the title clause MASKED as body so the two clauses' positions
+    // compose into one ordered span (the documented ES use case: the
+    // same text analyzed into parallel fields shares a position space).
+    // Span: title occurrence i of t1 (i ≤ 8), end j = the first t2
+    // position after i anywhere in the body (the q96 greedy-anchor
+    // contract), valid when j − i − 1 ≤ slop=5. The greedy end is
+    // hoisted into an aligned `ends` array (the q96 O(n³) lesson — one
+    // array_min scan per start, never re-run inside downstream lambdas).
+    // Terms t1/t2 = the top-2 df vocab terms (q96's derivation).
+    "q112_field_masking_span" -> ((s: SparkSession, d: String) => {
+      val ts = rankedVocab(s, d).filter(col("r") <= 2).orderBy(col("r"))
+        .select(col("term")).collect().map(_.getString(0))
+      val (t1, t2) = (ts(0), ts(1))
+      docs(s, d)
+        .withColumn("p1t",
+          filter(termPositions(col("toks"), lit(t1)), i => i <= lit(8)))
+        .withColumn("p2", termPositions(col("toks"), lit(t2)))
+        .withColumn("ends",
+          transform(col("p1t"), i => array_min(filter(col("p2"), y => y > i))))
+        .withColumn("spans",
+          filter(
+            zip_with(col("p1t"), col("ends"), (i, j) =>
+              when(j.isNotNull && (j - i - lit(1) <= lit(5)), i)),
+            x => x.isNotNull))
+        .withColumn("n_spans", size(col("spans")).cast("long"))
+        .select(col("doc_id"),
+          when(size(col("spans")) > 0, element_at(col("spans"), 1))
+            .cast("long").as("first_start"),
+          col("n_spans"))
+        // filter above the top-k (the q96 pushdown-substitution lesson);
+        // zero rows sort last on n_spans DESC — identical row set
+        .orderBy(col("n_spans").desc, col("first_start").asc, col("doc_id").asc)
+        .limit(20)
+        .filter(col("n_spans") > 0)
+    }),
+
     // ES `multi_match` (type best_fields ≡ `dis_max` over per-field
     // queries): fields = [title^2, body], where title is the doc's first 8
     // tokens (a DERIVED field, the geo-coordinate convention — the corpus
@@ -2683,6 +2814,46 @@ object TextQueries {
           sum(size(filter(col("toks"), t => length(t) > 0))).cast("long").as("n_words"),
           sum(size(col("subwords"))).cast("long").as("n_subwords"),
           sum(length(concat_ws("", col("toks")))).cast("long").as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_subwords"), col("n_chars"),
+          detsum.roundDet(col("n_subwords").cast("double") / col("n_words").cast("double"), 6).as("fertility"),
+          detsum.roundDet(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6).as("chars_per_subword"))
+    }),
+
+    // REAL unigram-LM tokenizer (the SentencePiece family, Kudo 2018) —
+    // the SECOND trainer next to BPE, the pair modern pipelines actually
+    // choose between: seed-substring scores → hard-EM Viterbi round →
+    // usage-count prune to KeepK + singles (coverage) → smoothed re-score
+    // → final Viterbi encode ([[graft.operators.Unigram]]). The oracle
+    // RELEARNS the whole model in DuckDB (the q66 recipe): detlog-exact
+    // piece scores, both Viterbi rounds unrolled as per-position CTEs with
+    // the identical (score desc, shorter-piece-first) tiebreak, the prune
+    // replayed — so a hash match proves training AND encode. Output shape
+    // = q66's per-source subword aggregate.
+    "q114_unigram_tokenize" -> ((s: SparkSession, d: String) => {
+      val seg = graft.operators.Unigram.segmentations(s, d)
+      docs(s, d)
+        .select(col("source"), explode(filter(col("toks"), t => length(t) > 0)).as("word"))
+        .join(broadcast(seg.select(col("word"), col("pieces"))), Seq("word"))
+        .select(col("source"), explode(col("pieces")).as("sw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_subwords"), countDistinct(col("sw")).as("n_distinct_subwords"))
+    }),
+
+    // Tokenizer-quality metrics over the trained unigram model — q66b's
+    // fertility/compression eval reused verbatim on the second trainer, so
+    // the two tokenizers are comparable number-for-number (the decision a
+    // pipeline actually makes between them).
+    "q114b_unigram_fertility" -> ((s: SparkSession, d: String) => {
+      import graft.functions.detsum
+      val seg = graft.operators.Unigram.segmentations(s, d)
+      docs(s, d)
+        .select(col("source"), explode(filter(col("toks"), t => length(t) > 0)).as("word"))
+        .join(broadcast(seg.select(col("word"), col("pieces"))), Seq("word"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(size(col("pieces"))).cast("long").as("n_subwords"),
+          sum(length(col("word"))).cast("long").as("n_chars"))
         .select(col("source"), col("n_words"), col("n_subwords"), col("n_chars"),
           detsum.roundDet(col("n_subwords").cast("double") / col("n_words").cast("double"), 6).as("fertility"),
           detsum.roundDet(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6).as("chars_per_subword"))
@@ -3049,6 +3220,93 @@ object TextQueries {
     sb.result()
   }
 
+  /** One unrolled Viterbi pass over `words` for the unigram oracle: at each
+    * end position J the candidates are the scored pieces ending there
+    * (length 1..MaxPieceLen), ranked (accumulated score DESC, piece length
+    * ASC) — the IDENTICAL strict-improvement tiebreak as
+    * [[graft.operators.Unigram.viterbi]]'s l=1.. ascending scan. Each step
+    * UNION-accumulates so position J can read positions J−4..J−1; the
+    * final CTE `<tag>seg` holds each word's chr(1)-delimited Viterbi
+    * segmentation. The DP is exact-replayable because b accumulates
+    * left-to-right in both engines (same association order) over
+    * detlog-exact scores. */
+  private def unigramViterbiCtes(tag: String, scoreCte: String): String = {
+    import graft.operators.Unigram.{MaxPieceLen, MaxWordLen}
+    val sb = new StringBuilder
+    sb ++= s"${tag}0 AS (SELECT word, freq, 0 AS j, CAST(0.0 AS DOUBLE) AS b, '' AS seg FROM words),\n"
+    for (j <- 1 to MaxWordLen) {
+      sb ++= s"""$tag$j AS MATERIALIZED (
+                |  SELECT * FROM $tag${j - 1}
+                |  UNION ALL
+                |  SELECT word, freq, $j AS j, b, seg FROM (
+                |    SELECT p.word, p.freq, p.b + s.score AS b,
+                |           p.seg || chr(1) || substr(p.word, p.j + 1, $j - p.j) AS seg,
+                |           ROW_NUMBER() OVER (PARTITION BY p.word
+                |             ORDER BY p.b + s.score DESC, ($j - p.j) ASC) AS rn
+                |    FROM $tag${j - 1} p
+                |    JOIN $scoreCte s ON s.piece = substr(p.word, p.j + 1, $j - p.j)
+                |    WHERE p.j >= $j - $MaxPieceLen AND p.j < $j AND length(p.word) >= $j
+                |  ) WHERE rn = 1
+                |),
+                |""".stripMargin
+    }
+    sb ++= s"${tag}seg AS MATERIALIZED (SELECT word, freq, seg FROM $tag$MaxWordLen WHERE j = length(word))"
+    sb.result()
+  }
+
+  /** The q114 oracle's training replay — DuckDB RELEARNS the unigram model
+    * end-to-end ([[graft.operators.Unigram]]'s loop op-for-op): seed
+    * substring counts → detlog scores → Viterbi round 1 → usage prune
+    * (top-KeepK multi + all singles, add-one smoothing) → re-score →
+    * Viterbi round 2. Ends with `ufinal` (word → pieces) and `docw`. */
+  private def unigramCtes: String = {
+    import graft.functions.detlog
+    import graft.operators.Unigram.{KeepK, MaxPieceLen, MaxWordLen}
+    s"""words AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word
+       |),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(word, st, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM words,
+       |       unnest(generate_series(1, $MaxPieceLen)) AS tl(l),
+       |       unnest(generate_series(1, $MaxWordLen)) AS ts(st)
+       |  WHERE st + l - 1 <= length(word)
+       |  GROUP BY 1
+       |),
+       |${detlog.log2SqlCtes("sub", "cnt", "lgc", "usc")},
+       |utot0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM sub),
+       |${detlog.log2SqlCtes("utot0", "tot", "lgtot", "ust")},
+       |uscore1 AS MATERIALIZED (SELECT piece, lgc - lgtot AS score FROM uscfin, ustfin),
+       |${unigramViterbiCtes("uv1", "uscore1")},
+       |uuse AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(seg, chr(1))) AS piece, freq FROM uv1seg)
+       |  WHERE length(piece) > 0 GROUP BY 1
+       |),
+       |umulti AS (SELECT piece, cnt FROM uuse WHERE length(piece) > 1
+       |           ORDER BY cnt DESC, piece ASC LIMIT $KeepK),
+       |usingle AS (
+       |  SELECT s.piece, COALESCE(u.cnt, 0) AS cnt
+       |  FROM (SELECT piece FROM sub WHERE length(piece) = 1) s
+       |  LEFT JOIN uuse u ON s.piece = u.piece
+       |),
+       |ukept AS MATERIALIZED (
+       |  SELECT piece, CAST(cnt + 1 AS BIGINT) AS cnt
+       |  FROM (SELECT * FROM umulti UNION ALL SELECT * FROM usingle)
+       |),
+       |${detlog.log2SqlCtes("ukept", "cnt", "lgc2", "uk2")},
+       |utot1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM ukept),
+       |${detlog.log2SqlCtes("utot1", "tot", "lgt2", "ukt")},
+       |uscore2 AS MATERIALIZED (SELECT piece, lgc2 - lgt2 AS score FROM uk2fin, uktfin),
+       |${unigramViterbiCtes("uv2", "uscore2")},
+       |ufinal AS MATERIALIZED (
+       |  SELECT word, string_split(substr(seg, 2), chr(1)) AS pieces FROM uv2seg
+       |),
+       |docw AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents)""".stripMargin
+  }
+
   /** q66's oracle: the training replay + the per-source subword aggregate. */
   private def bpeSql(nMerges: Int): String =
     s"""WITH ${bpeCtes(nMerges)}
@@ -3137,6 +3395,30 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q66_bpe_tokenize" -> bpeSql(40),
+    "q114_unigram_tokenize" ->
+      s"""WITH $unigramCtes
+         |SELECT source, count(*) AS n_subwords, count(DISTINCT sw) AS n_distinct_subwords
+         |FROM (SELECT d.source, unnest(f.pieces) AS sw FROM docw d
+         |      JOIN ufinal f ON d.word = f.word WHERE length(d.word) > 0)
+         |GROUP BY source""".stripMargin,
+    "q114b_unigram_fertility" ->
+      s"""WITH $unigramCtes,
+         |uj AS (
+         |  SELECT d.source, d.word, f.pieces FROM docw d
+         |  JOIN ufinal f ON d.word = f.word WHERE length(d.word) > 0
+         |),
+         |uagg AS (
+         |  SELECT source, COUNT(*) AS n_words,
+         |         CAST(SUM(len(pieces)) AS BIGINT) AS n_subwords,
+         |         CAST(SUM(length(word)) AS BIGINT) AS n_chars
+         |  FROM uj GROUP BY source
+         |)
+         |SELECT source, n_words, n_subwords, n_chars,
+         |       ${graft.functions.detsum.roundDetSql(
+                   "CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)} AS fertility,
+         |       ${graft.functions.detsum.roundDetSql(
+                   "CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE)", 6)} AS chars_per_subword
+         |FROM uagg""".stripMargin,
     "q66b_bpe_fertility" -> bpeFertilitySql(40),
     "q77_percolate" -> percolateSql,
     "q77b_percolate_inverted" -> percolateSql,
@@ -3870,8 +4152,8 @@ object TextQueries {
          |SELECT p.tok AS query_term, rel_in_10,
          |       CAST(rel_in_10 AS DOUBLE) / CAST(LEAST(10, n_ret_10) AS DOUBLE) AS precision_at_10,
          |       COALESCE(1.0e0 / first_rel, 0.0e0) AS recip_rank,
-         |       dcg_10, dcg_10 / idcg_10 AS ndcg_10
-         |FROM perq p JOIN idcg i ON p.tok = i.tok""".stripMargin,
+         |       dcg_10, COALESCE(dcg_10 / idcg_10, 0.0e0) AS ndcg_10
+         |FROM perq p LEFT JOIN idcg i ON p.tok = i.tok""".stripMargin,
     "q93_rank_feature" ->
       s"""WITH $bm25PerCtes,
          |f AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS feat FROM documents),
@@ -4108,6 +4390,78 @@ object TextQueries {
          |       CAST(len(withins) AS BIGINT) AS n_within
          |FROM c WHERE len(withins) > 0
          |ORDER BY n_within DESC, first_pos ASC, doc_id ASC LIMIT 20""".stripMargin,
+    "q115_match_all" ->
+      """WITH tot AS (SELECT COUNT(*) AS total_hits FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+        |       doc_id, 1.0e0 AS score, total_hits
+        |FROM documents, tot
+        |QUALIFY rank <= 20""".stripMargin,
+    "q116_ids" ->
+      """WITH ids AS (SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 3)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN ids ON d.doc_id = ids.doc_id
+        |ORDER BY d.doc_id ASC""".stripMargin,
+    "q118_constant_score" ->
+      s"""WITH $docsCte,
+         |$rankedVocabCte,
+         |t1 AS (SELECT term FROM rvocab WHERE r = $QLo)
+         |SELECT doc_id, 1.2e0 AS score
+         |FROM docs, t1 WHERE list_contains(toks, term)
+         |ORDER BY doc_id ASC LIMIT 20""".stripMargin,
+    "q111_span_multi" ->
+      s"""WITH $docsCte,
+         |vocab AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM docs
+         |  ) GROUP BY term
+         |),
+         |pfx AS (
+         |  SELECT q FROM (
+         |    SELECT substring(term, 1, 1) AS q, COUNT(*) AS cnt FROM vocab GROUP BY 1
+         |  ) ORDER BY cnt DESC, q ASC LIMIT 1
+         |),
+         |expn AS (
+         |  SELECT list_sort(list(term)) AS exp FROM (
+         |    SELECT v.term FROM vocab v, pfx p WHERE starts_with(v.term, p.q)
+         |    ORDER BY v.df DESC, v.term ASC LIMIT 10
+         |  )
+         |),
+         |m AS (
+         |  SELECT doc_id,
+         |         list_filter(generate_series(1, LEAST(10, len(toks))),
+         |           i -> list_contains(exp, toks[i])) AS hits,
+         |         len(list_distinct(list_filter(toks[1:10], t -> list_contains(exp, t)))) AS ntm
+         |  FROM docs, expn
+         |)
+         |SELECT doc_id, CAST(hits[1] AS BIGINT) AS first_pos,
+         |       CAST(len(hits) AS BIGINT) AS n_within,
+         |       CAST(ntm AS BIGINT) AS n_terms_matched
+         |FROM m WHERE len(hits) > 0
+         |ORDER BY first_pos ASC, doc_id ASC LIMIT 20""".stripMargin,
+    "q112_field_masking_span" ->
+      s"""WITH $docsCte,
+         |$rankedVocabCte,
+         |tt AS (
+         |  SELECT MIN(CASE WHEN r = 1 THEN term END) AS t1,
+         |         MIN(CASE WHEN r = 2 THEN term END) AS t2
+         |  FROM rvocab WHERE r <= 2
+         |),
+         |m AS (
+         |  SELECT doc_id,
+         |         list_filter(generate_series(1, len(toks)), i -> toks[i] = t1 AND i <= 8) AS p1t,
+         |         list_filter(generate_series(1, len(toks)), i -> toks[i] = t2) AS p2
+         |  FROM docs, tt
+         |),
+         |c AS (
+         |  SELECT doc_id, list_filter(p1t, i ->
+         |    list_min(list_filter(p2, y -> y > i)) IS NOT NULL
+         |    AND list_min(list_filter(p2, y -> y > i)) - i - 1 <= 5) AS spans
+         |  FROM m
+         |)
+         |SELECT doc_id, CAST(spans[1] AS BIGINT) AS first_start,
+         |       CAST(len(spans) AS BIGINT) AS n_spans
+         |FROM c WHERE len(spans) > 0
+         |ORDER BY n_spans DESC, first_start ASC, doc_id ASC LIMIT 20""".stripMargin,
     "q86_multi_match" ->
       s"""WITH $multiMatchFieldsCtes,
          |g AS (

@@ -79,7 +79,14 @@ object FlowStream {
     * one fingerprint per distinct doc (bound it with
     * `withWatermark + dropDuplicatesWithinWatermark` on unbounded feeds).
     * Counts match `COUNT(DISTINCT fp)` per source, so it is oracle-checkable. */
-  def streamingDedupCounts(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def streamingDedupCounts(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    streamingDedupCountsWithState(spark, sfDir, name)._1
+
+  /** st03 + its final dedup-operator state row count (what the st03b spec
+    * compares against): dropDuplicates state grows with every distinct
+    * fingerprint FOREVER — the always-on-collector liability st03b fixes. */
+  def streamingDedupCountsWithState(
+      spark: SparkSession, sfDir: String, name: String): (DataFrame, Long) = {
     // tiny state (one store per shuffle partition) -> size the shard count
     // to it instead of paying 32 store commits per batch
     graft.queries.Tables.withShufflePartitions(spark, 8) {
@@ -94,9 +101,75 @@ object FlowStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(name)
+      (spark.table(name), dedupStateRows(q))
     }
   }
+
+  /** Final state-store row count of a query's dedup operator (falls back to
+    * the max across operators if the engine renames it) — read from the
+    * LAST progress, i.e. after AvailableNow's trailing no-data batch has
+    * applied the final watermark's evictions. */
+  private def dedupStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val ops = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+    val dedup = ops.filter(_.operatorName.toLowerCase.contains("dedupe"))
+    (if (dedup.nonEmpty) dedup else ops).map(_.numRowsTotal).maxOption.getOrElse(0L)
+  }
+
+  /** st03b — the 100 TB always-on form of st03: dedup state BOUNDED by an
+    * event-time watermark (`dropDuplicatesWithinWatermark`) instead of
+    * growing with every distinct fingerprint forever. The derived ingest
+    * timestamp comes from the FINGERPRINT (first 6 hex chars mod 86400
+    * seconds into the day), so all duplicates of a fingerprint share ONE
+    * event time — within-watermark dedup is then provably identical to
+    * global dedup at ANY delay, and the output stays checkable against
+    * st03's batch oracle while the state store drains behind the
+    * watermark. The spool is range-partitioned on ts with equalized
+    * mtimes, so the file source's listing order IS event-time order:
+    * under maxFilesPerTrigger=1 the watermark advances between the 4
+    * micro-batches (eviction happens MID-STREAM, the production shape)
+    * and no row can arrive behind it (no late drops — every first
+    * occurrence is emitted). */
+  def streamingDedupBoundedWithState(
+      spark: SparkSession, sfDir: String, name: String): (DataFrame, Long) = {
+    graft.queries.Tables.withShufflePartitions(spark, 8) {
+      val src = graft.queries.Tables(spark, sfDir, "documents")
+        .withColumn("fp", md5(graft.functions.text.norm(col("text")).cast("binary")))
+        .withColumn("ts", expr(
+          s"timestamp_millis(${graft.queries.Flows.JAN_START_MS}L + " +
+            "(cast(conv(substring(fp, 1, 6), 16, 10) as bigint) % 86400) * 1000)"))
+        .select(col("source"), col("fp"), col("ts"))
+      val spool = graft.queries.IngestQueries.scratchDir(s"graft_dedup_spool_$name")
+      src.repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(spool.toString)
+      // the file source orders batches by file mtime — stamp STRICTLY
+      // increasing mtimes in part-file (= ts-range) order so arrival order
+      // is deterministically the event-time order (equal mtimes leave the
+      // order to the filesystem listing, which round-13 testing showed
+      // does drop first-occurrences as late data)
+      val now = System.currentTimeMillis()
+      Option(spool.toFile.listFiles()).foreach(
+        _.filter(_.getName.startsWith("part-")).sortBy(_.getName).zipWithIndex
+          .foreach { case (f, i) => f.setLastModified(now + i * 60000L) })
+      val stream = spark.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool.toString)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("source", "fp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct"))
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (spark.table(name), dedupStateRows(q))
+    }
+  }
+
+  def streamingDedupBounded(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    streamingDedupBoundedWithState(spark, sfDir, name)._1
 
   /** Production-collector shape: append-mode proportional_sum with an
     * event-time watermark on the bucket timestamp. Only FINALIZED buckets

@@ -383,6 +383,19 @@ class PlanSpec extends AnyFunSuite {
       "map-side partials before the first exchange")
   }
 
+  test("q113: inner match is an in-row HOF — one page-sized explode, no re-scan for inner_hits") {
+    val p = plan("q113_nested_inner_hits")
+    // the nested-query match must happen INSIDE the parent row (filter()
+    // over the items array): the only Generate allowed is the posexplode
+    // of the <=3-element inner_hits page of the 20 surviving parents
+    assert("""\(\d+\) Generate""".r.findAllIn(p).size == 1,
+      s"exactly one explode (the hit page) expected:\n$p")
+    // inner_hits reuse the SAME filtered array the match computed — the
+    // events table is scanned once, never re-scanned to fetch payloads
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"inner_hits must reuse the match scan:\n$p")
+  }
+
   test("q107: the has_child inner query prunes children before the orderkey shuffle") {
     val p = plan("q107_has_child")
     assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"),

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.QBudget
+
+/** Commit-time COST gate — the round-13 lesson made machine-checkable.
+  *
+  * q96 shipped an O(|p1|·|p2|·|p3|)-per-document span predicate (filter
+  * pushdown SUBSTITUTING expensive HOF aliases into per-element lambdas)
+  * and sat at 90× its family cost profile for 12 commits while every
+  * correctness gate stayed green: specs check rows, the oracle checks
+  * hashes, PlanSpec checks plan SHAPE — nothing bounded COST until the
+  * end-of-round bench ran. This spec closes that hole: every registry
+  * query re-times at sf0.01 on every `sbt test` against its committed pin
+  * (`src/test/resources/qbudget.txt`, regenerated via
+  * `graft.tools.QBudgetPin` — which itself REFUSES to pin a born-slow
+  * plan), so the next pathological plan dies in the commit that creates
+  * it instead of in the next round's bench.
+  *
+  * Noise discipline: ceilings are 10× the pin with a 1.2s floor, scaled
+  * by the fixed-work canary ratio (machine speed, not engine), and a
+  * breach is only declared after solo re-runs — parallel test suites on
+  * the shared session make single timings one-sided-noisy, and a real
+  * O(n³) plan breaches every attempt while a GC pause does not. */
+class QBudgetSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder(QBudget.threads).getOrCreate()
+
+  test("every registry query stays within its pinned sf0.01 cost budget") {
+    val (pinCanary, pins) = QBudget.loadPins()
+    val names = SparkEntry.queries.keySet
+    val missing = names -- pins.keySet
+    val stale = pins.keySet -- names
+    assert(missing.isEmpty && stale.isEmpty,
+      s"registry/pin drift (missing=${missing.toSeq.sorted}, stale=${stale.toSeq.sorted}) — " +
+        "re-run `sbt \"Test/runMain graft.tools.QBudgetPin\"` (it refuses born-slow pins)")
+    val speed = math.max(1.0, QBudget.canary() / pinCanary)
+    val timed = QBudget.timeAll(spark, QBudget.sfDir)
+    val breaches = timed.flatMap { case (n, t0) =>
+      val ceil = math.max(QBudget.floorSec, QBudget.budgetMult * pins(n) * speed)
+      var t = t0
+      var tries = 0
+      while (t > ceil && tries < 2) {
+        tries += 1
+        t = math.min(t, QBudget.timeOne(spark, QBudget.sfDir, SparkEntry.queries(n)))
+      }
+      if (t > ceil)
+        Some(f"$n: $t%.2fs > ceiling $ceil%.2fs (pin ${pins(n)}%.3fs, canary speed $speed%.2f)")
+      else None
+    }
+    assert(breaches.isEmpty,
+      "cost-budget breaches — a plan got structurally more expensive; " +
+        "fix it (or, for an INTENDED cost change, re-pin via QBudgetPin):\n" +
+        breaches.mkString("\n"))
+  }
+
+  test("the born-slow guard flags a pathological new plan and passes the normal profile") {
+    // a 15x-over-median timing must be refused at pin time (the guard that
+    // stops an author laundering a pathological plan into the contract by
+    // regenerating pins)
+    val bad = Seq(("q_a", 0.10), ("q_b", 0.12), ("q_c", 0.11), ("q_x_new", 2.0))
+    val flagged = QBudget.bornSlow(bad)
+    assert(flagged.map(_._1) == Seq("q_x_new"))
+    // a wide-but-sane profile (the real registry's shape: capstones a few
+    // multiples of the median) pins cleanly
+    val sane = Seq(("q_a", 0.10), ("q_b", 0.30), ("q_c", 0.12), ("q_d", 0.9))
+    assert(QBudget.bornSlow(sane).isEmpty)
+    // groups are gated independently: a streaming query is judged against
+    // the streaming median, not the batch one
+    val mixed = Seq(("q_a", 0.1), ("q_b", 0.1), ("st_a", 1.5), ("st_b", 1.6))
+    assert(QBudget.bornSlow(mixed).isEmpty)
+  }
+}

@@ -22,6 +22,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("st03b: watermarked dedup answers exactly st03 while its state store stays bounded") {
+    val sf = "/root/testdata/sf0.001"
+    val (out03, state03) =
+      FlowStream.streamingDedupCountsWithState(spark, sf, "st03_state_probe")
+    val (out03b, state03b) =
+      FlowStream.streamingDedupBoundedWithState(spark, sf, "st03b_state_probe")
+    // identical answers: every duplicate of a fingerprint carries the SAME
+    // derived event time, so within-watermark dedup == global dedup
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_distinct"))).toSet
+    assert(rows(out03) == rows(out03b) && rows(out03).nonEmpty)
+    // the bound: st03's dropDuplicates store holds EVERY distinct
+    // fingerprint at end-of-stream; st03b's within-watermark store has
+    // drained everything older than the final watermark — the always-on
+    // collector's state is a watermark-window, not the corpus
+    assert(state03 > 100, s"st03 state should hold the full fingerprint set, got $state03")
+    assert(state03b * 2 < state03,
+      s"watermarked dedup state ($state03b rows) must stay well under the unbounded form's ($state03)")
+  }
+
   test("watermark + append mode emits exactly the buckets finalized below the watermark") {
     import graft.operators.ProportionalSum
     val sf = "/root/testdata/sf0.001"

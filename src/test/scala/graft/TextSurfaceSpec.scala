@@ -658,6 +658,72 @@ class TextSurfaceSpec extends AnyFunSuite {
       "every little span lies inside a big span — the within test is vacuous")
   }
 
+  test("q111 span_multi: the top_terms prefix rewrite + span window recomputed from raw text") {
+    val out = SparkEntry.queries("q111_span_multi")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docsRaw = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toVector).toMap
+    // independent rewrite: FULL vocab df (no length filter — the dfVocab
+    // contract), prefix = the single char starting the most vocab terms,
+    // expansion = top-10 matching terms by (df desc, term asc)
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    docsRaw.values.foreach(_.distinct.foreach(w => df(w) = df.getOrElse(w, 0) + 1))
+    val pfx = df.keys.toSeq.groupBy(_.take(1)).view.mapValues(_.size).toSeq
+      .sortBy { case (q, c) => (-c, q) }.head._1
+    val exp = df.toSeq.filter(_._1.startsWith(pfx))
+      .sortBy { case (w, c) => (-c, w) }.take(10).map(_._1).toSet
+    assert(exp.size > 1, "the prefix rewrite expanded to a single term — span_multi degenerates to span_first")
+    out.foreach { r =>
+      val toks = docsRaw(r.getAs[Long]("doc_id"))
+      val win = toks.take(10)
+      val hits = win.zipWithIndex.collect { case (w, i) if exp(w) => i + 1 }
+      assert(hits.length.toLong == r.getAs[Long]("n_within"),
+        s"doc ${r.getAs[Long]("doc_id")}: n_within")
+      assert(hits.headOption.map(_.toLong).contains(r.getAs[Long]("first_pos")),
+        s"doc ${r.getAs[Long]("doc_id")}: first_pos")
+      assert(win.filter(exp).distinct.length.toLong == r.getAs[Long]("n_terms_matched"),
+        s"doc ${r.getAs[Long]("doc_id")}: n_terms_matched")
+    }
+    // the multi-term rewrite must BITE: some returned window matches >= 2
+    // DISTINCT expanded terms, which no single-term span query could
+    assert(out.exists(_.getAs[Long]("n_terms_matched") >= 2),
+      "every hit matches one expanded term — the rewrite is indistinguishable from a term query")
+  }
+
+  test("q112 field_masking_span: cross-field spans recomputed from raw text; the title mask bites") {
+    val out = SparkEntry.queries("q112_field_masking_span")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docsRaw = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toVector).toMap
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    docsRaw.values.foreach(_.distinct.filter(_.length >= 4).foreach(w => df(w) = df.getOrElse(w, 0) + 1))
+    val Seq(t1, t2) = df.toSeq.sortBy { case (w, c) => (-c, w) }.take(2).map(_._1)
+    def pos(toks: Vector[String], t: String) =
+      toks.zipWithIndex.collect { case (w, i) if w == t => i + 1 }
+    def spans(toks: Vector[String]): Seq[Int] = {
+      val p2 = pos(toks, t2)
+      pos(toks, t1).filter(_ <= 8).filter(i => p2.find(_ > i).exists(j => j - i - 1 <= 5))
+    }
+    out.foreach { r =>
+      val sp = spans(docsRaw(r.getAs[Long]("doc_id")))
+      assert(sp.length.toLong == r.getAs[Long]("n_spans"),
+        s"doc ${r.getAs[Long]("doc_id")}: n_spans")
+      assert(sp.headOption.map(_.toLong).contains(r.getAs[Long]("first_start")),
+        s"doc ${r.getAs[Long]("doc_id")}: first_start")
+    }
+    // the field MASK must bite somewhere in the corpus: a t1 occurrence
+    // OUTSIDE the first-8 title window that would pair with a t2 under the
+    // slop — otherwise the query degenerates to a plain span_near and the
+    // masking semantics are untested
+    val bites = docsRaw.values.exists { toks =>
+      val p2 = pos(toks, t2)
+      pos(toks, t1).exists(i => i > 8 && p2.find(_ > i).exists(j => j - i - 1 <= 5))
+    }
+    assert(bites, "no body-only t1 ever pairs under the slop — the field mask is vacuous")
+  }
+
   test("q99 classifier: learns a planted signal (held-out accuracy >= 0.95) and stays honest on the shipped corpus") {
     import spark.implicits._
     // planted-signal corpus: src0 docs speak "alpha beta", the rest speak
