@@ -21,7 +21,14 @@ import graft.tools.QBudget
   * by the fixed-work canary ratio (machine speed, not engine), and a
   * breach is only declared after solo re-runs — parallel test suites on
   * the shared session make single timings one-sided-noisy, and a real
-  * O(n³) plan breaches every attempt while a GC pause does not. */
+  * O(n³) plan breaches every attempt while a GC pause does not.
+  *
+  * Validated against the round-13 defect itself: with commit `1555930`'s
+  * q96 body swapped into the round-14 tree, this spec fails with exactly
+  * one breach — `q96_intervals: 4.52s > ceiling 2.86s (pin 0.286s)`,
+  * 15.8× over its own steady cost at sf0.01 — and passes on HEAD
+  * (measured 2026-08-15; the experiment is reproducible by reverting the
+  * q96 entry to that commit's form). */
 class QBudgetSpec extends AnyFunSuite {
 
   lazy val spark = GraftSession.builder(QBudget.threads).getOrCreate()
