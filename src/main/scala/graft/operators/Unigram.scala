@@ -129,17 +129,23 @@ object Unigram {
   private def localize(scored: DataFrame): Map[String, Double] =
     scored.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
+  private val scoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Double]]
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** Train-once final segmentation table (word, freq, pieces) per dataset —
-    * the tokenizer-artifact shape, cached like [[Bpe.model]]. */
-  def segmentations(spark: SparkSession, d: String): DataFrame =
-    modelCache.getOrElseUpdate(d, {
+  /** Per-dataset training-run counter (spec hook: encode-after-[[load]]
+    * must run ZERO training jobs for that dataset — keyed so a parallel
+    * suite training ANOTHER dataset cannot trip the assertion). */
+  private[graft] val trainRuns =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** The trained model: final (pruned, smoothed) piece scores per dataset —
+    * steps 1-3 of the loop, train-once like [[Bpe.model]]. */
+  def model(spark: SparkSession, d: String): Map[String, Double] =
+    scoreCache.getOrElseUpdate(d, {
+      trainRuns.updateWith(d) { c => Some(c.getOrElse(0) + 1) }
       val w = words(spark, d).localCheckpoint(true)
-      val maxLen = w.agg(max(length(col("word")))).collect().head.getInt(0)
-      require(maxLen <= MaxWordLen,
-        s"corpus word length $maxLen exceeds the oracle's $MaxWordLen-step Viterbi unroll")
       // 1. seed scores
       val s1 = localize(scores(seedCounts(w)))
       // 2. E-step under the seed model
@@ -157,12 +163,61 @@ object Unigram {
       val kept = multi.select(col("piece"), col("cnt")).union(singles)
         .select(col("piece"), (col("cnt") + lit(1L)).as("cnt"))
       val s2 = localize(scores(kept))
+      graft.queries.Tables.freeCheckpoint(w)
+      s2
+    })
+
+  /** Train-once final segmentation table (word, freq, pieces) per dataset —
+    * the tokenizer-artifact shape, cached like [[Bpe.model]]. */
+  def segmentations(spark: SparkSession, d: String): DataFrame =
+    modelCache.getOrElseUpdate(d, {
+      val w = words(spark, d).localCheckpoint(true)
+      val maxLen = w.agg(max(length(col("word")))).collect().head.getInt(0)
+      require(maxLen <= MaxWordLen,
+        s"corpus word length $maxLen exceeds the oracle's $MaxWordLen-step Viterbi unroll")
       // 4. final encode under the pruned model
-      val fin = segment(w, s2).localCheckpoint(true)
+      val fin = segment(w, model(spark, d)).localCheckpoint(true)
       graft.queries.Tables.freeCheckpoint(w)
       fin
     })
 
+  // ------------------------------------------------- persistence ----------
+  // The tokenizer-artifact shape (the Bpe.save/load discipline): the model
+  // IS the pruned piece-score table — ≤ KeepK + |alphabet| rows of
+  // (piece, score) — so parquet is both storage and interchange; encode
+  // anywhere = Viterbi under the installed scores.
+
+  /** Persist the trained model (training first if absent). The piece-budget
+    * hyperparameters ride along so [[load]] can refuse a mismatched
+    * install (the Bpe n_merges contract). */
+  def save(spark: SparkSession, d: String, dir: String): Unit = {
+    import spark.implicits._
+    model(spark, d).toSeq.toDF("piece", "score")
+      .withColumn("keep_k", lit(KeepK))
+      .withColumn("max_piece_len", lit(MaxPieceLen))
+      .repartition(1) // vocab-bounded rows — one file IS the artifact
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Install a saved model for dataset `d`: encodes then run with ZERO
+    * training jobs, byte-identical to encode-after-train (spec-pinned).
+    * Refuses an artifact trained under different piece budgets — installing
+    * it would silently segment with the wrong search space. */
+  def load(spark: SparkSession, d: String, dir: String): Unit = {
+    val rows = spark.read.parquet(dir)
+      .select(col("piece"), col("score"), col("keep_k").cast("int"), col("max_piece_len").cast("int"))
+      .collect()
+    require(rows.nonEmpty, s"no unigram model at $dir")
+    require(rows.forall(r => r.getInt(2) == KeepK && r.getInt(3) == MaxPieceLen),
+      s"unigram model at $dir was trained under different piece budgets " +
+        s"(${rows.head.getInt(2)}/${rows.head.getInt(3)}, expected $KeepK/$MaxPieceLen)")
+    scoreCache.put(d, rows.map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    // drop (don't free) the stale segmentation frame: a parallel test suite
+    // sharing the session may still be executing a plan over it, and the
+    // leak is one vocab-sized frame per install
+    modelCache.remove(d): Unit
+  }
+
   /** Test hook: drop trained models. */
-  def reset(): Unit = modelCache.clear()
+  def reset(): Unit = { scoreCache.clear(); modelCache.clear() }
 }

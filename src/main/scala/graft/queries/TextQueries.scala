@@ -282,8 +282,8 @@ object TextQueries {
     * set, q82's highlight array AND their oracle SQL — a retune here
     * retunes all six sites together (the file's history shows exactly this
     * hazard: a 21..25 window silently yielded a 4-term query). */
-  private val QLo = 11
-  private val QHi = 15
+  private[graft] val QLo = 11
+  private[graft] val QHi = 15
 
   /** The body field's query-term df SQL — ONE copy feeding both
     * bm25PerCtes and q86's body instance. */
@@ -2313,6 +2313,56 @@ object TextQueries {
         .select(col("rank"), col("doc_id"), col("s_title"), col("s_group"), col("final"))
     }),
 
+    // ES `bool` query as EXPLICIT named surface — the most-used compound
+    // query, all FOUR clause types in one request with the ES scoring
+    // contract: `must` (term tA, rank QLo — scores and is required),
+    // `should` (terms tB/tC, ranks QLo+1/QLo+2 — matching clauses ADD
+    // their score) under `minimum_should_match: 1`, `must_not` (the
+    // rank-QLo+3 term — pure exclusion, never scores), and `filter`
+    // (n_chars ≥ 200 — matches REQUIRED but score NOT affected, the
+    // filter-context half of the contract). _score = must + Σ matching
+    // should (fixed textual order — engine-exact). All clause scoring is
+    // THE shared BM25 chain over the one-scan per-(doc, term) frame; the
+    // must_not exclusion is a hit-sized anti-join; the filter reaches the
+    // documents scan as a pushed range predicate.
+    "q119_bool" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = perDocTermTf(s, d)
+      val qv = g.filter(length(col("tok")) >= 4)
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
+      val clause = qv.filter(col("r") >= QLo && col("r") <= QLo + 2)
+      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
+      val sc = bm25TermScores(
+        g.join(broadcast(clause.select(col("tok"), col("r"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"), col("r")),
+        dlB, bm25QIdf(dlB, clause.select(col("tok"), col("df"))))
+      // pivot the ≤3 clause rows per doc into fixed columns: each (doc, r)
+      // is unique, so min() just carries the value
+      val per = sc.groupBy(col("doc_id")).agg(
+        min(when(col("r") === QLo, col("score_t"))).as("s_must"),
+        min(when(col("r") === QLo + 1, col("score_t"))).as("s_should1"),
+        min(when(col("r") === QLo + 2, col("score_t"))).as("s_should2"))
+      val excl = g.join(broadcast(qv.filter(col("r") === QLo + 3).select(col("tok"))), Seq("tok"))
+        .select(col("doc_id"))
+      val flt = Tables(s, d, "documents").filter(col("n_chars") >= 200).select(col("doc_id"))
+      per
+        .filter(col("s_must").isNotNull)
+        .withColumn("n_should",
+          (col("s_should1").isNotNull.cast("int") +
+            col("s_should2").isNotNull.cast("int")).cast("long"))
+        .filter(col("n_should") >= 1)
+        .join(excl, Seq("doc_id"), "left_anti")
+        .join(flt, Seq("doc_id"))
+        .withColumn("score",
+          col("s_must") +
+            (coalesce(col("s_should1"), lit(0.0)) + coalesce(col("s_should2"), lit(0.0))))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("s_must"), col("n_should"), col("score"))
+    }),
+
     // ES `span_containing`: {big, little} — report matches of the BIG
     // span that contain a match of the LITTLE span. big = the greedy
     // ordered (t1, t2) pair span with slop 5 (for each t1 position i, the
@@ -4154,6 +4204,63 @@ object TextQueries {
          |       COALESCE(1.0e0 / first_rel, 0.0e0) AS recip_rank,
          |       dcg_10, COALESCE(dcg_10 / idcg_10, 0.0e0) AS ndcg_10
          |FROM perq p LEFT JOIN idcg i ON p.tok = i.tok""".stripMargin,
+    "q119_bool" ->
+      s"""WITH $docsCte,
+         |g AS MATERIALIZED (
+         |  SELECT doc_id, tok, COUNT(*) AS tf_b,
+         |         COUNT(CASE WHEN pos <= 8 THEN 1 END) AS tf_t
+         |  FROM (SELECT doc_id, toks[j] AS tok, j AS pos
+         |        FROM docs, unnest(generate_series(1, len(toks))) AS u(j))
+         |  GROUP BY 1, 2
+         |),
+         |qv AS (
+         |  SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS r
+         |  FROM (SELECT tok, COUNT(*) AS df FROM g WHERE length(tok) >= 4 GROUP BY tok)
+         |),
+         |cl AS (SELECT tok, df, r FROM qv WHERE r BETWEEN $QLo AND ${QLo + 2}),
+         |dlx AS MATERIALIZED (SELECT doc_id, SUM(tf_b) AS dl FROM g GROUP BY doc_id),
+         |statsx AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlx),
+         |qt1x AS MATERIALIZED (
+         |  SELECT cl.tok, cl.r, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+         |         CAST(2 * cl.df + 1 AS BIGINT) AS den, avgdl
+         |  FROM cl, statsx
+         |),
+         |${graft.functions.detlog.log2SqlCtes("qt1x", "num", "lgn", "qnx")},
+         |${graft.functions.detlog.log2SqlCtes("qnxfin", "den", "lgd", "qdx")},
+         |qidfx AS (SELECT tok, r, lgn - lgd AS idf, avgdl FROM qdxfin),
+         |scx AS (
+         |  SELECT g.doc_id, q.r,
+         |         q.idf * ((CAST(g.tf_b AS DOUBLE) * 2.2e0) /
+         |           (CAST(g.tf_b AS DOUBLE) +
+         |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / q.avgdl))) AS score_t
+         |  FROM g JOIN qidfx q ON g.tok = q.tok JOIN dlx dl ON g.doc_id = dl.doc_id
+         |),
+         |per AS (
+         |  SELECT doc_id,
+         |         MIN(CASE WHEN r = $QLo THEN score_t END) AS s_must,
+         |         MIN(CASE WHEN r = ${QLo + 1} THEN score_t END) AS s_should1,
+         |         MIN(CASE WHEN r = ${QLo + 2} THEN score_t END) AS s_should2
+         |  FROM scx GROUP BY doc_id
+         |),
+         |excl AS (
+         |  SELECT DISTINCT g.doc_id FROM g
+         |  JOIN (SELECT tok FROM qv WHERE r = ${QLo + 3}) x ON g.tok = x.tok
+         |),
+         |flt AS (SELECT doc_id FROM documents WHERE n_chars >= 200),
+         |fin AS (
+         |  SELECT p.doc_id, s_must,
+         |         CAST((CASE WHEN s_should1 IS NOT NULL THEN 1 ELSE 0 END) +
+         |              (CASE WHEN s_should2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_should,
+         |         s_must + (COALESCE(s_should1, 0.0e0) + COALESCE(s_should2, 0.0e0)) AS score
+         |  FROM per p JOIN flt f ON p.doc_id = f.doc_id
+         |  WHERE s_must IS NOT NULL
+         |    AND p.doc_id NOT IN (SELECT doc_id FROM excl)
+         |    AND ((CASE WHEN s_should1 IS NOT NULL THEN 1 ELSE 0 END) +
+         |         (CASE WHEN s_should2 IS NOT NULL THEN 1 ELSE 0 END)) >= 1
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, s_must, n_should, score
+         |FROM fin QUALIFY rank <= 20""".stripMargin,
     "q93_rank_feature" ->
       s"""WITH $bm25PerCtes,
          |f AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS feat FROM documents),

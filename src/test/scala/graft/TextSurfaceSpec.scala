@@ -724,6 +724,39 @@ class TextSurfaceSpec extends AnyFunSuite {
     assert(bites, "no body-only t1 ever pairs under the slop — the field mask is vacuous")
   }
 
+  test("q119 bool: all four clause types decide, recomputed from raw text") {
+    import queries.TextQueries.QLo
+    val out = SparkEntry.queries("q119_bool")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val meta = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1).trim.toLowerCase.split("\\s+").toVector, r.getLong(2)))).toMap
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    meta.values.foreach(_._1.distinct.filter(_.length >= 4).foreach(w => df(w) = df.getOrElse(w, 0) + 1))
+    val ranked = df.toSeq.sortBy { case (w, c) => (-c, w) }.map(_._1)
+    val (tMust, tS1, tS2, tNot) = (ranked(QLo - 1), ranked(QLo), ranked(QLo + 1), ranked(QLo + 2))
+    def gates(id: Long): (Boolean, Boolean, Boolean, Boolean) = {
+      val (toks, nChars) = meta(id)
+      val set = toks.toSet
+      (set(tMust), set(tS1) || set(tS2), !set(tNot), nChars >= 200)
+    }
+    // every returned doc satisfies must AND msm AND NOT must_not AND filter
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (m, sh, nn, f) = gates(id)
+      assert(m && sh && nn && f, s"doc $id violates a clause: must=$m should=$sh not=$nn filter=$f")
+    }
+    // DECISIVENESS: each gate excludes at least one doc that passes the
+    // other three — otherwise that clause type is vacuously tested
+    val all = meta.keys.map(id => (id, gates(id)))
+    assert(all.exists { case (_, (m, sh, nn, f)) => !m && sh && nn && f }, "must never decides")
+    assert(all.exists { case (_, (m, sh, nn, f)) => m && !sh && nn && f },
+      "minimum_should_match never decides")
+    assert(all.exists { case (_, (m, sh, nn, f)) => m && sh && !nn && f }, "must_not never decides")
+    assert(all.exists { case (_, (m, sh, nn, f)) => m && sh && nn && !f }, "filter never decides")
+  }
+
   test("q99 classifier: learns a planted signal (held-out accuracy >= 0.95) and stays honest on the shipped corpus") {
     import spark.implicits._
     // planted-signal corpus: src0 docs speak "alpha beta", the rest speak

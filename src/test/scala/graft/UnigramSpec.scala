@@ -35,6 +35,22 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("save/load: encode after load is identical to encode after train, with zero training jobs") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram_model").toString
+    def segs() = Unigram.segmentations(spark, sf)
+      .select(col("word"), col("pieces")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val trained = segs()
+    Unigram.save(spark, sf, dir)
+    Unigram.reset()
+    Unigram.load(spark, sf, dir)
+    val before = Unigram.trainRuns.getOrElse(sf, 0)
+    val loaded = segs()
+    assert(Unigram.trainRuns.getOrElse(sf, 0) == before,
+      "encode after load must run no training jobs")
+    assert(loaded == trained, "installed-model encode diverged from encode-after-train")
+  }
+
   test("the trainer learned real multi-char pieces and the prune bound holds") {
     val pieces = Unigram.segmentations(spark, sf)
       .select(explode(col("pieces")).as("p")).distinct().collect().map(_.getString(0))
