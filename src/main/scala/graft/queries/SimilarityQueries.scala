@@ -366,7 +366,32 @@ object SimilarityQueries {
   private[graft] val highRecallNprobeSql: String =
     "(SELECT GREATEST(8, (COUNT(*) + 3) // 4) FROM cent)"
 
+  /** ES `script_score` query (named surface next to q85's top-level knn):
+    * the documented dense-vector pattern — a FILTER-context wrapped query
+    * (vec_id % 3 = 1, ES's "restrict the scored set" idiom) re-scored by
+    * `cosineSimilarity(params.query_vector, 'embedding') + 1.0` (the +1
+    * keeps ES's non-negative-score contract), top 20. The query vector
+    * (vec_id 0) broadcasts as a 1-row frame, so the corpus streams once
+    * with no vector shuffle (the q35 discipline); cosine is the shared
+    * exact kernel, the +1.0 one IEEE add — emitted UNROUNDED (the q35
+    * convention). */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val qv = c.filter(col("vec_id") === 0)
+      .select(col("emb").as("qe"), col("nrm").as("qn"))
+    c.filter(col("vec_id") % 3 === 1)
+      .crossJoin(broadcast(qv))
+      .withColumn("score",
+        vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")) + lit(1.0))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id"), col("score"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_script_score" -> (q122 _),
     "q37c_ann_ivf_highrecall" -> (q37c _),
     "q68_cluster_balanced_sample" -> (q68 _),
     "q69_semdedup" -> (q69 _),
@@ -595,6 +620,25 @@ object SimilarityQueries {
          |)
          |SELECT label, n_vecs, min_norm, max_norm, sum_norm,
          |       round(sum_norm / n_vecs, 6) AS avg_norm FROM g""".stripMargin
+    },
+    "q122_script_score" -> {
+      val cos = s"(${vectors.dotSql("c.emb", "q.emb", 64)}) / (c.nrm * q.nrm)"
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |),
+         |n AS (
+         |  SELECT vec_id, emb, sqrt(${vectors.dotSql("emb", "emb", 64)}) AS nrm FROM e
+         |),
+         |q AS (SELECT * FROM n WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT c.vec_id AS vec_id, $cos + 1.0 AS score
+         |  FROM n c, q WHERE c.vec_id % 3 = 1
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT vec_id, score, rank FROM ranked WHERE rank <= 20""".stripMargin
     },
     "q35_ann_bruteforce" -> {
       val cos = s"(${vectors.dotSql("c.emb", "q.emb", 64)}) / (c.nrm * q.nrm)"

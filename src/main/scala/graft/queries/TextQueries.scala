@@ -2065,6 +2065,33 @@ object TextQueries {
         .select(col("rank"), col("doc_id"), col("score"), col("prox"), col("final"))
     }),
 
+    // ES `function_score` DECAY functions — all three kernels (gauss /
+    // exp / linear) over a numeric field in ONE request (boost_mode
+    // `replace` over a match_all: the pure-decay ranking the docs
+    // demonstrate), origin 300 (the corpus n_chars median) / offset 20 / scale 100 /
+    // decay 0.5 on n_chars. d = max(0, |v−origin|−offset) is exact integer; linear is
+    // exact in SCORE space (decay 0.5 ⇒ s' = scale/(1−decay) = 200, one
+    // integer-ratio division); gauss and exp are carried in LOG2 space
+    // (the detlog convention — gauss_lg2 = −d²/scale², exp_lg2 = −d/scale
+    // for decay 0.5: each ONE correctly-rounded division of exact longs,
+    // while 2^x itself is libm-dependent and would not hash cross-engine;
+    // all three kernels are monotone in d, so log2 space preserves the
+    // ranking contract exactly). Emitted as the PER-DOC scoring table
+    // (the q41 shape — the corpus n_chars concentration puts >20 docs on
+    // the offset plateau, so any top-k page would show only ties).
+    // Scale shape: pure projection, zero joins, zero exchanges.
+    "q124_decay_functions" -> ((s: SparkSession, d: String) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          greatest(lit(0L), abs(col("n_chars") - lit(300L)) - lit(20L)).as("dist"))
+        .withColumn("linear_score",
+          greatest(lit(0L), lit(200L) - col("dist")).cast("double") / lit(200.0))
+        .withColumn("gauss_lg2",
+          -(col("dist") * col("dist")).cast("double") / lit(10000.0))
+        .withColumn("exp_lg2", -col("dist").cast("double") / lit(100.0))
+        .select(col("doc_id"), col("dist"),
+          col("linear_score"), col("gauss_lg2"), col("exp_lg2"))),
+
     // ES `span_first` query: the span family's positional boundary —
     // match docs whose query term occurs within the FIRST `end`=10
     // positions, reporting the first hit position and the in-window
@@ -2361,6 +2388,50 @@ object TextQueries {
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)
         .select(col("rank"), col("doc_id"), col("s_must"), col("n_should"), col("score"))
+    }),
+
+    // ES `dis_max` as EXPLICIT named surface — the compound query that
+    // q86's best_fields TYPE compiles to, here in its own right: two term
+    // clauses over the SAME field, _score = best clause + tie_breaker·other
+    // with tie_breaker 0.25 (exact power-of-two, distinct from q86's
+    // field-level 0.5). Clause A = the rank-QLo window term (common, the
+    // q119 derivation); clause B = the corpus's RAREST token (df asc, the
+    // q11e rare-terms derivation — structurally 5% df at every SF), so the
+    // top-30 page provably contains both single-clause and both-clause
+    // hits: the OR contract (a doc matching EITHER clause qualifies —
+    // unlike q119's must gate) and the tie_breaker are each visible in
+    // the result. Clause scoring is THE shared BM25 chain over the
+    // one-scan per-(doc, term) frame.
+    "q123_dis_max" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = perDocTermTf(s, d)
+      val qv = g.filter(length(col("tok")) >= 4)
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
+      val a = qv.filter(col("r") === QLo).select(col("tok"), col("df"), lit(1).as("r"))
+      val rare = g.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").asc, col("tok").asc).limit(1)
+        .select(col("tok"), col("df"), lit(2).as("r"))
+      val clause = a.union(rare)
+      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
+      val sc = bm25TermScores(
+        g.join(broadcast(clause.select(col("tok"), col("r"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"), col("r")),
+        dlB, bm25QIdf(dlB, clause.select(col("tok"), col("df"))))
+      sc.groupBy(col("doc_id")).agg(
+          min(when(col("r") === 1, col("score_t"))).as("s_a"),
+          min(when(col("r") === 2, col("score_t"))).as("s_b"))
+        .withColumn("best",
+          greatest(coalesce(col("s_a"), lit(0.0)), coalesce(col("s_b"), lit(0.0))))
+        .withColumn("other",
+          coalesce(col("s_a"), lit(0.0)) + coalesce(col("s_b"), lit(0.0)) - col("best"))
+        .withColumn("n_matched",
+          (col("s_a").isNotNull.cast("int") + col("s_b").isNotNull.cast("int")).cast("long"))
+        .withColumn("score", col("best") + lit(0.25) * col("other"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 30)
+        .select(col("rank"), col("doc_id"), col("n_matched"), col("best"), col("score"))
     }),
 
     // ES `span_containing`: {big, little} — report matches of the BIG
@@ -2909,6 +2980,48 @@ object TextQueries {
           detsum.roundDet(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6).as("chars_per_subword"))
     }),
 
+    // REAL WordPiece tokenizer (Schuster & Nakajima 2012; the BERT
+    // tokenizer, Devlin 2019) — the THIRD trainer family, completing the
+    // trio a modern pipeline chooses between (BPE q66 merge-by-count,
+    // unigram q114 prune-by-likelihood, WordPiece merge-by-LIKELIHOOD):
+    // the BPE loop with argmax count(l,r)/(count(l)·count(r)) — one
+    // correctly-rounded IEEE division of exact longs, bit-identical across
+    // engines — `##` continuation markers, and greedy longest-match-first
+    // (MaxMatch) ENCODE against the final vocabulary (the BPE/WordPiece
+    // asymmetry: encode is not merge replay). The oracle RELEARNS the
+    // model in DuckDB: all 40 likelihood-argmax rounds unrolled (pair
+    // counts + symbol counts + exact-division winner per round), then the
+    // MaxMatch encode unrolled as per-position CTEs picking the longest
+    // matching vocab piece. Output shape = q66's per-source aggregate, so
+    // the three trainers are comparable number-for-number.
+    "q120_wordpiece_tokenize" -> ((s: SparkSession, d: String) => {
+      val m = graft.operators.WordPiece.model(s, d, nMerges = 40)
+      val sub = graft.operators.WordPiece.tokenize(docs(s, d), m)
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(sub, "doc_id")
+        .select(col("source"), explode(col("subwords")).as("sw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_subwords"), countDistinct(col("sw")).as("n_distinct_subwords"))
+    }),
+
+    // q66b's fertility/compression eval reused verbatim on the WordPiece
+    // model — the third column of the tokenizer-comparison table.
+    "q120b_wordpiece_fertility" -> ((s: SparkSession, d: String) => {
+      import graft.functions.detsum
+      val m = graft.operators.WordPiece.model(s, d, nMerges = 40)
+      val sub = graft.operators.WordPiece.tokenize(docs(s, d), m)
+      docs(s, d).select(col("doc_id"), col("source"), col("toks"))
+        .join(sub, "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          sum(size(filter(col("toks"), t => length(t) > 0))).cast("long").as("n_words"),
+          sum(size(col("subwords"))).cast("long").as("n_subwords"),
+          sum(length(concat_ws("", col("toks")))).cast("long").as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_subwords"), col("n_chars"),
+          detsum.roundDet(col("n_subwords").cast("double") / col("n_words").cast("double"), 6).as("fertility"),
+          detsum.roundDet(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6).as("chars_per_subword"))
+    }),
+
     // ES `more_like_this`: rank documents by similarity to a "like" doc.
     // Query terms = the like-doc's 25 rarest terms by idf (ES
     // max_query_terms); candidates score by the idf sum of shared terms.
@@ -3018,6 +3131,54 @@ object TextQueries {
         .withColumn("kept", col("r_word_count") && col("r_word_len") && col("r_stopwords"))
         .select(col("doc_id"), col("n_tok"), col("mean_word_len"), col("n_stop"),
           col("r_word_count"), col("r_word_len"), col("r_stopwords"), col("kept"))),
+
+    // C4 heuristic cleanup (Raffel et al. 2020, §2.2) — the THIRD named
+    // rule-filter stack next to q41 (generic quality) and q41b (Gopher):
+    // line-level retention (keep lines ending in terminal punctuation with
+    // ≥5 words), page-level drops (any "lorem ipsum", any '{', fewer than
+    // 3 retained sentences). The corpus has no natural lines/punctuation,
+    // so the page structure is DERIVED (8-word lines) and the decision
+    // surface PLANTED deterministically (the q55 PII discipline — both
+    // engines construct it identically, then genuinely filter it):
+    // terminal '.' on lines where (doc_id+idx)%3 ≠ 2, ' lorem ipsum' into
+    // line 0 of every 17th doc, ' {' into line 1 of every 19th. The md5 of
+    // the retained-line text proves the line surgery byte-identical.
+    // Scale shape: ZERO Generate and no grouping shuffle — lines are built
+    // and judged entirely inside the row with array HOFs (the q96 lesson's
+    // positive form: per-doc structure never leaves the row), so the plan
+    // is one corpus scan + projection at any corpus size (the only
+    // exchange is the scan-spreading repartition for the single-file
+    // local layout — a multi-row-group parquet keeps it free).
+    "q121_c4_filters" -> ((s: SparkSession, d: String) => {
+      val L = 8
+      val lined = docs(s, d)
+        .repartition(col("doc_id")) // single-file scan -> spread line surgery
+        .withColumn("n_lines", ceil(size(col("toks")) / lit(L.toDouble)).cast("int"))
+        .withColumn("lines",
+          transform(sequence(lit(0), col("n_lines") - 1), i => concat(
+            array_join(slice(col("toks"), i * L + 1, lit(L)), " "),
+            when(col("doc_id") % 17 === 0 && i === 0, lit(" lorem ipsum")).otherwise(lit("")),
+            when(col("doc_id") % 19 === 0 && i === least(lit(1), col("n_lines") - 1), lit(" {"))
+              .otherwise(lit("")),
+            when((col("doc_id") + i) % 3 =!= 2, lit(".")).otherwise(lit("")))))
+        .withColumn("kept_lines",
+          filter(col("lines"), l => l.endsWith(".") && size(split(l, " ")) >= 5))
+      lined
+        .withColumn("n_kept_lines", size(col("kept_lines")).cast("long"))
+        .withColumn("has_lorem", exists(col("lines"), _.contains("lorem ipsum")))
+        .withColumn("has_brace", exists(col("lines"), _.contains("{")))
+        .withColumn("kept",
+          !col("has_lorem") && !col("has_brace") && col("n_kept_lines") >= 3)
+        .select(
+          col("doc_id"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_kept_lines"),
+          aggregate(col("kept_lines"), lit(0L), (acc, l) => acc + size(split(l, " ")))
+            .as("n_kept_words"),
+          col("has_lorem"), col("has_brace"), col("kept"),
+          when(col("kept"),
+            md5(array_join(col("kept_lines"), "\n").cast("binary"))).as("clean_md5"))
+    }),
 
     // benchmark-overlap decontamination: docs sharing >= 3 distinct 3-gram
     // shingles with the (small) benchmark set are flagged for removal. The
@@ -3383,6 +3544,125 @@ object TextQueries {
        |       ${graft.functions.detsum.roundDetSql("CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE)", 6)} AS chars_per_subword
        |FROM agg""".stripMargin
 
+  /** The q120 oracle's training replay — DuckDB RELEARNS the WordPiece
+    * model ([[graft.operators.WordPiece]] op-for-op): seed segmentation
+    * with `##` continuation markers → nMerges likelihood-argmax rounds
+    * (pair counts + symbol counts per round; winner = max
+    * cnt/(c(l)·c(r)), ONE exact-long double division both engines round
+    * identically, tiebreak (l, r) asc; fusing consumes the right `##`) →
+    * vocabulary = seed symbols + merge products → greedy
+    * longest-match-first ENCODE unrolled as per-position CTEs (at each
+    * position the longest matching vocab piece wins — `##` pieces match
+    * only off the word start; single-char seed coverage guarantees
+    * progress, so [[graft.operators.Unigram.MaxWordLen]] steps suffice).
+    * Ends with `wpfinal` (word → pieces) and `docw`. */
+  private def wpCtes(nMerges: Int): String = {
+    import graft.operators.Unigram.MaxWordLen
+    val sb = new StringBuilder
+    sb ++= """words AS MATERIALIZED (
+             |  SELECT word, count(*) AS freq
+             |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
+             |  WHERE length(word) > 0 GROUP BY word
+             |),
+             |wp0 AS MATERIALIZED (
+             |  SELECT word, freq,
+             |    chr(1)||substr(word,1,1)||chr(2) ||
+             |    CASE WHEN length(word) > 1
+             |         THEN regexp_replace(substr(word,2), '(.)', chr(1)||'##\1'||chr(2), 'g')
+             |         ELSE '' END AS seg
+             |  FROM words
+             |),
+             |""".stripMargin
+    for (i <- 0 until nMerges) {
+      sb ++= s"""wpp$i AS MATERIALIZED (
+                |  SELECT syms[j] AS l, syms[j+1] AS rr, sum(freq) AS cnt
+                |  FROM (SELECT freq, string_split(substr(seg, 2, length(seg)-2), chr(2)||chr(1)) AS syms FROM wp$i),
+                |       unnest(generate_series(1, len(syms)-1)) AS t(j)
+                |  GROUP BY 1, 2
+                |),
+                |wps$i AS MATERIALIZED (
+                |  SELECT syms[j] AS sym, sum(freq) AS c
+                |  FROM (SELECT freq, string_split(substr(seg, 2, length(seg)-2), chr(2)||chr(1)) AS syms FROM wp$i),
+                |       unnest(generate_series(1, len(syms))) AS t(j)
+                |  GROUP BY 1
+                |),
+                |wpw$i AS MATERIALIZED (
+                |  SELECT p.l AS l, p.rr AS rr FROM wpp$i p
+                |  JOIN wps$i sl ON sl.sym = p.l
+                |  JOIN wps$i sr ON sr.sym = p.rr
+                |  WHERE p.cnt >= 2
+                |  ORDER BY CAST(p.cnt AS DOUBLE) / CAST(sl.c * sr.c AS DOUBLE) DESC, p.l ASC, p.rr ASC
+                |  LIMIT 1
+                |),
+                |wp${i + 1} AS MATERIALIZED (
+                |  SELECT word, freq,
+                |    CASE WHEN w.l IS NULL THEN seg
+                |         ELSE replace(seg, chr(1)||w.l||chr(2)||chr(1)||w.rr||chr(2), chr(1)||w.l||substr(w.rr,3)||chr(2)) END AS seg
+                |  FROM wp$i LEFT JOIN wpw$i w ON TRUE
+                |),
+                |""".stripMargin
+    }
+    sb ++= s"""wpvocab AS MATERIALIZED (
+              |  SELECT DISTINCT piece FROM (
+              |    SELECT unnest(string_split(substr(seg, 2, length(seg)-2), chr(2)||chr(1))) AS piece FROM wp0
+              |    ${(0 until nMerges).map(i => s"UNION ALL SELECT l||substr(rr,3) AS piece FROM wpw$i").mkString("\n    ")}
+              |  )
+              |),
+              |wptab AS MATERIALIZED (
+              |  SELECT piece, (piece LIKE '##%') AS cont,
+              |         CASE WHEN piece LIKE '##%' THEN substr(piece,3) ELSE piece END AS txt
+              |  FROM wpvocab
+              |),
+              |wpg0 AS (SELECT word, freq, 0 AS pos, '' AS seg FROM words),
+              |""".stripMargin
+    for (k <- 1 to MaxWordLen) {
+      sb ++= s"""wpg$k AS MATERIALIZED (
+                |  SELECT word, freq, pos, seg FROM wpg${k - 1} WHERE pos = length(word)
+                |  UNION ALL
+                |  SELECT word, freq, pos + length(txt) AS pos, seg || chr(1) || piece AS seg FROM (
+                |    SELECT g.word, g.freq, g.pos, g.seg, p.piece, p.txt,
+                |      ROW_NUMBER() OVER (PARTITION BY g.word ORDER BY length(p.txt) DESC) AS rn
+                |    FROM wpg${k - 1} g JOIN wptab p
+                |      ON p.cont = (g.pos > 0) AND substr(g.word, g.pos + 1, length(p.txt)) = p.txt
+                |    WHERE g.pos < length(g.word)
+                |  ) WHERE rn = 1
+                |),
+                |""".stripMargin
+    }
+    sb ++= s"""wpfinal AS MATERIALIZED (
+              |  SELECT word, freq, string_split(substr(seg, 2), chr(1)) AS pieces
+              |  FROM wpg$MaxWordLen WHERE pos = length(word)
+              |),
+              |docw AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents)""".stripMargin
+    sb.result()
+  }
+
+  /** q120's oracle: the WordPiece training replay + per-source aggregate. */
+  private def wpSql(nMerges: Int): String =
+    s"""WITH ${wpCtes(nMerges)}
+       |SELECT source, count(*) AS n_subwords, count(DISTINCT sw) AS n_distinct_subwords
+       |FROM (SELECT d.source, unnest(f.pieces) AS sw FROM docw d JOIN wpfinal f ON d.word = f.word WHERE length(d.word) > 0)
+       |GROUP BY source""".stripMargin
+
+  /** q120b's oracle: tokenizer-quality metrics over the SAME relearned
+    * WordPiece model (shared CTE prefix — the bpeFertilitySql shape). */
+  private def wpFertilitySql(nMerges: Int): String =
+    s"""WITH ${wpCtes(nMerges)},
+       |wj AS (
+       |  SELECT d.source, d.word, f.pieces FROM docw d
+       |  JOIN wpfinal f ON d.word = f.word WHERE length(d.word) > 0
+       |),
+       |wagg AS (
+       |  SELECT source, COUNT(*) AS n_words,
+       |         CAST(SUM(len(pieces)) AS BIGINT) AS n_subwords,
+       |         CAST(SUM(length(word)) AS BIGINT) AS n_chars
+       |  FROM wj GROUP BY source
+       |)
+       |SELECT source, n_words, n_subwords, n_chars,
+       |       ${graft.functions.detsum.roundDetSql("CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)} AS fertility,
+       |       ${graft.functions.detsum.roundDetSql("CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE)", 6)} AS chars_per_subword
+       |FROM wagg""".stripMargin
+
   /** Shared DuckDB CTE chain mirroring [[bm25PerDoc]] — ends with `per`
     * (per-doc n_terms_hit + detsum'd BM25 score); includes `docs` and
     * `rvocab`. ONE scoring definition: [[bm25CtesOver]] with the empty tag
@@ -3470,6 +3750,39 @@ object TextQueries {
                    "CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE)", 6)} AS chars_per_subword
          |FROM uagg""".stripMargin,
     "q66b_bpe_fertility" -> bpeFertilitySql(40),
+    "q120_wordpiece_tokenize" -> wpSql(40),
+    "q120b_wordpiece_fertility" -> wpFertilitySql(40),
+    "q121_c4_filters" ->
+      s"""WITH $docsCte,
+         |lined AS (
+         |  SELECT doc_id, CAST(ceil(len(toks) / 8.0) AS INT) AS n_lines,
+         |    list_transform(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1), i ->
+         |      array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') ||
+         |      CASE WHEN doc_id % 17 = 0 AND i = 0 THEN ' lorem ipsum' ELSE '' END ||
+         |      CASE WHEN doc_id % 19 = 0 AND i = least(1, CAST(ceil(len(toks) / 8.0) AS INT) - 1)
+         |           THEN ' {' ELSE '' END ||
+         |      CASE WHEN (doc_id + i) % 3 <> 2 THEN '.' ELSE '' END) AS lines
+         |  FROM docs
+         |),
+         |kl AS (
+         |  SELECT doc_id, n_lines, lines,
+         |    list_filter(lines, l -> l LIKE '%.' AND len(string_split(l, ' ')) >= 5) AS kept_lines
+         |  FROM lined
+         |),
+         |feat AS (
+         |  SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |    CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
+         |    CAST(coalesce(list_sum(list_transform(kept_lines, l -> len(string_split(l, ' ')))), 0) AS BIGINT) AS n_kept_words,
+         |    len(list_filter(lines, l -> l LIKE '%lorem ipsum%')) > 0 AS has_lorem,
+         |    len(list_filter(lines, l -> contains(l, '{'))) > 0 AS has_brace,
+         |    kept_lines
+         |  FROM kl
+         |)
+         |SELECT doc_id, n_lines, n_kept_lines, n_kept_words, has_lorem, has_brace,
+         |       NOT has_lorem AND NOT has_brace AND n_kept_lines >= 3 AS kept,
+         |       CASE WHEN NOT has_lorem AND NOT has_brace AND n_kept_lines >= 3
+         |            THEN md5(array_to_string(kept_lines, chr(10))) END AS clean_md5
+         |FROM feat""".stripMargin,
     "q77_percolate" -> percolateSql,
     "q77b_percolate_inverted" -> percolateSql,
     "st14_percolate_stream" -> percolateSql,
@@ -4261,6 +4574,60 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
          |       doc_id, s_must, n_should, score
          |FROM fin QUALIFY rank <= 20""".stripMargin,
+    "q123_dis_max" ->
+      s"""WITH $docsCte,
+         |g AS MATERIALIZED (
+         |  SELECT doc_id, tok, COUNT(*) AS tf_b
+         |  FROM (SELECT doc_id, toks[j] AS tok
+         |        FROM docs, unnest(generate_series(1, len(toks))) AS u(j))
+         |  GROUP BY 1, 2
+         |),
+         |qv AS (
+         |  SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS r
+         |  FROM (SELECT tok, COUNT(*) AS df FROM g WHERE length(tok) >= 4 GROUP BY tok)
+         |),
+         |cl AS (
+         |  SELECT tok, df, 1 AS r FROM qv WHERE r = $QLo
+         |  UNION ALL
+         |  SELECT tok, df, 2 AS r FROM
+         |    (SELECT tok, COUNT(*) AS df FROM g GROUP BY tok ORDER BY df ASC, tok ASC LIMIT 1)
+         |),
+         |dlx AS MATERIALIZED (SELECT doc_id, SUM(tf_b) AS dl FROM g GROUP BY doc_id),
+         |statsx AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlx),
+         |qt1x AS MATERIALIZED (
+         |  SELECT cl.tok, cl.r, CAST(2 * n_docs + 2 AS BIGINT) AS num,
+         |         CAST(2 * cl.df + 1 AS BIGINT) AS den, avgdl
+         |  FROM cl, statsx
+         |),
+         |${graft.functions.detlog.log2SqlCtes("qt1x", "num", "lgn", "qnx")},
+         |${graft.functions.detlog.log2SqlCtes("qnxfin", "den", "lgd", "qdx")},
+         |qidfx AS (SELECT tok, r, lgn - lgd AS idf, avgdl FROM qdxfin),
+         |scx AS (
+         |  SELECT g.doc_id, q.r,
+         |         q.idf * ((CAST(g.tf_b AS DOUBLE) * 2.2e0) /
+         |           (CAST(g.tf_b AS DOUBLE) +
+         |            1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / q.avgdl))) AS score_t
+         |  FROM g JOIN qidfx q ON g.tok = q.tok JOIN dlx dl ON g.doc_id = dl.doc_id
+         |),
+         |per AS (
+         |  SELECT doc_id,
+         |         MIN(CASE WHEN r = 1 THEN score_t END) AS s_a,
+         |         MIN(CASE WHEN r = 2 THEN score_t END) AS s_b
+         |  FROM scx GROUP BY doc_id
+         |),
+         |fin AS (
+         |  SELECT doc_id,
+         |         CAST((CASE WHEN s_a IS NOT NULL THEN 1 ELSE 0 END) +
+         |              (CASE WHEN s_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |         greatest(COALESCE(s_a, 0.0e0), COALESCE(s_b, 0.0e0)) AS best,
+         |         greatest(COALESCE(s_a, 0.0e0), COALESCE(s_b, 0.0e0)) +
+         |           0.25e0 * (COALESCE(s_a, 0.0e0) + COALESCE(s_b, 0.0e0) -
+         |                     greatest(COALESCE(s_a, 0.0e0), COALESCE(s_b, 0.0e0))) AS score
+         |  FROM per
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, n_matched, best, score
+         |FROM fin QUALIFY rank <= 30""".stripMargin,
     "q93_rank_feature" ->
       s"""WITH $bm25PerCtes,
          |f AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS feat FROM documents),
@@ -4283,6 +4650,19 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
          |       doc_id, score, prox, final
          |FROM fin QUALIFY rank <= 20""".stripMargin,
+    "q124_decay_functions" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, greatest(0, abs(n_chars - 300) - 20) AS dist FROM documents
+         |),
+         |fin AS (
+         |  SELECT doc_id, CAST(dist AS BIGINT) AS dist,
+         |         CAST(greatest(0, 200 - dist) AS DOUBLE) / 200.0e0 AS linear_score,
+         |         -(CAST(dist * dist AS DOUBLE)) / 10000.0e0 AS gauss_lg2,
+         |         -(CAST(dist AS DOUBLE)) / 100.0e0 AS exp_lg2
+         |  FROM f
+         |)
+         |SELECT doc_id, dist, linear_score, gauss_lg2, exp_lg2
+         |FROM fin""".stripMargin,
     // the termsSetSql precedent: ONE matcher SQL, q95 adds the result
     // window, st17 (the alert stream) takes every hit
     "q95_span_first" ->

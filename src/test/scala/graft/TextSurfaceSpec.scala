@@ -827,4 +827,82 @@ class TextSurfaceSpec extends AnyFunSuite {
         s"doc ${r.getAs[Long]("doc_id")} is IN the model corpus but backed off")
     }
   }
+
+  test("q121 C4 filters: every rule is decisive and the line surgery is real") {
+    val out = SparkEntry.queries("q121_c4_filters")(spark, sf).collect()
+    assert(out.nonEmpty)
+    def b(r: org.apache.spark.sql.Row, c: String) = r.getAs[Boolean](c)
+    // each page-level gate excludes a doc that the OTHER gates would keep —
+    // none of the three is vacuously tested (the q119 clause discipline)
+    assert(out.exists(r => b(r, "has_lorem") && !b(r, "has_brace") &&
+      r.getAs[Long]("n_kept_lines") >= 3), "lorem-ipsum rule never decisive")
+    assert(out.exists(r => b(r, "has_brace") && !b(r, "has_lorem") &&
+      r.getAs[Long]("n_kept_lines") >= 3), "curly-brace rule never decisive")
+    assert(out.exists(r => !b(r, "has_lorem") && !b(r, "has_brace") &&
+      r.getAs[Long]("n_kept_lines") < 3), "three-sentence rule never decisive")
+    assert(out.exists(r => b(r, "kept")), "no page survives — the filter is degenerate")
+    // line-level retention bites: kept docs still DROP some lines (the
+    // terminal-punctuation / five-word rules are not pass-through)
+    assert(out.exists(r => b(r, "kept") &&
+      r.getAs[Long]("n_kept_lines") < r.getAs[Long]("n_lines")),
+      "no kept page lost a line — line retention is vacuous")
+    // the retained text is materialized exactly for kept pages only
+    out.foreach { r =>
+      assert(b(r, "kept") == (r.getAs[String]("clean_md5") != null))
+    }
+  }
+
+  test("q123 dis_max: the OR contract and the tie_breaker are both decisive") {
+    val out = SparkEntry.queries("q123_dis_max")(spark, sf).collect()
+    assert(out.length == 30)
+    val two = out.filter(_.getAs[Long]("n_matched") == 2)
+    val one = out.filter(_.getAs[Long]("n_matched") == 1)
+    assert(two.nonEmpty, "no doc matches both clauses — the tie_breaker is vacuous")
+    assert(one.nonEmpty, "every doc matches both clauses — the OR contract is untested")
+    // tie_breaker 0.25 contributes exactly when a second clause matched
+    two.foreach(r => assert(r.getAs[Double]("score") > r.getAs[Double]("best")))
+    one.foreach(r => assert(r.getAs[Double]("score") == r.getAs[Double]("best")))
+  }
+
+  test("q124 decay: plateau, slope, cutoff and kernel agreement are all exercised") {
+    val out = SparkEntry.queries("q124_decay_functions")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every regime of the piecewise kernels is occupied by real docs:
+    // the offset plateau (d=0), the decay slope (0<d<s'), and linear's
+    // hard cutoff (d>=s' -> score exactly 0 while gauss/exp stay >0... <0 in lg2)
+    assert(out.exists(_.getAs[Long]("dist") == 0L), "no doc on the offset plateau")
+    assert(out.exists(r => r.getAs[Long]("dist") > 0L &&
+      r.getAs[Double]("linear_score") > 0.0), "no doc on the decay slope")
+    assert(out.exists(_.getAs[Double]("linear_score") == 0.0),
+      "no doc past linear's cutoff — the max(0, ·) clamp is vacuous")
+    out.foreach { r =>
+      val d = r.getAs[Long]("dist")
+      if (d == 0L) {
+        assert(r.getAs[Double]("linear_score") == 1.0)
+        assert(r.getAs[Double]("gauss_lg2") == 0.0 && r.getAs[Double]("exp_lg2") == 0.0)
+      } else {
+        assert(r.getAs[Double]("gauss_lg2") < 0.0 && r.getAs[Double]("exp_lg2") < 0.0)
+      }
+    }
+    // monotone agreement: sorted by d, every kernel is non-increasing
+    val byD = out.sortBy(_.getAs[Long]("dist"))
+    def nonInc(v: Array[Double], n: String) =
+      assert(v.zip(v.tail).forall { case (a, b) => a >= b }, s"$n is not monotone in d")
+    nonInc(byD.map(_.getAs[Double]("linear_score")), "linear_score")
+    nonInc(byD.map(_.getAs[Double]("gauss_lg2")), "gauss_lg2")
+    nonInc(byD.map(_.getAs[Double]("exp_lg2")), "exp_lg2")
+  }
+
+  test("q122 script_score: filter context is honored and the +1 contract holds") {
+    val out = SparkEntry.queries("q122_script_score")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 3 == 1, "a doc outside the filter was scored")
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.0 && s <= 2.0, s"cos+1 out of range: $s")
+    }
+    // non-vacuous: the filtered corpus is not all near-orthogonal to the query
+    assert(out.head.getAs[Double]("score") > 1.0,
+      "top score <= 1.0 — the cosine term never discriminates")
+  }
 }
