@@ -468,7 +468,54 @@ object DedupQueries {
     Tables.materializeAndFree(result, docs)
   }
 
+  /** URL-canonicalization dedup — the FIRST dedup pass a crawl pipeline
+    * runs (before any content hashing: the same page fetched under case
+    * variants, default ports, tracking parameters and fragments is one
+    * document). The corpus has no URL column, so URLs are PLANTED
+    * deterministically (the q55 discipline — five variant families per
+    * article key, both engines construct them identically), then genuinely
+    * normalized per the public canonicalization rules: scheme+host
+    * lowercase (path case PRESERVED — URL paths are case-sensitive),
+    * default-port strip, fragment drop, `utm_*` tracking-parameter strip
+    * with remaining parameters sorted (a real `page=2` survives, so
+    * param-filtering is selective, not a blanket query drop). keep =
+    * first doc_id per canonical URL (the q30 exact-dedup shape: the only
+    * shuffle keys on the canonical string, work per group is group-sized). */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val base = Tables(s, d, "documents").select(col("doc_id"))
+      .withColumn("k", pmod(col("doc_id"), lit(40)).cast("long"))
+      // variant = the article's replica index, NOT doc_id % 5 (40 and 5
+      // share the factor 5, which would lock every same-k group to one
+      // variant); floor(doc_id/40) is exact in double far past any SF
+      .withColumn("v", pmod(floor(col("doc_id") / lit(40.0)).cast("long"), lit(5)).cast("long"))
+      .withColumn("url",
+        when(col("v") === 0, concat(lit("https://example.com/articles/"), col("k")))
+          .when(col("v") === 1, concat(lit("HTTPS://EXAMPLE.COM/articles/"), col("k")))
+          .when(col("v") === 2, concat(lit("https://example.com:443/articles/"), col("k")))
+          .when(col("v") === 3, concat(lit("https://example.com/articles/"), col("k"),
+            lit("?page=2&utm_source=feed&utm_campaign=spring")))
+          .otherwise(concat(lit("https://example.com/articles/"), col("k"), lit("#section-2"))))
+    val canon = base
+      .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("scheme", lower(regexp_extract(col("nofrag"), "^([A-Za-z]+)://", 1)))
+      .withColumn("host",
+        regexp_replace(lower(regexp_extract(col("nofrag"), "^[A-Za-z]+://([^/?]+)", 1)), ":443$", ""))
+      .withColumn("pathq", regexp_replace(col("nofrag"), "^[A-Za-z]+://[^/?]+", ""))
+      .withColumn("path", regexp_replace(col("pathq"), "\\?.*$", ""))
+      .withColumn("params", array_sort(filter(
+        split(regexp_extract(col("pathq"), "\\?(.*)$", 1), "&"),
+        p => !p.startsWith("utm_") && length(p) > 0)))
+      .withColumn("canonical", concat(col("scheme"), lit("://"), col("host"), col("path"),
+        when(size(col("params")) > 0, concat(lit("?"), array_join(col("params"), "&")))
+          .otherwise(lit(""))))
+    canon
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("canonical"))))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("url"), col("canonical"), col("keep_id"), col("is_dup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_url_dedup" -> (q126 _),
     "q54b_decontaminate_fuzzy" -> (q54b _),
     "q38c_dedup_keep_best" -> (q38c _),
     "q38_dedup_clusters" -> (q38 _),
@@ -575,6 +622,46 @@ object DedupQueries {
        |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q126_url_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 40 AS k, (doc_id // 40) % 5 AS v FROM documents
+        |),
+        |u AS (
+        |  SELECT doc_id,
+        |    CASE v
+        |      WHEN 0 THEN 'https://example.com/articles/' || k
+        |      WHEN 1 THEN 'HTTPS://EXAMPLE.COM/articles/' || k
+        |      WHEN 2 THEN 'https://example.com:443/articles/' || k
+        |      WHEN 3 THEN 'https://example.com/articles/' || k || '?page=2&utm_source=feed&utm_campaign=spring'
+        |      ELSE 'https://example.com/articles/' || k || '#section-2'
+        |    END AS url
+        |  FROM base
+        |),
+        |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1)), ':443$', '') AS host,
+        |    regexp_replace(nofrag, '^[A-Za-z]+://[^/?]+', '') AS pathq
+        |  FROM nf
+        |),
+        |canon AS (
+        |  SELECT doc_id, url, scheme, host,
+        |    regexp_replace(pathq, '\?.*$', '') AS path,
+        |    list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+        |              p -> NOT regexp_matches(p, '^utm_') AND length(p) > 0)) AS params
+        |  FROM parts
+        |),
+        |c2 AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' || host || path ||
+        |      CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical
+        |  FROM canon
+        |)
+        |SELECT doc_id, url, canonical,
+        |       MIN(doc_id) OVER (PARTITION BY canonical) AS keep_id,
+        |       doc_id <> MIN(doc_id) OVER (PARTITION BY canonical) AS is_dup
+        |FROM c2""".stripMargin,
     "q54b_decontaminate_fuzzy" ->
       s"""WITH $minhashSigCtes,
          |candx AS (

@@ -946,6 +946,31 @@ object TextQueries {
   /** st15's stateless alert map over a doc frame (batch OR streaming) —
     * factored so PlanSpec gates the batch plan of the EXACT transform the
     * stream runs (a pure projection: no aggregate, no exchange). */
+  /** The st19 benchmark shingle set: distinct 3-gram shingles of a
+    * FIXED-SIZE benchmark slice (the 5 longest bench-partition docs, the
+    * q104 pin derivation) — BOUNDED at any corpus size (a benchmark suite
+    * is fixed; the corpus grows), so it ships as a plan literal and the
+    * arriving stream is matched row-locally with no state store and no
+    * stream-side shuffle. Sorted for plan determinism; the
+    * Tables.localize contract (a few hundred strings). */
+  private[graft] def decontamBench(s: SparkSession, d: String): Seq[String] =
+    docs(s, d).filter(col("doc_id") % 97 === 0)
+      .orderBy(col("n_chars").desc, col("doc_id").asc).limit(5)
+      .select(explode(array_distinct(text.shingles(col("toks"), 3))).as("sh"))
+      .distinct().orderBy(col("sh").asc)
+      .collect().map(_.getString(0)).toSeq
+
+  /** st19's matcher (stateless — the termsSetAlerts shape): flag an
+    * arriving doc when it shares ≥3 distinct 3-gram shingles with the
+    * benchmark set. array_intersect dedups, positions never leave the
+    * row; bench docs themselves are excluded from the scored stream. */
+  private[graft] def decontamAlerts(src: DataFrame, sh: Seq[String]): DataFrame =
+    src.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("n_shared",
+        size(array_intersect(text.shingles(col("toks"), 3), array(sh.map(lit): _*))).cast("long"))
+      .filter(col("n_shared") >= 3)
+      .select(col("doc_id"), col("source"), col("n_shared"))
+
   private[graft] def termsSetAlerts(src: DataFrame, terms: Seq[String]): DataFrame =
     src.withColumn("n_matched",
         // array_intersect already dedups — no array_distinct pre-pass
@@ -1175,6 +1200,59 @@ object TextQueries {
       streamToMemory(
         termsSetAlerts(docStream(s, d, "st15"), termsSetQueryTerms(s, d)),
         "st15_mem", "append")),
+
+    // INGEST-TIME decontamination — the streaming×curation cell q54
+    // batch-covers: every arriving doc is checked against the benchmark
+    // suite AT THE DOOR (the shape a production crawl pipeline needs —
+    // contamination is cheapest to stop before it lands). The benchmark
+    // set is FIXED-SIZE by construction ([[decontamBench]]: a benchmark
+    // suite doesn't grow with the corpus), so the match is a row-local
+    // array_intersect against a plan literal — stateless append stream,
+    // no state store, nothing stream-side shuffles at any corpus size.
+    "st19_decontaminate_stream" -> ((s: SparkSession, d: String) =>
+      streamToMemory(
+        decontamAlerts(docStream(s, d, "st19"), decontamBench(s, d)),
+        "st19_mem", "append")),
+
+    // ES `_analyze` API — the index-time analysis chain made inspectable,
+    // three analyzers over the 3 longest docs (the q104/q110 fixed-target
+    // shape: the request is doc-sized, so tokenization work is 3 docs at
+    // any corpus size): `standard` (lowercased tokens with positions +
+    // char offsets into the normalized text — the response's token/
+    // position/start_offset/end_offset payload), `stop` (standard minus
+    // the stopword set, ES's position-preserving increments), and
+    // `edge_ngram` (each token expands to its 1..3-char prefixes at the
+    // SAME position — the autocomplete-index filter q67b queries against).
+    // Offsets derive from a per-doc running sum over the 3-doc frame; the
+    // whole result is request-sized.
+    "q125_analyze" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val targets = Tables(s, d, "documents")
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(3)
+        .select(col("doc_id"))
+      val toks = Tables(s, d, "documents")
+        .join(broadcast(targets), Seq("doc_id"))
+        .withColumn("toks", text.tokens(col("text")))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "token")))
+        .withColumn("pos", col("p").cast("long") + lit(1L))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val std = toks
+        .withColumn("start_offset",
+          (coalesce(sum(length(col("token"))).over(w), lit(0L)) + col("pos") - lit(1L)).cast("long"))
+        .withColumn("end_offset", col("start_offset") + length(col("token")).cast("long"))
+        .select(col("doc_id"), col("pos"), col("token"), col("start_offset"), col("end_offset"))
+      val stop = std.filter(!col("token").isin(stopEn: _*))
+      val edge = std
+        .withColumn("l", explode(sequence(lit(1), least(lit(3), length(col("token"))))))
+        .select(col("doc_id"), col("pos"), col("token").substr(lit(1), col("l")).as("token"),
+          col("start_offset"), (col("start_offset") + col("l")).cast("long").as("end_offset"))
+      std.withColumn("analyzer", lit("standard"))
+        .unionByName(stop.withColumn("analyzer", lit("stop")))
+        .unionByName(edge.withColumn("analyzer", lit("edge_ngram")))
+        .select(col("analyzer"), col("doc_id"), col("pos"), col("token"),
+          col("start_offset"), col("end_offset"))
+    }),
 
     "q42_token_count" -> ((s: SparkSession, d: String) => {
       docs(s, d)
@@ -3886,6 +3964,50 @@ object TextQueries {
          |SELECT ex.doc_id, COUNT(bench.bs) AS n_shared, COUNT(bench.bs) >= 3 AS contaminated
          |FROM ex LEFT JOIN bench ON ex.s = bench.bs
          |GROUP BY ex.doc_id""".stripMargin,
+    "q125_analyze" ->
+      s"""WITH $docsCte,
+         |tgt AS (SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 3),
+         |tk AS (
+         |  SELECT d.doc_id, j AS pos, d.toks[j] AS token
+         |  FROM docs d JOIN tgt USING (doc_id),
+         |       unnest(generate_series(1, len(d.toks))) AS u(j)
+         |),
+         |std AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
+         |         CAST(COALESCE(SUM(length(token)) OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              + pos - 1 AS BIGINT) AS start_offset
+         |  FROM tk
+         |),
+         |stdo AS (SELECT *, CAST(start_offset + length(token) AS BIGINT) AS end_offset FROM std)
+         |SELECT 'standard' AS analyzer, doc_id, pos, token, start_offset, end_offset FROM stdo
+         |UNION ALL
+         |SELECT 'stop', doc_id, pos, token, start_offset, end_offset FROM stdo
+         |WHERE token NOT IN (${stopEn.map(t => s"'$t'").mkString(", ")})
+         |UNION ALL
+         |SELECT 'edge_ngram', doc_id, pos, substr(token, 1, l),
+         |       start_offset, CAST(start_offset + l AS BIGINT)
+         |FROM stdo, unnest(generate_series(1, least(3, length(token)))) AS g(l)""".stripMargin,
+    "st19_decontaminate_stream" ->
+      s"""WITH $docsCte,
+         |bsel AS (
+         |  SELECT doc_id, toks FROM docs WHERE doc_id % 97 = 0
+         |  ORDER BY n_chars DESC, doc_id ASC LIMIT 5
+         |),
+         |bsh AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
+         |  FROM bsel, unnest(generate_series(1, len(toks) - 2)) u(i)
+         |),
+         |dsh AS (
+         |  SELECT doc_id, source,
+         |         unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+         |  FROM docs WHERE doc_id % 97 <> 0
+         |)
+         |SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM dsh JOIN bsh ON dsh.s = bsh.sh
+         |GROUP BY doc_id, source
+         |HAVING COUNT(*) >= 3""".stripMargin,
     "q55_pii_redact" -> {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"

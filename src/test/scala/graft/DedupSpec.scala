@@ -322,6 +322,33 @@ class DedupSpec extends AnyFunSuite {
     assert(buckets(1L) == buckets(3L), "colinear vectors share an RHP bucket")
   }
 
+  test("q126: every URL-canonicalization rule merges its variant, param filtering is selective") {
+    val out = SparkEntry.queries("q126_url_dedup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("url"),
+        r.getAs[String]("canonical"), r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_dup")))
+    assert(out.nonEmpty)
+    // case / default-port / fragment variants all collapse onto the plain
+    // form of the same article; the utm-stripped-but-page-kept variant is
+    // a DIFFERENT canonical (param filtering is selective, not a blanket
+    // query drop)
+    val byCanon = out.groupBy(_._3)
+    val k0plain = "https://example.com/articles/0"
+    val vs = out.filter(t => t._1 % 40 == 0).map(t => ((t._1 / 40) % 5, t._3)).toMap
+    assert(vs(0L) == k0plain && vs(1L) == k0plain && vs(2L) == k0plain && vs(4L) == k0plain,
+      s"case/port/fragment variants did not canonicalize: $vs")
+    assert(vs(3L) == k0plain + "?page=2", s"utm strip kept the wrong params: ${vs(3L)}")
+    // keep-first semantics inside a merged group
+    byCanon(k0plain).sortBy(_._1) match {
+      case g =>
+        val keeper = g.map(_._1).min
+        assert(g.forall(_._4 == keeper))
+        assert(g.count(!_._5) == 1 && !g.find(_._1 == keeper).get._5)
+        assert(g.length >= 2, "no dup group formed — the dedup is vacuous")
+    }
+    // path case is PRESERVED (canonicalizing it would merge distinct resources)
+    assert(out.forall(t => !t._3.contains("EXAMPLE.COM")), "host case survived")
+  }
+
   test("q32/q33 leave no cache blocks pinned after their actions complete") {
     // materializeAndFree unpersists the sketch checkpoint SYNCHRONOUSLY
     // (blocking) once the top-100 result is on the driver, so the assert

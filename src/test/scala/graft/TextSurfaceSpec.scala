@@ -893,6 +893,56 @@ class TextSurfaceSpec extends AnyFunSuite {
     nonInc(byD.map(_.getAs[Double]("exp_lg2")), "exp_lg2")
   }
 
+  test("st19: the benchmark set is bounded and an alert is re-derivable from raw text") {
+    val bench = queries.TextQueries.decontamBench(spark, sf)
+    // the 100 TB contract: a 5-doc benchmark slice's shingle set is a few
+    // hundred strings no matter how large the corpus is
+    assert(bench.nonEmpty && bench.size < 2000, s"bench set ${bench.size} — not plan-literal-sized")
+    val out = SparkEntry.queries("st19_decontaminate_stream")(spark, sf).collect()
+    assert(out.nonEmpty, "no arriving doc ever alerted — the guard is vacuous")
+    assert(out.forall(_.getAs[Long]("n_shared") >= 3L))
+    // recompute one alert's overlap from the raw text
+    val docId = out.head.getAs[Long]("doc_id")
+    val txt = queries.Tables(spark, sf, "documents")
+      .filter(col("doc_id") === docId).select(col("text")).collect().head.getString(0)
+    val toks = txt.trim.toLowerCase.split("\\s+").toSeq
+    val sh = toks.sliding(3).map(_.mkString(" ")).toSet
+    assert(sh.count(bench.contains) == out.head.getAs[Long]("n_shared"))
+  }
+
+  test("q125 analyze: offsets are contiguous, stop filters, edge_ngram expands in place") {
+    val out = SparkEntry.queries("q125_analyze")(spark, sf).collect()
+    val std = out.filter(_.getAs[String]("analyzer") == "standard")
+    val stop = out.filter(_.getAs[String]("analyzer") == "stop")
+    val edge = out.filter(_.getAs[String]("analyzer") == "edge_ngram")
+    assert(std.nonEmpty && stop.nonEmpty && edge.nonEmpty)
+    // offsets span exactly the token, and consecutive tokens are separated
+    // by the single normalized space
+    std.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_.getAs[Long]("pos"))
+      byPos.foreach { r =>
+        assert(r.getAs[Long]("end_offset") - r.getAs[Long]("start_offset") ==
+          r.getAs[String]("token").length)
+      }
+      byPos.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_offset") == a.getAs[Long]("end_offset") + 1)
+        case _ => ()
+      }
+    }
+    // the stop filter genuinely removes stopword positions and keeps the rest
+    assert(stop.length < std.length, "stop analyzer removed nothing")
+    assert(stop.forall(r => !Seq("the", "a", "of", "and", "is", "to")
+      .contains(r.getAs[String]("token"))))
+    // edge_ngram: a length>=3 token yields exactly its 3 prefixes at ONE position
+    val g = edge.groupBy(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+    val full = std.find(_.getAs[String]("token").length >= 3).get
+    val grams = g((full.getAs[Long]("doc_id"), full.getAs[Long]("pos")))
+      .map(_.getAs[String]("token")).sorted
+    val tok = full.getAs[String]("token")
+    assert(grams.sameElements(Seq(tok.substring(0, 1), tok.substring(0, 2), tok.substring(0, 3)).sorted))
+  }
+
   test("q122 script_score: filter context is honored and the +1 contract holds") {
     val out = SparkEntry.queries("q122_script_score")(spark, sf).collect()
     assert(out.length == 20)
