@@ -621,6 +621,45 @@ object EsAggQueries {
     // ES `geo_distance` agg: ring buckets around an origin. Planar distance
     // on the derived coordinates (sqrt is correctly-rounded IEEE in both
     // engines; haversine's sin/cos are not cross-engine reproducible).
+    // ES `geo_bounding_box` QUERY form (the q19 family covers the geo
+    // AGGS; this is the filter-context hits surface Kibana map panes
+    // issue): events whose derived point falls in the box [-85,-82]×
+    // [-180,-172] (inside the region the derivation occupies at EVERY SF
+    // — the user_id range grows with SF, so a fixed equator box would be
+    // vacuously empty at sf0.001), paged top-20 by event_id with
+    // hits.total riding along
+    // (the q115 1-row-broadcast shape). The box predicate is a pure scan
+    // filter — pushdown-eligible, no joins, the page sort limit-pushed.
+    "q128_geo_bounding_box" -> ((s: SparkSession, d: String) => {
+      val hits = ev(s, d)
+        .withColumn("lat", ((col("user_id") * 37) % 17000) / lit(100.0) - 85.0)
+        .withColumn("lon", ((col("user_id") * 91) % 36000) / lit(100.0) - 180.0)
+        .filter(col("lat") >= -85.0 && col("lat") <= -82.0 &&
+          col("lon") >= -180.0 && col("lon") <= -172.0)
+      hits.orderBy(col("event_id").asc).limit(20)
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("total"))))
+        .select(col("event_id"), col("lat"), col("lon"), col("total"))
+    }),
+
+    // ES `geo_distance` QUERY form next to q19c's ring AGG: filter
+    // context — events within distance 3 of (-83, -175) (q128's
+    // occupied-region rationale) under the family's planar-on-degrees
+    // convention (the q19c distance shape),
+    // paged top-20 by event_id + hits.total (the q128 shape).
+    "q129_geo_distance_query" -> ((s: SparkSession, d: String) => {
+      val dist = sqrt(
+        (col("lat") + lit(83.0)) * (col("lat") + lit(83.0)) +
+          (col("lon") + lit(175.0)) * (col("lon") + lit(175.0)))
+      val hits = ev(s, d)
+        .withColumn("lat", ((col("user_id") * 37) % 17000) / lit(100.0) - 85.0)
+        .withColumn("lon", ((col("user_id") * 91) % 36000) / lit(100.0) - 180.0)
+        .withColumn("dist", dist)
+        .filter(col("dist") < 3.0)
+      hits.orderBy(col("event_id").asc).limit(20)
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("total"))))
+        .select(col("event_id"), col("lat"), col("lon"), col("dist"), col("total"))
+    }),
+
     "q19c_geo_distance" -> ((s: SparkSession, d: String) => {
       val dist = sqrt(
         (col("lat") - lit(10.0)) * (col("lat") - lit(10.0)) +
@@ -1636,6 +1675,37 @@ object EsAggQueries {
          |SELECT gh, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM ghfin GROUP BY gh
          |ORDER BY doc_count DESC, gh ASC LIMIT 20""".stripMargin,
+    "q128_geo_bounding_box" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |         ((user_id * 37) % 17000) / 100.0 - 85.0 AS lat,
+        |         ((user_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events
+        |),
+        |h AS (
+        |  SELECT * FROM p
+        |  WHERE lat >= -85.0 AND lat <= -82.0 AND lon >= -180.0 AND lon <= -172.0
+        |),
+        |t AS (SELECT COUNT(*) AS total FROM h)
+        |SELECT event_id, lat, lon, total FROM h, t
+        |ORDER BY event_id ASC LIMIT 20""".stripMargin,
+    "q129_geo_distance_query" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |         ((user_id * 37) % 17000) / 100.0 - 85.0 AS lat,
+        |         ((user_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events
+        |),
+        |h AS (
+        |  SELECT * FROM (
+        |    SELECT event_id, lat, lon,
+        |           sqrt((lat + 83.0) * (lat + 83.0) + (lon + 175.0) * (lon + 175.0)) AS dist
+        |    FROM p
+        |  ) WHERE dist < 3.0
+        |),
+        |t AS (SELECT COUNT(*) AS total FROM h)
+        |SELECT event_id, lat, lon, dist, total FROM h, t
+        |ORDER BY event_id ASC LIMIT 20""".stripMargin,
     "q19c_geo_distance" ->
       s"""WITH e AS (
          |  SELECT value,

@@ -2143,6 +2143,34 @@ object TextQueries {
         .select(col("rank"), col("doc_id"), col("score"), col("prox"), col("final"))
     }),
 
+    // ES `_explain` API: the per-term score BREAKDOWN for a named doc —
+    // exactly the payload the endpoint returns (per query term: tf in the
+    // doc, df, the doc's length norm inputs, idf, and the term's score
+    // contribution), for the 3 longest docs (the q110 fixed-target shape)
+    // against THE q76 5-term query. Everything flows through the ONE
+    // shared BM25 chain (bm25TermScores over the one-scan per-(doc, term)
+    // frame), so the explain rows are by construction the same numbers
+    // q76's ranking summed — idf and score_t emitted UNROUNDED (the q35
+    // convention; both engines run the identical op sequence). The
+    // 3-row target set broadcasts; per-request work is request-sized.
+    "q127_explain" -> ((s: SparkSession, d: String) => {
+      val g = perDocTermTf(s, d)
+      val qsel = qselFromTf(g)
+      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
+      val targets = Tables(s, d, "documents")
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(3)
+        .select(col("doc_id"))
+      bm25TermScores(
+        g.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+          .join(broadcast(targets), Seq("doc_id"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf")),
+        dlB, bm25QIdf(dlB, qsel))
+        .join(broadcast(qsel.select(col("tok"), col("df"))), Seq("tok"))
+        .select(col("doc_id"), col("tok").as("term"), col("tf").cast("long").as("tf"),
+          col("df").cast("long").as("df"), col("dl").cast("long").as("dl"),
+          col("idf"), col("score_t"))
+    }),
+
     // ES `function_score` DECAY functions — all three kernels (gauss /
     // exp / linear) over a numeric field in ONE request (boost_mode
     // `replace` over a match_all: the pure-decay ranking the docs
@@ -4772,6 +4800,19 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS BIGINT) AS rank,
          |       doc_id, score, prox, final
          |FROM fin QUALIFY rank <= 20""".stripMargin,
+    "q127_explain" ->
+      s"""WITH $bm25PerCtes,
+         |tgt AS (SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 3)
+         |SELECT tf.doc_id, tf.tok AS term, CAST(tf.tf AS BIGINT) AS tf,
+         |       CAST(qd.df AS BIGINT) AS df, CAST(dl.dl AS BIGINT) AS dl, q.idf,
+         |       q.idf * ((CAST(tf.tf AS DOUBLE) * 2.2e0) /
+         |         (CAST(tf.tf AS DOUBLE) +
+         |          1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / q.avgdl))) AS score_t
+         |FROM tf
+         |JOIN tgt ON tf.doc_id = tgt.doc_id
+         |JOIN qidf q ON tf.tok = q.tok
+         |JOIN dl ON tf.doc_id = dl.doc_id
+         |JOIN ($bodyQdfSql) qd ON tf.tok = qd.tok""".stripMargin,
     "q124_decay_functions" ->
       s"""WITH f AS (
          |  SELECT doc_id, greatest(0, abs(n_chars - 300) - 20) AS dist FROM documents

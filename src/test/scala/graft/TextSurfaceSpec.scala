@@ -943,6 +943,30 @@ class TextSurfaceSpec extends AnyFunSuite {
     assert(grams.sameElements(Seq(tok.substring(0, 1), tok.substring(0, 2), tok.substring(0, 3)).sorted))
   }
 
+  test("q127 explain: the breakdown reconstructs the q76 ranking's own numbers") {
+    val out = SparkEntry.queries("q127_explain")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == 3, s"expected 3 explained docs, got ${byDoc.keySet}")
+    out.foreach { r =>
+      assert(r.getAs[Long]("tf") >= 1 && r.getAs[Long]("df") >= 1 && r.getAs[Long]("dl") >= 1)
+      assert(r.getAs[Double]("idf") > 0.0 && r.getAs[Double]("score_t") > 0.0)
+    }
+    // the API's core promise: per-term contributions sum to the score the
+    // RANKING assigned (for any explained doc that appears in q76's page)
+    val q76 = SparkEntry.queries("q76_bm25_search")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val checked = byDoc.flatMap { case (id, rows) =>
+      q76.get(id).map { want =>
+        val got = rows.map(_.getAs[Double]("score_t")).sum
+        assert(math.abs(got - want) < 1e-8, s"doc $id: explain sums to $got, ranking says $want")
+        id
+      }
+    }
+    assert(checked.nonEmpty,
+      "no explained doc appears in q76's page — the sum identity was never exercised")
+  }
+
   test("q122 script_score: filter context is honored and the +1 contract holds") {
     val out = SparkEntry.queries("q122_script_score")(spark, sf).collect()
     assert(out.length == 20)
