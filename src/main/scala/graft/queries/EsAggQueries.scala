@@ -1127,6 +1127,55 @@ object EsAggQueries {
     // ES search `collapse`: one best hit per collapse key (top doc by sort),
     // top-10 groups by that hit, with the group size inner_hits would report.
     // argmax via max_by so the per-key reduction collapses map-side.
+    // ES `_msearch` — the multi-search envelope: N independent search
+    // bodies in ONE request, responses tagged by position. Two bodies
+    // exercising different shapes: req 0 = match_all sorted by value
+    // (top-10), req 1 = term query event_type='error' top-10 — each the
+    // standard hits page; the tag is the response-array index. Scale
+    // shape: two limit-pushed top-k scans (Spark executes both bodies of
+    // the one request as independent jobs, exactly how a coordinator
+    // fans the envelope out).
+    "q130_msearch" -> ((s: SparkSession, d: String) => {
+      def page(src: DataFrame, req: Int): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        src.orderBy(col("value").desc, col("event_id").asc).limit(10)
+          .withColumn("req", lit(req.toLong))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(lit(req)).orderBy(col("value").desc, col("event_id").asc)).cast("long"))
+          .select(col("req"), col("rank"), col("event_id"), col("event_type"), col("value"))
+      }
+      val e = ev(s, d)
+      page(e, 0).unionByName(page(e.filter(col("event_type") === "error"), 1))
+    }),
+
+    // ES `collapse` + `inner_hits` — q16b returns only each group's ONE
+    // representative; the inner_hits form returns, per collapsed group on
+    // the page, the group's own top-k member page (the hits.inner_hits
+    // payload). Page = top-10 groups by (best value, user_id); inner
+    // hits = top-3 events per selected group by (value desc, event_id).
+    // Scale shape: group selection is one map-side-combined agg + global
+    // top-10; the inner pass joins the BROADCAST 10-key page back to the
+    // scan, so per-group work is page-sized (WindowGroupLimit bounds the
+    // per-key sort).
+    "q131_collapse_inner_hits" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("value"), (-col("event_id")).as("neg"))).as("sel"),
+          count(lit(1)).as("group_size"))
+        .select(col("user_id"), col("sel.value").as("top_value"), col("group_size"))
+        .orderBy(col("top_value").desc, col("user_id").asc).limit(10)
+        .withColumn("group_rank", row_number().over(
+          Window.orderBy(col("top_value").desc, col("user_id").asc)).cast("long"))
+      ev(s, d)
+        .join(broadcast(top), Seq("user_id"))
+        .withColumn("inner_rank", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)).cast("long"))
+        .filter(col("inner_rank") <= 3)
+        .select(col("group_rank"), col("user_id"), col("group_size"),
+          col("inner_rank"), col("event_id"), col("value"))
+    }),
+
     "q16b_field_collapse" -> ((s: SparkSession, d: String) =>
       ev(s, d)
         .groupBy(col("user_id"))
@@ -1675,6 +1724,36 @@ object EsAggQueries {
          |SELECT gh, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM ghfin GROUP BY gh
          |ORDER BY doc_count DESC, gh ASC LIMIT 20""".stripMargin,
+    "q130_msearch" ->
+      """WITH r0 AS (
+        |  SELECT 0 AS req, CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank,
+        |         event_id, event_type, value
+        |  FROM events QUALIFY rank <= 10
+        |),
+        |r1 AS (
+        |  SELECT 1 AS req, CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank,
+        |         event_id, event_type, value
+        |  FROM events WHERE event_type = 'error' QUALIFY rank <= 10
+        |)
+        |SELECT CAST(req AS BIGINT) AS req, rank, event_id, event_type, value FROM r0
+        |UNION ALL
+        |SELECT CAST(req AS BIGINT) AS req, rank, event_id, event_type, value FROM r1""".stripMargin,
+    "q131_collapse_inner_hits" ->
+      """WITH g AS (
+        |  SELECT user_id, max(struct_pack(value := value, neg := -event_id)) AS sel,
+        |         COUNT(*) AS group_size
+        |  FROM events GROUP BY user_id
+        |),
+        |top AS (
+        |  SELECT user_id, sel.value AS top_value, group_size,
+        |         CAST(row_number() OVER (ORDER BY sel.value DESC, user_id ASC) AS BIGINT) AS group_rank
+        |  FROM g QUALIFY group_rank <= 10
+        |)
+        |SELECT t.group_rank, e.user_id, t.group_size,
+        |       CAST(row_number() OVER (PARTITION BY e.user_id ORDER BY e.value DESC, e.event_id ASC) AS BIGINT) AS inner_rank,
+        |       e.event_id, e.value
+        |FROM events e JOIN top t ON e.user_id = t.user_id
+        |QUALIFY inner_rank <= 3""".stripMargin,
     "q128_geo_bounding_box" ->
       """WITH p AS (
         |  SELECT event_id,

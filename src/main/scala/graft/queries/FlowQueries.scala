@@ -305,6 +305,19 @@ object FlowQueries {
     // ES `moving_percentiles` pipeline agg: exact percentile over a 7-bucket
     // sliding frame. The window runs AFTER aggregation over the bounded
     // bucket series (≤(end-start)/interval rows), like q08/q09.
+    // ES `moving_fn` with the built-in MovingFunctions.max/min scripts
+    // (window 7, the q09c frame) over the proportional-sum buckets — the
+    // scripted sibling of moving_percentiles; max/min move no floating
+    // point, so the outputs are the bucket values themselves (hash-exact
+    // with no rounding discipline needed).
+    "q09d_moving_fn" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("bucket_ms")).rowsBetween(-6, 0)
+      q(basicCfg)(spark, dir)
+        .withColumn("mov_max", max(col("value")).over(w))
+        .withColumn("mov_min", min(col("value")).over(w))
+        .select(col("bucket_ms"), col("value"), col("mov_max"), col("mov_min"))
+    }),
     "q09c_moving_percentiles" -> ((spark: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy(col("bucket_ms")).rowsBetween(-6, 0)
@@ -492,6 +505,15 @@ object FlowQueries {
          |SELECT bucket_ms, value,
          |       round(quantile_cont(value, 0.5) OVER ($frame), 6) AS moving_p50,
          |       round(quantile_cont(value, 0.9) OVER ($frame), 6) AS moving_p90
+         |FROM agg""".stripMargin
+    },
+    "q09d_moving_fn" -> {
+      val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
+      val frame = "ORDER BY bucket_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW"
+      s"""$core
+         |SELECT bucket_ms, value,
+         |       max(value) OVER ($frame) AS mov_max,
+         |       min(value) OVER ($frame) AS mov_min
          |FROM agg""".stripMargin
     },
     "q02_prop_sum_offset" -> oracle(offsetCfg),
