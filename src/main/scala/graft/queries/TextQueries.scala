@@ -1254,6 +1254,32 @@ object TextQueries {
           col("start_offset"), col("end_offset"))
     }),
 
+    // Deterministic hash-based train/val/test SPLIT — the pipeline staple
+    // every LLM data build ends with: assignment must be a pure function
+    // of the doc identity (stable under re-runs, shard layout and corpus
+    // growth — a random() split would re-deal on every change), here the
+    // q70 md5-prefix bucket convention (256 buckets) cut ~98/1/1 at the
+    // hex thresholds 'fa'/'fd'. Emits the per-(source, split) audit table
+    // (doc/token counts + within-source fraction) a split ships with.
+    // Scale shape: one scan, one map-side-combined agg; the per-source
+    // totals table is source-count-sized and broadcasts into the rejoin.
+    "q132_data_split" -> ((s: SparkSession, d: String) => {
+      import graft.functions.detsum
+      val assigned = docs(s, d)
+        .withColumn("b",
+          substring(md5(concat(col("doc_id").cast("string"), lit("#split")).cast("binary")), 1, 2))
+        .withColumn("split",
+          when(col("b") < "fa", "train").when(col("b") < "fd", "val").otherwise("test"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+      val tot = assigned.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      assigned
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+          detsum.roundDet(col("n_docs").cast("double") / col("n_src").cast("double"), 6).as("frac"))
+    }),
+
     "q42_token_count" -> ((s: SparkSession, d: String) => {
       docs(s, d)
         .withColumn("n_ws", size(split(trim(col("text")), "\\s+")))
@@ -3992,6 +4018,26 @@ object TextQueries {
          |SELECT ex.doc_id, COUNT(bench.bs) AS n_shared, COUNT(bench.bs) >= 3 AS contaminated
          |FROM ex LEFT JOIN bench ON ex.s = bench.bs
          |GROUP BY ex.doc_id""".stripMargin,
+    "q132_data_split" ->
+      s"""WITH $docsCte,
+         |a AS (
+         |  SELECT source, CAST(len(toks) AS BIGINT) AS n_tok,
+         |         substr(md5(doc_id || '#split'), 1, 2) AS b
+         |  FROM docs
+         |),
+         |sp AS (
+         |  SELECT source, n_tok,
+         |         CASE WHEN b < 'fa' THEN 'train' WHEN b < 'fd' THEN 'val' ELSE 'test' END AS split
+         |  FROM a
+         |),
+         |g AS (
+         |  SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM sp GROUP BY 1, 2
+         |),
+         |t AS (SELECT source, COUNT(*) AS n_src FROM sp GROUP BY source)
+         |SELECT g.source, g.split, g.n_docs, g.n_tokens,
+         |       ${graft.functions.detsum.roundDetSql("CAST(g.n_docs AS DOUBLE) / CAST(t.n_src AS DOUBLE)", 6)} AS frac
+         |FROM g JOIN t ON g.source = t.source""".stripMargin,
     "q125_analyze" ->
       s"""WITH $docsCte,
          |tgt AS (SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 3),

@@ -943,6 +943,24 @@ class TextSurfaceSpec extends AnyFunSuite {
     assert(grams.sameElements(Seq(tok.substring(0, 1), tok.substring(0, 2), tok.substring(0, 3)).sorted))
   }
 
+  test("q132 split: deterministic, complete, all three splits occupied, ~98/1/1") {
+    val run1 = SparkEntry.queries("q132_data_split")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val run2 = SparkEntry.queries("q132_data_split")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(run1 == run2, "split assignment is not deterministic across runs")
+    val bySplit = run1.groupBy(_._1._2).view.mapValues(_.values.map(_._1).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"missing splits: ${bySplit.keySet}")
+    val total = bySplit.values.sum
+    assert(total == queries.Tables(spark, sf, "documents").count(),
+      "assignment is not complete — some doc landed in no split")
+    assert(bySplit("train") > 90L * total / 100L, "train share below the contract")
+    assert(bySplit("val") > 0 && bySplit("test") > 0)
+  }
+
   test("q127 explain: the breakdown reconstructs the q76 ranking's own numbers") {
     val out = SparkEntry.queries("q127_explain")(spark, sf).collect()
     assert(out.nonEmpty)
