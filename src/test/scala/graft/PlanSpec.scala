@@ -551,6 +551,40 @@ class PlanSpec extends AnyFunSuite {
       "the scoring map must stay a stateless projection")
   }
 
+  test("q123/q127: the new BM25 consumers read the ONE materialized corpus scan") {
+    // q123 (dis_max) and q127 (_explain) join the shared checkpointed
+    // perDocTermTf artifact — adding a consumer must never re-scan the
+    // corpus parquet or materialize a second frame (the q86 gate's
+    // contract extended to the round-14 additions)
+    for (q <- Seq("q123_dis_max", "q127_explain")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"), s"$q: the shared materialized scan artifact is missing")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q: clause/statistics tables must broadcast")
+      // q127's 3-row target derivation may scan documents — but ONLY the
+      // (doc_id, n_chars) columns (the q110 contract); tokenization-bearing
+      // text must never be re-read outside the shared artifact
+      val textScans = """ReadSchema: [^\n]*text""".r.findAllIn(p).size
+      assert(textScans == 0, s"$q: a pass re-read documents.text outside the shared frame")
+    }
+  }
+
+  test("q121: C4 lines are built and judged inside the row (zero Generate)") {
+    val p = plan("q121_c4_filters")
+    assert(!p.contains("Generate"), "a line explode appeared — per-doc structure left the row")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the only exchange is the scan-spreading repartition
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unexpected extra exchange ($exchanges) in a row-local filter")
+  }
+
+  test("q126: URL dedup shuffles only on the canonical string") {
+    val p = plan("q126_url_dedup")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unexpected extra exchange ($exchanges): the window must key on canonical only")
+  }
+
   test("q30c: span dedup shuffles only hashes (exchanges: spread + one hash aggregation)") {
     val p = plan("q30c_dedup_span")
     // scan-spreading repartition, the span_hash partial/final aggregation,
