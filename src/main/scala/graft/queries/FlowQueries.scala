@@ -96,6 +96,72 @@ object FlowQueries {
     }
   }
 
+  /** q09e's scalar chain: (column, SQL expression) steps over the lag
+    * columns `l0..l6` (l0 = current bucket, l6 = oldest) and the frame
+    * count `n`, evaluated IN ORDER — the Spark side folds them through
+    * `withColumn(expr(...))`, the DuckDB oracle through nested SELECT
+    * wrappers, so both engines execute the textually identical scalar DAG.
+    *
+    * Semantics follow ES's MovingFunctions (reference framework surface;
+    * the drift plugin ships inside that agg framework — DriftPlugin.java:29):
+    *   - unweightedAvg/sum: left fold `acc + v` oldest→newest (ES seeds
+    *     0.0; 0.0 + v₁ == v₁ in IEEE, so the null-seeded chain is
+    *     identical).
+    *   - stdDev(values, avg): sqrt(Σ (v − avg)² / n) with avg the DOUBLE
+    *     unweightedAvg — ES divides by the given avg's count, population
+    *     form, squared deviations accumulated oldest→newest.
+    *   - linearWeightedAvg: weights 1..n oldest→newest. DIVERGENCE: ES
+    *     seeds its denominator at 1 (totalWeight = 1 before the loop), we
+    *     use the textbook n(n+1)/2 — documented here like q07b's NaN
+    *     divergence. The numerator is exact BIGINT (6-dp-scaled values,
+    *     |term| ≤ 7·7·10⁶·|v|, ~10¹² at sf0.1 — 10⁶ headroom to BIGINT).
+    *   - ewma: e ← (v · α) + (e · (1−α)), α = 0.5 (dyadic: both products
+    *     exact, one rounded add per step).
+    *   - holt: s ← (v · α) + ((s + b) · (1−α));
+    *     b ← ((s_new − s) · β) + (b · (1−β)); seeds s₁ = v₁, b₁ = 0;
+    *     α = 0.5, β = 0.25; the result is s (ES returns the 1-step
+    *     forecast s + 0·b).
+    * A NULL lag (series head) carries the state unchanged — ES's NaN-skip. */
+  private val movFnSteps: Seq[(String, String)] = {
+    // running sum (unweightedAvg numerator / MovingFunctions.sum)
+    val u = (6 to 0 by -1).map { j =>
+      s"u$j" -> (if (j == 6) "l6"
+                 else s"CASE WHEN l$j IS NULL THEN u${j + 1} WHEN u${j + 1} IS NULL THEN l$j ELSE u${j + 1} + l$j END")
+    }
+    val avg = Seq(
+      "mov_sum" -> "u0",
+      "mov_avg" -> "u0 / CAST(n AS DOUBLE)")
+    // squared deviations from the double avg, oldest→newest
+    val d = (6 to 0 by -1).map { j =>
+      val sq = s"((l$j - mov_avg) * (l$j - mov_avg))"
+      s"d$j" -> (if (j == 6) s"CASE WHEN l6 IS NULL THEN NULL ELSE $sq END"
+                 else s"CASE WHEN l$j IS NULL THEN d${j + 1} WHEN d${j + 1} IS NULL THEN $sq ELSE d${j + 1} + $sq END")
+    }
+    val std = Seq("mov_stddev" -> "sqrt(d0 / CAST(n AS DOUBLE))")
+    // linear weighted avg: exact integer numerator, weight (n − j) so the
+    // newest value (l0) carries n and the oldest present value carries 1
+    val lwNum = (0 to 6)
+      .map(j => s"(CASE WHEN l$j IS NULL THEN 0 ELSE (n - $j) * CAST(round(l$j * 1.0e6) AS BIGINT) END)")
+      .mkString(" + ")
+    val lw = Seq("mov_lwavg" -> s"CAST(2 * ($lwNum) AS DOUBLE) / (CAST(n * (n + 1) AS DOUBLE) * 1.0e6)")
+    val e = (6 to 0 by -1).map { j =>
+      s"e$j" -> (if (j == 6) "l6"
+                 else s"CASE WHEN l$j IS NULL THEN e${j + 1} WHEN e${j + 1} IS NULL THEN l$j ELSE (l$j * 0.5e0) + (e${j + 1} * 0.5e0) END")
+    }
+    val sb = (6 to 0 by -1).flatMap { j =>
+      if (j == 6)
+        Seq(
+          "s6" -> "l6",
+          "b6" -> "CASE WHEN l6 IS NULL THEN NULL ELSE 0.0e0 END")
+      else
+        Seq(
+          s"s$j" -> s"CASE WHEN l$j IS NULL THEN s${j + 1} WHEN s${j + 1} IS NULL THEN l$j ELSE (l$j * 0.5e0) + ((s${j + 1} + b${j + 1}) * 0.5e0) END",
+          s"b$j" -> s"CASE WHEN l$j IS NULL THEN b${j + 1} WHEN s${j + 1} IS NULL THEN 0.0e0 ELSE ((s$j - s${j + 1}) * 0.25e0) + (b${j + 1} * 0.75e0) END")
+    }
+    val smooth = Seq("mov_ewma" -> "e0", "mov_holt" -> "s0")
+    u ++ avg ++ d ++ std ++ lw ++ e ++ sb ++ smooth
+  }
+
   private val basicCfg = Config(HOUR_MS, Some(S), Some(E))
   private val offsetCfg = Config(HOUR_MS, Some(S), Some(E), offsetMs = 900000L) // :15 grid
   private val denseBounds = (JAN_START_MS, JAN_START_MS + DAY_MS - 1)
@@ -318,6 +384,32 @@ object FlowQueries {
         .withColumn("mov_min", min(col("value")).over(w))
         .select(col("bucket_ms"), col("value"), col("mov_max"), col("mov_min"))
     }),
+    // ES `moving_fn` — the REMAINING built-in MovingFunctions scripts
+    // (q09d covers max/min): unweightedAvg, sum, stdDev, linearWeightedAvg,
+    // ewma (α=0.5) and holt (α=0.5, β=0.25) over the same 7-bucket frame.
+    // Every column is an unrolled scalar chain over the frame's lag columns
+    // generated from ONE list of SQL strings ([[movFnSteps]]) rendered into
+    // BOTH engines, so each IEEE double op runs in the identical order and
+    // the unrounded outputs are bit-exact cross-engine (no decimal detour,
+    // no rounding step). Accumulation order is oldest→newest, exactly the
+    // iteration order of ES's MovingFunctions loops; the dyadic α/β make
+    // the ewma/holt products exact halvings/quarterings (one rounded add
+    // per step). Window shape: the frame's ≤7 lags live in the row, so the
+    // whole computation is a projection over the q09 bucket series — the
+    // coordinator-sized frame every moving_fn shares, nothing scales with
+    // corpus size.
+    "q09e_moving_fn_builtins" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.orderBy(col("bucket_ms"))
+      var df = q(basicCfg)(spark, dir)
+        .withColumn("n", count(lit(1)).over(wOrd.rowsBetween(-6, 0)))
+        .withColumn("l0", col("value"))
+      for (j <- 1 to 6) df = df.withColumn(s"l$j", lag(col("value"), j).over(wOrd))
+      for ((name, sql) <- movFnSteps) df = df.withColumn(name, expr(sql))
+      df.select(
+        col("bucket_ms"), col("value"), col("mov_avg"), col("mov_sum"),
+        col("mov_stddev"), col("mov_lwavg"), col("mov_ewma"), col("mov_holt"))
+    }),
     "q09c_moving_percentiles" -> ((spark: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy(col("bucket_ms")).rowsBetween(-6, 0)
@@ -349,6 +441,32 @@ object FlowQueries {
           count(lit(1)).as("n_slots"),
           sum(col("doc_count")).as("slot_doc_count"),
           graft.functions.detsum.sumDet(col("value")).as("value"))
+    }),
+    // ES 8.x TSDB `time_series` + downsample shape: each series (dimension
+    // key = event_type) keeps its own proportional series at the fine
+    // resolution, then consolidates per (series, coarse 6h slot) into the
+    // downsample document: min/max/sum (gauge metrics), the slot's LAST
+    // value (the counter representative — arg_max by bucket time) and the
+    // per-second rate (q01r's normalization at the slot width). Nesting is
+    // q51's argument: hour-bucket overlaps sum to the slot overlap, so the
+    // downsample is exact, not an approximation of re-aggregating raw flows.
+    // Scale shape: one groupBy on (series, slot) over the already
+    // bucket-sized series — the shuffle is series-keyed and bounded by
+    // (n_series × n_slots), never by corpus size.
+    "q51b_time_series_downsample" -> ((spark: SparkSession, dir: String) => {
+      val slotMs = 6 * HOUR_MS
+      q(basicCfg, groupCols = Seq(col("event_type")))(spark, dir)
+        .groupBy(
+          col("event_type"),
+          (floor(col("bucket_ms") / lit(slotMs)) * lit(slotMs)).as("slot_ms"))
+        .agg(
+          count(lit(1)).as("n_hours"),
+          sum(col("doc_count")).as("slot_doc_count"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"),
+          graft.functions.detsum.sumDet(col("value")).as("v_sum"),
+          expr("max_by(value, bucket_ms)").as("v_last"))
+        .withColumn("rate_per_sec", col("v_sum") / lit(slotMs / 1000.0))
     }),
     "q18_topk_talkers" -> ((spark: SparkSession, dir: String) => {
       val exploded = ProportionalSum.explodeContrib(
@@ -515,6 +633,36 @@ object FlowQueries {
          |       max(value) OVER ($frame) AS mov_max,
          |       min(value) OVER ($frame) AS mov_min
          |FROM agg""".stripMargin
+    },
+    "q09e_moving_fn_builtins" -> {
+      val core = oracle(basicCfg).stripSuffix(" SELECT * FROM agg")
+      val lags = (1 to 6)
+        .map(j => s"lag(value, $j) OVER (ORDER BY bucket_ms) AS l$j")
+        .mkString(", ")
+      val base =
+        "SELECT bucket_ms, value, value AS l0, " + lags +
+          ", COUNT(*) OVER (ORDER BY bucket_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n FROM agg"
+      val chained = movFnSteps.foldLeft(base) { case (inner, (name, sqlExpr)) =>
+        s"SELECT *, $sqlExpr AS $name FROM ($inner)"
+      }
+      s"""$core
+         |SELECT bucket_ms, value, mov_avg, mov_sum, mov_stddev, mov_lwavg, mov_ewma, mov_holt
+         |FROM ($chained)""".stripMargin
+    },
+    "q51b_time_series_downsample" -> {
+      val core = oracle(basicCfg, groupCols = Seq("event_type")).stripSuffix(" SELECT * FROM agg")
+      val slotMs = 6 * HOUR_MS
+      s"""$core
+         |SELECT *, v_sum / ${slotMs / 1000.0} AS rate_per_sec FROM (
+         |  SELECT event_type,
+         |         CAST(floor(bucket_ms / $slotMs) AS BIGINT) * $slotMs AS slot_ms,
+         |         COUNT(*) AS n_hours,
+         |         CAST(SUM(doc_count) AS BIGINT) AS slot_doc_count,
+         |         MIN(value) AS v_min, MAX(value) AS v_max,
+         |         ${graft.functions.detsum.sumDetSql("value")} AS v_sum,
+         |         arg_max(value, bucket_ms) AS v_last
+         |  FROM agg GROUP BY event_type, slot_ms
+         |)""".stripMargin
     },
     "q02_prop_sum_offset" -> oracle(offsetCfg),
     "q03_prop_sum_sampling" -> oracle(basicCfg, samplingSql = Some(samplingSql)),

@@ -50,4 +50,55 @@ class SearchSurfaceSpec extends AnyFunSuite {
     // non-vacuous: somewhere the trailing max is NOT the row's own value
     assert(out.exists(r => r.getAs[Double]("mov_max") != r.getAs[Double]("value")))
   }
+
+  test("q09e moving_fn built-ins: bit-exact vs a plain-Scala replay of the ES recurrences") {
+    val out = SparkEntry.queries("q09e_moving_fn_builtins")(spark, sf)
+      .orderBy("bucket_ms").collect()
+    assert(out.length > 7) // full frames exist
+    val vs = out.map(_.getAs[Double]("value"))
+    for (i <- out.indices) {
+      val frame = vs.slice(math.max(0, i - 6), i + 1) // oldest→newest
+      val n = frame.length
+      val sum = frame.foldLeft(0.0)(_ + _)
+      val avg = sum / n.toDouble
+      val sq = frame.foldLeft(0.0)((a, v) => a + (v - avg) * (v - avg))
+      val std = math.sqrt(sq / n.toDouble)
+      val num = frame.zipWithIndex.map { case (v, k) => (k + 1) * math.round(v * 1.0e6) }.sum
+      val lw = (2 * num).toDouble / ((n * (n + 1)).toDouble * 1.0e6)
+      val ewma = frame.tail.foldLeft(frame.head)((e, v) => (v * 0.5) + (e * 0.5))
+      var (s, b) = (frame.head, 0.0)
+      for (v <- frame.tail) {
+        val sNew = (v * 0.5) + ((s + b) * 0.5)
+        b = ((sNew - s) * 0.25) + (b * 0.75)
+        s = sNew
+      }
+      val r = out(i)
+      assert(r.getAs[Double]("mov_sum") == sum, s"mov_sum row $i")
+      assert(r.getAs[Double]("mov_avg") == avg, s"mov_avg row $i")
+      assert(r.getAs[Double]("mov_stddev") == std, s"mov_stddev row $i")
+      assert(r.getAs[Double]("mov_lwavg") == lw, s"mov_lwavg row $i")
+      assert(r.getAs[Double]("mov_ewma") == ewma, s"mov_ewma row $i")
+      assert(r.getAs[Double]("mov_holt") == s, s"mov_holt row $i")
+    }
+    // non-vacuous: the smoothers genuinely smooth (differ from the raw value)
+    assert(out.exists(r => r.getAs[Double]("mov_ewma") != r.getAs[Double]("value")))
+    assert(out.exists(r => r.getAs[Double]("mov_holt") != r.getAs[Double]("mov_ewma")))
+  }
+
+  test("q51b time_series downsample: slots bracket their hourly members and rate is the slot normalization") {
+    val out = SparkEntry.queries("q51b_time_series_downsample")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val slotMs = 6L * 3600000L
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_hours")
+      assert(n >= 1 && n <= 6, "a 6h slot holds at most 6 hourly buckets")
+      assert(r.getAs[Long]("slot_ms") % slotMs == 0)
+      assert(r.getAs[Double]("v_min") <= r.getAs[Double]("v_last"))
+      assert(r.getAs[Double]("v_last") <= r.getAs[Double]("v_max"))
+      assert(r.getAs[Double]("rate_per_sec") == r.getAs[Double]("v_sum") / 21600.0)
+    }
+    // multiple series and multi-hour slots both occur
+    assert(out.map(_.getAs[String]("event_type")).distinct.length > 1)
+    assert(out.exists(_.getAs[Long]("n_hours") == 6))
+  }
 }
