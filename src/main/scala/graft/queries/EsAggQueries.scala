@@ -25,6 +25,33 @@ object EsAggQueries {
   private def hourBucket(c: org.apache.spark.sql.Column) =
     (floor(c / lit(HOUR_MS)) * lit(HOUR_MS)).as("bucket_ms")
 
+  /** q133's polygon, integer centi-degrees as (lon100, lat100) — a
+    * rectangle over the region the user_id point derivation occupies at
+    * every SF, with a V-notch cut from the top edge down to lat −84.00°
+    * between lon −175.20° and −172.80° (non-convex, so the even-odd ray
+    * cast is exercised, not just a bounding test). */
+  private val geoPolyVertices: Seq[(Long, Long)] = Seq(
+    (-17800L, -8450L), (-17000L, -8450L), (-17000L, -8150L),
+    (-17280L, -8150L), (-17400L, -8400L), (-17520L, -8150L), (-17800L, -8150L))
+
+  /** Even-odd ray cast over [[geoPolyVertices]] as ONE shared SQL string
+    * (columns `plat`, `plon` integer centi-degrees): per edge, the
+    * horizontal-ray crossing test in division-free cross-product form —
+    * `(px−x1)·(y2−y1) < (x2−x1)·(py−y1)` with the inequality flipped when
+    * the edge runs downward, all BIGINT, exact in both engines. Horizontal
+    * edges fail the straddle test and contribute 0. The point is inside
+    * iff the crossing count is odd. */
+  private val geoPolyCrossSql: String = {
+    val n = geoPolyVertices.length
+    (0 until n).map { i =>
+      val (x1, y1) = geoPolyVertices(i)
+      val (x2, y2) = geoPolyVertices((i + 1) % n)
+      val lhs = s"(plon - ($x1)) * (${y2 - y1})"
+      val rhs = s"(${x2 - x1}) * (plat - ($y1))"
+      s"(CASE WHEN (($y1 > plat) <> ($y2 > plat)) AND (CASE WHEN $y2 > $y1 THEN $lhs < $rhs ELSE $lhs > $rhs END) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   // ---- q61 matrix_stats / q62 t_test: shared derived-stat text -----------
   // These SQL fragments are parsed by BOTH Spark (selectExpr) and DuckDB
   // (oracle), so the derived IEEE double arithmetic is identical by
@@ -660,6 +687,30 @@ object EsAggQueries {
         .select(col("event_id"), col("lat"), col("lon"), col("dist"), col("total"))
     }),
 
+    // ES `geo_shape` QUERY (polygon containment) — the bread-and-butter
+    // shape form next to q128's box and q129's ring: events whose derived
+    // point falls inside a fixed NON-CONVEX polygon (a notched rectangle —
+    // the notch makes even-odd parity matter; a convex hull test would
+    // pass vacuously). Coordinates stay INTEGER centi-degrees (the q19e
+    // convention) and the ray cast is division-free — each edge's
+    // crossing test is the cross-product form over BIGINTs (|x|,|y| ≤
+    // 36000 ⇒ products ≤ ~1.3e9, exact) — so both engines compare the
+    // identical integers; no float enters the predicate. The crossing-sum
+    // expression is ONE shared SQL string ([[geoPolyCrossSql]]) rendered
+    // into both engines. Plan shape: a pure scan filter (pushdown-
+    // eligible projection + filter, no joins), paged top-20 by event_id
+    // with hits.total riding along (the q128 page shape). The polygon
+    // sits in the region the derivation occupies at EVERY SF (probed:
+    // 5 hit users, ~330 hit events, misses everywhere, at all three SFs).
+    "q133_geo_shape_polygon" -> ((s: SparkSession, d: String) => {
+      val hits = ev(s, d)
+        .withColumn("plat", (col("user_id") * 37) % 17000 - 8500)
+        .withColumn("plon", (col("user_id") * 91) % 36000 - 18000)
+        .filter(expr(s"(($geoPolyCrossSql) % 2) = 1"))
+      hits.orderBy(col("event_id").asc).limit(20)
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("total"))))
+        .select(col("event_id"), col("plat"), col("plon"), col("total"))
+    }),
     "q19c_geo_distance" -> ((s: SparkSession, d: String) => {
       val dist = sqrt(
         (col("lat") - lit(10.0)) * (col("lat") - lit(10.0)) +
@@ -757,6 +808,55 @@ object EsAggQueries {
         .withColumn("support_ratio", round(col("support").cast("double") / col("n_baskets"), 6))
         .drop("n_baskets")
         .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(25)
+    }),
+
+    // ES `frequent_item_sets` at size k=3 — the level-wise Apriori step
+    // above q64's pairs: candidate triples are generated INSIDE each
+    // basket (the i<j<k triangle of the basket's items, never
+    // cross-basket, so the shuffles stay basket-keyed and the per-basket
+    // work is C(items,3) ≤ C(7,3) on this schema), and pruned by the
+    // Apriori property BEFORE counting: all three 2-subsets must be
+    // frequent, with the size-2 survivor table — at most C(50,2) rows —
+    // BROADCAST as left-semi filters below the count. The prune is
+    // correctness-neutral (any triple with support ≥ T has every pair at
+    // ≥ T), so the oracle's identical EXISTS prune is a symmetry, not a
+    // semantic; what the prune buys at scale is the classic Apriori
+    // k-level cost model: candidates that cannot reach the threshold
+    // never enter the (item_a,item_b,item_c) aggregation shuffle.
+    // Threshold 5 at both levels is non-vacuous at every SF (probed:
+    // 13 qualifying triples at sf0.001, max support 6).
+    "q64b_frequent_item_sets_k3" -> ((s: SparkSession, d: String) => {
+      val items = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
+        .distinct()
+      val a = items.select(col("basket"), col("item").as("item_a"))
+      val b = items.select(col("basket"), col("item").as("item_b"))
+      val c = items.select(col("basket"), col("item").as("item_c"))
+      val p2 = a.join(b, Seq("basket"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("s2"))
+        .filter(col("s2") >= 5)
+        .select(col("item_a"), col("item_b"))
+      val ab = a.join(b, Seq("basket")).filter(col("item_a") < col("item_b"))
+        .join(broadcast(p2), Seq("item_a", "item_b"), "left_semi")
+      val abc = ab.join(c, Seq("basket")).filter(col("item_b") < col("item_c"))
+        .join(
+          broadcast(p2.select(col("item_a").as("item_b"), col("item_b").as("item_c"))),
+          Seq("item_b", "item_c"), "left_semi")
+        .join(
+          broadcast(p2.select(col("item_a"), col("item_b").as("item_c"))),
+          Seq("item_a", "item_c"), "left_semi")
+      val nb = Tables(s, d, "lineitem")
+        .agg(countDistinct(col("l_orderkey")).cast("double").as("n_baskets"))
+      abc.groupBy(col("item_a"), col("item_b"), col("item_c"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 5)
+        .crossJoin(broadcast(nb))
+        .withColumn("support_ratio", round(col("support").cast("double") / col("n_baskets"), 6))
+        .drop("n_baskets")
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc, col("item_c").asc)
         .limit(25)
     }),
 
@@ -1785,6 +1885,39 @@ object EsAggQueries {
         |t AS (SELECT COUNT(*) AS total FROM h)
         |SELECT event_id, lat, lon, dist, total FROM h, t
         |ORDER BY event_id ASC LIMIT 20""".stripMargin,
+    "q133_geo_shape_polygon" ->
+      s"""WITH p AS (
+         |  SELECT event_id,
+         |         (user_id * 37) % 17000 - 8500 AS plat,
+         |         (user_id * 91) % 36000 - 18000 AS plon
+         |  FROM events
+         |),
+         |h AS (SELECT * FROM p WHERE (($geoPolyCrossSql) % 2) = 1),
+         |t AS (SELECT COUNT(*) AS total FROM h)
+         |SELECT event_id, plat, plon, total FROM h, t
+         |ORDER BY event_id ASC LIMIT 20""".stripMargin,
+    "q64b_frequent_item_sets_k3" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey % 50 AS item FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets FROM lineitem),
+        |p2 AS (
+        |  SELECT a.item AS ia, b.item AS ib
+        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |),
+        |t AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c, COUNT(*) AS support
+        |  FROM items a
+        |  JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |  JOIN items c ON b.basket = c.basket AND b.item < c.item
+        |  WHERE EXISTS (SELECT 1 FROM p2 WHERE ia = a.item AND ib = b.item)
+        |    AND EXISTS (SELECT 1 FROM p2 WHERE ia = b.item AND ib = c.item)
+        |    AND EXISTS (SELECT 1 FROM p2 WHERE ia = a.item AND ib = c.item)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT item_a, item_b, item_c, support,
+        |       round(CAST(support AS DOUBLE) / n_baskets, 6) AS support_ratio
+        |FROM t, nb WHERE support >= 5
+        |ORDER BY support DESC, item_a ASC, item_b ASC, item_c ASC LIMIT 25""".stripMargin,
     "q19c_geo_distance" ->
       s"""WITH e AS (
          |  SELECT value,

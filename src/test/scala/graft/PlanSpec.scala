@@ -235,6 +235,26 @@ class PlanSpec extends AnyFunSuite {
       "only the scalar attach may nested-loop")
   }
 
+  test("q64b: triple generation stays basket-keyed; the Apriori prune broadcasts") {
+    val p = plan("q64b_frequent_item_sets_k3")
+    assert(!p.contains("CartesianProduct"), "triple candidates must come from basket equi-joins")
+    assert(p.contains("BroadcastHashJoin"), "the size-2 survivor prune must broadcast")
+    // only the 1-row n_baskets scalar may nested-loop (tree + details = 2 mentions)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the scalar attach may nested-loop")
+  }
+
+  test("q133: the polygon ray cast is a pure scan filter (no join finds the hits)") {
+    val p = plan("q133_geo_shape_polygon")
+    // the only join is the 1-row hits.total attach; the containment test
+    // itself must be a Filter over the projected scan
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the total attach may nested-loop")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "polygon containment must not be implemented as a join")
+    assert(p.contains("Filter"), "the ray-cast predicate must be a scan-side Filter")
+  }
+
   test("q65: the like-doc term set broadcasts; the corpus term stream never all-pairs") {
     val p = plan("q65_more_like_this")
     assert(p.contains("BroadcastHashJoin"), "query-term joins must broadcast the tiny side")
