@@ -2618,6 +2618,50 @@ object TextQueries {
     // queries): every doc matches with _score = 1, paged deterministically
     // by id with hits.total riding along — the "browse the index" request.
     // The total is a 1-row broadcast; the page is a limit-pushed sort.
+    // ES `terms` query with TERMS LOOKUP — the variant where the term set
+    // is not in the request but fetched from a designated document's field
+    // at query time (GET the lookup doc, then filter by its terms). The
+    // lookup doc is the longest doc (the q104/q116 pin derivation); its
+    // terms = the doc's distinct tokens of length ≥ 6, sorted, capped at
+    // ES's index.max_terms_count spirit (16). Scale shape: the fetched
+    // set is ONE 1-row array BROADCAST below the corpus scan — the
+    // per-corpus work is a single array-intersect projection per doc
+    // (filter context, no scoring), exactly how a terms-lookup behaves in
+    // ES (the lookup happens once, then the filter runs as a normal terms
+    // query). Page top-20 by doc_id + hits.total (the q118 shape);
+    // n_matched rides along so the multi-term overlap is visible.
+    "q134_terms_lookup" -> ((s: SparkSession, d: String) => {
+      val lk = docs(s, d)
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(1)
+        .select(slice(
+          array_sort(array_distinct(filter(col("toks"), t => length(t) >= 6))),
+          1, 16).as("lk"))
+      val hits = docs(s, d)
+        .crossJoin(broadcast(lk))
+        .withColumn("n_matched",
+          size(array_intersect(array_distinct(col("toks")), col("lk"))).cast("long"))
+        .filter(col("n_matched") >= 1)
+      hits.orderBy(col("doc_id").asc).limit(20)
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("total_hits"))))
+        .select(col("doc_id"), col("n_matched"), col("total_hits"))
+    }),
+
+    // ES `script` query (FILTER context) — the sibling of q122's
+    // script_score: a scripted boolean over doc values that no term/range
+    // form expresses ((n_chars·7 + doc_id) % 13 == 0 AND n_chars ≥ 100 —
+    // integer arithmetic only, exact in both engines). Filter-context
+    // contract: no score is computed at all; the predicate runs as a pure
+    // scan filter (projection arithmetic, no joins), paged top-20 by
+    // doc_id with hits.total riding along (the q118 shape). Probed
+    // non-vacuous at every SF (35/33/314 hits of 500/500/5000).
+    "q135_script_query" -> ((s: SparkSession, d: String) => {
+      val hits = Tables(s, d, "documents")
+        .filter((col("n_chars") * 7 + col("doc_id")) % 13 === 0 && col("n_chars") >= 100)
+      hits.orderBy(col("doc_id").asc).limit(20)
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("total_hits"))))
+        .select(col("doc_id"), col("n_chars"), col("total_hits"))
+    }),
+
     "q115_match_all" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val total = Tables(s, d, "documents").agg(count(lit(1)).as("total_hits"))
@@ -5086,6 +5130,31 @@ object TextQueries {
          |       CAST(len(withins) AS BIGINT) AS n_within
          |FROM c WHERE len(withins) > 0
          |ORDER BY n_within DESC, first_pos ASC, doc_id ASC LIMIT 20""".stripMargin,
+    "q134_terms_lookup" ->
+      s"""WITH $docsCte,
+         |lkdoc AS (SELECT toks FROM docs ORDER BY n_chars DESC, doc_id ASC LIMIT 1),
+         |lk AS (
+         |  SELECT list_sort(list_distinct(list_filter(toks, t -> length(t) >= 6)))[1:16] AS lk
+         |  FROM lkdoc
+         |),
+         |h AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id,
+         |           CAST(len(list_intersect(list_distinct(toks), lk)) AS BIGINT) AS n_matched
+         |    FROM docs, lk
+         |  ) WHERE n_matched >= 1
+         |),
+         |t AS (SELECT COUNT(*) AS total_hits FROM h)
+         |SELECT doc_id, n_matched, total_hits FROM h, t
+         |ORDER BY doc_id ASC LIMIT 20""".stripMargin,
+    "q135_script_query" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE (n_chars * 7 + doc_id) % 13 = 0 AND n_chars >= 100
+        |),
+        |t AS (SELECT COUNT(*) AS total_hits FROM h)
+        |SELECT doc_id, n_chars, total_hits FROM h, t
+        |ORDER BY doc_id ASC LIMIT 20""".stripMargin,
     "q115_match_all" ->
       """WITH tot AS (SELECT COUNT(*) AS total_hits FROM documents)
         |SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,

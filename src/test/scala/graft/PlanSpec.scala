@@ -255,6 +255,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Filter"), "the ray-cast predicate must be a scan-side Filter")
   }
 
+  test("q134: the looked-up term set enters the corpus scan as a broadcast 1-row array") {
+    val p = plan("q134_terms_lookup")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the lookup set must never shuffle the corpus")
+    // 1-row attaches only: the hits subtree (scan + lk attach) is
+    // referenced by both the page and the total branch (the q128 shape),
+    // so the lk attach appears twice + the total attach = three
+    // nested-loop operators; formatted explain names each twice
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 6,
+      "only the 1-row attaches may nested-loop")
+  }
+
   test("q65: the like-doc term set broadcasts; the corpus term stream never all-pairs") {
     val p = plan("q65_more_like_this")
     assert(p.contains("BroadcastHashJoin"), "query-term joins must broadcast the tiny side")

@@ -997,4 +997,44 @@ class TextSurfaceSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("score") > 1.0,
       "top score <= 1.0 — the cosine term never discriminates")
   }
+
+  test("q134 terms lookup: the looked-up set comes from the longest doc and the filter is decisive") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q134_terms_lookup")(spark, sf).collect()
+    assert(out.length == 20)
+    val total = out.head.getAs[Long]("total_hits")
+    val n = queries.Tables(spark, sf, "documents").count()
+    assert(total > 20 && total < n, s"terms-lookup filter not decisive: $total of $n")
+    // replay the lookup derivation independently: every page doc must share
+    // >= 1 length>=6 token with the longest doc's top-16 sorted term set
+    val docsDf = queries.Tables(spark, sf, "documents")
+      .withColumn("toks", graft.functions.text.tokens(col("text")))
+    val lkTerms = docsDf.orderBy(col("n_chars").desc, col("doc_id").asc).limit(1)
+      .select(explode(array_distinct(col("toks"))).as("t"))
+      .collect().map(_.getString(0)).filter(_.length >= 6).distinct.sorted.take(16).toSet
+    assert(lkTerms.nonEmpty && lkTerms.size <= 16)
+    val pageIds = out.map(_.getAs[Long]("doc_id")).toSet
+    val overlap = docsDf.filter(col("doc_id").isin(pageIds.toSeq: _*))
+      .select(col("doc_id"), col("toks")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("toks").toSet.count(lkTerms.contains)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_matched") == overlap(r.getAs[Long]("doc_id")).toLong,
+        "n_matched disagrees with the independent overlap replay")
+      assert(r.getAs[Long]("n_matched") >= 1)
+    }
+  }
+
+  test("q135 script query: the scripted predicate is exact and decisive, no score exists") {
+    val out = SparkEntry.queries("q135_script_query")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (id, nc) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))
+      assert((nc * 7 + id) % 13 == 0 && nc >= 100, "page doc violates the script predicate")
+    }
+    val total = out.head.getAs[Long]("total_hits")
+    val n = queries.Tables(spark, sf, "documents").count()
+    assert(total > 20 && total < n, s"script filter not decisive: $total of $n")
+    assert(!out.head.schema.fieldNames.contains("score"), "filter context must not score")
+  }
 }
