@@ -2662,6 +2662,49 @@ object TextQueries {
         .select(col("doc_id"), col("n_chars"), col("total_hits"))
     }),
 
+    // LEARNED SPARSE RETRIEVAL (the ELSER shape) — the third modern
+    // retrieval mode next to BM25 (q76) and dense kNN (q37c/q85): the
+    // query is not its literal terms but a LEARNED sparse term→weight
+    // expansion, and the score is the sparse dot product between the
+    // expanded query vector and the doc's term-frequency vector. The
+    // "learning" here is deterministic distributional statistics (ELSER's
+    // role filled by co-occurrence, the classic distributional-semantics
+    // signal): each of the 2 seed terms (vocab ranks [QLo, QLo+1], the
+    // q119 derivation) expands to its top-8 co-occurring terms weighted
+    // by co-document count — the seed itself lands rank 1 with weight
+    // df(seed), so original terms keep the highest weight exactly as
+    // ELSER emits them. All weights and scores are INTEGER (counts ·
+    // counts), so both engines compare exact longs; no float discipline
+    // needed. Scale shape: the expansion table (≤16 rows) BROADCASTS
+    // under the scoring join; the seed-doc lists join the shared
+    // one-scan frame doc-keyed (the frame is already doc_id-partitioned),
+    // and the corpus is touched once beyond that shared frame.
+    "q136_sparse_retrieval" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = perDocTermTf(s, d)
+      val len4 = g.filter(length(col("tok")) >= 4)
+      val seeds = len4.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
+        .filter(col("r") >= QLo && col("r") <= QLo + 1)
+        .select(col("tok").as("seed"))
+      val seedDocs = g.join(broadcast(seeds), col("tok") === col("seed"))
+        .select(col("seed"), col("doc_id"))
+      val expn = seedDocs
+        .join(len4.select(col("doc_id"), col("tok")), Seq("doc_id"))
+        .groupBy(col("seed"), col("tok")).agg(count(lit(1)).as("codoc"))
+        .withColumn("er",
+          row_number().over(Window.partitionBy(col("seed")).orderBy(col("codoc").desc, col("tok").asc)))
+        .filter(col("er") <= 8)
+      val wq = expn.groupBy(col("tok")).agg(sum(col("codoc")).as("w"))
+      val scored = g.join(broadcast(wq), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w") * col("tf_b")).as("score"), count(lit(1)).as("n_terms"))
+      scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+    }),
+
     "q115_match_all" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val total = Tables(s, d, "documents").agg(count(lit(1)).as("total_hits"))
@@ -5130,6 +5173,39 @@ object TextQueries {
          |       CAST(len(withins) AS BIGINT) AS n_within
          |FROM c WHERE len(withins) > 0
          |ORDER BY n_within DESC, first_pos ASC, doc_id ASC LIMIT 20""".stripMargin,
+    "q136_sparse_retrieval" ->
+      s"""WITH $docsCte,
+         |g AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf_b FROM (
+         |    SELECT doc_id, UNNEST(toks) AS tok FROM docs
+         |  ) GROUP BY doc_id, tok
+         |),
+         |len4 AS (SELECT * FROM g WHERE length(tok) >= 4),
+         |ranked AS (
+         |  SELECT tok, COUNT(*) AS df,
+         |         row_number() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS r
+         |  FROM len4 GROUP BY tok
+         |),
+         |seeds AS (SELECT tok AS seed FROM ranked WHERE r BETWEEN $QLo AND ${QLo + 1}),
+         |sd AS (SELECT seed, doc_id FROM g JOIN seeds ON g.tok = seeds.seed),
+         |expn AS (
+         |  SELECT * FROM (
+         |    SELECT sd.seed, l.tok, COUNT(*) AS codoc,
+         |           row_number() OVER (
+         |             PARTITION BY sd.seed ORDER BY COUNT(*) DESC, l.tok ASC) AS er
+         |    FROM sd JOIN len4 l ON sd.doc_id = l.doc_id
+         |    GROUP BY sd.seed, l.tok
+         |  ) WHERE er <= 8
+         |),
+         |wq AS (SELECT tok, CAST(SUM(codoc) AS BIGINT) AS w FROM expn GROUP BY tok),
+         |scored AS (
+         |  SELECT doc_id, CAST(SUM(w * tf_b) AS BIGINT) AS score, COUNT(*) AS n_terms
+         |  FROM g JOIN wq ON g.tok = wq.tok GROUP BY doc_id
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         |       doc_id, score, n_terms
+         |FROM scored
+         |QUALIFY rank <= 20""".stripMargin,
     "q134_terms_lookup" ->
       s"""WITH $docsCte,
          |lkdoc AS (SELECT toks FROM docs ORDER BY n_chars DESC, doc_id ASC LIMIT 1),

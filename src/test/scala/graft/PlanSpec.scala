@@ -267,6 +267,13 @@ class PlanSpec extends AnyFunSuite {
       "only the 1-row attaches may nested-loop")
   }
 
+  test("q136: the sparse expansion broadcasts under the scoring join; nothing all-pairs") {
+    val p = plan("q136_sparse_retrieval")
+    assert(!p.contains("CartesianProduct"), "sparse scoring must never all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤16-row expansion table must broadcast into the term frame")
+  }
+
   test("q65: the like-doc term set broadcasts; the corpus term stream never all-pairs") {
     val p = plan("q65_more_like_this")
     assert(p.contains("BroadcastHashJoin"), "query-term joins must broadcast the tiny side")

@@ -1025,6 +1025,44 @@ class TextSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q136 sparse retrieval: whole pipeline replayed in plain Scala collections matches exactly") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q136_sparse_retrieval")(spark, sf).collect()
+    assert(out.length == 20)
+    // third implementation: tokenize via the shared tokenizer, then do the
+    // expansion + scoring with Scala Maps only
+    val docToks = queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.text.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("toks").toSeq).toMap
+    val tf: Map[(Long, String), Long] = docToks.toSeq
+      .flatMap { case (d, ts) => ts.map(t => (d, t)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df4: Map[String, Long] = tf.keys.toSeq.filter(_._2.length >= 4)
+      .groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    val rankedVocab = df4.toSeq.sortBy { case (t, d) => (-d, t) }
+    val seeds = rankedVocab.slice(queries.TextQueries.QLo - 1, queries.TextQueries.QLo + 1).map(_._1)
+    assert(seeds.length == 2)
+    val wq: Map[String, Long] = seeds.flatMap { s =>
+      val sdocs = docToks.keys.filter(d => tf.contains((d, s))).toSeq
+      val codoc = sdocs.flatMap(d => tf.keys.collect { case (`d`, t) if t.length >= 4 => t })
+        .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      codoc.toSeq.sortBy { case (t, c) => (-c, t) }.take(8)
+    }.groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sum }
+    seeds.foreach(s => assert(wq.contains(s), "each seed must survive its own expansion"))
+    val scored = docToks.keys.map { d =>
+      // keys is a Set — go through a Seq or equal products would dedup
+      val matched = wq.keys.toSeq.filter(t => tf.contains((d, t)))
+      (d, matched.map(t => wq(t) * tf((d, t))).sum, matched.size.toLong)
+    }.filter(_._3 > 0).toSeq.sortBy { case (d, s, _) => (-s, d) }.take(20)
+    out.sortBy(_.getAs[Long]("rank")).zip(scored).zipWithIndex.foreach { case ((r, (d, s, nt)), i) =>
+      assert(r.getAs[Long]("rank") == i + 1)
+      assert(r.getAs[Long]("doc_id") == d, s"rank ${i + 1} doc differs")
+      assert(r.getAs[Long]("score") == s, s"rank ${i + 1} score differs")
+      assert(r.getAs[Long]("n_terms") == nt, s"rank ${i + 1} n_terms differs")
+    }
+  }
+
   test("q135 script query: the scripted predicate is exact and decisive, no score exists") {
     val out = SparkEntry.queries("q135_script_query")(spark, sf).collect()
     assert(out.length == 20)
