@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 250+ whole-stage-codegen'd queries overflow the JDK-17 default 240MB
+  // code cache mid-bench; once "CodeCache is full" hits, the JIT stops
+  // compiling and late-position queries run de-optimized — the mechanism
+  // behind the round-14 positional q86/q95 timing creep. Headroom keeps
+  // steady-state numbers position-independent.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -51,6 +51,22 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The committed qbudget.txt pin canary (best-effort; -1 when the file
+    * isn't reachable, e.g. bench run outside the repo root). Closes the
+    * round-14 advisory hole: the per-query suspect list compares canaries
+    * to the run's OWN median, so a UNIFORM machine slowdown (sustained
+    * throttle under the 5% steal gate) shifts the median itself and stays
+    * invisible — only a cross-run reference catches it. The pin canary is
+    * that reference (same fixed-work LCG, committed at pin time). */
+  private def pinCanary(): Double =
+    try {
+      val src = scala.io.Source.fromFile("src/test/resources/qbudget.txt")
+      try src.getLines().next().split("\\s+") match {
+        case Array("canary", v) => v.toDouble
+        case _ => -1.0
+      } finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   /** Per-query machine-speed probe: a short (30M-step, ~10-40ms) canary run
     * right after each query's timing pair, min-of-2 so a GC pause in the
     * probe itself doesn't masquerade as machine slowdown. Round 12's driver
@@ -194,8 +210,19 @@ object Bench {
        else loadStart > 0.25 * nproc) || stealFrac > 0.05
     val cq = canaries.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // cross-run machine reference: the run's canary median vs the
+    // committed pin canary. The per-query suspect list is blind to a
+    // UNIFORM slowdown (it shifts the median it compares against);
+    // machine_drift flags the whole record when the run's median deviates
+    // >20% from the pin-time machine, so a reader knows every absolute
+    // timing carries that factor (suspects still localize the non-uniform
+    // part). Telemetry + flag, not `dirty`: drift is machine state
+    // (frequency/thermal), not in-guest contamination.
+    val pinC = pinCanary()
+    val canaryVsPin = if (pinC > 0) canaryMedian / pinC else -1.0
+    val machineDrift = pinC > 0 && (canaryVsPin > 1.20 || canaryVsPin < 0.80)
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_q":$cq,"canary_spread":$canarySpread,"canary_median":$canaryMedian,"suspect":$suspects,"nproc":$nproc,"dirty":$dirty}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_q":$cq,"canary_spread":$canarySpread,"canary_median":$canaryMedian,"canary_vs_pin":$canaryVsPin,"machine_drift":$machineDrift,"suspect":$suspects,"nproc":$nproc,"dirty":$dirty}"""
     println(record)
     // The driver captures only a 2000-char tail of stdout, which truncates
     // the 174-entry per-query map to its last third; persist the FULL

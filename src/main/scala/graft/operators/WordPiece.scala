@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * corpus after the first word-frequency aggregation; each round is two
   * vocab-sized aggregations (pair counts + symbol counts, both map-side
   * partial) and the only per-round driver exchange is the single winning
-  * pair. The argmax score is one correctly-rounded IEEE division of two
-  * exact longs (cnt, cl·cr — both far under 2^53), so the DuckDB oracle
-  * reproduces the ranking bit-for-bit; ties break (l asc, right asc).
+  * pair. The argmax score is one correctly-rounded IEEE division of exact
+  * integers (cnt a long; cl·cr computed in Decimal(38,0) so it cannot wrap
+  * even when symbol counts push the product past 2^63 — the DuckDB oracle
+  * computes the same product in HUGEINT), so the oracle reproduces the
+  * ranking bit-for-bit; ties break (l asc, right asc).
   * Encoding broadcasts the vocab (seed alphabet + nMerges entries) inside
   * the closure and maps each partition independently with a per-partition
   * distinct-word memo.
@@ -94,7 +96,15 @@ object WordPiece {
         .join(broadcast(symCnt.select(col("sym").as("l"), col("c").as("cl"))), Seq("l"))
         .join(broadcast(symCnt.select(col("sym").as("r"), col("c").as("cr"))), Seq("r"))
         .filter(col("cnt") >= minFreq)
-        .withColumn("score", col("cnt").cast("double") / (col("cl") * col("cr")).cast("double"))
+        // cl·cr in Decimal(38,0), not long·long: a very large corpus can
+        // push the product past 2^63, where the long form wraps SILENTLY
+        // while the DuckDB oracle's HUGEINT stays exact and the argmax
+        // diverges. Decimal keeps the product exact to 10^38 (~10^6× the
+        // 100TB-scale symbol-count bound) and the decimal→double cast is
+        // correctly rounded like DuckDB's hugeint→double.
+        .withColumn("score", col("cnt").cast("double") /
+          (col("cl").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            col("cr").cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double"))
         .orderBy(col("score").desc, col("l").asc, col("r").asc)
         .limit(1)
         .select(col("l"), col("r"))
@@ -191,7 +201,16 @@ object WordPiece {
   def model(spark: SparkSession, d: String, nMerges: Int): Model =
     modelCache.getOrElseUpdate(s"$d#$nMerges", {
       trainRuns.updateWith(d) { c => Some(c.getOrElse(0) + 1) }
-      val (merges, alphabet) = train(Unigram.words(spark, d), nMerges)
+      val w = Unigram.words(spark, d)
+      // fail LOUDLY like Unigram.segmentations: the q120 oracle unrolls
+      // only MaxWordLen MaxMatch steps and keeps rows reaching
+      // pos = length(word), so a longer word would be SILENTLY dropped
+      // from the oracle join while this encoder still tokenizes it — a
+      // hash mismatch with no diagnostic instead of this clear error
+      val maxLen = w.agg(max(length(col("word")))).collect().head.getInt(0)
+      require(maxLen <= Unigram.MaxWordLen,
+        s"corpus word length $maxLen exceeds the q120 oracle's ${Unigram.MaxWordLen}-step MaxMatch unroll")
+      val (merges, alphabet) = train(w, nMerges)
       modelOf(merges, alphabet, nMerges)
     })
 

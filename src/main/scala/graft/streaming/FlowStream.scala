@@ -149,7 +149,13 @@ object FlowStream {
       val now = System.currentTimeMillis()
       Option(spool.toFile.listFiles()).foreach(
         _.filter(_.getName.startsWith("part-")).sortBy(_.getName).zipWithIndex
-          .foreach { case (f, i) => f.setLastModified(now + i * 60000L) })
+          .foreach { case (f, i) =>
+            // fail LOUDLY if the stamp doesn't take: on a filesystem that
+            // refuses setLastModified, arrival order silently degrades to
+            // listing order and st03b emits wrong counts with no error
+            require(f.setLastModified(now + i * 60000L),
+              s"setLastModified failed on $f — spool arrival order would be nondeterministic")
+          })
       val stream = spark.readStream
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1")

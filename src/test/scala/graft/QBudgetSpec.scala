@@ -43,8 +43,16 @@ class QBudgetSpec extends AnyFunSuite {
         "re-run `sbt \"Test/runMain graft.tools.QBudgetPin\"` (it refuses born-slow pins)")
     val speed = math.max(1.0, QBudget.canary() / pinCanary)
     val timed = QBudget.timeAll(spark, QBudget.sfDir)
+    // per-group floors from the run's OWN measured medians (round 15): a
+    // contended run raises the median and the floor together, while a
+    // single 10×-ing cheap query can't move the median it's judged against
+    val medByGroup = timed.groupBy { case (n, _) => QBudget.group(n) }
+      .map { case (g, ts) => val s = ts.map(_._2).sorted; (g, s(s.length / 2)) }
     val breaches = timed.flatMap { case (n, t0) =>
-      val ceil = math.max(QBudget.floorSec, QBudget.budgetMult * pins(n) * speed)
+      val g = QBudget.group(n)
+      val ceil = math.max(
+        QBudget.floorFor(g, medByGroup(g)),
+        QBudget.budgetMult * pins(n) * speed)
       var t = t0
       var tries = 0
       while (t > ceil && tries < 2) {
@@ -59,6 +67,26 @@ class QBudgetSpec extends AnyFunSuite {
       "cost-budget breaches — a plan got structurally more expensive; " +
         "fix it (or, for an INTENDED cost change, re-pin via QBudgetPin):\n" +
         breaches.mkString("\n"))
+  }
+
+  test("per-group floor closes the sub-floor hole: a 10x-regressed cheap batch query breaches") {
+    // the round-14 hole: pin 0.11s, regressed to 1.1s — under the old flat
+    // 1.2s floor that NEVER breached. With the batch floor at
+    // max(0.4, 3 × measured group median), it does.
+    val pin = 0.11
+    val regressed = 1.15 // >10x the pin, still under the old 1.2s flat floor
+    val groupMedian = 0.15 // a typical clean-run batch median at sf0.01
+    val ceil = math.max(
+      QBudget.floorFor("batch", groupMedian),
+      QBudget.budgetMult * pin * 1.0)
+    assert(regressed > ceil, f"10x regression must breach (ceiling $ceil%.2f)")
+    assert(regressed <= 1.2, "the old flat floor would have passed it — the hole was real")
+    // self-normalization: a uniformly contended run (median itself 3x up)
+    // lifts the floor so the same absolute timing is NOT a false breach
+    assert(QBudget.floorFor("batch", 0.45) > regressed)
+    // streaming/multimodal keep the fixed 1.2s floor
+    assert(QBudget.floorFor("streaming", 0.05) == QBudget.floorSec)
+    assert(QBudget.floorFor("multimodal", 0.05) == QBudget.floorSec)
   }
 
   test("the born-slow guard flags a pathological new plan and passes the normal profile") {

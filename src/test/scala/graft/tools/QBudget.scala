@@ -33,8 +33,22 @@ object QBudget {
   /** Floor under which a breach is never declared: parallel test suites
     * on a shared 4-thread session make sub-second timings pure noise. Low
     * enough that a 10×-out plan on even the cheapest real query (~0.1s
-    * pin) still lands above it. */
+    * pin) still lands above it. Since round 15 this is the STREAMING/
+    * MULTIMODAL floor only (checkpoint + sink I/O makes their sub-second
+    * timings pure noise); batch gets a per-run floor via [[floorFor]]. */
   val floorSec = 1.2
+
+  /** Per-group enforcement floor (round-15: the flat 1.2s floor let any of
+    * the 28 sub-0.12s-pinned BATCH queries regress 10× to ~1.1s without
+    * breaching). Batch floors at max(0.4s, 3× the group's MEASURED median
+    * of the enforcing run) — the measured median self-normalizes: a
+    * contended/slow run raises every timing AND the median, so the floor
+    * rises with it and a uniform slowdown doesn't spur false breaches,
+    * while a single query 10×-ing cannot move the median it is judged
+    * against. Streaming/multimodal keep the fixed [[floorSec]]. */
+  def floorFor(groupName: String, groupMedianMeasured: Double): Double =
+    if (groupName == "batch") math.max(0.4, 3.0 * groupMedianMeasured)
+    else floorSec
 
   /** Pin-time born-slow refusal: a NEW plan costing more than this multiple
     * of its group median cannot be pinned without an exempt entry. */
@@ -49,7 +63,7 @@ object QBudget {
     // group median; add entries only with a cost-model justification)
   )
 
-  private def group(name: String): String =
+  def group(name: String): String =
     if (name.startsWith("st")) "streaming"
     else if (name.startsWith("mm")) "multimodal"
     else "batch"
