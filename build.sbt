@@ -27,10 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 250+ whole-stage-codegen'd queries overflow the JDK-17 default 240MB
-  // code cache mid-bench; once "CodeCache is full" hits, the JIT stops
-  // compiling and late-position queries run de-optimized — the mechanism
-  // behind the round-14 positional q86/q95 timing creep. Headroom keeps
-  // steady-state numbers position-independent.
+  // Headroom over the JDK-17 default 240MB code cache for the 250+
+  // whole-stage-codegen'd queries. Measured round 15: the "CodeCache is
+  // full" warning does NOT fire at the current registry size, so this is
+  // precautionary (same-day A/B read 156.0s with vs 162.9s without —
+  // inside single-run noise); the round-14 q86/q95 positional creep was
+  // adjudicated as whole-environment drift instead (see
+  // BENCH_solo_r14head_on_r15_machine.json).
   "-XX:ReservedCodeCacheSize=512m",
 )

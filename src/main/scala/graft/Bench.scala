@@ -51,6 +51,42 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** MEMORY-bandwidth canary: a fixed dependent-load pointer chase over a
+    * 64M-long (512MB) array — the machine signal the ALU-only LCG canary
+    * is BLIND to. Round 15 measured the blind spot directly: the r14 HEAD
+    * re-run on the same container read 159.0s vs its committed 136.4s
+    * (+16% uniformly) while every LCG canary matched to 2% — host-level
+    * memory/IO drift that no register-loop probe can see. The chase's
+    * per-step address depends on the previous load, so the time IS the
+    * uncached latency chain. Returns seconds (min of 2). */
+  private def canaryMem(): Double = {
+    val n = 1 << 25 // 32M longs = 256MB, far beyond LLC
+    // Sattolo's algorithm over the identity array: a DETERMINISTIC
+    // single n-cycle permutation, so the chase visits every slot exactly
+    // once per lap — it can never fall into a short (cache-resident)
+    // cycle, and the hardware prefetcher can't predict the next address.
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i.toLong; i += 1 }
+    var x = 0x2545F4914F6CDD1DL
+    i = n - 1
+    while (i >= 1) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val j = (((x >>> 33) % i).toInt + i) % i // [0, i): never the fixpoint
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var p = 0L
+      var k = 0
+      while (k < 10000000) { p = a(p.toInt); k += 1 }
+      if (p == -1L) print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
   /** The committed qbudget.txt pin canary (best-effort; -1 when the file
     * isn't reachable, e.g. bench run outside the repo root). Closes the
     * round-14 advisory hole: the per-query suspect list compares canaries
@@ -110,6 +146,7 @@ object Bench {
     // load-average fallback below
     var otherMax = -1.0
     val canaryStart = canary()
+    val canaryMemStart = canaryMem()
     val stealStart = stealJiffies
     val spark = GraftSession.local()
     // One untimed warmup pass (JIT + codegen + parquet footer caching), then
@@ -191,6 +228,7 @@ object Bench {
     // fixed-work canary before/after — cross-run canary drift quantifies
     // machine slowdown that no in-guest process accounting attributes.
     val canaryEnd = canary()
+    val canaryMemEnd = canaryMem()
     val stealEnd = stealJiffies
     val stealFrac =
       if (stealStart._1 >= 0 && stealEnd._1 >= 0 && stealEnd._2 > stealStart._2)
@@ -218,11 +256,14 @@ object Bench {
     // timing carries that factor (suspects still localize the non-uniform
     // part). Telemetry + flag, not `dirty`: drift is machine state
     // (frequency/thermal), not in-guest contamination.
+    // SAME-WORK comparison: the pin canary is the full 300M-step LCG, so
+    // compare it against this run's min full canary (the 30M per-query
+    // probes are a different workload — a 10:1 ratio by construction)
     val pinC = pinCanary()
-    val canaryVsPin = if (pinC > 0) canaryMedian / pinC else -1.0
+    val canaryVsPin = if (pinC > 0) math.min(canaryStart, canaryEnd) / pinC else -1.0
     val machineDrift = pinC > 0 && (canaryVsPin > 1.20 || canaryVsPin < 0.80)
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_q":$cq,"canary_spread":$canarySpread,"canary_median":$canaryMedian,"canary_vs_pin":$canaryVsPin,"machine_drift":$machineDrift,"suspect":$suspects,"nproc":$nproc,"dirty":$dirty}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_mem_start":$canaryMemStart,"canary_mem_end":$canaryMemEnd,"canary_q":$cq,"canary_spread":$canarySpread,"canary_median":$canaryMedian,"canary_vs_pin":$canaryVsPin,"machine_drift":$machineDrift,"suspect":$suspects,"nproc":$nproc,"dirty":$dirty}"""
     println(record)
     // The driver captures only a 2000-char tail of stdout, which truncates
     // the 174-entry per-query map to its last third; persist the FULL
