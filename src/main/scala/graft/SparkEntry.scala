@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FlowQueries.queries ++ EsAggQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      IngestQueries.queries ++
+      IngestQueries.queries ++ DslQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "mm01_binary_pipeline" -> ((s, d) =>
           graft.operators.Multimodal.pipeline(Tables(s, d, "documents"))),
@@ -48,7 +48,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     FlowQueries.oracleSql ++ EsAggQueries.oracleSql ++ RelationalQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
-      IngestQueries.oracleSql ++
+      IngestQueries.oracleSql ++ DslQueries.oracleSql ++
       Map(
         // mm06: the oracle recomputes the PLANTED payload properties
         // arithmetically (geometry from (doc_id, n_chars), lossless raster

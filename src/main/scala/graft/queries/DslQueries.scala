@@ -1,0 +1,839 @@
+package graft.queries
+
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** The ES Query-DSL JSON entry point, compiled to Catalyst.
+  *
+  * Everything else in this engine exposes each ES query/agg as a named
+  * Scala registry entry; this module is the missing front door — the JSON
+  * a reference user actually SENDS. The reference plugin hangs its
+  * aggregation off exactly this surface (it is a `SearchPlugin` whose one
+  * extension point is the `_search` request body,
+  * `DriftPlugin.java:26-34` — every IT in the reference builds a JSON
+  * search request, e.g. `ProportionalSumAggregatorIT.java:123`), so "a
+  * user could switch" requires accepting the request-body language, not
+  * just its compiled forms.
+  *
+  * Scope and contract:
+  *   - FILTER-CONTEXT subset, compiled on the driver (the query JSON is
+  *     request-sized) into a single [[Column]] predicate — a pure scan
+  *     filter. Structured-field leaves (`term`/`terms`/`range`/`ids`/
+  *     `exists`/`prefix`/`wildcard`) are pushdown-eligible comparisons;
+  *     `match` is a row-local token-containment test over the shared
+  *     whitespace tokenization ([[graft.functions.text.tokens]]). Nothing
+  *     here shuffles; the only post-scan work is the top-k page
+  *     (orderBy+limit = TakeOrderedAndProject, coordinator-sized).
+  *   - SCORING is the filter-context constant-score model (each matched
+  *     query-context clause contributes its `boost`, dyadic literals so
+  *     every sum is IEEE-exact cross-engine — the q118/q119 discipline).
+  *     Full-text relevance (BM25, dis_max, function_score...) is NOT
+  *     re-implemented here: those live in the dedicated q76+/q86+/q123
+  *     family; this compiler covers the boolean-retrieval subset a
+  *     filter-context `_search`/`_count` body uses.
+  *   - UNKNOWN input fails LOUDLY (unsupported query type, unknown field,
+  *     type-mismatched literal, malformed JSON/base64, non-single-key
+  *     clause objects) — never a silent empty result.
+  *
+  * Supported: `bool` (must/filter/should/must_not/minimum_should_match/
+  * boost), `term`, `terms`, `range` (gt/gte/lt/lte), `exists`, `ids`,
+  * `prefix`, `wildcard` (`*`/`?`), `match` (operator and/or), `match_all`,
+  * `constant_score`, `wrapper` (base64); search-body envelope: `query`,
+  * `sort` (fields + `_score`, asc/desc), `from`/`size`, `_source`; and the
+  * `_count` body.
+  */
+object QueryDsl {
+
+  private val mapper = new ObjectMapper
+
+  /** documents-table field catalog: name → is-long (else string). A query
+    * naming any other field fails compilation loudly. */
+  private val LongFields = Set("doc_id", "n_chars")
+  private val StringFields = Set("text", "lang", "source")
+
+  /** Runtime fields declared by the current request (`runtime_mappings`,
+    * always type long in this subset) — threaded implicitly so leaf
+    * compilation, sort, and `_source` accept them like mapped fields. */
+  private type RtFields = Set[String]
+
+  private def checkField(f: String)(implicit rt: RtFields): String = {
+    require(LongFields(f) || StringFields(f) || rt(f), s"query DSL: unknown field '$f'")
+    f
+  }
+
+  /** Compiled clause: match predicate + query-context score (0.0 when the
+    * clause does not match; filter-context callers drop the score). */
+  final case class Compiled(pred: Column, score: Column)
+
+  def parse(json: String): JsonNode = {
+    val n =
+      try mapper.readTree(json)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"query DSL: malformed JSON: ${e.getMessage}")
+      }
+    require(n != null && n.isObject, "query DSL: root must be a JSON object")
+    n
+  }
+
+  /** The (name, body) of an ES clause object — exactly one key. */
+  private def sole(n: JsonNode, what: String): (String, JsonNode) = {
+    require(n != null && n.isObject && n.size == 1,
+      s"query DSL: $what must be a single-key object, got: $n")
+    val name = n.fieldNames().next()
+    (name, n.get(name))
+  }
+
+  private def boostOf(n: JsonNode): Double =
+    if (n.isObject && n.has("boost")) n.get("boost").asDouble else 1.0
+
+  /** Typed literal for `field`: long fields take integral JSON numbers,
+    * string fields take JSON strings — anything else is a loud mismatch. */
+  private def typedLit(field: String, v: JsonNode)(implicit rt: RtFields): Column =
+    if (LongFields(field) || rt(field)) {
+      require(v.isIntegralNumber,
+        s"query DSL: field '$field' is numeric, got non-integral value $v")
+      lit(v.asLong)
+    } else {
+      require(v.isTextual, s"query DSL: field '$field' is a string, got $v")
+      lit(v.asText)
+    }
+
+  private def stringField(f: String, q: String)(implicit rt: RtFields): String = {
+    checkField(f)
+    require(StringFields(f), s"query DSL: $q requires a string field, got '$f'")
+    f
+  }
+
+  private def leaf(pred: Column, boost: Double): Compiled =
+    Compiled(pred, when(pred, lit(boost)).otherwise(lit(0.0)))
+
+  /** `{"field": value}` or `{"field": {"value": v, "boost": b}}`. */
+  private def valueForm(body: JsonNode, q: String)(implicit rt: RtFields): (String, JsonNode, Double) = {
+    val (f, v) = sole(body, q)
+    checkField(f)
+    if (v.isObject) {
+      require(v.has("value"), s"query DSL: $q object form requires 'value'")
+      (f, v.get("value"), boostOf(v))
+    } else (f, v, 1.0)
+  }
+
+  /** ES wildcard → SQL LIKE: `*`→`%`, `?`→`_`; literal `%`/`_`/`\` escaped
+    * (backslash in the pattern is treated literally — the compiler does not
+    * implement ES's `\*` escape, and says so here rather than half-working). */
+  private[queries] def wildcardToLike(p: String): String = p.flatMap {
+    case '*' => "%"
+    case '?' => "_"
+    case '%' => "\\%"
+    case '_' => "\\_"
+    case '\\' => "\\\\"
+    case c => c.toString
+  }
+
+  /** Literal prefix → SQL LIKE prefix match (all LIKE specials escaped). */
+  private[queries] def prefixToLike(p: String): String =
+    p.flatMap {
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case '\\' => "\\\\"
+      case c => c.toString
+    } + "%"
+
+  private def clauseList(body: JsonNode, key: String)(implicit rt: RtFields): Seq[Compiled] =
+    Option(body.get(key)).toSeq.flatMap { n =>
+      val items = if (n.isArray) n.elements().asScala.toSeq else Seq(n)
+      items.map(compile)
+    }
+
+  /** Compile one ES query clause to (predicate, constant-score). */
+  def compile(q: JsonNode)(implicit rt: RtFields = Set.empty): Compiled = {
+    val (name, body) = sole(q, "query clause")
+    name match {
+      case "term" =>
+        val (f, v, b) = valueForm(body, "term")
+        leaf(col(f).isNotNull && col(f) === typedLit(f, v), b)
+
+      case "terms" =>
+        // field key + optional sibling "boost" (the ES terms-query shape)
+        val keys = body.fieldNames().asScala.toSeq.filterNot(_ == "boost")
+        require(keys.size == 1, s"query DSL: terms requires exactly one field, got $keys")
+        val f = checkField(keys.head)
+        val arr = body.get(f)
+        require(arr.isArray && arr.size > 0, "query DSL: terms requires a non-empty array")
+        val vs = arr.elements().asScala.toSeq.map(typedLit(f, _))
+        leaf(col(f).isNotNull && col(f).isin(vs: _*), boostOf(body))
+
+      case "range" =>
+        val (f, spec) = sole(body, "range")
+        checkField(f)
+        require(spec.isObject, s"query DSL: range body must be an object, got $spec")
+        val ops = spec.fieldNames().asScala.toSeq.filterNot(_ == "boost")
+        require(ops.nonEmpty, "query DSL: range requires at least one bound")
+        val preds = ops.map {
+          case "gte" => col(f) >= typedLit(f, spec.get("gte"))
+          case "gt" => col(f) > typedLit(f, spec.get("gt"))
+          case "lte" => col(f) <= typedLit(f, spec.get("lte"))
+          case "lt" => col(f) < typedLit(f, spec.get("lt"))
+          case o => throw new IllegalArgumentException(s"query DSL: unsupported range op '$o'")
+        }
+        leaf(col(f).isNotNull && preds.reduce(_ && _), boostOf(spec))
+
+      case "exists" =>
+        require(body.isObject && body.has("field"), "query DSL: exists requires 'field'")
+        val f = checkField(body.get("field").asText)
+        leaf(col(f).isNotNull, boostOf(body))
+
+      case "ids" =>
+        require(body.isObject && body.has("values"), "query DSL: ids requires 'values'")
+        val arr = body.get("values")
+        require(arr.isArray && arr.size > 0, "query DSL: ids requires a non-empty array")
+        val vs = arr.elements().asScala.toSeq.map(typedLit("doc_id", _))
+        leaf(col("doc_id").isNotNull && col("doc_id").isin(vs: _*), boostOf(body))
+
+      case "prefix" =>
+        val (f, v, b) = valueForm(body, "prefix")
+        stringField(f, "prefix")
+        require(v.isTextual, s"query DSL: prefix value must be a string, got $v")
+        leaf(col(f).isNotNull && col(f).like(prefixToLike(v.asText)), b)
+
+      case "wildcard" =>
+        val (f, v, b) = valueForm(body, "wildcard")
+        stringField(f, "wildcard")
+        require(v.isTextual, s"query DSL: wildcard value must be a string, got $v")
+        leaf(col(f).isNotNull && col(f).like(wildcardToLike(v.asText)), b)
+
+      case "match" =>
+        val (f, v) = sole(body, "match")
+        stringField(f, "match")
+        val (qstr, op, b) =
+          if (v.isObject) {
+            require(v.has("query"), "query DSL: match object form requires 'query'")
+            val o = if (v.has("operator")) v.get("operator").asText else "or"
+            require(o == "or" || o == "and", s"query DSL: match operator must be and/or, got '$o'")
+            (v.get("query").asText, o, boostOf(v))
+          } else {
+            require(v.isTextual, s"query DSL: match value must be a string, got $v")
+            (v.asText, "or", 1.0)
+          }
+        val qtoks = qstr.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        require(qtoks.nonEmpty, "query DSL: match requires a non-empty query string")
+        // same analyzer as the corpus side: text.tokens (lower/trim/collapse)
+        val toks = graft.functions.text.tokens(col(f))
+        val contains = qtoks.map(t => array_contains(toks, t))
+        leaf(col(f).isNotNull &&
+          (if (op == "and") contains.reduce(_ && _) else contains.reduce(_ || _)), b)
+
+      case "match_all" =>
+        require(body.isObject, s"query DSL: match_all body must be an object, got $body")
+        Compiled(lit(true), lit(boostOf(body)))
+
+      case "bool" =>
+        require(body.isObject, s"query DSL: bool body must be an object, got $body")
+        val known = Set("must", "filter", "should", "must_not", "minimum_should_match", "boost")
+        val unknown = body.fieldNames().asScala.toSeq.filterNot(known)
+        require(unknown.isEmpty, s"query DSL: unsupported bool keys: $unknown")
+        val must = clauseList(body, "must")
+        val filt = clauseList(body, "filter")
+        val mustNot = clauseList(body, "must_not")
+        val should = clauseList(body, "should")
+        // ES default: should is optional when must/filter anchor the query,
+        // required (>=1) when it is the only positive context
+        val msmDefault = if (must.nonEmpty || filt.nonEmpty) 0 else 1
+        val msm = Option(body.get("minimum_should_match")).map { m =>
+          require(m.isIntegralNumber,
+            s"query DSL: minimum_should_match must be an integer, got $m")
+          m.asInt
+        }.getOrElse(msmDefault)
+        require(should.nonEmpty || msm == 0,
+          "query DSL: minimum_should_match > 0 with no should clauses matches nothing")
+        // every compiled predicate is TWO-VALUED (leaves guard their
+        // field's nulls with isNotNull, which parquet pushes down — a
+        // coalesce wrapper here would block pushdown entirely), so a
+        // null-field doc counts 0 toward minimum_should_match and a
+        // must_not over it still includes the doc
+        val nShould = should.map(_.pred.cast("int")).reduceOption(_ + _).getOrElse(lit(0))
+        val pred = Seq(
+          (must ++ filt).map(_.pred).reduceOption(_ && _),
+          mustNot.map(c => !c.pred).reduceOption(_ && _),
+          if (should.nonEmpty) Some(nShould >= lit(msm)) else None
+        ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+        // query-context children (must + should) contribute their scores;
+        // filter and must_not contribute 0 — the ES filter-context contract
+        val childSum = (must ++ should).map(_.score)
+          .reduceOption(_ + _).getOrElse(lit(1.0))
+        Compiled(pred, when(pred, lit(boostOf(body)) * childSum).otherwise(lit(0.0)))
+
+      case "constant_score" =>
+        require(body.isObject && body.has("filter"), "query DSL: constant_score requires 'filter'")
+        val inner = compile(body.get("filter"))
+        leaf(inner.pred, boostOf(body))
+
+      case "wrapper" =>
+        require(body.isObject && body.has("query"), "query DSL: wrapper requires 'query'")
+        val b64 = body.get("query").asText
+        val decoded =
+          try new String(Base64.getDecoder.decode(b64), "UTF-8")
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(s"query DSL: wrapper base64 invalid: ${e.getMessage}")
+          }
+        compile(parse(decoded))
+
+      case other =>
+        throw new IllegalArgumentException(s"query DSL: unsupported query type '$other'")
+    }
+  }
+
+  /** Execute a `_search` request body against `docs`: query + sort +
+    * from/size + `_source`. Output = (rank, score, _source fields...).
+    *
+    * Pagination is deterministic: unless the body already sorts on
+    * `doc_id`, the unique key is appended as the final tiebreak (ES makes
+    * the same demand of its users — an un-tiebroken sort gives unstable
+    * pages). The page is fetched with orderBy+limit(from+size) —
+    * TakeOrderedAndProject, a per-partition top-k + coordinator merge, no
+    * global sort shuffle — then ranked on the localized (≤from+size)-row
+    * coordinator frame, the ES response-building analog. */
+  def search(docs: DataFrame, body: JsonNode): DataFrame = {
+    val (fetch, sortCols, from, src) = pageQuery(docs, body)
+    Tables.localize(fetch)
+      .withColumn("rank", row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+      .filter(col("rank") > from)
+      .select((col("rank") +: col("score") +: src.map(col)): _*)
+  }
+
+  /** The distributed part of [[search]] — everything up to (excluding) the
+    * coordinator materialization — exposed so PlanSpec can gate its shape
+    * (filter pushed below the scan, TakeOrdered page, no shuffle). */
+  private[graft] def pageQuery(docs0: DataFrame, body: JsonNode)
+      : (DataFrame, Seq[Column], Int, Seq[String]) = {
+    require(body.has("query"), "query DSL: search body requires 'query'")
+    val (docs, rtSet) = applyRuntimeMappings(docs0, body)
+    implicit val rt: RtFields = rtSet
+    val c = compile(body.get("query"))
+    val from = if (body.has("from")) body.get("from").asInt else 0
+    val size = if (body.has("size")) body.get("size").asInt else 10
+    require(from >= 0 && size > 0, s"query DSL: bad page from=$from size=$size")
+    val hits = docs.filter(c.pred).withColumn("score", c.score)
+    val explicit: Seq[(String, Boolean)] = // (field, asc)
+      if (body.has("sort")) body.get("sort").elements().asScala.toSeq.map { s =>
+        val (f, spec) = sole(s, "sort entry")
+        val order =
+          if (spec.isTextual) spec.asText
+          else {
+            require(spec.isObject && spec.has("order"), s"query DSL: sort entry needs an order: $s")
+            spec.get("order").asText
+          }
+        require(order == "asc" || order == "desc", s"query DSL: sort order must be asc/desc, got '$order'")
+        if (f != "_score") checkField(f)
+        (f, order == "asc")
+      }
+      else Seq(("_score", false))
+    val keys = if (explicit.exists(_._1 == "doc_id")) explicit else explicit :+ ("doc_id", true)
+    val sortCols = keys.map { case (f, asc) =>
+      val cc = if (f == "_score") col("score") else col(f)
+      if (asc) cc.asc else cc.desc
+    }
+    val src: Seq[String] =
+      if (body.has("_source")) body.get("_source").elements().asScala.toSeq.map(_.asText)
+      else Seq("doc_id")
+    src.foreach(checkField)
+    // prune before the page fetch: only _source + sort fields + score reach
+    // the coordinator (a filter on `text` must not DRAG text into the page)
+    val need = (src ++ keys.map(_._1).filter(_ != "_score")).distinct
+    val fetch = hits.select((col("score") +: need.map(col)): _*)
+      .orderBy(sortCols: _*).limit(from + size)
+    (fetch, sortCols, from, src)
+  }
+
+  /** Execute a `_count` request body: one row (total, relation) — the ES
+    * count response (relation "eq": this engine never early-terminates). */
+  def count(docs0: DataFrame, body: JsonNode): DataFrame = {
+    require(body.has("query"), "query DSL: count body requires 'query'")
+    val (docs, rtSet) = applyRuntimeMappings(docs0, body)
+    implicit val rt: RtFields = rtSet
+    docs.filter(compile(body.get("query")).pred)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("total"))
+      .withColumn("relation", lit("eq"))
+  }
+
+  /** ES `scroll`: iterate the ENTIRE hit set to exhaustion in sort order,
+    * page by page — the result-set EXPORT path (search_after/q84 is the
+    * interactive two-page form; scroll drains everything). Each iteration
+    * is an independent TakeOrdered fetch whose keyset cursor — strictly
+    * after the previous page's last sort key, lexicographic over the sort
+    * fields — is pushed below the scan, so a 1000-executor cluster re-scans
+    * only the row groups whose min/max straddle the cursor. Driver state is
+    * ONE row of sort-key values (never an ES-style server-side context);
+    * parquet's immutability provides for free the snapshot isolation ES
+    * scroll contexts exist to fake. `_score` sorting is rejected (an export
+    * wants a stable field order); the sort must include `doc_id` so the
+    * cursor is total. Output: (rank, page, _source fields...). */
+  def scrollAll(docs0: DataFrame, body: JsonNode, pageSize: Int): DataFrame = {
+    require(pageSize > 0, "query DSL: scroll page size must be positive")
+    require(body.has("query") && body.has("sort"),
+      "query DSL: scroll requires 'query' and an explicit 'sort'")
+    val (docs, rtSet) = applyRuntimeMappings(docs0, body)
+    implicit val rt: RtFields = rtSet
+    val c = compile(body.get("query"))
+    val keys: Seq[(String, Boolean)] =
+      body.get("sort").elements().asScala.toSeq.map { s =>
+        val (f, spec) = sole(s, "sort entry")
+        val order =
+          if (spec.isTextual) spec.asText
+          else {
+            require(spec.isObject && spec.has("order"), s"query DSL: sort entry needs an order: $s")
+            spec.get("order").asText
+          }
+        require(order == "asc" || order == "desc",
+          s"query DSL: sort order must be asc/desc, got '$order'")
+        require(f != "_score", "query DSL: scroll sorts on fields, not _score")
+        (checkField(f), order == "asc")
+      }
+    require(keys.map(_._1).contains("doc_id"),
+      "query DSL: scroll sort must include the unique doc_id tiebreak")
+    val src: Seq[String] =
+      if (body.has("_source")) body.get("_source").elements().asScala.toSeq.map(_.asText)
+      else Seq("doc_id")
+    src.foreach(checkField)
+    val sortCols = keys.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
+    val proj = (keys.map(_._1) ++ src).distinct // the cursor needs the sort fields
+    val base = docs.filter(c.pred).select(proj.map(col): _*)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var cursor: Option[org.apache.spark.sql.Row] = None
+    var page = 1L
+    var rank = 0L
+    var done = false
+    while (!done) {
+      val keyset: Column = cursor match {
+        case None => lit(true)
+        case Some(last) =>
+          // lexicographic strictly-after: OR over sort positions of
+          // (earlier keys equal) && (this key strictly beyond)
+          keys.zipWithIndex.map { case ((f, asc), i) =>
+            val v = lit(last.getAs[Any](f))
+            val beyond = if (asc) col(f) > v else col(f) < v
+            keys.take(i).map { case (g, _) => col(g) === lit(last.getAs[Any](g)) }
+              .foldLeft(beyond)(_ && _)
+          }.reduce(_ || _)
+      }
+      val batch = base.filter(keyset).orderBy(sortCols: _*).limit(pageSize).collect()
+      batch.foreach { r =>
+        rank += 1
+        rows += org.apache.spark.sql.Row.fromSeq(rank +: page +: src.map(r.getAs[Any](_)))
+      }
+      if (batch.length < pageSize) done = true
+      else { cursor = Some(batch.last); page += 1 }
+    }
+    val srcSchema = src.map(f => base.schema(f))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType, nullable = false) +:
+        org.apache.spark.sql.types.StructField("page", org.apache.spark.sql.types.LongType, nullable = false) +:
+        srcSchema)
+    docs.sparkSession.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), schema)
+  }
+
+  /** ES runtime fields (`runtime_mappings`): request-time computed columns
+    * usable in query/sort/`_source` exactly like mapped fields — ES's
+    * compute-at-query promise, which on Spark is simply a row-local
+    * projection BELOW the filter (one scan, no index, codegen'd). The
+    * script subset is integer-exact painless arithmetic: `emit(expr)` over
+    * `doc['field'].value` longs, natural literals, `+ - * %` and parens.
+    * `/` is REJECTED loudly: Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, and a silently engine-dependent field would
+    * poison every comparison downstream. */
+  private def applyRuntimeMappings(docs: DataFrame, body: JsonNode): (DataFrame, RtFields) =
+    Option(body.get("runtime_mappings")) match {
+      case None => (docs, Set.empty)
+      case Some(rm) =>
+        require(rm.isObject && rm.size > 0,
+          "query DSL: runtime_mappings must be a non-empty object")
+        var d = docs
+        val names = scala.collection.mutable.LinkedHashSet.empty[String]
+        rm.fields().asScala.foreach { e =>
+          val name = e.getKey
+          require(!LongFields(name) && !StringFields(name),
+            s"query DSL: runtime field '$name' shadows a mapped field")
+          val spec = e.getValue
+          require(spec.isObject && spec.has("type") && spec.get("type").asText == "long",
+            s"query DSL: runtime field '$name' must declare type long")
+          require(spec.has("script") && spec.get("script").isObject
+            && spec.get("script").has("source"),
+            s"query DSL: runtime field '$name' needs script.source")
+          d = d.withColumn(name, parseEmitScript(spec.get("script").get("source").asText))
+          names += name
+        }
+        (d, names.toSet)
+    }
+
+  /** Recursive-descent parser for the emit-script subset. Grammar:
+    * `emit(expr)`; expr := term (('+'|'-') term)*;
+    * term := atom (('*'|'%') atom)*; atom := nat | doc['f'].value | (expr).
+    * All long arithmetic; unknown fields, '/', and trailing input fail. */
+  private[graft] def parseEmitScript(src: String): Column = {
+    val s = src.trim
+    require(s.startsWith("emit(") && s.endsWith(")"),
+      s"query DSL: runtime script must be emit(<expr>), got: $src")
+    val in = s.substring(5, s.length - 1)
+    var pos = 0
+    def ws(): Unit = while (pos < in.length && in(pos).isWhitespace) pos += 1
+    def peek: Char = if (pos < in.length) in(pos) else ' '
+    def expr(): Column = {
+      var l = term(); ws()
+      while (peek == '+' || peek == '-') {
+        val op = peek; pos += 1
+        val r = term()
+        l = if (op == '+') l + r else l - r
+        ws()
+      }
+      l
+    }
+    def term(): Column = {
+      var l = atom(); ws()
+      while (peek == '*' || peek == '%' || peek == '/') {
+        val op = peek; pos += 1
+        require(op != '/',
+          "query DSL: '/' unsupported in runtime scripts (truncating vs flooring " +
+            "integer division differs across engines); use * and % forms")
+        val r = atom()
+        l = if (op == '*') l * r else l % r
+        ws()
+      }
+      l
+    }
+    def atom(): Column = {
+      ws()
+      if (peek == '(') {
+        pos += 1
+        val e = expr(); ws()
+        require(peek == ')', s"query DSL: expected ')' at $pos in: $in")
+        pos += 1
+        e
+      } else if (peek.isDigit) {
+        val st = pos
+        while (pos < in.length && in(pos).isDigit) pos += 1
+        lit(in.substring(st, pos).toLong)
+      } else if (in.startsWith("doc['", pos)) {
+        pos += 5
+        val st = pos
+        while (pos < in.length && in(pos) != '\'') pos += 1
+        val f = in.substring(st, pos)
+        require(in.startsWith("'].value", pos), s"query DSL: expected '].value after doc['$f")
+        pos += 8
+        require(LongFields(f), s"query DSL: runtime script field '$f' must be a mapped long field")
+        col(f)
+      } else {
+        throw new IllegalArgumentException(
+          s"query DSL: unexpected '${peek}' at $pos in runtime script: $in")
+      }
+    }
+    val out = expr()
+    ws()
+    require(pos == in.length, s"query DSL: trailing input at $pos in runtime script: $in")
+    out
+  }
+
+  /** The reference plugin's OWN request surface: a `_search` body whose one
+    * aggregation is `proportional_sum` — exactly the wire grammar
+    * `ProportionalSumAggregationBuilder` registers
+    * (`DriftPlugin.java:29-34`; parser fields at
+    * `ProportionalSumAggregationBuilder.java:107-144`: `fields`
+    * [rangeStart, rangeEnd, value(, sampling)], `interval` (fixed, ms),
+    * `start`/`end` clamp bounds, `offset`, `min_doc_count`, `keyed`,
+    * `order`). The JSON compiles onto [[graft.operators.ProportionalSum]]
+    * — the SAME operator every Scala registry entry runs, so a request
+    * that hash-matches q01's oracle proves the front door and the typed
+    * API execute identically. `keyed` and `_key asc` order are accepted
+    * (response-presentation knobs; the bucket table is sorted for the
+    * latter); anything else unsupported fails loudly. */
+  def propSumAgg(flows: DataFrame, body: JsonNode): DataFrame = {
+    if (body.has("size"))
+      require(body.get("size").asInt == 0, "query DSL: agg-only request requires size 0")
+    require(body.has("aggs") && body.get("aggs").isObject && body.get("aggs").size == 1,
+      "query DSL: exactly one aggregation expected under 'aggs'")
+    val (aggName, aggBody) = sole(body.get("aggs"), "aggs")
+    val (aggType, spec) = sole(aggBody, s"aggregation '$aggName'")
+    require(aggType == "proportional_sum",
+      s"query DSL: unsupported aggregation type '$aggType'")
+    require(spec.has("fields") && spec.get("fields").isArray,
+      "query DSL: proportional_sum requires a fields array")
+    val fs = spec.get("fields").elements().asScala.toSeq.map(_.asText)
+    require(fs.size == 3 || fs.size == 4,
+      s"query DSL: fields must be [start, end, value(, sampling)], got $fs")
+    fs.foreach(f => require(flows.columns.contains(f),
+      s"query DSL: unknown flow field '$f' (have: ${flows.columns.mkString(", ")})"))
+    def longOpt(k: String): Option[Long] = Option(spec.get(k)).map { n =>
+      require(n.isIntegralNumber, s"query DSL: $k must be an integral number, got $n")
+      n.asLong
+    }
+    val interval = longOpt("interval").getOrElse(
+      throw new IllegalArgumentException("query DSL: proportional_sum requires interval (ms)"))
+    val cfg = graft.operators.ProportionalSum.Config(
+      interval, longOpt("start"), longOpt("end"), longOpt("offset").getOrElse(0L))
+    val minDoc = longOpt("min_doc_count").getOrElse(0L)
+    val known = Set("fields", "interval", "start", "end", "offset", "min_doc_count", "keyed", "order")
+    val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
+    require(unknown.isEmpty, s"query DSL: unsupported proportional_sum keys: $unknown")
+    val keyAsc = Option(spec.get("order")).map { o =>
+      val entries = (if (o.isArray) o.elements().asScala.toSeq else Seq(o)).map(sole(_, "order"))
+      require(entries.map(_._1) == Seq("_key") && entries.head._2.asText == "asc",
+        s"query DSL: only order [{_key: asc}] is supported, got $o")
+      true
+    }.getOrElse(false)
+    val out = graft.operators.ProportionalSum.run(
+      flows, col(fs(0)), col(fs(1)), col(fs(2)), fs.lift(3).map(col), cfg)
+    val filtered = if (minDoc > 0) out.filter(col("doc_count") >= minDoc) else out
+    if (keyAsc) filtered.orderBy(col("bucket_ms").asc) else filtered
+  }
+
+  /** POST `_search/template`: mustache-parameter substitution into a
+    * template body, then the standard [[search]]. A WHOLE-VALUE placeholder
+    * (`"{{p}}"` as the entire string) takes the param's JSON value verbatim
+    * — numbers stay numbers, so a range bound can be templated without
+    * stringly typing; an EMBEDDED placeholder interpolates as text. Any
+    * unresolved `{{` surviving substitution fails loudly. */
+  def renderTemplate(tmpl: JsonNode, params: JsonNode): JsonNode = {
+    require(params != null && params.isObject, "query DSL: template params must be an object")
+    val whole = """\{\{(\w+)\}\}""".r
+    def param(name: String): JsonNode = {
+      require(params.has(name), s"query DSL: missing template param '$name'")
+      params.get(name)
+    }
+    def walk(n: JsonNode): JsonNode =
+      if (n.isTextual) {
+        n.asText match {
+          case whole(name) => param(name)
+          case s =>
+            val out = whole.replaceAllIn(s,
+              m => scala.util.matching.Regex.quoteReplacement(param(m.group(1)).asText))
+            require(!out.contains("{{"), s"query DSL: unresolved template placeholder in: $s")
+            new com.fasterxml.jackson.databind.node.TextNode(out)
+        }
+      } else if (n.isObject) {
+        val r = mapper.createObjectNode
+        n.fields().asScala.foreach(e => r.set[JsonNode](e.getKey, walk(e.getValue)))
+        r
+      } else if (n.isArray) {
+        val r = mapper.createArrayNode
+        n.elements().asScala.foreach(e => r.add(walk(e)))
+        r
+      } else n
+    walk(tmpl)
+  }
+}
+
+/** Registry entries exercising [[QueryDsl]] end-to-end against the DuckDB
+  * oracle. Each query's JSON is a FIXED literal, so its oracle is the
+  * static hand-written SQL mirror of the same request — a hash match
+  * proves the compiler's predicate, boost arithmetic, paging, and
+  * projection all agree with an independent reading of the same JSON. */
+object DslQueries {
+
+  /** The q137 inner query (shipped base64-wrapped): every structured leaf
+    * type in one bool — range must, term/terms/prefix should (boosts
+    * 2.0/1.0/0.5, dyadic), wildcard must_not, minimum_should_match 1.
+    * Decisive at every SF: each clause has hits AND misses (spec-pinned). */
+  private[graft] val Q137Inner =
+    """{"bool": {
+      |  "must": [{"range": {"n_chars": {"gte": 150, "lt": 450}}}],
+      |  "should": [
+      |    {"term": {"lang": {"value": "en", "boost": 2.0}}},
+      |    {"terms": {"source": ["src3", "src7", "src11"]}},
+      |    {"prefix": {"lang": {"value": "f", "boost": 0.5}}}
+      |  ],
+      |  "must_not": [{"wildcard": {"source": {"value": "src1?"}}}],
+      |  "minimum_should_match": 1
+      |}}""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ES `wrapper` query — the base64-wrapped DSL, decoded and compiled at
+    // request time (the encode→decode round trip runs every execution).
+    "q137_wrapper" -> ((s: SparkSession, d: String) => {
+      val b64 = Base64.getEncoder.encodeToString(Q137Inner.getBytes("UTF-8"))
+      val body = QueryDsl.parse(
+        s"""{"query": {"wrapper": {"query": "$b64"}},
+           |  "sort": [{"_score": "desc"}],
+           |  "size": 20,
+           |  "_source": ["doc_id", "lang", "source", "n_chars"]}""".stripMargin)
+      QueryDsl.search(Tables(s, d, "documents"), body)
+    }),
+
+    // Full `_search` body envelope: constant_score(bool(filter terms,
+    // must_not ids)) + field sort + from/size paging + _source projection.
+    "q138_search_body" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"query": {"constant_score": {"filter": {"bool": {
+          |    "filter": [{"terms": {"lang": ["en", "de", "zh"]}}],
+          |    "must_not": [{"ids": {"values": [0, 1, 2, 3]}}]
+          |  }}, "boost": 3.0}},
+          |  "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": "asc"}],
+          |  "from": 10,
+          |  "size": 20,
+          |  "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin)
+      QueryDsl.search(Tables(s, d, "documents"), body)
+    }),
+
+    // `_count` body with a `match` (operator and) clause — the analyzer
+    // path (shared corpus tokenization) under the count envelope.
+    "q139_count" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"query": {"match": {"text": {"query": "vector stream", "operator": "and"}}}}""")
+      QueryDsl.count(Tables(s, d, "documents"), body)
+    }),
+
+    // ES `scroll`: drain the q137 filter to exhaustion — page size 64 so
+    // the cursor loop genuinely iterates at EVERY SF (2/2/16 pages at
+    // sf0.001/0.01/0.1), never a single-fetch degenerate run.
+    "q140_scroll" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        s"""{"query": $Q137Inner,
+           |  "sort": [{"n_chars": "asc"}, {"doc_id": "asc"}],
+           |  "_source": ["doc_id", "source", "n_chars"]}""".stripMargin)
+      QueryDsl.scrollAll(Tables(s, d, "documents"), body, pageSize = 64)
+    }),
+
+    // POST _search/template: typed mustache substitution (the range bound
+    // is a NUMBER after rendering), then the standard search envelope.
+    "q141_search_template" -> ((s: SparkSession, d: String) => {
+      val req = QueryDsl.parse(
+        """{"source": {"query": {"bool": {"filter": [
+          |      {"term": {"lang": "{{lang}}"}},
+          |      {"range": {"n_chars": {"gte": "{{min_chars}}"}}}]}},
+          |    "sort": [{"doc_id": "asc"}], "size": 20,
+          |    "_source": ["doc_id", "lang", "n_chars"]},
+          |  "params": {"lang": "es", "min_chars": 200}}""".stripMargin)
+      val rendered = QueryDsl.renderTemplate(req.get("source"), req.get("params"))
+      QueryDsl.search(Tables(s, d, "documents"), rendered)
+    }),
+
+    // ES runtime fields: a request-defined computed field ranged on,
+    // sorted on, and projected exactly like a mapped field — one scan,
+    // compute-at-query (the runtime projection sits below the filter).
+    "q142_runtime_fields" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"runtime_mappings": {"weighted_len": {"type": "long",
+          |    "script": {"source": "emit(doc['n_chars'].value * 3 + doc['doc_id'].value % 7)"}}},
+          |  "query": {"bool": {"filter": [{"range": {"weighted_len": {"gte": 400, "lt": 1200}}}]}},
+          |  "sort": [{"weighted_len": "desc"}, {"doc_id": "asc"}],
+          |  "size": 20,
+          |  "_source": ["doc_id", "n_chars", "weighted_len"]}""".stripMargin)
+      QueryDsl.search(Tables(s, d, "documents"), body)
+    }),
+
+    // THE REFERENCE'S OWN REQUEST: a proportional_sum aggregation body in
+    // ProportionalSumAggregationBuilder's wire grammar, compiled onto the
+    // same operator q01 runs — and sharing q01's oracle verbatim, so the
+    // hash match proves front door ≡ typed API.
+    "q143_agg_body" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": 3600000,
+          |    "start": 1704412800000,
+          |    "end": 1706140800000,
+          |    "order": [{"_key": "asc"}]
+          |  }}}}""".stripMargin)
+      QueryDsl.propSumAgg(Flows.df(s, d), body)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    // Static mirror of Q137Inner + the search envelope. Boost arithmetic
+    // in explicit DOUBLE casts (DuckDB decimal literals would otherwise
+    // sum in DECIMAL); all boosts dyadic so the sums are IEEE-exact.
+    "q137_wrapper" ->
+      """WITH hits AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         -- the must range clause is query context: a matching doc
+        |         -- earns its boost (1.0) before the should contributions
+        |         (CAST(1.0 AS DOUBLE)
+        |          + CASE WHEN lang = 'en' THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |          + CASE WHEN source IN ('src3', 'src7', 'src11') THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |          + CASE WHEN lang LIKE 'f%' THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS score
+        |  FROM documents
+        |  WHERE n_chars >= 150 AND n_chars < 450
+        |    AND NOT (source LIKE 'src1_')
+        |    AND (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        |         + CASE WHEN source IN ('src3', 'src7', 'src11') THEN 1 ELSE 0 END
+        |         + CASE WHEN lang LIKE 'f%' THEN 1 ELSE 0 END) >= 1
+        |)
+        |SELECT rank, score, doc_id, lang, source, n_chars FROM (
+        |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, *
+        |  FROM hits
+        |) WHERE rank <= 20""".stripMargin,
+
+    "q138_search_body" ->
+      """WITH hits AS (
+        |  SELECT doc_id, lang, n_chars, CAST(3.0 AS DOUBLE) AS score
+        |  FROM documents
+        |  WHERE lang IN ('en', 'de', 'zh') AND doc_id NOT IN (0, 1, 2, 3)
+        |)
+        |SELECT rank, score, doc_id, lang, n_chars FROM (
+        |  SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank, *
+        |  FROM hits
+        |) WHERE rank > 10 AND rank <= 30""".stripMargin,
+
+    "q139_count" ->
+      """SELECT count(*) AS total, 'eq' AS relation
+        |FROM (
+        |  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |)
+        |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'stream')""".stripMargin,
+
+    // the scroll drain = the full ordered hit list; page = 1-based block
+    // of 64 in rank order (integer arithmetic both engines)
+    "q140_scroll" ->
+      """WITH hits AS (
+        |  SELECT doc_id, source, n_chars
+        |  FROM documents
+        |  WHERE n_chars >= 150 AND n_chars < 450
+        |    AND NOT (source LIKE 'src1_')
+        |    AND (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        |         + CASE WHEN source IN ('src3', 'src7', 'src11') THEN 1 ELSE 0 END
+        |         + CASE WHEN lang LIKE 'f%' THEN 1 ELSE 0 END) >= 1
+        |), r AS (
+        |  SELECT row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rank, *
+        |  FROM hits
+        |)
+        |SELECT rank, (rank - 1) // 64 + 1 AS page, doc_id, source, n_chars FROM r""".stripMargin,
+
+    "q141_search_template" ->
+      """WITH hits AS (
+        |  SELECT doc_id, lang, n_chars, CAST(1.0 AS DOUBLE) AS score
+        |  FROM documents
+        |  WHERE lang = 'es' AND n_chars >= 200
+        |)
+        |SELECT rank, score, doc_id, lang, n_chars FROM (
+        |  SELECT row_number() OVER (ORDER BY doc_id ASC) AS rank, *
+        |  FROM hits
+        |) WHERE rank <= 20""".stripMargin,
+
+    // the runtime field's integer arithmetic replayed inline (explicit
+    // parens: % binds like * in both engines, but the mirror should not
+    // lean on precedence)
+    "q142_runtime_fields" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         (n_chars * 3 + (doc_id % 7)) AS weighted_len,
+        |         CAST(1.0 AS DOUBLE) AS score
+        |  FROM documents
+        |), hits AS (
+        |  SELECT * FROM d WHERE weighted_len >= 400 AND weighted_len < 1200
+        |)
+        |SELECT rank, score, doc_id, n_chars, weighted_len FROM (
+        |  SELECT row_number() OVER (ORDER BY weighted_len DESC, doc_id ASC) AS rank, *
+        |  FROM hits
+        |) WHERE rank <= 20""".stripMargin,
+
+    // q01's oracle VERBATIM: the JSON-compiled run must be row-identical
+    // to the typed q01_prop_sum_basic pipeline
+    "q143_agg_body" -> FlowQueries.basicOracleSql)
+}

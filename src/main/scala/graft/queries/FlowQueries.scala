@@ -163,6 +163,12 @@ object FlowQueries {
   }
 
   private val basicCfg = Config(HOUR_MS, Some(S), Some(E))
+
+  /** q143's bridge: q01's oracle SQL shared verbatim with the DSL agg-body
+    * entry — the JSON-compiled run (QueryDsl.propSumAgg with interval
+    * 3600000, start/end = this S/E) must hash-match the same oracle the
+    * typed q01 pipeline matches. */
+  private[queries] def basicOracleSql: String = oracle(basicCfg)
   private val offsetCfg = Config(HOUR_MS, Some(S), Some(E), offsetMs = 900000L) // :15 grid
   private val denseBounds = (JAN_START_MS, JAN_START_MS + DAY_MS - 1)
   private val denseCfg = Config(60000L, Some(JAN_START_MS), Some(JAN_START_MS + DAY_MS))

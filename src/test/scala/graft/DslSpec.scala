@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.QueryDsl
+
+/** The ES Query-DSL compiler (q137/q138/q139): every supported clause type
+  * proven DECISIVE (hits and misses both exist) on a fixture frame that
+  * includes nulls, the boost arithmetic pinned exactly, and every rejected
+  * input rejected LOUDLY — an unsupported query must throw, never return
+  * an empty (or worse, full) result. */
+class DslSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Fixture docs: nulls in text/lang (exists decisive), mixed langs,
+    * sources, lengths. */
+  private lazy val fix: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("lang", StringType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("n_chars", LongType, nullable = false)))
+    val rows = Seq(
+      Row(0L, "Spark  JOIN merge", "en", "src1", 100L),
+      Row(1L, "window merge scan", "fr", "src10", 200L),
+      Row(2L, null, "en", "src3", 300L),
+      Row(3L, "vector stream data", null, "src7", 400L),
+      Row(4L, "vector only here", "de", "a_b%c\\d", 500L),
+      Row(5L, "stream only here", "es", "src19", 47L))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private def ids(q: String): Set[Long] =
+    fix.filter(QueryDsl.compile(QueryDsl.parse(q)).pred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def scores(q: String): Map[Long, Double] = {
+    val c = QueryDsl.compile(QueryDsl.parse(q))
+    fix.filter(c.pred).withColumn("s", c.score)
+      .select("doc_id", "s").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("leaf clauses: each type hits AND misses the fixture") {
+    assert(ids("""{"term": {"lang": "en"}}""") == Set(0L, 2L))
+    assert(ids("""{"term": {"n_chars": 300}}""") == Set(2L))
+    assert(ids("""{"terms": {"source": ["src3", "src7"]}}""") == Set(2L, 3L))
+    assert(ids("""{"range": {"n_chars": {"gte": 200, "lt": 500}}}""") == Set(1L, 2L, 3L))
+    assert(ids("""{"range": {"n_chars": {"gt": 400}}}""") == Set(4L))
+    assert(ids("""{"range": {"n_chars": {"lte": 100}}}""") == Set(0L, 5L))
+    assert(ids("""{"exists": {"field": "text"}}""") == Set(0L, 1L, 3L, 4L, 5L))
+    assert(ids("""{"exists": {"field": "lang"}}""") == Set(0L, 1L, 2L, 4L, 5L))
+    assert(ids("""{"ids": {"values": [0, 4, 99]}}""") == Set(0L, 4L))
+    assert(ids("""{"prefix": {"source": {"value": "src1"}}}""") == Set(0L, 1L, 5L))
+    assert(ids("""{"wildcard": {"source": "src1?"}}""") == Set(1L, 5L))
+    assert(ids("""{"match_all": {}}""") == Set(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("prefix/wildcard escape LIKE metacharacters (literal % _ \\ match themselves)") {
+    // source "a_b%c\d": a literal-prefix query must not treat _ or % as wildcards
+    assert(ids("""{"prefix": {"source": {"value": "a_b%c"}}}""") == Set(4L))
+    assert(ids("""{"prefix": {"source": {"value": "a.b"}}}""") == Set.empty[Long])
+    assert(ids("""{"wildcard": {"source": "a_b%c\\d"}}""") == Set(4L))
+    assert(ids("""{"wildcard": {"source": "a?b*d"}}""") == Set(4L))
+  }
+
+  test("match: analyzer matches the corpus tokenization; operator and/or") {
+    // "Spark  JOIN merge" normalizes to [spark, join, merge]
+    assert(ids("""{"match": {"text": "SPARK"}}""") == Set(0L))
+    assert(ids("""{"match": {"text": {"query": "vector stream", "operator": "and"}}}""") == Set(3L))
+    assert(ids("""{"match": {"text": {"query": "vector stream", "operator": "or"}}}""") == Set(3L, 4L, 5L))
+  }
+
+  test("bool: minimum_should_match gates; must_not excludes; nulls never match") {
+    val q =
+      """{"bool": {
+        |  "should": [{"term": {"lang": "en"}}, {"range": {"n_chars": {"gte": 300}}},
+        |             {"term": {"source": "src10"}}],
+        |  "minimum_should_match": 2}}""".stripMargin
+    assert(ids(q) == Set(2L)) // doc2: en + 300; doc3/4 have one should each
+    val q2 =
+      """{"bool": {
+        |  "must": [{"exists": {"field": "text"}}],
+        |  "must_not": [{"match": {"text": "merge"}}]}}""".stripMargin
+    assert(ids(q2) == Set(3L, 4L, 5L))
+    // should-only bool defaults minimum_should_match to 1
+    assert(ids("""{"bool": {"should": [{"term": {"lang": "de"}}]}}""") == Set(4L))
+    // must/filter present → should becomes optional (msm 0)
+    val q3 =
+      """{"bool": {
+        |  "filter": [{"range": {"n_chars": {"gte": 400}}}],
+        |  "should": [{"term": {"lang": "zz"}}]}}""".stripMargin
+    assert(ids(q3) == Set(3L, 4L))
+  }
+
+  test("boost arithmetic: dyadic sums exact; filter context scores 0") {
+    val q =
+      """{"bool": {
+        |  "must": [{"range": {"n_chars": {"gte": 100, "boost": 0.25}}}],
+        |  "filter": [{"exists": {"field": "doc_id"}}],
+        |  "should": [{"term": {"lang": {"value": "en", "boost": 2.0}}},
+        |             {"term": {"source": {"value": "src3", "boost": 0.5}}}]}}""".stripMargin
+    val s = scores(q)
+    assert(s(0L) == 0.25 + 2.0) // en, not src3
+    assert(s(2L) == 0.25 + 2.0 + 0.5) // en + src3; filter clause adds nothing
+    assert(s(1L) == 0.25) // neither should
+    val cs = scores("""{"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 4.0}}""")
+    assert(cs(0L) == 4.0 && cs(2L) == 4.0)
+  }
+
+  test("wrapper: base64 round trip compiles to the identical hit set") {
+    val inner = """{"term": {"lang": "en"}}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(inner.getBytes("UTF-8"))
+    assert(ids(s"""{"wrapper": {"query": "$b64"}}""") == ids(inner))
+  }
+
+  test("unsupported input fails loudly, never silently") {
+    def bad(q: String): Unit =
+      intercept[IllegalArgumentException](ids(q))
+    bad("""{"fuzzy": {"lang": "en"}}""") // unsupported type (q87 is the named surface)
+    bad("""{"term": {"nope": "en"}}""") // unknown field
+    bad("""{"term": {"lang": "en"}, "terms": {"lang": ["en"]}}""") // two keys
+    bad("""{"term": {"lang": 7}}""") // type mismatch: string field, number
+    bad("""{"term": {"n_chars": "x"}}""") // type mismatch: long field, string
+    bad("""{"range": {"n_chars": {"between": 1}}}""") // unknown range op
+    bad("""{"bool": {"minimum_should_match": 1}}""") // msm without should
+    bad("""{"bool": {"must": [], "mustn't": []}}""") // unknown bool key
+    bad("""{"wrapper": {"query": "!!!notbase64!!!"}}""") // bad base64
+    bad("""{"terms": {"source": []}}""") // empty terms
+    bad("""not json""") // malformed JSON
+    bad("""{"match": {"text": {"query": "a", "operator": "xor"}}}""") // bad operator
+    bad("""{"prefix": {"n_chars": {"value": "1"}}}""") // prefix on numeric field
+  }
+
+  test("search envelope: from/size page is the exact slice of the full sort") {
+    val docs = queries.Tables(spark, sf, "documents")
+    val full = QueryDsl.search(docs, QueryDsl.parse(
+      """{"query": {"match_all": {}},
+        |  "sort": [{"n_chars": "desc"}], "from": 0, "size": 40,
+        |  "_source": ["doc_id", "n_chars"]}""".stripMargin)).collect()
+    val page = QueryDsl.search(docs, QueryDsl.parse(
+      """{"query": {"match_all": {}},
+        |  "sort": [{"n_chars": "desc"}], "from": 25, "size": 15,
+        |  "_source": ["doc_id", "n_chars"]}""".stripMargin)).collect()
+    assert(full.length == 40 && page.length == 15)
+    val tail = full.drop(25).map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(page.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"))).toSeq == tail.toSeq)
+  }
+
+  test("scroll: drains to exhaustion, pages of 64, equals the unpaged sort, cursor never re-serves") {
+    val out = SparkEntry.queries("q140_scroll")(spark, sf).collect()
+    val docs = queries.Tables(spark, sf, "documents")
+    // the unpaged reading of the same query + sort
+    val expect = docs
+      .filter(QueryDsl.compile(QueryDsl.parse(queries.DslQueries.Q137Inner)).pred)
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+      .select("doc_id", "source", "n_chars").collect()
+    assert(out.length == expect.length && out.length > 64,
+      s"scroll must exceed one page at the smallest SF (got ${out.length})")
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to expect.length).toSeq)
+    out.zip(expect).foreach { case (o, e) =>
+      assert(o.getAs[Long]("doc_id") == e.getAs[Long]("doc_id"), "cursor skipped or re-served a row")
+    }
+    val pages = out.groupBy(_.getAs[Long]("page")).view.mapValues(_.length).toMap
+    assert(pages(1L) == 64 && pages.keys.max == (expect.length + 63) / 64)
+    // invalid scroll sorts fail loudly
+    val docs2 = queries.Tables(spark, sf, "documents")
+    intercept[IllegalArgumentException](QueryDsl.scrollAll(docs2, QueryDsl.parse(
+      """{"query": {"match_all": {}}, "sort": [{"n_chars": "asc"}]}"""), 64))
+    intercept[IllegalArgumentException](QueryDsl.scrollAll(docs2, QueryDsl.parse(
+      """{"query": {"match_all": {}}, "sort": [{"_score": "desc"}, {"doc_id": "asc"}]}"""), 64))
+  }
+
+  test("search template: whole-value substitution keeps JSON types; embedded interpolates; unresolved fails") {
+    val t = QueryDsl.parse(
+      """{"range": {"n_chars": {"gte": "{{lo}}"}}, "note": "from {{lo}} to {{hi}}"}""")
+    val p = QueryDsl.parse("""{"lo": 200, "hi": 400}""")
+    val r = QueryDsl.renderTemplate(t, p)
+    assert(r.get("range").get("n_chars").get("gte").isIntegralNumber,
+      "whole-value placeholder must keep the param's number type")
+    assert(r.get("range").get("n_chars").get("gte").asLong == 200L)
+    assert(r.get("note").asText == "from 200 to 400")
+    intercept[IllegalArgumentException](
+      QueryDsl.renderTemplate(QueryDsl.parse("""{"term": {"lang": "{{missing}}"}}"""), p))
+  }
+
+  test("runtime script parser: precedence, parens, loud failures") {
+    val two = fix.filter(col("doc_id") === 4L) // n_chars 500
+    def eval(src: String): Long =
+      two.select(QueryDsl.parseEmitScript(src).as("v")).collect().head.getLong(0)
+    assert(eval("emit(2 + 3 * 4)") == 14L) // * binds tighter
+    assert(eval("emit((2 + 3) * 4)") == 20L)
+    assert(eval("emit(doc['n_chars'].value * 3 + doc['doc_id'].value % 7)") == 1504L)
+    assert(eval("emit(17 % 5)") == 2L)
+    assert(eval("emit(10 - 2 - 3)") == 5L) // left associative
+    def bad(src: String): Unit = intercept[IllegalArgumentException](QueryDsl.parseEmitScript(src))
+    bad("emit(10 / 2)") // division rejected (trunc-vs-floor across engines)
+    bad("emit(doc['lang'].value + 1)") // string field in long arithmetic
+    bad("emit(doc['nope'].value)") // unknown field
+    bad("emit(1 + )") // syntax
+    bad("emit(1) extra") // trailing
+    bad("return 1") // not emit()
+  }
+
+  test("runtime fields: usable in query, sort, _source; shadowing rejected") {
+    val docs = queries.Tables(spark, sf, "documents")
+    intercept[IllegalArgumentException](QueryDsl.search(docs, QueryDsl.parse(
+      """{"runtime_mappings": {"n_chars": {"type": "long", "script": {"source": "emit(1)"}}},
+        |  "query": {"match_all": {}}}""".stripMargin)))
+    intercept[IllegalArgumentException](QueryDsl.search(docs, QueryDsl.parse(
+      """{"runtime_mappings": {"x": {"type": "keyword", "script": {"source": "emit(1)"}}},
+        |  "query": {"match_all": {}}}""".stripMargin)))
+    val out = SparkEntry.queries("q142_runtime_fields")(spark, sf).collect()
+    assert(out.length == 20)
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("rank", "score", "doc_id", "n_chars", "weighted_len"))
+    out.foreach { r =>
+      val w = r.getAs[Long]("weighted_len")
+      assert(w == r.getAs[Long]("n_chars") * 3 + r.getAs[Long]("doc_id") % 7)
+      assert(w >= 400 && w < 1200)
+    }
+    // sorted on the runtime field desc
+    val ws = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("weighted_len")).toSeq
+    assert(ws == ws.sorted.reverse)
+    // decisive: hits and misses exist
+    val n = docs.count()
+    val hits = QueryDsl.count(docs, QueryDsl.parse(
+      """{"runtime_mappings": {"weighted_len": {"type": "long",
+        |    "script": {"source": "emit(doc['n_chars'].value * 3 + doc['doc_id'].value % 7)"}}},
+        |  "query": {"range": {"weighted_len": {"gte": 400, "lt": 1200}}}}""".stripMargin))
+      .collect().head.getAs[Long]("total")
+    assert(hits > 20 && hits < n, s"runtime range not decisive: $hits of $n")
+  }
+
+  test("agg body: the JSON-compiled proportional_sum run is ROW-IDENTICAL to typed q01") {
+    val viaJson = SparkEntry.queries("q143_agg_body")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket_ms"), r.getAs[Long]("doc_count"), r.getAs[Double]("value")))
+    val viaApi = SparkEntry.queries("q01_prop_sum_basic")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket_ms"), r.getAs[Long]("doc_count"), r.getAs[Double]("value")))
+    assert(viaJson.nonEmpty)
+    assert(viaJson.toSet == viaApi.toSet, "front door and typed API diverged")
+    // the order knob is honored: buckets ascend
+    val ks = viaJson.map(_._1).toSeq
+    assert(ks == ks.sorted)
+    val flows = queries.Flows.df(spark, sf)
+    def badAgg(body: String): Unit =
+      intercept[IllegalArgumentException](QueryDsl.propSumAgg(flows, QueryDsl.parse(body)))
+    badAgg("""{"size": 5, "aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000}}}}""")
+    badAgg("""{"aggs": {"h": {"avg": {"field": "v"}}}}""") // unsupported agg type
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"]}}}}""") // no interval
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re"], "interval": 3600000}}}}""") // 2 fields
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","nope"], "interval": 3600000}}}}""")
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000, "order": [{"_count": "desc"}]}}}}""")
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000, "shard_size": 5}}}}""")
+  }
+
+  test("q140/q141 registry shapes at sf0.001") {
+    val out141 = SparkEntry.queries("q141_search_template")(spark, sf).collect()
+    assert(out141.length == 20)
+    assert(out141.head.schema.fieldNames.toSeq == Seq("rank", "score", "doc_id", "lang", "n_chars"))
+    assert(out141.forall(r => r.getAs[String]("lang") == "es" && r.getAs[Long]("n_chars") >= 200))
+    assert(out141.forall(_.getAs[Double]("score") == 1.0))
+  }
+
+  test("q137/q138/q139 registry: shapes, projections, decisive clauses at sf0.001") {
+    val out = SparkEntry.queries("q137_wrapper")(spark, sf).collect()
+    assert(out.length == 20)
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("rank", "score", "doc_id", "lang", "source", "n_chars"))
+    // top of the page: must (1.0) + en (2.0) [+ terms 1.0 when also src3/7/11]
+    assert(out.map(_.getAs[Double]("score")).max >= 3.0)
+    val docs = queries.Tables(spark, sf, "documents")
+    val n = docs.count()
+    // each q137 clause decisive on the real corpus
+    def hits(q: String): Long = docs.filter(QueryDsl.compile(QueryDsl.parse(q)).pred).count()
+    for (q <- Seq(
+      """{"range": {"n_chars": {"gte": 150, "lt": 450}}}""",
+      """{"term": {"lang": "en"}}""",
+      """{"terms": {"source": ["src3", "src7", "src11"]}}""",
+      """{"prefix": {"lang": {"value": "f"}}}""",
+      """{"wildcard": {"source": "src1?"}}""")) {
+      val h = hits(q)
+      assert(h > 0 && h < n, s"q137 clause not decisive: $q → $h of $n")
+    }
+    val out138 = SparkEntry.queries("q138_search_body")(spark, sf).collect()
+    assert(out138.length == 20)
+    assert(out138.head.schema.fieldNames.toSeq == Seq("rank", "score", "doc_id", "lang", "n_chars"))
+    assert(out138.map(_.getAs[Long]("rank")).min == 11) // from=10 honored
+    assert(out138.forall(_.getAs[Double]("score") == 3.0))
+    val out139 = SparkEntry.queries("q139_count")(spark, sf).collect()
+    assert(out139.length == 1)
+    val total = out139.head.getAs[Long]("total")
+    assert(total > 0 && total < n, s"q139 match-and count not decisive: $total of $n")
+  }
+}

@@ -634,4 +634,35 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
     assert(exchanges <= 3, s"unexpected extra exchange ($exchanges): window strings leaking into a shuffle?")
   }
+
+  test("q138 DSL page fetch: pushed scan filter + TakeOrdered, no shuffle, text pruned") {
+    val docs = queries.Tables(spark, sf, "documents")
+    val body = queries.QueryDsl.parse(
+      """{"query": {"constant_score": {"filter": {"bool": {
+        |    "filter": [{"terms": {"lang": ["en", "de", "zh"]}}],
+        |    "must_not": [{"ids": {"values": [0, 1, 2, 3]}}]
+        |  }}, "boost": 3.0}},
+        |  "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": "asc"}],
+        |  "from": 10, "size": 20, "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin)
+    val (fetch, _, _, _) = queries.QueryDsl.pageQuery(docs, body)
+    val p = fetch.queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the page must fetch as per-partition top-k + coordinator merge")
+    assert(!p.contains("Exchange"), s"the DSL page fetch must not shuffle:\n$p")
+    assert(p.contains("In(lang") || p.contains("PushedFilters: [In(lang"),
+      "the structured terms filter must reach the parquet scan")
+    assert(!p.contains("text"), "_source without text must not read the text column")
+  }
+
+  test("q137 DSL match filter: row-local token test, still no shuffle in the page fetch") {
+    val docs = queries.Tables(spark, sf, "documents")
+    val body = queries.QueryDsl.parse(
+      """{"query": {"match": {"text": {"query": "vector stream", "operator": "and"}}},
+        |  "size": 20, "_source": ["doc_id", "n_chars"]}""".stripMargin)
+    val (fetch, _, _, _) = queries.QueryDsl.pageQuery(docs, body)
+    val p = fetch.queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), s"match must stay a row-local scan predicate:\n$p")
+    assert(!p.contains("Generate"), "match must not explode tokens")
+  }
 }
