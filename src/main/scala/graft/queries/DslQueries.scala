@@ -53,18 +53,27 @@ object QueryDsl {
 
   private val mapper = new ObjectMapper
 
-  /** documents-table field catalog: name → is-long (else string). A query
-    * naming any other field fails compilation loudly. */
-  private val LongFields = Set("doc_id", "n_chars")
-  private val StringFields = Set("text", "lang", "source")
+  /** Field catalog for the frame being queried — derived from its Spark
+    * schema, so the DSL fronts ANY table, not one hardcoded mapping:
+    * long/int columns are numeric, string columns textual; other types
+    * (double values, arrays, binaries) are not addressable by this subset
+    * and fail loudly when referenced. Runtime fields (always long in this
+    * subset) extend the catalog per request. */
+  final case class Catalog(longs: Set[String], strings: Set[String]) {
+    def has(f: String): Boolean = longs(f) || strings(f)
+    def withRuntime(names: Set[String]): Catalog = Catalog(longs ++ names, strings)
+  }
 
-  /** Runtime fields declared by the current request (`runtime_mappings`,
-    * always type long in this subset) — threaded implicitly so leaf
-    * compilation, sort, and `_source` accept them like mapped fields. */
-  private type RtFields = Set[String]
+  def catalogOf(df: DataFrame): Catalog = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+    val fs = df.schema.fields
+    Catalog(
+      fs.collect { case StructField(n, LongType | IntegerType, _, _) => n }.toSet,
+      fs.collect { case StructField(n, StringType, _, _) => n }.toSet)
+  }
 
-  private def checkField(f: String)(implicit rt: RtFields): String = {
-    require(LongFields(f) || StringFields(f) || rt(f), s"query DSL: unknown field '$f'")
+  private def checkField(f: String)(implicit cat: Catalog): String = {
+    require(cat.has(f), s"query DSL: unknown field '$f'")
     f
   }
 
@@ -96,8 +105,8 @@ object QueryDsl {
 
   /** Typed literal for `field`: long fields take integral JSON numbers,
     * string fields take JSON strings — anything else is a loud mismatch. */
-  private def typedLit(field: String, v: JsonNode)(implicit rt: RtFields): Column =
-    if (LongFields(field) || rt(field)) {
+  private def typedLit(field: String, v: JsonNode)(implicit cat: Catalog): Column =
+    if (cat.longs(field)) {
       require(v.isIntegralNumber,
         s"query DSL: field '$field' is numeric, got non-integral value $v")
       lit(v.asLong)
@@ -106,9 +115,9 @@ object QueryDsl {
       lit(v.asText)
     }
 
-  private def stringField(f: String, q: String)(implicit rt: RtFields): String = {
+  private def stringField(f: String, q: String)(implicit cat: Catalog): String = {
     checkField(f)
-    require(StringFields(f), s"query DSL: $q requires a string field, got '$f'")
+    require(cat.strings(f), s"query DSL: $q requires a string field, got '$f'")
     f
   }
 
@@ -116,7 +125,7 @@ object QueryDsl {
     Compiled(pred, when(pred, lit(boost)).otherwise(lit(0.0)))
 
   /** `{"field": value}` or `{"field": {"value": v, "boost": b}}`. */
-  private def valueForm(body: JsonNode, q: String)(implicit rt: RtFields): (String, JsonNode, Double) = {
+  private def valueForm(body: JsonNode, q: String)(implicit cat: Catalog): (String, JsonNode, Double) = {
     val (f, v) = sole(body, q)
     checkField(f)
     if (v.isObject) {
@@ -146,14 +155,14 @@ object QueryDsl {
       case c => c.toString
     } + "%"
 
-  private def clauseList(body: JsonNode, key: String)(implicit rt: RtFields): Seq[Compiled] =
+  private def clauseList(body: JsonNode, key: String)(implicit cat: Catalog): Seq[Compiled] =
     Option(body.get(key)).toSeq.flatMap { n =>
       val items = if (n.isArray) n.elements().asScala.toSeq else Seq(n)
       items.map(compile)
     }
 
   /** Compile one ES query clause to (predicate, constant-score). */
-  def compile(q: JsonNode)(implicit rt: RtFields = Set.empty): Compiled = {
+  def compile(q: JsonNode)(implicit cat: Catalog): Compiled = {
     val (name, body) = sole(q, "query clause")
     name match {
       case "term" =>
@@ -194,6 +203,7 @@ object QueryDsl {
         require(body.isObject && body.has("values"), "query DSL: ids requires 'values'")
         val arr = body.get("values")
         require(arr.isArray && arr.size > 0, "query DSL: ids requires a non-empty array")
+        checkField("doc_id") // ids addresses the corpus identity column
         val vs = arr.elements().asScala.toSeq.map(typedLit("doc_id", _))
         leaf(col("doc_id").isNotNull && col("doc_id").isin(vs: _*), boostOf(body))
 
@@ -316,7 +326,7 @@ object QueryDsl {
       : (DataFrame, Seq[Column], Int, Seq[String]) = {
     require(body.has("query"), "query DSL: search body requires 'query'")
     val (docs, rtSet) = applyRuntimeMappings(docs0, body)
-    implicit val rt: RtFields = rtSet
+    implicit val cat: Catalog = catalogOf(docs0).withRuntime(rtSet)
     val c = compile(body.get("query"))
     val from = if (body.has("from")) body.get("from").asInt else 0
     val size = if (body.has("size")) body.get("size").asInt else 10
@@ -358,10 +368,59 @@ object QueryDsl {
   def count(docs0: DataFrame, body: JsonNode): DataFrame = {
     require(body.has("query"), "query DSL: count body requires 'query'")
     val (docs, rtSet) = applyRuntimeMappings(docs0, body)
-    implicit val rt: RtFields = rtSet
+    implicit val cat: Catalog = catalogOf(docs0).withRuntime(rtSet)
     docs.filter(compile(body.get("query")).pred)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("total"))
       .withColumn("relation", lit("eq"))
+  }
+
+  /** `_mget`: fetch documents by id, RESPONSE IN REQUEST ORDER, one row
+    * per requested id — found=false rows for absent ids and duplicate ids
+    * served twice, the ES contract (a miss is a response row, not an
+    * omission). Scale shape: the id list becomes a BROADCAST local
+    * relation probed by one corpus equi-join (the corpus is never the
+    * build side); the k-sized hit set localizes and the response
+    * assembles in request order on the driver — exactly an ES
+    * coordinator's scatter-gather. */
+  def mget(docs: DataFrame, body: JsonNode): DataFrame = {
+    require(body.has("ids") && body.get("ids").isArray && body.get("ids").size > 0,
+      "query DSL: _mget requires a non-empty ids array")
+    val ids = body.get("ids").elements().asScala.toSeq.map { n =>
+      require(n.isIntegralNumber, s"query DSL: _mget ids must be integral, got $n")
+      n.asLong
+    }
+    implicit val cat: Catalog = catalogOf(docs)
+    checkField("doc_id")
+    val src: Seq[String] =
+      if (body.has("_source")) body.get("_source").elements().asScala.toSeq.map(_.asText)
+      else Seq("doc_id")
+    src.foreach(checkField)
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val req = spark.createDataFrame(
+      java.util.Arrays.asList(ids.zipWithIndex.map { case (id, i) =>
+        org.apache.spark.sql.Row((i + 1).toLong, id)
+      }: _*),
+      StructType(Seq(
+        StructField("req_pos", LongType, nullable = false),
+        StructField("id", LongType, nullable = false))))
+    val hit = docs.select((col("doc_id") +: src.distinct.map(col)): _*)
+      .join(broadcast(req), col("doc_id") === col("id"))
+    val byPos = hit.collect().map(r => r.getAs[Long]("req_pos") -> r).toMap
+    val rows = ids.zipWithIndex.map { case (id, i) =>
+      byPos.get((i + 1).toLong) match {
+        case Some(r) =>
+          org.apache.spark.sql.Row.fromSeq((i + 1).toLong +: id +: true +: src.map(r.getAs[Any](_)))
+        case None =>
+          org.apache.spark.sql.Row.fromSeq((i + 1).toLong +: id +: false +: src.map(_ => null))
+      }
+    }
+    val schema = StructType(
+      StructField("req_pos", LongType, nullable = false) +:
+        StructField("id", LongType, nullable = false) +:
+        StructField("found", BooleanType, nullable = false) +:
+        src.map(f => docs.schema(f).copy(nullable = true)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** ES `scroll`: iterate the ENTIRE hit set to exhaustion in sort order,
@@ -381,7 +440,7 @@ object QueryDsl {
     require(body.has("query") && body.has("sort"),
       "query DSL: scroll requires 'query' and an explicit 'sort'")
     val (docs, rtSet) = applyRuntimeMappings(docs0, body)
-    implicit val rt: RtFields = rtSet
+    implicit val cat: Catalog = catalogOf(docs0).withRuntime(rtSet)
     val c = compile(body.get("query"))
     val keys: Seq[(String, Boolean)] =
       body.get("sort").elements().asScala.toSeq.map { s =>
@@ -449,17 +508,18 @@ object QueryDsl {
     * `/` is REJECTED loudly: Spark's `div` truncates toward zero while
     * DuckDB's `//` floors, and a silently engine-dependent field would
     * poison every comparison downstream. */
-  private def applyRuntimeMappings(docs: DataFrame, body: JsonNode): (DataFrame, RtFields) =
+  private def applyRuntimeMappings(docs: DataFrame, body: JsonNode): (DataFrame, Set[String]) =
     Option(body.get("runtime_mappings")) match {
       case None => (docs, Set.empty)
       case Some(rm) =>
         require(rm.isObject && rm.size > 0,
           "query DSL: runtime_mappings must be a non-empty object")
+        val base = catalogOf(docs)
         var d = docs
         val names = scala.collection.mutable.LinkedHashSet.empty[String]
         rm.fields().asScala.foreach { e =>
           val name = e.getKey
-          require(!LongFields(name) && !StringFields(name),
+          require(!base.has(name),
             s"query DSL: runtime field '$name' shadows a mapped field")
           val spec = e.getValue
           require(spec.isObject && spec.has("type") && spec.get("type").asText == "long",
@@ -467,7 +527,10 @@ object QueryDsl {
           require(spec.has("script") && spec.get("script").isObject
             && spec.get("script").has("source"),
             s"query DSL: runtime field '$name' needs script.source")
-          d = d.withColumn(name, parseEmitScript(spec.get("script").get("source").asText))
+          // a script may reference earlier runtime fields (they are columns
+          // of d by now and longs of the extended catalog)
+          d = d.withColumn(name,
+            parseEmitScript(spec.get("script").get("source").asText)(base.withRuntime(names.toSet)))
           names += name
         }
         (d, names.toSet)
@@ -477,14 +540,14 @@ object QueryDsl {
     * `emit(expr)`; expr := term (('+'|'-') term)*;
     * term := atom (('*'|'%') atom)*; atom := nat | doc['f'].value | (expr).
     * All long arithmetic; unknown fields, '/', and trailing input fail. */
-  private[graft] def parseEmitScript(src: String): Column = {
+  private[graft] def parseEmitScript(src: String)(implicit cat: Catalog): Column = {
     val s = src.trim
     require(s.startsWith("emit(") && s.endsWith(")"),
       s"query DSL: runtime script must be emit(<expr>), got: $src")
     val in = s.substring(5, s.length - 1)
     var pos = 0
     def ws(): Unit = while (pos < in.length && in(pos).isWhitespace) pos += 1
-    def peek: Char = if (pos < in.length) in(pos) else ' '
+    def peek: Char = if (pos < in.length) in(pos) else '\u0000'
     def expr(): Column = {
       var l = term(); ws()
       while (peek == '+' || peek == '-') {
@@ -527,7 +590,7 @@ object QueryDsl {
         val f = in.substring(st, pos)
         require(in.startsWith("'].value", pos), s"query DSL: expected '].value after doc['$f")
         pos += 8
-        require(LongFields(f), s"query DSL: runtime script field '$f' must be a mapped long field")
+        require(cat.longs(f), s"query DSL: runtime script field '$f' must be a long field")
         col(f)
       } else {
         throw new IllegalArgumentException(
@@ -552,16 +615,115 @@ object QueryDsl {
     * that hash-matches q01's oracle proves the front door and the typed
     * API execute identically. `keyed` and `_key asc` order are accepted
     * (response-presentation knobs; the bucket table is sorted for the
-    * latter); anything else unsupported fails loudly. */
-  def propSumAgg(flows: DataFrame, body: JsonNode): DataFrame = {
+    * latter); anything else unsupported fails loudly.
+    *
+    * Beyond the plugin's own agg, the dispatcher covers the two framework
+    * aggs every Drift dashboard pairs it with — `date_histogram` (fixed
+    * interval, the q10 bucket recipe) and `terms` (size + _count/_key
+    * order, the q11 shape) — each with `sum`/`min`/`max`/`value_count`
+    * metric sub-aggregations (sums through detsum), plus an optional
+    * `query` section filtering the frame first. The compiled runs share
+    * the typed entries' oracles verbatim. */
+  def aggBody(frame: DataFrame, body: JsonNode): DataFrame = {
     if (body.has("size"))
       require(body.get("size").asInt == 0, "query DSL: agg-only request requires size 0")
     require(body.has("aggs") && body.get("aggs").isObject && body.get("aggs").size == 1,
-      "query DSL: exactly one aggregation expected under 'aggs'")
-    val (aggName, aggBody) = sole(body.get("aggs"), "aggs")
-    val (aggType, spec) = sole(aggBody, s"aggregation '$aggName'")
-    require(aggType == "proportional_sum",
-      s"query DSL: unsupported aggregation type '$aggType'")
+      "query DSL: exactly one top-level aggregation expected under 'aggs'")
+    val (aggName, aggNode) = sole(body.get("aggs"), "aggs")
+    // the agg object may carry metric sub-aggregations next to its type key
+    val typeKeys = aggNode.fieldNames().asScala.toSeq.filterNot(_ == "aggs")
+    require(aggNode.isObject && typeKeys.size == 1,
+      s"query DSL: aggregation '$aggName' must have exactly one type key, got $typeKeys")
+    val aggType = typeKeys.head
+    val spec = aggNode.get(aggType)
+    val subAggs = Option(aggNode.get("aggs"))
+    // optional query section: filter context over the frame's own
+    // schema-derived catalog (the agg consumes only surviving rows — the
+    // pushdown-eligible parent-filter shape, q04b's semantics)
+    val filtered =
+      if (body.has("query")) {
+        implicit val cat: Catalog = catalogOf(frame)
+        frame.filter(compile(body.get("query")).pred)
+      } else frame
+    aggType match {
+      case "proportional_sum" =>
+        require(subAggs.isEmpty,
+          "query DSL: proportional_sum takes no metric sub-aggregations (value IS the metric)")
+        propSumSpec(filtered, spec)
+      case "date_histogram" =>
+        require(spec.isObject && spec.has("field") && spec.has("fixed_interval"),
+          "query DSL: date_histogram requires field + fixed_interval")
+        val f = spec.get("field").asText
+        require(filtered.columns.contains(f), s"query DSL: unknown field '$f'")
+        require(spec.get("fixed_interval").isIntegralNumber,
+          "query DSL: fixed_interval must be integral epoch-ms")
+        val itv = spec.get("fixed_interval").asLong
+        require(itv > 0, "query DSL: fixed_interval must be positive")
+        val known = Set("field", "fixed_interval")
+        val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
+        require(unknown.isEmpty, s"query DSL: unsupported date_histogram keys: $unknown")
+        // the q10 bucket recipe verbatim: floor(ms / interval) * interval
+        filtered.groupBy((floor(col(f) / lit(itv)) * lit(itv)).as("bucket_ms"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"), metricCols(subAggs, filtered): _*)
+      case "terms" =>
+        require(spec.isObject && spec.has("field"), "query DSL: terms agg requires field")
+        val f = spec.get("field").asText
+        require(filtered.columns.contains(f), s"query DSL: unknown field '$f'")
+        val size = Option(spec.get("size")).map { n =>
+          require(n.isIntegralNumber && n.asInt > 0, s"query DSL: bad terms size $n")
+          n.asInt
+        }.getOrElse(10)
+        val byCount = Option(spec.get("order")).forall { o =>
+          val (k, v) = sole(o, "terms order")
+          (k, v.asText) match {
+            case ("_count", "desc") => true
+            case ("_key", "asc") => false
+            case other =>
+              throw new IllegalArgumentException(s"query DSL: unsupported terms order $other")
+          }
+        }
+        val known = Set("field", "size", "order")
+        val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
+        require(unknown.isEmpty, s"query DSL: unsupported terms keys: $unknown")
+        val grouped = filtered.groupBy(col(f))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"), metricCols(subAggs, filtered): _*)
+        val ordered =
+          if (byCount) grouped.orderBy(col("doc_count").desc, col(f).asc)
+          else grouped.orderBy(col(f).asc)
+        ordered.limit(size)
+      case other =>
+        throw new IllegalArgumentException(s"query DSL: unsupported aggregation type '$other'")
+    }
+  }
+
+  /** Metric sub-aggregations of a bucket agg: {name: {sum|min|max|
+    * value_count: {field}}} — sum goes through detsum (the partitioning-
+    * independent exact-decimal sum every oracle-backed aggregate uses). */
+  private def metricCols(subAggs: Option[JsonNode], frame: DataFrame): Seq[Column] =
+    subAggs match {
+      case None => Nil
+      case Some(sa) =>
+        require(sa.isObject && sa.size > 0, "query DSL: empty sub-aggs object")
+        sa.fields().asScala.toSeq.map { e =>
+          val name = e.getKey
+          val (mType, mSpec) = sole(e.getValue, s"metric sub-agg '$name'")
+          require(mSpec.isObject && mSpec.has("field"),
+            s"query DSL: metric '$name' requires a field")
+          val f = mSpec.get("field").asText
+          require(frame.columns.contains(f), s"query DSL: unknown metric field '$f'")
+          mType match {
+            case "sum" => graft.functions.detsum.sumDet(col(f)).as(name)
+            case "min" => min(col(f)).as(name)
+            case "max" => max(col(f)).as(name)
+            case "value_count" => org.apache.spark.sql.functions.count(col(f)).as(name)
+            case other =>
+              throw new IllegalArgumentException(s"query DSL: unsupported metric '$other'")
+          }
+        }
+    }
+
+  /** The proportional_sum spec body (see [[aggBody]]). */
+  private def propSumSpec(flows: DataFrame, spec: JsonNode): DataFrame = {
     require(spec.has("fields") && spec.get("fields").isArray,
       "query DSL: proportional_sum requires a fields array")
     val fs = spec.get("fields").elements().asScala.toSeq.map(_.asText)
@@ -741,7 +903,58 @@ object DslQueries {
           |    "end": 1706140800000,
           |    "order": [{"_key": "asc"}]
           |  }}}}""".stripMargin)
-      QueryDsl.propSumAgg(Flows.df(s, d), body)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
+    // filtered agg body: the DSL query section gates the flow rows BEFORE
+    // the proportional_sum (the parent-filter shape) — compiled against
+    // the flow frame's own schema-derived catalog, proving the front door
+    // is not documents-specific.
+    "q144_agg_body_filtered" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "query": {"term": {"event_type": "purchase"}},
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": 3600000,
+          |    "start": 1704412800000,
+          |    "end": 1706140800000
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
+    // the framework date_histogram agg through the front door: q10's
+    // bucket recipe + a detsum metric sub-agg, sharing q10's oracle.
+    "q146_dsl_date_histogram" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"by_hour": {
+          |    "date_histogram": {"field": "ms", "fixed_interval": 3600000},
+          |    "aggs": {"sum_value": {"sum": {"field": "value"}}}
+          |  }}}""".stripMargin)
+      QueryDsl.aggBody(EsAggQueries.eventsMs(s, d), body)
+    }),
+
+    // the framework terms agg through the front door: size + _count order
+    // + detsum metric, sharing q11's oracle.
+    "q147_dsl_terms_agg" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"types": {
+          |    "terms": {"field": "event_type", "size": 10, "order": {"_count": "desc"}},
+          |    "aggs": {"sum_value": {"sum": {"field": "value"}}}
+          |  }}}""".stripMargin)
+      QueryDsl.aggBody(EsAggQueries.eventsMs(s, d), body)
+    }),
+
+    // _mget: request-order multi-get with found=false rows for misses and
+    // a duplicate id served twice — the broadcast-probe + coordinator
+    // assembly shape.
+    "q145_mget" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"ids": [7, 3, 999999999, 11, 3],
+          |  "_source": ["lang", "n_chars"]}""".stripMargin)
+      QueryDsl.mget(Tables(s, d, "documents"), body)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -835,5 +1048,21 @@ object DslQueries {
 
     // q01's oracle VERBATIM: the JSON-compiled run must be row-identical
     // to the typed q01_prop_sum_basic pipeline
-    "q143_agg_body" -> FlowQueries.basicOracleSql)
+    "q143_agg_body" -> FlowQueries.basicOracleSql,
+
+    // the same generated oracle family with the purchase row filter —
+    // one definition with q01/q04b, only the WHERE differs
+    "q144_agg_body_filtered" -> FlowQueries.purchaseOracleSql,
+
+    // q10 / q11 oracles VERBATIM — front door ≡ typed API for the
+    // framework aggs too
+    "q146_dsl_date_histogram" -> EsAggQueries.oracleSql("q10_date_histogram"),
+    "q147_dsl_terms_agg" -> EsAggQueries.oracleSql("q11_terms_topn"),
+
+    "q145_mget" ->
+      """WITH req(req_pos, id) AS (
+        |  VALUES (CAST(1 AS BIGINT), CAST(7 AS BIGINT)), (2, 3), (3, 999999999), (4, 11), (5, 3)
+        |)
+        |SELECT req_pos, id, (d.doc_id IS NOT NULL) AS found, d.lang, d.n_chars
+        |FROM req LEFT JOIN documents d ON d.doc_id = req.id""".stripMargin)
 }

@@ -22,6 +22,11 @@ object EsAggQueries {
     Tables(spark, dir, "events")
       .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
 
+  /** q146/q147's bridge: the shared events frame (ms = epoch millis) the
+    * DSL agg-body entries aggregate — same derivation as every q10-family
+    * typed entry, so the front door shares their oracles verbatim. */
+  private[graft] def eventsMs(spark: SparkSession, dir: String): DataFrame = ev(spark, dir)
+
   private def hourBucket(c: org.apache.spark.sql.Column) =
     (floor(c / lit(HOUR_MS)) * lit(HOUR_MS)).as("bucket_ms")
 

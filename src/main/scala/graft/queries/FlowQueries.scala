@@ -169,6 +169,12 @@ object FlowQueries {
     * 3600000, start/end = this S/E) must hash-match the same oracle the
     * typed q01 pipeline matches. */
   private[queries] def basicOracleSql: String = oracle(basicCfg)
+
+  /** q144's bridge: the same generated oracle with the purchase-rows
+    * parent filter — the DSL query section must reproduce exactly the
+    * WHERE this mirror applies. */
+  private[queries] def purchaseOracleSql: String =
+    oracle(basicCfg, rowFilterSql = Some("event_type = 'purchase'"))
   private val offsetCfg = Config(HOUR_MS, Some(S), Some(E), offsetMs = 900000L) // :15 grid
   private val denseBounds = (JAN_START_MS, JAN_START_MS + DAY_MS - 1)
   private val denseCfg = Config(60000L, Some(JAN_START_MS), Some(JAN_START_MS + DAY_MS))

@@ -36,6 +36,10 @@ class DslSpec extends AnyFunSuite {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  // the DSL compiles against a schema-derived catalog; the fixture shares
+  // the documents table's addressable fields
+  private implicit lazy val cat: QueryDsl.Catalog = QueryDsl.catalogOf(fix)
+
   private def ids(q: String): Set[Long] =
     fix.filter(QueryDsl.compile(QueryDsl.parse(q)).pred)
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -249,7 +253,7 @@ class DslSpec extends AnyFunSuite {
     assert(ks == ks.sorted)
     val flows = queries.Flows.df(spark, sf)
     def badAgg(body: String): Unit =
-      intercept[IllegalArgumentException](QueryDsl.propSumAgg(flows, QueryDsl.parse(body)))
+      intercept[IllegalArgumentException](QueryDsl.aggBody(flows, QueryDsl.parse(body)))
     badAgg("""{"size": 5, "aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000}}}}""")
     badAgg("""{"aggs": {"h": {"avg": {"field": "v"}}}}""") // unsupported agg type
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"]}}}}""") // no interval
@@ -257,6 +261,67 @@ class DslSpec extends AnyFunSuite {
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","nope"], "interval": 3600000}}}}""")
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000, "order": [{"_count": "desc"}]}}}}""")
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000, "shard_size": 5}}}}""")
+  }
+
+  test("catalog derives from the frame schema: any table is queryable; non-addressable types fail") {
+    val flows = queries.Flows.df(spark, sf)
+    val fcat = QueryDsl.catalogOf(flows)
+    assert(fcat.strings("event_type") && fcat.longs("rs") && fcat.longs("re"))
+    assert(!fcat.has("v"), "a double column is not addressable by the DSL subset")
+    val hits = flows.filter(QueryDsl.compile(
+      QueryDsl.parse("""{"term": {"event_type": "purchase"}}"""))(fcat).pred).count()
+    assert(hits > 0 && hits < flows.count())
+    intercept[IllegalArgumentException](
+      QueryDsl.compile(QueryDsl.parse("""{"term": {"v": "x"}}"""))(fcat))
+  }
+
+  test("q144: the DSL query section gates the agg input (front door ≡ q04b-style parent filter)") {
+    val viaJson = SparkEntry.queries("q144_agg_body_filtered")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket_ms"), r.getAs[Long]("doc_count"), r.getAs[Double]("value"))).toSet
+    val flows = queries.Flows.df(spark, sf).filter(col("event_type") === "purchase")
+    val typed = graft.operators.ProportionalSum.run(
+      flows, col("rs"), col("re"), col("v"), None,
+      graft.operators.ProportionalSum.Config(3600000L, Some(1704412800000L), Some(1706140800000L)))
+      .collect().map(r => (r.getAs[Long]("bucket_ms"), r.getAs[Long]("doc_count"), r.getAs[Double]("value"))).toSet
+    assert(viaJson == typed && viaJson.nonEmpty)
+    // the filter is decisive: fewer docs than the unfiltered q143 run
+    val unfiltered = SparkEntry.queries("q143_agg_body")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_count")).sum
+    assert(viaJson.toSeq.map(_._2).sum < unfiltered)
+  }
+
+  test("q146/q147: framework aggs through the front door are row-identical to q10/q11") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => r.toSeq.toList).toSet
+    assert(rows("q146_dsl_date_histogram") == rows("q10_date_histogram"))
+    assert(rows("q147_dsl_terms_agg") == rows("q11_terms_topn"))
+    val ev = queries.EsAggQueries.eventsMs(spark, sf)
+    def badAgg(body: String): Unit =
+      intercept[IllegalArgumentException](QueryDsl.aggBody(ev, QueryDsl.parse(body)))
+    // metric sub-agg on proportional_sum (value IS its metric)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 1},
+             |  "aggs": {"s": {"sum": {"field": "v"}}}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"date_histogram": {"field": "ms", "fixed_interval": 3600000},
+             |  "aggs": {"s": {"median": {"field": "value"}}}}}}""".stripMargin) // unknown metric
+    badAgg("""{"aggs": {"h": {"date_histogram": {"field": "nope", "fixed_interval": 1}}}}""")
+    badAgg("""{"aggs": {"h": {"date_histogram": {"field": "ms", "calendar_interval": "1h"}}}}""")
+    badAgg("""{"aggs": {"h": {"terms": {"field": "event_type", "order": {"_count": "asc"}}}}}""")
+    badAgg("""{"aggs": {"h": {"significant_terms": {"field": "event_type"}}}}""")
+  }
+
+  test("q145 _mget: request order, duplicate served twice, miss is a found=false row") {
+    val out = SparkEntry.queries("q145_mget")(spark, sf).collect().sortBy(_.getAs[Long]("req_pos"))
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(7L, 3L, 999999999L, 11L, 3L))
+    assert(out.map(_.getAs[Boolean]("found")).toSeq == Seq(true, true, false, true, true))
+    val miss = out(2)
+    assert(miss.isNullAt(miss.fieldIndex("lang")) && miss.isNullAt(miss.fieldIndex("n_chars")))
+    // duplicate id rows carry identical source fields
+    assert(out(1).getAs[String]("lang") == out(4).getAs[String]("lang"))
+    assert(out(1).getAs[Long]("n_chars") == out(4).getAs[Long]("n_chars"))
+    val docs = queries.Tables(spark, sf, "documents")
+    intercept[IllegalArgumentException](QueryDsl.mget(docs, QueryDsl.parse("""{"ids": []}""")))
+    intercept[IllegalArgumentException](QueryDsl.mget(docs, QueryDsl.parse("""{"ids": [1.5]}""")))
   }
 
   test("q140/q141 registry shapes at sf0.001") {
