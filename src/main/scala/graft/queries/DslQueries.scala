@@ -59,9 +59,18 @@ object QueryDsl {
     * (double values, arrays, binaries) are not addressable by this subset
     * and fail loudly when referenced. Runtime fields (always long in this
     * subset) extend the catalog per request. */
-  final case class Catalog(longs: Set[String], strings: Set[String]) {
+  final case class Catalog(
+      longs: Set[String],
+      strings: Set[String],
+      analyzed: Map[String, String] = Map.empty) {
     def has(f: String): Boolean = longs(f) || strings(f)
-    def withRuntime(names: Set[String]): Catalog = Catalog(longs ++ names, strings)
+    def withRuntime(names: Set[String]): Catalog = copy(longs = longs ++ names)
+    /** Register materialized token columns (field → array<string> column):
+      * `match` leaves on a registered field PROBE the token column
+      * (array_contains) instead of regex-scanning the raw text — the ES
+      * analyzed-index analog (at 100 TB the analyzed frame is materialized
+      * once and every match/count probes it). */
+    def withAnalyzed(m: Map[String, String]): Catalog = copy(analyzed = analyzed ++ m)
   }
 
   def catalogOf(df: DataFrame): Catalog = {
@@ -155,6 +164,20 @@ object QueryDsl {
       case c => c.toString
     } + "%"
 
+  /** The request-side analyzer — the same lower/whitespace normalization
+    * the corpus tokenization applies ([[graft.functions.text.tokens]]). */
+  private[queries] def analyze(q: String): Seq[String] =
+    q.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** Validate and register analyzed-field mappings against the frame. */
+  private def checkedAnalyzed(cat: Catalog, docs: DataFrame, analyzed: Map[String, String]): Catalog = {
+    analyzed.foreach { case (f, tc) =>
+      require(cat.strings(f), s"query DSL: analyzed field '$f' must be a catalog string field")
+      require(docs.columns.contains(tc), s"query DSL: analyzed token column '$tc' not in frame")
+    }
+    cat.withAnalyzed(analyzed)
+  }
+
   private def clauseList(body: JsonNode, key: String)(implicit cat: Catalog): Seq[Compiled] =
     Option(body.get(key)).toSeq.flatMap { n =>
       val items = if (n.isArray) n.elements().asScala.toSeq else Seq(n)
@@ -232,20 +255,27 @@ object QueryDsl {
             require(v.isTextual, s"query DSL: match value must be a string, got $v")
             (v.asText, "or", 1.0)
           }
-        val qtoks = qstr.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        val qtoks = analyze(qstr)
         require(qtoks.nonEmpty, "query DSL: match requires a non-empty query string")
-        // token containment WITHOUT materializing the token array: t is
-        // in tokens(text) iff lower(text) matches (^|\s)t(\s|$) — the
-        // whitespace-split analyzer's membership test as a word-boundary
-        // regex, which the engine runs as a literal scan with no derived
-        // array or padded copy. Measured head-to-head in ONE JVM on the
-        // 500k-doc salted 100x corpus (min-of-2, identical counts): array
-        // build 17.4s, ' t ' containment over norm 12.0s, over a
-        // translate char-map 17.1s, THIS form 6.0s. lower() stays (not
-        // (?i)) so non-ASCII case folds exactly like the corpus
-        // tokenization.
-        val contains = qtoks.map(t =>
-          lower(col(f)).rlike("(^|\\s)" + java.util.regex.Pattern.quote(t) + "(\\s|$)"))
+        val contains = cat.analyzed.get(f) match {
+          // PROBE form: the field has a registered materialized token
+          // column — membership is one array_contains per term against the
+          // checkpointed frame, no per-row tokenization or text scan (the
+          // analyzed-index path; see Catalog.withAnalyzed)
+          case Some(tc) => qtoks.map(t => array_contains(col(tc), t))
+          // SCAN form (un-analyzed frames): token containment WITHOUT
+          // materializing the token array: t is in tokens(text) iff
+          // lower(text) matches (^|\s)t(\s|$) — the whitespace-split
+          // analyzer's membership test as a word-boundary regex, which the
+          // engine runs as a literal scan with no derived array or padded
+          // copy. Measured head-to-head in ONE JVM on the 500k-doc salted
+          // 100x corpus (min-of-2, identical counts): array build 17.4s,
+          // ' t ' containment over norm 12.0s, over a translate char-map
+          // 17.1s, THIS form 6.0s. lower() stays (not (?i)) so non-ASCII
+          // case folds exactly like the corpus tokenization.
+          case None => qtoks.map(t =>
+            lower(col(f)).rlike("(^|\\s)" + java.util.regex.Pattern.quote(t) + "(\\s|$)"))
+        }
         leaf(col(f).isNotNull &&
           (if (op == "and") contains.reduce(_ && _) else contains.reduce(_ || _)), b)
 
@@ -265,11 +295,20 @@ object QueryDsl {
         // ES default: should is optional when must/filter anchor the query,
         // required (>=1) when it is the only positive context
         val msmDefault = if (must.nonEmpty || filt.nonEmpty) 0 else 1
-        val msm = Option(body.get("minimum_should_match")).map { m =>
+        val msmRaw = Option(body.get("minimum_should_match")).map { m =>
           require(m.isIntegralNumber,
             s"query DSL: minimum_should_match must be an integer, got $m")
           m.asInt
         }.getOrElse(msmDefault)
+        // ES's negative form: "the total is equal to the number of optional
+        // clauses minus this number" — a raw negative value would otherwise
+        // compile to a vacuously-true nShould >= negative and silently
+        // match everything (the fail-loud contract forbids that); a deficit
+        // beyond the clause count is a malformed request, not a semantics
+        val msm = if (msmRaw < 0) should.size + msmRaw else msmRaw
+        require(msm >= 0,
+          s"query DSL: minimum_should_match $msmRaw over ${should.size} should clauses " +
+            "leaves a negative requirement")
         require(should.nonEmpty || msm == 0,
           "query DSL: minimum_should_match > 0 with no should clauses matches nothing")
         // every compiled predicate is TWO-VALUED (leaves guard their
@@ -320,8 +359,9 @@ object QueryDsl {
     * TakeOrderedAndProject, a per-partition top-k + coordinator merge, no
     * global sort shuffle — then ranked on the localized (≤from+size)-row
     * coordinator frame, the ES response-building analog. */
-  def search(docs: DataFrame, body: JsonNode): DataFrame = {
-    val (fetch, sortCols, from, src) = pageQuery(docs, body)
+  def search(docs: DataFrame, body: JsonNode,
+      analyzed: Map[String, String] = Map.empty): DataFrame = {
+    val (fetch, sortCols, from, src) = pageQuery(docs, body, analyzed)
     Tables.localize(fetch)
       .withColumn("rank", row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
       .filter(col("rank") > from)
@@ -331,11 +371,13 @@ object QueryDsl {
   /** The distributed part of [[search]] — everything up to (excluding) the
     * coordinator materialization — exposed so PlanSpec can gate its shape
     * (filter pushed below the scan, TakeOrdered page, no shuffle). */
-  private[graft] def pageQuery(docs0: DataFrame, body: JsonNode)
+  private[graft] def pageQuery(docs0: DataFrame, body: JsonNode,
+      analyzed: Map[String, String] = Map.empty)
       : (DataFrame, Seq[Column], Int, Seq[String]) = {
     require(body.has("query"), "query DSL: search body requires 'query'")
     val (docs, rtSet) = applyRuntimeMappings(docs0, body)
-    implicit val cat: Catalog = catalogOf(docs0).withRuntime(rtSet)
+    implicit val cat: Catalog =
+      checkedAnalyzed(catalogOf(docs0).withRuntime(rtSet), docs0, analyzed)
     val c = compile(body.get("query"))
     val from = if (body.has("from")) body.get("from").asInt else 0
     val size = if (body.has("size")) body.get("size").asInt else 10
@@ -374,13 +416,168 @@ object QueryDsl {
 
   /** Execute a `_count` request body: one row (total, relation) — the ES
     * count response (relation "eq": this engine never early-terminates). */
-  def count(docs0: DataFrame, body: JsonNode): DataFrame = {
+  def count(docs0: DataFrame, body: JsonNode,
+      analyzed: Map[String, String] = Map.empty): DataFrame = {
     require(body.has("query"), "query DSL: count body requires 'query'")
     val (docs, rtSet) = applyRuntimeMappings(docs0, body)
-    implicit val cat: Catalog = catalogOf(docs0).withRuntime(rtSet)
+    implicit val cat: Catalog =
+      checkedAnalyzed(catalogOf(docs0).withRuntime(rtSet), docs0, analyzed)
     docs.filter(compile(body.get("query")).pred)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("total"))
       .withColumn("relation", lit("eq"))
+  }
+
+  /** The engine-injected relevance machinery for QUERY-CONTEXT full-text
+    * search. The compiler owns the envelope (parsing, paging, projection);
+    * the ENGINE owns the ranking formula — every scorer routes through THE
+    * shared BM25 chain ([[TextQueries]]' `bm25ScoredOver` stack), so the
+    * front door can never grow a second copy of the formula.
+    *   - `matchScorer(field, analyzedTerms)` → (doc_id, n_terms_hit,
+    *     score): per-doc BM25 for the term set (docs matching ≥1 term).
+    *   - `multiMatchScorer(fields^boost, analyzedTerms, tieBreaker)` →
+    *     (doc_id, score): best_fields dis_max over per-field BM25.
+    *   - `highlighter(field, analyzedTerms, hits(rank, doc_id))` →
+    *     (rank, doc_id, frag_pos, fragment): the hit-phase fragmenter
+    *     (q82's machinery — the corpus never re-scans for highlighting). */
+  final case class Relevance(
+      matchScorer: (String, Seq[String]) => DataFrame,
+      multiMatchScorer: (Seq[(String, Double)], Seq[String], Double) => DataFrame,
+      highlighter: (String, Seq[String], DataFrame) => DataFrame)
+
+  /** QUERY-CONTEXT `_search`: a top-level full-text query (`match`, or
+    * `multi_match` type best_fields) returns a BM25-RANKED page — the ES
+    * default query context every reference IT's request body uses
+    * (`ProportionalSumAggregatorIT` builds exactly this shape;
+    * `DriftPlugin.java:26-34` is a SearchPlugin). Scoring is delegated to
+    * [[Relevance]] so the ranking IS the typed q76/q86 chain — proven by
+    * shared oracles + in-process row-identity (q148/q149/q155).
+    *
+    * Envelope subset: `from`/`size`, `_source`, the default `_score desc`
+    * ranking (an explicit `sort` other than `[{"_score": "desc"}]` is
+    * rejected loudly — field sorting is the filter-context [[search]]'s
+    * job), and `highlight` (single field, match query only) — a request
+    * with highlight returns the hits' fragment payload (rank, doc_id,
+    * frag_pos, fragment), otherwise (rank, score, _source...).
+    *
+    * Scale shape: the score table is hit-sized; the page fetch is
+    * orderBy+limit = TakeOrderedAndProject over it; only the ≤from+size
+    * page joins back for projection/highlighting. */
+  def searchScored(docs: DataFrame, body: JsonNode, rel: Relevance): DataFrame = {
+    require(body.has("query"), "query DSL: search body requires 'query'")
+    val (qtype, qbody) = sole(body.get("query"), "query clause")
+    implicit val cat: Catalog = catalogOf(docs)
+    // ----- the full-text clause -----
+    val (scoreTable, matchField, terms) = qtype match {
+      case "match" =>
+        val (f, v) = sole(qbody, "match")
+        val (qstr, op) =
+          if (v.isObject) {
+            require(v.has("query"), "query DSL: match object form requires 'query'")
+            val o = if (v.has("operator")) v.get("operator").asText else "or"
+            require(o == "or" || o == "and", s"query DSL: match operator must be and/or, got '$o'")
+            (v.get("query").asText, o)
+          } else {
+            require(v.isTextual, s"query DSL: match value must be a string, got $v")
+            (v.asText, "or")
+          }
+        val ts = analyze(qstr)
+        require(ts.nonEmpty, "query DSL: match requires a non-empty query string")
+        val st0 = rel.matchScorer(f, ts)
+        val st = if (op == "and") st0.filter(col("n_terms_hit") === lit(ts.distinct.size)) else st0
+        (st.select(col("doc_id"), col("score")), Some(f), ts)
+      case "multi_match" =>
+        require(qbody.isObject && qbody.has("query") && qbody.has("fields"),
+          "query DSL: multi_match requires query + fields")
+        val known = Set("query", "fields", "type", "tie_breaker")
+        val unknown = qbody.fieldNames().asScala.toSeq.filterNot(known)
+        require(unknown.isEmpty, s"query DSL: unsupported multi_match keys: $unknown")
+        val mtype = Option(qbody.get("type")).map(_.asText).getOrElse("best_fields")
+        require(mtype == "best_fields",
+          s"query DSL: multi_match type '$mtype' unsupported at the front door (best_fields only; " +
+            "most_fields/phrase/cross_fields are the typed q86b/q86c/q86d surface)")
+        val tb = Option(qbody.get("tie_breaker")).map { n =>
+          require(n.isNumber, s"query DSL: tie_breaker must be a number, got $n")
+          n.asDouble
+        }.getOrElse(0.0)
+        val fields = qbody.get("fields").elements().asScala.toSeq.map { fn =>
+          require(fn.isTextual, s"query DSL: multi_match fields must be strings, got $fn")
+          fn.asText.split("\\^") match {
+            case Array(f) => (f, 1.0)
+            case Array(f, bs) => (f, bs.toDouble)
+            case _ => throw new IllegalArgumentException(
+              s"query DSL: bad multi_match field spec '${fn.asText}'")
+          }
+        }
+        val ts = analyze(qbody.get("query").asText)
+        require(ts.nonEmpty, "query DSL: multi_match requires a non-empty query string")
+        (rel.multiMatchScorer(fields, ts, tb), None, ts)
+      case other =>
+        throw new IllegalArgumentException(
+          s"query DSL: query-context search supports match / multi_match, got '$other' " +
+            "(filter-context bodies go through search())")
+    }
+    // ----- envelope -----
+    val from = if (body.has("from")) body.get("from").asInt else 0
+    val size = if (body.has("size")) body.get("size").asInt else 10
+    require(from >= 0 && size > 0, s"query DSL: bad page from=$from size=$size")
+    if (body.has("sort")) {
+      val entries = body.get("sort").elements().asScala.toSeq.map(sole(_, "sort entry"))
+      val scoreDesc = entries.map { case (f, spec) =>
+        (f, if (spec.isTextual) spec.asText else Option(spec.get("order")).map(_.asText).getOrElse(""))
+      }
+      require(scoreDesc == Seq(("_score", "desc")),
+        "query DSL: query-context search ranks by _score desc (field sorts are filter-context)")
+    }
+    val src: Seq[String] =
+      if (body.has("_source")) body.get("_source").elements().asScala.toSeq.map(_.asText)
+      else Seq("doc_id")
+    src.foreach(checkField)
+    val hl: Option[String] = Option(body.get("highlight")).map { h =>
+      require(h.isObject && h.has("fields") && h.get("fields").isObject
+        && h.get("fields").size == 1, "query DSL: highlight requires exactly one field")
+      val hf = h.get("fields").fieldNames().next()
+      require(matchField.contains(hf),
+        s"query DSL: highlight field '$hf' must be the match query's field")
+      hf
+    }
+    // page fetch: TakeOrderedAndProject over the hit-sized score table,
+    // extra _source fields joined onto the ≤from+size page only
+    val extra = src.filterNot(_ == "doc_id")
+    val scored =
+      if (extra.isEmpty) scoreTable
+      else scoreTable.join(docs.select((col("doc_id") +: extra.map(col)): _*), Seq("doc_id"))
+    val sortCols = Seq(col("score").desc, col("doc_id").asc)
+    val fetch = Tables.localize(
+      scored.orderBy(sortCols: _*).limit(from + size))
+      .withColumn("rank", row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+      .filter(col("rank") > from)
+    hl match {
+      case Some(hf) =>
+        rel.highlighter(hf, terms, fetch.select(col("rank"), col("doc_id")))
+      case None =>
+        fetch.select((col("rank") +: col("score") +: src.map(col)): _*)
+    }
+  }
+
+  /** ES `_msearch`: the multi-search envelope — several independent search
+    * bodies in one request, responses tagged by array position (`req`).
+    * Each body runs through the standard [[search]] (independent
+    * limit-pushed jobs — exactly how a coordinator fans the envelope out);
+    * the union requires every body to project the SAME `_source` list
+    * (one response schema), loudly rejected otherwise. */
+  def msearch(docs: DataFrame, bodies: Seq[JsonNode],
+      analyzed: Map[String, String] = Map.empty): DataFrame = {
+    require(bodies.nonEmpty, "query DSL: _msearch requires at least one body")
+    val srcs = bodies.map { b =>
+      if (b.has("_source")) b.get("_source").elements().asScala.toSeq.map(_.asText)
+      else Seq("doc_id")
+    }
+    require(srcs.distinct.size == 1,
+      s"query DSL: _msearch bodies must share one _source list, got $srcs")
+    bodies.zipWithIndex.map { case (b, i) =>
+      search(docs, b, analyzed).withColumn("req", lit(i.toLong))
+    }.reduce(_ unionByName _)
+      .select((col("req") +: col("rank") +: col("score") +: srcs.head.map(col)): _*)
   }
 
   /** `_mget`: fetch documents by id, RESPONSE IN REQUEST ORDER, one row
@@ -413,8 +610,12 @@ object QueryDsl {
       StructType(Seq(
         StructField("req_pos", LongType, nullable = false),
         StructField("id", LongType, nullable = false))))
-    val hit = docs.select((col("doc_id") +: src.distinct.map(col)): _*)
-      .join(broadcast(req), col("doc_id") === col("id"))
+    // ("doc_id" +: src).distinct — NOT doc_id plus src separately: with the
+    // default _source (or any _source naming doc_id) that would project
+    // doc_id twice and the join condition below would be ambiguous
+    val hitProj = docs.select(("doc_id" +: src).distinct.map(col): _*)
+    val reqB = broadcast(req)
+    val hit = hitProj.join(reqB, hitProj("doc_id") === reqB("id"))
     val byPos = hit.collect().map(r => r.getAs[Long]("req_pos") -> r).toMap
     val rows = ids.zipWithIndex.map { case (id, i) =>
       byPos.get((i + 1).toLong) match {
@@ -432,20 +633,17 @@ object QueryDsl {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  /** ES `scroll`: iterate the ENTIRE hit set to exhaustion in sort order,
-    * page by page — the result-set EXPORT path (search_after/q84 is the
-    * interactive two-page form; scroll drains everything). Each iteration
-    * is an independent TakeOrdered fetch whose keyset cursor — strictly
-    * after the previous page's last sort key, lexicographic over the sort
-    * fields — is pushed below the scan, so a 1000-executor cluster re-scans
-    * only the row groups whose min/max straddle the cursor. Driver state is
-    * ONE row of sort-key values (never an ES-style server-side context);
-    * parquet's immutability provides for free the snapshot isolation ES
-    * scroll contexts exist to fake. `_score` sorting is rejected (an export
-    * wants a stable field order); the sort must include `doc_id` so the
-    * cursor is total. Output: (rank, page, _source fields...). */
-  def scrollAll(docs0: DataFrame, body: JsonNode, pageSize: Int): DataFrame = {
-    require(pageSize > 0, "query DSL: scroll page size must be positive")
+  /** The parsing shared by the two scroll executors: query + sort keys
+    * (fields only, doc_id tiebreak required — the cursor/rank must be
+    * total) + `_source`. Scroll sort fields are REQUIRED NON-NULL: the
+    * base filter gains an `isNotNull` per sort field (pushdown-eligible),
+    * because a null sort value breaks both forms — the keyset cursor's
+    * `lit(null)` comparisons would silently truncate the drain at a null
+    * run's page boundary, and Spark (nulls first ASC) and DuckDB (nulls
+    * last) would order the export differently. The predicate makes the
+    * exclusion explicit instead of silent. */
+  private def scrollSpec(docs0: DataFrame, body: JsonNode)
+      : (DataFrame, Seq[(String, Boolean)], Seq[Column], Seq[String]) = {
     require(body.has("query") && body.has("sort"),
       "query DSL: scroll requires 'query' and an explicit 'sort'")
     val (docs, rtSet) = applyRuntimeMappings(docs0, body)
@@ -473,7 +671,31 @@ object QueryDsl {
     src.foreach(checkField)
     val sortCols = keys.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
     val proj = (keys.map(_._1) ++ src).distinct // the cursor needs the sort fields
-    val base = docs.filter(c.pred).select(proj.map(col): _*)
+    val notNull = keys.map { case (f, _) => col(f).isNotNull }.reduce(_ && _)
+    val base = docs.filter(c.pred && notNull).select(proj.map(col): _*)
+    (base, keys, sortCols, src)
+  }
+
+  /** ES `scroll`, KEYSET-CURSOR form: iterate the hit set page by page,
+    * each iteration an independent TakeOrdered fetch whose cursor —
+    * strictly after the previous page's last sort key, lexicographic over
+    * the sort fields — is pushed below the scan. This is the RESUMABLE
+    * form: driver state is ONE row of sort-key values (never an ES-style
+    * server-side context), so a consumer can stop and continue later;
+    * parquet's immutability provides the snapshot isolation ES scroll
+    * contexts exist to fake. Layout caveat: cursor pushdown prunes row
+    * groups only when the file layout is sorted/clustered on the cursor
+    * key — on an unsorted layout each page re-scans the table, O(pages ×
+    * scan). And the returned frame accumulates every drained row on the
+    * driver. BOTH properties make [[scrollExport]] the 100 TB export
+    * path; this form exists for the resumable-cursor contract (q84's
+    * search_after is its two-page interactive sibling). `_score` sorting
+    * is rejected (an export wants a stable field order); the sort must
+    * include `doc_id` so the cursor is total. Output: (rank, page,
+    * _source fields...). */
+  def scrollAll(docs0: DataFrame, body: JsonNode, pageSize: Int): DataFrame = {
+    require(pageSize > 0, "query DSL: scroll page size must be positive")
+    val (base, keys, sortCols, src) = scrollSpec(docs0, body)
     val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     var cursor: Option[org.apache.spark.sql.Row] = None
     var page = 1L
@@ -500,12 +722,63 @@ object QueryDsl {
       if (batch.length < pageSize) done = true
       else { cursor = Some(batch.last); page += 1 }
     }
-    val srcSchema = src.map(f => base.schema(f))
-    val schema = org.apache.spark.sql.types.StructType(
+    docs0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows.toSeq: _*), scrollSchema(base, src))
+  }
+
+  private def scrollSchema(base: DataFrame, src: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType, nullable = false) +:
         org.apache.spark.sql.types.StructField("page", org.apache.spark.sql.types.LongType, nullable = false) +:
-        srcSchema)
-    docs.sparkSession.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), schema)
+        src.map(f => base.schema(f)))
+
+  /** ES `scroll`, DISTRIBUTED-EXPORT form — the 100 TB shape of
+    * [[scrollAll]]'s drain: the full hit set is ranked and page-assigned
+    * WITHOUT ever materializing a row on the driver. One range-partitioned
+    * sort (repartitionByRange on the sort keys + sortWithinPartitions)
+    * gives a total order across partitions; global ranks come from
+    * per-partition offsets — the classic distributed zipWithIndex, whose
+    * only driver traffic is the partition-count array (one long per
+    * partition). page = (rank-1)/pageSize + 1, integer arithmetic. Same
+    * contract as scrollAll (field sort incl. doc_id, non-null sort
+    * fields), same output schema (rank, page, _source...), so the two
+    * forms share one oracle — a hash match proves the distributed
+    * assignment IS the keyset drain. The per-partition index walk is the
+    * one genuinely imperative step (brief §preference (d)); everything
+    * before it is declarative and AQE-safe because the detached count job
+    * runs on the localCheckpointed sorted frame, not a recomputation. */
+  def scrollExport(docs0: DataFrame, body: JsonNode, pageSize: Int): DataFrame = {
+    require(pageSize > 0, "query DSL: scroll page size must be positive")
+    val (base, _, sortCols, src) = scrollSpec(docs0, body)
+    val spark = docs0.sparkSession
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    // materialize the sorted layout once: the offsets job and the rank
+    // projection must see the SAME partitioning (a recompute under AQE
+    // could legally re-plan the range boundaries between the two jobs)
+    val sorted = base.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint(true)
+    val rdd = sorted.rdd
+    // k-sized driver payload: element counts per (range-ordered) partition
+    val counts = rdd.mapPartitionsWithIndex(
+      (pid, it) => Iterator((pid, it.size.toLong)), preservesPartitioning = true).collect()
+    val offsets = new Array[Long](counts.length + 1)
+    counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid + 1) = n }
+    for (i <- 1 until offsets.length) offsets(i) += offsets(i - 1)
+    val srcIdx = src.map(sorted.schema.fieldIndex)
+    val ps = pageSize.toLong
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = offsets(pid)
+      it.map { r =>
+        rank += 1
+        org.apache.spark.sql.Row.fromSeq(
+          rank +: ((rank - 1) / ps + 1) +: srcIdx.map(r.get))
+      }
+    }
+    // NO eager free of the checkpointed blocks here: the returned frame
+    // still reads them — the ContextCleaner releases the RDD when the
+    // result is dereferenced (the runDenseAuto discipline)
+    spark.createDataFrame(out, scrollSchema(base, src))
   }
 
   /** ES runtime fields (`runtime_mappings`): request-time computed columns
@@ -674,6 +947,25 @@ object QueryDsl {
         // the q10 bucket recipe verbatim: floor(ms / interval) * interval
         filtered.groupBy((floor(col(f) / lit(itv)) * lit(itv)).as("bucket_ms"))
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"), metricCols(subAggs, filtered): _*)
+      case "terms" if subAggs.exists(isBucketChild) =>
+        // NESTED BUCKET SUB-AGG — the reference's own request shape: the
+        // agg "runs under terms/filters parents" (SURVEY §1; the Drift
+        // UI's top-talkers request is terms → proportional_sum). The whole
+        // tree compiles to ONE grouped run (compound-key groupBy, single
+        // partial-aggregated exchange — typed q04's plan), never a
+        // per-bucket re-scan.
+        require(spec.isObject && spec.has("field"), "query DSL: terms agg requires field")
+        val f = spec.get("field").asText
+        require(filtered.columns.contains(f), s"query DSL: unknown field '$f'")
+        val extra = spec.fieldNames().asScala.toSeq.filterNot(_ == "field")
+        require(extra.isEmpty,
+          s"query DSL: terms with a bucket sub-agg supports only 'field', got extra keys $extra")
+        val (_, childNode) = sole(subAggs.get, "sub-aggs")
+        val childKeys = childNode.fieldNames().asScala.toSeq
+        require(childKeys == Seq("proportional_sum"),
+          s"query DSL: bucket child of terms must be exactly proportional_sum, got $childKeys")
+        propSumGrouped(filtered, childNode.get("proportional_sum"), f)
+
       case "terms" =>
         require(spec.isObject && spec.has("field"), "query DSL: terms agg requires field")
         val f = spec.get("field").asText
@@ -705,6 +997,44 @@ object QueryDsl {
     }
   }
 
+  /** True when a sub-aggs object holds a single BUCKET child (a nested
+    * proportional_sum) rather than metric leaves. */
+  private def isBucketChild(sa: JsonNode): Boolean =
+    sa.isObject && sa.size == 1 && {
+      val (_, node) = sole(sa, "sub-aggs")
+      node.isObject && node.has("proportional_sum")
+    }
+
+  /** The nested child grammar: proportional_sum under a terms parent.
+    * Fixed-interval subset (fields/interval/start/end/offset/
+    * min_doc_count) — presentation knobs (keyed/order/extended_bounds/
+    * calendar) stay top-level-only and fail loudly here. */
+  private def propSumGrouped(flows: DataFrame, spec: JsonNode, groupField: String): DataFrame = {
+    import graft.operators.ProportionalSum
+    require(spec.has("fields") && spec.get("fields").isArray,
+      "query DSL: proportional_sum requires a fields array")
+    val fs = spec.get("fields").elements().asScala.toSeq.map(_.asText)
+    require(fs.size == 3 || fs.size == 4,
+      s"query DSL: fields must be [start, end, value(, sampling)], got $fs")
+    fs.foreach(f => require(flows.columns.contains(f),
+      s"query DSL: unknown flow field '$f' (have: ${flows.columns.mkString(", ")})"))
+    def longOpt(k: String): Option[Long] = Option(spec.get(k)).map { n =>
+      require(n.isIntegralNumber, s"query DSL: $k must be an integral number, got $n")
+      n.asLong
+    }
+    val known = Set("fields", "interval", "start", "end", "offset", "min_doc_count")
+    val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
+    require(unknown.isEmpty, s"query DSL: unsupported nested proportional_sum keys: $unknown")
+    val interval = longOpt("interval").getOrElse(
+      throw new IllegalArgumentException("query DSL: nested proportional_sum requires interval (ms)"))
+    val cfg = ProportionalSum.Config(
+      interval, longOpt("start"), longOpt("end"), longOpt("offset").getOrElse(0L))
+    val out = ProportionalSum.run(
+      flows, col(fs(0)), col(fs(1)), col(fs(2)), fs.lift(3).map(col), cfg, Seq(col(groupField)))
+    longOpt("min_doc_count").filter(_ > 0)
+      .map(m => out.filter(col("doc_count") >= m)).getOrElse(out)
+  }
+
   /** Metric sub-aggregations of a bucket agg: {name: {sum|min|max|
     * value_count: {field}}} — sum goes through detsum (the partitioning-
     * independent exact-decimal sum every oracle-backed aggregate uses). */
@@ -731,8 +1061,30 @@ object QueryDsl {
         }
     }
 
-  /** The proportional_sum spec body (see [[aggBody]]). */
+  /** The proportional_sum spec body (see [[aggBody]]) — the COMPLETE parser
+    * field set `ProportionalSumAggregationBuilder` declares
+    * (`ProportionalSumAggregationBuilder.java:96-144`):
+    *   - `fields` [start, end, value(, sampling)] + fixed `interval` (ms)
+    *     OR `calendar_interval` (the DateHistogramInterval family,
+    *     builder:104-117 — any unit [[graft.operators.ProportionalSum
+    *     .explodeContribCalendar]] supports), with `start`/`end` clamp and
+    *     `offset` (applied inside every rounding, builder's
+    *     round(x−offset)+offset formula — both grids);
+    *   - `extended_bounds` {min, max} (builder:130-131): dense zero-filled
+    *     grid over the bounds, q05's semantics ([[graft.operators
+    *     .ProportionalSum.runDense]]); fixed-interval only, like the ES
+    *     histogram framework requires min_doc_count 0 for the fill;
+    *   - `min_doc_count` (sparse-bucket dropping);
+    *   - `keyed` (builder:126): the keyed response's formatted object key
+    *     rides along as `key_str` (data-visible presentation, the q01k
+    *     convention);
+    *   - `order` (builder:133-134): `[{_key: asc}]` sorts the bucket
+    *     table; `[{_value: desc}]` emits the data-visible `order_rank`
+    *     (q01k's convention — the driver sorts rows before hashing, so ES
+    *     bucket order must be a column to be checkable). Anything else
+    *     fails loudly. */
   private def propSumSpec(flows: DataFrame, spec: JsonNode): DataFrame = {
+    import graft.operators.ProportionalSum
     require(spec.has("fields") && spec.get("fields").isArray,
       "query DSL: proportional_sum requires a fields array")
     val fs = spec.get("fields").elements().asScala.toSeq.map(_.asText)
@@ -744,24 +1096,72 @@ object QueryDsl {
       require(n.isIntegralNumber, s"query DSL: $k must be an integral number, got $n")
       n.asLong
     }
-    val interval = longOpt("interval").getOrElse(
-      throw new IllegalArgumentException("query DSL: proportional_sum requires interval (ms)"))
-    val cfg = graft.operators.ProportionalSum.Config(
-      interval, longOpt("start"), longOpt("end"), longOpt("offset").getOrElse(0L))
-    val minDoc = longOpt("min_doc_count").getOrElse(0L)
-    val known = Set("fields", "interval", "start", "end", "offset", "min_doc_count", "keyed", "order")
+    val known = Set("fields", "interval", "calendar_interval", "start", "end", "offset",
+      "min_doc_count", "extended_bounds", "keyed", "order")
     val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
     require(unknown.isEmpty, s"query DSL: unsupported proportional_sum keys: $unknown")
-    val keyAsc = Option(spec.get("order")).map { o =>
+    val hasFixed = spec.has("interval")
+    val hasCal = spec.has("calendar_interval")
+    require(hasFixed ^ hasCal,
+      "query DSL: proportional_sum requires exactly one of interval (ms) / calendar_interval")
+    val startMs = longOpt("start")
+    val endMs = longOpt("end")
+    val offsetMs = longOpt("offset").getOrElse(0L)
+    val minDoc = longOpt("min_doc_count").getOrElse(0L)
+    val extBounds: Option[(Long, Long)] = Option(spec.get("extended_bounds")).map { eb =>
+      require(eb.isObject && eb.has("min") && eb.has("max")
+        && eb.get("min").isIntegralNumber && eb.get("max").isIntegralNumber,
+        s"query DSL: extended_bounds requires integral min/max, got $eb")
+      val (mn, mx) = (eb.get("min").asLong, eb.get("max").asLong)
+      require(mn <= mx, s"query DSL: extended_bounds min $mn > max $mx")
+      require(hasFixed, "query DSL: extended_bounds requires the fixed interval form")
+      require(minDoc == 0,
+        "query DSL: extended_bounds fills empty buckets — incompatible with min_doc_count > 0")
+      (mn, mx)
+    }
+    // order: [{_key: asc}] (sorted table) or [{_value: desc}] (rank column)
+    val (keyAsc, valueDesc) = Option(spec.get("order")).map { o =>
       val entries = (if (o.isArray) o.elements().asScala.toSeq else Seq(o)).map(sole(_, "order"))
-      require(entries.map(_._1) == Seq("_key") && entries.head._2.asText == "asc",
-        s"query DSL: only order [{_key: asc}] is supported, got $o")
-      true
+      require(entries.size == 1, s"query DSL: order takes one entry, got $o")
+      (entries.head._1, entries.head._2.asText) match {
+        case ("_key", "asc") => (true, false)
+        case ("_value", "desc") => (false, true)
+        case other =>
+          throw new IllegalArgumentException(
+            s"query DSL: unsupported proportional_sum order $other (supported: [{_key: asc}], [{_value: desc}])")
+      }
+    }.getOrElse((false, false))
+    val keyed = Option(spec.get("keyed")).map { n =>
+      require(n.isBoolean, s"query DSL: keyed must be a boolean, got $n")
+      n.asBoolean
     }.getOrElse(false)
-    val out = graft.operators.ProportionalSum.run(
-      flows, col(fs(0)), col(fs(1)), col(fs(2)), fs.lift(3).map(col), cfg)
-    val filtered = if (minDoc > 0) out.filter(col("doc_count") >= minDoc) else out
-    if (keyAsc) filtered.orderBy(col("bucket_ms").asc) else filtered
+    val (sCol, eCol, vCol, sampCol) = (col(fs(0)), col(fs(1)), col(fs(2)), fs.lift(3).map(col))
+    val series =
+      if (hasCal) {
+        val unit = spec.get("calendar_interval").asText
+        ProportionalSum.aggregate(ProportionalSum.explodeContribCalendar(
+          flows, sCol, eCol, vCol, sampCol, startMs, endMs, unit, offsetMs))
+      } else {
+        val cfg = ProportionalSum.Config(longOpt("interval").get, startMs, endMs, offsetMs)
+        extBounds match {
+          case Some((mn, mx)) => ProportionalSum.runDense(flows, sCol, eCol, vCol, sampCol, cfg, mn, mx)
+          case None => ProportionalSum.run(flows, sCol, eCol, vCol, sampCol, cfg)
+        }
+      }
+    val filtered = if (minDoc > 0) series.filter(col("doc_count") >= minDoc) else series
+    val ranked =
+      if (valueDesc) {
+        import org.apache.spark.sql.expressions.Window
+        // series length is bounded by the bucket grid, never data size —
+        // the single-partition window is the q01k argument
+        filtered.withColumn("order_rank",
+          row_number().over(Window.orderBy(col("value").desc, col("bucket_ms").asc)).cast("long"))
+      } else filtered
+    val presented =
+      if (keyed) ranked.withColumn("key_str",
+        date_format(timestamp_millis(col("bucket_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+      else ranked
+    if (keyAsc) presented.orderBy(col("bucket_ms").asc) else presented
   }
 
   /** POST `_search/template`: mustache-parameter substitution into a
@@ -852,11 +1252,74 @@ object DslQueries {
     }),
 
     // `_count` body with a `match` (operator and) clause — the analyzer
-    // path (shared corpus tokenization) under the count envelope.
+    // path under the count envelope. Since round 16 the match leaf PROBES
+    // the materialized analyzed token frame (array_contains on the
+    // checkpointed toks column — the ES analyzed-index analog) instead of
+    // regex-scanning raw text; identical semantics, identical oracle.
     "q139_count" -> ((s: SparkSession, d: String) => {
       val body = QueryDsl.parse(
         """{"query": {"match": {"text": {"query": "vector stream", "operator": "and"}}}}""")
-      QueryDsl.count(Tables(s, d, "documents"), body)
+      QueryDsl.count(TextQueries.docsAnalyzed(s, d), body, analyzed = Map("text" -> "toks"))
+    }),
+
+    // QUERY-CONTEXT match through the front door: the JSON body a
+    // reference user sends ({"query": {"match": ...}}) returns a
+    // BM25-RANKED page — the scoring is THE shared q76 chain (injected
+    // via TextQueries.dslRelevance), proven two ways: this entry wraps
+    // q76's oracle, and DslScoredSpec asserts in-process row-identity
+    // with typed q76_bm25_search.
+    "q148_dsl_match_scored" -> ((s: SparkSession, d: String) => {
+      val qs = TextQueries.windowQueryString(s, d)
+      val body = QueryDsl.parse(
+        s"""{"query": {"match": {"text": "$qs"}},
+           |  "size": 20,
+           |  "_source": ["doc_id"]}""".stripMargin)
+      QueryDsl.searchScored(Tables(s, d, "documents"), body, TextQueries.dslRelevance(s, d))
+    }),
+
+    // multi_match (type best_fields) through the front door: per-field
+    // BM25 with each field's OWN statistics + dis_max combine — the typed
+    // q86 stack reached from the request-body language; shares q86's
+    // oracle (wrapped projection) + in-process row-identity.
+    "q149_dsl_multi_match" -> ((s: SparkSession, d: String) => {
+      val qs = TextQueries.windowQueryString(s, d)
+      val body = QueryDsl.parse(
+        s"""{"query": {"multi_match": {
+           |    "query": "$qs",
+           |    "fields": ["title^2", "body"],
+           |    "type": "best_fields",
+           |    "tie_breaker": 0.5}},
+           |  "size": 20,
+           |  "_source": ["doc_id"]}""".stripMargin)
+      QueryDsl.searchScored(Tables(s, d, "documents"), body, TextQueries.dslRelevance(s, d))
+    }),
+
+    // `highlight` in the search body: the scored match page returns each
+    // hit's fragment payload — q82's hit-phase fragmenter reached from
+    // the request body; shares q82's oracle verbatim.
+    "q155_dsl_highlight" -> ((s: SparkSession, d: String) => {
+      val qs = TextQueries.windowQueryString(s, d)
+      val body = QueryDsl.parse(
+        s"""{"query": {"match": {"text": "$qs"}},
+           |  "size": 20,
+           |  "highlight": {"fields": {"text": {}}}}""".stripMargin)
+      QueryDsl.searchScored(Tables(s, d, "documents"), body, TextQueries.dslRelevance(s, d))
+    }),
+
+    // `_msearch` envelope: two independent filter-context bodies in one
+    // request, responses tagged by array position — each body a standard
+    // limit-pushed search() job (the coordinator fan-out shape, q130's
+    // semantics on the documents frame).
+    "q154_dsl_msearch" -> ((s: SparkSession, d: String) => {
+      val b0 = QueryDsl.parse(
+        """{"query": {"term": {"lang": "en"}},
+          |  "sort": [{"n_chars": "desc"}], "size": 10,
+          |  "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin)
+      val b1 = QueryDsl.parse(
+        """{"query": {"range": {"n_chars": {"gte": 300}}},
+          |  "sort": [{"doc_id": "asc"}], "from": 5, "size": 10,
+          |  "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin)
+      QueryDsl.msearch(Tables(s, d, "documents"), Seq(b0, b1))
     }),
 
     // ES `scroll`: drain the q137 filter to exhaustion — page size 64 so
@@ -868,6 +1331,19 @@ object DslQueries {
            |  "sort": [{"n_chars": "asc"}, {"doc_id": "asc"}],
            |  "_source": ["doc_id", "source", "n_chars"]}""".stripMargin)
       QueryDsl.scrollAll(Tables(s, d, "documents"), body, pageSize = 64)
+    }),
+
+    // The DISTRIBUTED export form of the same drain: identical request,
+    // identical output schema, computed as one range-partitioned sort +
+    // per-partition offset ranks — no row ever lands on the driver. Shares
+    // q140's oracle VERBATIM: the hash match proves the distributed page
+    // assignment equals the keyset-cursor drain row for row.
+    "q140b_scroll_export" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        s"""{"query": $Q137Inner,
+           |  "sort": [{"n_chars": "asc"}, {"doc_id": "asc"}],
+           |  "_source": ["doc_id", "source", "n_chars"]}""".stripMargin)
+      QueryDsl.scrollExport(Tables(s, d, "documents"), body, pageSize = 64)
     }),
 
     // POST _search/template: typed mustache substitution (the range bound
@@ -956,6 +1432,76 @@ object DslQueries {
       QueryDsl.aggBody(EsAggQueries.eventsMs(s, d), body)
     }),
 
+    // extended_bounds through the front door (the builder's own parser
+    // field, ProportionalSumAggregationBuilder.java:130-131): dense
+    // zero-filled minute grid over one day — q05's semantics, sharing
+    // q05's oracle verbatim (front door ≡ typed API, proven both ways
+    // with the in-process row-identity spec).
+    "q150_dsl_extended_bounds" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": 60000,
+          |    "start": 1704067200000,
+          |    "end": 1704153600000,
+          |    "extended_bounds": {"min": 1704067200000, "max": 1704153599999}
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
+    // the CALENDAR interval form at the JSON door (builder:104-117):
+    // monthly UTC buckets over month-scale ranges — q06's semantics over
+    // q06's own stretched-range frame, sharing q06's oracle verbatim.
+    "q151_dsl_calendar_interval" -> ((s: SparkSession, d: String) => {
+      val flows = Flows.df(s, d)
+        .withColumn("re", col("rs") + (col("event_id") % 90) * lit(Flows.DAY_MS))
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "calendar_interval": "month",
+          |    "start": 1704067200000,
+          |    "end": 1714521600000
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(flows, body)
+    }),
+
+    // `keyed` + `{"_value": "desc"}` order at the JSON door (builder:126,
+    // :133-134): the keyed response's formatted object key and the
+    // data-visible bucket rank — q01k's semantics, sharing its oracle.
+    "q152_dsl_keyed_order" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": 3600000,
+          |    "start": 1704412800000,
+          |    "end": 1706140800000,
+          |    "keyed": true,
+          |    "order": [{"_value": "desc"}]
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
+    // NESTED bucket sub-agg: terms(event_type) → proportional_sum — the
+    // reference's agg-under-terms-parent shape (the Drift UI top-talkers
+    // request), one grouped run; shares q04's oracle verbatim.
+    "q153_dsl_nested_terms" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"types": {
+          |    "terms": {"field": "event_type"},
+          |    "aggs": {"series": {"proportional_sum": {
+          |      "fields": ["rs", "re", "v"],
+          |      "interval": 3600000,
+          |      "start": 1704412800000,
+          |      "end": 1706140800000
+          |    }}}
+          |  }}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
     // _mget: request-order multi-get with found=false rows for misses and
     // a duplicate id served twice — the broadcast-probe + coordinator
     // assembly shape.
@@ -965,6 +1511,27 @@ object DslQueries {
           |  "_source": ["lang", "n_chars"]}""".stripMargin)
       QueryDsl.mget(Tables(s, d, "documents"), body)
     }))
+
+  /** The q140/q140b shared mirror: the full ordered hit list with page =
+    * 1-based block of 64 in rank order (integer arithmetic both engines). */
+  private val scrollOracle =
+    """WITH hits AS (
+      |  SELECT doc_id, source, n_chars
+      |  FROM documents
+      |  WHERE n_chars >= 150 AND n_chars < 450
+      |    AND (source IS NULL OR source NOT LIKE 'src1_')
+      |    -- the scroll contract's non-null sort fields, mirrored
+      |    -- explicitly (vacuous on this corpus, load-bearing on any
+      |    -- table with nullable sort columns)
+      |    AND n_chars IS NOT NULL AND doc_id IS NOT NULL
+      |    AND (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+      |         + CASE WHEN source IN ('src3', 'src7', 'src11') THEN 1 ELSE 0 END
+      |         + CASE WHEN lang LIKE 'f%' THEN 1 ELSE 0 END) >= 1
+      |), r AS (
+      |  SELECT row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rank, *
+      |  FROM hits
+      |)
+      |SELECT rank, (rank - 1) // 64 + 1 AS page, doc_id, source, n_chars FROM r""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // Static mirror of Q137Inner + the search envelope. Boost arithmetic
@@ -981,7 +1548,11 @@ object DslQueries {
         |          + CASE WHEN lang LIKE 'f%' THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS score
         |  FROM documents
         |  WHERE n_chars >= 150 AND n_chars < 450
-        |    AND NOT (source LIKE 'src1_')
+        |    -- must_not over a NULL field still includes the doc (the ES
+        |    -- contract the compiled !(isNotNull && like) encodes); the
+        |    -- mirror says so explicitly instead of leaning on the corpus
+        |    -- having no null sources
+        |    AND (source IS NULL OR source NOT LIKE 'src1_')
         |    AND (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
         |         + CASE WHEN source IN ('src3', 'src7', 'src11') THEN 1 ELSE 0 END
         |         + CASE WHEN lang LIKE 'f%' THEN 1 ELSE 0 END) >= 1
@@ -1011,21 +1582,11 @@ object DslQueries {
         |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'stream')""".stripMargin,
 
     // the scroll drain = the full ordered hit list; page = 1-based block
-    // of 64 in rank order (integer arithmetic both engines)
-    "q140_scroll" ->
-      """WITH hits AS (
-        |  SELECT doc_id, source, n_chars
-        |  FROM documents
-        |  WHERE n_chars >= 150 AND n_chars < 450
-        |    AND NOT (source LIKE 'src1_')
-        |    AND (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
-        |         + CASE WHEN source IN ('src3', 'src7', 'src11') THEN 1 ELSE 0 END
-        |         + CASE WHEN lang LIKE 'f%' THEN 1 ELSE 0 END) >= 1
-        |), r AS (
-        |  SELECT row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rank, *
-        |  FROM hits
-        |)
-        |SELECT rank, (rank - 1) // 64 + 1 AS page, doc_id, source, n_chars FROM r""".stripMargin,
+    // of 64 in rank order (integer arithmetic both engines). ONE text for
+    // both executors: the keyset-cursor drain (q140) and the distributed
+    // export (q140b) must be the same row set.
+    "q140_scroll" -> scrollOracle,
+    "q140b_scroll_export" -> scrollOracle,
 
     "q141_search_template" ->
       """WITH hits AS (
@@ -1067,6 +1628,45 @@ object DslQueries {
     // framework aggs too
     "q146_dsl_date_histogram" -> EsAggQueries.oracleSql("q10_date_histogram"),
     "q147_dsl_terms_agg" -> EsAggQueries.oracleSql("q11_terms_topn"),
+
+    // the remaining ProportionalSumAggregationBuilder parser fields, each
+    // sharing its typed entry's oracle VERBATIM: extended_bounds ≡ q05,
+    // calendar_interval ≡ q06, keyed + {_value: desc} order ≡ q01k,
+    // terms-parent nesting ≡ q04
+    "q150_dsl_extended_bounds" -> FlowQueries.oracleSql("q05_prop_sum_empty_buckets"),
+    "q151_dsl_calendar_interval" -> FlowQueries.oracleSql("q06_prop_sum_calendar"),
+    "q152_dsl_keyed_order" -> FlowQueries.oracleSql("q01k_prop_sum_keyed"),
+    "q153_dsl_nested_terms" -> FlowQueries.oracleSql("q04_prop_sum_grouped"),
+
+    // q76's oracle WRAPPED (projection only — the text is shared, so the
+    // JSON-compiled ranking can never drift from the typed BM25 chain);
+    // q86's the same for multi_match; q82's VERBATIM for highlight.
+    "q148_dsl_match_scored" ->
+      s"SELECT rank, score, doc_id FROM (\n${TextQueries.oracleSql("q76_bm25_search")}\n) q76",
+    "q149_dsl_multi_match" ->
+      s"SELECT rank, final AS score, doc_id FROM (\n${TextQueries.oracleSql("q86_multi_match")}\n) q86",
+    "q155_dsl_highlight" -> TextQueries.oracleSql("q82_highlight"),
+
+    // the two fixed _msearch bodies mirrored statically (the q137/q138
+    // discipline): term page sorted on n_chars desc, range page with
+    // from=5 keyset — each the standard envelope, tagged by position
+    "q154_dsl_msearch" ->
+      """WITH h0 AS (
+        |  SELECT doc_id, lang, n_chars, CAST(1.0 AS DOUBLE) AS score
+        |  FROM documents WHERE lang = 'en'
+        |), r0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS req, rank, score, doc_id, lang, n_chars FROM (
+        |    SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank, * FROM h0
+        |  ) WHERE rank <= 10
+        |), h1 AS (
+        |  SELECT doc_id, lang, n_chars, CAST(1.0 AS DOUBLE) AS score
+        |  FROM documents WHERE n_chars >= 300
+        |), r1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS req, rank, score, doc_id, lang, n_chars FROM (
+        |    SELECT row_number() OVER (ORDER BY doc_id ASC) AS rank, * FROM h1
+        |  ) WHERE rank > 5 AND rank <= 15
+        |)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1""".stripMargin,
 
     "q145_mget" ->
       """WITH req(req_pos, id) AS (

@@ -429,7 +429,16 @@ object TextQueries {
     * s_title_boosted) with absent-field scores coalesced to 0. */
   private def multiMatchPerField(s: SparkSession, d: String): DataFrame = {
     val g = perDocTermTf(s, d)
-    val qsel = qselFromTf(g)
+    multiMatchFieldsFrom(g, qselFromTf(g), titleBoost = 2.0)
+  }
+
+  /** The per-field half of [[multiMatchPerField]] parameterized by the
+    * query-term df table and the title boost — split out so the FRONT
+    * DOOR's multi_match ([[dslRelevance]]) scores arbitrary analyzed term
+    * sets through the IDENTICAL per-field stack (for the q86 window terms
+    * the generic df equals qselFromTf's df — distinct docs per term either
+    * way — so front door ≡ typed q86 row-identically). */
+  private def multiMatchFieldsFrom(g: DataFrame, qsel: DataFrame, titleBoost: Double): DataFrame = {
     val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
     val perB = bm25ScoreTf(
       g.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
@@ -446,7 +455,7 @@ object TextQueries {
       gT.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
         .select(col("doc_id"), col("tok"), col("tf_t").as("tf")),
       dlT, bm25QIdf(dlT, titleDf))
-      .select(col("doc_id"), (lit(2.0) * col("score")).as("s_title0"))
+      .select(col("doc_id"), (lit(titleBoost) * col("score")).as("s_title0"))
     perB.join(perT, Seq("doc_id"), "full_outer")
       .withColumn("s_body", coalesce(col("s_body0"), lit(0.0)))
       .withColumn("s_title_boosted", coalesce(col("s_title0"), lit(0.0)))
@@ -520,6 +529,101 @@ object TextQueries {
        |  FROM sc$tag GROUP BY doc_id
        |)""".stripMargin
   }
+
+  /** The hit-phase fragmenter q82 and the front door share — ONE fragment
+    * definition: ±3 tokens around the FIRST occurrence of any query term,
+    * match wrapped in <em> tags, computed with pure array HOFs over the
+    * broadcast-joined hit page only (the corpus never re-scans for
+    * highlighting — ES's hit-phase cost model). `hits` = (rank, doc_id);
+    * `qarr` = a 1-row (qterms array<string>) frame; hits must contain ≥1
+    * query term (the scorer's contract), so the first position exists. */
+  private def highlightFragments(s: SparkSession, d: String, hits: DataFrame, qarr: DataFrame): DataFrame =
+    docs(s, d)
+      .join(broadcast(hits), Seq("doc_id"))
+      .crossJoin(broadcast(qarr))
+      .withColumn("p",
+        element_at(filter(sequence(lit(1), size(col("toks"))),
+          i => array_contains(col("qterms"), element_at(col("toks"), i))), 1))
+      .withColumn("pre",
+        array_join(slice(col("toks"), greatest(lit(1), col("p") - 3),
+          col("p") - greatest(lit(1), col("p") - 3)), " "))
+      .withColumn("post", array_join(slice(col("toks"), col("p") + 1, lit(3)), " "))
+      .select(col("rank"), col("doc_id"), col("p").cast("long").as("frag_pos"),
+        trim(concat(col("pre"), lit(" <em>"), element_at(col("toks"), col("p")),
+          lit("</em> "), col("post"))).as("fragment"))
+
+  /** BM25 for an ARBITRARY analyzed term set over the body field — the
+    * front door's `match` scorer. Same chain as [[bm25PerDoc]] (THE shared
+    * formula via [[bm25ScoredOver]]); the query-term df probes the cached
+    * [[dfVocab]] dictionary (distinct docs per term — for the q76 window
+    * terms these are exactly rankedVocab's df values, which is what makes
+    * the q148 front-door ranking row-identical to typed q76). Terms absent
+    * from the dictionary contribute nothing (no doc contains them). */
+  private def bm25ForTerms(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
+    val tset = terms.distinct
+    require(tset.nonEmpty, "query DSL: scored match requires a non-empty analyzed query")
+    val qdf = dfVocab(s, d).filter(col("term").isin(tset: _*))
+      .select(col("term").as("tok"), col("df"))
+    bm25ScoredOver(s, d,
+      docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), explode(col("toks")).as("tok")),
+      qdf)
+  }
+
+  /** The deterministic 5-term query string (vocab ranks [[QLo]]..[[QHi]])
+    * — the front-door registry entries' request text, derived driver-side
+    * from the vocab (coordinator-sized), so the JSON-compiled ranking can
+    * be proven row-identical to the typed q76/q86 entries. */
+  private[graft] def windowQueryString(s: SparkSession, d: String): String =
+    rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QHi)
+      .orderBy(col("r").asc).collect().map(_.getAs[String]("term")).mkString(" ")
+
+  /** documents + the MATERIALIZED analyzed token column for front-door
+    * full-text leaves ([[QueryDsl.Catalog.withAnalyzed]]): checkpointed
+    * once per (dataset, thread), so repeated front-door requests PROBE the
+    * token frame (array_contains) instead of re-tokenizing or
+    * regex-scanning raw text — the ES analyzed-index analog (at 100 TB the
+    * analyzed corpus is materialized once; every match/count probes it). */
+  private[graft] def docsAnalyzed(s: SparkSession, d: String): DataFrame =
+    swapCheckpoint(s"dsldocs:$d", docs(s, d).localCheckpoint(true))
+
+  /** The front door's [[QueryDsl.Relevance]] — every scorer routes through
+    * THE shared BM25 stack, so `searchScored` can never grow a second copy
+    * of the formula. multi_match resolves the engine's field model: `body`
+    * = the full token stream, `title` = the first-8-token derived field
+    * (q86's documented convention), body boost fixed at 1 (the typed
+    * stack's shape — a non-1 body boost is loudly rejected rather than
+    * silently approximated). */
+  private[graft] def dslRelevance(s: SparkSession, d: String): QueryDsl.Relevance =
+    QueryDsl.Relevance(
+      matchScorer = (field, terms) => {
+        require(field == "text",
+          s"query DSL: scored match supports the analyzed corpus field 'text', got '$field'")
+        bm25ForTerms(s, d, terms)
+      },
+      multiMatchScorer = (fields, terms, tieBreaker) => {
+        val fm = fields.toMap
+        require(fields.size == 2 && fm.contains("title") && fm.contains("body"),
+          s"query DSL: multi_match supports fields [title^B, body], got $fields")
+        require(fm("body") == 1.0,
+          "query DSL: multi_match body boost must be 1 (the typed q86 stack's shape)")
+        val g = perDocTermTf(s, d)
+        val tset = terms.distinct
+        val qsel = g.filter(col("tok").isin(tset: _*))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        multiMatchFieldsFrom(g, qsel, titleBoost = fm("title"))
+          .withColumn("score",
+            greatest(col("s_body"), col("s_title_boosted")) +
+              lit(tieBreaker) * least(col("s_body"), col("s_title_boosted")))
+          .select(col("doc_id"), col("score"))
+      },
+      highlighter = (field, terms, hits) => {
+        require(field == "text",
+          s"query DSL: highlight supports the analyzed corpus field 'text', got '$field'")
+        val qarr = s.range(1)
+          .select(array(terms.distinct.sorted.map(lit): _*).as("qterms"))
+        highlightFragments(s, d, hits, qarr)
+      })
 
   /** [[bm25PerDoc]] joined with the detlog length factor log2(1+doc_length)
     * — ONE definition shared by q76c (function_score) and q83 (the second
@@ -3054,21 +3158,7 @@ object TextQueries {
       val qarr = rankedVocab(s, d)
         .filter(col("r") >= QLo && col("r") <= QHi)
         .groupBy().agg(sort_array(collect_list(col("term"))).as("qterms"))
-      docs(s, d)
-        .join(broadcast(hits), Seq("doc_id"))
-        .crossJoin(broadcast(qarr))
-        // first matching position: hits contain ≥1 query term by
-        // construction, so element 1 exists
-        .withColumn("p",
-          element_at(filter(sequence(lit(1), size(col("toks"))),
-            i => array_contains(col("qterms"), element_at(col("toks"), i))), 1))
-        .withColumn("pre",
-          array_join(slice(col("toks"), greatest(lit(1), col("p") - 3),
-            col("p") - greatest(lit(1), col("p") - 3)), " "))
-        .withColumn("post", array_join(slice(col("toks"), col("p") + 1, lit(3)), " "))
-        .select(col("rank"), col("doc_id"), col("p").cast("long").as("frag_pos"),
-          trim(concat(col("pre"), lit(" <em>"), element_at(col("toks"), col("p")),
-            lit("</em> "), col("post"))).as("fragment"))
+      highlightFragments(s, d, hits, qarr)
     }),
 
     // ES `percolate`: REVERSE search — a registry of stored queries, each

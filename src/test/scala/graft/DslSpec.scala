@@ -102,6 +102,95 @@ class DslSpec extends AnyFunSuite {
     assert(ids(q3) == Set(3L, 4L))
   }
 
+  test("negative minimum_should_match: ES total-minus form; deficit beyond clause count throws") {
+    // 3 should clauses, msm -1 ⇒ effective 2 (doc2: en + n_chars>=300)
+    val q =
+      """{"bool": {
+        |  "should": [{"term": {"lang": "en"}}, {"range": {"n_chars": {"gte": 300}}},
+        |             {"term": {"source": "src10"}}],
+        |  "minimum_should_match": -1}}""".stripMargin
+    assert(ids(q) == Set(2L))
+    // msm -3 over 3 clauses ⇒ effective 0: should becomes optional, all docs match
+    assert(ids(q.replace("-1", "-3")) == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // a deficit beyond the clause count is malformed, never vacuously true
+    intercept[IllegalArgumentException](ids(q.replace("-1", "-5")))
+  }
+
+  test("mget default _source (and _source naming doc_id) does not trip an ambiguous join") {
+    val docs = queries.Tables(spark, sf, "documents")
+    val byDefault = QueryDsl.mget(docs, QueryDsl.parse("""{"ids": [3, 999999999, 7]}"""))
+      .collect().sortBy(_.getAs[Long]("req_pos"))
+    assert(byDefault.map(_.getAs[Boolean]("found")).toSeq == Seq(true, false, true))
+    assert(byDefault(0).getAs[Long]("doc_id") == 3L && byDefault(2).getAs[Long]("doc_id") == 7L)
+    val explicit = QueryDsl.mget(docs, QueryDsl.parse(
+      """{"ids": [3], "_source": ["doc_id", "lang"]}""")).collect()
+    assert(explicit.head.getAs[Long]("doc_id") == 3L && explicit.head.getAs[String]("lang") != null)
+  }
+
+  test("scroll contract: nullable sort fields are excluded explicitly, never a truncated drain") {
+    // fixture lang is null on doc 3: a lang-sorted scroll must exclude
+    // exactly that row (the isNotNull base guard) and still drain the rest
+    // completely — the pre-fix behavior dropped every row after the null
+    // run's page boundary
+    val body = QueryDsl.parse(
+      """{"query": {"match_all": {}},
+        |  "sort": [{"lang": "asc"}, {"doc_id": "asc"}],
+        |  "_source": ["doc_id", "lang"]}""".stripMargin)
+    val drained = QueryDsl.scrollAll(fix, body, pageSize = 2).collect()
+    assert(drained.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 1L, 2L, 4L, 5L))
+    assert(drained.map(_.getAs[Long]("rank")).toSeq == (1L to 5L).toSeq)
+    val exported = QueryDsl.scrollExport(fix, body, pageSize = 2).collect().sortBy(_.getAs[Long]("rank"))
+    assert(exported.map(_.getAs[Long]("doc_id")).toSeq == drained.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("q140b: the distributed export is row-identical to the keyset drain (rank, page, fields)") {
+    val drain = SparkEntry.queries("q140_scroll")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("page"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars"))).sortBy(_._1)
+    val export = SparkEntry.queries("q140b_scroll_export")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("page"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars"))).sortBy(_._1)
+    assert(export.nonEmpty && export.length > 64, "export must exceed one page at the smallest SF")
+    assert(export.toSeq == drain.toSeq, "distributed page assignment diverged from the keyset drain")
+  }
+
+  test("q150-q153: the completed wire grammar is ROW-IDENTICAL to the typed entries") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(_.toSeq.toList).toSet
+    assert(rows("q150_dsl_extended_bounds") == rows("q05_prop_sum_empty_buckets"))
+    assert(rows("q151_dsl_calendar_interval") == rows("q06_prop_sum_calendar"))
+    assert(rows("q152_dsl_keyed_order") == rows("q01k_prop_sum_keyed"))
+    assert(rows("q153_dsl_nested_terms") == rows("q04_prop_sum_grouped"))
+    // the fill is real: q150 has zero-doc buckets q01-style sparse output lacks
+    assert(SparkEntry.queries("q150_dsl_extended_bounds")(spark, sf).collect()
+      .exists(_.getAs[Long]("doc_count") == 0L), "extended_bounds produced no empty buckets")
+    val flows = queries.Flows.df(spark, sf)
+    def badAgg(body: String): Unit =
+      intercept[IllegalArgumentException](QueryDsl.aggBody(flows, QueryDsl.parse(body)))
+    // grammar edges fail loudly
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
+             |  "extended_bounds": {"min": 5, "max": 1}}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
+             |  "min_doc_count": 2, "extended_bounds": {"min": 1, "max": 5}}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"],
+             |  "calendar_interval": "month", "extended_bounds": {"min": 1, "max": 5}}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"],
+             |  "interval": 60000, "calendar_interval": "month"}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"],
+             |  "calendar_interval": "fortnight"}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
+             |  "order": [{"_value": "asc"}]}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
+             |  "keyed": "yes"}}}}""".stripMargin)
+    // nested: terms with a bucket child accepts only "field"; child must be
+    // proportional_sum with the fixed-interval subset
+    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type", "size": 3},
+             |  "aggs": {"s": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000}}}}}}""".stripMargin)
+    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type"},
+             |  "aggs": {"s": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
+             |    "keyed": true}}}}}}""".stripMargin)
+  }
+
   test("boost arithmetic: dyadic sums exact; filter context scores 0") {
     val q =
       """{"bool": {
