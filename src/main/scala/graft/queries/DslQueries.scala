@@ -559,6 +559,45 @@ object QueryDsl {
     }
   }
 
+  /** One clause of the ES 8.x `knn` search-body section. */
+  final case class KnnClause(
+      field: String, k: Int, numCandidates: Int, vector: Seq[Double], filter: Option[JsonNode])
+
+  /** Parse the `knn` section of a search body — a clause object or an
+    * array of them (ES 8.x allows several). Each clause: `field`, `k`,
+    * `num_candidates`, a literal `query_vector`, and an optional `filter`
+    * (a standard filter-context DSL query compiled against the vector
+    * frame's own catalog by the executor). Unknown keys fail loudly. The
+    * execution lives in [[SimilarityQueries.dslKnn]] — the compiler owns
+    * the wire grammar, the engine owns the IVF search. */
+  def knnClauses(body: JsonNode): Seq[KnnClause] = {
+    require(body.has("knn"), "query DSL: knn search requires a 'knn' section")
+    val extra = body.fieldNames().asScala.toSeq.filterNot(_ == "knn")
+    require(extra.isEmpty, s"query DSL: unsupported keys next to knn: $extra")
+    val kn = body.get("knn")
+    val items = if (kn.isArray) kn.elements().asScala.toSeq else Seq(kn)
+    require(items.nonEmpty, "query DSL: knn requires at least one clause")
+    items.map { c =>
+      require(c.isObject, s"query DSL: knn clause must be an object, got $c")
+      val known = Set("field", "k", "num_candidates", "query_vector", "filter")
+      val unknown = c.fieldNames().asScala.toSeq.filterNot(known)
+      require(unknown.isEmpty, s"query DSL: unsupported knn keys: $unknown")
+      require(c.has("field") && c.has("k") && c.has("num_candidates") && c.has("query_vector"),
+        "query DSL: knn clause requires field, k, num_candidates, query_vector")
+      val k = c.get("k").asInt
+      val nc = c.get("num_candidates").asInt
+      require(k > 0 && nc >= k,
+        s"query DSL: knn requires k > 0 and num_candidates >= k, got k=$k num_candidates=$nc")
+      val qv = c.get("query_vector")
+      require(qv.isArray && qv.size > 0, "query DSL: query_vector must be a non-empty array")
+      val vec = qv.elements().asScala.toSeq.map { n =>
+        require(n.isNumber, s"query DSL: query_vector entries must be numbers, got $n")
+        n.asDouble
+      }
+      KnnClause(c.get("field").asText, k, nc, vec, Option(c.get("filter")))
+    }
+  }
+
   /** ES `_msearch`: the multi-search envelope — several independent search
     * bodies in one request, responses tagged by array position (`req`).
     * Each body runs through the standard [[search]] (independent

@@ -172,6 +172,112 @@ object SimilarityQueries {
         detsum.roundDet(col("cos"), 6).as("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** The `knn` SECTION of the ES 8.x `_search` body compiled onto the
+    * train-once IVF index — the front door for q37c/q85's machinery, fed
+    * by REQUEST-CARRIED query vectors (each clause's `query_vector` is a
+    * JSON literal; norms come from the index's own kernel, so a vector
+    * equal to a stored embedding scores bit-identically to the typed
+    * pipeline). `num_candidates` maps to probe depth the IVF way:
+    * nprobe = clamp(ceil(num_candidates / avgListSize), 1, nlists) —
+    * "consider this many nearest candidates" read against inverted lists.
+    * Each clause's optional `filter` is a standard filter-context DSL
+    * query over the vector frame's schema-derived catalog, applied to
+    * probed candidates BEFORE ranking (the FAISS IDSelector convention —
+    * q85's contract; ES's Lucene-HNSW filter-aware traversal is the same
+    * contract on a different index). Output: (knn_idx, rank, neighbor_id,
+    * cos), knn_idx = clause array position. Scale shape: the clause frame
+    * (clauses × dims) broadcasts; the corpus pays ~nprobe/nlists of one
+    * scan; the trained artifact stays label-free and is the SAME
+    * train-once index q37/q37b/q85 share. */
+  private[graft] def dslKnn(s: SparkSession, d: String,
+      body: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
+    import org.apache.spark.sql.types._
+    val clauses = QueryDsl.knnClauses(body)
+    val emb = Tables(s, d, "embeddings")
+    implicit val cat: QueryDsl.Catalog = QueryDsl.catalogOf(emb)
+    clauses.foreach { c =>
+      require(c.field == "embedding", s"query DSL: knn field must be 'embedding', got '${c.field}'")
+      require(c.vector.size == 64, s"query DSL: knn query_vector must be 64-dim, got ${c.vector.size}")
+    }
+    val idx = VecIndex.coarse(s, d)
+    val nlists = idx.cent.count()
+    val n = emb.count() // parquet footer count — no scan
+    def nprobeOf(nc: Int): Int =
+      math.min(nlists, math.max(1L, math.ceil(nc.toDouble * nlists / n).toLong)).toInt
+    val q0 = s.createDataFrame(
+      java.util.Arrays.asList(clauses.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i.toLong, c.vector) }: _*),
+      StructType(Seq(
+        StructField("knn_idx", LongType, nullable = false),
+        StructField("qe", ArrayType(DoubleType, containsNull = false), nullable = false))))
+      .withColumn("qn", vectors.norm(col("qe")))
+    val npMap = map(clauses.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(i.toLong), lit(nprobeOf(c.numCandidates))) }: _*)
+    val kMap = map(clauses.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(i.toLong), lit(c.k)) }: _*)
+    val qw = Window.partitionBy(col("knn_idx")).orderBy(col("ccos").desc, col("list_id").asc)
+    val probes = q0.crossJoin(broadcast(idx.cent))
+      .withColumn("ccos", vectors.dot(col("qe"), col("cemb")) / (col("qn") * col("cnrm")))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= element_at(npMap, col("knn_idx")))
+      .select(col("list_id"), col("knn_idx"), col("qe"), col("qn"))
+    // candidate attributes the clause filters may address — the catalog
+    // columns ride a key join so the index artifact stays attribute-free
+    val attrCols = emb.schema.fields.collect {
+      case f if (cat.longs(f.name) || cat.strings(f.name)) && f.name != "vec_id" => f.name }.toSeq
+    val cands0 = idx.lists.join(broadcast(probes), Seq("list_id"))
+    val cands =
+      if (attrCols.isEmpty) cands0
+      else cands0.join(emb.select((col("vec_id") +: attrCols.map(col)): _*), Seq("vec_id"))
+    val filterPred = clauses.zipWithIndex.map { case (c, i) =>
+      val p = c.filter.map(f => QueryDsl.compile(f).pred).getOrElse(lit(true))
+      (col("knn_idx") === lit(i.toLong)) && p
+    }.reduce(_ || _)
+    val w = Window.partitionBy(col("knn_idx")).orderBy(col("cos").desc, col("vec_id").asc)
+    cands.filter(filterPred)
+      .withColumn("cos", vectors.dot(col("emb"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= element_at(kMap, col("knn_idx")))
+      .select(col("knn_idx"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), detsum.roundDet(col("cos"), 6).as("cos"))
+  }
+
+  /** q156's fixed query-vector sources: members of the typed q85 query set
+    * (vec_id % 50 = 0), so the front-door run is provably row-identical to
+    * the typed filtered-kNN pipeline for these ids. */
+  private[graft] val KnnSrcIds = Seq(0L, 50L, 100L, 150L)
+
+  /** q156 registry body: builds the LITERAL JSON request — each clause
+    * carries its query vector verbatim (Double.toString round-trips
+    * exactly through the JSON parser) plus q85's same-label filter with
+    * the source vector excluded the ES way (a must_not ids-style term —
+    * the request can say "not this doc", the engine has no self notion),
+    * then compiles it through [[dslKnn]]. num_candidates = ceil(3·n/
+    * nlists) so the compiled probe depth is the typed 3-probe at any
+    * corpus size. */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d, "embeddings")
+    val idx = VecIndex.coarse(s, d)
+    val nlists = idx.cent.count()
+    val n = emb.count()
+    val numCand = math.ceil(3.0 * n / nlists).toLong
+    val sel = emb.filter(col("vec_id").isin(KnnSrcIds: _*))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        vectors.toDoubleArr(col("embedding")).as("emb"))
+      .collect().sortBy(_.getAs[Long]("vec_id"))
+    require(sel.length == KnnSrcIds.length, s"missing knn source vectors: got ${sel.length}")
+    val clauses = sel.map { r =>
+      val vec = r.getSeq[Double](r.fieldIndex("emb"))
+        .map(java.lang.Double.toString).mkString("[", ",", "]")
+      s"""{"field": "embedding", "k": 5, "num_candidates": $numCand,
+         |  "query_vector": $vec,
+         |  "filter": {"bool": {
+         |    "must": [{"term": {"label": ${r.getAs[Long]("label")}}}],
+         |    "must_not": [{"term": {"vec_id": ${r.getAs[Long]("vec_id")}}}]}}}""".stripMargin
+    }.mkString("[", ",\n", "]")
+    dslKnn(s, d, QueryDsl.parse(s"""{"knn": $clauses}"""))
+  }
+
   /** Int8 scalar quantization of embeddings + reconstruction-error audit —
     * the compression step a vector store runs before indexing (FAISS SQ8
     * shape). Per-vector scale = max|x|/127; q = round(x/scale); errors are
@@ -405,6 +511,7 @@ object SimilarityQueries {
     "q37_ann_ivf" -> (q37 _),
     "q37b_ann_ivfpq" -> (q37b _),
     "q85_knn_filtered" -> (q85 _),
+    "q156_dsl_knn" -> (q156 _),
     "q52_embedding_stats" -> (q52 _),
     "q58_embedding_quantize" -> (q58 _),
     "q58b_pq_quantize" -> (q58b _))
@@ -461,6 +568,42 @@ object SimilarityQueries {
       |        FROM lists l JOIN lab ON l.vec_id = lab.vec_id
       |                     JOIN probes p ON l.list_id = p.list_id
       |        WHERE l.vec_id <> p.query_id AND lab.label = p.qlabel)
+      |) WHERE rank <= 5""".stripMargin,
+    // q156: the front-door knn replay — the oracle rebuilds the request's
+    // derivations itself (query vectors = the stored embeddings of the
+    // fixed source ids; num_candidates = ceil(3·n/nlists); nprobe = the
+    // dispatcher's clamp(ceil(nc·nlists/n))) over the SAME retrained
+    // index, then runs q85's filtered search restricted to those sources.
+    "q156_dsl_knn" -> s"""${VecOracle.coarsePrefix},
+      |sel(knn_idx, vid) AS (
+      |  VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)), (1, 50), (2, 100), (3, 150)
+      |),
+      |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      |np AS (
+      |  SELECT LEAST((SELECT COUNT(*) FROM cent),
+      |               GREATEST(1, CAST(ceil(
+      |                 ceil(3.0 * (SELECT COUNT(*) FROM lists) / (SELECT COUNT(*) FROM cent))
+      |                 * (SELECT COUNT(*) FROM cent) / (SELECT COUNT(*) FROM lists)) AS BIGINT))) AS v
+      |),
+      |q AS (
+      |  SELECT sel.knn_idx, sel.vid AS src_vid, l.emb AS qe, l.nrm AS qn, lab.label AS qlabel
+      |  FROM sel JOIN lists l ON l.vec_id = sel.vid JOIN lab ON lab.vec_id = sel.vid
+      |),
+      |kprobes AS (
+      |  SELECT knn_idx, list_id, qe, qn, qlabel, src_vid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY knn_idx ORDER BY ccos DESC, list_id ASC) AS crank
+      |    FROM (SELECT c.list_id, q.knn_idx, q.qe, q.qn, q.qlabel, q.src_vid,
+      |                 (${vectors.dotSql("q.qe", "c.cemb", 64)}) / (q.qn * c.cnrm) AS ccos
+      |          FROM q CROSS JOIN cent c)
+      |  ) WHERE crank <= (SELECT v FROM np)
+      |)
+      |SELECT knn_idx, rank, vec_id AS neighbor_id, ${detsum.roundDetSql("cos", 6)} AS cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY knn_idx ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM (SELECT p.knn_idx, l.vec_id,
+      |               (${vectors.dotSql("l.emb", "p.qe", 64)}) / (l.nrm * p.qn) AS cos
+      |        FROM lists l JOIN lab ON l.vec_id = lab.vec_id
+      |             JOIN kprobes p ON l.list_id = p.list_id
+      |        WHERE lab.label = p.qlabel AND l.vec_id <> p.src_vid)
       |) WHERE rank <= 5""".stripMargin,
     "q68_cluster_balanced_sample" -> s"""${VecOracle.coarsePrefix}
       |SELECT CAST(list_id AS BIGINT) AS list_id, COUNT(*) AS n_vecs,

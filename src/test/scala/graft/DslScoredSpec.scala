@@ -94,6 +94,33 @@ class DslScoredSpec extends AnyFunSuite {
       QueryDsl.count(docs, body, analyzed = Map("n_chars" -> "toks")))
   }
 
+  test("q156: front-door knn is row-identical to typed q85 for the request's source vectors") {
+    val dsl = SparkEntry.queries("q156_dsl_knn")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("knn_idx"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    val idOf = queries.SimilarityQueries.KnnSrcIds.zipWithIndex
+      .map { case (v, i) => v -> i.toLong }.toMap
+    val typed = SparkEntry.queries("q85_knn_filtered")(spark, sf).collect()
+      .filter(r => idOf.contains(r.getAs[Long]("query_id")))
+      .map(r => (idOf(r.getAs[Long]("query_id")), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    assert(dsl.nonEmpty && dsl.length == typed.length)
+    assert(dsl.sorted.toSeq == typed.sorted.toSeq,
+      "front-door knn diverged from the typed filtered-kNN pipeline")
+    // wire-grammar rejections are loud
+    def bad(body: String): Unit = intercept[IllegalArgumentException](
+      queries.SimilarityQueries.dslKnn(spark, sf, QueryDsl.parse(body)))
+    bad("""{"knn": {"field": "embedding", "k": 5, "num_candidates": 3,
+          |  "query_vector": [1.0]}}""".stripMargin) // nc < k
+    bad("""{"knn": {"field": "embedding", "k": 5, "num_candidates": 10,
+          |  "query_vector": [1.0, 2.0]}}""".stripMargin) // wrong dim
+    bad("""{"knn": {"field": "nope", "k": 5, "num_candidates": 10,
+          |  "query_vector": [1.0]}}""".stripMargin) // wrong field
+    bad("""{"knn": {"field": "embedding", "k": 5, "num_candidates": 10,
+          |  "query_vector": [1.0], "boost": 2}}""".stripMargin) // unknown key
+    bad("""{"knn": [], "size": 0}""") // empty clause list + extra key
+  }
+
   test("query-context envelope rejections are loud") {
     val rel = queries.TextQueries.dslRelevance(spark, sf)
     val docs = queries.Tables(spark, sf, "documents")
