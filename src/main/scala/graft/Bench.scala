@@ -262,8 +262,23 @@ object Bench {
     val pinC = pinCanary()
     val canaryVsPin = if (pinC > 0) math.min(canaryStart, canaryEnd) / pinC else -1.0
     val machineDrift = pinC > 0 && (canaryVsPin > 1.20 || canaryVsPin < 0.80)
+    // CANARY-NORMALIZED per-query seconds, pinned INTO the record (round-15
+    // judge ask: cross-round tables kept needing manual suspect/drift
+    // adjudication). norm = raw × pin_canary / (10 × canary_q[n]) — the
+    // per-query 30M-step probe is exactly 1/10 of the 300M pin workload,
+    // so 10·canary_q estimates what the pin-time machine's probe would
+    // read at this query's moment; a machine running at pin speed has
+    // norm ≡ raw, a 20% throttled machine reads norm ≈ raw/1.2. Omitted
+    // (-1 per entry) when no pin canary is reachable. Raw stays the
+    // primary record; norm is the cross-round comparison column.
+    val canaryByName = canaries.toMap
+    val qsNorm = results.map { case (k, v) =>
+      val c = canaryByName.getOrElse(k, -1.0)
+      val norm = if (pinC > 0 && c > 0 && v >= 0) v * pinC / (10.0 * c) else -1.0
+      s"\"" + k + "\":" + norm
+    }.mkString("{", ",", "}")
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_mem_start":$canaryMemStart,"canary_mem_end":$canaryMemEnd,"canary_q":$cq,"canary_spread":$canarySpread,"canary_median":$canaryMedian,"canary_vs_pin":$canaryVsPin,"machine_drift":$machineDrift,"suspect":$suspects,"nproc":$nproc,"dirty":$dirty}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_mem_start":$canaryMemStart,"canary_mem_end":$canaryMemEnd,"canary_q":$cq,"canary_spread":$canarySpread,"canary_median":$canaryMedian,"canary_vs_pin":$canaryVsPin,"machine_drift":$machineDrift,"suspect":$suspects,"nproc":$nproc,"dirty":$dirty}"""
     println(record)
     // The driver captures only a 2000-char tail of stdout, which truncates
     // the 174-entry per-query map to its last third; persist the FULL

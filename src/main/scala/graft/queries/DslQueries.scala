@@ -540,20 +540,22 @@ object QueryDsl {
         s"query DSL: highlight field '$hf' must be the match query's field")
       hf
     }
-    // page fetch: TakeOrderedAndProject over the hit-sized score table,
-    // extra _source fields joined onto the ≤from+size page only
+    // page fetch: TakeOrderedAndProject over the hit-sized score table;
+    // extra _source fields join AFTER the page localizes (ES's fetch
+    // phase: the ranked ≤from+size page broadcasts into ONE projection
+    // scan — the corpus never joins the full score table)
     val extra = src.filterNot(_ == "doc_id")
-    val scored =
-      if (extra.isEmpty) scoreTable
-      else scoreTable.join(docs.select((col("doc_id") +: extra.map(col)): _*), Seq("doc_id"))
     val sortCols = Seq(col("score").desc, col("doc_id").asc)
-    val fetch = Tables.localize(
-      scored.orderBy(sortCols: _*).limit(from + size))
+    val page = Tables.localize(
+      scoreTable.orderBy(sortCols: _*).limit(from + size))
       .withColumn("rank", row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
       .filter(col("rank") > from)
+    val fetch =
+      if (extra.isEmpty) page
+      else page.join(docs.select((col("doc_id") +: extra.map(col)): _*), Seq("doc_id"))
     hl match {
       case Some(hf) =>
-        rel.highlighter(hf, terms, fetch.select(col("rank"), col("doc_id")))
+        rel.highlighter(hf, terms, page.select(col("rank"), col("doc_id")))
       case None =>
         fetch.select((col("rank") +: col("score") +: src.map(col)): _*)
     }

@@ -665,4 +665,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"match must stay a row-local scan predicate:\n$p")
     assert(!p.contains("Generate"), "match must not explode tokens")
   }
+
+  test("q139 probe match: array_contains over the materialized token frame — no regex, no Generate") {
+    val docs = queries.TextQueries.docsAnalyzed(spark, sf)
+    val body = queries.QueryDsl.parse(
+      """{"query": {"match": {"text": {"query": "vector stream", "operator": "and"}}},
+        |  "size": 20, "_source": ["doc_id", "n_chars"]}""".stripMargin)
+    val (fetch, _, _, _) =
+      queries.QueryDsl.pageQuery(docs, body, analyzed = Map("text" -> "toks"))
+    val p = fetch.queryExecution.explainString(FormattedMode)
+    assert(p.contains("array_contains"), "probe form must test the token column")
+    assert(!p.toLowerCase.contains("rlike"), "probe form must not regex-scan text")
+    assert(!p.contains("Generate") && !p.contains("Exchange"),
+      s"probe match must stay a row-local predicate over the checkpointed frame:\n$p")
+  }
+
+  test("q156 knn: clause/probe frames broadcast; no cartesian against the corpus") {
+    val body = queries.QueryDsl.parse(
+      """{"knn": {"field": "embedding", "k": 3, "num_candidates": 150,
+        |  "query_vector": [""".stripMargin +
+        (1 to 64).map(i => (i % 7).toDouble.toString).mkString(",") +
+        """]}}""")
+    val plan = queries.SimilarityQueries.dslKnn(spark, sf, body)
+      .queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("CartesianProduct"),
+      s"knn candidates must come from broadcast probes, never corpus-cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the probe frame must broadcast into the inverted-list scan")
+  }
 }
