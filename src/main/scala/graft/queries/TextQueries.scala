@@ -579,13 +579,28 @@ object TextQueries {
       .orderBy(col("r").asc).collect().map(_.getAs[String]("term")).mkString(" ")
 
   /** documents + the MATERIALIZED analyzed token column for front-door
-    * full-text leaves ([[QueryDsl.Catalog.withAnalyzed]]): checkpointed
-    * once per (dataset, thread), so repeated front-door requests PROBE the
-    * token frame (array_contains) instead of re-tokenizing or
-    * regex-scanning raw text — the ES analyzed-index analog (at 100 TB the
-    * analyzed corpus is materialized once; every match/count probes it). */
-  private[graft] def docsAnalyzed(s: SparkSession, d: String): DataFrame =
-    swapCheckpoint(s"dsldocs:$d", docs(s, d).localCheckpoint(true))
+    * full-text leaves ([[QueryDsl.Catalog.withAnalyzed]]): a BUILD-ONCE
+    * artifact per dataset (the VecIndex `live` discipline, NOT the
+    * per-call swapCheckpoint) — the ES analyzed-index analog: at 100 TB
+    * the analyzed corpus is materialized exactly once and every
+    * match/count request PROBES it (array_contains), paying zero
+    * per-request tokenization or text scan. The first Scale100 cut used
+    * the per-call checkpoint and measured factor 23.7 at 100x — the same
+    * as the regex scan, because every request re-paid the 500k-doc
+    * tokenize+materialize; the artifact cache is what makes the probe
+    * model real. */
+  private val analyzedCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[graft] def docsAnalyzed(s: SparkSession, d: String): DataFrame = {
+    analyzedCache.get(d) match {
+      case Some(f) if !f.sparkSession.sparkContext.isStopped => f
+      case _ =>
+        val fresh = docs(s, d).localCheckpoint(true)
+        analyzedCache.put(d, fresh)
+          .filter(!_.sparkSession.sparkContext.isStopped)
+          .foreach(Tables.freeCheckpoint)
+        fresh
+    }
+  }
 
   /** The front door's [[QueryDsl.Relevance]] — every scorer routes through
     * THE shared BM25 stack, so `searchScored` can never grow a second copy
