@@ -382,7 +382,6 @@ object QueryDsl {
     val from = if (body.has("from")) body.get("from").asInt else 0
     val size = if (body.has("size")) body.get("size").asInt else 10
     require(from >= 0 && size > 0, s"query DSL: bad page from=$from size=$size")
-    val hits = docs.filter(c.pred).withColumn("score", c.score)
     val explicit: Seq[(String, Boolean)] = // (field, asc)
       if (body.has("sort")) body.get("sort").elements().asScala.toSeq.map { s =>
         val (f, spec) = sole(s, "sort entry")
@@ -397,6 +396,34 @@ object QueryDsl {
         (f, order == "asc")
       }
       else Seq(("_score", false))
+    // `search_after`: ES's deep-paging form (from/size deep pages re-sort
+    // everything they skip; the keyset cursor prunes instead — q84 is the
+    // relevance-sorted typed sibling, q140 the exhaustive-drain form).
+    // The cursor is a literal sort-value array; the lexicographic
+    // strictly-after predicate lands on raw columns, so it reaches the
+    // scan like scroll's. Requires an explicit field sort including the
+    // doc_id tiebreak (totality) and non-null sort fields (the scroll
+    // contract — a null cursor comparison silently drops the tail).
+    val afterPred: Option[Column] = Option(body.get("search_after")).map { sa =>
+      require(sa.isArray, "query DSL: search_after must be an array of sort values")
+      require(body.has("sort"), "query DSL: search_after requires an explicit sort")
+      require(!explicit.exists(_._1 == "_score"),
+        "query DSL: search_after pages on field sorts (relevance paging is the typed q84 surface)")
+      require(explicit.exists(_._1 == "doc_id"),
+        "query DSL: search_after requires the unique doc_id tiebreak in the sort")
+      require(from == 0, "query DSL: search_after and from are mutually exclusive")
+      val vals = sa.elements().asScala.toSeq
+      require(vals.size == explicit.size,
+        s"query DSL: search_after carries ${vals.size} values for ${explicit.size} sort fields")
+      val typed = explicit.zip(vals).map { case ((f, asc), v) => (f, asc, typedLit(f, v)) }
+      val keyset = typed.zipWithIndex.map { case ((f, asc, v), i) =>
+        val beyond = if (asc) col(f) > v else col(f) < v
+        typed.take(i).map { case (g, _, gv) => col(g) === gv }.foldLeft(beyond)(_ && _)
+      }.reduce(_ || _)
+      explicit.map { case (f, _) => col(f).isNotNull }.reduce(_ && _) && keyset
+    }
+    val hits = afterPred.foldLeft(docs.filter(c.pred))(_ filter _)
+      .withColumn("score", c.score)
     val keys = if (explicit.exists(_._1 == "doc_id")) explicit else explicit :+ ("doc_id", true)
     val sortCols = keys.map { case (f, asc) =>
       val cc = if (f == "_score") col("score") else col(f)
@@ -974,20 +1001,7 @@ object QueryDsl {
           "query DSL: proportional_sum takes no metric sub-aggregations (value IS the metric)")
         propSumSpec(filtered, spec)
       case "date_histogram" =>
-        require(spec.isObject && spec.has("field") && spec.has("fixed_interval"),
-          "query DSL: date_histogram requires field + fixed_interval")
-        val f = spec.get("field").asText
-        require(filtered.columns.contains(f), s"query DSL: unknown field '$f'")
-        require(spec.get("fixed_interval").isIntegralNumber,
-          "query DSL: fixed_interval must be integral epoch-ms")
-        val itv = spec.get("fixed_interval").asLong
-        require(itv > 0, "query DSL: fixed_interval must be positive")
-        val known = Set("field", "fixed_interval")
-        val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
-        require(unknown.isEmpty, s"query DSL: unsupported date_histogram keys: $unknown")
-        // the q10 bucket recipe verbatim: floor(ms / interval) * interval
-        filtered.groupBy((floor(col(f) / lit(itv)) * lit(itv)).as("bucket_ms"))
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"), metricCols(subAggs, filtered): _*)
+        dateHistogramAgg(filtered, spec, subAggs, Nil)
       case "terms" if subAggs.exists(isBucketChild) =>
         // NESTED BUCKET SUB-AGG — the reference's own request shape: the
         // agg "runs under terms/filters parents" (SURVEY §1; the Drift
@@ -1001,11 +1015,48 @@ object QueryDsl {
         val extra = spec.fieldNames().asScala.toSeq.filterNot(_ == "field")
         require(extra.isEmpty,
           s"query DSL: terms with a bucket sub-agg supports only 'field', got extra keys $extra")
-        val (_, childNode) = sole(subAggs.get, "sub-aggs")
-        val childKeys = childNode.fieldNames().asScala.toSeq
-        require(childKeys == Seq("proportional_sum"),
-          s"query DSL: bucket child of terms must be exactly proportional_sum, got $childKeys")
-        propSumGrouped(filtered, childNode.get("proportional_sum"), f)
+        val (midName, childNode) = sole(subAggs.get, "sub-aggs")
+        val childKeys = childNode.fieldNames().asScala.toSeq.sorted
+        if (childNode.has("proportional_sum")) {
+          require(childKeys == Seq("proportional_sum"),
+            s"query DSL: a proportional_sum child takes no extra keys, got $childKeys")
+          propSumGrouped(filtered, childNode.get("proportional_sum"), f)
+        } else {
+          require(childKeys == Seq("date_histogram") || childKeys == Seq("aggs", "date_histogram"),
+            s"query DSL: bucket child of terms must be proportional_sum or date_histogram, got $childKeys")
+          val dh = childNode.get("date_histogram")
+          val grand = Option(childNode.get("aggs"))
+          val isTree = grand.exists(g => g.isObject && g.size == 1 && {
+            val (_, gn) = sole(g, "sub-aggs")
+            gn.isObject && gn.has("proportional_sum")
+          })
+          if (isTree) {
+            // the FULL 3-level tree (terms → date_histogram →
+            // proportional_sum — typed q04c's shape): the middle bucket
+            // becomes a named grouping column (the ES response nests
+            // buckets under the agg's NAME, so the middle agg's key is
+            // the column) and the whole tree stays ONE compound-key
+            // grouped run — single partial-aggregated exchange
+            require(dh.isObject && dh.has("field") && dh.has("fixed_interval"),
+              "query DSL: date_histogram requires field + fixed_interval")
+            val bf = dh.get("field").asText
+            require(filtered.columns.contains(bf), s"query DSL: unknown field '$bf'")
+            require(dh.get("fixed_interval").isIntegralNumber && dh.get("fixed_interval").asLong > 0,
+              "query DSL: fixed_interval must be positive integral epoch-ms")
+            val itv = dh.get("fixed_interval").asLong
+            val extraDh = dh.fieldNames().asScala.toSeq.filterNot(Set("field", "fixed_interval"))
+            require(extraDh.isEmpty, s"query DSL: unsupported date_histogram keys: $extraDh")
+            val (_, gnode) = sole(grand.get, "sub-aggs")
+            val gkeys = gnode.fieldNames().asScala.toSeq
+            require(gkeys == Seq("proportional_sum"),
+              s"query DSL: the tree's leaf must be exactly proportional_sum, got $gkeys")
+            val withBucket = filtered.withColumn(midName,
+              (floor(col(bf) / lit(itv)) * lit(itv)).cast("long"))
+            propSumGroupedBy(withBucket, gnode.get("proportional_sum"),
+              Seq(col(f), col(midName)))
+          } else
+            dateHistogramAgg(filtered, dh, grand, Seq(col(f)))
+        }
 
       case "terms" =>
         require(spec.isObject && spec.has("field"), "query DSL: terms agg requires field")
@@ -1038,19 +1089,45 @@ object QueryDsl {
     }
   }
 
+  /** The framework `date_histogram` agg body (fixed interval, the q10
+    * bucket recipe) with optional metric sub-aggs, parameterized by extra
+    * grouping columns so the terms-parent nesting compiles to the SAME
+    * one-exchange grouped aggregation (compound key, partial aggregation
+    * map-side — never a per-bucket re-scan). */
+  private def dateHistogramAgg(frame: DataFrame, spec: JsonNode,
+      subAggs: Option[JsonNode], groupCols: Seq[Column]): DataFrame = {
+    require(spec.isObject && spec.has("field") && spec.has("fixed_interval"),
+      "query DSL: date_histogram requires field + fixed_interval")
+    val f = spec.get("field").asText
+    require(frame.columns.contains(f), s"query DSL: unknown field '$f'")
+    require(spec.get("fixed_interval").isIntegralNumber,
+      "query DSL: fixed_interval must be integral epoch-ms")
+    val itv = spec.get("fixed_interval").asLong
+    require(itv > 0, "query DSL: fixed_interval must be positive")
+    val known = Set("field", "fixed_interval")
+    val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
+    require(unknown.isEmpty, s"query DSL: unsupported date_histogram keys: $unknown")
+    // the q10 bucket recipe verbatim: floor(ms / interval) * interval
+    frame.groupBy((groupCols :+ (floor(col(f) / lit(itv)) * lit(itv)).as("bucket_ms")): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"), metricCols(subAggs, frame): _*)
+  }
+
   /** True when a sub-aggs object holds a single BUCKET child (a nested
-    * proportional_sum) rather than metric leaves. */
+    * proportional_sum or date_histogram) rather than metric leaves. */
   private def isBucketChild(sa: JsonNode): Boolean =
     sa.isObject && sa.size == 1 && {
       val (_, node) = sole(sa, "sub-aggs")
-      node.isObject && node.has("proportional_sum")
+      node.isObject && (node.has("proportional_sum") || node.has("date_histogram"))
     }
 
-  /** The nested child grammar: proportional_sum under a terms parent.
+  /** The nested child grammar: proportional_sum under bucket parents.
     * Fixed-interval subset (fields/interval/start/end/offset/
     * min_doc_count) — presentation knobs (keyed/order/extended_bounds/
     * calendar) stay top-level-only and fail loudly here. */
-  private def propSumGrouped(flows: DataFrame, spec: JsonNode, groupField: String): DataFrame = {
+  private def propSumGrouped(flows: DataFrame, spec: JsonNode, groupField: String): DataFrame =
+    propSumGroupedBy(flows, spec, Seq(col(groupField)))
+
+  private def propSumGroupedBy(flows: DataFrame, spec: JsonNode, groupCols: Seq[Column]): DataFrame = {
     import graft.operators.ProportionalSum
     require(spec.has("fields") && spec.get("fields").isArray,
       "query DSL: proportional_sum requires a fields array")
@@ -1071,7 +1148,7 @@ object QueryDsl {
     val cfg = ProportionalSum.Config(
       interval, longOpt("start"), longOpt("end"), longOpt("offset").getOrElse(0L))
     val out = ProportionalSum.run(
-      flows, col(fs(0)), col(fs(1)), col(fs(2)), fs.lift(3).map(col), cfg, Seq(col(groupField)))
+      flows, col(fs(0)), col(fs(1)), col(fs(2)), fs.lift(3).map(col), cfg, groupCols)
     longOpt("min_doc_count").filter(_ > 0)
       .map(m => out.filter(col("doc_count") >= m)).getOrElse(out)
   }
@@ -1543,6 +1620,58 @@ object DslQueries {
       QueryDsl.aggBody(Flows.df(s, d), body)
     }),
 
+    // `search_after` in the filter-context envelope: ES's deep-paging form
+    // — the literal cursor's lexicographic keyset predicate lands on raw
+    // columns (scan-pruning like scroll's), page ranks restart at 1.
+    "q157_dsl_search_after" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"query": {"range": {"n_chars": {"gte": 150}}},
+          |  "sort": [{"n_chars": "asc"}, {"doc_id": "asc"}],
+          |  "search_after": [250, 100],
+          |  "size": 20,
+          |  "_source": ["doc_id", "n_chars"]}""".stripMargin)
+      QueryDsl.search(Tables(s, d, "documents"), body)
+    }),
+
+    // terms → date_histogram (→ metric) nesting — the dashboard shape
+    // (every Kibana panel over the Drift indices is exactly this tree):
+    // ONE grouped aggregation on the compound key, single exchange.
+    "q158_dsl_terms_date_histogram" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"types": {
+          |    "terms": {"field": "event_type"},
+          |    "aggs": {"by_hour": {
+          |      "date_histogram": {"field": "ms", "fixed_interval": 3600000},
+          |      "aggs": {"sum_value": {"sum": {"field": "value"}}}
+          |    }}
+          |  }}}""".stripMargin)
+      QueryDsl.aggBody(EsAggQueries.eventsMs(s, d), body)
+    }),
+
+    // the FULL 3-level agg tree at the JSON door: terms(event_type) →
+    // date_histogram(rs, daily — the middle agg's NAME becomes the bucket
+    // column, the ES response-nesting convention) → hourly
+    // proportional_sum — typed q04c's tree, ONE compound-key grouped run;
+    // shares q04c's oracle VERBATIM.
+    "q159_dsl_agg_tree" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"types": {
+          |    "terms": {"field": "event_type"},
+          |    "aggs": {"doc_day": {
+          |      "date_histogram": {"field": "rs", "fixed_interval": 86400000},
+          |      "aggs": {"series": {"proportional_sum": {
+          |        "fields": ["rs", "re", "v"],
+          |        "interval": 3600000,
+          |        "start": 1704412800000,
+          |        "end": 1706140800000
+          |      }}}
+          |    }}
+          |  }}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
     // _mget: request-order multi-get with found=false rows for misses and
     // a duplicate id served twice — the broadcast-probe + coordinator
     // assembly shape.
@@ -1678,6 +1807,7 @@ object DslQueries {
     "q151_dsl_calendar_interval" -> FlowQueries.oracleSql("q06_prop_sum_calendar"),
     "q152_dsl_keyed_order" -> FlowQueries.oracleSql("q01k_prop_sum_keyed"),
     "q153_dsl_nested_terms" -> FlowQueries.oracleSql("q04_prop_sum_grouped"),
+    "q159_dsl_agg_tree" -> FlowQueries.oracleSql("q04c_prop_sum_nested_tree"),
 
     // q76's oracle WRAPPED (projection only — the text is shared, so the
     // JSON-compiled ranking can never drift from the typed BM25 chain);
@@ -1708,6 +1838,27 @@ object DslQueries {
         |  ) WHERE rank > 5 AND rank <= 15
         |)
         |SELECT * FROM r0 UNION ALL SELECT * FROM r1""".stripMargin,
+
+    // the literal cursor's keyset + the non-null sort-field contract,
+    // mirrored statically; ranks are page-relative (restart at 1)
+    "q157_dsl_search_after" ->
+      """WITH hits AS (
+        |  SELECT doc_id, n_chars, CAST(1.0 AS DOUBLE) AS score
+        |  FROM documents
+        |  WHERE n_chars >= 150
+        |    AND n_chars IS NOT NULL AND doc_id IS NOT NULL
+        |    AND (n_chars > 250 OR (n_chars = 250 AND doc_id > 100))
+        |)
+        |SELECT rank, score, doc_id, n_chars FROM (
+        |  SELECT row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rank, * FROM hits
+        |) WHERE rank <= 20""".stripMargin,
+
+    // the grouped q10 recipe: compound (term, bucket) key, detsum metric
+    "q158_dsl_terms_date_histogram" ->
+      s"""SELECT event_type,
+         |       CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS bucket_ms,
+         |       COUNT(*) AS doc_count, ${graft.functions.detsum.sumDetSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q145_mget" ->
       """WITH req(req_pos, id) AS (

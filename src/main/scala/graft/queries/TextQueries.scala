@@ -538,7 +538,13 @@ object TextQueries {
     * `qarr` = a 1-row (qterms array<string>) frame; hits must contain ≥1
     * query term (the scorer's contract), so the first position exists. */
   private def highlightFragments(s: SparkSession, d: String, hits: DataFrame, qarr: DataFrame): DataFrame =
-    docs(s, d)
+    highlightOver(docs(s, d), hits, qarr)
+
+  /** [[highlightFragments]] over an explicit tokenized frame — the front
+    * door passes the build-once analyzed artifact, typed q82 the per-call
+    * tokenized scan; ONE fragment definition either way. */
+  private def highlightOver(toksFrame: DataFrame, hits: DataFrame, qarr: DataFrame): DataFrame =
+    toksFrame
       .join(broadcast(hits), Seq("doc_id"))
       .crossJoin(broadcast(qarr))
       .withColumn("p",
@@ -562,11 +568,16 @@ object TextQueries {
   private def bm25ForTerms(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
     val tset = terms.distinct
     require(tset.nonEmpty, "query DSL: scored match requires a non-empty analyzed query")
-    val qdf = dfVocab(s, d).filter(col("term").isin(tset: _*))
-      .select(col("term").as("tok"), col("df"))
+    // BOTH the query-term df and the token stream read the build-once
+    // analyzed artifact — the ES index serves filtering AND scoring; a
+    // front-door request never re-tokenizes the corpus. df = distinct
+    // docs per term, integer-identical to dfVocab/rankedVocab's.
+    val art = docsAnalyzed(s, d)
+    val qdf = art.select(explode(array_distinct(col("toks"))).as("tok"))
+      .filter(col("tok").isin(tset: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     bm25ScoredOver(s, d,
-      docs(s, d).repartition(col("doc_id"))
-        .select(col("doc_id"), explode(col("toks")).as("tok")),
+      art.select(col("doc_id"), explode(col("toks")).as("tok")),
       qdf)
   }
 
@@ -594,7 +605,11 @@ object TextQueries {
     analyzedCache.get(d) match {
       case Some(f) if !f.sparkSession.sparkContext.isStopped => f
       case _ =>
-        val fresh = docs(s, d).localCheckpoint(true)
+        // repartition BEFORE the checkpoint: a single-file corpus would
+        // otherwise materialize as ONE partition and serialize every
+        // downstream explode on one core (the q72 scan-spreading lesson,
+        // baked into the artifact so every consumer inherits it)
+        val fresh = docs(s, d).repartition(col("doc_id")).localCheckpoint(true)
         analyzedCache.put(d, fresh)
           .filter(!_.sparkSession.sparkContext.isStopped)
           .foreach(Tables.freeCheckpoint)
@@ -622,7 +637,14 @@ object TextQueries {
           s"query DSL: multi_match supports fields [title^B, body], got $fields")
         require(fm("body") == 1.0,
           "query DSL: multi_match body boost must be 1 (the typed q86 stack's shape)")
-        val g = perDocTermTf(s, d)
+        // the per-(doc, term) frame from the analyzed artifact — identical
+        // integers to perDocTermTf (dl = Σtf, df = frame rows per term),
+        // with the tokenize scan paid once per dataset instead of per
+        // request
+        val g = docsAnalyzed(s, d)
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf_b"), count(when(col("pos") < 8, 1)).as("tf_t"))
         val tset = terms.distinct
         val qsel = g.filter(col("tok").isin(tset: _*))
           .groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -637,7 +659,7 @@ object TextQueries {
           s"query DSL: highlight supports the analyzed corpus field 'text', got '$field'")
         val qarr = s.range(1)
           .select(array(terms.distinct.sorted.map(lit): _*).as("qterms"))
-        highlightFragments(s, d, hits, qarr)
+        highlightOver(docsAnalyzed(s, d), hits, qarr)
       })
 
   /** [[bm25PerDoc]] joined with the detlog length factor log2(1+doc_length)

@@ -191,6 +191,71 @@ class DslSpec extends AnyFunSuite {
              |    "keyed": true}}}}}}""".stripMargin)
   }
 
+  test("q157 search_after: the page is the exact post-cursor slice; misuse fails loudly") {
+    val docs = queries.Tables(spark, sf, "documents")
+    val out = SparkEntry.queries("q157_dsl_search_after")(spark, sf).collect().sortBy(_.getAs[Long]("rank"))
+    assert(out.length == 20 && out.map(_.getAs[Long]("rank")).toSeq == (1L to 20L).toSeq)
+    // equals the full sort's slice strictly after the cursor
+    val full = docs.filter(col("n_chars") >= 150)
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+      .select("doc_id", "n_chars").collect()
+      .dropWhile(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")) match {
+        case (n, id) => n < 250 || (n == 250 && id <= 100)
+      }).take(20)
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))).toSeq ==
+      full.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))).toSeq)
+    def bad(q: String): Unit =
+      intercept[IllegalArgumentException](QueryDsl.search(docs, QueryDsl.parse(q)))
+    bad("""{"query": {"match_all": {}}, "search_after": [5],
+          |  "sort": [{"_score": "desc"}, {"doc_id": "asc"}]}""".stripMargin) // _score sort
+    bad("""{"query": {"match_all": {}}, "search_after": [5, 5],
+          |  "sort": [{"n_chars": "asc"}, {"doc_id": "asc"}], "from": 3}""".stripMargin) // from
+    bad("""{"query": {"match_all": {}}, "search_after": [5],
+          |  "sort": [{"n_chars": "asc"}, {"doc_id": "asc"}]}""".stripMargin) // arity
+    bad("""{"query": {"match_all": {}}, "search_after": [5],
+          |  "sort": [{"n_chars": "asc"}]}""".stripMargin) // no doc_id tiebreak
+  }
+
+  test("q158 terms→date_histogram nesting equals the inline grouped aggregation") {
+    val out = SparkEntry.queries("q158_dsl_terms_date_histogram")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket_ms"),
+        r.getAs[Long]("doc_count"), r.getAs[Double]("sum_value"))).toSet
+    val ev = queries.EsAggQueries.eventsMs(spark, sf)
+    val typed = ev.groupBy(col("event_type"),
+        (floor(col("ms") / lit(3600000L)) * lit(3600000L)).as("bucket_ms"))
+      .agg(count(lit(1)).as("doc_count"),
+        graft.functions.detsum.sumDet(col("value")).as("sum_value"))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket_ms"),
+        r.getAs[Long]("doc_count"), r.getAs[Double]("sum_value"))).toSet
+    assert(out == typed && out.nonEmpty)
+    assert(out.map(_._1).size > 1, "nesting must produce several term groups")
+    def badAgg(body: String): Unit =
+      intercept[IllegalArgumentException](QueryDsl.aggBody(ev, QueryDsl.parse(body)))
+    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type", "size": 3},
+             |  "aggs": {"h": {"date_histogram": {"field": "ms", "fixed_interval": 3600000}}}}}}""".stripMargin)
+    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type"},
+             |  "aggs": {"h": {"date_histogram": {"field": "ms", "calendar_interval": "1h"}}}}}}""".stripMargin)
+  }
+
+  test("q159: the 3-level agg tree is ROW-IDENTICAL to typed q04c; malformed trees fail loudly") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(_.toSeq.toList).toSet
+    assert(rows("q159_dsl_agg_tree") == rows("q04c_prop_sum_nested_tree"))
+    assert(rows("q159_dsl_agg_tree").nonEmpty)
+    val flows = queries.Flows.df(spark, sf)
+    def badAgg(body: String): Unit =
+      intercept[IllegalArgumentException](QueryDsl.aggBody(flows, QueryDsl.parse(body)))
+    // the tree's leaf must be proportional_sum exactly
+    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type"},
+             |  "aggs": {"d": {"date_histogram": {"field": "rs", "fixed_interval": 86400000},
+             |    "aggs": {"x": {"avg": {"field": "v"}}, "y": {"proportional_sum": {
+             |      "fields": ["rs","re","v"], "interval": 3600000}}}}}}}}""".stripMargin)
+    // middle date_histogram with unknown keys
+    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type"},
+             |  "aggs": {"d": {"date_histogram": {"field": "rs", "fixed_interval": 86400000, "offset": 1},
+             |    "aggs": {"s": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000}}}}}}}}""".stripMargin)
+  }
+
   test("boost arithmetic: dyadic sums exact; filter context scores 0") {
     val q =
       """{"bool": {
