@@ -165,9 +165,12 @@ object QueryDsl {
     } + "%"
 
   /** The request-side analyzer — the same lower/whitespace normalization
-    * the corpus tokenization applies ([[graft.functions.text.tokens]]). */
+    * the corpus tokenization applies ([[graft.functions.text.tokens]]).
+    * Locale.ROOT matches Spark's locale-independent `lower()`: a default
+    * JVM locale like Turkish would otherwise fold 'I' to dotless 'ı' and
+    * silently diverge request-side analysis from the index side. */
   private[queries] def analyze(q: String): Seq[String] =
-    q.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    q.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq.filter(_.nonEmpty)
 
   /** Validate and register analyzed-field mappings against the frame. */
   private def checkedAnalyzed(cat: Catalog, docs: DataFrame, analyzed: Map[String, String]): Catalog = {
@@ -560,6 +563,12 @@ object QueryDsl {
       else Seq("doc_id")
     src.foreach(checkField)
     val hl: Option[String] = Option(body.get("highlight")).map { h =>
+      // the highlight response is the fragment payload (rank, doc_id,
+      // frag_pos, fragment) — a _source projection would be silently
+      // dropped, so reject it loudly (the module's convention for every
+      // unsupported combination)
+      require(!body.has("_source"),
+        "query DSL: highlight returns the fragment payload — a _source list is not projected; drop it")
       require(h.isObject && h.has("fields") && h.get("fields").isObject
         && h.get("fields").size == 1, "query DSL: highlight requires exactly one field")
       val hf = h.get("fields").fieldNames().next()

@@ -252,15 +252,18 @@ object SimilarityQueries {
     * exactly through the JSON parser) plus q85's same-label filter with
     * the source vector excluded the ES way (a must_not ids-style term —
     * the request can say "not this doc", the engine has no self notion),
-    * then compiles it through [[dslKnn]]. num_candidates = ceil(3·n/
-    * nlists) so the compiled probe depth is the typed 3-probe at any
-    * corpus size. */
+    * then compiles it through [[dslKnn]]. num_candidates = floor(3·n/
+    * nlists) — the LARGEST value whose nprobe clamp ceil(nc·nlists/n)
+    * resolves to exactly 3 (the round-16 ceil form double-rounded to 4
+    * whenever nlists ∤ 3n; floor(3n/nlists) > 2n/nlists holds whenever
+    * the average list size is ≥ 1, so the clamp can't fall to 2), making
+    * the compiled probe depth the typed 3-probe at any corpus size. */
   private def q156(s: SparkSession, d: String): DataFrame = {
     val emb = Tables(s, d, "embeddings")
     val idx = VecIndex.coarse(s, d)
     val nlists = idx.cent.count()
     val n = emb.count()
-    val numCand = math.ceil(3.0 * n / nlists).toLong
+    val numCand = 3L * n / nlists
     val sel = emb.filter(col("vec_id").isin(KnnSrcIds: _*))
       .select(col("vec_id"), col("label").cast("long").as("label"),
         vectors.toDoubleArr(col("embedding")).as("emb"))
