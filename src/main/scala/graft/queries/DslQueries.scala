@@ -62,8 +62,9 @@ object QueryDsl {
   final case class Catalog(
       longs: Set[String],
       strings: Set[String],
+      doubles: Set[String] = Set.empty,
       analyzed: Map[String, String] = Map.empty) {
-    def has(f: String): Boolean = longs(f) || strings(f)
+    def has(f: String): Boolean = longs(f) || strings(f) || doubles(f)
     def withRuntime(names: Set[String]): Catalog = copy(longs = longs ++ names)
     /** Register materialized token columns (field → array<string> column):
       * `match` leaves on a registered field PROBE the token column
@@ -74,11 +75,12 @@ object QueryDsl {
   }
 
   def catalogOf(df: DataFrame): Catalog = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, StringType, StructField}
     val fs = df.schema.fields
     Catalog(
       fs.collect { case StructField(n, LongType | IntegerType, _, _) => n }.toSet,
-      fs.collect { case StructField(n, StringType, _, _) => n }.toSet)
+      fs.collect { case StructField(n, StringType, _, _) => n }.toSet,
+      fs.collect { case StructField(n, DoubleType | FloatType, _, _) => n }.toSet)
   }
 
   private def checkField(f: String)(implicit cat: Catalog): String = {
@@ -113,12 +115,16 @@ object QueryDsl {
     if (n.isObject && n.has("boost")) n.get("boost").asDouble else 1.0
 
   /** Typed literal for `field`: long fields take integral JSON numbers,
-    * string fields take JSON strings — anything else is a loud mismatch. */
+    * double fields any JSON number, string fields JSON strings — anything
+    * else is a loud mismatch. */
   private def typedLit(field: String, v: JsonNode)(implicit cat: Catalog): Column =
     if (cat.longs(field)) {
       require(v.isIntegralNumber,
         s"query DSL: field '$field' is numeric, got non-integral value $v")
       lit(v.asLong)
+    } else if (cat.doubles(field)) {
+      require(v.isNumber, s"query DSL: field '$field' is a double, got $v")
+      lit(v.asDouble)
     } else {
       require(v.isTextual, s"query DSL: field '$field' is a string, got $v")
       lit(v.asText)
@@ -171,6 +177,60 @@ object QueryDsl {
     * silently diverge request-side analysis from the index side. */
   private[queries] def analyze(q: String): Seq[String] =
     q.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** The legacy `interval` field's STRING grammar — the reference builder
+    * accepts a `DateHistogramInterval` string next to the long
+    * (`ProportionalSumAggregationBuilder.java:104-116`), and its own ITs
+    * serialize exactly that shape (`SamplingIT.java:111` sends
+    * `"interval": "1M"`). A `DATE_FIELD_UNITS` spelling (builder:77-96 —
+    * note: NO quarter in the legacy map) is a CALENDAR unit; any other
+    * string parses as a fixed TimeValue ("90m", "2h") in ms. Returns
+    * Left(calendarUnit) or Right(fixedMs). */
+  private val calendarUnits: Map[String, String] = Map(
+    "year" -> "year", "1y" -> "year",
+    "month" -> "month", "1M" -> "month",
+    "week" -> "week", "1w" -> "week")
+  // day and the sub-day DATE_FIELD_UNITS spellings are FIXED-WIDTH under
+  // the reference's pinned tz=null/UTC (no DST, q06d's spec-pinned
+  // aliasing) — compile them straight onto the fixed ms grid so they work
+  // in every position (incl. nested) and keep the no-explode plan; week/
+  // month/year round on non-epoch anchors and stay calendar
+  private val fixedUnits: Map[String, Long] = Map(
+    "day" -> 86400000L, "1d" -> 86400000L,
+    "hour" -> 3600000L, "1h" -> 3600000L,
+    "minute" -> 60000L, "1m" -> 60000L,
+    "second" -> 1000L, "1s" -> 1000L)
+  private[queries] def parseIntervalString(sp: String): Either[String, Long] =
+    calendarUnits.get(sp).map(Left(_): Either[String, Long])
+      .orElse(fixedUnits.get(sp).map(Right(_): Either[String, Long]))
+      .getOrElse(Right(parseTimeValueMs(sp, "interval")))
+
+  /** The TimeValue subset both the fixed `DateHistogramInterval` spellings
+    * and `parseStringOffset` (builder:118-124) use: `<n><unit>` with unit
+    * ms|s|m|h|d. Calendar-unit spellings ("1M") never reach here — the
+    * DATE_FIELD_UNITS map resolves them first; a bad unit fails loudly. */
+  private[queries] def parseTimeValueMs(sp: String, what: String): Long = {
+    val tv = "^(\\d+)(ms|s|m|h|d)$".r
+    sp match {
+      case tv(n, u) =>
+        val mult = u match {
+          case "ms" => 1L
+          case "s" => 1000L
+          case "m" => 60000L
+          case "h" => 3600000L
+          case "d" => 86400000L
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(
+        s"query DSL: bad $what time value '$sp' (expected <n>(ms|s|m|h|d))")
+    }
+  }
+
+  /** `offset` string form: optional +/- sign then a TimeValue —
+    * the builder's parseStringOffset (builder:295-302). */
+  private[queries] def parseStringOffset(sp: String): Long =
+    if (sp.startsWith("-")) -parseTimeValueMs(sp.substring(1), "offset")
+    else parseTimeValueMs(sp.stripPrefix("+"), "offset")
 
   /** Validate and register analyzed-field mappings against the frame. */
   private def checkedAnalyzed(cat: Catalog, docs: DataFrame, analyzed: Map[String, String]): Catalog = {
@@ -464,14 +524,18 @@ object QueryDsl {
     * front door can never grow a second copy of the formula.
     *   - `matchScorer(field, analyzedTerms)` → (doc_id, n_terms_hit,
     *     score): per-doc BM25 for the term set (docs matching ≥1 term).
-    *   - `multiMatchScorer(fields^boost, analyzedTerms, tieBreaker)` →
-    *     (doc_id, score): best_fields dis_max over per-field BM25.
+    *   - `multiMatchScorer(fields^boost, analyzedTerms, tieBreaker, type)`
+    *     → (doc_id, score): per-field BM25 combined per the ES type —
+    *     best_fields (dis_max + tie_breaker), most_fields (sum), phrase
+    *     (per-field match_phrase, dis_max), cross_fields (term-centric
+    *     blended-df scoring). Unsupported shapes fail loudly in the
+    *     engine's scorer, which owns the field model.
     *   - `highlighter(field, analyzedTerms, hits(rank, doc_id))` →
     *     (rank, doc_id, frag_pos, fragment): the hit-phase fragmenter
     *     (q82's machinery — the corpus never re-scans for highlighting). */
   final case class Relevance(
       matchScorer: (String, Seq[String]) => DataFrame,
-      multiMatchScorer: (Seq[(String, Double)], Seq[String], Double) => DataFrame,
+      multiMatchScorer: (Seq[(String, Double)], Seq[String], Double, String) => DataFrame,
       highlighter: (String, Seq[String], DataFrame) => DataFrame)
 
   /** QUERY-CONTEXT `_search`: a top-level full-text query (`match`, or
@@ -522,9 +586,9 @@ object QueryDsl {
         val unknown = qbody.fieldNames().asScala.toSeq.filterNot(known)
         require(unknown.isEmpty, s"query DSL: unsupported multi_match keys: $unknown")
         val mtype = Option(qbody.get("type")).map(_.asText).getOrElse("best_fields")
-        require(mtype == "best_fields",
-          s"query DSL: multi_match type '$mtype' unsupported at the front door (best_fields only; " +
-            "most_fields/phrase/cross_fields are the typed q86b/q86c/q86d surface)")
+        require(Set("best_fields", "most_fields", "phrase", "cross_fields")(mtype),
+          s"query DSL: unsupported multi_match type '$mtype' " +
+            "(supported: best_fields, most_fields, phrase, cross_fields)")
         val tb = Option(qbody.get("tie_breaker")).map { n =>
           require(n.isNumber, s"query DSL: tie_breaker must be a number, got $n")
           n.asDouble
@@ -540,7 +604,7 @@ object QueryDsl {
         }
         val ts = analyze(qbody.get("query").asText)
         require(ts.nonEmpty, "query DSL: multi_match requires a non-empty query string")
-        (rel.multiMatchScorer(fields, ts, tb), None, ts)
+        (rel.multiMatchScorer(fields, ts, tb, mtype), None, ts)
       case other =>
         throw new IllegalArgumentException(
           s"query DSL: query-context search supports match / multi_match, got '$other' " +
@@ -1067,6 +1131,34 @@ object QueryDsl {
             dateHistogramAgg(filtered, dh, grand, Seq(col(f)))
         }
 
+      case "filters" if subAggs.exists(isBucketChild) =>
+        // the OTHER parent shape SURVEY §1 names ("runs under terms/
+        // filters parents"): each NAMED predicate is an independent
+        // bucket, a row matching several filters contributes its full
+        // series to EACH — typed q04b's explode-over-matched-names plan
+        // (ONE conditional scan, never a per-filter re-scan). The agg's
+        // NAME becomes the bucket column (the ES response nests buckets
+        // under the agg name — q159's convention).
+        require(spec.isObject && spec.has("filters") && spec.get("filters").isObject
+          && spec.get("filters").size > 0,
+          "query DSL: filters agg requires a non-empty named 'filters' object")
+        val extraF = spec.fieldNames().asScala.toSeq.filterNot(_ == "filters")
+        require(extraF.isEmpty,
+          s"query DSL: filters parent supports only named 'filters', got extra keys $extraF")
+        implicit val cat: Catalog = catalogOf(filtered)
+        val named = spec.get("filters").fields().asScala.toSeq.map { e =>
+          (e.getKey, compile(e.getValue).pred)
+        }
+        val (_, fchildNode) = sole(subAggs.get, "sub-aggs")
+        val fchildKeys = fchildNode.fieldNames().asScala.toSeq.sorted
+        require(fchildKeys == Seq("proportional_sum"),
+          s"query DSL: bucket child of filters must be proportional_sum, got $fchildKeys")
+        val withName = filtered.withColumn(aggName,
+          explode(array_compact(array(named.map { case (n, p) =>
+            when(p, lit(n))
+          }: _*))))
+        propSumGrouped(withName, fchildNode.get("proportional_sum"), aggName)
+
       case "terms" =>
         require(spec.isObject && spec.has("field"), "query DSL: terms agg requires field")
         val f = spec.get("field").asText
@@ -1152,10 +1244,28 @@ object QueryDsl {
     val known = Set("fields", "interval", "start", "end", "offset", "min_doc_count")
     val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
     require(unknown.isEmpty, s"query DSL: unsupported nested proportional_sum keys: $unknown")
-    val interval = longOpt("interval").getOrElse(
-      throw new IllegalArgumentException("query DSL: nested proportional_sum requires interval (ms)"))
+    // the legacy string spellings reach the nested position too — FIXED
+    // spellings only ("1h", "90m"); calendar units under a bucket parent
+    // stay loudly rejected (the typed surface has no grouped calendar run)
+    val interval = Option(spec.get("interval")).map { n =>
+      if (n.isIntegralNumber) n.asLong
+      else if (n.isTextual) parseIntervalString(n.asText) match {
+        case Right(ms) => ms
+        case Left(unit) => throw new IllegalArgumentException(
+          s"query DSL: nested proportional_sum supports fixed intervals only, got calendar '$unit'")
+      }
+      else throw new IllegalArgumentException(
+        s"query DSL: interval must be integral ms or an interval string, got $n")
+    }.getOrElse(
+      throw new IllegalArgumentException("query DSL: nested proportional_sum requires interval"))
+    val offsetMs = Option(spec.get("offset")).map { n =>
+      if (n.isIntegralNumber) n.asLong
+      else if (n.isTextual) parseStringOffset(n.asText)
+      else throw new IllegalArgumentException(
+        s"query DSL: offset must be integral ms or a time-value string, got $n")
+    }.getOrElse(0L)
     val cfg = ProportionalSum.Config(
-      interval, longOpt("start"), longOpt("end"), longOpt("offset").getOrElse(0L))
+      interval, longOpt("start"), longOpt("end"), offsetMs)
     val out = ProportionalSum.run(
       flows, col(fs(0)), col(fs(1)), col(fs(2)), fs.lift(3).map(col), cfg, groupCols)
     longOpt("min_doc_count").filter(_ > 0)
@@ -1224,16 +1334,57 @@ object QueryDsl {
       n.asLong
     }
     val known = Set("fields", "interval", "calendar_interval", "start", "end", "offset",
-      "min_doc_count", "extended_bounds", "keyed", "order")
+      "min_doc_count", "extended_bounds", "keyed", "order", "missing", "format")
     val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
     require(unknown.isEmpty, s"query DSL: unsupported proportional_sum keys: $unknown")
-    val hasFixed = spec.has("interval")
-    val hasCal = spec.has("calendar_interval")
-    require(hasFixed ^ hasCal,
-      "query DSL: proportional_sum requires exactly one of interval (ms) / calendar_interval")
+    // per-field `missing` (declareCommon's values-source substitution,
+    // builder:102): a doc missing a mapped field CONTRIBUTES with the
+    // substitute — coalesce at the values-source boundary (typed q07c's
+    // shape; the NO-missing default is q07b's skip). Value/sampling
+    // fields only: a missing range endpoint has no meaningful substitute
+    // semantics in this engine and stays the skip — loud, not silent.
+    val flowsM: DataFrame = Option(spec.get("missing")).map { m =>
+      require(m.isObject && m.size > 0,
+        "query DSL: missing must be a non-empty {field: value} object")
+      m.fields().asScala.foldLeft(flows) { (df, e) =>
+        val f = e.getKey
+        require(fs.drop(2).contains(f),
+          s"query DSL: missing supports the value/sampling fields ${fs.drop(2)}, got '$f'")
+        require(e.getValue.isNumber, s"query DSL: missing value for '$f' must be a number, got ${e.getValue}")
+        df.withColumn(f, coalesce(col(f), lit(e.getValue.asDouble)))
+      }
+    }.getOrElse(flows)
+    // `interval` carries the builder's FULL legacy grammar (integral ms, a
+    // DATE_FIELD_UNITS calendar spelling like "1M", or a fixed TimeValue
+    // like "90m" — builder:104-116); `calendar_interval` stays the
+    // explicit calendar key. Exactly one of the two.
+    val legacyInterval: Option[Either[String, Long]] = Option(spec.get("interval")).map { n =>
+      if (n.isIntegralNumber) {
+        require(n.asLong > 0, s"query DSL: interval must be positive, got $n")
+        Right(n.asLong)
+      } else if (n.isTextual) parseIntervalString(n.asText)
+      else throw new IllegalArgumentException(
+        s"query DSL: interval must be integral ms or an interval string, got $n")
+    }
+    val calKey: Option[String] = Option(spec.get("calendar_interval")).map { n =>
+      require(n.isTextual, s"query DSL: calendar_interval must be a string, got $n")
+      n.asText
+    }
+    require(legacyInterval.isDefined ^ calKey.isDefined,
+      "query DSL: proportional_sum requires exactly one of interval / calendar_interval")
+    // Left(calendar unit) | Right(fixed ms), whichever key it arrived by
+    val resolved: Either[String, Long] = calKey.map(Left(_): Either[String, Long])
+      .getOrElse(legacyInterval.get)
+    val hasFixed = resolved.isRight
     val startMs = longOpt("start")
     val endMs = longOpt("end")
-    val offsetMs = longOpt("offset").getOrElse(0L)
+    // offset: integral ms or the "+6h"/"-30m" string form (builder:118-124)
+    val offsetMs = Option(spec.get("offset")).map { n =>
+      if (n.isIntegralNumber) n.asLong
+      else if (n.isTextual) parseStringOffset(n.asText)
+      else throw new IllegalArgumentException(
+        s"query DSL: offset must be integral ms or a time-value string, got $n")
+    }.getOrElse(0L)
     val minDoc = longOpt("min_doc_count").getOrElse(0L)
     val extBounds: Option[(Long, Long)] = Option(spec.get("extended_bounds")).map { eb =>
       require(eb.isObject && eb.has("min") && eb.has("max")
@@ -1246,47 +1397,74 @@ object QueryDsl {
         "query DSL: extended_bounds fills empty buckets — incompatible with min_doc_count > 0")
       (mn, mx)
     }
-    // order: [{_key: asc}] (sorted table) or [{_value: desc}] (rank column)
-    val (keyAsc, valueDesc) = Option(spec.get("order")).map { o =>
+    // order: the builder's FULL grammar (builder:133-134 — an ARRAY of
+    // order params, compounded via InternalOrder/CompoundOrder :333).
+    // Paths: _key (bucket_ms), _count (doc_count), _value (the sum —
+    // the reference's single value path); each asc/desc. [{_key: asc}]
+    // alone keeps the sorted-table presentation (the response's natural
+    // order); ANY other spec emits the data-visible `order_rank` column
+    // (q01k's convention — the driver sorts rows before hashing, so ES
+    // bucket order must be a COLUMN to be checkable), ranked over the
+    // compound keys with bucket_ms asc appended as the total tiebreak.
+    val orderEntries: Seq[(String, Boolean)] = Option(spec.get("order")).map { o =>
       val entries = (if (o.isArray) o.elements().asScala.toSeq else Seq(o)).map(sole(_, "order"))
-      require(entries.size == 1, s"query DSL: order takes one entry, got $o")
-      (entries.head._1, entries.head._2.asText) match {
-        case ("_key", "asc") => (true, false)
-        case ("_value", "desc") => (false, true)
-        case other =>
-          throw new IllegalArgumentException(
-            s"query DSL: unsupported proportional_sum order $other (supported: [{_key: asc}], [{_value: desc}])")
+      require(entries.nonEmpty, "query DSL: order must carry at least one entry")
+      entries.map { case (k, v) =>
+        require(Set("_key", "_count", "_value")(k),
+          s"query DSL: unsupported order path '$k' (supported: _key, _count, _value)")
+        val dir = v.asText
+        require(dir == "asc" || dir == "desc",
+          s"query DSL: order direction must be asc/desc, got '$dir'")
+        (k, dir == "asc")
       }
-    }.getOrElse((false, false))
+    }.getOrElse(Nil)
+    val keyAsc = orderEntries == Seq(("_key", true))
     val keyed = Option(spec.get("keyed")).map { n =>
       require(n.isBoolean, s"query DSL: keyed must be a boolean, got $n")
       n.asBoolean
     }.getOrElse(false)
     val (sCol, eCol, vCol, sampCol) = (col(fs(0)), col(fs(1)), col(fs(2)), fs.lift(3).map(col))
-    val series =
-      if (hasCal) {
-        val unit = spec.get("calendar_interval").asText
+    val series = resolved match {
+      case Left(unit) =>
         ProportionalSum.aggregate(ProportionalSum.explodeContribCalendar(
-          flows, sCol, eCol, vCol, sampCol, startMs, endMs, unit, offsetMs))
-      } else {
-        val cfg = ProportionalSum.Config(longOpt("interval").get, startMs, endMs, offsetMs)
+          flowsM, sCol, eCol, vCol, sampCol, startMs, endMs, unit, offsetMs))
+      case Right(itv) =>
+        val cfg = ProportionalSum.Config(itv, startMs, endMs, offsetMs)
         extBounds match {
-          case Some((mn, mx)) => ProportionalSum.runDense(flows, sCol, eCol, vCol, sampCol, cfg, mn, mx)
-          case None => ProportionalSum.run(flows, sCol, eCol, vCol, sampCol, cfg)
+          case Some((mn, mx)) => ProportionalSum.runDense(flowsM, sCol, eCol, vCol, sampCol, cfg, mn, mx)
+          case None => ProportionalSum.run(flowsM, sCol, eCol, vCol, sampCol, cfg)
         }
-      }
+    }
     val filtered = if (minDoc > 0) series.filter(col("doc_count") >= minDoc) else series
     val ranked =
-      if (valueDesc) {
+      if (orderEntries.nonEmpty && !keyAsc) {
         import org.apache.spark.sql.expressions.Window
         // series length is bounded by the bucket grid, never data size —
         // the single-partition window is the q01k argument
+        val sortCols = orderEntries.map {
+          case ("_key", asc) => if (asc) col("bucket_ms").asc else col("bucket_ms").desc
+          case ("_count", asc) => if (asc) col("doc_count").asc else col("doc_count").desc
+          case ("_value", asc) => if (asc) col("value").asc else col("value").desc
+          case other => throw new IllegalStateException(s"unreachable order path $other")
+        } :+ col("bucket_ms").asc
         filtered.withColumn("order_rank",
-          row_number().over(Window.orderBy(col("value").desc, col("bucket_ms").asc)).cast("long"))
+          row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
       } else filtered
+    // `format` (declareCommon, builder:102): the keyed response's object-
+    // key pattern. A WHITELIST of patterns with known cross-engine
+    // mirrors — a format this engine can't prove against the oracle's
+    // strftime is loudly rejected rather than silently approximated.
+    val keyFmt = Option(spec.get("format")).map { n =>
+      require(n.isTextual, s"query DSL: format must be a string, got $n")
+      require(keyed, "query DSL: format renders the keyed object key — requires keyed: true")
+      val supported = Set("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", "yyyy-MM-dd HH:mm", "yyyy-MM-dd")
+      require(supported(n.asText),
+        s"query DSL: unsupported format '${n.asText}' (supported: ${supported.mkString(", ")})")
+      n.asText
+    }.getOrElse("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     val presented =
       if (keyed) ranked.withColumn("key_str",
-        date_format(timestamp_millis(col("bucket_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+        date_format(timestamp_millis(col("bucket_ms")), keyFmt))
       else ranked
     if (keyAsc) presented.orderBy(col("bucket_ms").asc) else presented
   }
@@ -1681,6 +1859,176 @@ object DslQueries {
       QueryDsl.aggBody(Flows.df(s, d), body)
     }),
 
+    // the LEGACY `interval` STRING spelling (builder:104-116 — the
+    // reference's own ITs serialize this shape, SamplingIT.java:111):
+    // "1h" is a fixed TimeValue → the same ms grid as q143/q01; shares
+    // q01's oracle verbatim.
+    "q160_dsl_interval_string" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": "1h",
+          |    "start": 1704412800000,
+          |    "end": 1706140800000
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
+    // the legacy interval key carrying a CALENDAR spelling ("1M" ∈
+    // DATE_FIELD_UNITS, builder:77-96): compiles onto the calendar
+    // explode exactly like the explicit calendar_interval key — q06's
+    // semantics over q06's stretched frame, q06's oracle verbatim.
+    "q161_dsl_calendar_string" -> ((s: SparkSession, d: String) => {
+      val flows = Flows.df(s, d)
+        .withColumn("re", col("rs") + (col("event_id") % 90) * lit(Flows.DAY_MS))
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": "1M",
+          |    "start": 1704067200000,
+          |    "end": 1714521600000
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(flows, body)
+    }),
+
+    // `offset` STRING form (builder:118-124 parseStringOffset): "+15m"
+    // is q02's 900000 ms :15 grid — q02's oracle verbatim.
+    "q162_dsl_offset_string" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": "1h",
+          |    "offset": "+15m",
+          |    "start": 1704412800000,
+          |    "end": 1706140800000
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
+    // `_count` order (builder:133-134 — InternalOrder count paths):
+    // data-visible order_rank over (doc_count desc, bucket_ms asc).
+    "q163_dsl_order_count" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": 3600000,
+          |    "start": 1704412800000,
+          |    "end": 1706140800000,
+          |    "order": [{"_count": "desc"}]
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
+    // COMPOUND order array (CompoundOrder, builder reduce :333): _count
+    // asc then _key desc — covers the remaining order grammar (_count
+    // asc, _key desc, multi-entry arrays) in one oracle-backed entry.
+    "q164_dsl_order_compound" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": 3600000,
+          |    "start": 1704412800000,
+          |    "end": 1706140800000,
+          |    "order": [{"_count": "asc"}, {"_key": "desc"}]
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
+    // `filters` PARENT at the JSON door (SURVEY §1's "terms/filters
+    // parents", now both wire-reachable): named DSL predicates → one
+    // conditional-explode scan → grouped proportional_sum — typed q04b's
+    // plan and oracle VERBATIM (the agg's name is the bucket column, so
+    // the request names it fname).
+    "q165_dsl_filters_parent" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"fname": {
+          |    "filters": {"filters": {
+          |      "purchases": {"term": {"event_type": "purchase"}},
+          |      "high_value": {"range": {"v": {"gt": 50.0}}}
+          |    }},
+          |    "aggs": {"series": {"proportional_sum": {
+          |      "fields": ["rs", "re", "v"],
+          |      "interval": 3600000,
+          |      "start": 1704412800000,
+          |      "end": 1706140800000
+          |    }}}
+          |  }}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
+    // multi_match type most_fields at the door — typed q86b's sum
+    // combine over the shared per-field stack; q86b's oracle (wrapped
+    // projection) + in-process row-identity.
+    "q166_dsl_mm_most_fields" -> ((s: SparkSession, d: String) => {
+      val qs = TextQueries.windowQueryString(s, d)
+      val body = QueryDsl.parse(
+        s"""{"query": {"multi_match": {
+           |    "query": "$qs",
+           |    "fields": ["title^2", "body"],
+           |    "type": "most_fields"}},
+           |  "size": 20,
+           |  "_source": ["doc_id"]}""".stripMargin)
+      QueryDsl.searchScored(Tables(s, d, "documents"), body, TextQueries.dslRelevance(s, d))
+    }),
+
+    // multi_match type phrase at the door — typed q86c's per-field
+    // match_phrase + dis_max; the request text is the top corpus bigram
+    // (derived driver-side like q148's window terms), q86c's oracle.
+    "q167_dsl_mm_phrase" -> ((s: SparkSession, d: String) => {
+      val qs = TextQueries.topBigramString(s, d)
+      val body = QueryDsl.parse(
+        s"""{"query": {"multi_match": {
+           |    "query": "$qs",
+           |    "fields": ["title^2", "body"],
+           |    "type": "phrase"}},
+           |  "size": 20,
+           |  "_source": ["doc_id"]}""".stripMargin)
+      QueryDsl.searchScored(Tables(s, d, "documents"), body, TextQueries.dslRelevance(s, d))
+    }),
+
+    // multi_match type cross_fields at the door — typed q86d's
+    // term-centric blended-df stack via THE shared helper; q86d's oracle.
+    "q168_dsl_mm_cross_fields" -> ((s: SparkSession, d: String) => {
+      val qs = TextQueries.windowQueryString(s, d)
+      val body = QueryDsl.parse(
+        s"""{"query": {"multi_match": {
+           |    "query": "$qs",
+           |    "fields": ["title^2", "body"],
+           |    "type": "cross_fields"}},
+           |  "size": 20,
+           |  "_source": ["doc_id"]}""".stripMargin)
+      QueryDsl.searchScored(Tables(s, d, "documents"), body, TextQueries.dslRelevance(s, d))
+    }),
+
+    // per-field `missing` + `format` at the door (declareCommon,
+    // builder:102): a doc with an absent VALUE field CONTRIBUTES with
+    // the substitute (coalesce at the values-source boundary — typed
+    // q07c's run, contrast q07b's skip), and `format` renders the keyed
+    // object key from the whitelist. Oracle = q07c's substitution mirror
+    // + the strftime key.
+    "q169_dsl_missing_format" -> ((s: SparkSession, d: String) => {
+      val flows = Flows.df(s, d)
+        .withColumn("v", when(col("event_id") % 11 === 0, lit(null)).otherwise(col("v")))
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": 3600000,
+          |    "start": 1704412800000,
+          |    "end": 1706140800000,
+          |    "missing": {"v": 25.0},
+          |    "keyed": true,
+          |    "format": "yyyy-MM-dd HH:mm"
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(flows, body)
+    }),
+
     // _mget: request-order multi-get with found=false rows for misses and
     // a duplicate id served twice — the broadcast-probe + coordinator
     // assembly shape.
@@ -1817,6 +2165,56 @@ object DslQueries {
     "q152_dsl_keyed_order" -> FlowQueries.oracleSql("q01k_prop_sum_keyed"),
     "q153_dsl_nested_terms" -> FlowQueries.oracleSql("q04_prop_sum_grouped"),
     "q159_dsl_agg_tree" -> FlowQueries.oracleSql("q04c_prop_sum_nested_tree"),
+
+    // the legacy STRING spellings compile onto the same grids their
+    // typed/numeric twins use — oracles shared VERBATIM: "1h" ≡ q01's
+    // hourly ms grid, "1M" ≡ q06's calendar months, "+15m" ≡ q02's
+    // 900000 ms offset grid
+    "q160_dsl_interval_string" -> FlowQueries.basicOracleSql,
+    "q161_dsl_calendar_string" -> FlowQueries.oracleSql("q06_prop_sum_calendar"),
+    "q162_dsl_offset_string" -> FlowQueries.oracleSql("q02_prop_sum_offset"),
+
+    // the order grammar's rank column mirrored over q01's shared series
+    // text — ONE ORDER BY spelling on both sides (bucket_ms asc appended
+    // as the engine's total tiebreak)
+    "q163_dsl_order_count" ->
+      s"""SELECT bucket_ms, doc_count, value,
+         |       row_number() OVER (ORDER BY doc_count DESC, bucket_ms ASC) AS order_rank
+         |FROM (
+         |${FlowQueries.basicOracleSql}
+         |) base""".stripMargin,
+    "q164_dsl_order_compound" ->
+      s"""SELECT bucket_ms, doc_count, value,
+         |       row_number() OVER (ORDER BY doc_count ASC, bucket_ms DESC) AS order_rank
+         |FROM (
+         |${FlowQueries.basicOracleSql}
+         |) base""".stripMargin,
+
+    // q04b's oracle VERBATIM: the JSON-compiled named-filters explode
+    // must be row-identical to the typed filters-parent pipeline
+    "q165_dsl_filters_parent" -> FlowQueries.oracleSql("q04b_prop_sum_filters_parent"),
+
+    // q07c's substitution mirror + the whitelisted strftime key — the
+    // missing-contributes rows and the formatted keyed object key in one
+    // oracle-backed entry
+    "q169_dsl_missing_format" -> {
+      val core = FlowQueries.oracleSql("q07c_prop_sum_missing_value")
+        .stripSuffix(" SELECT * FROM agg")
+      s"""$core
+         |SELECT bucket_ms, doc_count, value,
+         |       strftime(epoch_ms(bucket_ms), '%Y-%m-%d %H:%M') AS key_str
+         |FROM agg""".stripMargin
+    },
+
+    // q86b/q86c/q86d oracles WRAPPED (projection only — the text is
+    // shared, so the JSON-compiled type combines can never drift from
+    // the typed stacks)
+    "q166_dsl_mm_most_fields" ->
+      s"SELECT rank, final AS score, doc_id FROM (\n${TextQueries.oracleSql("q86b_multi_match_most_fields")}\n) q86b",
+    "q167_dsl_mm_phrase" ->
+      s"SELECT rank, final AS score, doc_id FROM (\n${TextQueries.oracleSql("q86c_multi_match_phrase")}\n) q86c",
+    "q168_dsl_mm_cross_fields" ->
+      s"SELECT rank, final AS score, doc_id FROM (\n${TextQueries.oracleSql("q86d_multi_match_cross_fields")}\n) q86d",
 
     // q76's oracle WRAPPED (projection only — the text is shared, so the
     // JSON-compiled ranking can never drift from the typed BM25 chain);

@@ -298,6 +298,19 @@ object FlowQueries {
         .withColumn("re", when(col("event_id") % 13 === 0, lit(null)).otherwise(col("re")))
       ProportionalSum.run(flows, col("rs"), col("re"), col("v"), None, basicCfg)
     }),
+    // the values-source `missing` SUBSTITUTION (declareCommon,
+    // ProportionalSumAggregationBuilder.java:102 — the ES multi-values
+    // source's per-field missing): a doc whose VALUE field is absent
+    // CONTRIBUTES with the substitute — coalesce at the values-source
+    // boundary. Contrast q07b (the NO-missing default): there the same
+    // rows contribute NOTHING (advanceExact skip), so q07c's doc_count
+    // strictly exceeds q07b's on the same grid (spec-pinned).
+    "q07c_prop_sum_missing_value" -> ((spark: SparkSession, dir: String) => {
+      val flows = Flows.df(spark, dir)
+        .withColumn("v", when(col("event_id") % 11 === 0, lit(null)).otherwise(col("v")))
+      ProportionalSum.run(
+        flows, col("rs"), col("re"), coalesce(col("v"), lit(25.0)), None, basicCfg)
+    }),
     // 3-level ES sub-aggregation tree: terms(event_type) →
     // date_histogram(doc day, keyed by the DOC's timestamp like the parent
     // histogram buckets docs) → proportional_sum(hourly) — the whole tree is
@@ -712,6 +725,18 @@ object FlowQueries {
     // oracle simply excludes them before aggregating
     "q07b_prop_sum_missing_fields" ->
       oracle(basicCfg, rowFilterSql = Some("event_id % 11 <> 0 AND event_id % 13 <> 0")),
+    // the `missing` SUBSTITUTION mirror: the same null-derivation rows
+    // contribute v := 25.0 instead of dropping (q07c ↔ q07b contrast)
+    "q07c_prop_sum_missing_value" ->
+      oracle(basicCfg)
+        .replace("FROM flows", "FROM fm")
+        .replace("ranged AS (",
+          """fm AS (
+            |  SELECT * REPLACE (
+            |    CASE WHEN event_id % 11 = 0 THEN CAST(25.0 AS DOUBLE) ELSE v END AS v)
+            |  FROM flows
+            |),
+            |ranged AS (""".stripMargin),
     "q04c_prop_sum_nested_tree" ->
       oracle(basicCfg, groupCols = Seq("event_type", "doc_day"))
         .replace("FROM flows", "FROM f")

@@ -480,6 +480,63 @@ object TextQueries {
       .select(col("doc_id"), col("s_body"), col("s_title_boosted"))
   }
 
+  /** The term-centric `cross_fields` scoring stack (Lucene
+    * BlendedTermQuery — the full semantics live on q86d's registry
+    * comment) parameterized by the query-term df-bearing table `qsel`
+    * (tok, df): typed q86d passes the window terms, the FRONT DOOR an
+    * arbitrary analyzed term set — ONE scoring definition. Fields are the
+    * head/tail split (head = first 8 tokens ^2, tail = tokens 9+), both
+    * falling out of the shared [[perDocTermTf]] artifact (tail tf = tf_b
+    * − tf_t). Returns (doc_id, n_terms_hit, final). */
+  private def crossFieldsScored(s: SparkSession, d: String, qsel: DataFrame): DataFrame = {
+    val g = perDocTermTf(s, d)
+    val gH = g.filter(col("tf_t") > 0)
+    val gL = g.filter(col("tf_b") > col("tf_t"))
+      .withColumn("tf_l", col("tf_b") - col("tf_t"))
+    val dlH = gH.groupBy(col("doc_id")).agg(sum(col("tf_t")).as("dl"))
+    val dlL = gL.groupBy(col("doc_id")).agg(sum(col("tf_l")).as("dl"))
+    // blended per-term df = max across the two fields (distinct docs
+    // with a head/tail occurrence respectively)
+    val dfH = gH.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_h"))
+    val dfL = gL.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_l"))
+    val blended = qsel.select(col("tok"))
+      .join(dfH, Seq("tok"), "left_outer")
+      .join(dfL, Seq("tok"), "left_outer")
+      .select(col("tok"),
+        greatest(coalesce(col("df_h"), lit(0L)),
+          coalesce(col("df_l"), lit(0L))).as("df"))
+    // ONE idf table: blended df against the CORPUS n_docs (the union
+    // frame — a superset of each field's doc set, so blended df can
+    // never exceed it); each field instance swaps in its OWN avgdl for
+    // tf-normalization (bm25QIdf's body avgdl is dropped unused)
+    val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
+    val qIdf = bm25QIdf(dlB, blended)
+    def withAvgdl(fieldDl: DataFrame): DataFrame = {
+      val st = fieldDl.agg(
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl_f"))
+      qIdf.drop("avgdl").crossJoin(broadcast(st))
+        .withColumnRenamed("avgdl_f", "avgdl")
+    }
+    val scH = bm25TermScores(
+      gH.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+        .select(col("doc_id"), col("tok"), col("tf_t").as("tf")),
+      dlH, withAvgdl(dlH))
+      .select(col("doc_id"), col("tok"), (lit(2.0) * col("score_t")).as("sh"))
+    val scL = bm25TermScores(
+      gL.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
+        .select(col("doc_id"), col("tok"), col("tf_l").as("tf")),
+      dlL, withAvgdl(dlL))
+      .select(col("doc_id"), col("tok"), col("score_t").as("sl"))
+    scH.join(scL, Seq("doc_id", "tok"), "full_outer")
+      .withColumn("best",
+        greatest(coalesce(col("sh"), lit(0.0)), coalesce(col("sl"), lit(0.0))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        graft.functions.detsum.sumDet(col("best"), 9).as("final"))
+  }
+
   /** One field of q86c's multi_match `phrase` type: Lucene phrase scoring
     * against a single field. `base` is docs with the query bigram (w1, w2)
     * attached (1-row broadcast crossJoin); `fieldToks` is the field's token
@@ -604,6 +661,15 @@ object TextQueries {
     * — the front-door registry entries' request text, derived driver-side
     * from the vocab (coordinator-sized), so the JSON-compiled ranking can
     * be proven row-identical to the typed q76/q86 entries. */
+  /** The top corpus bigram as a query STRING — the front-door phrase
+    * request's text ([[windowQueryString]]'s convention for q86c's
+    * phrase type: derive driver-side so the JSON-compiled scoring can be
+    * proven row-identical to the typed entry). */
+  private[graft] def topBigramString(s: SparkSession, d: String): String = {
+    val r = topBigram(s, d).collect()(0)
+    s"${r.getAs[String]("w1")} ${r.getAs[String]("w2")}"
+  }
+
   private[graft] def windowQueryString(s: SparkSession, d: String): String =
     rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QHi)
       .orderBy(col("r").asc).collect().map(_.getAs[String]("term")).mkString(" ")
@@ -729,7 +795,7 @@ object TextQueries {
           s"query DSL: scored match supports the analyzed corpus field 'text', got '$field'")
         bm25ForTerms(s, d, terms)
       },
-      multiMatchScorer = (fields, terms, tieBreaker) => {
+      multiMatchScorer = (fields, terms, tieBreaker, mtype) => {
         val fm = fields.toMap
         require(fields.size == 2 && fm.contains("title") && fm.contains("body"),
           s"query DSL: multi_match supports fields [title^B, body], got $fields")
@@ -741,13 +807,55 @@ object TextQueries {
         // corpus-sized
         val art = postings(s, d)
         val tset = terms.distinct
-        val qsel = art.frame.filter(col("tok").isin(tset: _*))
+        def qsel = art.frame.filter(col("tok").isin(tset: _*))
           .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        multiMatchFieldsFrom(art, qsel, titleBoost = fm("title"))
-          .withColumn("score",
-            greatest(col("s_body"), col("s_title_boosted")) +
-              lit(tieBreaker) * least(col("s_body"), col("s_title_boosted")))
-          .select(col("doc_id"), col("score"))
+        mtype match {
+          case "best_fields" =>
+            multiMatchFieldsFrom(art, qsel, titleBoost = fm("title"))
+              .withColumn("score",
+                greatest(col("s_body"), col("s_title_boosted")) +
+                  lit(tieBreaker) * least(col("s_body"), col("s_title_boosted")))
+              .select(col("doc_id"), col("score"))
+          case "most_fields" =>
+            // every matching field ADDS evidence (typed q86b's combine);
+            // tie_breaker is dis_max machinery — loudly rejected here
+            require(tieBreaker == 0.0,
+              "query DSL: most_fields sums field scores — tie_breaker does not apply")
+            multiMatchFieldsFrom(art, qsel, titleBoost = fm("title"))
+              .withColumn("score", col("s_body") + col("s_title_boosted"))
+              .select(col("doc_id"), col("score"))
+          case "phrase" =>
+            // a match_phrase of the 2-term query on each field, best
+            // field kept (typed q86c's stack verbatim — the analyzed
+            // artifact supplies toks, the phrase pair rides as a 1-row
+            // broadcast)
+            require(terms.size == 2,
+              s"query DSL: multi_match phrase supports a 2-term phrase, got ${terms.size} terms")
+            require(tieBreaker == 0.0,
+              "query DSL: multi_match phrase uses the type's default tie_breaker 0")
+            val base = docsAnalyzed(s, d).crossJoin(broadcast(
+              s.range(1).select(lit(terms.head).as("w1"), lit(terms(1)).as("w2"))))
+            val sB = phraseFieldScore(base, col("toks"))
+              .select(col("doc_id"), col("score").as("s_body0"))
+            val sT = phraseFieldScore(base, slice(col("toks"), 1, 8))
+              .select(col("doc_id"), (lit(fm("title")) * col("score")).as("s_title0"))
+            sB.join(sT, Seq("doc_id"), "full_outer")
+              .withColumn("score",
+                greatest(coalesce(col("s_body0"), lit(0.0)),
+                  coalesce(col("s_title0"), lit(0.0))))
+              .select(col("doc_id"), col("score"))
+          case "cross_fields" =>
+            // term-centric blended-df scoring (typed q86d's stack via THE
+            // shared helper — one definition)
+            require(fm("title") == 2.0,
+              "query DSL: cross_fields head boost is the typed q86d stack's ^2")
+            require(tieBreaker == 0.0,
+              "query DSL: cross_fields uses the type's default tie_breaker 0")
+            crossFieldsScored(s, d, qsel)
+              .select(col("doc_id"), col("final").as("score"))
+          case other =>
+            throw new IllegalArgumentException(s"query DSL: unsupported multi_match type '$other'")
+        }
       },
       highlighter = (field, terms, hits) => {
         require(field == "text",
@@ -3159,53 +3267,7 @@ object TextQueries {
     // new exchanges are over hit-sized score tables.
     "q86d_multi_match_cross_fields" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val g = perDocTermTf(s, d)
-      val qsel = qselFromTf(g)
-      val gH = g.filter(col("tf_t") > 0)
-      val gL = g.filter(col("tf_b") > col("tf_t"))
-        .withColumn("tf_l", col("tf_b") - col("tf_t"))
-      val dlH = gH.groupBy(col("doc_id")).agg(sum(col("tf_t")).as("dl"))
-      val dlL = gL.groupBy(col("doc_id")).agg(sum(col("tf_l")).as("dl"))
-      // blended per-term df = max across the two fields (distinct docs
-      // with a head/tail occurrence respectively)
-      val dfH = gH.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("df_h"))
-      val dfL = gL.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("df_l"))
-      val blended = qsel.select(col("tok"))
-        .join(dfH, Seq("tok"), "left_outer")
-        .join(dfL, Seq("tok"), "left_outer")
-        .select(col("tok"),
-          greatest(coalesce(col("df_h"), lit(0L)),
-            coalesce(col("df_l"), lit(0L))).as("df"))
-      // ONE idf table: blended df against the CORPUS n_docs (the union
-      // frame — a superset of each field's doc set, so blended df can
-      // never exceed it); each field instance swaps in its OWN avgdl for
-      // tf-normalization (bm25QIdf's body avgdl is dropped unused)
-      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
-      val qIdf = bm25QIdf(dlB, blended)
-      def withAvgdl(fieldDl: DataFrame): DataFrame = {
-        val st = fieldDl.agg(
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl_f"))
-        qIdf.drop("avgdl").crossJoin(broadcast(st))
-          .withColumnRenamed("avgdl_f", "avgdl")
-      }
-      val scH = bm25TermScores(
-        gH.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
-          .select(col("doc_id"), col("tok"), col("tf_t").as("tf")),
-        dlH, withAvgdl(dlH))
-        .select(col("doc_id"), col("tok"), (lit(2.0) * col("score_t")).as("sh"))
-      val scL = bm25TermScores(
-        gL.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
-          .select(col("doc_id"), col("tok"), col("tf_l").as("tf")),
-        dlL, withAvgdl(dlL))
-        .select(col("doc_id"), col("tok"), col("score_t").as("sl"))
-      scH.join(scL, Seq("doc_id", "tok"), "full_outer")
-        .withColumn("best",
-          greatest(coalesce(col("sh"), lit(0.0)), coalesce(col("sl"), lit(0.0))))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms_hit"),
-          graft.functions.detsum.sumDet(col("best"), 9).as("final"))
+      crossFieldsScored(s, d, qselFromTf(perDocTermTf(s, d)))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)

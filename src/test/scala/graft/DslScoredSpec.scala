@@ -50,6 +50,34 @@ class DslScoredSpec extends AnyFunSuite {
     assert(dsl.toSeq == typed.toSeq, "front-door fragments diverged from typed q82")
   }
 
+  test("q166/q167/q168: front-door multi_match types are row-identical to typed q86b/q86c/q86d") {
+    def dslRows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy(_._1).toSeq
+    def typedRows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Double]("final")))
+      .sortBy(_._1).toSeq
+    assert(dslRows("q166_dsl_mm_most_fields") == typedRows("q86b_multi_match_most_fields"),
+      "front-door most_fields diverged from typed q86b")
+    assert(dslRows("q167_dsl_mm_phrase") == typedRows("q86c_multi_match_phrase"),
+      "front-door phrase diverged from typed q86c")
+    assert(dslRows("q168_dsl_mm_cross_fields") == typedRows("q86d_multi_match_cross_fields"),
+      "front-door cross_fields diverged from typed q86d")
+    // unsupported shapes stay loud
+    val docs = queries.Tables(spark, sf, "documents")
+    val rel = queries.TextQueries.dslRelevance(spark, sf)
+    def bad(body: String): Unit =
+      intercept[IllegalArgumentException](QueryDsl.searchScored(docs, QueryDsl.parse(body), rel))
+    bad("""{"query": {"multi_match": {"query": "a b", "fields": ["title^2", "body"],
+          |  "type": "bool_prefix"}}}""".stripMargin)
+    bad("""{"query": {"multi_match": {"query": "a b c", "fields": ["title^2", "body"],
+          |  "type": "phrase"}}}""".stripMargin)
+    bad("""{"query": {"multi_match": {"query": "a b", "fields": ["title^2", "body"],
+          |  "type": "most_fields", "tie_breaker": 0.5}}}""".stripMargin)
+    bad("""{"query": {"multi_match": {"query": "a b", "fields": ["title^3", "body"],
+          |  "type": "cross_fields"}}}""".stripMargin)
+  }
+
   test("q154: _msearch fans out independent bodies, tagged by position") {
     val out = SparkEntry.queries("q154_dsl_msearch")(spark, sf).collect()
     val byReq = out.groupBy(_.getAs[Long]("req"))

@@ -179,7 +179,9 @@ class DslSpec extends AnyFunSuite {
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"],
              |  "calendar_interval": "fortnight"}}}}""".stripMargin)
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
-             |  "order": [{"_value": "asc"}]}}}}""".stripMargin)
+             |  "order": [{"_term": "asc"}]}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
+             |  "order": [{"_key": "ascending"}]}}}}""".stripMargin)
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
              |  "keyed": "yes"}}}}""".stripMargin)
     // nested: terms with a bucket child accepts only "field"; child must be
@@ -189,6 +191,92 @@ class DslSpec extends AnyFunSuite {
     badAgg("""{"aggs": {"t": {"terms": {"field": "event_type"},
              |  "aggs": {"s": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
              |    "keyed": true}}}}}}""".stripMargin)
+  }
+
+  test("q160-q162: legacy interval/offset string spellings are ROW-IDENTICAL to their numeric twins") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(_.toSeq.toList).toSet
+    assert(rows("q160_dsl_interval_string") == rows("q01_prop_sum_basic"),
+      "\"interval\": \"1h\" diverged from the 3600000 ms grid")
+    assert(rows("q161_dsl_calendar_string") == rows("q06_prop_sum_calendar"),
+      "\"interval\": \"1M\" diverged from calendar_interval month")
+    assert(rows("q162_dsl_offset_string") == rows("q02_prop_sum_offset"),
+      "\"offset\": \"+15m\" diverged from offset 900000")
+    val flows = queries.Flows.df(spark, sf)
+    def badAgg(body: String): Unit =
+      intercept[IllegalArgumentException](QueryDsl.aggBody(flows, QueryDsl.parse(body)))
+    // bad units are loud: 1q is NOT in the builder's DATE_FIELD_UNITS
+    // (no quarter in the legacy map) and not a TimeValue; multi-month
+    // fixed spellings don't exist; offset units come from TimeValue only
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": "1q"}}}}""")
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": "2M"}}}}""")
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"],
+             |  "interval": "1h", "offset": "+6x"}}}}""".stripMargin)
+    // nested position: fixed string spellings compile, calendar stays loud
+    val nested = QueryDsl.aggBody(flows, QueryDsl.parse(
+      """{"aggs": {"t": {"terms": {"field": "event_type"},
+        |  "aggs": {"s": {"proportional_sum": {"fields": ["rs","re","v"],
+        |    "interval": "1h", "offset": "+15m",
+        |    "start": 1704412800000, "end": 1706140800000}}}}}}""".stripMargin)).collect()
+    assert(nested.nonEmpty)
+    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type"},
+             |  "aggs": {"s": {"proportional_sum": {"fields": ["rs","re","v"], "interval": "1M"}}}}}}""".stripMargin)
+  }
+
+  test("q163/q164: the full order grammar emits data-visible ranks; q165 filters parent ≡ typed q04b") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(_.toSeq.toList).toSet
+    // _count desc: rank 1 is the max-doc_count bucket
+    val byCount = SparkEntry.queries("q163_dsl_order_count")(spark, sf).collect()
+    val maxDc = byCount.map(_.getAs[Long]("doc_count")).max
+    assert(byCount.find(_.getAs[Long]("order_rank") == 1L)
+      .exists(_.getAs[Long]("doc_count") == maxDc))
+    // compound (_count asc, _key desc): rank 1 is min doc_count, latest bucket on ties
+    val comp = SparkEntry.queries("q164_dsl_order_compound")(spark, sf).collect()
+    val minDc = comp.map(_.getAs[Long]("doc_count")).min
+    val r1 = comp.find(_.getAs[Long]("order_rank") == 1L).get
+    assert(r1.getAs[Long]("doc_count") == minDc)
+    assert(r1.getAs[Long]("bucket_ms") ==
+      comp.filter(_.getAs[Long]("doc_count") == minDc).map(_.getAs[Long]("bucket_ms")).max)
+    // ranks are a permutation (total order, no ties leaking duplicates)
+    assert(comp.map(_.getAs[Long]("order_rank")).sorted.toSeq == (1L to comp.length).toSeq)
+    // filters parent at the door ≡ typed q04b (shared oracle's second proof)
+    assert(rows("q165_dsl_filters_parent") == rows("q04b_prop_sum_filters_parent"),
+      "front-door filters parent diverged from typed q04b")
+  }
+
+  test("q169 missing+format: substituted rows CONTRIBUTE (vs q07b's skip); keyed format honored") {
+    val viaDoor = SparkEntry.queries("q169_dsl_missing_format")(spark, sf).collect()
+    val typed = SparkEntry.queries("q07c_prop_sum_missing_value")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket_ms"), r.getAs[Long]("doc_count"), r.getAs[Double]("value"))).toSet
+    assert(viaDoor.map(r => (r.getAs[Long]("bucket_ms"), r.getAs[Long]("doc_count"),
+      r.getAs[Double]("value"))).toSet == typed, "door missing substitution diverged from typed q07c")
+    // the format whitelist actually renders: minute-precision keys
+    assert(viaDoor.forall(_.getAs[String]("key_str").matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}""")))
+    // missing CONTRIBUTES: doc_count must exceed the skip semantics' on
+    // the same grid (q07b also nulls re, so compare against an inline
+    // v-only skip run)
+    val skipDocs = graft.operators.ProportionalSum.run(
+      queries.Flows.df(spark, sf)
+        .filter(col("event_id") % 11 =!= 0),
+      col("rs"), col("re"), col("v"), None,
+      graft.operators.ProportionalSum.Config(3600000L, Some(1704412800000L), Some(1706140800000L)))
+      .agg(org.apache.spark.sql.functions.sum("doc_count")).collect()(0).getLong(0)
+    val subDocs = viaDoor.map(_.getAs[Long]("doc_count")).sum
+    assert(subDocs > skipDocs, s"missing substitution must add contributions ($subDocs vs $skipDocs)")
+    val flows = queries.Flows.df(spark, sf)
+    def badAgg(body: String): Unit =
+      intercept[IllegalArgumentException](QueryDsl.aggBody(flows, QueryDsl.parse(body)))
+    // loud edges: missing on a range field, non-numeric missing,
+    // unsupported format, format without keyed
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000,
+             |  "missing": {"rs": 0}}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000,
+             |  "missing": {"v": "x"}}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000,
+             |  "keyed": true, "format": "dd/MM/yyyy"}}}}""".stripMargin)
+    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000,
+             |  "format": "yyyy-MM-dd"}}}}""".stripMargin)
   }
 
   test("q157 search_after: the page is the exact post-cursor slice; misuse fails loudly") {
@@ -413,7 +501,6 @@ class DslSpec extends AnyFunSuite {
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"]}}}}""") // no interval
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re"], "interval": 3600000}}}}""") // 2 fields
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","nope"], "interval": 3600000}}}}""")
-    badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000, "order": [{"_count": "desc"}]}}}}""")
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000, "shard_size": 5}}}}""")
   }
 
@@ -421,10 +508,15 @@ class DslSpec extends AnyFunSuite {
     val flows = queries.Flows.df(spark, sf)
     val fcat = QueryDsl.catalogOf(flows)
     assert(fcat.strings("event_type") && fcat.longs("rs") && fcat.longs("re"))
-    assert(!fcat.has("v"), "a double column is not addressable by the DSL subset")
+    // doubles are addressable since round 17 (q165's high_value range);
+    // a string literal against a double field is still a loud mismatch
+    assert(fcat.doubles("v"), "double columns join the catalog (range/term with numeric literals)")
     val hits = flows.filter(QueryDsl.compile(
       QueryDsl.parse("""{"term": {"event_type": "purchase"}}"""))(fcat).pred).count()
     assert(hits > 0 && hits < flows.count())
+    val vHits = flows.filter(QueryDsl.compile(
+      QueryDsl.parse("""{"range": {"v": {"gt": 50.0}}}"""))(fcat).pred).count()
+    assert(vHits > 0 && vHits < flows.count(), "double range must be decisive")
     intercept[IllegalArgumentException](
       QueryDsl.compile(QueryDsl.parse("""{"term": {"v": "x"}}"""))(fcat))
   }

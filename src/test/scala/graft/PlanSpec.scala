@@ -694,7 +694,7 @@ class PlanSpec extends AnyFunSuite {
     val terms = queries.TextQueries.windowQueryString(spark, sf).split(" ").toSeq
     val frames = Seq(
       "match scorer" -> rel.matchScorer("text", terms),
-      "multi_match scorer" -> rel.multiMatchScorer(Seq("title" -> 2.0, "body" -> 1.0), terms, 0.5),
+      "multi_match scorer" -> rel.multiMatchScorer(Seq("title" -> 2.0, "body" -> 1.0), terms, 0.5, "best_fields"),
       "highlighter" -> rel.highlighter("text", terms,
         rel.matchScorer("text", terms).limit(3)
           .select(org.apache.spark.sql.functions.lit(1L).as("rank"),
