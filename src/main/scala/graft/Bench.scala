@@ -112,6 +112,46 @@ object Bench {
     * machine-state when canary_q["q26_rollup"] is 2x the run's median. */
   private def canaryQ(): Double = math.min(canary(30000000), canary(30000000))
 
+  /** I/O canary: a fixed-size checkpoint-COMMIT imitation — small files
+    * written, force(true)d, and atomically renamed into place on the same
+    * tmp filesystem the streaming harness's checkpoint locations live on
+    * (FlowStream.tableStream's createTempDirectory). The CPU and memory
+    * canaries are BLIND to this class: the round-16 judge window read
+    * st01 0.84→4.84s with other_cpu clean, steal 2.1%, and every LCG
+    * canary within 1.13 of pin — sync-write latency was the one
+    * unattributed drift class. Fixed work every run, so cross-run drift
+    * measures the MACHINE's fsync path, not the engine. Returns seconds;
+    * cleanup runs outside the timed window. */
+  private def canaryIo(files: Int = 16, bytes: Int = 65536): Double = {
+    import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
+    val dir = Files.createTempDirectory("graft_iocanary")
+    val payload = java.nio.ByteBuffer.allocate(bytes)
+    val t0 = System.nanoTime()
+    (0 until files).foreach { i =>
+      val tmp = dir.resolve(s"c$i.tmp")
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try { payload.rewind(); ch.write(payload); ch.force(true) } finally ch.close()
+      Files.move(tmp, dir.resolve(s"c$i"), StandardCopyOption.ATOMIC_MOVE)
+    }
+    val t = (System.nanoTime() - t0) / 1e9
+    (0 until files).foreach(i => Files.deleteIfExists(dir.resolve(s"c$i")))
+    Files.deleteIfExists(dir)
+    t
+  }
+
+  /** Per-query I/O probe (streaming-harness queries only): min-of-3 —
+    * fsync latency has a far fatter tail than the LCG canary (single
+    * elevator stalls land double-digit-ms spikes on an idle host), so one
+    * extra sample buys most of the false-suspect reduction. */
+  private def canaryIoQ(): Double =
+    Seq(canaryIo(), canaryIo(), canaryIo()).min
+
+  /** The streaming-harness class: queries that run through checkpointed
+    * Structured Streaming executions (state-store + commit-log fsyncs per
+    * batch) — the class whose timings swing with sync-write latency. */
+  private def isStreaming(name: String): Boolean = name.startsWith("st")
+
   /** One concurrent coarse+PQ index build from scratch (the cluster shape:
     * two training pipelines sharing the scan cache, scheduled together).
     * ONE definition — [[graft.tools.BenchIndex]] times this same build, so
@@ -147,6 +187,7 @@ object Bench {
     var otherMax = -1.0
     val canaryStart = canary()
     val canaryMemStart = canaryMem()
+    val canaryIoStart = canaryIo()
     val stealStart = stealJiffies
     val spark = GraftSession.local()
     // One untimed warmup pass (JIT + codegen + parquet footer caching), then
@@ -195,11 +236,15 @@ object Bench {
         t
       }
       loadMax = math.max(loadMax, loadAvg)
-      // a failed query must not masquerade as a (fast) timing
-      (name, if (failed) -1.0 else times.min, canaryQ())
+      // a failed query must not masquerade as a (fast) timing; streaming-
+      // harness queries additionally get an I/O probe (checkpoint-commit
+      // imitation) so a sync-write stall is attributable per query
+      (name, if (failed) -1.0 else times.min, canaryQ(),
+        if (isStreaming(name)) canaryIoQ() else -1.0)
     }
-    val results = timed.map { case (n, t, _) => (n, t) } :+ indexBuild
-    val canaries = timed.map { case (n, _, c) => (n, c) } :+ ("vec_index_build", canaryBuild)
+    val results = timed.map { case (n, t, _, _) => (n, t) } :+ indexBuild
+    val canaries = timed.map { case (n, _, c, _) => (n, c) } :+ ("vec_index_build", canaryBuild)
+    val ioCanaries = timed.collect { case (n, _, _, io) if io >= 0 => (n, io) }
     // intra-run machine-speed spread: max/min of the per-query canaries —
     // TELEMETRY ONLY since round 14. Round 13 proved host frequency
     // jitter alone spans >15% across 226 probes (the judge's
@@ -216,6 +261,21 @@ object Bench {
     val suspects = canaries.collect {
       case (n, c) if c > canaryMedian * 1.15 || c < canaryMedian / 1.15 => "\"" + n + "\""
     }.mkString("[", ",", "]")
+    // I/O-bound swing adjudication (the round-16 verdict's ask): a
+    // streaming-harness timing whose bracketing fsync probe deviates
+    // >2x from the run's I/O median is suspect_io — a reader rejects
+    // exactly those st-query deltas as sync-write machine state. The
+    // wide band (2x vs the CPU canary's 1.15x) reflects fsync latency's
+    // intrinsically fat tail (a clean idle-host run still spans ~1.5x
+    // across min-of-3 probes); the drift class this exists for — the
+    // round-16 judge window's st01 at 4-6x — sits far outside it.
+    val ioVals = ioCanaries.map(_._2)
+    val ioMedian = if (ioVals.nonEmpty) ioVals.sorted.apply(ioVals.length / 2) else -1.0
+    val suspectsIo = ioCanaries.collect {
+      case (n, c) if ioMedian > 0 && (c > ioMedian * 2.0 || c < ioMedian / 2.0) => "\"" + n + "\""
+    }.mkString("[", ",", "]")
+    val cio = ioCanaries.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -229,6 +289,7 @@ object Bench {
     // machine slowdown that no in-guest process accounting attributes.
     val canaryEnd = canary()
     val canaryMemEnd = canaryMem()
+    val canaryIoEnd = canaryIo()
     val stealEnd = stealJiffies
     val stealFrac =
       if (stealStart._1 >= 0 && stealEnd._1 >= 0 && stealEnd._2 > stealStart._2)
@@ -278,7 +339,7 @@ object Bench {
       s"\"" + k + "\":" + norm
     }.mkString("{", ",", "}")
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_mem_start":$canaryMemStart,"canary_mem_end":$canaryMemEnd,"canary_q":$cq,"canary_spread":$canarySpread,"canary_median":$canaryMedian,"canary_vs_pin":$canaryVsPin,"machine_drift":$machineDrift,"suspect":$suspects,"nproc":$nproc,"dirty":$dirty}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"errors":$errors,"sf":"$sfDir","build_runs":[${buildTimes.mkString(",")}],"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"other_cpu_max":$otherMax,"steal_frac":$stealFrac,"canary_start":$canaryStart,"canary_end":$canaryEnd,"canary_mem_start":$canaryMemStart,"canary_mem_end":$canaryMemEnd,"canary_q":$cq,"canary_spread":$canarySpread,"canary_median":$canaryMedian,"canary_vs_pin":$canaryVsPin,"machine_drift":$machineDrift,"suspect":$suspects,"canary_io_start":$canaryIoStart,"canary_io_end":$canaryIoEnd,"canary_io_q":$cio,"canary_io_median":$ioMedian,"suspect_io":$suspectsIo,"nproc":$nproc,"dirty":$dirty}"""
     println(record)
     // The driver captures only a 2000-char tail of stdout, which truncates
     // the 174-entry per-query map to its last third; persist the FULL
