@@ -1469,6 +1469,60 @@ object QueryDsl {
     if (keyAsc) presented.orderBy(col("bucket_ms").asc) else presented
   }
 
+  /** The STREAMING subset of the proportional_sum wire grammar — the
+    * front-door form of the append-mode collector (st07's production
+    * shape driven by a JSON request): `fields` + fixed `interval` (ms or
+    * the legacy string spellings) + `start`/`end`/`offset` (string form
+    * included). Presentation knobs (keyed/order/extended_bounds/
+    * min_doc_count/missing) have no append-mode semantics here and fail
+    * loudly, as does a calendar interval (the streaming path is the
+    * fixed-grid collector). Returns (fields, Config) for the engine's
+    * streaming executor — the compiler owns the wire grammar, the engine
+    * owns the watermarked execution. */
+  def propSumStreamSpec(body: JsonNode): (Seq[String], graft.operators.ProportionalSum.Config) = {
+    if (body.has("size"))
+      require(body.get("size").asInt == 0, "query DSL: agg-only request requires size 0")
+    require(body.has("aggs") && body.get("aggs").isObject && body.get("aggs").size == 1,
+      "query DSL: exactly one top-level aggregation expected under 'aggs'")
+    val (_, aggNode) = sole(body.get("aggs"), "aggs")
+    require(aggNode.isObject && aggNode.size == 1 && aggNode.has("proportional_sum"),
+      s"query DSL: streaming agg body must be exactly proportional_sum, got $aggNode")
+    val spec = aggNode.get("proportional_sum")
+    require(spec.has("fields") && spec.get("fields").isArray,
+      "query DSL: proportional_sum requires a fields array")
+    val fs = spec.get("fields").elements().asScala.toSeq.map(_.asText)
+    require(fs.size == 3 || fs.size == 4,
+      s"query DSL: fields must be [start, end, value(, sampling)], got $fs")
+    val known = Set("fields", "interval", "start", "end", "offset")
+    val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
+    require(unknown.isEmpty,
+      s"query DSL: unsupported streaming proportional_sum keys: $unknown")
+    def longOpt(k: String): Option[Long] = Option(spec.get(k)).map { n =>
+      require(n.isIntegralNumber, s"query DSL: $k must be an integral number, got $n")
+      n.asLong
+    }
+    val interval = Option(spec.get("interval")).map { n =>
+      if (n.isIntegralNumber) n.asLong
+      else if (n.isTextual) parseIntervalString(n.asText) match {
+        case Right(ms) => ms
+        case Left(unit) => throw new IllegalArgumentException(
+          s"query DSL: streaming proportional_sum supports fixed intervals only, got calendar '$unit'")
+      }
+      else throw new IllegalArgumentException(
+        s"query DSL: interval must be integral ms or an interval string, got $n")
+    }.getOrElse(
+      throw new IllegalArgumentException("query DSL: streaming proportional_sum requires interval"))
+    require(interval > 0, "query DSL: interval must be positive")
+    val offsetMs = Option(spec.get("offset")).map { n =>
+      if (n.isIntegralNumber) n.asLong
+      else if (n.isTextual) parseStringOffset(n.asText)
+      else throw new IllegalArgumentException(
+        s"query DSL: offset must be integral ms or a time-value string, got $n")
+    }.getOrElse(0L)
+    (fs, graft.operators.ProportionalSum.Config(
+      interval, longOpt("start"), longOpt("end"), offsetMs))
+  }
+
   /** POST `_search/template`: mustache-parameter substitution into a
     * template body, then the standard [[search]]. A WHOLE-VALUE placeholder
     * (`"{{p}}"` as the entire string) takes the param's JSON value verbatim
@@ -2029,6 +2083,23 @@ object DslQueries {
       QueryDsl.aggBody(flows, body)
     }),
 
+    // STREAMING through the front door: the append-mode production
+    // collector (st07's watermarked pipeline VERBATIM — same explode,
+    // same watermark contract, same sink) configured by the plugin's
+    // wire grammar instead of typed Config. Shares st07's oracle, so the
+    // hash match proves request-driven streaming ≡ typed streaming.
+    "st20_dsl_prop_sum_stream" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": "1h",
+          |    "start": 1704412800000,
+          |    "end": 1706140800000
+          |  }}}}""".stripMargin)
+      graft.streaming.FlowStream.runAppendModeDsl(s, d, body, 2 * 3600000L, "st20_mem")
+    }),
+
     // _mget: request-order multi-get with found=false rows for misses and
     // a duplicate id served twice — the broadcast-probe + coordinator
     // assembly shape.
@@ -2193,6 +2264,10 @@ object DslQueries {
     // q04b's oracle VERBATIM: the JSON-compiled named-filters explode
     // must be row-identical to the typed filters-parent pipeline
     "q165_dsl_filters_parent" -> FlowQueries.oracleSql("q04b_prop_sum_filters_parent"),
+
+    // st07's oracle VERBATIM: the JSON-configured append-mode stream
+    // must emit exactly the typed watermarked collector's buckets
+    "st20_dsl_prop_sum_stream" -> FlowQueries.oracleSql("st07_prop_sum_append"),
 
     // q07c's substitution mirror + the whitelisted strftime key — the
     // missing-contributes rows and the formatted keyed object key in one

@@ -205,6 +205,25 @@ object FlowStream {
         delayMs, name)
     }
 
+  /** st20's FRONT-DOOR form: the append-mode collector driven by the WIRE
+    * grammar — [[graft.queries.QueryDsl.propSumStreamSpec]] parses the
+    * proportional_sum request body into (fields, Config) and this runs
+    * st07's EXACT pipeline (same explode, same watermark contract, same
+    * sink), so the JSON-compiled stream shares st07's oracle verbatim. */
+  def runAppendModeDsl(spark: SparkSession, sfDir: String,
+      body: com.fasterxml.jackson.databind.JsonNode, delayMs: Long, name: String): DataFrame = {
+    val (fs, cfg) = graft.queries.QueryDsl.propSumStreamSpec(body)
+    graft.queries.Tables.withShufflePartitions(spark, 8) {
+      val src = flowSource(spark, sfDir)
+      fs.foreach(f => require(src.columns.contains(f),
+        s"query DSL: unknown flow field '$f' (have: ${src.columns.mkString(", ")})"))
+      appendSink(
+        ProportionalSum.explodeContrib(
+          src, col(fs(0)), col(fs(1)), col(fs(2)), fs.lift(3).map(col), cfg),
+        delayMs, name)
+    }
+  }
+
   /** The ONE copy of the watermarked append-mode emission contract shared
     * by the fixed-interval (st07) and calendar (st11) paths: watermark the
     * bucket start timestamp with the EXACT delay (the oracle subtracts the

@@ -130,6 +130,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.nonEmpty)
   }
 
+  test("st20: the JSON-configured append stream is row-identical to typed st07; bad bodies loud") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(_.toSeq.toList).toSet
+    assert(rows("st20_dsl_prop_sum_stream") == rows("st07_prop_sum_append"),
+      "front-door streaming diverged from the typed append collector")
+    // calendar intervals and presentation knobs have no append-mode form
+    intercept[IllegalArgumentException](queries.QueryDsl.propSumStreamSpec(queries.QueryDsl.parse(
+      """{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": "1M"}}}}""")))
+    intercept[IllegalArgumentException](queries.QueryDsl.propSumStreamSpec(queries.QueryDsl.parse(
+      """{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 3600000,
+        |  "keyed": true}}}}""".stripMargin)))
+    intercept[IllegalArgumentException](queries.QueryDsl.propSumStreamSpec(queries.QueryDsl.parse(
+      """{"aggs": {"h": {"terms": {"field": "event_type"}}}}""")))
+  }
+
   test("st11 equals the batch CALENDAR series restricted to buckets at or below max - 20d") {
     val sf = "/root/testdata/sf0.001"
     val emitted = queries.FlowQueries.queries("st11_prop_sum_calendar")(spark, sf)
