@@ -348,34 +348,21 @@ object TextQueries {
           .when(col("s_fr") > 0, "fr")
           .otherwise("und"))
 
-  /** Field-generic BM25 — THE scoring definition (every BM25 consumer,
-    * q76-family and q86 alike, goes through here): score the 5-term query
-    * (body-ranked terms [[QLo]]..[[QHi]] — the query string is what it is)
-    * against an arbitrary token stream `t` = (doc_id, tok) using the
-    * FIELD's own statistics (dl, avgdl, df) — ES scores each field of a
-    * multi_match independently. The query-term df table (tok, df) is
-    * INJECTED: the body field passes rankedVocab's df directly (no extra
-    * corpus scan — the pre-consolidation q76 plan), the title field passes
-    * a stream-derived df (distinct docs per term over the
-    * broadcast-filtered stream); both are "docs containing the term in
-    * this field". PAIRING IS THE CALLER'S CONTRACT: `qdf` must be the df
-    * of `t`'s own field — a mis-paired call (body df with a title stream)
-    * scores silently wrong (df can exceed the field's doc count, flipping
-    * idf negative), which is why the only call sites are the two adjacent
-    * constructors (bm25PerDoc, q86's title instance) and new fields must
-    * add theirs alongside. Literals are spelled as decimal literals on BOTH sides
-    * (Scala `k1 + 1` computes 2.1999…956, a DIFFERENT double than the
-    * parsed literal 2.2 — the oracle must see the identical bits).
-    * Returns (doc_id, n_terms_hit, score). */
-  private def bm25ScoredOver(s: SparkSession, d: String, t: DataFrame, qdf: DataFrame): DataFrame = {
-    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val qIdf = bm25QIdf(dl, qdf)
-    // filter the stream against the broadcast query-term set BEFORE the
-    // per-(doc, term) aggregate — the tf shuffle carries 5 terms' rows only
-    val tfq = t.join(broadcast(qIdf.select(col("tok"))), Seq("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    bm25ScoreTf(tfq, dl, qIdf)
-  }
+  /* Field-generic BM25 — THE scoring definition lives in the
+   * [[bm25QIdfStats]] + [[bm25TermScoresCarried]] chain below (every BM25
+   * consumer, q76-family, q86's per-field instances, and the front door
+   * alike, goes through it — since round 17 as PROBES of the [[postings]]
+   * artifact, which carries each field's tf and dl on the probed rows).
+   * The query-term df table (tok, df) is INJECTED and PAIRING IS THE
+   * CALLER'S CONTRACT: `qdf` must be the df of the same field the tf/dl
+   * columns came from — a mis-paired call (body df with title tf) scores
+   * silently wrong (df can exceed the field's doc count, flipping idf
+   * negative). df = artifact rows per term = distinct docs per term, the
+   * same integers a raw token-stream pass derives, which is what keeps
+   * the [[bm25CtesOver]] oracle mirror (still stream-shaped) verbatim.
+   * Literals are spelled as decimal literals on BOTH sides (Scala
+   * `k1 + 1` computes 2.1999…956, a DIFFERENT double than the parsed
+   * literal 2.2 — the oracle must see the identical bits). */
 
   /** The idf half of the scoring definition: (field dl table, field query
     * df) → (tok, idf, avgdl). Lucene's smoothed idf via the integer
@@ -401,7 +388,7 @@ object TextQueries {
 
   /** The tf-normalization half: score a per-(doc_id, tok, tf) frame
     * already restricted to query terms against its field's dl/idf tables.
-    * Split from [[bm25ScoredOver]] so a caller that PRE-AGGREGATED tf
+    * Split out so a caller that PRE-AGGREGATED tf
     * (q86's one-scan per-(doc, term) frame) scores through the identical
     * expression — the formula exists once. */
   private def bm25ScoreTf(tfq: DataFrame, dl: DataFrame, qIdf: DataFrame): DataFrame =
@@ -569,7 +556,7 @@ object TextQueries {
     bm25ScoreTf(tfq, dl, pseudo)
   }
 
-  /** DuckDB mirror of [[bm25ScoredOver]] — tagged CTE chain (t$tag …
+  /** DuckDB mirror of the stream-shaped BM25 chain — tagged CTE chain (t$tag …
     * per$tag) over caller-supplied token-stream and query-df SQL bodies
     * (`qdfSql` yields (tok, df), mirroring the injected df table; the
     * placeholder %T% in it resolves to this instance's own stream CTE, so
@@ -635,7 +622,7 @@ object TextQueries {
 
   /** BM25 for an ARBITRARY analyzed term set over the body field — the
     * front door's `match` scorer. Same chain as [[bm25PerDoc]] (THE shared
-    * formula via [[bm25ScoredOver]]); the query-term df probes the cached
+    * formula via the shared carried chain); the query-term df probes the cached
     * [[dfVocab]] dictionary (distinct docs per term — for the q76 window
     * terms these are exactly rankedVocab's df values, which is what makes
     * the q148 front-door ranking row-identical to typed q76). Terms absent
@@ -2295,7 +2282,7 @@ object TextQueries {
     // window; "last" = the alphabetically-last window term (the derived
     // query is a set, so the real query string's position-last maps to a
     // deterministic pick). The 4 term clauses score through THE shared
-    // BM25 stack (bm25ScoredOver — one formula); the prefix clause
+    // BM25 stack (the shared carried chain — one formula); the prefix clause
     // rewrites against the term dictionary (q88's discipline: single-char
     // prefix, ≤50 expansions as a literal term set — the doc stream pays
     // an array-overlap membership test, never a per-token pattern scan)
@@ -2314,11 +2301,14 @@ object TextQueries {
         .select(col("term")).collect().map(_.getString(0)).toSeq
       import s.implicits._
       val qdf = terms.filter(_._1 != last).toSeq.toDF("tok", "df")
-      val sc = bm25ScoredOver(s, d,
-        docs(s, d).repartition(col("doc_id"))
-          .select(col("doc_id"), explode(col("toks")).as("tok")),
-        qdf)
-      val ph = docs(s, d)
+      // term clauses probe the postings artifact, the prefix clause the
+      // analyzed frame — same integers as the round-16 token-stream pass
+      val art = postings(s, d)
+      val sc = bm25ScoreTfCarried(
+        art.frame.join(broadcast(qdf.select(col("tok"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"), col("dl_b").as("dl")),
+        bm25QIdfStats(art.statsBody, qdf))
+      val ph = docsAnalyzed(s, d)
         .select(col("doc_id"), arrays_overlap(col("toks"), typedLit(expTerms)).as("hp"))
         .filter(col("hp"))
       sc.join(ph, Seq("doc_id"), "full_outer")
@@ -2741,19 +2731,25 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val tX = rankedVocab(s, d).filter(col("r") === QHi)
         .select(col("term")).collect().head.getString(0)
-      val base = docs(s, d).crossJoin(broadcast(topBigram(s, d)))
+      // every clause reads a build-once artifact: the phrase pass the
+      // analyzed frame (toks materialized), the AND clause the postings
+      // probe, the NOT clause an array_contains probe — probe-derived
+      // statistics are integer-identical to the round-16 token-stream
+      // pass, so the oracle is unchanged
+      val base = docsAnalyzed(s, d).crossJoin(broadcast(topBigram(s, d)))
       val phr = phraseFieldScore(base, col("toks"))
         .select(col("doc_id"), col("score").as("p0"))
       val qdf2 = rankedVocab(s, d).filter(col("r") === QLo || col("r") === QLo + 1)
         .select(col("term").as("tok"), col("df"))
-      val sAnd = bm25ScoredOver(s, d,
-        docs(s, d).repartition(col("doc_id"))
-          .select(col("doc_id"), explode(col("toks")).as("tok")),
-        qdf2)
+      val art = postings(s, d)
+      val sAnd = bm25ScoreTfCarried(
+        art.frame.join(broadcast(qdf2.select(col("tok"))), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"), col("dl_b").as("dl")),
+        bm25QIdfStats(art.statsBody, qdf2))
         .filter(col("n_terms_hit") === 2)
         .select(col("doc_id"), col("score").as("a0"))
       phr.join(sAnd, Seq("doc_id"), "full_outer")
-        .join(docs(s, d).filter(array_contains(col("toks"), lit(tX)))
+        .join(docsAnalyzed(s, d).filter(array_contains(col("toks"), lit(tX)))
           .select(col("doc_id")), Seq("doc_id"), "left_anti")
         .withColumn("s_phrase", coalesce(col("p0"), lit(0.0)))
         .withColumn("s_and", coalesce(col("a0"), lit(0.0)))
