@@ -1085,15 +1085,40 @@ object QueryDsl {
         require(spec.isObject && spec.has("field"), "query DSL: terms agg requires field")
         val f = spec.get("field").asText
         require(filtered.columns.contains(f), s"query DSL: unknown field '$f'")
-        val extra = spec.fieldNames().asScala.toSeq.filterNot(_ == "field")
+        val extra = spec.fieldNames().asScala.toSeq.filterNot(Set("field", "size"))
         require(extra.isEmpty,
-          s"query DSL: terms with a bucket sub-agg supports only 'field', got extra keys $extra")
+          s"query DSL: terms with a bucket sub-agg supports 'field' and 'size', got extra keys $extra")
+        // `size` under a bucket child: the ES terms truncation — keep the
+        // top-k terms by the PARENT bucket's doc_count (_count desc, key
+        // asc tiebreak, the ES default order), rank data-visible (q11h's
+        // convention: the driver sorts rows before hashing, so parent
+        // bucket order must be a COLUMN); each surviving term keeps its
+        // FULL nested series. Applied below over the one-grouped-run
+        // result: the totals table is term-cardinality-sized, so ranking
+        // it and broadcasting it back are both tiny.
+        val sizeOpt = Option(spec.get("size")).map { n =>
+          require(n.isIntegralNumber && n.asInt > 0, s"query DSL: bad terms size $n")
+          n.asInt
+        }
+        def withTermSize(res: DataFrame): DataFrame = sizeOpt match {
+          case None => res
+          case Some(k) =>
+            import org.apache.spark.sql.expressions.Window
+            val top = filtered.groupBy(col(f))
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("term_doc_count"))
+              .withColumn("term_rank", row_number()
+                .over(Window.orderBy(col("term_doc_count").desc, col(f).asc)).cast("long"))
+              .filter(col("term_rank") <= k)
+            res.join(broadcast(top), Seq(f))
+              .select((col(f) +: col("term_rank") +: col("term_doc_count") +:
+                res.columns.filterNot(_ == f).map(col).toSeq): _*)
+        }
         val (midName, childNode) = sole(subAggs.get, "sub-aggs")
         val childKeys = childNode.fieldNames().asScala.toSeq.sorted
         if (childNode.has("proportional_sum")) {
           require(childKeys == Seq("proportional_sum"),
             s"query DSL: a proportional_sum child takes no extra keys, got $childKeys")
-          propSumGrouped(filtered, childNode.get("proportional_sum"), f)
+          withTermSize(propSumGrouped(filtered, childNode.get("proportional_sum"), f))
         } else {
           require(childKeys == Seq("date_histogram") || childKeys == Seq("aggs", "date_histogram"),
             s"query DSL: bucket child of terms must be proportional_sum or date_histogram, got $childKeys")
@@ -1125,10 +1150,10 @@ object QueryDsl {
               s"query DSL: the tree's leaf must be exactly proportional_sum, got $gkeys")
             val withBucket = filtered.withColumn(midName,
               (floor(col(bf) / lit(itv)) * lit(itv)).cast("long"))
-            propSumGroupedBy(withBucket, gnode.get("proportional_sum"),
-              Seq(col(f), col(midName)))
+            withTermSize(propSumGroupedBy(withBucket, gnode.get("proportional_sum"),
+              Seq(col(f), col(midName))))
           } else
-            dateHistogramAgg(filtered, dh, grand, Seq(col(f)))
+            withTermSize(dateHistogramAgg(filtered, dh, grand, Seq(col(f))))
         }
 
       case "filters" if subAggs.exists(isBucketChild) =>
@@ -2060,6 +2085,25 @@ object DslQueries {
       QueryDsl.searchScored(Tables(s, d, "documents"), body, TextQueries.dslRelevance(s, d))
     }),
 
+    // terms `size` under a bucket child — the Drift UI's top-talkers
+    // truncation at the door: top-2 event_types by parent doc_count
+    // (_count desc, the ES default order), term_rank data-visible, each
+    // surviving term keeping its FULL nested proportional series.
+    "q170_dsl_terms_size" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"types": {
+          |    "terms": {"field": "event_type", "size": 2},
+          |    "aggs": {"series": {"proportional_sum": {
+          |      "fields": ["rs", "re", "v"],
+          |      "interval": 3600000,
+          |      "start": 1704412800000,
+          |      "end": 1706140800000
+          |    }}}
+          |  }}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
     // per-field `missing` + `format` at the door (declareCommon,
     // builder:102): a doc with an absent VALUE field CONTRIBUTES with
     // the substitute (coalesce at the values-source boundary — typed
@@ -2268,6 +2312,25 @@ object DslQueries {
     // st07's oracle VERBATIM: the JSON-configured append-mode stream
     // must emit exactly the typed watermarked collector's buckets
     "st20_dsl_prop_sum_stream" -> FlowQueries.oracleSql("st07_prop_sum_append"),
+
+    // q04's grouped series text + the parent-truncation mirror: top-2
+    // terms by flows-row count (_count desc, key asc), rank joined back
+    // onto the full nested series — ONE ORDER BY spelling on both sides
+    "q170_dsl_terms_size" -> {
+      val core = FlowQueries.oracleSql("q04_prop_sum_grouped")
+        .stripSuffix(" SELECT * FROM agg")
+      s"""$core,
+         |tot AS (SELECT event_type, COUNT(*) AS term_doc_count FROM flows GROUP BY event_type),
+         |topt AS (
+         |  SELECT event_type, term_doc_count,
+         |         row_number() OVER (ORDER BY term_doc_count DESC, event_type ASC) AS term_rank
+         |  FROM tot
+         |)
+         |SELECT a.event_type, t.term_rank, t.term_doc_count,
+         |       a.bucket_ms, a.doc_count, a.value
+         |FROM agg a JOIN topt t ON a.event_type = t.event_type
+         |WHERE t.term_rank <= 2""".stripMargin
+    },
 
     // q07c's substitution mirror + the whitelisted strftime key — the
     // missing-contributes rows and the formatted keyed object key in one

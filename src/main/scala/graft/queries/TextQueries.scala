@@ -247,7 +247,9 @@ object TextQueries {
     * by q78 (match_phrase/span_near) and q90 (match_phrase_prefix), like
     * their oracles share the bg/top1 CTEs. Returns one (w1, w2) row. */
   private def topBigram(s: SparkSession, d: String): DataFrame =
-    docs(s, d).repartition(col("doc_id"))
+    // reads the analyzed artifact (same toks, already doc_id-spread and
+    // materialized) — five callers each paid a tokenize scan before r17
+    docsAnalyzed(s, d)
       .select(explode(text.shingles(col("toks"), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("g").asc).limit(1)

@@ -184,9 +184,10 @@ class DslSpec extends AnyFunSuite {
              |  "order": [{"_key": "ascending"}]}}}}""".stripMargin)
     badAgg("""{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
              |  "keyed": "yes"}}}}""".stripMargin)
-    // nested: terms with a bucket child accepts only "field"; child must be
-    // proportional_sum with the fixed-interval subset
-    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type", "size": 3},
+    // nested: terms with a bucket child accepts field + size (r17); other
+    // presentation knobs stay loud; child must be proportional_sum with
+    // the fixed-interval subset
+    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type", "shard_size": 3},
              |  "aggs": {"s": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000}}}}}}""".stripMargin)
     badAgg("""{"aggs": {"t": {"terms": {"field": "event_type"},
              |  "aggs": {"s": {"proportional_sum": {"fields": ["rs","re","v"], "interval": 60000,
@@ -243,6 +244,31 @@ class DslSpec extends AnyFunSuite {
     // filters parent at the door ≡ typed q04b (shared oracle's second proof)
     assert(rows("q165_dsl_filters_parent") == rows("q04b_prop_sum_filters_parent"),
       "front-door filters parent diverged from typed q04b")
+  }
+
+  test("q170 terms size under a bucket child: top-k by parent doc_count, full series kept") {
+    val out = SparkEntry.queries("q170_dsl_terms_size")(spark, sf).collect()
+    val ranks = out.map(_.getAs[Long]("term_rank")).distinct.sorted.toSeq
+    assert(ranks == Seq(1L, 2L), s"size 2 must keep exactly ranks 1-2, got $ranks")
+    // the truncation is real: the untruncated grouped run has more terms
+    val all = SparkEntry.queries("q04_prop_sum_grouped")(spark, sf).collect()
+      .map(_.getAs[String]("event_type")).distinct
+    assert(all.length > 2, "corpus must have >2 event types for the truncation to bite")
+    val kept = out.map(_.getAs[String]("event_type")).distinct.toSet
+    assert(kept.size == 2)
+    // rank 1 is the max-count term; each kept term keeps its FULL series
+    val flows = queries.Flows.df(spark, sf)
+    val counts = flows.groupBy(col("event_type")).count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("count"))).toMap
+    val r1 = out.filter(_.getAs[Long]("term_rank") == 1L).map(_.getAs[String]("event_type")).head
+    assert(counts(r1) == counts.values.max)
+    val seriesLen = all.length // per-term bucket counts from the typed run
+    val typedByTerm = SparkEntry.queries("q04_prop_sum_grouped")(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type")).view.mapValues(_.length).toMap
+    kept.foreach { t =>
+      assert(out.count(_.getAs[String]("event_type") == t) == typedByTerm(t),
+        s"term $t lost series rows under truncation")
+    }
   }
 
   test("q169 missing+format: substituted rows CONTRIBUTE (vs q07b's skip); keyed format honored") {
@@ -319,7 +345,14 @@ class DslSpec extends AnyFunSuite {
     assert(out.map(_._1).size > 1, "nesting must produce several term groups")
     def badAgg(body: String): Unit =
       intercept[IllegalArgumentException](QueryDsl.aggBody(ev, QueryDsl.parse(body)))
-    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type", "size": 3},
+    // size under the nesting is SUPPORTED since r17 (q170): the truncated
+    // run keeps exactly the top-3 terms' full grids with ranks attached
+    val sized = QueryDsl.aggBody(ev, QueryDsl.parse(
+      """{"aggs": {"t": {"terms": {"field": "event_type", "size": 3},
+        |  "aggs": {"h": {"date_histogram": {"field": "ms", "fixed_interval": 3600000}}}}}}""".stripMargin))
+      .collect()
+    assert(sized.map(_.getAs[Long]("term_rank")).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
+    badAgg("""{"aggs": {"t": {"terms": {"field": "event_type", "shard_size": 3},
              |  "aggs": {"h": {"date_histogram": {"field": "ms", "fixed_interval": 3600000}}}}}}""".stripMargin)
     badAgg("""{"aggs": {"t": {"terms": {"field": "event_type"},
              |  "aggs": {"h": {"date_histogram": {"field": "ms", "calendar_interval": "1h"}}}}}}""".stripMargin)
