@@ -263,7 +263,7 @@ object TextQueries {
     * every per-field statistic (dl = Σtf, df = frame rows per term) is
     * integer-identical to a per-field token-stream pass. */
   private def perDocTermTf(s: SparkSession, d: String): DataFrame =
-    tfArtifact(s, d)
+    tfArtifact(s, d).select(col("doc_id"), col("tok"), col("tf_b"), col("tf_t"))
 
   /** rankedVocab's [QLo, QHi] query window derived from the shared
     * [[perDocTermTf]] frame (df = distinct docs per length≥4 term = frame
@@ -526,36 +526,60 @@ object TextQueries {
         graft.functions.detsum.sumDet(col("best"), 9).as("final"))
   }
 
-  /** One field of q86c's multi_match `phrase` type: Lucene phrase scoring
-    * against a single field. `base` is docs with the query bigram (w1, w2)
-    * attached (1-row broadcast crossJoin); `fieldToks` is the field's token
-    * array (body = toks, title = slice(toks, 1, 8)). The phrase is a
-    * single PSEUDO-TERM: tf = exact adjacent-pair count ([[phraseTf]]),
-    * idf = Σ idf(w) over the phrase terms with the field's own df
-    * ([[bm25QIdf]] — "docs containing w in this field"), and the
-    * tf-normalization is THE shared formula ([[bm25ScoreTf]] on the
-    * one-row pseudo query). Returns (doc_id, n_terms_hit, score), hit
-    * docs only. The 2-row Σ idf is a commutative IEEE add — order-free. */
-  private def phraseFieldScore(base: DataFrame, fieldToks: Column): DataFrame = {
-    val pd = base.select(
-      col("doc_id"), col("w1"), col("w2"),
-      size(fieldToks).cast("long").as("dl"),
-      phraseTf(fieldToks, col("w1"), col("w2")).as("tf"),
-      array_contains(fieldToks, col("w1")).as("h1"),
-      array_contains(fieldToks, col("w2")).as("h2"))
-    val dl = pd.select(col("doc_id"), col("dl"))
-    val qdf = pd.groupBy(col("w1"), col("w2"))
-      .agg(count(when(col("h1"), 1)).as("df1"), count(when(col("h2"), 1)).as("df2"))
-      .select(explode(array(
-        struct(col("w1").as("tok"), col("df1").as("df")),
-        struct(col("w2").as("tok"), col("df2").as("df")))).as("kv"))
-      .select(col("kv.tok").as("tok"), col("kv.df").as("df"))
-    val pseudo = bm25QIdf(dl, qdf)
-      .agg(sum(col("idf")).as("idf"), max(col("avgdl")).as("avgdl"))
-      .withColumn("tok", lit("phrase"))
-    val tfq = pd.filter(col("tf") > 0)
-      .select(col("doc_id"), lit("phrase").as("tok"), col("tf"))
-    bm25ScoreTf(tfq, dl, pseudo)
+  /** [[phraseFieldScore]]'s exact numbers from a POSITIONAL-POSTINGS probe
+    * — the phrase family's scale path: the tf postings carry each term's
+    * sorted 0-based positions, so the adjacent-pair count is an array
+    * intersection over the TWO probed terms' rows and the corpus is never
+    * re-scanned (round 17's q167 read 17.3s / factor 10.7 at 100× on the
+    * scan form). Returns (doc_id, s_body0, s_title0) — title UNboosted,
+    * per-field hit docs only, FULL OUTER (callers coalesce + boost).
+    * Bit-identity with the scan form: tf = |{i : i ∈ ps(w1), i+1 ∈
+    * ps(w2)}| = phraseTf's adjacent pairs; title pairs additionally need
+    * i ≤ 6 (both positions inside the first-8 window); df per term =
+    * probe rows (body) / rows with tf_t > 0 (title); dl = the carried
+    * field lengths (title dl = min(8, len) = dl_t because every
+    * non-empty doc's first token is a first-8 position — and the corpus
+    * has no zero-token docs, so the build-time stats equal the scan
+    * form's whole-corpus aggregates); the pseudo-term idf sums TWO rows
+    * (w1 = w2 still contributes twice — the degenerate-bigram contract). */
+  private def phraseProbeScores(s: SparkSession, d: String, w1: String, w2: String): DataFrame = {
+    val art = postings(s, d)
+    val probe = art.frame.filter(col("tok").isin(w1, w2))
+    val dfs = probe.agg(
+      count(when(col("tok") === w1, 1)).as("df1b"),
+      count(when(col("tok") === w2, 1)).as("df2b"),
+      count(when(col("tok") === w1 && col("tf_t") > 0, 1)).as("df1t"),
+      count(when(col("tok") === w2 && col("tf_t") > 0, 1)).as("df2t"))
+    def pseudo(stats: DataFrame, c1: String, c2: String): DataFrame =
+      bm25QIdfStats(stats, dfs.select(explode(array(
+        struct(lit(w1).as("tok"), col(c1).as("df")),
+        struct(lit(w2).as("tok"), col(c2).as("df")))).as("kv"))
+        .select(col("kv.tok").as("tok"), col("kv.df").as("df")))
+        .agg(sum(col("idf")).as("idf"), max(col("avgdl")).as("avgdl"))
+        .withColumn("tok", lit("phrase"))
+    val p1 = probe.filter(col("tok") === w1)
+      .select(col("doc_id"), col("ps").as("p1"), col("dl_b"), col("dl_t"))
+    val p2 = probe.filter(col("tok") === w2).select(col("doc_id"), col("ps").as("p2"))
+    // docs containing BOTH terms — a hit-sized frame; adjacency decided
+    // by position-array intersection, positions never leave the row
+    val pairs = p1.join(p2, Seq("doc_id"))
+      .withColumn("tf_body",
+        size(filter(col("p1"), i => array_contains(col("p2"), i + 1))).cast("long"))
+      .withColumn("tf_title",
+        size(filter(col("p1"), i => i <= 6 && array_contains(col("p2"), i + 1))).cast("long"))
+    val scB = bm25ScoreTfCarried(
+      pairs.filter(col("tf_body") > 0)
+        .select(col("doc_id"), lit("phrase").as("tok"),
+          col("tf_body").as("tf"), col("dl_b").as("dl")),
+      pseudo(art.statsBody, "df1b", "df2b"))
+      .select(col("doc_id"), col("score").as("s_body0"))
+    val scT = bm25ScoreTfCarried(
+      pairs.filter(col("tf_title") > 0)
+        .select(col("doc_id"), lit("phrase").as("tok"),
+          col("tf_title").as("tf"), col("dl_t").as("dl")),
+      pseudo(art.statsTitle, "df1t", "df2t"))
+      .select(col("doc_id"), col("score").as("s_title0"))
+    scB.join(scT, Seq("doc_id"), "full_outer")
   }
 
   /** DuckDB mirror of the stream-shaped BM25 chain — tagged CTE chain (t$tag …
@@ -721,7 +745,11 @@ object TextQueries {
       docsAnalyzed(s, d)
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
         .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf_b"), count(when(col("pos") < 8, 1)).as("tf_t"))
+        // ps = the term's sorted 0-based positions — the POSITIONAL half
+        // of the posting (Lucene's positions list): phrase/near scoring
+        // probes it per query term instead of re-scanning token arrays
+        .agg(count(lit(1)).as("tf_b"), count(when(col("pos") < 8, 1)).as("tf_t"),
+          sort_array(collect_list(col("pos"))).as("ps"))
         .localCheckpoint(true)
     }
 
@@ -815,23 +843,17 @@ object TextQueries {
               .select(col("doc_id"), col("score"))
           case "phrase" =>
             // a match_phrase of the 2-term query on each field, best
-            // field kept (typed q86c's stack verbatim — the analyzed
-            // artifact supplies toks, the phrase pair rides as a 1-row
-            // broadcast)
+            // field kept (typed q86c's stack verbatim — the
+            // positional-postings probe; nothing corpus-sized at request
+            // time)
             require(terms.size == 2,
               s"query DSL: multi_match phrase supports a 2-term phrase, got ${terms.size} terms")
             require(tieBreaker == 0.0,
               "query DSL: multi_match phrase uses the type's default tie_breaker 0")
-            val base = docsAnalyzed(s, d).crossJoin(broadcast(
-              s.range(1).select(lit(terms.head).as("w1"), lit(terms(1)).as("w2"))))
-            val sB = phraseFieldScore(base, col("toks"))
-              .select(col("doc_id"), col("score").as("s_body0"))
-            val sT = phraseFieldScore(base, slice(col("toks"), 1, 8))
-              .select(col("doc_id"), (lit(fm("title")) * col("score")).as("s_title0"))
-            sB.join(sT, Seq("doc_id"), "full_outer")
+            phraseProbeScores(s, d, terms.head, terms(1))
               .withColumn("score",
                 greatest(coalesce(col("s_body0"), lit(0.0)),
-                  coalesce(col("s_title0"), lit(0.0))))
+                  coalesce(lit(fm("title")) * col("s_title0"), lit(0.0))))
               .select(col("doc_id"), col("score"))
           case "cross_fields" =>
             // term-centric blended-df scoring (typed q86d's stack via THE
@@ -1065,7 +1087,8 @@ object TextQueries {
       |),
       |top1 AS (SELECT w1, w2 FROM bg ORDER BY cnt DESC, (w1 || ' ' || w2) ASC LIMIT 1)""".stripMargin
 
-  /** DuckDB mirror of [[phraseFieldScore]] — one field of q86c's phrase
+  /** DuckDB mirror of [[phraseProbeScores]]' per-field chain (the scan
+    * spelling — tf/df/dl are the same integers) — one field of q86c's phrase
     * scoring as a tagged CTE chain ending in `pper$tag` (doc_id,
     * n_terms_hit, score). `arr` is the field's token-array SQL expression;
     * assumes `docsb` (docs × top1 bigram) in scope. Same shape as
@@ -2723,7 +2746,7 @@ object TextQueries {
     // top level). w1/w2 = the top corpus bigram (q78's derivation),
     // tA/tB = window terms ranks QLo/QLo+1, tX = the rank-QHi term.
     // Clause scoring is ENTIRELY shared machinery: the phrase clause is
-    // q86c's Lucene phrase scorer ([[phraseFieldScore]] on the body), the
+    // q86c's Lucene phrase scorer ([[phraseProbeScores]]' body half), the
     // AND clause is THE BM25 chain over the 2-term df table gated on
     // n_terms_hit = 2 (bool MUST), the NOT clause is a broadcast
     // anti-join on tX membership, and the OR combine is the fixed
@@ -2734,13 +2757,14 @@ object TextQueries {
       val tX = rankedVocab(s, d).filter(col("r") === QHi)
         .select(col("term")).collect().head.getString(0)
       // every clause reads a build-once artifact: the phrase pass the
-      // analyzed frame (toks materialized), the AND clause the postings
-      // probe, the NOT clause an array_contains probe — probe-derived
-      // statistics are integer-identical to the round-16 token-stream
-      // pass, so the oracle is unchanged
-      val base = docsAnalyzed(s, d).crossJoin(broadcast(topBigram(s, d)))
-      val phr = phraseFieldScore(base, col("toks"))
-        .select(col("doc_id"), col("score").as("p0"))
+      // positional-postings probe, the AND clause the tf-postings probe,
+      // the NOT clause an array_contains probe — probe-derived statistics
+      // are integer-identical to the round-16 token-stream pass, so the
+      // oracle is unchanged
+      val Array(w1, w2) = topBigramString(s, d).split(" ")
+      val phr = phraseProbeScores(s, d, w1, w2)
+        .filter(col("s_body0").isNotNull)
+        .select(col("doc_id"), col("s_body0").as("p0"))
       val qdf2 = rankedVocab(s, d).filter(col("r") === QLo || col("r") === QLo + 1)
         .select(col("term").as("tok"), col("df"))
       val art = postings(s, d)
@@ -3226,14 +3250,13 @@ object TextQueries {
     // [[phraseTf]] over the sliced array.
     "q86c_multi_match_phrase" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val base = docs(s, d).crossJoin(broadcast(topBigram(s, d)))
-      val sB = phraseFieldScore(base, col("toks"))
-        .select(col("doc_id"), col("score").as("s_body0"))
-      val sT = phraseFieldScore(base, slice(col("toks"), 1, 8))
-        .select(col("doc_id"), (lit(2.0) * col("score")).as("s_title0"))
-      sB.join(sT, Seq("doc_id"), "full_outer")
+      // since r17: the positional-postings probe (phraseProbeScores —
+      // phraseFieldScore's exact numbers from the 2-term probe; the
+      // corpus never re-scans). The query bigram derives driver-side.
+      val Array(w1, w2) = topBigramString(s, d).split(" ")
+      phraseProbeScores(s, d, w1, w2)
         .withColumn("s_body", coalesce(col("s_body0"), lit(0.0)))
-        .withColumn("s_title_boosted", coalesce(col("s_title0"), lit(0.0)))
+        .withColumn("s_title_boosted", coalesce(lit(2.0) * col("s_title0"), lit(0.0)))
         .withColumn("final", greatest(col("s_body"), col("s_title_boosted")))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
