@@ -203,7 +203,15 @@ object QueryDsl {
   private[queries] def parseIntervalString(sp: String): Either[String, Long] =
     calendarUnits.get(sp).map(Left(_): Either[String, Long])
       .orElse(fixedUnits.get(sp).map(Right(_): Either[String, Long]))
-      .getOrElse(Right(parseTimeValueMs(sp, "interval")))
+      .getOrElse {
+        // "0ms"/"0s" parse to 0 via the TimeValue regex and would flow
+        // into a floor-division by zero (nulls, silently empty buckets)
+        // — reject here so EVERY string-interval door (aggBody, nested
+        // propSumGrouped, the streaming spec) inherits the loud failure
+        val ms = parseTimeValueMs(sp, "interval")
+        require(ms > 0, s"query DSL: interval must be positive, got '$sp'")
+        Right(ms)
+      }
 
   /** The TimeValue subset both the fixed `DateHistogramInterval` spellings
     * and `parseStringOffset` (builder:118-124) use: `<n><unit>` with unit
@@ -1178,6 +1186,12 @@ object QueryDsl {
         val fchildKeys = fchildNode.fieldNames().asScala.toSeq.sorted
         require(fchildKeys == Seq("proportional_sum"),
           s"query DSL: bucket child of filters must be proportional_sum, got $fchildKeys")
+        // DOCUMENTED DIVERGENCE: a named filter matching ZERO rows emits
+        // no bucket here (when(p, n) is null for every row and the
+        // compact+explode erases it), whereas ES's filters aggregation
+        // always answers one bucket per name (doc_count 0). Consistent
+        // with typed q04b and its shared oracle — empty-bucket fidelity
+        // would need a union of zero rows per unmatched name.
         val withName = filtered.withColumn(aggName,
           explode(array_compact(array(named.map { case (n, p) =>
             when(p, lit(n))
@@ -1273,8 +1287,10 @@ object QueryDsl {
     // spellings only ("1h", "90m"); calendar units under a bucket parent
     // stay loudly rejected (the typed surface has no grouped calendar run)
     val interval = Option(spec.get("interval")).map { n =>
-      if (n.isIntegralNumber) n.asLong
-      else if (n.isTextual) parseIntervalString(n.asText) match {
+      if (n.isIntegralNumber) {
+        require(n.asLong > 0, s"query DSL: interval must be positive, got $n")
+        n.asLong
+      } else if (n.isTextual) parseIntervalString(n.asText) match {
         case Right(ms) => ms
         case Left(unit) => throw new IllegalArgumentException(
           s"query DSL: nested proportional_sum supports fixed intervals only, got calendar '$unit'")

@@ -190,18 +190,26 @@ object TextQueries {
     * rules, completion prefixes, BM25 query terms) derives from. NOTE: the
     * shipped corpus has only 24 such terms at every SF — a rank window must
     * stay inside that (q77's original 26..33 window selected NOTHING and
-    * made its oracle vacuous; TextSurfaceSpec now asserts non-emptiness). */
-  private[graft] def rankedVocab(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // df = rows per tok over the build-once tf artifact (one row per
-    // (doc, term) — integer-identical to the distinct-explode scan this
-    // derived from before round 17, without the per-call corpus pass)
-    tfArtifact(s, d)
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .select(col("tok").as("term"), col("df"))
-      .filter(length(col("term")) >= 4)
-      .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
-  }
+    * made its oracle vacuous; TextSurfaceSpec now asserts non-emptiness).
+    * Since round 18 a BUILD-ONCE artifact derived from the [[dfVocab]]
+    * dictionary (ES has ONE terms dictionary per index, built at index
+    * time) — before, every rank-windowed request re-aggregated the
+    * corpus-row-sized tf artifact to re-derive these ~24 rows, the last
+    * request-time family outside the structured scale band (q102 6.1× /
+    * q103 5.9× / q168 5.8× at 100×). df values are unchanged (filtering
+    * the dictionary ≡ filtering the aggregate), so every hash holds. The
+    * single-partition rank window is vocab-bounded AND now runs exactly
+    * once per (session, dataset) instead of per request. */
+  private val rankedVocabCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ArtifactSlot[DataFrame]]
+  private[graft] def rankedVocab(s: SparkSession, d: String): DataFrame =
+    artifact(rankedVocabCache, s, d) {
+      import org.apache.spark.sql.expressions.Window
+      dfVocab(s, d)
+        .filter(length(col("term")) >= 4)
+        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
+        .localCheckpoint(true)
+    }
 
   /** Generation-swap bookkeeping for the per-call checkpointed frames
     * below: building a fresh artifact frees the PREVIOUS generation's
@@ -232,16 +240,22 @@ object TextQueries {
   /** The FULL document-frequency vocabulary (no length filter) — the term
     * dictionary the multi-term-rewrite retrieval queries (q87 fuzzy, q88
     * prefix, q89 wildcard, q90 match_phrase_prefix, q91 regexp) expand
-    * against, materialized once per call (vocab-sized; it feeds both the
-    * query derivation and the expansion). The Lucene shape: a prefix/
-    * wildcard/fuzzy query rewrites to a term-set against the dictionary,
-    * so the doc stream only ever pays an equi-join on expanded terms —
-    * never a per-row pattern/edit-distance scan. */
+    * against. The Lucene shape: a prefix/wildcard/fuzzy query rewrites to
+    * a term-set against the dictionary, so the doc stream only ever pays
+    * an equi-join on expanded terms — never a per-row pattern/
+    * edit-distance scan. Since round 18 a BUILD-ONCE artifact (the ES
+    * terms dictionary is index-time state, not request-time work): the
+    * round-17 per-call swapCheckpoint still re-paid a full tf-artifact
+    * aggregation per request to materialize these vocab-sized rows. */
+  private val dfVocabCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ArtifactSlot[DataFrame]]
   private def dfVocab(s: SparkSession, d: String): DataFrame =
-    swapCheckpoint(s"vocab:$d", tfArtifact(s, d)
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .select(col("tok").as("term"), col("df"))
-      .localCheckpoint(true))
+    artifact(dfVocabCache, s, d) {
+      tfArtifact(s, d)
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .select(col("tok").as("term"), col("df"))
+        .localCheckpoint(true)
+    }
 
   /** The top corpus bigram (count desc, gram asc) — ONE derivation shared
     * by q78 (match_phrase/span_near) and q90 (match_phrase_prefix), like
@@ -712,12 +726,18 @@ object TextQueries {
     * dataset alone could hand a second live SparkSession a frame bound to a
     * different session. Artifacts are the ES index analog: built once,
     * resident for the session's lifetime, NEVER freed out from under a
-    * consumer (entries of stopped sessions are unreachable — the key is the
-    * session object itself — and hold no executor blocks once the session
-    * is gone). */
+    * consumer. Entries of STOPPED sessions are pruned on the next lookup:
+    * a stopped session's frames can have no live consumers (every action
+    * on them throws), so dropping the map entry is safe and keeps a
+    * long-lived JVM that restarts sessions (test suites, repeated
+    * GraftSession.local()) from pinning dead sessions' driver heap. */
   private def artifact[T](cache: scala.collection.concurrent.TrieMap[(SparkSession, String), ArtifactSlot[T]],
-      s: SparkSession, d: String)(build: => T): T =
+      s: SparkSession, d: String)(build: => T): T = {
+    cache.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) cache.remove(k)
+    }
     cache.getOrElseUpdate((s, d), new ArtifactSlot(() => build)).value
+  }
 
   private val analyzedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ArtifactSlot[DataFrame]]
@@ -780,6 +800,17 @@ object TextQueries {
       // per-doc field lengths: map-side over the doc_id-clustered artifact
       val dl = g.groupBy(col("doc_id"))
         .agg(sum(col("tf_b")).as("dl_b"), sum(col("tf_t")).as("dl_t"))
+      // build-time stats below aggregate only docs PRESENT in the tf
+      // artifact, while the scan forms they replaced (and the unchanged
+      // DuckDB oracles) aggregate over every doc — identical ONLY under
+      // the no-zero-token-docs invariant. Assert it at build so a future
+      // corpus with an empty text field fails LOUDLY here instead of
+      // silently shifting n_docs/avgdl for every scored request.
+      val nDl = dl.count()
+      val nDocs = docsAnalyzed(s, d).count()
+      require(nDl == nDocs,
+        s"postings build: $nDocs analyzed docs but only $nDl with tokens — " +
+          "a zero-token doc breaks the stats identity with the full-corpus scan forms")
       val frame = g.join(dl, Seq("doc_id"))
         .repartition(col("tok"))
         .localCheckpoint(true)
