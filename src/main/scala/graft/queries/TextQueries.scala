@@ -259,16 +259,22 @@ object TextQueries {
 
   /** The top corpus bigram (count desc, gram asc) — ONE derivation shared
     * by q78 (match_phrase/span_near) and q90 (match_phrase_prefix), like
-    * their oracles share the bg/top1 CTEs. Returns one (w1, w2) row. */
+    * their oracles share the bg/top1 CTEs. Returns one (w1, w2) row.
+    * Since round 18 a BUILD-ONCE artifact (the phrase-dictionary analog
+    * of [[rankedVocab]]): five callers each re-paid the corpus-sized
+    * shingle explode+aggregate per request before. */
+  private val topBigramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ArtifactSlot[DataFrame]]
   private def topBigram(s: SparkSession, d: String): DataFrame =
-    // reads the analyzed artifact (same toks, already doc_id-spread and
-    // materialized) — five callers each paid a tokenize scan before r17
-    docsAnalyzed(s, d)
-      .select(explode(text.shingles(col("toks"), 2)).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("g").asc).limit(1)
-      .select(split(col("g"), " ").getItem(0).as("w1"),
-        split(col("g"), " ").getItem(1).as("w2"))
+    artifact(topBigramCache, s, d) {
+      docsAnalyzed(s, d)
+        .select(explode(text.shingles(col("toks"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g").asc).limit(1)
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+        .localCheckpoint(true)
+    }
 
   /** The per-(doc, term) frame q86d/q92/q102/... share — since round 17
     * the BUILD-ONCE [[tfArtifact]] (doc_id-clustered: the aggregate
@@ -279,17 +285,17 @@ object TextQueries {
   private def perDocTermTf(s: SparkSession, d: String): DataFrame =
     tfArtifact(s, d).select(col("doc_id"), col("tok"), col("tf_b"), col("tf_t"))
 
-  /** rankedVocab's [QLo, QHi] query window derived from the shared
-    * [[perDocTermTf]] frame (df = distinct docs per length≥4 term = frame
-    * rows per term — identical integers, no extra corpus scan). */
-  private def qselFromTf(g: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    g.filter(length(col("tok")) >= 4)
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
-      .filter(col("r") >= QLo && col("r") <= QHi)
-      .select(col("tok"), col("df"))
-  }
+  /** rankedVocab's [QLo, QHi] query window as a (tok, df) table — since
+    * round 18 a PROBE of the build-once [[rankedVocab]] dictionary
+    * artifact (df = frame rows per length≥4 term = distinct docs per term
+    * — identical integers to the per-call tf aggregation this replaced,
+    * which re-ranked the whole vocabulary on every request). */
+  private def qselWindow(s: SparkSession, d: String): DataFrame =
+    // broadcast hint: the window is ≤(QHi−QLo+1) rows by construction, but
+    // the checkpointed dictionary scan carries no stats for Catalyst to
+    // discover that (the pre-r18 aggregate form auto-broadcast)
+    broadcast(rankedVocab(s, d).filter(col("r") >= QLo && col("r") <= QHi)
+      .select(col("term").as("tok"), col("df")))
 
   /** The deterministic BM25 query window: vocab ranks [QLo, QHi] by
     * (df desc, term asc). ONE definition feeding bm25PerDoc, q79's term
@@ -451,13 +457,13 @@ object TextQueries {
     * matching only one field still ranks). Returns (doc_id, s_body,
     * s_title_boosted) with absent-field scores coalesced to 0. */
   private def multiMatchPerField(s: SparkSession, d: String): DataFrame =
-    multiMatchFieldsFrom(postings(s, d), qselFromTf(perDocTermTf(s, d)), titleBoost = 2.0)
+    multiMatchFieldsFrom(postings(s, d), qselWindow(s, d), titleBoost = 2.0)
 
   /** The per-field half of [[multiMatchPerField]] parameterized by the
     * query-term df table and the title boost — split out so the FRONT
     * DOOR's multi_match ([[dslRelevance]]) scores arbitrary analyzed term
     * sets through the IDENTICAL per-field stack (for the q86 window terms
-    * the generic df equals qselFromTf's df — distinct docs per term either
+    * the generic df equals qselWindow's df — distinct docs per term either
     * way — so front door ≡ typed q86 row-identically). */
   private def multiMatchFieldsFrom(art: Postings, qsel: DataFrame, titleBoost: Double): DataFrame = {
     // ONE probe of the term-partitioned artifact serves both fields:
@@ -504,9 +510,12 @@ object TextQueries {
       .groupBy(col("tok")).agg(count(lit(1)).as("df_h"))
     val dfL = gL.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df_l"))
+    // dfH/dfL are query-term-bounded (≤|qsel| rows — a groupBy on the
+    // probed terms); hint them because the checkpointed artifact scan
+    // carries no stats for Catalyst to see that
     val blended = qsel.select(col("tok"))
-      .join(dfH, Seq("tok"), "left_outer")
-      .join(dfL, Seq("tok"), "left_outer")
+      .join(broadcast(dfH), Seq("tok"), "left_outer")
+      .join(broadcast(dfL), Seq("tok"), "left_outer")
       .select(col("tok"),
         greatest(coalesce(col("df_h"), lit(0L)),
           coalesce(col("df_l"), lit(0L))).as("df"))
@@ -640,7 +649,7 @@ object TextQueries {
     * `qarr` = a 1-row (qterms array<string>) frame; hits must contain ≥1
     * query term (the scorer's contract), so the first position exists. */
   private def highlightFragments(s: SparkSession, d: String, hits: DataFrame, qarr: DataFrame): DataFrame =
-    highlightOver(docs(s, d), hits, qarr)
+    highlightOver(docsAnalyzed(s, d), hits, qarr)
 
   /** [[highlightFragments]] over an explicit tokenized frame — the front
     * door passes the build-once analyzed artifact, typed q82 the per-call
@@ -913,7 +922,7 @@ object TextQueries {
     * function_score it claims to share. Adds (dl1, factor). */
   private def bm25LengthFactored(s: SparkSession, d: String): DataFrame = {
     // the dl inner join drops nothing: every scored doc has a length
-    val dl = docs(s, d)
+    val dl = docsAnalyzed(s, d)
       .select(col("doc_id"), (size(col("toks")) + 1).cast("long").as("dl1"))
     graft.functions.detlog.withLog2(bm25PerDoc(s, d).join(dl, Seq("doc_id")), "dl1", "factor")
   }
@@ -1211,12 +1220,30 @@ object TextQueries {
     * length predicate verifies candidates. Stateless, so it applies
     * unchanged to a streaming source. Input needs `doc_id`, `toks`. */
   private[graft] def percolateInvertedAgg(in: DataFrame, rules: DataFrame): DataFrame =
-    in.select(col("doc_id"), size(col("toks")).as("n_toks"),
-        explode(array_distinct(col("toks"))).as("tok"))
-      .join(broadcast(rules), col("tok") === col("term"))
+    percolateMatch(
+      in.select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(array_distinct(col("toks"))).as("tok")),
+      rules)
+
+  /** The inverted match+verify tail shared by the streaming explode form
+    * above and q77b's batch POSTINGS PROBE ([[percolateInvertedBatch]]):
+    * input is the (doc_id, n_toks, tok) candidate stream, one row per
+    * distinct (doc, token). */
+  private def percolateMatch(tokStream: DataFrame, rules: DataFrame): DataFrame =
+    tokStream.join(broadcast(rules), col("tok") === col("term"))
       .filter(col("n_toks") >= col("min_toks"))
       .groupBy(col("rule_id"), col("term"), col("min_toks"))
       .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))
+
+  /** Batch q77b: the candidate stream IS the posting-list artifact — one
+    * row per distinct (doc, term) with the doc's token count (dl_b)
+    * carried, so registry percolation touches nothing corpus-sized and
+    * never re-explodes tokens. Row-identical to the explode form (dl_b =
+    * Σtf_b = size(toks); the artifact's rows are the distinct tokens). */
+  private def percolateInvertedBatch(s: SparkSession, d: String, rules: DataFrame): DataFrame =
+    percolateMatch(
+      postings(s, d).frame.select(col("doc_id"), col("dl_b").as("n_toks"), col("tok")),
+      rules)
 
   /** Spool the documents table and open it as a file stream with tokens
     * attached — the ONE doc-stream scaffold behind st13/st14/st15/st16
@@ -1299,7 +1326,7 @@ object TextQueries {
     val ts = rankedVocab(s, d).filter(col("r") <= 3).orderBy(col("r"))
       .select(col("term")).collect().map(_.getString(0))
     val (t1, t2, t3) = (ts(0), ts(1), ts(2))
-    docs(s, d)
+    docsAnalyzed(s, d)
       .withColumn("p1", termPositions(col("toks"), lit(t1)))
       .withColumn("p2", termPositions(col("toks"), lit(t2)))
       .withColumn("p3", termPositions(col("toks"), lit(t3)))
@@ -1341,7 +1368,7 @@ object TextQueries {
     * stream-side shuffle. Sorted for plan determinism; the
     * Tables.localize contract (a few hundred strings). */
   private[graft] def decontamBench(s: SparkSession, d: String): Seq[String] =
-    docs(s, d).filter(col("doc_id") % 97 === 0)
+    docsAnalyzed(s, d).filter(col("doc_id") % 97 === 0)
       .orderBy(col("n_chars").desc, col("doc_id").asc).limit(5)
       .select(explode(array_distinct(text.shingles(col("toks"), 3))).as("sh"))
       .distinct().orderBy(col("sh").asc)
@@ -1911,7 +1938,7 @@ object TextQueries {
     // row hash-matches.
     "q67_term_suggest" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val vocab = docs(s, d)
+      val vocab = docsAnalyzed(s, d)
         .select(explode(array_distinct(col("toks"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .filter(length(col("term")) >= 4)
@@ -1956,7 +1983,7 @@ object TextQueries {
     // ranking metrics are exact integers.
     "q75_phrase_suggest" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val bigrams = docs(s, d)
+      val bigrams = docsAnalyzed(s, d)
         .select(explode(text.shingles(col("toks"), 2)).as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("bc"))
         .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -1967,7 +1994,7 @@ object TextQueries {
         .select(col("w1"),
           concat(substring(col("w2"), 1, 1), expr("substring(w2, 3)")).as("typo"))
         .distinct()
-      val vocab = docs(s, d)
+      val vocab = docsAnalyzed(s, d)
         .select(explode(array_distinct(col("toks"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val cands = vocab.crossJoin(broadcast(queries))
@@ -2029,7 +2056,7 @@ object TextQueries {
         .groupBy().agg(
           min(when(col("r") === 11, col("term"))).as("w1"),
           min(when(col("r") === 12, col("term"))).as("w2"))
-      val ph = docs(s, d)
+      val ph = docsAnalyzed(s, d)
         .join(broadcast(window.select(col("doc_id"))), Seq("doc_id"))
         .crossJoin(broadcast(phrase))
         .select(col("doc_id"), phraseTf(col("toks"), col("w1"), col("w2")).as("phrase_tf"))
@@ -2051,7 +2078,7 @@ object TextQueries {
     // so the per-doc cost is O(len·slop) inside the scan stage and the
     // only shuffle is the final top-k.
     "q78_match_phrase" -> ((s: SparkSession, d: String) => {
-      docs(s, d).crossJoin(broadcast(topBigram(s, d)))
+      docsAnalyzed(s, d).crossJoin(broadcast(topBigram(s, d)))
         .select(col("doc_id"), col("source"),
           concat(col("w1"), lit(" "), col("w2")).as("phrase"),
           phraseTf(col("toks"), col("w1"), col("w2")).as("n_phrase"),
@@ -2070,14 +2097,19 @@ object TextQueries {
       val terms = rankedVocab(s, d)
         .filter(col("r") >= QLo && col("r") <= QHi)
         .select(col("term").as("tok"))
-      docs(s, d)
-        .select(col("doc_id"), col("source"), explode(array_distinct(col("toks"))).as("tok"))
+      // the tf artifact is one row per (doc, term) — probing it and
+      // counting rows per doc IS the distinct-token hit count the
+      // exploded token stream gave, without re-exploding anything;
+      // `source` attaches to the hit-sized survivor set afterwards
+      tfArtifact(s, d)
         .join(broadcast(terms), Seq("tok"))
-        .groupBy(col("doc_id"), col("source"))
+        .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_matched"))
         .filter(col("n_matched") >= 3)
+        .join(docsAnalyzed(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
         .orderBy(col("n_matched").desc, col("doc_id").asc)
         .limit(20)
+        .select(col("doc_id"), col("source"), col("n_matched"))
     }),
 
     // ES `boosting` query: the positive query is q76's BM25; docs
@@ -2093,7 +2125,7 @@ object TextQueries {
           min(when(col("r") === 16, col("term"))).as("n1"),
           min(when(col("r") === 17, col("term"))).as("n2"))
       bm25PerDoc(s, d)
-        .join(docs(s, d).select(col("doc_id"), col("toks")), Seq("doc_id"))
+        .join(docsAnalyzed(s, d).select(col("doc_id"), col("toks")), Seq("doc_id"))
         .crossJoin(broadcast(neg))
         .withColumn("demoted",
           array_contains(col("toks"), col("n1")) || array_contains(col("toks"), col("n2")))
@@ -2157,8 +2189,12 @@ object TextQueries {
       val expansion = vocab.crossJoin(broadcast(fq))
         .filter(levenshtein(col("q"), col("term")) <= 1)
         .select(col("q"), col("term"))
-      docs(s, d)
-        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      // the doc side is a PROBE of the build-once tf artifact — one row
+      // per (doc, term) by construction, identical to the distinct-explode
+      // of the token stream this replaced, without re-scanning/tokenizing
+      // the corpus per request (the Lucene rewrite hits postings, not docs)
+      tfArtifact(s, d)
+        .select(col("doc_id"), col("tok").as("term"))
         .join(broadcast(expansion), Seq("term"))
         .groupBy(col("q"))
         .agg(
@@ -2189,8 +2225,12 @@ object TextQueries {
       val expansion = vocab.crossJoin(broadcast(pool))
         .filter(col("term").startsWith(col("q")))
         .select(col("q"), col("term"))
-      docs(s, d)
-        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      // the doc side is a PROBE of the build-once tf artifact — one row
+      // per (doc, term) by construction, identical to the distinct-explode
+      // of the token stream this replaced, without re-scanning/tokenizing
+      // the corpus per request (the Lucene rewrite hits postings, not docs)
+      tfArtifact(s, d)
+        .select(col("doc_id"), col("tok").as("term"))
         .join(broadcast(expansion), Seq("term"))
         .groupBy(col("q"))
         .agg(
@@ -2293,8 +2333,12 @@ object TextQueries {
       val expansion = vocab.crossJoin(broadcast(pool))
         .filter(expr("term LIKE replace(replace(pat, '*', '%'), '?', '_')"))
         .select(col("pat"), col("term"))
-      docs(s, d)
-        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      // the doc side is a PROBE of the build-once tf artifact — one row
+      // per (doc, term) by construction, identical to the distinct-explode
+      // of the token stream this replaced, without re-scanning/tokenizing
+      // the corpus per request (the Lucene rewrite hits postings, not docs)
+      tfArtifact(s, d)
+        .select(col("doc_id"), col("tok").as("term"))
         .join(broadcast(expansion), Seq("term"))
         .groupBy(col("pat"))
         .agg(
@@ -2320,7 +2364,7 @@ object TextQueries {
         .filter(col("term").startsWith(col("pfx")))
         .orderBy(col("term").asc).limit(50)
         .select(col("w1"), col("pfx"), col("term"))
-      docs(s, d).crossJoin(broadcast(expansion))
+      docsAnalyzed(s, d).crossJoin(broadcast(expansion))
         .select(col("doc_id"), col("source"),
           concat(col("w1"), lit(" "), col("pfx"), lit("*")).as("phrase"),
           phraseTf(col("toks"), col("w1"), col("term")).as("tf"))
@@ -2416,8 +2460,12 @@ object TextQueries {
       val expansion = vocab.crossJoin(broadcast(pat))
         .filter(expr("term RLIKE pat"))
         .select(col("pat"), col("term"))
-      docs(s, d)
-        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      // the doc side is a PROBE of the build-once tf artifact — one row
+      // per (doc, term) by construction, identical to the distinct-explode
+      // of the token stream this replaced, without re-scanning/tokenizing
+      // the corpus per request (the Lucene rewrite hits postings, not docs)
+      tfArtifact(s, d)
+        .select(col("doc_id"), col("tok").as("term"))
         .join(broadcast(expansion), Seq("term"))
         .groupBy(col("pat"))
         .agg(
@@ -2438,7 +2486,7 @@ object TextQueries {
     "q92_combined_fields" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val g = perDocTermTf(s, d)
-      val qsel = qselFromTf(g)
+      val qsel = qselWindow(s, d)
       val dlC = g.groupBy(col("doc_id"))
         .agg((sum(col("tf_b")) + lit(2L) * sum(col("tf_t"))).as("dl"))
       val tfq = g.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
@@ -2468,7 +2516,7 @@ object TextQueries {
     "q105_rank_eval" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val g = perDocTermTf(s, d)
-      val qsel = qselFromTf(g)
+      val qsel = qselWindow(s, d)
       val dl = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
       val per = bm25TermScores(
         g.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
@@ -2571,7 +2619,7 @@ object TextQueries {
     // 3-row target set broadcasts; per-request work is request-sized.
     "q127_explain" -> ((s: SparkSession, d: String) => {
       val g = perDocTermTf(s, d)
-      val qsel = qselFromTf(g)
+      val qsel = qselWindow(s, d)
       val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
       val targets = Tables(s, d, "documents")
         .orderBy(col("n_chars").desc, col("doc_id").asc).limit(3)
@@ -2622,7 +2670,7 @@ object TextQueries {
     // Spark's sequence(1, 0) is a DESCENDING ramp, not empty. Query term
     // = the top-ranked query-window term (rank QLo).
     "q95_span_first" -> ((s: SparkSession, d: String) =>
-      spanFirstHits(docs(s, d), spanFirstTerm(s, d))
+      spanFirstHits(docsAnalyzed(s, d), spanFirstTerm(s, d))
         .orderBy(col("first_pos").asc, col("doc_id").asc)
         .limit(20)),
 
@@ -2657,7 +2705,7 @@ object TextQueries {
       // 45.6s at sf0.1): js[x] = first t2 after p1[x], ks[x] = first t3
       // after js[x], chain valid when total gap ks[x]−p1[x]−2 ≤ max_gaps.
       // Same greedy semantics, same oracle.
-      docs(s, d)
+      docsAnalyzed(s, d)
         .withColumn("p1", termPositions(col("toks"), lit(t1)))
         .withColumn("p2", termPositions(col("toks"), lit(t2)))
         .withColumn("p3", termPositions(col("toks"), lit(t3)))
@@ -2695,7 +2743,7 @@ object TextQueries {
         .orderBy(col("r")).select(col("term")).collect().map(_.getString(0))
       val (ta, tb) = (ts(0), ts(1))
       val ws = slice(col("toks"), 1, 10)
-      docs(s, d)
+      docsAnalyzed(s, d)
         .withColumn("hits",
           when(size(col("toks")) >= 1,
             filter(sequence(lit(1), least(lit(10), size(col("toks")))),
@@ -2728,7 +2776,7 @@ object TextQueries {
           !coalesce(when(j >= 2,
             element_at(col("toks"), j - 1) === col("w1") &&
               element_at(col("toks"), j) === col("w2")), lit(false))
-      docs(s, d).crossJoin(broadcast(topBigram(s, d)))
+      docsAnalyzed(s, d).crossJoin(broadcast(topBigram(s, d)))
         .withColumn("n_incl", size(termPositions(col("toks"), col("w1"))).cast("long"))
         .withColumn("kept",
           when(sz >= 1, filter(sequence(lit(1), sz), keptAt _))
@@ -3028,12 +3076,12 @@ object TextQueries {
     // query). Page top-20 by doc_id + hits.total (the q118 shape);
     // n_matched rides along so the multi-term overlap is visible.
     "q134_terms_lookup" -> ((s: SparkSession, d: String) => {
-      val lk = docs(s, d)
+      val lk = docsAnalyzed(s, d)
         .orderBy(col("n_chars").desc, col("doc_id").asc).limit(1)
         .select(slice(
           array_sort(array_distinct(filter(col("toks"), t => length(t) >= 6))),
           1, 16).as("lk"))
-      val hits = docs(s, d)
+      val hits = docsAnalyzed(s, d)
         .crossJoin(broadcast(lk))
         .withColumn("n_matched",
           size(array_intersect(array_distinct(col("toks")), col("lk"))).cast("long"))
@@ -3134,7 +3182,7 @@ object TextQueries {
     // term test is one array_contains projection, no scoring machinery.
     "q118_constant_score" -> ((s: SparkSession, d: String) => {
       val t = spanFirstTerm(s, d)
-      docs(s, d)
+      docsAnalyzed(s, d)
         .filter(array_contains(col("toks"), lit(t)))
         .select(col("doc_id"), lit(1.2).as("score"))
         .orderBy(col("doc_id").asc)
@@ -3165,7 +3213,7 @@ object TextQueries {
         .filter(col("term").startsWith(col("q")))
         .orderBy(col("df").desc, col("term").asc).limit(10)
         .agg(sort_array(collect_list(col("term"))).as("exp"))
-      docs(s, d).crossJoin(broadcast(expArr))
+      docsAnalyzed(s, d).crossJoin(broadcast(expArr))
         .withColumn("hits",
           when(size(col("toks")) >= 1,
             filter(sequence(lit(1), least(lit(10), size(col("toks")))),
@@ -3198,7 +3246,7 @@ object TextQueries {
       val ts = rankedVocab(s, d).filter(col("r") <= 2).orderBy(col("r"))
         .select(col("term")).collect().map(_.getString(0))
       val (t1, t2) = (ts(0), ts(1))
-      docs(s, d)
+      docsAnalyzed(s, d)
         .withColumn("p1t",
           filter(termPositions(col("toks"), lit(t1)), i => i <= lit(8)))
         .withColumn("p2", termPositions(col("toks"), lit(t2)))
@@ -3319,7 +3367,7 @@ object TextQueries {
     // new exchanges are over hit-sized score tables.
     "q86d_multi_match_cross_fields" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      crossFieldsScored(s, d, qselFromTf(perDocTermTf(s, d)))
+      crossFieldsScored(s, d, qselWindow(s, d))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("final").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)
@@ -3413,7 +3461,7 @@ object TextQueries {
     // queries here are 8 term+length predicates derived deterministically
     // from the corpus; the tiny registry broadcasts, docs stream by once.
     "q77_percolate" -> ((s: SparkSession, d: String) =>
-      docs(s, d)
+      docsAnalyzed(s, d)
         .crossJoin(broadcast(percolateRules(s, d)))
         .filter(array_contains(col("toks"), col("term")) && size(col("toks")) >= col("min_toks"))
         .groupBy(col("rule_id"), col("term"), col("min_toks"))
@@ -3430,7 +3478,7 @@ object TextQueries {
     // At a 10k-rule registry this is the shape that survives; q77 stays as
     // the contract-fidelity form.
     "q77b_percolate_inverted" -> ((s: SparkSession, d: String) =>
-      percolateInvertedAgg(docs(s, d), percolateRules(s, d))),
+      percolateInvertedBatch(s, d, percolateRules(s, d))),
 
     // The always-on percolator: the same rule registry matched against the
     // DOCUMENT STREAM (alert-at-ingest), complete-mode running counts.
@@ -3584,9 +3632,9 @@ object TextQueries {
     // stream joins it (never doc×doc); ln at round-6 follows the q53
     // precedent (hash-stable across engines for these magnitudes).
     "q65_more_like_this" -> ((s: SparkSession, d: String) => {
-      val t = docs(s, d).select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      val t = docsAnalyzed(s, d).select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
       val dfreq = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val nDocs = docsAnalyzed(s, d).agg(count(lit(1)).as("n_docs"))
       // broadcast the LIKE-DOC's term set (one doc's vocabulary), stream the
       // corpus-wide dfreq past it — never broadcast the full vocab
       val likeTerms = dfreq
