@@ -257,6 +257,21 @@ object TextQueries {
         .localCheckpoint(true)
     }
 
+  /** The TITLE field's document-frequency dictionary — df per term over
+    * docs whose first-8 window (the derived title field, q86's
+    * convention) contains it. ES keeps one terms dictionary PER FIELD at
+    * index time; field-scoped clauses (q106's `title:term`) probe this
+    * instead of re-aggregating the tf frame per request. */
+  private val titleVocabCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ArtifactSlot[DataFrame]]
+  private def titleVocab(s: SparkSession, d: String): DataFrame =
+    artifact(titleVocabCache, s, d) {
+      tfArtifact(s, d).filter(col("tf_t") > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .select(col("tok").as("term"), col("df"))
+        .localCheckpoint(true)
+    }
+
   /** The top corpus bigram (count desc, gram asc) — ONE derivation shared
     * by q78 (match_phrase/span_near) and q90 (match_phrase_prefix), like
     * their oracles share the bg/top1 CTEs. Returns one (w1, w2) row.
@@ -498,12 +513,19 @@ object TextQueries {
     * falling out of the shared [[perDocTermTf]] artifact (tail tf = tf_b
     * − tf_t). Returns (doc_id, n_terms_hit, final). */
   private def crossFieldsScored(s: SparkSession, d: String, qsel: DataFrame): DataFrame = {
-    val g = perDocTermTf(s, d)
+    // since round 18: a postings PROBE — both derived fields' tf and dl
+    // fall out of the carried columns (head tf = tf_t / dl = dl_t; tail
+    // tf = tf_b − tf_t / dl = dl_l = dl_b − dl_t) and both fields'
+    // avgdl/n_docs come from the build-time stats rows (statsTitle's doc
+    // set IS gH's — docs with a first-8 token — and statsTail's IS gL's,
+    // Σ(tf_b − tf_t) > 0 ⟺ ∃ term with tf_b > tf_t). The pre-r18 form
+    // re-aggregated per-doc lengths three times per request (q168 read
+    // 5.8× at the 100× derivation).
+    val art = postings(s, d)
+    val g = art.frame
     val gH = g.filter(col("tf_t") > 0)
     val gL = g.filter(col("tf_b") > col("tf_t"))
       .withColumn("tf_l", col("tf_b") - col("tf_t"))
-    val dlH = gH.groupBy(col("doc_id")).agg(sum(col("tf_t")).as("dl"))
-    val dlL = gL.groupBy(col("doc_id")).agg(sum(col("tf_l")).as("dl"))
     // blended per-term df = max across the two fields (distinct docs
     // with a head/tail occurrence respectively)
     val dfH = gH.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
@@ -522,24 +544,19 @@ object TextQueries {
     // ONE idf table: blended df against the CORPUS n_docs (the union
     // frame — a superset of each field's doc set, so blended df can
     // never exceed it); each field instance swaps in its OWN avgdl for
-    // tf-normalization (bm25QIdf's body avgdl is dropped unused)
-    val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
-    val qIdf = bm25QIdf(dlB, blended)
-    def withAvgdl(fieldDl: DataFrame): DataFrame = {
-      val st = fieldDl.agg(
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl_f"))
-      qIdf.drop("avgdl").crossJoin(broadcast(st))
-        .withColumnRenamed("avgdl_f", "avgdl")
-    }
-    val scH = bm25TermScores(
+    // tf-normalization (statsBody's avgdl is dropped unused)
+    val qIdf = bm25QIdfStats(art.statsBody, blended)
+    def withAvgdl(fieldStats: DataFrame): DataFrame =
+      qIdf.drop("avgdl").crossJoin(broadcast(fieldStats.select(col("avgdl"))))
+    val scH = bm25TermScoresCarried(
       gH.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
-        .select(col("doc_id"), col("tok"), col("tf_t").as("tf")),
-      dlH, withAvgdl(dlH))
+        .select(col("doc_id"), col("tok"), col("tf_t").as("tf"), col("dl_t").as("dl")),
+      withAvgdl(art.statsTitle))
       .select(col("doc_id"), col("tok"), (lit(2.0) * col("score_t")).as("sh"))
-    val scL = bm25TermScores(
+    val scL = bm25TermScoresCarried(
       gL.join(broadcast(qsel.select(col("tok"))), Seq("tok"))
-        .select(col("doc_id"), col("tok"), col("tf_l").as("tf")),
-      dlL, withAvgdl(dlL))
+        .select(col("doc_id"), col("tok"), col("tf_l").as("tf"), col("dl_l").as("dl")),
+      withAvgdl(art.statsTail))
       .select(col("doc_id"), col("tok"), col("score_t").as("sl"))
     scH.join(scL, Seq("doc_id", "tok"), "full_outer")
       .withColumn("best",
@@ -800,7 +817,8 @@ object TextQueries {
     * stats use bm25QIdf's exact arithmetic (count, sum cast double /
     * count) over the same per-doc rows. */
   private[graft] final case class Postings(
-      frame: DataFrame, statsBody: DataFrame, statsTitle: DataFrame)
+      frame: DataFrame, statsBody: DataFrame, statsTitle: DataFrame,
+      statsTail: DataFrame)
   private val postingsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ArtifactSlot[Postings]]
   private[graft] def postings(s: SparkSession, d: String): Postings =
@@ -809,6 +827,7 @@ object TextQueries {
       // per-doc field lengths: map-side over the doc_id-clustered artifact
       val dl = g.groupBy(col("doc_id"))
         .agg(sum(col("tf_b")).as("dl_b"), sum(col("tf_t")).as("dl_t"))
+        .withColumn("dl_l", col("dl_b") - col("dl_t"))
       // build-time stats below aggregate only docs PRESENT in the tf
       // artifact, while the scan forms they replaced (and the unchanged
       // DuckDB oracles) aggregate over every doc — identical ONLY under
@@ -835,7 +854,12 @@ object TextQueries {
         statsBody = statsOf("dl_b", lit(true)),
         // the title field's doc set = docs with ≥1 first-8 token (the
         // gT = g.filter(tf_t > 0) contract)
-        statsTitle = statsOf("dl_t", col("dl_t") > 0))
+        statsTitle = statsOf("dl_t", col("dl_t") > 0),
+        // the TAIL field (tokens 9+, q86d's head/tail split): per-doc
+        // length = dl_b − dl_t, doc set = docs with ≥1 token past the
+        // first 8 (Σ(tf_b − tf_t) > 0 ⟺ ∃ term with tf_b > tf_t, since
+        // tf_t ≤ tf_b per term)
+        statsTail = statsOf("dl_l", col("dl_l") > 0))
     }
 
   /** The front door's [[QueryDsl.Relevance]] — every scorer routes through
@@ -2358,19 +2382,34 @@ object TextQueries {
     // word's FIRST CHAR as the prefix — single-char so the expansion is
     // multi-term by construction on this sparse dictionary.
     "q90_match_phrase_prefix" -> ((s: SparkSession, d: String) => {
-      val expansion = dfVocab(s, d)
-        .crossJoin(broadcast(topBigram(s, d)))
-        .withColumn("pfx", substring(col("w2"), 1, 1))
-        .filter(col("term").startsWith(col("pfx")))
+      // since round 18: the POSITIONAL-POSTINGS probe (the r17 phrase-
+      // family path) — the HOF-scan form paid |expansion| full token-array
+      // scans per doc (52s / factor 286 at the 100× derivation); here p1 =
+      // w1's position lists, p2 = each expansion term's, adjacency is an
+      // array intersection per probed (doc, term) pair and Σ over the
+      // expansion equals the scan's per-term sum EXACTLY (phraseTf counts
+      // i with toks[i]=w1 ∧ toks[i+1]=t; the intersect counts i ∈ ps(w1)
+      // with i+1 ∈ ps(t) — the same positions). w1/pfx ship as driver
+      // literals (the q95/st17 convention; topBigram is an artifact).
+      val Array(w1, w2) = topBigramString(s, d).split(" ")
+      val pfx = w2.substring(0, 1)
+      val exp = dfVocab(s, d).filter(col("term").startsWith(lit(pfx)))
         .orderBy(col("term").asc).limit(50)
-        .select(col("w1"), col("pfx"), col("term"))
-      docsAnalyzed(s, d).crossJoin(broadcast(expansion))
-        .select(col("doc_id"), col("source"),
-          concat(col("w1"), lit(" "), col("pfx"), lit("*")).as("phrase"),
-          phraseTf(col("toks"), col("w1"), col("term")).as("tf"))
-        .groupBy(col("doc_id"), col("source"), col("phrase"))
+        .select(col("term"))
+      val art = postings(s, d).frame
+      val p1 = art.filter(col("tok") === lit(w1))
+        .select(col("doc_id"), col("ps").as("p1"))
+      val p2 = art.join(broadcast(exp), col("tok") === col("term"))
+        .select(col("doc_id"), col("ps").as("p2"))
+      p1.join(p2, Seq("doc_id"))
+        .withColumn("tf",
+          size(filter(col("p1"), i => array_contains(col("p2"), i + 1))).cast("long"))
+        .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_phrase"))
         .filter(col("n_phrase") > 0)
+        .join(docsAnalyzed(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          concat(lit(w1), lit(" "), lit(pfx), lit("*")).as("phrase"), col("n_phrase"))
         .orderBy(col("n_phrase").desc, col("doc_id").asc)
         .limit(15)
     }),
@@ -2882,31 +2921,40 @@ object TextQueries {
     // formula ([[bm25ScoreTf]]/[[bm25TermScores]]).
     "q106_query_string" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val g = perDocTermTf(s, d)
-      val gT = g.filter(col("tf_t") > 0)
-      val tT = gT.filter(length(col("tok")) >= 4)
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("tok").asc).limit(1)
-      val dlT = gT.groupBy(col("doc_id")).agg(sum(col("tf_t")).as("dl"))
-      val sT = bm25ScoreTf(
-        gT.join(broadcast(tT.select(col("tok"))), Seq("tok"))
-          .select(col("doc_id"), col("tok"), col("tf_t").as("tf")),
-        dlT, bm25QIdf(dlT, tT))
+      // since round 18: every clause PROBES the build-once artifacts —
+      // the field-scoped title clause reads the titleVocab dictionary +
+      // the carried dl_t/build-time statsTitle, the boolean group reads
+      // rankedVocab + carried dl_b/statsBody, and the NOT clause probes
+      // the postings rows; the pre-r18 form re-aggregated the tf frame
+      // four times and re-ranked the whole vocabulary per request
+      // (8.6× at the 100× derivation). Probe statistics are
+      // integer-identical (df = frame rows per term, dl carried = Σtf,
+      // stats = the build-time count/sum-cast-double/count).
+      val art = postings(s, d)
+      val tT = broadcast(titleVocab(s, d).filter(length(col("term")) >= 4)
+        .orderBy(col("df").desc, col("term").asc).limit(1)
+        .select(col("term").as("tok"), col("df")))
+      val sT = bm25ScoreTfCarried(
+        art.frame.filter(col("tf_t") > 0)
+          .join(tT.select(col("tok")), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_t").as("tf"), col("dl_t").as("dl")),
+        bm25QIdfStats(art.statsTitle, tT))
         .select(col("doc_id"), col("score").as("s_title"))
-      val qv = g.filter(length(col("tok")) >= 4)
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
-      val qg = qv.filter(col("r") === QLo || col("r") === QLo + 1)
-      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
-      val sG = bm25TermScores(
-        g.join(broadcast(qg.select(col("tok"), col("r"))), Seq("tok"))
-          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"), col("r")),
-        dlB, bm25QIdf(dlB, qg.select(col("tok"), col("df"))))
+      val qg = broadcast(rankedVocab(s, d)
+        .filter(col("r") === QLo || col("r") === QLo + 1)
+        .select(col("term").as("tok"), col("df"), col("r")))
+      val sG = bm25TermScoresCarried(
+        art.frame.join(qg.select(col("tok"), col("r")), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"),
+            col("dl_b").as("dl"), col("r")),
+        bm25QIdfStats(art.statsBody, qg.select(col("tok"), col("df"))))
         .withColumn("ws",
           when(col("r") === QLo + 1, lit(2.0)).otherwise(lit(1.0)) * col("score_t"))
         .groupBy(col("doc_id"))
         .agg(graft.functions.detsum.sumDet(col("ws"), 9).as("s_group"))
-      val excl = g.join(broadcast(qv.filter(col("r") === QHi).select(col("tok"))), Seq("tok"))
+      val excl = art.frame.join(
+        broadcast(rankedVocab(s, d).filter(col("r") === QHi)
+          .select(col("term").as("tok"))), Seq("tok"))
         .select(col("doc_id"))
       sT.join(sG, Seq("doc_id"))
         .join(excl, Seq("doc_id"), "left_anti")
@@ -2931,23 +2979,28 @@ object TextQueries {
     // documents scan as a pushed range predicate.
     "q119_bool" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val g = perDocTermTf(s, d)
-      val qv = g.filter(length(col("tok")) >= 4)
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
-      val clause = qv.filter(col("r") >= QLo && col("r") <= QLo + 2)
-      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
-      val sc = bm25TermScores(
-        g.join(broadcast(clause.select(col("tok"), col("r"))), Seq("tok"))
-          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"), col("r")),
-        dlB, bm25QIdf(dlB, clause.select(col("tok"), col("df"))))
+      // clause terms/df from the build-once rankedVocab dictionary, tf/dl
+      // carried on the probed postings rows, idf from the build-time
+      // stats — the pre-r18 form re-ranked the vocabulary and
+      // re-aggregated per-doc lengths per request (same integers)
+      val art = postings(s, d)
+      val clause = broadcast(rankedVocab(s, d)
+        .filter(col("r") >= QLo && col("r") <= QLo + 2)
+        .select(col("term").as("tok"), col("df"), col("r")))
+      val sc = bm25TermScoresCarried(
+        art.frame.join(clause.select(col("tok"), col("r")), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"),
+            col("dl_b").as("dl"), col("r")),
+        bm25QIdfStats(art.statsBody, clause.select(col("tok"), col("df"))))
       // pivot the ≤3 clause rows per doc into fixed columns: each (doc, r)
       // is unique, so min() just carries the value
       val per = sc.groupBy(col("doc_id")).agg(
         min(when(col("r") === QLo, col("score_t"))).as("s_must"),
         min(when(col("r") === QLo + 1, col("score_t"))).as("s_should1"),
         min(when(col("r") === QLo + 2, col("score_t"))).as("s_should2"))
-      val excl = g.join(broadcast(qv.filter(col("r") === QLo + 3).select(col("tok"))), Seq("tok"))
+      val excl = art.frame.join(
+        broadcast(rankedVocab(s, d).filter(col("r") === QLo + 3)
+          .select(col("term").as("tok"))), Seq("tok"))
         .select(col("doc_id"))
       val flt = Tables(s, d, "documents").filter(col("n_chars") >= 200).select(col("doc_id"))
       per
@@ -2981,20 +3034,22 @@ object TextQueries {
     // one-scan per-(doc, term) frame.
     "q123_dis_max" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val g = perDocTermTf(s, d)
-      val qv = g.filter(length(col("tok")) >= 4)
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
-      val a = qv.filter(col("r") === QLo).select(col("tok"), col("df"), lit(1).as("r"))
-      val rare = g.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df").asc, col("tok").asc).limit(1)
-        .select(col("tok"), col("df"), lit(2).as("r"))
-      val clause = a.union(rare)
-      val dlB = g.groupBy(col("doc_id")).agg(sum(col("tf_b")).as("dl"))
-      val sc = bm25TermScores(
-        g.join(broadcast(clause.select(col("tok"), col("r"))), Seq("tok"))
-          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"), col("r")),
-        dlB, bm25QIdf(dlB, clause.select(col("tok"), col("df"))))
+      // clause A from the rankedVocab dictionary, clause B (the corpus's
+      // rarest token) from the full dfVocab dictionary; scoring probes
+      // the postings artifact (same integers as the per-request frame
+      // aggregations this replaces)
+      val art = postings(s, d)
+      val a = rankedVocab(s, d).filter(col("r") === QLo)
+        .select(col("term").as("tok"), col("df"), lit(1).as("r"))
+      val rare = dfVocab(s, d)
+        .orderBy(col("df").asc, col("term").asc).limit(1)
+        .select(col("term").as("tok"), col("df"), lit(2).as("r"))
+      val clause = broadcast(a.union(rare))
+      val sc = bm25TermScoresCarried(
+        art.frame.join(clause.select(col("tok"), col("r")), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf_b").as("tf"),
+            col("dl_b").as("dl"), col("r")),
+        bm25QIdfStats(art.statsBody, clause.select(col("tok"), col("df"))))
       sc.groupBy(col("doc_id")).agg(
           min(when(col("r") === 1, col("score_t"))).as("s_a"),
           min(when(col("r") === 2, col("score_t"))).as("s_b"))
@@ -3128,10 +3183,11 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val g = perDocTermTf(s, d)
       val len4 = g.filter(length(col("tok")) >= 4)
-      val seeds = len4.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
+      // seeds from the build-once dictionary (the pre-r18 form re-ranked
+      // the vocabulary per request; same terms)
+      val seeds = rankedVocab(s, d)
         .filter(col("r") >= QLo && col("r") <= QLo + 1)
-        .select(col("tok").as("seed"))
+        .select(col("term").as("seed"))
       val seedDocs = g.join(broadcast(seeds), col("tok") === col("seed"))
         .select(col("seed"), col("doc_id"))
       val expn = seedDocs
