@@ -88,6 +88,28 @@ object QueryDsl {
     f
   }
 
+  /** ES `_field_caps` — the capabilities endpoint, answered from the
+    * schema-derived [[catalogOf]] (the catalog IS the mapping): one row
+    * per addressable field with its ES type and the searchable/
+    * aggregatable flags this door actually honors. `analyzed` declares
+    * the full-text fields (ES `text`: searchable, NOT aggregatable —
+    * no doc values); other strings are `keyword`, longs `long`, doubles
+    * `double`. Non-addressable columns (arrays, binaries) are simply
+    * absent, exactly like the door's own loud-rejection surface. */
+  def fieldCaps(df: DataFrame, analyzed: Set[String] = Set.empty): DataFrame = {
+    val cat = catalogOf(df)
+    analyzed.foreach(f => require(cat.strings(f),
+      s"query DSL: analyzed field '$f' is not a string column"))
+    val rows = df.schema.fields.toSeq.collect {
+      case f if analyzed(f.name) => (f.name, "text", true, false)
+      case f if cat.longs(f.name) => (f.name, "long", true, true)
+      case f if cat.strings(f.name) => (f.name, "keyword", true, true)
+      case f if cat.doubles(f.name) => (f.name, "double", true, true)
+    }
+    import df.sparkSession.implicits._
+    rows.toDF("field", "type", "searchable", "aggregatable")
+  }
+
   /** Compiled clause: match predicate + query-context score (0.0 when the
     * clause does not match; filter-context callers drop the score). */
   final case class Compiled(pred: Column, score: Column)
@@ -231,6 +253,33 @@ object QueryDsl {
         n.toLong * mult
       case _ => throw new IllegalArgumentException(
         s"query DSL: bad $what time value '$sp' (expected <n>(ms|s|m|h|d))")
+    }
+  }
+
+  /** `extended_bounds` date-string min/max (LongBounds.PARSER,
+    * builder:130-131): the whitelisted formats the `format` knob already
+    * proves cross-engine mirrors for, parsed driver-side at UTC to the
+    * identical epoch-ms the integral spelling carries. Strict per-format
+    * parse (Locale.ROOT); an unlisted or unparseable spelling is loud. */
+  private[queries] def parseBoundDateMs(sp: String, what: String): Long = {
+    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+    import java.time.format.DateTimeFormatter
+    import java.util.Locale
+    val iso = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", Locale.ROOT)
+    val dtm = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm", Locale.ROOT)
+    val dt = DateTimeFormatter.ofPattern("yyyy-MM-dd", Locale.ROOT)
+    try {
+      if (sp.endsWith("Z"))
+        LocalDateTime.parse(sp, iso).toInstant(ZoneOffset.UTC).toEpochMilli
+      else if (sp.contains(" "))
+        LocalDateTime.parse(sp, dtm).toInstant(ZoneOffset.UTC).toEpochMilli
+      else
+        LocalDate.parse(sp, dt).atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"query DSL: extended_bounds $what '$sp' matches no whitelisted date format " +
+            "(yyyy-MM-dd'T'HH:mm:ss.SSS'Z' | yyyy-MM-dd HH:mm | yyyy-MM-dd)", e)
     }
   }
 
@@ -930,6 +979,32 @@ object QueryDsl {
     spark.createDataFrame(out, scrollSchema(base, src))
   }
 
+  /** ES SLICED scroll/PIT export — the parallel-export contract
+    * (`slice: {id, max}`): `max` independent cursors each drain a
+    * DISJOINT slice of the hit set in the sort order. ES assigns a hit
+    * by hash(_id) % max; the deterministic analog here is doc_id % max
+    * (the corpus `_id` IS doc_id), so both engines compute the identical
+    * assignment. All `max` slices are emitted in ONE pass — rank and
+    * page are PER-SLICE (each worker's own cursor walk), computed by a
+    * slice-partitioned window: no single-partition sort, no driver rows,
+    * and the window's partition count is the export parallelism itself.
+    * Shares q140's hit set: the oracle proves the slices are disjoint,
+    * complete (every q140 row appears in exactly one slice), and each
+    * internally in drain order. */
+  def scrollExportSliced(docs0: DataFrame, body: JsonNode, pageSize: Int,
+      maxSlices: Int): DataFrame = {
+    require(pageSize > 0, "query DSL: scroll page size must be positive")
+    require(maxSlices > 0, "query DSL: slice max must be positive")
+    val (base, _, sortCols, src) = scrollSpec(docs0, body)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("slice_id")).orderBy(sortCols: _*)
+    base
+      .withColumn("slice_id", pmod(col("doc_id"), lit(maxSlices.toLong)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("page", expr(s"(rank - 1) DIV $pageSize + 1"))
+      .select((col("slice_id") +: col("rank") +: col("page") +: src.map(col)): _*)
+  }
+
   /** ES runtime fields (`runtime_mappings`): request-time computed columns
     * usable in query/sort/`_source` exactly like mapped fields — ES's
     * compute-at-query promise, which on Spark is simply a row-local
@@ -1198,6 +1273,66 @@ object QueryDsl {
           }: _*))))
         propSumGrouped(withName, fchildNode.get("proportional_sum"), aggName)
 
+      case "histogram" =>
+        // the plain NUMERIC histogram framework agg (the q10b recipe:
+        // bucket = floor(v / interval) · interval, emitted as
+        // `<field>_bucket` so the door shares the typed oracle verbatim).
+        // ES also allows fractional intervals/offset/min_doc_count —
+        // loudly rejected until a consumer needs them.
+        require(spec.isObject && spec.has("field") && spec.has("interval"),
+          "query DSL: histogram requires field + interval")
+        val f = spec.get("field").asText
+        require(filtered.columns.contains(f), s"query DSL: unknown field '$f'")
+        require(spec.get("interval").isIntegralNumber,
+          s"query DSL: histogram interval must be integral, got ${spec.get("interval")}")
+        val itv = spec.get("interval").asLong
+        require(itv > 0, s"query DSL: histogram interval must be positive, got $itv")
+        val known = Set("field", "interval")
+        val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
+        require(unknown.isEmpty, s"query DSL: unsupported histogram keys: $unknown")
+        filtered
+          .groupBy(((floor(col(f) / lit(itv.toDouble)) * lit(itv)).cast("long"))
+            .as(s"${f}_bucket"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"),
+            metricCols(subAggs, filtered): _*)
+
+      case "range" =>
+        // the explicit-edges `range` framework agg (q10c's shape). ES
+        // contract: `from` inclusive, `to` exclusive, and a doc lands in
+        // EVERY matching range (overlaps each count it) — the conditional
+        // explode erases ranges matching zero rows, the same DOCUMENTED
+        // divergence as the filters parent (ES answers doc_count 0).
+        // Keys must be explicit (ES's auto "from-to" spellings rejected).
+        require(spec.isObject && spec.has("field") && spec.has("ranges")
+          && spec.get("ranges").isArray && spec.get("ranges").size > 0,
+          "query DSL: range agg requires field + non-empty ranges array")
+        val f = spec.get("field").asText
+        require(filtered.columns.contains(f), s"query DSL: unknown field '$f'")
+        val known = Set("field", "ranges")
+        val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
+        require(unknown.isEmpty, s"query DSL: unsupported range keys: $unknown")
+        val rs = spec.get("ranges").elements().asScala.toSeq.map { r =>
+          require(r.isObject && r.has("key"),
+            "query DSL: each range requires an explicit key")
+          val extra = r.fieldNames().asScala.toSeq.filterNot(Set("key", "from", "to"))
+          require(extra.isEmpty, s"query DSL: unsupported range entry keys: $extra")
+          require(r.has("from") || r.has("to"),
+            "query DSL: a range needs from and/or to")
+          (r.get("key").asText,
+            Option(r.get("from")).map(_.asDouble),
+            Option(r.get("to")).map(_.asDouble))
+        }
+        require(rs.map(_._1).distinct.size == rs.size, "query DSL: duplicate range keys")
+        filtered
+          .withColumn("range_key",
+            explode(array_compact(array(rs.map { case (k, fo, to) =>
+              val p = (fo.map(col(f) >= _).toSeq ++ to.map(col(f) < _)).reduce(_ && _)
+              when(p, lit(k))
+            }: _*))))
+          .groupBy(col("range_key"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"),
+            metricCols(subAggs, filtered): _*)
+
       case "terms" =>
         require(spec.isObject && spec.has("field"), "query DSL: terms agg requires field")
         val f = spec.get("field").asText
@@ -1244,12 +1379,52 @@ object QueryDsl {
       "query DSL: fixed_interval must be integral epoch-ms")
     val itv = spec.get("fixed_interval").asLong
     require(itv > 0, "query DSL: fixed_interval must be positive")
-    val known = Set("field", "fixed_interval")
+    val known = Set("field", "fixed_interval", "order")
     val unknown = spec.fieldNames().asScala.toSeq.filterNot(known)
     require(unknown.isEmpty, s"query DSL: unsupported date_histogram keys: $unknown")
     // the q10 bucket recipe verbatim: floor(ms / interval) * interval
-    frame.groupBy((groupCols :+ (floor(col(f) / lit(itv)) * lit(itv)).as("bucket_ms")): _*)
+    val agged = frame
+      .groupBy((groupCols :+ (floor(col(f) / lit(itv)) * lit(itv)).as("bucket_ms")): _*)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"), metricCols(subAggs, frame): _*)
+    // bucket `order` incl. AGGREGATION PATHS (builder:133-134,
+    // InternalOrder.Parser.parseOrderParam; compound reduce at :333): a
+    // path is _key / _count or the NAME of a declared metric sub-agg
+    // (optionally `name.value` — the single-value metric's one path).
+    // Emitted as the data-visible `order_rank` column (the q01k
+    // convention) over the bucket grid with bucket_ms asc as the total
+    // tiebreak; unknown paths are loud. Nested (terms-parent) runs keep
+    // their own presentation — order there is rejected, not silently
+    // dropped.
+    Option(spec.get("order")).map { o =>
+      require(groupCols.isEmpty,
+        "query DSL: date_histogram order under a bucket parent is not supported")
+      val metricNames: Set[String] = subAggs.map(sa =>
+        sa.fieldNames().asScala.toSet).getOrElse(Set.empty)
+      val entries = (if (o.isArray) o.elements().asScala.toSeq else Seq(o))
+        .map(sole(_, "order"))
+      require(entries.nonEmpty, "query DSL: order must carry at least one entry")
+      val sortCols = entries.map { case (k, v) =>
+        val dir = v.asText
+        require(dir == "asc" || dir == "desc",
+          s"query DSL: order direction must be asc/desc, got '$dir'")
+        val c = k match {
+          case "_key" => col("bucket_ms")
+          case "_count" => col("doc_count")
+          case path =>
+            // agg path: `name` or `name.value` of a DECLARED metric
+            val name = path.stripSuffix(".value")
+            require(metricNames(name),
+              s"query DSL: order path '$path' does not name a metric sub-aggregation " +
+                s"(declared: ${metricNames.toSeq.sorted.mkString(", ")})")
+            col(name)
+        }
+        if (dir == "asc") c.asc else c.desc
+      } :+ col("bucket_ms").asc
+      import org.apache.spark.sql.expressions.Window
+      // bucket-grid-sized window (the q01k single-partition argument)
+      agged.withColumn("order_rank",
+        row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+    }.getOrElse(agged)
   }
 
   /** True when a sub-aggs object holds a single BUCKET child (a nested
@@ -1428,10 +1603,22 @@ object QueryDsl {
     }.getOrElse(0L)
     val minDoc = longOpt("min_doc_count").getOrElse(0L)
     val extBounds: Option[(Long, Long)] = Option(spec.get("extended_bounds")).map { eb =>
-      require(eb.isObject && eb.has("min") && eb.has("max")
-        && eb.get("min").isIntegralNumber && eb.get("max").isIntegralNumber,
-        s"query DSL: extended_bounds requires integral min/max, got $eb")
-      val (mn, mx) = (eb.get("min").asLong, eb.get("max").asLong)
+      require(eb.isObject && eb.has("min") && eb.has("max"),
+        s"query DSL: extended_bounds requires min + max, got $eb")
+      // LongBounds.PARSER (builder:130-131) also accepts FORMATTED DATE
+      // STRINGS for min/max — the Grafana/Kibana spelling. Accepted here
+      // for the same whitelisted formats the `format` knob proves DuckDB
+      // mirrors for; parsed driver-side (UTC) to the identical epoch-ms
+      // the integral spelling carries, so the oracle is unchanged.
+      // Anything unparseable is loud, never silently approximated.
+      def boundMs(k: String): Long = {
+        val n = eb.get(k)
+        if (n.isIntegralNumber) n.asLong
+        else if (n.isTextual) parseBoundDateMs(n.asText, k)
+        else throw new IllegalArgumentException(
+          s"query DSL: extended_bounds $k must be integral ms or a whitelisted date string, got $n")
+      }
+      val (mn, mx) = (boundMs("min"), boundMs("max"))
       require(mn <= mx, s"query DSL: extended_bounds min $mn > max $mx")
       require(hasFixed, "query DSL: extended_bounds requires the fixed interval form")
       require(minDoc == 0,
@@ -1746,6 +1933,30 @@ object DslQueries {
       QueryDsl.scrollExport(Tables(s, d, "documents"), body, pageSize = 64)
     }),
 
+    // ES `_field_caps` over the corpus table: the schema-derived catalog
+    // emitted as the capabilities response (text = the analyzed corpus
+    // field, searchable but not aggregatable; strings keyword; longs
+    // long). The oracle derives the SAME rows from DuckDB's
+    // information_schema over the identical parquet — mapping drift
+    // between the two engines' views of the schema fails the hash.
+    "q177_dsl_field_caps" -> ((s: SparkSession, d: String) =>
+      QueryDsl.fieldCaps(Tables(s, d, "documents"), analyzed = Set("text"))),
+
+    // SLICED export (`slice: {id, max}` — ES's parallel scroll/PIT
+    // contract): q140's drain split into 4 disjoint per-slice cursors
+    // (slice = doc_id % 4, the deterministic hash(_id) % max analog),
+    // each ranked in its own drain order by a slice-partitioned window.
+    // The oracle proves disjointness, completeness and per-slice order
+    // against q140's exact hit set.
+    "q176_dsl_sliced_export" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        s"""{"query": $Q137Inner,
+           |  "sort": [{"n_chars": "asc"}, {"doc_id": "asc"}],
+           |  "_source": ["doc_id", "source", "n_chars"]}""".stripMargin)
+      QueryDsl.scrollExportSliced(Tables(s, d, "documents"), body,
+        pageSize = 64, maxSlices = 4)
+    }),
+
     // POST _search/template: typed mustache substitution (the range bound
     // is a NUMBER after rendering), then the standard search envelope.
     "q141_search_template" -> ((s: SparkSession, d: String) => {
@@ -1846,6 +2057,25 @@ object DslQueries {
           |    "start": 1704067200000,
           |    "end": 1704153600000,
           |    "extended_bounds": {"min": 1704067200000, "max": 1704153599999}
+          |  }}}}""".stripMargin)
+      QueryDsl.aggBody(Flows.df(s, d), body)
+    }),
+
+    // extended_bounds with DATE-STRING min/max (LongBounds.PARSER,
+    // builder:130-131 — the Grafana/Kibana ISO spelling): "2024-01-01" /
+    // "2024-01-01T23:59:59.999Z" parse driver-side (UTC, whitelisted
+    // formats only) to exactly q150's integral ms, so the entry shares
+    // q05's oracle verbatim; an unparseable format is loud.
+    "q175_dsl_bounds_string" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"histo": {"proportional_sum": {
+          |    "fields": ["rs", "re", "v"],
+          |    "interval": 60000,
+          |    "start": 1704067200000,
+          |    "end": 1704153600000,
+          |    "extended_bounds": {"min": "2024-01-01",
+          |                        "max": "2024-01-01T23:59:59.999Z"}
           |  }}}}""".stripMargin)
       QueryDsl.aggBody(Flows.df(s, d), body)
     }),
@@ -2105,6 +2335,54 @@ object DslQueries {
     // truncation at the door: top-2 event_types by parent doc_count
     // (_count desc, the ES default order), term_rank data-visible, each
     // surviving term keeping its FULL nested proportional series.
+    // bucket `order` by an AGGREGATION PATH at the door
+    // ({"sum_value": "desc"} — InternalOrder agg paths, builder:133-134):
+    // the date_histogram's buckets rank by the declared metric sub-agg's
+    // value with bucket_ms asc total tiebreak, rank data-visible. Shares
+    // typed q10f's oracle verbatim; a path naming no declared metric is
+    // loud.
+    "q174_dsl_order_agg_path" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"by_hour": {
+          |    "date_histogram": {"field": "ms", "fixed_interval": 3600000,
+          |                       "order": {"sum_value": "desc"}},
+          |    "aggs": {"sum_value": {"sum": {"field": "value"}}}
+          |  }}}""".stripMargin)
+      QueryDsl.aggBody(EsAggQueries.eventsMs(s, d), body)
+    }),
+
+    // the plain NUMERIC histogram framework agg at the door — the agg
+    // every Kibana dashboard adds next to terms/date_histogram; compiles
+    // to typed q10b's exact frame (bucket = floor(v/25)·25 as
+    // value_bucket), sharing its oracle verbatim. DslSpec pins
+    // in-process row-identity with q10b.
+    "q172_dsl_histogram" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"by_value": {
+          |    "histogram": {"field": "value", "interval": 25}
+          |  }}}""".stripMargin)
+      QueryDsl.aggBody(EsAggQueries.eventsMs(s, d), body)
+    }),
+
+    // the explicit-edges `range` framework agg at the door — typed
+    // q10c's buckets ([0,50) / [50,200) / [200,∞) keyed lo/mid/hi) with
+    // its detsum metric, sharing q10c's oracle verbatim.
+    "q173_dsl_range" -> ((s: SparkSession, d: String) => {
+      val body = QueryDsl.parse(
+        """{"size": 0,
+          |  "aggs": {"by_range": {
+          |    "range": {"field": "value", "ranges": [
+          |      {"key": "lo", "to": 50},
+          |      {"key": "mid", "from": 50, "to": 200},
+          |      {"key": "hi", "from": 200}
+          |    ]},
+          |    "aggs": {"sum_value": {"sum": {"field": "value"}}}
+          |  }}}""".stripMargin)
+      QueryDsl.aggBody(EsAggQueries.eventsMs(s, d), body)
+    }),
+
     "q170_dsl_terms_size" -> ((s: SparkSession, d: String) => {
       val body = QueryDsl.parse(
         """{"size": 0,
@@ -2245,6 +2523,37 @@ object DslQueries {
     // export (q140b) must be the same row set.
     "q140_scroll" -> scrollOracle,
     "q140b_scroll_export" -> scrollOracle,
+    "q177_dsl_field_caps" ->
+      """SELECT column_name AS field,
+        |       CASE WHEN column_name = 'text' THEN 'text'
+        |            WHEN data_type IN ('BIGINT', 'INTEGER') THEN 'long'
+        |            WHEN data_type IN ('DOUBLE', 'FLOAT') THEN 'double'
+        |            WHEN data_type = 'VARCHAR' THEN 'keyword' END AS type,
+        |       TRUE AS searchable,
+        |       (column_name <> 'text') AS aggregatable
+        |FROM information_schema.columns
+        |WHERE table_name = 'documents'
+        |  AND (data_type IN ('BIGINT', 'INTEGER', 'DOUBLE', 'FLOAT', 'VARCHAR'))""".stripMargin,
+    // q140's hit set partitioned by slice: the PARTITION BY window proves
+    // every hit lands in exactly one slice in per-slice drain order
+    "q176_dsl_sliced_export" ->
+      """WITH hits AS (
+        |  SELECT doc_id, source, n_chars
+        |  FROM documents
+        |  WHERE n_chars >= 150 AND n_chars < 450
+        |    AND (source IS NULL OR source NOT LIKE 'src1_')
+        |    AND n_chars IS NOT NULL AND doc_id IS NOT NULL
+        |    AND (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        |         + CASE WHEN source IN ('src3', 'src7', 'src11') THEN 1 ELSE 0 END
+        |         + CASE WHEN lang LIKE 'f%' THEN 1 ELSE 0 END) >= 1
+        |), r AS (
+        |  SELECT doc_id % 4 AS slice_id,
+        |         row_number() OVER (PARTITION BY doc_id % 4
+        |                            ORDER BY n_chars ASC, doc_id ASC) AS rank, *
+        |  FROM hits
+        |)
+        |SELECT slice_id, rank, (rank - 1) // 64 + 1 AS page, doc_id, source, n_chars
+        |FROM r""".stripMargin,
 
     "q141_search_template" ->
       """WITH hits AS (
@@ -2285,6 +2594,11 @@ object DslQueries {
     // q10 / q11 oracles VERBATIM — front door ≡ typed API for the
     // framework aggs too
     "q146_dsl_date_histogram" -> EsAggQueries.oracleSql("q10_date_histogram"),
+    // the framework histogram/range aggs at the door compile to the typed
+    // q10b/q10c frames — shared oracles, door ≡ typed row-identically
+    "q172_dsl_histogram" -> EsAggQueries.oracleSql("q10b_numeric_histogram"),
+    "q173_dsl_range" -> EsAggQueries.oracleSql("q10c_range_agg"),
+    "q174_dsl_order_agg_path" -> EsAggQueries.oracleSql("q10f_histogram_order_agg"),
     "q147_dsl_terms_agg" -> EsAggQueries.oracleSql("q11_terms_topn"),
 
     // the remaining ProportionalSumAggregationBuilder parser fields, each
@@ -2292,6 +2606,8 @@ object DslQueries {
     // calendar_interval ≡ q06, keyed + {_value: desc} order ≡ q01k,
     // terms-parent nesting ≡ q04
     "q150_dsl_extended_bounds" -> FlowQueries.oracleSql("q05_prop_sum_empty_buckets"),
+    // string-spelled bounds parse to q150's exact ms — same oracle
+    "q175_dsl_bounds_string" -> FlowQueries.oracleSql("q05_prop_sum_empty_buckets"),
     "q151_dsl_calendar_interval" -> FlowQueries.oracleSql("q06_prop_sum_calendar"),
     "q152_dsl_keyed_order" -> FlowQueries.oracleSql("q01k_prop_sum_keyed"),
     "q153_dsl_nested_terms" -> FlowQueries.oracleSql("q04_prop_sum_grouped"),

@@ -186,6 +186,22 @@ object EsAggQueries {
         .groupBy((floor(col("value") / lit(25.0)) * 25).cast("long").as("value_bucket"))
         .agg(count(lit(1)).as("doc_count"))),
 
+    // ES date_histogram with bucket `order` by an AGGREGATION PATH
+    // ({"sum_value": "desc"} — InternalOrder agg paths,
+    // ProportionalSumAggregationBuilder.java:133-134, compound reduce
+    // :333): buckets ranked by the sub-agg's value desc with bucket_ms
+    // asc as the total tiebreak, rank data-visible (q11h's terms-parent
+    // analog one level over). The door's q174 compiles to this frame.
+    "q10f_histogram_order_agg" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      ev(s, d)
+        .groupBy(hourBucket(col("ms")))
+        .agg(count(lit(1)).as("doc_count"), sumDet(col("value")).as("sum_value"))
+        .withColumn("order_rank",
+          row_number().over(
+            Window.orderBy(col("sum_value").desc, col("bucket_ms").asc)).cast("long"))
+    }),
+
     // ES `range` agg: explicit bucket edges [0,50), [50,200), [200,inf)
     "q10c_range_agg" -> ((s: SparkSession, d: String) =>
       ev(s, d)
@@ -1350,6 +1366,14 @@ object EsAggQueries {
       s"""SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
          |       COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM events GROUP BY bucket_ms""".stripMargin,
+    "q10f_histogram_order_agg" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(epoch_ms(ts) / $HOUR_MS) AS BIGINT) * $HOUR_MS AS bucket_ms,
+         |         COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
+         |  FROM events GROUP BY bucket_ms
+         |)
+         |SELECT *, CAST(row_number() OVER (ORDER BY sum_value DESC, bucket_ms ASC) AS BIGINT) AS order_rank
+         |FROM b""".stripMargin,
     "q11_terms_topn" ->
       s"""SELECT event_type, COUNT(*) AS doc_count, ${sumDetSql("value")} AS sum_value
          |FROM events GROUP BY event_type

@@ -862,6 +862,54 @@ object TextQueries {
         statsTail = statsOf("dl_l", col("dl_l") > 0))
     }
 
+  /** Persist the ENTIRE text index of dataset `d` as parquet tables —
+    * analyzed corpus, per-(doc, term) tf with positions, term-partitioned
+    * postings with carried field lengths, the three 1-row field-stats
+    * tables, the per-field term dictionaries and the phrase dictionary.
+    * The durable half of the build-once claim (the `VecIndex.save`
+    * discipline): at 100 TB the analyzed corpus and postings are TABLES
+    * written once at index time — a new session [[loadIndex]]es them and
+    * every probe runs with ZERO build jobs, exactly how an ES node opens
+    * an existing index instead of re-analyzing the corpus. */
+  private[graft] def saveIndex(s: SparkSession, d: String, dir: String): Unit = {
+    docsAnalyzed(s, d).write.mode("overwrite").parquet(s"$dir/analyzed")
+    tfArtifact(s, d).write.mode("overwrite").parquet(s"$dir/tf")
+    val art = postings(s, d)
+    art.frame.write.mode("overwrite").parquet(s"$dir/postings")
+    art.statsBody.write.mode("overwrite").parquet(s"$dir/stats_body")
+    art.statsTitle.write.mode("overwrite").parquet(s"$dir/stats_title")
+    art.statsTail.write.mode("overwrite").parquet(s"$dir/stats_tail")
+    dfVocab(s, d).write.mode("overwrite").parquet(s"$dir/vocab")
+    rankedVocab(s, d).write.mode("overwrite").parquet(s"$dir/ranked_vocab")
+    titleVocab(s, d).write.mode("overwrite").parquet(s"$dir/title_vocab")
+    topBigram(s, d).write.mode("overwrite").parquet(s"$dir/top_bigram")
+  }
+
+  /** Install a saved text index under dataset key `key`: every artifact
+    * slot for `key` is REPLACED with a parquet-backed frame, so the whole
+    * dictionary/postings consumer family (scored search, rewrites, phrase
+    * probes) serves from the loaded tables — no tokenize, no aggregation,
+    * no build jobs, and parquet pushdown/pruning apply to every probe.
+    * Values round-trip exactly (longs, strings, position arrays, and the
+    * build-time stats doubles), so scores are byte-identical to the
+    * building session's — TextIndexSpec pins that. */
+  private[graft] def loadIndex(s: SparkSession, key: String, dir: String): Unit = {
+    def put[T](cache: scala.collection.concurrent.TrieMap[(SparkSession, String), ArtifactSlot[T]],
+        v: T): Unit =
+      cache.put((s, key), new ArtifactSlot(() => v))
+    put(analyzedCache, s.read.parquet(s"$dir/analyzed"))
+    put(tfCache, s.read.parquet(s"$dir/tf"))
+    put(postingsCache, Postings(
+      s.read.parquet(s"$dir/postings"),
+      s.read.parquet(s"$dir/stats_body"),
+      s.read.parquet(s"$dir/stats_title"),
+      s.read.parquet(s"$dir/stats_tail")))
+    put(dfVocabCache, s.read.parquet(s"$dir/vocab"))
+    put(rankedVocabCache, s.read.parquet(s"$dir/ranked_vocab"))
+    put(titleVocabCache, s.read.parquet(s"$dir/title_vocab"))
+    put(topBigramCache, s.read.parquet(s"$dir/top_bigram"))
+  }
+
   /** The front door's [[QueryDsl.Relevance]] — every scorer routes through
     * THE shared BM25 stack, so `searchScored` can never grow a second copy
     * of the formula. multi_match resolves the engine's field model: `body`
@@ -2056,6 +2104,28 @@ object TextQueries {
         .filter(col("rank") <= 20)
         // score emitted UNROUNDED (the q35/q36 convention): the detsum
         // value is identical in both engines; native round(x,6) is not
+        .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("score"))
+    }),
+
+    // INDEX PERSISTENCE — the durable half of the build-once artifact
+    // claim: write the whole text index (analyzed corpus, tf, postings +
+    // stats, dictionaries) to parquet ONCE, install it under a fresh
+    // dataset key, and serve ES's core ranked search ENTIRELY from the
+    // loaded tables — zero tokenize/aggregation/build jobs in the request
+    // path, the way an ES node opens an existing index. Shares q76's
+    // oracle verbatim: a hash match proves scores are byte-identical
+    // through the parquet round-trip (longs, position arrays, AND the
+    // build-time stats doubles).
+    "q171_index_persist" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val dir = IngestQueries.scratchDir("graft_text_index").toString
+      saveIndex(s, d, dir)
+      val key = s"$dir::loaded"
+      loadIndex(s, key, dir)
+      bm25PerDoc(s, key)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
         .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("score"))
     }),
 
@@ -4382,6 +4452,17 @@ object TextQueries {
        |WHERE list_contains(toks, term) AND len(toks) >= min_toks
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** q76's oracle — shared verbatim by q171 (the parquet round-tripped
+    * index must serve byte-identical scores). */
+  private val bm25TopkOracle =
+    s"""WITH $bm25PerCtes,
+       |rr AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM per
+       |)
+       |SELECT rank, doc_id, n_terms_hit, score
+       |FROM rr WHERE rank <= 20""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q66_bpe_tokenize" -> bpeSql(40),
     "q114_unigram_tokenize" ->
@@ -4827,14 +4908,11 @@ object TextQueries {
          |SELECT w1 || ' ' || typo AS query_phrase, term AS suggestion,
          |       CAST(big_count AS BIGINT) AS big_count, dist, rank
          |FROM r WHERE rank <= 3""".stripMargin,
-    "q76_bm25_search" ->
-      s"""WITH $bm25PerCtes,
-         |rr AS (
-         |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
-         |  FROM per
-         |)
-         |SELECT rank, doc_id, n_terms_hit, score
-         |FROM rr WHERE rank <= 20""".stripMargin,
+    "q76_bm25_search" -> bm25TopkOracle,
+
+    // q171 serves the SAME ranked search from the parquet round-tripped
+    // index — one oracle, byte-identity through persistence
+    "q171_index_persist" -> bm25TopkOracle,
     "q76b_rescore" ->
       s"""WITH $bm25PerCtes,
          |win AS (

@@ -588,6 +588,61 @@ class DslSpec extends AnyFunSuite {
     badAgg("""{"aggs": {"h": {"significant_terms": {"field": "event_type"}}}}""")
   }
 
+  test("r18 framework aggs at the door: histogram/range/order-path/bounds-string ≡ typed; slices partition q140b") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => r.toSeq.toList).toSet
+    // door ≡ typed row-identically
+    assert(rows("q172_dsl_histogram") == rows("q10b_numeric_histogram"))
+    assert(rows("q173_dsl_range") == rows("q10c_range_agg"))
+    assert(rows("q174_dsl_order_agg_path") == rows("q10f_histogram_order_agg"))
+    // string-spelled bounds parse to q150's exact ms — identical run
+    assert(rows("q175_dsl_bounds_string") == rows("q150_dsl_extended_bounds"))
+    // sliced export: slices are disjoint, complete, and their union IS
+    // q140b's hit set (same doc/page fields; ranks are per-slice)
+    val sliced = SparkEntry.queries("q176_dsl_sliced_export")(spark, sf).collect()
+    val full = SparkEntry.queries("q140b_scroll_export")(spark, sf).collect()
+    assert(sliced.map(_.getAs[Long]("doc_id")).toSet ==
+      full.map(_.getAs[Long]("doc_id")).toSet, "slices must union to the full drain")
+    assert(sliced.length == full.length, "a doc landed in more than one slice")
+    val bySlice = sliced.groupBy(_.getAs[Long]("slice_id"))
+    assert(bySlice.keySet == Set(0L, 1L, 2L, 3L))
+    for ((sid, rs) <- bySlice) {
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length).toSeq,
+        s"slice $sid ranks must be dense from 1")
+      // in-slice drain order = (n_chars asc, doc_id asc)
+      val keys = sorted.map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      assert(keys.sameElements(keys.sortBy(identity)), s"slice $sid out of drain order")
+      assert(rs.forall(r => r.getAs[Long]("doc_id") % 4 == sid), s"slice $sid assignment")
+    }
+    // loud rejections
+    val ev = queries.EsAggQueries.eventsMs(spark, sf)
+    def badAgg(body: String): Unit =
+      intercept[IllegalArgumentException](QueryDsl.aggBody(ev, QueryDsl.parse(body)))
+    // order path naming no declared metric
+    badAgg("""{"aggs": {"h": {"date_histogram": {"field": "ms", "fixed_interval": 3600000,
+             |  "order": {"nope": "desc"}},
+             |  "aggs": {"sum_value": {"sum": {"field": "value"}}}}}}""".stripMargin)
+    // histogram: zero/fractional interval, unknown keys
+    badAgg("""{"aggs": {"h": {"histogram": {"field": "value", "interval": 0}}}}""")
+    badAgg("""{"aggs": {"h": {"histogram": {"field": "value", "interval": 2.5}}}}""")
+    badAgg("""{"aggs": {"h": {"histogram": {"field": "value", "interval": 25, "offset": 1}}}}""")
+    // range: no key, overlapping keys dup, empty ranges
+    badAgg("""{"aggs": {"h": {"range": {"field": "value", "ranges": [{"to": 50}]}}}}""")
+    badAgg("""{"aggs": {"h": {"range": {"field": "value", "ranges": []}}}}""")
+    badAgg("""{"aggs": {"h": {"range": {"field": "value",
+             |  "ranges": [{"key": "a", "to": 50}, {"key": "a", "from": 50}]}}}}""".stripMargin)
+    // bounds string outside the whitelist
+    val flows = queries.Flows.df(spark, sf)
+    intercept[IllegalArgumentException](QueryDsl.aggBody(flows, QueryDsl.parse(
+      """{"aggs": {"h": {"proportional_sum": {"fields": ["rs","re","v"],
+        |  "interval": 60000, "start": 1704067200000, "end": 1704153600000,
+        |  "extended_bounds": {"min": "01/01/2024", "max": 1704153599999}}}}}""".stripMargin)))
+    // _field_caps: analyzed must name a string column
+    intercept[IllegalArgumentException](
+      QueryDsl.fieldCaps(queries.Tables(spark, sf, "documents"), analyzed = Set("doc_id")))
+  }
+
   test("q145 _mget: request order, duplicate served twice, miss is a found=false row") {
     val out = SparkEntry.queries("q145_mget")(spark, sf).collect().sortBy(_.getAs[Long]("req_pos"))
     assert(out.length == 5)
