@@ -58,16 +58,139 @@ object SparkEntry {
         // verbatim (streaming decode must be row-identical to batch).
         // mm03/mm04/mm05 (round 11) extend the same pattern to the resize
         // grid, the aHash near-dup pipeline, and the audio windower —
-        // see graft.queries.MmOracle. Only mm01/mm02 (feature extraction
-        // over full codec output, incl. lossy JPEG rasters) remain
-        // rows-only, pinned by StreamingSpec's committed-feature-hash
-        // regression lock (canonical SHA-256 of the full sf0.001 output;
-        // regenerate via graft.tools.FeaturePin).
+        // see graft.queries.MmOracle. mm01/mm02 joined in round 18 (the
+        // last 2 rows-only entries): lossless features — incl. mm01's
+        // ORDER-SENSITIVE position-weighted checksum, which has a closed
+        // form under byte cycling — recomputed arithmetically; lossy JPEG
+        // feature cells NULL by the mm06 contract (its raster stays pinned
+        // by the ImageIO cross-validation + aHash specs).
         "st16_media_info_stream" -> mm06OracleSql,
         "mm06_media_info" -> mm06OracleSql,
+        "mm01_binary_pipeline" -> mm01OracleSql,
+        "mm02_frame_sample" -> mm02OracleSql,
         "mm03_resize_grid" -> MmOracle.mm03Sql,
         "mm04_phash_neardup" -> MmOracle.mm04Sql,
         "mm05_audio_windows" -> MmOracle.mm05Sql)
+
+  /** mm01's arithmetic oracle: per doc, the planted geometry and the
+    * lossless-raster features recomputed WITHOUT parsing a container —
+    * mean = cycled-byte sum / n (GIF gray triples sum 3×), max = max over
+    * the used prefix of the cycle, and the ORDER-SENSITIVE checksum
+    * Σ(i+1)·px[i] via its closed form under cycling:
+    *   rgb:  L·S0·c(c−1)/2 + c·S1 + c·L·S0p + S1p
+    *   gif:  9·W1 + 6·W0 (each gray j expands to pixels 3j..3j+2 with
+    *         weight sum 9j+6), W0/W1 the gray-stream count/position sums
+    * where S0/S1 = Σ b_r / Σ (r+1)·b_r over one text cycle, S0p/S1p the
+    * same over the final partial cycle, c = full cycles. JPEG feature
+    * cells NULL (lossy; the mm06 contract). A hash match proves the
+    * real parsers round-trip pixel VALUES AND ORDER exactly. */
+  private val mm01OracleSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 4 AS INTEGER) AS sel,
+      |         CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+      |         CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+      |         COALESCE(text, '') AS text,
+      |         CAST(length(COALESCE(text, '')) AS BIGINT) AS len
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT *,
+      |         CASE WHEN sel = 3 THEN w * h ELSE w * h * 3 END AS n_cyc,
+      |         COALESCE(CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT), 0) AS s0,
+      |         COALESCE(CAST(list_sum(list_transform(range(1, CAST(len + 1 AS INTEGER)), i -> i * unicode(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT), 0) AS s1
+      |  FROM m
+      |),
+      |p AS (
+      |  SELECT *,
+      |         CASE WHEN len = 0 THEN 0 ELSE n_cyc // len END AS cyc,
+      |         CASE WHEN len = 0 THEN 0 ELSE n_cyc % len END AS rem
+      |  FROM s
+      |),
+      |q AS (
+      |  SELECT *,
+      |         -- rem = 0 guard: string_split('', '') is [''] and
+      |         -- unicode('') is -1 (the mm06 oracle's lesson), so an
+      |         -- exact-cycle raster would otherwise lose 1
+      |         CASE WHEN rem = 0 THEN 0 ELSE
+      |           COALESCE(CAST(list_sum(list_transform(string_split(substr(text, 1, CAST(rem AS INTEGER)), ''), c -> unicode(c))) AS BIGINT), 0)
+      |         END AS s0p,
+      |         COALESCE(CAST(list_sum(list_transform(range(1, CAST(rem + 1 AS INTEGER)), i -> i * unicode(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT), 0) AS s1p
+      |  FROM p
+      |)
+      |SELECT doc_id,
+      |       w AS width, h AS height, w * h * 3 AS n_bytes,
+      |       CASE WHEN sel = 2 THEN NULL
+      |            ELSE CAST((CASE WHEN sel = 3 THEN 3 ELSE 1 END) * (cyc * s0 + s0p) AS DOUBLE) / (w * h * 3)
+      |       END AS mean_byte,
+      |       CASE WHEN sel = 2 THEN NULL
+      |            WHEN len = 0 THEN 0
+      |            ELSE CAST(list_max(list_transform(string_split(substr(text, 1, CAST(LEAST(n_cyc, len) AS INTEGER)), ''), c -> unicode(c))) AS BIGINT)
+      |       END AS max_byte,
+      |       CASE WHEN sel = 2 THEN NULL
+      |            WHEN sel = 3 THEN 9 * (len * s0 * cyc * (cyc - 1) // 2 + cyc * (s1 - s0) + cyc * len * s0p + (s1p - s0p))
+      |                              + 6 * (cyc * s0 + s0p)
+      |            ELSE len * s0 * cyc * (cyc - 1) // 2 + cyc * s1 + cyc * len * s0p + s1p
+      |       END AS weighted_sum
+      |FROM q""".stripMargin
+
+  /** mm02's arithmetic oracle: the planted frame grid (every 4th scanline
+    * of the planted height) with each lossless frame's mean/max recomputed
+    * from the cycled text — window sums via cycled prefix sums
+    * P(x) = (x//L)·S0 + prefix(x mod L), window max via the (possibly
+    * wrapped) residue substring. JPEG frames keep the grid, NULL cells. */
+  private val mm02OracleSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 4 AS INTEGER) AS sel,
+      |         CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+      |         CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+      |         COALESCE(text, '') AS text,
+      |         CAST(length(COALESCE(text, '')) AS BIGINT) AS len
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT *,
+      |         COALESCE(CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT), 0) AS s0
+      |  FROM m
+      |),
+      |fr AS (
+      |  SELECT *, unnest(range(0, CAST(h AS INTEGER), 4)) AS f
+      |  FROM s
+      |),
+      |c AS (
+      |  SELECT doc_id, sel, w, len, text, s0, CAST(f AS BIGINT) AS frame_idx,
+      |         CASE WHEN sel = 3 THEN f * w ELSE f * w * 3 END AS a,
+      |         CASE WHEN sel = 3 THEN w ELSE w * 3 END AS wl
+      |  FROM fr
+      |),
+      |x AS (
+      |  SELECT *,
+      |    -- the x%len = 0 guards: string_split('', '') is [''] and
+      |    -- unicode('') is -1 (the mm06 oracle's lesson)
+      |    CASE WHEN len = 0 THEN 0 ELSE
+      |      (a // len) * s0 + CASE WHEN a % len = 0 THEN 0 ELSE
+      |        COALESCE(CAST(list_sum(list_transform(string_split(substr(text, 1, CAST(a % len AS INTEGER)), ''), c -> unicode(c))) AS BIGINT), 0) END
+      |    END AS pa,
+      |    CASE WHEN len = 0 THEN 0 ELSE
+      |      ((a + wl) // len) * s0 + CASE WHEN (a + wl) % len = 0 THEN 0 ELSE
+      |        COALESCE(CAST(list_sum(list_transform(string_split(substr(text, 1, CAST((a + wl) % len AS INTEGER)), ''), c -> unicode(c))) AS BIGINT), 0) END
+      |    END AS pb
+      |  FROM c
+      |)
+      |SELECT doc_id, frame_idx,
+      |  CASE WHEN sel = 2 THEN NULL
+      |       ELSE CAST((CASE WHEN sel = 3 THEN 3 ELSE 1 END) * (pb - pa) AS DOUBLE) / (w * 3)
+      |  END AS mean_byte,
+      |  CASE WHEN sel = 2 THEN NULL
+      |       WHEN len = 0 THEN 0
+      |       WHEN wl >= len THEN CAST(list_max(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT)
+      |       WHEN a % len + wl <= len THEN CAST(list_max(list_transform(string_split(substr(text, CAST(a % len AS INTEGER) + 1, CAST(wl AS INTEGER)), ''), c -> unicode(c))) AS BIGINT)
+      |       ELSE GREATEST(
+      |         CAST(list_max(list_transform(string_split(substr(text, CAST(a % len AS INTEGER) + 1, CAST(len - a % len AS INTEGER)), ''), c -> unicode(c))) AS BIGINT),
+      |         CAST(list_max(list_transform(string_split(substr(text, 1, CAST(a % len + wl - len AS INTEGER)), ''), c -> unicode(c))) AS BIGINT))
+      |  END AS max_byte
+      |FROM x""".stripMargin
 
   private val mm06OracleSql =
           """WITH m AS (

@@ -22,12 +22,12 @@ object Multimodal {
   case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int, channels: Int)
   case class MediaFeatures(
       doc_id: Long,
-      width: Int,
-      height: Int,
+      width: Long,
+      height: Long,
       n_bytes: Long,
-      mean_byte: Double,
-      max_byte: Int,
-      payload_hash: Long)
+      mean_byte: java.lang.Double,
+      max_byte: java.lang.Long,
+      weighted_sum: java.lang.Long)
 
   /** STUB decode — stands in for codecs this environment cannot host
     * (H.264 video; JPEG variants outside the baseline profile, e.g.
@@ -172,26 +172,46 @@ object Multimodal {
       .toDF("doc_id", "format", "width", "height", "n_pixels", "raster_sum")
   }
 
-  /** Partition-batched decode → feature extraction. Features are simple
-    * deterministic statistics over the decoded bytes (mean, max, fnv-ish
-    * rolling hash) — the shape a real embedding/feature extractor has. */
+  /** Partition-batched STRICT decode → feature extraction. Features are
+    * simple deterministic statistics over the decoded raster (mean, max,
+    * and an ORDER-SENSITIVE position-weighted checksum Σ(i+1)·px[i] — a
+    * reversed/permuted row order changes it, so the audit proves the
+    * parsers round-trip pixel ORDER, not just the multiset; rolling-hash
+    * fingerprinting proper is q43's oracle-backed operator). Since round
+    * 18 ORACLE-BACKED on the mm06 contract: the strict per-sniff decode
+    * (never the metadata-echoing stub), lossless rasters recomputed
+    * arithmetically from the planted cycled text (the checksum has a
+    * closed form under byte cycling), lossy JPEG feature cells NULL (its
+    * raster is pinned by the ImageIO cross-validation + aHash specs), a
+    * parse failure emitting -1 dims that can never match the oracle. */
   def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        val (w, h0, _, px) = decodeImage(r)
-        var sum = 0L
-        var mx = 0
-        var h = 1469598103934665603L // FNV offset basis
-        var i = 0
-        while (i < px.length) {
-          val v = px(i) & 0xff
-          sum += v
-          if (v > mx) mx = v
-          h = (h ^ v) * 1099511628211L
-          i += 1
+        val (fmt, dec) = sniffStrict(r.payload)
+        dec match {
+          case Some(di) if fmt == "jpeg" =>
+            MediaFeatures(r.doc_id, di.width.toLong, di.height.toLong,
+              di.pixels.length.toLong, null, null, null)
+          case Some(di) =>
+            val px = di.pixels
+            var sum = 0L
+            var mx = 0L
+            var ws = 0L
+            var i = 0
+            while (i < px.length) {
+              val v = px(i) & 0xff
+              sum += v
+              if (v > mx) mx = v
+              ws += (i + 1).toLong * v
+              i += 1
+            }
+            MediaFeatures(r.doc_id, di.width.toLong, di.height.toLong, px.length.toLong,
+              java.lang.Double.valueOf(sum.toDouble / px.length),
+              java.lang.Long.valueOf(mx), java.lang.Long.valueOf(ws))
+          case None =>
+            MediaFeatures(r.doc_id, -1L, -1L, -1L, null, null, null)
         }
-        MediaFeatures(r.doc_id, w, h0, px.length.toLong, sum.toDouble / px.length, mx, h)
       }
     }
   }
@@ -200,30 +220,45 @@ object Multimodal {
   def pipeline(docs: DataFrame): DataFrame =
     extractFeatures(attachPayload(docs)).toDF()
 
-  case class FrameFeatures(doc_id: Long, frame_idx: Int, mean_byte: Double, max_byte: Int)
+  case class FrameFeatures(
+      doc_id: Long, frame_idx: Long,
+      mean_byte: java.lang.Double, max_byte: java.lang.Long)
 
-  /** Video-style frame sampling: treat the payload as `n_frames` frames of
-    * width*channels bytes each, keep every `stride`-th frame, and extract
-    * per-frame features. One input row fans out to its sampled frames —
-    * the explode/batch shape a real video pipeline has (decode stubbed as
-    * above). */
+  /** Video-style frame sampling: treat the decoded raster as `height`
+    * scanline frames of width·3 bytes each, keep every `stride`-th frame,
+    * and extract per-frame features. One input row fans out to its sampled
+    * frames — the explode/batch shape a real video pipeline has. Since
+    * round 18 ORACLE-BACKED on the mm06 contract (strict sniffed decode;
+    * lossless frame windows recomputed arithmetically from the planted
+    * cycled text; JPEG frames keep their planted grid but NULL feature
+    * cells; a parse failure emits one frame_idx = -1 row the oracle can
+    * never contain). */
   def sampleFrames(rows: Dataset[MediaRow], stride: Int): Dataset[FrameFeatures] = {
     import rows.sparkSession.implicits._
     rows.flatMap { r =>
-      val (w, h, c, px) = decodeImage(r)
-      val frameLen = w * c // one "scanline frame" per height unit
-      (0 until h by stride).map { f =>
-        var sum = 0L
-        var mx = 0
-        var i = f * frameLen
-        val end = i + frameLen
-        while (i < end) {
-          val v = px(i) & 0xff
-          sum += v
-          if (v > mx) mx = v
-          i += 1
-        }
-        FrameFeatures(r.doc_id, f, sum.toDouble / frameLen, mx)
+      val (fmt, dec) = sniffStrict(r.payload)
+      dec match {
+        case Some(di) =>
+          val frameLen = di.width * 3 // one "scanline frame" per height unit
+          (0 until di.height by stride).map { f =>
+            if (fmt == "jpeg") FrameFeatures(r.doc_id, f.toLong, null, null)
+            else {
+              var sum = 0L
+              var mx = 0L
+              var i = f * frameLen
+              val end = i + frameLen
+              while (i < end) {
+                val v = di.pixels(i) & 0xff
+                sum += v
+                if (v > mx) mx = v
+                i += 1
+              }
+              FrameFeatures(r.doc_id, f.toLong,
+                java.lang.Double.valueOf(sum.toDouble / frameLen),
+                java.lang.Long.valueOf(mx))
+            }
+          }
+        case None => Seq(FrameFeatures(r.doc_id, -1L, null, null))
       }
     }
   }

@@ -231,7 +231,7 @@ class StreamingSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     val docs = queries.Tables(spark, sf, "documents")
     val feats = graft.operators.Multimodal.pipeline(docs)
-    assert(feats.columns.toSeq == Seq("doc_id", "width", "height", "n_bytes", "mean_byte", "max_byte", "payload_hash"))
+    assert(feats.columns.toSeq == Seq("doc_id", "width", "height", "n_bytes", "mean_byte", "max_byte", "weighted_sum"))
     val n = docs.count()
     assert(feats.count() == n)
     // n_bytes = width*height*3 always; features deterministic across runs
@@ -241,24 +241,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("mm01/mm02 feature outputs are pinned to committed hashes (the rows-only regression lock)") {
-    // The two rows-only multimodal queries (feature extraction over full
-    // codec output, incl. lossy JPEG rasters — no DuckDB counterpart) lock
-    // across rounds by a canonical order-free SHA-256 of their ENTIRE
-    // sf0.001 output, doubles rendered in hex so the pin is bit-exact.
-    // Regenerate after an INTENDED feature change:
-    //   sbt "Test/runMain graft.tools.FeaturePin"
-    // (last regenerated: round 13, when GIF89a joined the container cycle
-    // — every 4th payload is now LZW-compressed indexed gray)
+  test("mm01/mm02: lossless features real, JPEG cells NULL, failures impossible rows (oracle-backed since r18)") {
+    // The SHA-256 rows-only regression lock retired in round 18: mm01/mm02
+    // are now DuckDB-oracle-backed (lossless features recomputed
+    // arithmetically from the planted cycled text; JPEG feature cells NULL
+    // by the mm06 contract — the lossy raster stays pinned by the ImageIO
+    // cross-validation + aHash specs below). This spec pins the structure
+    // the oracle can't see: every doc emits rows, JPEG rows are exactly
+    // the NULL-featured ones, and no -1 failure rows exist.
     val sf = "/root/testdata/sf0.001"
-    assert(graft.tools.FeaturePin.featureHash(
-      SparkEntry.queries("mm01_binary_pipeline")(spark, sf)) ==
-      "60ae66521b480682f0cd83d120ea9002ca4157c27bceb700a4982af5e8bf8213",
-      "mm01 feature output drifted from the committed pin")
-    assert(graft.tools.FeaturePin.featureHash(
-      SparkEntry.queries("mm02_frame_sample")(spark, sf)) ==
-      "8cdfcdc54d76cadb176941c5049f9e507eb8111cab6a74e44a34d65ce91ea2cf",
-      "mm02 frame-feature output drifted from the committed pin")
+    val docs = queries.Tables(spark, sf, "documents")
+    val n = docs.count()
+    val f1 = SparkEntry.queries("mm01_binary_pipeline")(spark, sf).collect()
+    assert(f1.length == n, "mm01 must emit one row per doc")
+    assert(!f1.exists(_.getAs[Long]("width") == -1L), "a payload failed to parse")
+    for (r <- f1) {
+      val isJpeg = r.getAs[Long]("doc_id") % 4 == 2
+      assert(r.isNullAt(r.fieldIndex("weighted_sum")) == isJpeg,
+        s"doc ${r.getAs[Long]("doc_id")}: NULL features must be exactly the JPEG rows")
+      assert(r.isNullAt(r.fieldIndex("mean_byte")) == isJpeg)
+    }
+    val f2 = SparkEntry.queries("mm02_frame_sample")(spark, sf).collect()
+    assert(!f2.exists(_.getAs[Long]("frame_idx") == -1L), "a payload failed to parse")
+    assert(f2.map(_.getAs[Long]("doc_id")).distinct.length == n,
+      "mm02 must emit frames for every doc")
   }
 
   test("JPEG container -> aHash path is pinned (mm04's corpus is lossless-only)") {

@@ -51,9 +51,8 @@ object FeaturePin {
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("4").getOrCreate()
-    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    for (q <- Seq("mm01_binary_pipeline", "mm02_frame_sample"))
-      println(s"FEATUREPIN $q ${featureHash(graft.SparkEntry.queries(q)(spark, sf))}")
+    // mm01/mm02 left the rows-only regime in round 18 (DuckDB oracles);
+    // the remaining pins are the lossy-JPEG aHash path fixtures.
     println(s"FEATUREPIN jpeg_ahash ${jpegAHash(spark)}L (png ref ${pngAHash(spark)}L)")
     spark.stop()
   }
