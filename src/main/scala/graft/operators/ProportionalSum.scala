@@ -132,6 +132,30 @@ object ProportionalSum {
         count(lit(1)).as("doc_count"),
         graft.functions.detsum.sumDet(col("__contrib")).as("value"))
 
+  /** The LITERAL-FIDELITY aggregate (the opt-in bug-for-bug audit mode):
+    * the reference collector treats a missing VALUE as NaN
+    * (ProportionalSumAggregator.java:166-170), so a single missing-value
+    * doc POISONS every bucket sum it touches through IEEE += propagation.
+    * [[graft.functions.detsum.sumDet]]'s fast path rejects NaN by design
+    * (a NaN reaching the scaled-long cast would silently become 0), so
+    * the propagation is mirrored EXPLICITLY: an any-NaN poison mask over
+    * the exact sum of the non-NaN contributions — bit-identical to the
+    * collector's result, since x + NaN = NaN regardless of x. Callers
+    * feed the literal defaults (missing endpoint → 0, missing value →
+    * NaN) at the values-source boundary; the engine's DEFAULT semantics
+    * (values-source skip / `missing` substitution) stay on [[aggregate]]. */
+  def aggregateLiteral(exploded: DataFrame, groupCols: Seq[Column] = Nil): DataFrame =
+    exploded
+      .groupBy((groupCols :+ col("bucket_ms")): _*)
+      .agg(
+        count(lit(1)).as("doc_count"),
+        max(when(isnan(col("__contrib")), 1).otherwise(0)).as("__nan"),
+        graft.functions.detsum.sumDet(
+          when(isnan(col("__contrib")), lit(0.0)).otherwise(col("__contrib"))).as("__s"))
+      .withColumn("value",
+        when(col("__nan") === 1, lit(Double.NaN)).otherwise(col("__s")))
+      .drop("__nan", "__s")
+
   /** explodeContrib + aggregate in one call. */
   def run(
       df: DataFrame,

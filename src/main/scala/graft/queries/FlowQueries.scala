@@ -311,6 +311,31 @@ object FlowQueries {
       ProportionalSum.run(
         flows, col("rs"), col("re"), coalesce(col("v"), lit(25.0)), None, basicCfg)
     }),
+    // LITERAL-FIDELITY MODE (the r17 verdict's stretch ask): the reference
+    // collector's EXACT missing-field defaults
+    // (ProportionalSumAggregator.java:139-170) as an opt-in bug-for-bug
+    // audit — a missing range endpoint defaults to 0 (a missing-start row
+    // becomes the epoch-anchored range [0, re], its huge duration diluting
+    // every bucket ratio; a both-missing row becomes the zero-duration
+    // [0, 0] range that the clamped bucket loop never visits on a
+    // positive-start grid) and a missing VALUE becomes NaN, poisoning
+    // every bucket sum it touches ([[ProportionalSum.aggregateLiteral]]).
+    // A missing END alone would throw the collector's own "Start cannot
+    // be after end!" (re-checked by explodeContrib's validate), so the
+    // derivation nulls endpoints only in the collector-legal patterns.
+    // The engine's DEFAULT stays q07b's skip / q07c's substitution.
+    "q07d_prop_sum_literal" -> ((spark: SparkSession, dir: String) => {
+      val flows = Flows.df(spark, dir)
+        .withColumn("v", when(col("event_id") % 11 === 0 && col("rs") < lit(S + 3 * DAY_MS),
+          lit(null)).otherwise(col("v")))
+        .withColumn("rs", when(col("event_id") % 17 === 0 || col("event_id") % 19 === 0,
+          lit(null)).otherwise(col("rs")))
+        .withColumn("re", when(col("event_id") % 19 === 0, lit(null)).otherwise(col("re")))
+      ProportionalSum.aggregateLiteral(ProportionalSum.explodeContrib(
+        flows,
+        coalesce(col("rs"), lit(0L)), coalesce(col("re"), lit(0L)),
+        coalesce(col("v"), lit(Double.NaN)), None, basicCfg))
+    }),
     // 3-level ES sub-aggregation tree: terms(event_type) →
     // date_histogram(doc day, keyed by the DOC's timestamp like the parent
     // histogram buckets docs) → proportional_sum(hourly) — the whole tree is
@@ -737,6 +762,39 @@ object FlowQueries {
             |  FROM flows
             |),
             |ranged AS (""".stripMargin),
+    // the LITERAL-fidelity mirror: endpoint→0 / value→NaN defaults, with
+    // the collector's IEEE NaN propagation spelled as the explicit
+    // any-NaN poison over the masked exact sum (x + NaN = NaN ∀x)
+    "q07d_prop_sum_literal" ->
+      s"""WITH ${Flows.sqlCte},
+         |fm AS (
+         |  SELECT * REPLACE (
+         |    CASE WHEN event_id % 11 = 0 AND rs < ${S + 3 * DAY_MS} THEN 'NaN'::DOUBLE ELSE v END AS v,
+         |    CASE WHEN event_id % 17 = 0 OR event_id % 19 = 0 THEN 0 ELSE rs END AS rs,
+         |    CASE WHEN event_id % 19 = 0 THEN 0 ELSE re END AS re)
+         |  FROM flows
+         |),
+         |ranged AS (
+         |  SELECT *, re - rs AS dur, v AS eff_v,
+         |         CAST(floor(GREATEST(rs, $S) / ${Flows.HOUR_MS}) AS BIGINT) * ${Flows.HOUR_MS} AS fb,
+         |         CAST(floor(LEAST(re, $E) / ${Flows.HOUR_MS}) AS BIGINT) * ${Flows.HOUR_MS} AS lb
+         |  FROM fm
+         |),
+         |ex AS (
+         |  SELECT *, UNNEST(generate_series(fb, lb, ${Flows.HOUR_MS})) AS bucket_ms
+         |  FROM ranged WHERE fb <= lb
+         |),
+         |ovl AS (
+         |  SELECT bucket_ms, dur, eff_v,
+         |         GREATEST(0, LEAST(bucket_ms + ${Flows.HOUR_MS}, re) - GREATEST(bucket_ms, rs)) AS ov
+         |  FROM ex
+         |)
+         |SELECT bucket_ms, COUNT(*) AS doc_count,
+         |       CASE WHEN MAX(CASE WHEN isnan(eff_v) THEN 1 ELSE 0 END) = 1 THEN 'NaN'::DOUBLE
+         |            ELSE ${graft.functions.detsum.sumDetSql(
+                        "CASE WHEN isnan(eff_v) THEN 0.0 ELSE (CASE WHEN dur = 0 THEN eff_v ELSE eff_v * (ov / dur) END) END")}
+         |       END AS value
+         |FROM ovl GROUP BY bucket_ms""".stripMargin,
     "q04c_prop_sum_nested_tree" ->
       oracle(basicCfg, groupCols = Seq("event_type", "doc_day"))
         .replace("FROM flows", "FROM f")

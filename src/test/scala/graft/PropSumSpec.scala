@@ -116,6 +116,34 @@ class PropSumSpec extends AnyFunSuite {
       s"null-value doc must not inflate calendar doc_count: $gotCal")
   }
 
+  test("q07d literal mode: NaN poisons exactly its buckets; missing endpoints default to 0; counts exceed the skip") {
+    import spark.implicits._
+    // unit fixture: the reference collector's literal defaults
+    // (endpoint→0, value→NaN) composed with its clamped bucket loop
+    val df = Seq(
+      (Some(100L), Some(300L), Some(10.0)), // normal
+      (Some(100L), Some(300L), None), // NaN value -> poisons buckets 0,200; still counts
+      (None, Some(300L), Some(4.0)), // start->0: range [0,300], dur 300
+      (None, None, Some(5.0))).toDF("rs", "re", "v") // both->0: zero-duration at epoch, bucket 0
+    val got = result(ProportionalSum.aggregateLiteral(ProportionalSum.explodeContrib(
+      df, coalesce(col("rs"), lit(0L)), coalesce(col("re"), lit(0L)),
+      coalesce(col("v"), lit(Double.NaN)), None,
+      Config(intervalMs = 200, startMs = Some(0L), endMs = Some(400L)))))
+    // bucket 0: normal(10·100/200) + NaN + [0,300] row (4·200/300) + the
+    // zero-duration epoch row (full value, grid starts AT 0 here) -> NaN, count 4
+    // bucket 200: normal + NaN + [0,300] overlap -> NaN, count 3
+    assert(got.keySet == Set(0L, 200L), s"unexpected buckets: $got")
+    assert(got(0L)._1 == 4L && got(200L)._1 == 3L,
+      s"literal mode must COUNT NaN-valued docs (the collector's collectBucket): $got")
+    assert(got.values.forall(v => v._2.isNaN),
+      s"a NaN doc must poison every bucket it touches: $got")
+    // registry entry non-vacuity at sf0.001: both regimes present
+    val out = SparkEntry.queries("q07d_prop_sum_literal")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Double]("value"))
+    assert(out.exists(_.isNaN) && out.exists(!_.isNaN),
+      "the literal entry must exercise poisoned AND numeric buckets")
+  }
+
   test("conservation invariant: bucketed values sum back to the input total (1000 random flows)") {
     // For any flow fully inside the (unclamped) grid, the overlap ratios
     // over its buckets sum to exactly 1, so the histogram total must equal
