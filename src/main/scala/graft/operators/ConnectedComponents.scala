@@ -27,9 +27,12 @@ object ConnectedComponents {
     // materialize the (possibly expensive) edge pipeline once — the
     // symmetrization below references it twice
     val e = edges.toDF("src", "dst").persist()
+    // no distinct: every caller's edge set is (a<b)-deduped by
+    // construction, and the min-label aggregation is multiset-safe anyway
+    // — the old distinct paid one full exchange of the edge set per run
+    // for nothing (r18 opt)
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist()
     // seed with the 1-hop minimum (min of self and direct neighbors) — one
     // propagation round folded into initialization
@@ -57,39 +60,45 @@ object ConnectedComponents {
         .union(neighborLabels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
+      // r18 opt: the pointer-jump join is FOLDED into the same round's
+      // plan, so each round pays ONE localCheckpoint job + ONE scalar
+      // aggregate (the old shape materialized prop, aggregated it, then
+      // ran jump as a second checkpoint + aggregate — 4 blocking jobs per
+      // jumped round instead of 2). `prop` appears as both jump sides; the
+      // two subtrees are identical, so AQE's exchange reuse computes the
+      // propagation once. Convergence soundness is unchanged: labels only
+      // ever DECREASE pointwise (jump(prop) ≤ prop ≤ labels), so
+      // sum == previous sum ⟺ nothing moved through propagate OR jump,
+      // which is exactly the propagation fixed point (a fixed point of
+      // propagate is already component-constant, so the jump is identity
+      // there).
+      //
       // localCheckpoint (not persist): each round's plan references the
       // previous round's 2-3 times, so lineage grows exponentially across
       // rounds — checkpointing truncates the plan to a materialized leaf
       // while keeping the data distributed (blocks are freed by the
       // ContextCleaner once the old round is dereferenced)
-      val propCached = prop.localCheckpoint(true)
+      val next =
+        if (!pointerJump) prop.localCheckpoint(true)
+        else {
+          // shortcut: comp(v) := comp(comp(v)). Every label IS a vertex id
+          // (the min of a reachable set that contains it), so the inner
+          // join always finds it; labels only decrease, so the jump stays
+          // within the component. Propagate(+1 hop) then jump(×2 reach)
+          // per round.
+          val shortcut = prop.select(col("id").as("jid"), col("component").as("jcomp"))
+          prop.join(shortcut, col("component") === col("jid"))
+            .select(col("id"), col("jcomp").as("component"))
+            .localCheckpoint(true)
+        }
       // labels only ever decrease, so the label sum strictly decreases iff
       // anything changed — one scalar aggregate per round (previous round's
       // sum is carried, not recomputed)
-      val propSum = propCached.agg(sum(col("component"))).first().getLong(0)
-      if (propSum == labelSum || !pointerJump) {
-        // A propagation fixed point means comp(v) ≤ comp(u) across every
-        // (symmetric) edge, i.e. comp is CONSTANT per component and already
-        // the component minimum — the jump below could not change anything,
-        // so the final round (every run pays one) skips its join entirely.
-        labels.unpersist()
-        labels = propCached
-        converged = propSum == labelSum
-        labelSum = propSum
-      } else {
-        // shortcut: comp(v) := comp(comp(v)). Every label IS a vertex id
-        // (the min of a reachable set that contains it), so the inner join
-        // always finds it; labels only decrease, so the jump stays within
-        // the component. Propagate(+1 hop) then jump(×2 reach) per round.
-        val shortcut = propCached.select(col("id").as("jid"), col("component").as("jcomp"))
-        val next = propCached.join(shortcut, col("component") === col("jid"))
-          .select(col("id"), col("jcomp").as("component"))
-          .localCheckpoint(true)
-        val sumNew = next.agg(sum(col("component"))).first().getLong(0)
-        labels.unpersist()
-        labels = next
-        labelSum = sumNew
-      }
+      val sumNew = next.agg(sum(col("component"))).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = sumNew == labelSum
+      labelSum = sumNew
       iter += 1
     }
     // labels is materialized (the convergence aggregate forced it); the

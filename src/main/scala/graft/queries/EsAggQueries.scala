@@ -813,15 +813,23 @@ object EsAggQueries {
     // key, i<j triangle), so the shuffle is basket-keyed and nothing is
     // all-pairs across baskets.
     "q64_frequent_item_sets" -> ((s: SparkSession, d: String) => {
-      val items = Tables(s, d, "lineitem")
+      // r18 opt: ONE shuffle builds per-basket sorted item LISTS (groupBy
+      // basket + collect_set — set semantics replace the old distinct),
+      // and the i<j pair triangle is enumerated INSIDE the array, so the
+      // old shape's distinct exchange + basket self-join (2 more
+      // exchanges, 2 extra lineitem scans) disappears. Fan-out bound
+      // unchanged: C(basket items, 2) per basket, enumerated locally.
+      val lists = Tables(s, d, "lineitem")
         .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
-        .distinct()
-      val a = items.select(col("basket"), col("item").as("item_a"))
-      val b = items.select(col("basket"), col("item").as("item_b"))
+        .groupBy(col("basket"))
+        .agg(sort_array(collect_set(col("item"))).as("items"))
       val nb = Tables(s, d, "lineitem")
         .agg(countDistinct(col("l_orderkey")).cast("double").as("n_baskets"))
-      a.join(b, Seq("basket"))
-        .filter(col("item_a") < col("item_b"))
+      lists
+        .select(explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + lit(2), size(col("items"))),
+            y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+        .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
         .groupBy(col("item_a"), col("item_b"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 20)
@@ -848,21 +856,35 @@ object EsAggQueries {
     // Threshold 5 at both levels is non-vacuous at every SF (probed:
     // 13 qualifying triples at sf0.001, max support 6).
     "q64b_frequent_item_sets_k3" -> ((s: SparkSession, d: String) => {
-      val items = Tables(s, d, "lineitem")
+      // r18 opt: the q64 list reshape applied level-wise — per-basket
+      // sorted item lists in ONE shuffle each for the pair and triple
+      // levels (was: distinct + 2 basket self-joins = 5 exchanges and 6
+      // lineitem scans). Pairs and the i<j<k triangle are enumerated
+      // INSIDE the array; the Apriori prune keeps its shape (all three
+      // 2-subsets frequent, broadcast left-semi BELOW the counting
+      // shuffle), so candidates that cannot reach the threshold still
+      // never enter the (a,b,c) aggregation exchange.
+      def lists = Tables(s, d, "lineitem")
         .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
-        .distinct()
-      val a = items.select(col("basket"), col("item").as("item_a"))
-      val b = items.select(col("basket"), col("item").as("item_b"))
-      val c = items.select(col("basket"), col("item").as("item_c"))
-      val p2 = a.join(b, Seq("basket"))
-        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("basket"))
+        .agg(sort_array(collect_set(col("item"))).as("items"))
+      val p2 = lists
+        .select(explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + lit(2), size(col("items"))),
+            y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+        .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
         .groupBy(col("item_a"), col("item_b"))
         .agg(count(lit(1)).as("s2"))
         .filter(col("s2") >= 5)
         .select(col("item_a"), col("item_b"))
-      val ab = a.join(b, Seq("basket")).filter(col("item_a") < col("item_b"))
+      val abc = lists
+        .select(explode(flatten(transform(col("items"), (x, i) =>
+          flatten(transform(slice(col("items"), i + lit(2), size(col("items"))), (y, j) =>
+            transform(slice(col("items"), i + j + lit(3), size(col("items"))),
+              z => struct(x.as("item_a"), y.as("item_b"), z.as("item_c")))))))).as("t"))
+        .select(col("t.item_a").as("item_a"), col("t.item_b").as("item_b"),
+          col("t.item_c").as("item_c"))
         .join(broadcast(p2), Seq("item_a", "item_b"), "left_semi")
-      val abc = ab.join(c, Seq("basket")).filter(col("item_b") < col("item_c"))
         .join(
           broadcast(p2.select(col("item_a").as("item_b"), col("item_b").as("item_c"))),
           Seq("item_b", "item_c"), "left_semi")

@@ -58,11 +58,22 @@ object Tables {
   }
 
   /** Synchronously unpersist the localCheckpoint blocks backing `df` (a
-    * frame returned by `localCheckpoint(true)`). */
+    * frame returned by `localCheckpoint(true)`) — ROOT only. The pre-r18
+    * shape collected every LogicalRDD in the plan, which frees frames the
+    * caller does NOT own: a sketch whose plan references a shared
+    * build-once artifact (docsAnalyzed/tfArtifact/postings are
+    * LogicalRDD leaves since r17) would tear the artifact's blocks out
+    * from under every later consumer (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    * on lineage-truncated frames — caught by Verify when r18 routed the
+    * dedup family through docsAnalyzed). A caller owns exactly the
+    * checkpoint it created, which is the plan ROOT; anything deeper is
+    * someone else's. */
   def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed
-      .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
-      .foreach(_.unpersist(blocking = true))
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
+      case _ => () // not a direct checkpoint frame — nothing owned to free
+    }
 
   /** Coerce `name`'s declared timestamp columns to TimestampType whatever
     * physical type the drop and session config produced — nano-longs under

@@ -32,7 +32,7 @@ object TextQueries {
     * whose blocks the caller frees after materializing). */
   private[graft] def dsirDistributed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import graft.functions.{detlog, detsum}
-    val grams = docs(s, d)
+    val grams = docsAnalyzed(s, d)
       .select(col("doc_id"), col("source"),
         explode(concat(col("toks"), text.shingles(col("toks"), 2))).as("g"))
       .withColumn("b", substring(md5(col("g").cast("binary")), 1, 2))
@@ -90,7 +90,7 @@ object TextQueries {
     * nothing (inner join against the weight table — mirrored exactly by
     * the oracle). Returns (doc_id, label, n_feat, score) per doc. */
   private[graft] def qualityScored(s: SparkSession, d: String): DataFrame =
-    qualityScoredFrom(Tables(s, d, "documents"), s"qcls:$d")
+    qualityScoredFrom(docsAnalyzed(s, d), s"qcls:$d")
 
   /** [[qualityScored]] over an arbitrary (doc_id, source, text) frame —
     * split out so the spec can train on a PLANTED-signal corpus and prove
@@ -115,7 +115,10 @@ object TextQueries {
   /** The classifier's hashed gram stream (doc_id, source, g, b) — ONE
     * feature definition shared by the batch scorer and the trainer. */
   private def qualityGrams(raw: DataFrame): DataFrame =
-    raw.withColumn("toks", text.tokens(col("text")))
+    // an already-analyzed frame (the docsAnalyzed artifact) keeps its toks;
+    // raw text (spec corpora, streams) is tokenized here — ONE definition
+    (if (raw.columns.contains("toks")) raw
+     else raw.withColumn("toks", text.tokens(col("text"))))
       .select(col("doc_id"), col("source"),
         explode(concat(col("toks"), text.shingles(col("toks"), 2))).as("g"))
       .withColumn("b", substring(md5(col("g").cast("binary")), 1, 2))
@@ -370,7 +373,7 @@ object TextQueries {
     * (doc_id, lang, lang_pred, s_en..s_fr); shared by q40 (per-doc output)
     * and q40b (confusion-matrix evaluation). */
   private def langPred(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    docsAnalyzed(s, d)
       .withColumn("s_en", text.stopwordCount(col("toks"), stopEn))
       .withColumn("s_de", text.stopwordCount(col("toks"), stopDe))
       .withColumn("s_es", text.stopwordCount(col("toks"), stopEs))
@@ -872,17 +875,29 @@ object TextQueries {
     * every probe runs with ZERO build jobs, exactly how an ES node opens
     * an existing index instead of re-analyzing the corpus. */
   private[graft] def saveIndex(s: SparkSession, d: String, dir: String): Unit = {
-    docsAnalyzed(s, d).write.mode("overwrite").parquet(s"$dir/analyzed")
-    tfArtifact(s, d).write.mode("overwrite").parquet(s"$dir/tf")
+    // r18 opt (guide §6, output file sizing): REBALANCE before every write
+    // — AQE coalesces each table to advisory-sized output partitions, so
+    // locally each artifact lands as a handful of right-sized files
+    // instead of one near-empty file per in-memory partition (the
+    // checkpointed frames carry 32+ partitions; the old shape wrote ~100
+    // tiny files + commits per save), while at warehouse scale the SAME
+    // hint yields advisory-sized files. Pure layout: loadIndex reads the
+    // identical rows, TextIndexSpec pins byte-identical scores.
+    def w(df: DataFrame, sub: String, by: Seq[String] = Nil): Unit =
+      df.hint("rebalance", by.map(col): _*).write.mode("overwrite").parquet(s"$dir/$sub")
+    // keyed rebalance keeps the artifact's clustering (doc-clustered
+    // analyzed/tf, term-clustered postings) in the saved layout
+    w(docsAnalyzed(s, d), "analyzed", Seq("doc_id"))
+    w(tfArtifact(s, d), "tf", Seq("doc_id"))
     val art = postings(s, d)
-    art.frame.write.mode("overwrite").parquet(s"$dir/postings")
-    art.statsBody.write.mode("overwrite").parquet(s"$dir/stats_body")
-    art.statsTitle.write.mode("overwrite").parquet(s"$dir/stats_title")
-    art.statsTail.write.mode("overwrite").parquet(s"$dir/stats_tail")
-    dfVocab(s, d).write.mode("overwrite").parquet(s"$dir/vocab")
-    rankedVocab(s, d).write.mode("overwrite").parquet(s"$dir/ranked_vocab")
-    titleVocab(s, d).write.mode("overwrite").parquet(s"$dir/title_vocab")
-    topBigram(s, d).write.mode("overwrite").parquet(s"$dir/top_bigram")
+    w(art.frame, "postings", Seq("tok"))
+    w(art.statsBody, "stats_body")
+    w(art.statsTitle, "stats_title")
+    w(art.statsTail, "stats_tail")
+    w(dfVocab(s, d), "vocab")
+    w(rankedVocab(s, d), "ranked_vocab")
+    w(titleVocab(s, d), "title_vocab")
+    w(topBigram(s, d), "top_bigram")
   }
 
   /** Install a saved text index under dataset key `key`: every artifact
@@ -1488,7 +1503,7 @@ object TextQueries {
     // scan-spreading repartition (the q72/Flows discipline): a single-split
     // documents file would otherwise tokenize + explode its whole token
     // stream on one core
-    val t = docs(s, d).repartition(col("doc_id"))
+    val t = docsAnalyzed(s, d)
       .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
     val vocab = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val vocabLg = graft.functions.detlog.withLog2(vocab, "c", "lg")
@@ -1587,8 +1602,7 @@ object TextQueries {
     // frequency, the way significant_text samples and dedupes. The token
     // frequency tables shuffle on the token only.
     "q11g_significant_text" -> ((s: SparkSession, d: String) => {
-      val toks = docs(s, d)
-        .repartition(col("doc_id"))
+      val toks = docsAnalyzed(s, d)
         .select(col("source"), explode(array_distinct(col("toks"))).as("tok"))
       val bg = toks.groupBy(col("tok")).agg(count(lit(1)).as("bg_count"))
       val fg = toks.filter(col("source") === "src0")
@@ -1664,7 +1678,7 @@ object TextQueries {
     }),
 
     "q41_quality_score" -> ((s: SparkSession, d: String) =>
-      qualityScore(docs(s, d))),
+      qualityScore(docsAnalyzed(s, d))),
 
     // The always-on form of q41: quality scoring applied AT INGEST — a
     // stateless map over the document stream (no watermark, no state
@@ -1751,7 +1765,7 @@ object TextQueries {
     // totals table is source-count-sized and broadcasts into the rejoin.
     "q132_data_split" -> ((s: SparkSession, d: String) => {
       import graft.functions.detsum
-      val assigned = docs(s, d)
+      val assigned = docsAnalyzed(s, d)
         .withColumn("b",
           substring(md5(concat(col("doc_id").cast("string"), lit("#split")).cast("binary")), 1, 2))
         .withColumn("split",
@@ -1767,7 +1781,7 @@ object TextQueries {
     }),
 
     "q42_token_count" -> ((s: SparkSession, d: String) => {
-      docs(s, d)
+      docsAnalyzed(s, d)
         .withColumn("n_ws", size(split(trim(col("text")), "\\s+")))
         .withColumn("n_bpe", size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")))
         .withColumn(
@@ -1778,7 +1792,7 @@ object TextQueries {
 
     // corpus-wide vocabulary statistics: top bigrams (training-data staple)
     "q44_ngram_freq" -> ((s: SparkSession, d: String) =>
-      docs(s, d)
+      docsAnalyzed(s, d)
         .select(explode(text.shingles(col("toks"), 2)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("freq"))
@@ -1847,7 +1861,7 @@ object TextQueries {
     // match proves the row-local scaled-long rescoring is bit-identical
     // to the batch detsum aggregation.
     "st18_quality_stream" -> ((s: SparkSession, d: String) => {
-      val (w, prior) = qualityModelFrom(Tables(s, d, "documents"), s"qclsS:$d")
+      val (w, prior) = qualityModelFrom(docsAnalyzed(s, d), s"qclsS:$d")
       val ws = w.collect().map(r => r.getString(0) ->
         graft.functions.detsum.roundHalfUpLong(r.getDouble(1) * 1e9)).toMap
       val p0 = prior.collect()(0).getDouble(0)
@@ -1855,7 +1869,7 @@ object TextQueries {
     }),
 
     "q45_length_histogram" -> ((s: SparkSession, d: String) =>
-      docs(s, d)
+      docsAnalyzed(s, d)
         .withColumn("len_bucket", (floor(size(col("toks")) / lit(10)) * 10).cast("long"))
         .groupBy(col("len_bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("total_tokens"))),
@@ -1881,7 +1895,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
         .rowsBetween(Window.unboundedPreceding, 0)
-      docs(s, d)
+      docsAnalyzed(s, d)
         .withColumn("n_tok", size(col("toks")))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("pack_id", floor((col("cum") - col("n_tok")) / lit(512.0)).cast("long"))
@@ -1923,7 +1937,7 @@ object TextQueries {
     // shuffles for pairing.
     "q63b_bigram_logprob" -> ((s: SparkSession, d: String) => {
       import graft.functions.{detlog, detsum}
-      val m = docs(s, d)
+      val m = docsAnalyzed(s, d)
         .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .repartition(col("doc_id"))
       val big = m.select(explode(text.shingles(col("toks"), 2)).as("g"))
@@ -1949,7 +1963,7 @@ object TextQueries {
           "nv", "lgnv"),
         "nv5", "lg5nv")
         .select(col("lgnv"), col("lg5nv"))
-      docs(s, d).repartition(col("doc_id"))
+      docsAnalyzed(s, d)
         .select(col("doc_id"), col("source"),
           // size>=1 guard (the phraseTf/shingles discipline): sequence(1,0)
           // counts DOWN and element_at(toks,0) would throw — don't depend
@@ -2395,7 +2409,7 @@ object TextQueries {
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "term")))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"), (min(col("p")) + lit(1L)).as("first_pos"))
-      val stats = docs(s, d).repartition(col("doc_id"))
+      val stats = docsAnalyzed(s, d)
         .select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("ttf"))
@@ -3639,8 +3653,8 @@ object TextQueries {
     // identity the oracle's encode phase rests on.
     "q66_bpe_tokenize" -> ((s: SparkSession, d: String) => {
       val model = graft.operators.Bpe.model(s, d, nMerges = 40)
-      val sub = graft.operators.Bpe.tokenize(docs(s, d), model)
-      docs(s, d).select(col("doc_id"), col("source"))
+      val sub = graft.operators.Bpe.tokenize(docsAnalyzed(s, d), model)
+      docsAnalyzed(s, d).select(col("doc_id"), col("source"))
         .join(sub, "doc_id")
         .select(col("source"), explode(col("subwords")).as("sw"))
         .groupBy(col("source"))
@@ -3656,8 +3670,8 @@ object TextQueries {
     "q66b_bpe_fertility" -> ((s: SparkSession, d: String) => {
       import graft.functions.detsum
       val model = graft.operators.Bpe.model(s, d, nMerges = 40)
-      val sub = graft.operators.Bpe.tokenize(docs(s, d), model)
-      docs(s, d).select(col("doc_id"), col("source"), col("toks"))
+      val sub = graft.operators.Bpe.tokenize(docsAnalyzed(s, d), model)
+      docsAnalyzed(s, d).select(col("doc_id"), col("source"), col("toks"))
         .join(sub, "doc_id")
         .groupBy(col("source"))
         .agg(
@@ -3681,7 +3695,7 @@ object TextQueries {
     // = q66's per-source subword aggregate.
     "q114_unigram_tokenize" -> ((s: SparkSession, d: String) => {
       val seg = graft.operators.Unigram.segmentations(s, d)
-      docs(s, d)
+      docsAnalyzed(s, d)
         .select(col("source"), explode(filter(col("toks"), t => length(t) > 0)).as("word"))
         .join(broadcast(seg.select(col("word"), col("pieces"))), Seq("word"))
         .select(col("source"), explode(col("pieces")).as("sw"))
@@ -3696,7 +3710,7 @@ object TextQueries {
     "q114b_unigram_fertility" -> ((s: SparkSession, d: String) => {
       import graft.functions.detsum
       val seg = graft.operators.Unigram.segmentations(s, d)
-      docs(s, d)
+      docsAnalyzed(s, d)
         .select(col("source"), explode(filter(col("toks"), t => length(t) > 0)).as("word"))
         .join(broadcast(seg.select(col("word"), col("pieces"))), Seq("word"))
         .groupBy(col("source"))
@@ -3725,8 +3739,8 @@ object TextQueries {
     // the three trainers are comparable number-for-number.
     "q120_wordpiece_tokenize" -> ((s: SparkSession, d: String) => {
       val m = graft.operators.WordPiece.model(s, d, nMerges = 40)
-      val sub = graft.operators.WordPiece.tokenize(docs(s, d), m)
-      docs(s, d).select(col("doc_id"), col("source"))
+      val sub = graft.operators.WordPiece.tokenize(docsAnalyzed(s, d), m)
+      docsAnalyzed(s, d).select(col("doc_id"), col("source"))
         .join(sub, "doc_id")
         .select(col("source"), explode(col("subwords")).as("sw"))
         .groupBy(col("source"))
@@ -3738,8 +3752,8 @@ object TextQueries {
     "q120b_wordpiece_fertility" -> ((s: SparkSession, d: String) => {
       import graft.functions.detsum
       val m = graft.operators.WordPiece.model(s, d, nMerges = 40)
-      val sub = graft.operators.WordPiece.tokenize(docs(s, d), m)
-      docs(s, d).select(col("doc_id"), col("source"), col("toks"))
+      val sub = graft.operators.WordPiece.tokenize(docsAnalyzed(s, d), m)
+      docsAnalyzed(s, d).select(col("doc_id"), col("source"), col("toks"))
         .join(sub, "doc_id")
         .groupBy(col("source"))
         .agg(
@@ -3782,12 +3796,11 @@ object TextQueries {
 
     "q53_tfidf_top_terms" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val terms = docs(s, d)
-        .repartition(col("doc_id"))
+      val terms = docsAnalyzed(s, d)
         .select(col("doc_id"), explode(col("toks")).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df_ = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val nDocs = docsAnalyzed(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
       // df_ is vocabulary-sized (O(10^8) rows over a 100 TB corpus) — never
       // hint-broadcast it. The tf⋈df join stays term-keyed; AQE may still
@@ -3812,7 +3825,7 @@ object TextQueries {
           .when(col("source") === "src1", 0.3)
           .when(col("source") === "src2", 0.2)
           .otherwise(0.1)
-      docs(s, d)
+      docsAnalyzed(s, d)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("total_tokens"))
         .withColumn("weight", weight)
@@ -3828,7 +3841,7 @@ object TextQueries {
     // sqrt() — correctly-rounded IEEE in both engines, where a generic
     // pow() would not be — and the (tiny) normalizer sums via detsum.
     "q57b_temperature_mix" -> ((s: SparkSession, d: String) => {
-      val g = docs(s, d)
+      val g = docsAnalyzed(s, d)
         .groupBy(col("source"))
         .agg(sum(size(col("toks"))).as("total_tokens"))
       val tot = g.agg(sum(col("total_tokens")).as("corpus_tokens"))
@@ -3848,7 +3861,7 @@ object TextQueries {
     // count bounds, mean word length bounds, stopword presence; `kept` is
     // their conjunction. Integer/ratio arithmetic only.
     "q41b_gopher_rules" -> ((s: SparkSession, d: String) =>
-      docs(s, d)
+      docsAnalyzed(s, d)
         .withColumn("n_tok", size(col("toks")).cast("long"))
         .withColumn("sum_tok_len",
           (length(text.norm(col("text"))) - (col("n_tok") - 1)).cast("long"))
@@ -3880,8 +3893,7 @@ object TextQueries {
     // local layout — a multi-row-group parquet keeps it free).
     "q121_c4_filters" -> ((s: SparkSession, d: String) => {
       val L = 8
-      val lined = docs(s, d)
-        .repartition(col("doc_id")) // single-file scan -> spread line surgery
+      val lined = docsAnalyzed(s, d)
         .withColumn("n_lines", ceil(size(col("toks")) / lit(L.toDouble)).cast("int"))
         .withColumn("lines",
           transform(sequence(lit(0), col("n_lines") - 1), i => concat(
@@ -3914,8 +3926,7 @@ object TextQueries {
     // distinct benchmark shingle set is broadcast, so the corpus streams
     // once and never shuffles — the benchmark side stays a few MB at 100 TB.
     "q54_decontaminate" -> ((s: SparkSession, d: String) => {
-      val sh = docs(s, d)
-        .repartition(col("doc_id")) // single-file scan -> spread shingle work
+      val sh = docsAnalyzed(s, d)
         .select(col("doc_id"), array_distinct(text.shingles(col("toks"), 3)).as("sh"))
       val bench = sh.filter(col("doc_id") % 97 === 0)
         .select(explode(col("sh")).as("s")).distinct()
@@ -3954,8 +3965,7 @@ object TextQueries {
     // Gopher-style repetition signals: duplicate-token and duplicate-bigram
     // ratios — the cheap per-doc quality gate that catches template spam
     "q56_repetition_score" -> ((s: SparkSession, d: String) =>
-      docs(s, d)
-        .repartition(col("doc_id"))
+      docsAnalyzed(s, d)
         .withColumn("n_tok", size(col("toks")).cast("long"))
         .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
         .withColumn("bg", text.shingles(col("toks"), 2))
@@ -3990,7 +4000,7 @@ object TextQueries {
     // stage the standalone operator, fully oracle-checked.
     "q48b_pipeline_full" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val scored = docs(s, d)
+      val scored = docsAnalyzed(s, d)
         .withColumn("n_tok", size(col("toks")))
         .withColumn("n_uniq", size(array_distinct(col("toks"))))
         .withColumn("txt_len", length(col("text")))
@@ -4006,7 +4016,7 @@ object TextQueries {
         .filter(col("quality") >= 0.25 && col("s_en") > 0)
         .filter(col("n_tok") >= 2 && lit(1.0) - col("n_uniq") / col("n_tok") <= 0.6)
         .filter(col("doc_id") % 97 =!= 0) // benchmark rows are eval data, never train
-      val benchSh = docs(s, d).filter(col("doc_id") % 97 === 0)
+      val benchSh = docsAnalyzed(s, d).filter(col("doc_id") % 97 === 0)
         .select(explode(array_distinct(text.shingles(col("toks"), 3))).as("s")).distinct()
       val contaminated = kept
         .select(col("doc_id"), explode(array_distinct(text.shingles(col("toks"), 3))).as("s"))
@@ -4040,7 +4050,7 @@ object TextQueries {
     // Every stage is the operator used by its standalone query.
     "q48_pipeline_end2end" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val scored = docs(s, d)
+      val scored = docsAnalyzed(s, d)
         .withColumn("n_tok", size(col("toks")))
         .withColumn("txt_len", length(col("text")))
         .withColumn("punct_cnt", length(regexp_replace(col("text"), "[^.!?,;:]", "")))

@@ -221,14 +221,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "the reduced row is local — nothing to shuffle")
   }
 
-  test("q64: itemset pair generation is a basket-keyed equi-join, never all-pairs") {
+  test("q64: itemset pair generation is in-basket (list explode), never all-pairs") {
     val p = plan("q64_frequent_item_sets")
-    assert(!p.contains("CartesianProduct"), "pair candidates must come from the basket join")
-    // the single-row n_baskets scalar legitimately attaches via a 1-row
-    // nested-loop broadcast; the PAIR join itself must be a hash equi-join
-    // on the basket key
-    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("SortMergeJoin"), "basket join must be an equi-join")
+    assert(!p.contains("CartesianProduct"), "pair candidates must stay within baskets")
+    // r18 shape: per-basket item lists (ONE basket-keyed aggregation) with
+    // the i<j triangle enumerated INSIDE the array — no join generates
+    // candidates at all, so any join operator beyond the 1-row n_baskets
+    // scalar attach is a regression back to the self-join shape
+    assert(p.contains("Generate"), "pairs must be enumerated from the basket's item list")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("SortMergeJoin"), "no join may generate pair candidates")
     // formatted explain names each operator twice (tree + details), so ONE
     // nested-loop operator (the scalar attach) appears as two mentions
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
