@@ -40,6 +40,36 @@ object IngestQueries {
     p
   }
 
+  /** Build-once SPOOL registry — the streaming harness's arrival-feed
+    * directories, keyed (session, dataset, kind). A spool is collector-feed
+    * scaffolding, not the operator under test (st05's own comment): it
+    * simulates the static test feed ARRIVING, and before r19 every
+    * invocation of every spool-fed streaming query re-materialized the
+    * whole feed (a full documents/packets rewrite) before starting the
+    * stream — guide §1.2's "don't redo the work" applied to the harness.
+    * The feed is a deterministic function of the dataset, so it is written
+    * once per (session, dataset, kind) — the build-once artifact discipline
+    * — and every stream run replays the SAME files; all streaming work
+    * (source listing, decode, state, watermarks, sink) stays in the request
+    * path. Same lazy-slot atomicity as TextQueries.ArtifactSlot; stopped
+    * sessions are pruned on the next lookup. */
+  private final class SpoolSlot(build: () => java.nio.file.Path) {
+    lazy val value: java.nio.file.Path = build()
+  }
+  private val spoolCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), SpoolSlot]
+  private[graft] def spoolOnce(s: SparkSession, d: String, kind: String)(
+      write: java.nio.file.Path => Unit): java.nio.file.Path = {
+    spoolCache.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) spoolCache.remove(k)
+    }
+    spoolCache.getOrElseUpdate((s, d, kind), new SpoolSlot(() => {
+      val p = scratchDir(s"graft_spool_$kind")
+      write(p)
+      p
+    })).value
+  }
+
   /** NetFlow v5 packet frame derived from events — the synthetic collector
     * feed used by the batch (q50) and streaming (st04) ingest pipelines. */
   def netflowPackets(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Packet] = {
@@ -206,10 +236,16 @@ object IngestQueries {
     * collector-side enrich (Spark re-broadcasts the static side per
     * micro-batch; state is only the running aggregate). Shares q50c's
     * oracle: a hash match proves stream decode → broadcast join → agg. */
+  /** The NetFlow arrival feed st04 and st08 both stream — identical
+    * content, so one build-once spool serves both (see [[spoolOnce]]). */
+  private def netflowSpool(s: SparkSession, d: String): java.nio.file.Path =
+    spoolOnce(s, d, "nf_packets") { p =>
+      netflowPackets(s, d).toDF().write.mode("overwrite").parquet(p.toString)
+    }
+
   private def st08(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val spool = scratchDir("graft_nf_spool_st08")
-    netflowPackets(s, d).toDF().write.mode("overwrite").parquet(spool.toString)
+    val spool = netflowSpool(s, d)
     val agg = siteEnrich(s,
       s.readStream
         .schema("bytes BINARY")
@@ -311,8 +347,7 @@ object IngestQueries {
     * the oracle recomputes the histogram straight from events. */
   private def st04(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val spool = scratchDir("graft_nf_spool")
-    netflowPackets(s, d).toDF().write.mode("overwrite").parquet(spool.toString)
+    val spool = netflowSpool(s, d)
     val records = s.readStream
       .schema("bytes BINARY")
       .parquet(spool.toString)
@@ -444,6 +479,25 @@ object IngestQueries {
     val tmplMsgs = (0L until nDomains)
       .map(dom => (dom, 0L, graft.sources.Ipfix.packTemplateOnly(1704067200L, 0L, dom)))
       .toDF("domain", "seq", "bytes")
+    // feed packing runs ONCE per (session, dataset) — [[spoolOnce]]; each
+    // invocation still gets its own fresh two-phase ARRIVAL dir (hardlinks
+    // into `spool`, below) and checkpoint, so the template-before-data
+    // collector semantics under test are untouched
+    val tmplDir = spoolOnce(s, d, "ipfix_tmpl") { p =>
+      tmplMsgs.repartition(1).write.mode("overwrite").parquet(p.toString)
+    }
+    val dataDir = spoolOnce(s, d, "ipfix_data") { p =>
+      dataMsgs.repartition(1).write.mode("overwrite").parquet(p.toString)
+    }
+    def arrive(src: java.nio.file.Path, tag: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.list(src)
+      try files.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .foreach(f =>
+          java.nio.file.Files.createLink(spool.resolve(s"${tag}_${f.getFileName}"), f))
+      finally files.close()
+    }
 
     def runOnce(): Unit = {
       val msgs = s.readStream
@@ -481,10 +535,10 @@ object IngestQueries {
       }
     }
     // PHASE 1: templates only — no decodable data yet
-    tmplMsgs.repartition(1).write.mode("append").parquet(spool.toString)
+    arrive(tmplDir, "t")
     runOnce()
     // PHASE 2: data-only messages — decodable only via checkpointed state
-    dataMsgs.repartition(1).write.mode("append").parquet(spool.toString)
+    arrive(dataDir, "d")
     runOnce()
     s.table("st05_mem")
   }

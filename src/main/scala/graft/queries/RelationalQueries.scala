@@ -154,17 +154,19 @@ object RelationalQueries {
     // the batch join the oracle computes.
     "st06_stream_stream_join" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.streaming.Trigger
-      val spool = IngestQueries.scratchDir("graft_ss_join")
       // the feed carries only the two topics the join consumes — the
       // filters would push into the scan anyway, but a smaller spool also
-      // shrinks the streaming state both sides keep
-      Tables(s, d, "events")
-        .filter(col("event_type") === "error" ||
-          (col("event_type") === "purchase" && col("value") > 300))
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-          timestamp_millis(expr("unix_micros(ts) DIV 1000")).as("ts"))
-        .repartition(2)
-        .write.mode("overwrite").parquet(spool.toString)
+      // shrinks the streaming state both sides keep. Built once per
+      // (session, dataset): the feed is arrival scaffolding (spoolOnce).
+      val spool = IngestQueries.spoolOnce(s, d, "ss_join_events") { p =>
+        Tables(s, d, "events")
+          .filter(col("event_type") === "error" ||
+            (col("event_type") === "purchase" && col("value") > 300))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            timestamp_millis(expr("unix_micros(ts) DIV 1000")).as("ts"))
+          .repartition(2)
+          .write.mode("overwrite").parquet(p.toString)
+      }
       Tables.withShufflePartitions(s, 8) {
       val src = s.readStream
         .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")

@@ -925,6 +925,36 @@ object TextQueries {
     put(topBigramCache, s.read.parquet(s"$dir/top_bigram"))
   }
 
+  /** Bench hook (the [[VecIndex.reset]] analog): drop every build-once
+    * text-index artifact for (s, d) and synchronously free the displaced
+    * frames' checkpoint blocks, so the next [[buildTextIndex]] pays the
+    * full build from the parquet corpus. Callers must be sequential with
+    * every artifact consumer (Bench is); freeing is root-only per the
+    * [[Tables.freeCheckpoint]] ownership rule, and every derived artifact
+    * is itself checkpointed, so freeing a parent cannot lineage-truncate a
+    * sibling. */
+  private[graft] def resetTextIndex(s: SparkSession, d: String): Unit = {
+    def drop[T](cache: scala.collection.concurrent.TrieMap[(SparkSession, String), ArtifactSlot[T]])(
+        free: T => Unit): Unit =
+      cache.remove((s, d)).foreach(slot => free(slot.value))
+    drop(postingsCache)(p => Tables.freeCheckpoint(p.frame))
+    Seq(tfCache, dfVocabCache, rankedVocabCache, titleVocabCache, topBigramCache, analyzedCache)
+      .foreach(c => drop(c)(Tables.freeCheckpoint))
+  }
+
+  /** Force-build the full text index for (s, d) — the exact artifact set
+    * [[saveIndex]] persists (analyzed corpus, tf, postings + the three
+    * build-time stats tables, the per-field dictionaries, the phrase
+    * dictionary). Every frame is localCheckpoint(true) (eager) and the
+    * postings stats collect at build, so returning means every build job
+    * ran. Bench times this so the index-build cost is a visible record row
+    * instead of hiding in the untimed warmup. */
+  private[graft] def buildTextIndex(s: SparkSession, d: String): Unit = {
+    docsAnalyzed(s, d); tfArtifact(s, d); postings(s, d)
+    dfVocab(s, d); rankedVocab(s, d); titleVocab(s, d); topBigram(s, d)
+    ()
+  }
+
   /** The front door's [[QueryDsl.Relevance]] — every scorer routes through
     * THE shared BM25 stack, so `searchScored` can never grow a second copy
     * of the formula. multi_match resolves the engine's field model: `body`
@@ -1337,9 +1367,17 @@ object TextQueries {
     * (the testdata table is a single parquet file; the file stream source
     * wants a directory feed, and the multi-file spool gives several
     * micro-batch splits). */
+  /** The arriving-documents feed every text/multimodal streaming query
+    * (st13–st19, st16) reads. The spool is built ONCE per (session,
+    * dataset) via [[IngestQueries.spoolOnce]] — before r19 every
+    * invocation re-wrote the whole documents table before starting its
+    * stream (7 consumers × warmup+2 bench runs = 21 full-corpus rewrites
+    * per bench). Tokenization stays IN the stream (`toks` is computed on
+    * the streamed rows per request); `name` identifies the consumer only. */
   private[graft] def docStream(s: SparkSession, d: String, name: String): DataFrame = {
-    val spool = IngestQueries.scratchDir(s"graft_doc_spool_$name")
-    Tables(s, d, "documents").repartition(4).write.mode("overwrite").parquet(spool.toString)
+    val spool = IngestQueries.spoolOnce(s, d, "docs4") { p =>
+      Tables(s, d, "documents").repartition(4).write.mode("overwrite").parquet(p.toString)
+    }
     s.readStream
       .schema(Tables(s, d, "documents").schema)
       .parquet(spool.toString)

@@ -138,24 +138,27 @@ object FlowStream {
           s"timestamp_millis(${graft.queries.Flows.JAN_START_MS}L + " +
             "(cast(conv(substring(fp, 1, 6), 16, 10) as bigint) % 86400) * 1000)"))
         .select(col("source"), col("fp"), col("ts"))
-      val spool = graft.queries.IngestQueries.scratchDir(s"graft_dedup_spool_$name")
-      src.repartitionByRange(4, col("ts"))
-        .write.mode("overwrite").parquet(spool.toString)
-      // the file source orders batches by file mtime — stamp STRICTLY
-      // increasing mtimes in part-file (= ts-range) order so arrival order
-      // is deterministically the event-time order (equal mtimes leave the
-      // order to the filesystem listing, which round-13 testing showed
-      // does drop first-occurrences as late data)
-      val now = System.currentTimeMillis()
-      Option(spool.toFile.listFiles()).foreach(
-        _.filter(_.getName.startsWith("part-")).sortBy(_.getName).zipWithIndex
-          .foreach { case (f, i) =>
-            // fail LOUDLY if the stamp doesn't take: on a filesystem that
-            // refuses setLastModified, arrival order silently degrades to
-            // listing order and st03b emits wrong counts with no error
-            require(f.setLastModified(now + i * 60000L),
-              s"setLastModified failed on $f — spool arrival order would be nondeterministic")
-          })
+      // arrival feed built (and mtime-stamped) once per (session, dataset)
+      // — spoolOnce; each invocation replays the same 4 ts-range files
+      val spool = graft.queries.IngestQueries.spoolOnce(spark, sfDir, "dedup_ts") { p =>
+        src.repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(p.toString)
+        // the file source orders batches by file mtime — stamp STRICTLY
+        // increasing mtimes in part-file (= ts-range) order so arrival order
+        // is deterministically the event-time order (equal mtimes leave the
+        // order to the filesystem listing, which round-13 testing showed
+        // does drop first-occurrences as late data)
+        val now = System.currentTimeMillis()
+        Option(p.toFile.listFiles()).foreach(
+          _.filter(_.getName.startsWith("part-")).sortBy(_.getName).zipWithIndex
+            .foreach { case (f, i) =>
+              // fail LOUDLY if the stamp doesn't take: on a filesystem that
+              // refuses setLastModified, arrival order silently degrades to
+              // listing order and st03b emits wrong counts with no error
+              require(f.setLastModified(now + i * 60000L),
+                s"setLastModified failed on $f — spool arrival order would be nondeterministic")
+            })
+      }
       val stream = spark.readStream
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1")
