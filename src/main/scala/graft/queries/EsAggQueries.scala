@@ -27,6 +27,95 @@ object EsAggQueries {
     * typed entry, so the front door shares their oracles verbatim. */
   private[graft] def eventsMs(spark: SparkSession, dir: String): DataFrame = ev(spark, dir)
 
+  /** The per-basket sorted item lists both itemset levels enumerate from —
+    * ONE lineitem scan + ONE basket-keyed shuffle, eagerly checkpointed so
+    * every consumer (pair triangle, triple triangle, basket count) probes
+    * the materialized frame. r18 built this per CONSUMER (a `def`): q64b
+    * paid the scan+shuffle twice for its two levels, plus a THIRD full
+    * lineitem scan + countDistinct shuffle just for n_baskets — which is,
+    * by definition, the checkpointed frame's row count (one row per
+    * distinct l_orderkey), so it is derived here for free (r19, guide
+    * §1.2/§2.4; q64b plan: 5 parquet scans + 10 Exchanges → 1 scan + 4
+    * Exchanges, see plans/r19). Callers free the frame via
+    * materializeAndFree once the coordinator-sized result is localized. */
+  private def basketLists(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint(true)
+
+  /** n_baskets = COUNT(DISTINCT l_orderkey) ≡ rows of the basket-list frame
+    * (one row per group key) — identical integer, no second lineitem pass. */
+  private def nBaskets(lists: DataFrame): DataFrame =
+    lists.agg(count(lit(1)).cast("double").as("n_baskets"))
+
+  /** q64's distributed shape, exposed (with its checkpointed list frame)
+    * so PlanSpec gates the REAL plan — the registry entry localizes the
+    * 25-row result and frees the lists (the dsirDistributed discipline).
+    * Pair candidates are the i<j triangle enumerated INSIDE each basket's
+    * item array (r18 shape, unchanged). */
+  private[graft] def q64Distributed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val lists = basketLists(s, d)
+    val result = lists
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 20)
+      .crossJoin(broadcast(nBaskets(lists)))
+      .withColumn("support_ratio", round(col("support").cast("double") / col("n_baskets"), 6))
+      .drop("n_baskets")
+      .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+      .limit(25)
+    (result, lists)
+  }
+
+  /** q64b's distributed shape — the level-wise Apriori step over ONE
+    * checkpointed basket-list frame. The size-2 survivor table is bounded
+    * by construction (items are l_partkey % 50, so ≤ C(50,2) = 1225 rows
+    * at ANY scale factor) and is LOCALIZED before its three broadcast
+    * left-semi prune variants — r18 re-executed the p2 probe+aggregate
+    * subtree once per variant. Prune semantics unchanged: all three
+    * 2-subsets frequent, applied BELOW the (a,b,c) counting exchange. */
+  private[graft] def q64bDistributed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val lists = basketLists(s, d)
+    val p2 = Tables.localize(lists
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("s2"))
+      .filter(col("s2") >= 5)
+      .select(col("item_a"), col("item_b")))
+    val abc = lists
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        flatten(transform(slice(col("items"), i + lit(2), size(col("items"))), (y, j) =>
+          transform(slice(col("items"), i + j + lit(3), size(col("items"))),
+            z => struct(x.as("item_a"), y.as("item_b"), z.as("item_c")))))))).as("t"))
+      .select(col("t.item_a").as("item_a"), col("t.item_b").as("item_b"),
+        col("t.item_c").as("item_c"))
+      .join(broadcast(p2), Seq("item_a", "item_b"), "left_semi")
+      .join(
+        broadcast(p2.select(col("item_a").as("item_b"), col("item_b").as("item_c"))),
+        Seq("item_b", "item_c"), "left_semi")
+      .join(
+        broadcast(p2.select(col("item_a"), col("item_b").as("item_c"))),
+        Seq("item_a", "item_c"), "left_semi")
+    val result = abc.groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 5)
+      .crossJoin(broadcast(nBaskets(lists)))
+      .withColumn("support_ratio", round(col("support").cast("double") / col("n_baskets"), 6))
+      .drop("n_baskets")
+      .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc, col("item_c").asc)
+      .limit(25)
+    (result, lists)
+  }
+
   private def hourBucket(c: org.apache.spark.sql.Column) =
     (floor(c / lit(HOUR_MS)) * lit(HOUR_MS)).as("bucket_ms")
 
@@ -813,31 +902,8 @@ object EsAggQueries {
     // key, i<j triangle), so the shuffle is basket-keyed and nothing is
     // all-pairs across baskets.
     "q64_frequent_item_sets" -> ((s: SparkSession, d: String) => {
-      // r18 opt: ONE shuffle builds per-basket sorted item LISTS (groupBy
-      // basket + collect_set — set semantics replace the old distinct),
-      // and the i<j pair triangle is enumerated INSIDE the array, so the
-      // old shape's distinct exchange + basket self-join (2 more
-      // exchanges, 2 extra lineitem scans) disappears. Fan-out bound
-      // unchanged: C(basket items, 2) per basket, enumerated locally.
-      val lists = Tables(s, d, "lineitem")
-        .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
-        .groupBy(col("basket"))
-        .agg(sort_array(collect_set(col("item"))).as("items"))
-      val nb = Tables(s, d, "lineitem")
-        .agg(countDistinct(col("l_orderkey")).cast("double").as("n_baskets"))
-      lists
-        .select(explode(flatten(transform(col("items"), (x, i) =>
-          transform(slice(col("items"), i + lit(2), size(col("items"))),
-            y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
-        .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
-        .groupBy(col("item_a"), col("item_b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 20)
-        .crossJoin(broadcast(nb))
-        .withColumn("support_ratio", round(col("support").cast("double") / col("n_baskets"), 6))
-        .drop("n_baskets")
-        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
-        .limit(25)
+      val (result, lists) = q64Distributed(s, d)
+      Tables.materializeAndFree(result, lists)
     }),
 
     // ES `frequent_item_sets` at size k=3 — the level-wise Apriori step
@@ -856,51 +922,8 @@ object EsAggQueries {
     // Threshold 5 at both levels is non-vacuous at every SF (probed:
     // 13 qualifying triples at sf0.001, max support 6).
     "q64b_frequent_item_sets_k3" -> ((s: SparkSession, d: String) => {
-      // r18 opt: the q64 list reshape applied level-wise — per-basket
-      // sorted item lists in ONE shuffle each for the pair and triple
-      // levels (was: distinct + 2 basket self-joins = 5 exchanges and 6
-      // lineitem scans). Pairs and the i<j<k triangle are enumerated
-      // INSIDE the array; the Apriori prune keeps its shape (all three
-      // 2-subsets frequent, broadcast left-semi BELOW the counting
-      // shuffle), so candidates that cannot reach the threshold still
-      // never enter the (a,b,c) aggregation exchange.
-      def lists = Tables(s, d, "lineitem")
-        .select(col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
-        .groupBy(col("basket"))
-        .agg(sort_array(collect_set(col("item"))).as("items"))
-      val p2 = lists
-        .select(explode(flatten(transform(col("items"), (x, i) =>
-          transform(slice(col("items"), i + lit(2), size(col("items"))),
-            y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
-        .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
-        .groupBy(col("item_a"), col("item_b"))
-        .agg(count(lit(1)).as("s2"))
-        .filter(col("s2") >= 5)
-        .select(col("item_a"), col("item_b"))
-      val abc = lists
-        .select(explode(flatten(transform(col("items"), (x, i) =>
-          flatten(transform(slice(col("items"), i + lit(2), size(col("items"))), (y, j) =>
-            transform(slice(col("items"), i + j + lit(3), size(col("items"))),
-              z => struct(x.as("item_a"), y.as("item_b"), z.as("item_c")))))))).as("t"))
-        .select(col("t.item_a").as("item_a"), col("t.item_b").as("item_b"),
-          col("t.item_c").as("item_c"))
-        .join(broadcast(p2), Seq("item_a", "item_b"), "left_semi")
-        .join(
-          broadcast(p2.select(col("item_a").as("item_b"), col("item_b").as("item_c"))),
-          Seq("item_b", "item_c"), "left_semi")
-        .join(
-          broadcast(p2.select(col("item_a"), col("item_b").as("item_c"))),
-          Seq("item_a", "item_c"), "left_semi")
-      val nb = Tables(s, d, "lineitem")
-        .agg(countDistinct(col("l_orderkey")).cast("double").as("n_baskets"))
-      abc.groupBy(col("item_a"), col("item_b"), col("item_c"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 5)
-        .crossJoin(broadcast(nb))
-        .withColumn("support_ratio", round(col("support").cast("double") / col("n_baskets"), 6))
-        .drop("n_baskets")
-        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc, col("item_c").asc)
-        .limit(25)
+      val (result, lists) = q64bDistributed(s, d)
+      Tables.materializeAndFree(result, lists)
     }),
 
     // ES `change_point` pipeline agg (simplified to its stable contract —

@@ -886,18 +886,28 @@ object TextQueries {
     def w(df: DataFrame, sub: String, by: Seq[String] = Nil): Unit =
       df.hint("rebalance", by.map(col): _*).write.mode("overwrite").parquet(s"$dir/$sub")
     // keyed rebalance keeps the artifact's clustering (doc-clustered
-    // analyzed/tf, term-clustered postings) in the saved layout
-    w(docsAnalyzed(s, d), "analyzed", Seq("doc_id"))
-    w(tfArtifact(s, d), "tf", Seq("doc_id"))
+    // analyzed/tf, term-clustered postings) in the saved layout.
+    // r19 (guide §2.6, overlap independent jobs): the ten table writes are
+    // independent of each other and all read already-materialized artifact
+    // frames, so they run from a small thread pool — the next write's
+    // tasks back-fill executors freed by the current write's tail instead
+    // of serializing ten job tails (the Bench.buildIndex discipline).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val art = postings(s, d)
-    w(art.frame, "postings", Seq("tok"))
-    w(art.statsBody, "stats_body")
-    w(art.statsTitle, "stats_title")
-    w(art.statsTail, "stats_tail")
-    w(dfVocab(s, d), "vocab")
-    w(rankedVocab(s, d), "ranked_vocab")
-    w(titleVocab(s, d), "title_vocab")
-    w(topBigram(s, d), "top_bigram")
+    val writes = Seq(
+      () => w(docsAnalyzed(s, d), "analyzed", Seq("doc_id")),
+      () => w(tfArtifact(s, d), "tf", Seq("doc_id")),
+      () => w(art.frame, "postings", Seq("tok")),
+      () => w(art.statsBody, "stats_body"),
+      () => w(art.statsTitle, "stats_title"),
+      () => w(art.statsTail, "stats_tail"),
+      () => w(dfVocab(s, d), "vocab"),
+      () => w(rankedVocab(s, d), "ranked_vocab"),
+      () => w(titleVocab(s, d), "title_vocab"),
+      () => w(topBigram(s, d), "top_bigram")).map(f => Future(f()))
+    writes.foreach(Await.result(_, 10.minutes))
   }
 
   /** Install a saved text index under dataset key `key`: every artifact
@@ -3670,13 +3680,19 @@ object TextQueries {
     // plan against BroadcastNestedLoopJoin regressions.
     "st14_percolate_stream" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.streaming.Trigger
-      val q = st14StreamAgg(s, d).writeStream
-        .format("memory").queryName("st14_mem")
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("st14_mem")
+      // rule-count-sized state (8 rules) — shard the state store like every
+      // other stateful harness entry instead of inheriting the session's 32
+      // (32 store commits per batch for 8 rows of state; r19 profile read
+      // commitMs summed at 17s/batch under 32 shards vs <1s under 8)
+      Tables.withShufflePartitions(s, 8) {
+        val q = st14StreamAgg(s, d).writeStream
+          .format("memory").queryName("st14_mem")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st14_mem")
+      }
     }),
 
     // REAL BPE (Sennrich 2016): merges learned by distributed pair-count

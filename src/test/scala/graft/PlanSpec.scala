@@ -222,7 +222,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q64: itemset pair generation is in-basket (list explode), never all-pairs") {
-    val p = plan("q64_frequent_item_sets")
+    // r19: the registry entry localizes the 25-row result (and frees the
+    // basket-list checkpoint), so the gated plan is the exposed distributed
+    // frame — the dsirDistributed discipline
+    val (result, lists) = queries.EsAggQueries.q64Distributed(spark, sf)
+    val p = result.queryExecution.explainString(FormattedMode)
+    queries.Tables.freeCheckpoint(lists)
     assert(!p.contains("CartesianProduct"), "pair candidates must stay within baskets")
     // r18 shape: per-basket item lists (ONE basket-keyed aggregation) with
     // the i<j triangle enumerated INSIDE the array — no join generates
@@ -235,15 +240,25 @@ class PlanSpec extends AnyFunSuite {
     // nested-loop operator (the scalar attach) appears as two mentions
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
       "only the scalar attach may nested-loop")
+    // r19 shape: ONE lineitem pass — the basket lists are checkpointed and
+    // n_baskets derives from them (the old second scan + countDistinct
+    // shuffle is a regression)
+    assert(!p.contains("Scan parquet"), "one lineitem pass: consumers probe the checkpointed lists")
   }
 
   test("q64b: triple generation stays basket-keyed; the Apriori prune broadcasts") {
-    val p = plan("q64b_frequent_item_sets_k3")
+    val (result, lists) = queries.EsAggQueries.q64bDistributed(spark, sf)
+    val p = result.queryExecution.explainString(FormattedMode)
+    queries.Tables.freeCheckpoint(lists)
     assert(!p.contains("CartesianProduct"), "triple candidates must come from basket equi-joins")
     assert(p.contains("BroadcastHashJoin"), "the size-2 survivor prune must broadcast")
     // only the 1-row n_baskets scalar may nested-loop (tree + details = 2 mentions)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
       "only the scalar attach may nested-loop")
+    // r19 shape: one lineitem pass total; the p2 survivor table is a
+    // localized ≤C(50,2)-row relation, so no probe subtree re-executes
+    // per broadcast variant
+    assert(!p.contains("Scan parquet"), "one lineitem pass: levels probe the checkpointed lists")
   }
 
   test("q133: the polygon ray cast is a pure scan filter (no join finds the hits)") {

@@ -8,8 +8,15 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder("8").getOrCreate()
     val sf = args(0)
+    // localized registry entries (materializeAndFree) expose their
+    // distributed shape separately — dump THAT plan under the suffixed name
+    val exposed: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "q64_distributed" -> (() => graft.queries.EsAggQueries.q64Distributed(spark, sf)._1),
+      "q64b_distributed" -> (() => graft.queries.EsAggQueries.q64bDistributed(spark, sf)._1))
     for (q <- args(1).split(",")) {
-      val p = graft.SparkEntry.queries(q)(spark, sf).queryExecution.explainString(FormattedMode)
+      val df = exposed.get(q).map(_.apply())
+        .getOrElse(graft.SparkEntry.queries(q)(spark, sf))
+      val p = df.queryExecution.explainString(FormattedMode)
       println(s"===== $q =====")
       println(p)
     }
