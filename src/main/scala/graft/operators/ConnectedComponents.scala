@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** edges: two long columns (src, dst). Returns (id, component) where
-    * component = min vertex id reachable. */
+    * component = min vertex id reachable.
+    *
+    * CALLER CONTRACT (r18 dropped the internal `.distinct()`): `edges` is
+    * expected to be UNIQUE pairs with src < dst — every in-repo caller's
+    * edge set is (a<b)-deduped by construction. Correctness survives
+    * violations (min-label propagation is multiset-safe, and symmetrization
+    * happens inside), but duplicated or pre-symmetrized edges multiply
+    * every round's join and shuffle volume for nothing. */
   def run(edges: DataFrame, maxIter: Int = 20, pointerJump: Boolean = false): DataFrame =
     runCounted(edges, maxIter, pointerJump)._1
 

@@ -72,7 +72,18 @@ object Tables {
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = true)
-      case _ => () // not a direct checkpoint frame — nothing owned to free
+      case other =>
+        // not a direct checkpoint frame — nothing OWNED to free. But a
+        // derived plan that still CONTAINS checkpoint leaves signals an
+        // ownership mistake at the call site (the caller meant to free the
+        // root it checkpointed and passed a derived frame instead): that
+        // leaks blocks silently — the inverse of the pre-r18 over-free bug
+        // — so surface it loudly instead of quietly doing nothing (r18
+        // ADVICE item).
+        if (other.collectLeaves().exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+          System.err.println(
+            "[graft] freeCheckpoint: called on a DERIVED frame whose plan contains " +
+              "checkpoint leaves — nothing freed; pass the checkpoint root itself")
     }
 
   /** Coerce `name`'s declared timestamp columns to TimestampType whatever

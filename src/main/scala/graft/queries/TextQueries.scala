@@ -128,34 +128,47 @@ object TextQueries {
     * streaming scorer can collect the same weights the batch query
     * broadcasts (train offline / score online — one training
     * definition). */
-  private[graft] def qualityModelFrom(raw: DataFrame, ckptKey: String): (DataFrame, DataFrame) = {
-    import graft.functions.detlog
-    val grams = qualityGrams(raw)
-    val counts = swapCheckpoint(ckptKey,
-      grams.filter(col("doc_id") % 5 =!= 0)
+  private val qualityModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ArtifactSlot[(DataFrame, DataFrame)]]
+  private[graft] def qualityModelFrom(raw: DataFrame, ckptKey: String): (DataFrame, DataFrame) =
+    // TRAIN-ONCE memoization (r19): the Bpe/Unigram model-cache precedent
+    // applied to the third trainer — q99/q99b/st18 each re-paid the full
+    // gram-count training pass per invocation although the model is a pure
+    // function of the static corpus. The memoized model is the pair of
+    // LOCALIZED relations (≤256 weight rows + the 1-row prior — the exact
+    // doubles the old frames computed, collected once), so nothing holds
+    // checkpoint storage and every consumer's broadcast is literal-fed.
+    // Keys stay caller-chosen: every existing key is 1:1 with its raw
+    // frame, so spec corpora (planted-signal tests) memoize separately.
+    artifact(qualityModelCache, raw.sparkSession, ckptKey) {
+      import graft.functions.detlog
+      val grams = qualityGrams(raw)
+      val counts = grams.filter(col("doc_id") % 5 =!= 0)
         .groupBy(col("b")).agg(
           count(when(col("source") === "src0", 1)).as("cp"),
           count(when(col("source") =!= "src0", 1)).as("cn"))
-        .localCheckpoint(true))
-    val bucketLg = detlog.withLog2(detlog.withLog2(
-      counts.withColumn("cpp", col("cp") + lit(1L)).withColumn("cnp", col("cn") + lit(1L)),
-      "cpp", "lgp"), "cnp", "lgn")
-    val tot = counts.agg(
-      (sum(col("cp")) + lit(256L)).as("np"),
-      (sum(col("cn")) + lit(256L)).as("nn"))
-    val totLg = detlog.withLog2(detlog.withLog2(tot, "np", "lgnp"), "nn", "lgnn")
-    val w = bucketLg
-      .crossJoin(broadcast(totLg.select(col("lgnp"), col("lgnn"))))
-      .select(col("b"), ((col("lgp") - col("lgnp")) - (col("lgn") - col("lgnn"))).as("w"))
-    val prior = detlog.withLog2(detlog.withLog2(
-      raw.select(col("doc_id"), (col("source") === "src0").as("label"))
-        .filter(col("doc_id") % 5 =!= 0).agg(
-          (count(when(col("label"), 1)) + lit(1L)).as("dp"),
-          (count(when(!col("label"), 1)) + lit(1L)).as("dn")),
-      "dp", "lgdp"), "dn", "lgdn")
-      .select((col("lgdp") - col("lgdn")).as("p0"))
-    (w, prior)
-  }
+        .localCheckpoint(true)
+      val bucketLg = detlog.withLog2(detlog.withLog2(
+        counts.withColumn("cpp", col("cp") + lit(1L)).withColumn("cnp", col("cn") + lit(1L)),
+        "cpp", "lgp"), "cnp", "lgn")
+      val tot = counts.agg(
+        (sum(col("cp")) + lit(256L)).as("np"),
+        (sum(col("cn")) + lit(256L)).as("nn"))
+      val totLg = detlog.withLog2(detlog.withLog2(tot, "np", "lgnp"), "nn", "lgnn")
+      val w = bucketLg
+        .crossJoin(broadcast(totLg.select(col("lgnp"), col("lgnn"))))
+        .select(col("b"), ((col("lgp") - col("lgnp")) - (col("lgn") - col("lgnn"))).as("w"))
+      val prior = detlog.withLog2(detlog.withLog2(
+        raw.select(col("doc_id"), (col("source") === "src0").as("label"))
+          .filter(col("doc_id") % 5 =!= 0).agg(
+            (count(when(col("label"), 1)) + lit(1L)).as("dp"),
+            (count(when(!col("label"), 1)) + lit(1L)).as("dn")),
+        "dp", "lgdp"), "dn", "lgdn")
+        .select((col("lgdp") - col("lgdn")).as("p0"))
+      val (wLocal, priorLocal) = (Tables.localize(w), Tables.localize(prior))
+      Tables.freeCheckpoint(counts)
+      (wLocal, priorLocal)
+    }
 
   /** st18's stateless streaming scorer: the batch-trained weight table
     * (collected, detsum-scaled to exact longs) and prior ride the plan as
@@ -214,31 +227,9 @@ object TextQueries {
         .localCheckpoint(true)
     }
 
-  /** Generation-swap bookkeeping for the per-call checkpointed frames
-    * below: building a fresh artifact frees the PREVIOUS generation's
-    * blocks for the same key (the [[VecIndex.replace]] discipline), so
-    * repeated invocations — the bench runs every query 3× — hold at most
-    * one live frame per (helper, dataset, driver thread) instead of
-    * stacking blocks until GC. Per-call semantics are unchanged: every
-    * call still builds (and pays for) its own fresh frame. The key is
-    * thread-scoped: a sequential driver (Bench/Verify — the case the
-    * bound exists for) swaps its own generations, while parallel test
-    * suites sharing the session can never free a frame another thread's
-    * plan is still executing. */
-  private val ckptPool = scala.collection.concurrent.TrieMap.empty[String, List[DataFrame]]
-  private def swapCheckpoint(key: String, fresh: DataFrame): DataFrame = {
-    // keep the LAST TWO generations per key and free only generation n-2:
-    // a same-thread caller that constructs two frames sharing a key before
-    // executing the first (construct-construct-execute) still finds its
-    // blocks live, whereas freeing n-1 immediately would lineage-truncate
-    // a frame another not-yet-executed plan object still references
-    val k = s"$key:${Thread.currentThread().getId}"
-    val prior = ckptPool.put(k, (fresh :: ckptPool.getOrElse(k, Nil)).take(2))
-    prior.getOrElse(Nil).drop(1).foreach { old =>
-      if (!old.sparkSession.sparkContext.isStopped) Tables.freeCheckpoint(old)
-    }
-    fresh
-  }
+  // (the r17 per-call swapCheckpoint generation pool is gone: its last
+  // caller, the quality-model trainer, is a memoized train-once artifact
+  // since r19 — see qualityModelFrom)
 
   /** The FULL document-frequency vocabulary (no length filter) — the term
     * dictionary the multi-term-rewrite retrieval queries (q87 fuzzy, q88
@@ -934,6 +925,22 @@ object TextQueries {
     put(titleVocabCache, s.read.parquet(s"$dir/title_vocab"))
     put(topBigramCache, s.read.parquet(s"$dir/top_bigram"))
   }
+
+  /** The once-per-(session, dataset) persisted-and-reloaded index key that
+    * q178's steady-state serving path probes: saveIndex writes the whole
+    * text index to parquet ONCE, loadIndex installs the parquet-backed
+    * frames under a fresh dataset key, and every later request serves from
+    * those tables — the ES "node opens an existing index" shape. */
+  private val loadedKeyCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ArtifactSlot[String]]
+  private def loadedIndexKey(s: SparkSession, d: String): String =
+    artifact(loadedKeyCache, s, d) {
+      val dir = IngestQueries.scratchDir("graft_text_index_srv").toString
+      saveIndex(s, d, dir)
+      val key = s"$dir::loaded"
+      loadIndex(s, key, dir)
+      key
+    }
 
   /** Bench hook (the [[VecIndex.reset]] analog): drop every build-once
     * text-index artifact for (s, d) and synchronously free the displaced
@@ -2185,6 +2192,26 @@ object TextQueries {
       val key = s"$dir::loaded"
       loadIndex(s, key, dir)
       bm25PerDoc(s, key)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("score"))
+    }),
+
+    // The STEADY-STATE serving path of the persisted index (r18 verdict
+    // item 4): q171 times save+load+probe in one request; THIS entry is
+    // what every request after the first looks like on a node that opened
+    // an existing index — the postings/dictionary probes run against the
+    // q171-persisted PARQUET tables (real scans: term pushdown + column
+    // pruning apply), with zero build or save jobs in the request path.
+    // The index is persisted+installed once per (session, dataset)
+    // ([[loadedIndexKey]], the build-once artifact discipline — the save
+    // is the index build's durable half, not request work). Shares q76's
+    // oracle verbatim: a hash match proves the loaded-parquet path is
+    // byte-identical to the in-memory twin.
+    "q178_loaded_search" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      bm25PerDoc(s, loadedIndexKey(s, d))
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)
@@ -4977,6 +5004,9 @@ object TextQueries {
     // q171 serves the SAME ranked search from the parquet round-tripped
     // index — one oracle, byte-identity through persistence
     "q171_index_persist" -> bm25TopkOracle,
+    // the loaded-path twin: same oracle — a hash match proves the
+    // parquet-served probes equal the in-memory artifact chain exactly
+    "q178_loaded_search" -> bm25TopkOracle,
     "q76b_rescore" ->
       s"""WITH $bm25PerCtes,
          |win AS (

@@ -29,11 +29,17 @@ object Scratch2 {
     }
     println(s"after buildIndex: trainRuns ${graft.operators.Unigram.trainRuns.toMap}")
     val slow = collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // a broken query must FAIL the reproduction loudly, never be reported
+    // as a (fast) timing — r18 ADVICE item (the warmup loop above keeps
+    // its guard: there a failure is expected noise, here it poisons data)
+    var failed = List.empty[String]
     ordered.foreach { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val s0 = System.nanoTime()
         try fn(spark, sf).count()
-        catch { case scala.util.control.NonFatal(e) => println(s"$name fail: $e") }
+        catch { case scala.util.control.NonFatal(e) =>
+          failed ::= name; println(s"$name FAIL: $e")
+        }
         (System.nanoTime() - s0) / 1e9
       }
       if (times.min > 0.9) slow += ((name, times.min))
@@ -42,5 +48,7 @@ object Scratch2 {
     println("slow (min>0.9s): " + slow.sortBy(-_._2).map { case (n, t) => f"$n=$t%.2f" }.mkString(" "))
     println(f"total gc ${gcMs / 1000.0}%.1f s")
     spark.stop()
+    if (failed.nonEmpty)
+      sys.error(s"Scratch2: ${failed.size} queries FAILED in the timed loop: ${failed.sorted.mkString(", ")}")
   }
 }
